@@ -1,0 +1,107 @@
+"""Deterministic image codec for the image+caption payload.
+
+The engine's per-row invariant (BASELINE.json input_hint) is
+"decoded-pixel allclose (PSNR>=40dB for lossy fmt) + caption equality"
+across every maintenance rewrite. Real image libraries (PIL/opencv) are
+not in this container, so the codec here is a self-contained,
+deterministic stand-in with the same *shape* as a real one:
+
+- ``raw``  : uncompressed interleaved RGB bytes (w*h*3), lossless.
+- ``png``  : zlib-compressed RGB with a tiny header, lossless.
+- ``jpeg`` : quantize-to-multiple-of-Q then zlib — LOSSY. With Q=4 the
+  quantization error is uniform in [-2, 2], MSE ~= Q^2/12 ~= 1.33, so
+  PSNR ~= 10*log10(255^2/1.33) ~= 46.9 dB — above the 40 dB gate, which
+  is exactly the property the verification scan asserts.
+
+All encode/decode paths are numpy-vectorized and are only ever invoked
+from Arrow-batched pandas UDFs / mapInPandas (no per-row Python in a
+Spark plan; see operators/verify.py).
+
+A real deployment would swap `_encode_one/_decode_one` for
+PIL/turbojpeg calls behind the same interface; the Spark-side plumbing
+(schema, batch shape, PSNR gate) is unchanged. Mirrors the reference's
+Python-side raster/geometry shims (its only "UDF surface",
+dags/Demo_dag.py:76-138, src/visualization.py:53-69).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_MAGIC_PNG = b"FPNG"
+_MAGIC_JPG = b"FJPG"
+_JPEG_Q = 4  # quantization step -> ~46.9 dB PSNR
+
+
+def synth_pixels(i: int, w: int, h: int) -> np.ndarray:
+    """Deterministic (seed-free) pixel field for row index ``i``.
+
+    A gradient + per-row offset pattern: reproducible from ``i`` alone,
+    cheap, and non-constant so lossy-codec PSNR is meaningful.
+    """
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (xx * 7 + yy * 13 + (i * 31) % 251).astype(np.int64)
+    r = (base % 256).astype(np.uint8)
+    g = ((base * 3 + i) % 256).astype(np.uint8)
+    b = ((base * 5 + i * 2) % 256).astype(np.uint8)
+    return np.stack([r, g, b], axis=-1)  # (h, w, 3) uint8
+
+
+def encode(pixels: np.ndarray, fmt: str) -> bytes:
+    h, w, _ = pixels.shape
+    raw = pixels.tobytes()
+    if fmt == "raw":
+        return raw
+    if fmt == "png":
+        return _MAGIC_PNG + struct.pack("<HH", w, h) + zlib.compress(raw, 6)
+    if fmt == "jpeg":
+        q = (pixels.astype(np.int32) // _JPEG_Q * _JPEG_Q).astype(np.uint8)
+        return _MAGIC_JPG + struct.pack("<HH", w, h) + zlib.compress(q.tobytes(), 6)
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+def decode(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
+    if fmt == "raw":
+        return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+    if fmt in ("png", "jpeg"):
+        magic = _MAGIC_PNG if fmt == "png" else _MAGIC_JPG
+        if data[:4] != magic:
+            raise ValueError(f"bad magic for fmt {fmt!r}")
+        ew, eh = struct.unpack("<HH", data[4:8])
+        if (ew, eh) != (w, h):
+            raise ValueError(f"header dims {(ew, eh)} != column dims {(w, h)}")
+        raw = zlib.decompress(data[8:])
+        return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB; inf for identical images."""
+    diff = a.astype(np.float64) - b.astype(np.float64)
+    mse = float(np.mean(diff * diff))
+    if mse == 0.0:
+        return float("inf")
+    return 10.0 * np.log10(255.0 * 255.0 / mse)
+
+
+def average_hash(pixels: np.ndarray) -> int:
+    """64-bit average-hash perceptual fingerprint (public aHash scheme):
+    downsample luminance to 8x8, threshold at the mean, pack 64 bits.
+    Used by tests to sanity-check the synth pipeline; the table's
+    ``phash`` column itself is generator-assigned (FIXTURES.md F1)."""
+    lum = pixels.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    h, w = lum.shape
+    ys = np.linspace(0, h, 9).astype(int)
+    xs = np.linspace(0, w, 9).astype(int)
+    cells = np.empty((8, 8))
+    for r in range(8):
+        for c in range(8):
+            cells[r, c] = lum[ys[r] : max(ys[r + 1], ys[r] + 1), xs[c] : max(xs[c + 1], xs[c] + 1)].mean()
+    bits = (cells >= cells.mean()).flatten()
+    val = 0
+    for bit in bits:
+        val = (val << 1) | int(bit)
+    return val - (1 << 64) if val >= 1 << 63 else val

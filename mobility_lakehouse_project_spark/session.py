@@ -1,0 +1,54 @@
+"""SparkSession factory tuned for the engine.
+
+The reference pins its engine config per environment (threads, memory
+limit, spill dir — dags/Gold_Chunked_Dag.py:23-33); we centralize the
+Spark equivalents here so every entry point (tests, bench, driver) gets
+the same AQE/Arrow/shuffle posture.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "mobility_lakehouse_project_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a local SparkSession.
+
+    ``cores`` defaults to $SPARK_GRAFT_CPUS or all cores. Shuffle
+    partitions default to the core count — on a real cluster this is
+    sized to ~2-3x total executor cores and then AQE coalesces; the
+    principle (explicit sizing + AQE) is identical.
+    """
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cores, 8)
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Image rows carry a binary `bytes` column; cap Arrow batches so a
+        # vectorized UDF batch of large rows stays well under executor memory.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

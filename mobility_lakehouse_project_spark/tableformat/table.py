@@ -1,0 +1,620 @@
+"""Iceberg-style table format, implemented from scratch on parquet + JSON.
+
+The reference delegates this layer to DuckLake: Postgres-hosted catalog
+metadata + parquet data files on S3, with commits as catalog
+transactions (`ATTACH 'ducklake:postgres:...' (DATA_PATH 's3://...')`,
+dags/Gold_Chunked_Dag.py:36-41). We re-implement that split natively:
+
+    <location>/
+      metadata/
+        v<N>.metadata.json        # schema, snapshot log, current snapshot
+        version-hint.text         # atomic pointer to the current version
+        manifests/manifest-*.parquet   # one row per data file + stats
+      data/snap-<writeid>/[_p=<v>/]part-*.parquet
+      _lineage/<op_id>/<chunk>.json    # maintenance checkpoints
+
+Commit = write v<N+1>.metadata.json, then atomically swap
+version-hint.text (tmp + os.replace), validating the expected parent
+snapshot id first — the single-writer analog of DuckLake's Postgres
+transaction (SURVEY.md §7.0). Snapshot isolation: readers resolve the
+hint once and only ever see a fully-committed file list; time travel =
+reading an older snapshot's manifests.
+
+Manifests are parquet so the *metadata itself is a Spark DataFrame*
+(``table.files(spark)`` / ``snapshots`` / ``manifests``) — maintenance
+planning (compaction grouping, expiry reachability) runs as DataFrame
+scans of these tables, per the north-star requirement. At 10^12-image
+scale the manifest set is millions of rows: far too big to collect,
+fine to scan/aggregate distributed; driver-side pyarrow is used only
+for writing manifest files at commit time (the writer-side stats
+collection that, on a real cluster, arrives via task commit messages).
+
+Partitioning follows Iceberg's model: the partition value is *derived*
+from a data column that stays in the data files (here the column
+itself, identity transform); the physical layout duplicates it as an
+``_p=<value>`` directory so partition-targeted rewrites are file-level
+operations. Per-file min/max stats for integer-ish and string columns
+make scans prunable without any secondary index — the engine's answer
+to the reference's ART indexes (src/sql/silver.sql:123-132).
+"""
+
+from __future__ import annotations
+
+import glob as globmod
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_PART_DIR = "_p"
+_STAT_TYPES = (T.IntegerType, T.LongType, T.ShortType, T.ByteType, T.DateType)
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer advanced the table between plan and commit."""
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    parent_id: int | None
+    sequence: int
+    timestamp_ms: int
+    operation: str  # append | overwrite | replace | delete | rewrite-manifests
+    manifests: list[str]  # paths relative to metadata/
+    summary: dict = field(default_factory=dict)
+
+    def to_json(self) -> dict:
+        return {
+            "snapshot_id": self.snapshot_id,
+            "parent_id": self.parent_id,
+            "sequence": self.sequence,
+            "timestamp_ms": self.timestamp_ms,
+            "operation": self.operation,
+            "manifests": self.manifests,
+            "summary": self.summary,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "Snapshot":
+        return Snapshot(
+            d["snapshot_id"], d["parent_id"], d["sequence"], d["timestamp_ms"],
+            d["operation"], list(d["manifests"]), dict(d.get("summary", {})),
+        )
+
+
+def _atomic_write(path: str, data: str) -> None:
+    tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        f.write(data)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)  # atomic on POSIX
+
+
+_MANIFEST_SCHEMA = pa.schema(
+    [
+        ("file_path", pa.string()),          # relative to table location
+        ("partition_id", pa.string()),       # "" for unpartitioned
+        ("record_count", pa.int64()),
+        ("file_size_bytes", pa.int64()),
+        ("added_snapshot_id", pa.int64()),
+        ("int_mins", pa.map_(pa.string(), pa.int64())),
+        ("int_maxs", pa.map_(pa.string(), pa.int64())),
+        ("str_mins", pa.map_(pa.string(), pa.string())),
+        ("str_maxs", pa.map_(pa.string(), pa.string())),
+    ]
+)
+
+
+class LakehouseTable:
+    def __init__(self, location: str):
+        self.location = os.path.abspath(location)
+        self.meta_dir = os.path.join(self.location, "metadata")
+        self.manifest_dir = os.path.join(self.meta_dir, "manifests")
+        self.data_dir = os.path.join(self.location, "data")
+
+    # ---------------- metadata I/O ----------------
+
+    @property
+    def _hint_path(self) -> str:
+        return os.path.join(self.meta_dir, "version-hint.text")
+
+    def current_version(self) -> int:
+        with open(self._hint_path) as f:
+            return int(f.read().strip())
+
+    def _meta_path(self, version: int) -> str:
+        return os.path.join(self.meta_dir, f"v{version}.metadata.json")
+
+    def load_metadata(self, version: int | None = None) -> dict:
+        v = self.current_version() if version is None else version
+        with open(self._meta_path(v)) as f:
+            meta = json.load(f)
+        meta["_version"] = v
+        return meta
+
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(json.loads(self.load_metadata()["schema_json"]))
+
+    @property
+    def exists(self) -> bool:
+        return os.path.exists(self._hint_path)
+
+    # ---------------- create ----------------
+
+    @classmethod
+    def create(
+        cls,
+        location: str,
+        schema: T.StructType,
+        partition_col: str | None = None,
+    ) -> "LakehouseTable":
+        t = cls(location)
+        if t.exists:
+            raise FileExistsError(f"table already exists at {location}")
+        os.makedirs(t.manifest_dir, exist_ok=True)
+        os.makedirs(t.data_dir, exist_ok=True)
+        meta = {
+            "format_version": 1,
+            "table_uuid": uuid.uuid4().hex,
+            "location": t.location,
+            "schema_json": schema.json(),
+            "partition_col": partition_col,
+            "current_snapshot_id": None,
+            "last_sequence": 0,
+            "snapshots": [],
+        }
+        _atomic_write(t._meta_path(1), json.dumps(meta, indent=1))
+        _atomic_write(t._hint_path, "1")
+        return t
+
+    # ---------------- snapshots ----------------
+
+    def snapshots_list(self, meta: dict | None = None) -> list[Snapshot]:
+        meta = meta or self.load_metadata()
+        return [Snapshot.from_json(s) for s in meta["snapshots"]]
+
+    def current_snapshot(self, meta: dict | None = None) -> Snapshot | None:
+        meta = meta or self.load_metadata()
+        cur = meta["current_snapshot_id"]
+        if cur is None:
+            return None
+        return next(s for s in self.snapshots_list(meta) if s.snapshot_id == cur)
+
+    def snapshot_by_id(self, snapshot_id: int) -> Snapshot:
+        return next(
+            s for s in self.snapshots_list() if s.snapshot_id == snapshot_id
+        )
+
+    # ---------------- data write path ----------------
+
+    def _partition_col(self, meta: dict | None = None) -> str | None:
+        return (meta or self.load_metadata())["partition_col"]
+
+    def write_data_files(
+        self,
+        df: DataFrame,
+        n_files: int | None = None,
+        sort_cols: list[str] | None = None,
+    ) -> list[dict]:
+        """Write a DataFrame as new data files; return manifest entries
+        (NOT yet committed — callers pair this with a commit_* call).
+
+        Distribution: ``repartitionByRange(n, partition_col, *sort_cols)``
+        gives every output task a contiguous (partition, key) slice —
+        one shuffle that simultaneously (a) sizes output files, (b)
+        keeps each task inside 1-2 partition directories, and (c)
+        splits a hot partition across tasks (deterministic skew
+        handling: the range sampler sees the hot key's weight).
+        """
+        meta = self.load_metadata()
+        pcol = meta["partition_col"]
+        write_id = uuid.uuid4().hex[:12]
+        out_dir = os.path.join(self.data_dir, f"snap-{write_id}")
+        range_cols = ([pcol] if pcol else []) + [c for c in (sort_cols or []) if c != pcol]
+        if n_files and range_cols:
+            df = df.repartitionByRange(n_files, *[F.col(c) for c in range_cols])
+            if sort_cols:
+                df = df.sortWithinPartitions(*range_cols)
+        elif n_files:
+            df = df.repartition(n_files)
+        writer = df
+        if pcol:
+            writer = writer.withColumn(_PART_DIR, F.col(pcol))
+            writer.write.partitionBy(_PART_DIR).mode("append").parquet(out_dir)
+        else:
+            writer.write.mode("append").parquet(out_dir)
+        return self._collect_entries(out_dir, meta)
+
+    def _collect_entries(self, out_dir: str, meta: dict) -> list[dict]:
+        """Build manifest entries from freshly-written parquet footers.
+
+        Footer-only reads (O(files) metadata, no data pages). On a real
+        cluster these stats come back from executor task-commit
+        messages; locally the driver reads footers directly.
+        """
+        schema = T.StructType.fromJson(json.loads(meta["schema_json"]))
+        int_cols = {f.name for f in schema.fields if isinstance(f.dataType, _STAT_TYPES)}
+        str_cols = {f.name for f in schema.fields if isinstance(f.dataType, T.StringType)}
+        entries = []
+        for fp in sorted(
+            globmod.glob(os.path.join(out_dir, "**", "*.parquet"), recursive=True)
+        ):
+            rel = os.path.relpath(fp, self.location)
+            partition_id = ""
+            for seg in rel.split(os.sep):
+                if seg.startswith(_PART_DIR + "="):
+                    partition_id = seg.split("=", 1)[1]
+            md = pq.ParquetFile(fp).metadata
+            imins: dict[str, int] = {}
+            imaxs: dict[str, int] = {}
+            smins: dict[str, str] = {}
+            smaxs: dict[str, str] = {}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    name = col.path_in_schema
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        continue
+                    if name in int_cols:
+                        lo, hi = int(st.min), int(st.max)
+                        imins[name] = min(imins.get(name, lo), lo)
+                        imaxs[name] = max(imaxs.get(name, hi), hi)
+                    elif name in str_cols:
+                        lo, hi = str(st.min), str(st.max)
+                        smins[name] = min(smins.get(name, lo), lo)
+                        smaxs[name] = max(smaxs.get(name, hi), hi)
+            entries.append(
+                {
+                    "file_path": rel,
+                    "partition_id": partition_id,
+                    "record_count": md.num_rows,
+                    "file_size_bytes": os.path.getsize(fp),
+                    "added_snapshot_id": -1,  # patched at commit
+                    "int_mins": imins,
+                    "int_maxs": imaxs,
+                    "str_mins": smins,
+                    "str_maxs": smaxs,
+                }
+            )
+        return entries
+
+    def _write_manifest(self, entries: list[dict], snapshot_id: int) -> str:
+        for e in entries:
+            e["added_snapshot_id"] = snapshot_id
+        name = f"manifest-{snapshot_id}-{uuid.uuid4().hex[:8]}.parquet"
+        cols = {
+            k: [
+                (list(e[k].items()) if isinstance(e[k], dict) else e[k])
+                for e in entries
+            ]
+            for k in [f.name for f in _MANIFEST_SCHEMA]
+        }
+        tbl = pa.table(cols, schema=_MANIFEST_SCHEMA)
+        pq.write_table(tbl, os.path.join(self.manifest_dir, name))
+        return os.path.join("manifests", name)
+
+    def read_manifest_entries(self, manifest_rel: str) -> list[dict]:
+        tbl = pq.read_table(os.path.join(self.meta_dir, manifest_rel))
+        rows = tbl.to_pylist()
+        for r in rows:
+            for k in ("int_mins", "int_maxs", "str_mins", "str_maxs"):
+                r[k] = dict(r[k] or [])
+        return rows
+
+    # ---------------- commits ----------------
+
+    def _next_ids(self, meta: dict) -> tuple[int, int]:
+        seq = meta["last_sequence"] + 1
+        # snapshot ids: sequence-scoped but unique & monotonic
+        snap_id = int(time.time() * 1000) * 1000 + seq % 1000
+        existing = {s["snapshot_id"] for s in meta["snapshots"]}
+        while snap_id in existing:
+            snap_id += 1
+        return snap_id, seq
+
+    def _commit(
+        self,
+        base_meta: dict,
+        new_snapshot: Snapshot,
+        expected_parent: int | None,
+    ) -> Snapshot:
+        """Atomic commit: validate parent, write v<N+1>, swap pointer."""
+        cur_v = self.current_version()
+        if cur_v != base_meta["_version"]:
+            raise ConcurrentCommitError(
+                f"table advanced v{base_meta['_version']} -> v{cur_v} during commit"
+            )
+        live = self.load_metadata(cur_v)
+        if live["current_snapshot_id"] != expected_parent:
+            raise ConcurrentCommitError(
+                f"expected parent snapshot {expected_parent}, "
+                f"found {live['current_snapshot_id']}"
+            )
+        meta = {k: v for k, v in base_meta.items() if not k.startswith("_")}
+        meta["snapshots"] = meta["snapshots"] + [new_snapshot.to_json()]
+        meta["current_snapshot_id"] = new_snapshot.snapshot_id
+        meta["last_sequence"] = new_snapshot.sequence
+        new_v = cur_v + 1
+        _atomic_write(self._meta_path(new_v), json.dumps(meta, indent=1))
+        _atomic_write(self._hint_path, str(new_v))
+        return new_snapshot
+
+    def commit_append(self, entries: list[dict], summary: dict | None = None) -> Snapshot:
+        meta = self.load_metadata()
+        parent = meta["current_snapshot_id"]
+        snap_id, seq = self._next_ids(meta)
+        manifest = self._write_manifest(entries, snap_id)
+        prev = self.current_snapshot(meta)
+        manifests = (prev.manifests if prev else []) + [manifest]
+        snap = Snapshot(
+            snap_id, parent, seq, int(time.time() * 1000), "append", manifests,
+            {"added-files": len(entries),
+             "added-records": sum(e["record_count"] for e in entries),
+             "added-bytes": sum(e["file_size_bytes"] for e in entries),
+             **(summary or {})},
+        )
+        return self._commit(meta, snap, parent)
+
+    def commit_replace(
+        self,
+        removed_paths: set[str],
+        entries: list[dict],
+        operation: str = "replace",
+        summary: dict | None = None,
+    ) -> Snapshot:
+        """Replace-files commit (compaction / clustering / MERGE / partition
+        overwrite). Surviving entries of affected manifests are rewritten
+        into a fresh manifest — the incremental form of manifest rewrite;
+        untouched manifests are carried over by reference."""
+        meta = self.load_metadata()
+        parent = meta["current_snapshot_id"]
+        prev = self.current_snapshot(meta)
+        snap_id, seq = self._next_ids(meta)
+        kept_manifests: list[str] = []
+        survivors: list[dict] = []
+        removed_seen = 0
+        for m in (prev.manifests if prev else []):
+            rows = self.read_manifest_entries(m)
+            hit = [r for r in rows if r["file_path"] in removed_paths]
+            if not hit:
+                kept_manifests.append(m)
+            else:
+                removed_seen += len(hit)
+                survivors.extend(r for r in rows if r["file_path"] not in removed_paths)
+        if removed_seen != len(removed_paths):
+            raise ValueError(
+                f"{len(removed_paths) - removed_seen} removed paths not found "
+                "in current snapshot (stale plan?)"
+            )
+        new_manifests = list(kept_manifests)
+        if survivors:
+            new_manifests.append(self._write_manifest(survivors, snap_id))
+        if entries:
+            new_manifests.append(self._write_manifest(entries, snap_id))
+        snap = Snapshot(
+            snap_id, parent, seq, int(time.time() * 1000), operation, new_manifests,
+            {"removed-files": len(removed_paths), "added-files": len(entries),
+             "added-records": sum(e["record_count"] for e in entries),
+             **(summary or {})},
+        )
+        return self._commit(meta, snap, parent)
+
+    def append(self, df: DataFrame, n_files: int | None = None,
+               sort_cols: list[str] | None = None) -> Snapshot:
+        return self.commit_append(self.write_data_files(df, n_files, sort_cols))
+
+    def overwrite_partitions(self, df: DataFrame, n_files: int | None = None) -> Snapshot:
+        """Dynamic-partition-overwrite: the Spark-native form of the
+        reference's idempotent `DELETE FROM t WHERE fecha = ds` + INSERT
+        (dags/Silver_Transform_Dag.py:188-207). Partitions present in
+        ``df`` are replaced wholesale; others untouched."""
+        entries = self.write_data_files(df, n_files)
+        new_parts = {e["partition_id"] for e in entries}
+        removed = {
+            e["file_path"]
+            for e in self.all_entries()
+            if e["partition_id"] in new_parts
+        }
+        return self.commit_replace(removed, entries, operation="overwrite")
+
+    # ---------------- metadata as DataFrames ----------------
+
+    def all_entries(self, snapshot_id: int | None = None) -> list[dict]:
+        snap = (
+            self.snapshot_by_id(snapshot_id)
+            if snapshot_id is not None
+            else self.current_snapshot()
+        )
+        if snap is None:
+            return []
+        out: list[dict] = []
+        for m in snap.manifests:
+            out.extend(self.read_manifest_entries(m))
+        return out
+
+    def files(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
+        """The `files` metadata table as a Spark DataFrame (manifest scan).
+
+        This is the planning surface for every maintenance op: at
+        10^12-image scale this DataFrame has ~millions of rows and is
+        aggregated distributed, never collected whole.
+        """
+        snap = (
+            self.snapshot_by_id(snapshot_id)
+            if snapshot_id is not None
+            else self.current_snapshot()
+        )
+        if snap is None or not snap.manifests:
+            return spark.createDataFrame([], self._files_spark_schema())
+        paths = [os.path.join(self.meta_dir, m) for m in snap.manifests]
+        return spark.read.parquet(*paths)
+
+    @staticmethod
+    def _files_spark_schema() -> T.StructType:
+        return T.StructType(
+            [
+                T.StructField("file_path", T.StringType()),
+                T.StructField("partition_id", T.StringType()),
+                T.StructField("record_count", T.LongType()),
+                T.StructField("file_size_bytes", T.LongType()),
+                T.StructField("added_snapshot_id", T.LongType()),
+                T.StructField("int_mins", T.MapType(T.StringType(), T.LongType())),
+                T.StructField("int_maxs", T.MapType(T.StringType(), T.LongType())),
+                T.StructField("str_mins", T.MapType(T.StringType(), T.StringType())),
+                T.StructField("str_maxs", T.MapType(T.StringType(), T.StringType())),
+            ]
+        )
+
+    def snapshots_df(self, spark: SparkSession) -> DataFrame:
+        rows = [
+            (s.snapshot_id, s.parent_id, s.sequence, s.timestamp_ms, s.operation,
+             len(s.manifests), json.dumps(s.summary))
+            for s in self.snapshots_list()
+        ]
+        return spark.createDataFrame(
+            rows,
+            "snapshot_id long, parent_id long, sequence long, timestamp_ms long, "
+            "operation string, n_manifests int, summary string",
+        )
+
+    def manifests_df(self, spark: SparkSession) -> DataFrame:
+        rows = []
+        for s in self.snapshots_list():
+            for m in s.manifests:
+                rows.append((s.snapshot_id, m,
+                             os.path.getsize(os.path.join(self.meta_dir, m))))
+        return spark.createDataFrame(
+            rows, "snapshot_id long, manifest_path string, manifest_size_bytes long"
+        )
+
+    # ---------------- scan (with manifest pruning) ----------------
+
+    def scan(
+        self,
+        spark: SparkSession,
+        snapshot_id: int | None = None,
+        partition_values: set | None = None,
+        int_ranges: dict[str, tuple[int | None, int | None]] | None = None,
+        columns: list[str] | None = None,
+    ) -> DataFrame:
+        """Read the table at a snapshot, pruning files via manifest stats.
+
+        ``int_ranges={'phash': (lo, hi)}`` keeps only files whose
+        [min,max] overlaps [lo,hi] — the stats-pruning path that Z-order
+        clustering makes effective. The residual predicate is re-applied
+        row-level by the caller; this method only narrows the file set.
+        """
+        entries = self.all_entries(snapshot_id)
+        if partition_values is not None:
+            pv = {str(v) for v in partition_values}
+            entries = [e for e in entries if e["partition_id"] in pv]
+        for col, (lo, hi) in (int_ranges or {}).items():
+            entries = [
+                e
+                for e in entries
+                if col not in e["int_maxs"]
+                or ((lo is None or e["int_maxs"][col] >= lo)
+                    and (hi is None or e["int_mins"][col] <= hi))
+            ]
+        schema = self.schema()
+        if not entries:
+            return spark.createDataFrame([], schema)
+        paths = [os.path.join(self.location, e["file_path"]) for e in entries]
+        reader = spark.read.schema(schema)
+        df = reader.parquet(*paths)
+        if columns:
+            df = df.select(*columns)
+        return df
+
+    def scan_matched_files(self, entries: list[dict], spark: SparkSession,
+                           columns: list[str] | None = None) -> DataFrame:
+        paths = [os.path.join(self.location, e["file_path"]) for e in entries]
+        df = spark.read.schema(self.schema()).parquet(*paths)
+        return df.select(*columns) if columns else df
+
+    # ---------------- expiration / GC ----------------
+
+    def expire_snapshots(
+        self, keep_last: int = 2, delete_orphans: bool = True
+    ) -> dict:
+        """Drop all but the newest ``keep_last`` snapshots and GC data/
+        manifest files no retained snapshot references. Reachability is
+        a set computation over manifests — driven by DataFrame-shaped
+        metadata (here the same entries the `files` table exposes)."""
+        meta = self.load_metadata()
+        snaps = sorted(self.snapshots_list(meta), key=lambda s: s.sequence)
+        if len(snaps) <= keep_last:
+            return {"expired": 0, "deleted_files": 0, "deleted_manifests": 0}
+        retained = snaps[-keep_last:]
+        cur = self.current_snapshot(meta)
+        if cur and cur.snapshot_id not in {s.snapshot_id for s in retained}:
+            retained.append(cur)
+        expired = [s for s in snaps if s.snapshot_id not in {r.snapshot_id for r in retained}]
+
+        live_manifests = {m for s in retained for m in s.manifests}
+        dead_manifests = {m for s in expired for m in s.manifests} - live_manifests
+        live_files: set[str] = set()
+        for m in live_manifests:
+            live_files |= {e["file_path"] for e in self.read_manifest_entries(m)}
+        dead_files: set[str] = set()
+        for m in dead_manifests:
+            dead_files |= {e["file_path"] for e in self.read_manifest_entries(m)}
+        dead_files -= live_files
+
+        n_files = 0
+        for rel in dead_files:
+            fp = os.path.join(self.location, rel)
+            if os.path.exists(fp):
+                os.remove(fp)
+                n_files += 1
+        for m in dead_manifests:
+            mp = os.path.join(self.meta_dir, m)
+            if os.path.exists(mp):
+                os.remove(mp)
+        # prune now-empty snap dirs
+        for d in globmod.glob(os.path.join(self.data_dir, "snap-*")):
+            if not any(files for _, _, files in os.walk(d)):
+                shutil.rmtree(d, ignore_errors=True)
+
+        parent = meta["current_snapshot_id"]
+        snap_id, seq = self._next_ids(meta)
+        meta["snapshots"] = [
+            s.to_json() for s in snaps if s.snapshot_id in {r.snapshot_id for r in retained}
+        ]
+        exp = Snapshot(
+            snap_id, parent, seq, int(time.time() * 1000), "expire-snapshots",
+            cur.manifests if cur else [],
+            {"expired-snapshots": len(expired), "deleted-files": n_files},
+        )
+        return {
+            "expired": len(expired),
+            "deleted_files": n_files,
+            "deleted_manifests": len(dead_manifests),
+            "snapshot": self._commit(meta, exp, parent).snapshot_id,
+        }
+
+    def rewrite_manifests(self) -> Snapshot:
+        """Consolidate the current snapshot's manifests into one —
+        metadata compaction, keeping planning scans O(1) files."""
+        meta = self.load_metadata()
+        parent = meta["current_snapshot_id"]
+        entries = self.all_entries()
+        snap_id, seq = self._next_ids(meta)
+        manifest = self._write_manifest(entries, snap_id)
+        snap = Snapshot(
+            snap_id, parent, seq, int(time.time() * 1000), "rewrite-manifests",
+            [manifest], {"manifests-merged": len(self.current_snapshot(meta).manifests)},
+        )
+        return self._commit(meta, snap, parent)
