@@ -1,0 +1,144 @@
+"""Bin-pack compaction: rewrite many small data files into few
+target-sized ones, per partition, resumable per chunk.
+
+Planning is a DataFrame aggregation over the `files` metadata table
+(north-star: "driven by a DataFrame scan of Iceberg metadata tables");
+only the per-partition plan rows (one per partition, metadata-sized)
+are collected. The rewrite itself is one shuffle per chunk:
+``repartitionByRange(n_out, partition_col, sort_col)`` — every output
+task gets a contiguous (partition, key) slice, so output file count
+per partition is proportional to its bytes and a hot partition is
+split across tasks instead of hot-spotting one (explicit skew
+handling; AQE skew-join stays on for the rest of the plan).
+
+Chunking over partitions exists for *resume granularity only* (the
+reference's monthly-chunk idiom, dags/Gold_Chunked_Dag.py:70-88 — there
+it was a memory workaround; Spark spills, so here a chunk is just the
+checkpoint/commit unit).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..lineage import LineageLog
+from ..tableformat import LakehouseTable
+
+DEFAULT_TARGET_FILE_SIZE = 128 * 1024 * 1024
+
+
+def plan_compaction(
+    table: LakehouseTable,
+    spark: SparkSession,
+    target_file_size: int = DEFAULT_TARGET_FILE_SIZE,
+    small_file_threshold: float = 0.75,
+) -> list[dict]:
+    """Per-partition compaction plan from the files metadata table.
+
+    A partition is a candidate when it has >=2 files below
+    ``small_file_threshold * target_file_size`` (classic bin-pack
+    trigger). Returns [{partition_id, files, bytes, n_out}]."""
+    files = table.files(spark)
+    small = files.filter(F.col("file_size_bytes") < int(target_file_size * small_file_threshold))
+    plan = (
+        small.groupBy("partition_id")
+        .agg(
+            F.collect_list("file_path").alias("files"),
+            F.sum("file_size_bytes").alias("bytes"),
+            F.sum("record_count").alias("rows"),
+            F.count("*").alias("n_files"),
+        )
+        .filter(F.col("n_files") >= 2)
+        .collect()
+    )
+    out = []
+    for r in plan:
+        n_out = max(1, round(r["bytes"] / target_file_size))
+        if n_out >= r["n_files"]:
+            continue  # already at or below target file count
+        out.append(
+            {
+                "partition_id": r["partition_id"],
+                "files": sorted(r["files"]),
+                "bytes": int(r["bytes"]),
+                "rows": int(r["rows"]),
+                "n_out": n_out,
+            }
+        )
+    return sorted(out, key=lambda p: p["partition_id"])
+
+
+def _op_fingerprint(kind: str, table: LakehouseTable, extra: str = "") -> str:
+    """Deterministic op id: same snapshot + same op -> same id, so a
+    killed run resumes its own checkpoints (lineage keying)."""
+    snap = table.current_snapshot()
+    basis = f"{kind}:{snap.snapshot_id if snap else 'empty'}:{extra}"
+    return kind + "-" + hashlib.sha256(basis.encode()).hexdigest()[:12]
+
+
+def _chunk(seq: list, n_chunks: int) -> list[list]:
+    n_chunks = max(1, min(n_chunks, len(seq)))
+    size = (len(seq) + n_chunks - 1) // n_chunks
+    return [seq[i : i + size] for i in range(0, len(seq), size)]
+
+
+def compact(
+    table: LakehouseTable,
+    spark: SparkSession,
+    target_file_size: int = DEFAULT_TARGET_FILE_SIZE,
+    sort_col: str = "phash",
+    n_chunks: int = 4,
+    op_id: str | None = None,
+) -> dict:
+    """Bin-pack compact the table. Returns metrics {files_in, files_out,
+    rows, bytes, wall_ms, chunks_skipped, snapshots}."""
+    plan = plan_compaction(table, spark, target_file_size)
+    if not plan:
+        return {"files_in": 0, "files_out": 0, "rows": 0, "bytes": 0,
+                "wall_ms": 0, "chunks_skipped": 0, "snapshots": []}
+    op_id = op_id or _op_fingerprint("compact", table, str(target_file_size))
+    log = LineageLog(table.location)
+    done = log.completed_chunks(op_id)
+    pcol = table._partition_col()
+
+    metrics = {"files_in": 0, "files_out": 0, "rows": 0, "bytes": 0,
+               "wall_ms": 0, "chunks_skipped": 0, "snapshots": []}
+    for chunk in _chunk(plan, n_chunks):
+        chunk_key = "p" + hashlib.sha256(
+            ",".join(p["partition_id"] for p in chunk).encode()
+        ).hexdigest()[:10]
+        if chunk_key in done:
+            metrics["chunks_skipped"] += 1
+            continue
+        t0 = time.time()
+        removed = {f for p in chunk for f in p["files"]}
+        entries_in = [e for e in table.all_entries() if e["file_path"] in removed]
+        df = table.scan_matched_files(entries_in, spark)
+        n_out = sum(p["n_out"] for p in chunk)
+        new_entries = table.write_data_files(
+            df, n_files=n_out,
+            sort_cols=[sort_col] if sort_col else None,
+        )
+        snap = table.commit_replace(
+            removed, new_entries, operation="replace",
+            summary={"op": "compact", "op_id": op_id, "chunk": chunk_key},
+        )
+        wall_ms = int((time.time() - t0) * 1000)
+        rows = sum(e["record_count"] for e in new_entries)
+        nbytes = sum(e["file_size_bytes"] for e in new_entries)
+        log.record(
+            op_id, chunk_key, [p["partition_id"] for p in chunk],
+            len(removed), len(new_entries), rows, nbytes, wall_ms,
+            snap.snapshot_id,
+        )
+        metrics["files_in"] += len(removed)
+        metrics["files_out"] += len(new_entries)
+        metrics["rows"] += rows
+        metrics["bytes"] += nbytes
+        metrics["wall_ms"] += wall_ms
+        metrics["snapshots"].append(snap.snapshot_id)
+    return metrics
