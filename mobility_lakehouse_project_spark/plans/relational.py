@@ -1,0 +1,1170 @@
+"""Relational query layer — SURVEY.md §2 operator inventory as named
+Spark DataFrame plans, each with an ANSI-SQL oracle twin for DuckDB.
+
+Every public query function takes ``(spark, sf_dir)`` and returns a
+DataFrame; ``ORACLE_SQL[name]`` is the equivalent SQL the driver runs
+on DuckDB over the same parquet. Column names/aliases match exactly on
+both sides (the driver's compare sorts columns by name and hashes
+values). Doubles are rounded identically on both sides so engine-
+internal summation order can't flip the hash.
+
+Each query cites the reference operator(s) it re-expresses
+(SURVEY.md §2 ids / reference file:line).
+
+Scale notes (these run at sf0.01 for the oracle, but the plans are
+written for 100 TB):
+ * dims (region/nation/supplier/part/customer) are broadcast
+   (`F.broadcast`) — never shuffled against facts;
+ * aggregations are expressed so Spark's partial->final hash agg does
+   the reference's manual monthly chunking (Gold_Chunked_Dag.py:60-115)
+   natively;
+ * global ranks (`Window.orderBy` without partition) appear only AFTER
+   an aggregation has reduced cardinality, mirroring the reference's
+   rank-after-GROUP-BY (src/sql/gold.sql:76-78).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# =====================================================================
+# Projections / filters / scalar functions (P1-P8, §2.8)
+# =====================================================================
+
+def p_filter_project(spark, sf_dir):
+    """P1+P2+P3: projection, numeric + not-null/not-empty predicates
+    (src/sql/silver.sql:107,120; src/ingest_bronze.py:78)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_quantity") > 0)
+            & F.col("l_returnflag").isNotNull()
+            & (F.col("l_returnflag") != "")
+            & (F.col("l_discount") >= 0.05)
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+            F.lit("sf").alias("ingest_tag"),
+        )
+    )
+
+
+def p_case_daytype(spark, sf_dir):
+    """P8+A1: CASE day-type bucketing (src/sql/gold.sql:108-122) over
+    the orders date column; weekend/weekday split of order volume."""
+    o = _t(spark, sf_dir, "orders")
+    day_type = F.when(F.dayofweek("o_orderdate").isin(1, 7), "weekend").otherwise("weekday")
+    return (
+        o.groupBy(day_type.alias("day_type"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+def s_string_funcs(spark, sf_dir):
+    """§2.8 string family: substring/length/replace/format_string/
+    concat/coalesce/nullif (silver.sql:59-74; Silver_Transform_Dag.py:133-137)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").alias("name_len"),
+        F.regexp_replace("c_name", "#", "-").alias("name_dash"),
+        F.format_string("%09d", F.col("c_custkey")).alias("key_padded"),
+        F.concat(F.col("c_mktsegment"), F.lit("|"), F.col("c_name")).alias("seg_name"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")), F.lit("OTHER")).alias("seg_nz"),
+    )
+
+
+def s_date_parse_roundtrip(spark, sf_dir):
+    """§2.8 dates: the bronze->silver `strptime(fecha,'%Y%m%d')::DATE`
+    idiom (src/sql/silver.sql:71,95) — format to yyyyMMdd string, parse
+    back, extract parts by string slicing like silver.sql:72-74."""
+    o = _t(spark, sf_dir, "orders")
+    s = o.select(
+        "o_orderkey", F.date_format("o_orderdate", "yyyyMMdd").alias("fecha_str")
+    )
+    return s.select(
+        "o_orderkey",
+        F.to_date("fecha_str", "yyyyMMdd").alias("fecha"),
+        F.substring("fecha_str", 1, 4).cast("int").alias("anio"),
+        F.substring("fecha_str", 5, 2).cast("int").alias("mes"),
+        F.substring("fecha_str", 7, 2).cast("int").alias("dia"),
+    )
+
+
+def s_hash_surrogate(spark, sf_dir):
+    """W1 surrogate-key generation, deterministic flavor: the reference
+    uses hash(fecha,periodo,origen,destino) (Silver_Transform_Dag.py:197);
+    we use md5 over the same concatenation (portable to the oracle;
+    in-engine writes use xxhash64, see gold pipeline)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.md5(
+            F.concat_ws("|", F.col("l_orderkey"), F.col("l_partkey"), F.col("l_suppkey"), F.col("l_linenumber"))
+        ).alias("row_key"),
+    )
+
+
+def s_math_distance(spark, sf_dir):
+    """§2.8 math family: the gravity model's haversine-approx distance
+    (SQRT/POW/COS/RADIANS/GREATEST, src/sql/gold.sql:152-175) over
+    synthetic per-nation coordinates derived from nation keys."""
+    n = _t(spark, sf_dir, "nation")
+    a = n.select(
+        F.col("n_nationkey").alias("o_key"),
+        (F.col("n_nationkey") * 3.0 - 30.0).alias("o_lat"),
+        (F.col("n_nationkey") * 7.0 - 80.0).alias("o_lon"),
+    )
+    b = n.select(
+        F.col("n_nationkey").alias("d_key"),
+        (F.col("n_nationkey") * 3.0 - 30.0).alias("d_lat"),
+        (F.col("n_nationkey") * 7.0 - 80.0).alias("d_lon"),
+    )
+    pairs = a.crossJoin(b).filter(F.col("o_key") < F.col("d_key"))
+    dist = F.greatest(
+        F.lit(0.5),
+        F.lit(111.0)
+        * F.sqrt(
+            F.pow(F.col("d_lat") - F.col("o_lat"), 2)
+            + F.pow(
+                (F.col("d_lon") - F.col("o_lon"))
+                * F.cos(F.radians((F.col("o_lat") + F.col("d_lat")) / 2)),
+                2,
+            )
+        ),
+    )
+    return pairs.select("o_key", "d_key", F.round(dist, 3).alias("dist_km"))
+
+
+def s_json_extract(spark, sf_dir):
+    """§2.8 / S12 analog: JSON field extraction from the events props
+    payload (schema-on-read over a string column, the bronze
+    all_varchar idiom, dags/Bronze_Ingest_Dag.py:105-108)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("k").alias("sum_k"), F.round(F.avg("k"), 4).alias("avg_k"))
+    )
+
+
+# =====================================================================
+# Joins (J1-J10)
+# =====================================================================
+
+def j1_fact_dim_inner(spark, sf_dir):
+    """J1: inner equi-join fact x dim with broadcast dims
+    (src/sql/silver.sql:104-106; gold.sql:80-81)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = F.broadcast(_t(spark, sf_dir, "customer"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey, "inner")
+        .join(c, o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        )
+    )
+
+
+def j2_multiway(spark, sf_dir):
+    """J2: 3+-table chained join (silver jerarquía, silver.sql:85-89)."""
+    c = _t(spark, sf_dir, "customer")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_customers"), F.round(F.sum("c_acctbal"), 2).alias("sum_bal"))
+    )
+
+
+def j3_left_outer(spark, sf_dir):
+    """J3: left outer join attaching optional attributes
+    (src/sql/gold.sql:184-185; Gold_Chunked_Dag.py:112-113)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(F.count("*").alias("n"))
+    return (
+        c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left")
+        .select(
+            "c_custkey",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_orders"),
+        )
+    )
+
+
+def j4_scalar_cross(spark, sf_dir):
+    """J4+A9: 1-row scalar aggregate cross-joined to all rows — pct of
+    total (gold.sql:93-98, 247: `FROM gravity_term g, global_k k`)."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_flag = li.groupBy("l_returnflag").agg(F.sum("l_extendedprice").alias("flag_rev"))
+    total = li.groupBy().agg(F.sum("l_extendedprice").alias("total_rev"))
+    return per_flag.crossJoin(F.broadcast(total)).select(
+        "l_returnflag",
+        F.round(F.col("flag_rev"), 2).alias("flag_rev"),
+        F.round(F.col("flag_rev") * 100.0 / F.col("total_rev"), 4).alias("pct_of_total"),
+    )
+
+
+def j5_semi(spark, sf_dir):
+    """J5: EXISTS semi-join (Silver_Transform_Dag.py:104-112)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o.select("o_custkey"), c.c_custkey == F.col("o_custkey"), "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_with_orders"))
+    )
+
+
+def j6_anti(spark, sf_dir):
+    """J6: NOT-EXISTS anti-join — the orphan integrity gate
+    (src/process_silver.py:99-103)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o.select("o_custkey"), c.c_custkey == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_without_orders"))
+    )
+
+
+def j7_prefix_join(spark, sf_dir):
+    """J7: LIKE-prefix theta join (Demo_dag.py:504-532) rewritten as an
+    equi-join on a derived prefix key — the scale-safe form (a raw LIKE
+    join forces a nested-loop at any scale)."""
+    o = _t(spark, sf_dir, "orders")
+    keyed = o.select(
+        F.substring(F.format_string("%06d", F.col("o_custkey")), 1, 2).alias("pfx"),
+        "o_totalprice",
+    )
+    dim = keyed.select("pfx").distinct()
+    return (
+        keyed.join(F.broadcast(dim), "pfx")
+        .groupBy("pfx")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+def j8_fuzzy_normalize(spark, sf_dir):
+    """J8: multi-variant fuzzy key match (Silver_Transform_Dag.py:119-147)
+    rewritten by normalizing both sides to a canonical key then
+    equi-joining — never an OR-join (which forces NLJ)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    left = c.select(
+        F.regexp_replace(F.format_string("%09d", F.col("c_custkey")), "^0+", "").try_cast("long").alias("ckey"),
+        "c_mktsegment",
+    )
+    right = o.select(F.col("o_custkey").cast("long").alias("ckey"), "o_totalprice")
+    return (
+        left.join(right, "ckey")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+# =====================================================================
+# Aggregations (A1-A12)
+# =====================================================================
+
+def a1_groupby_sums(spark, sf_dir):
+    """A1 flagship (TPC-H Q1 shape = the reference's od_matrix agg,
+    gold.sql:74-88): hash group-by with SUM/AVG/COUNT."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def a2_max_dedup(spark, sf_dir):
+    """A2: GROUP BY key with MAX() de-dup of attributes
+    (src/sql/silver.sql:52-67)."""
+    p = _t(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        F.max("p_name").alias("any_name"),
+        F.max("p_retailprice").alias("max_price"),
+        F.count("*").alias("n_parts"),
+    )
+
+
+def a3_count_distinct(spark, sf_dir):
+    """A3: COUNT(DISTINCT) profiling (check_bronze.py:75-82)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.countDistinct(F.to_date("o_orderdate")).alias("n_days"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+def a4_minmax_profile(spark, sf_dir):
+    """A4: MIN/MAX range profiling (check_bronze.py:78-80,
+    verify_lakehouse.py:89-93)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.min(F.to_date("o_orderdate")).alias("min_date"),
+        F.max(F.to_date("o_orderdate")).alias("max_date"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+def a5_conditional_counts(spark, sf_dir):
+    """A5+A6: FILTER-clause / SUM(CASE WHEN) conditional aggregation in
+    one pass (check_bronze.py:184-191; Demo_dag.py:1038-1043)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.count(F.when(F.col("value") > 50.0, 1)).alias("n_high"),
+        F.count(F.when(F.col("value").isNull(), 1)).alias("n_null_value"),
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0)).alias("n_even_users"),
+    )
+
+
+def a7_having(spark, sf_dir):
+    """A7: HAVING post-aggregation filter (gold.sql:195-196)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spent"), F.count("*").alias("n_orders"))
+        .filter(F.col("total_spent") > 400000)
+    )
+
+
+def a8_partial_final(spark, sf_dir):
+    """A8: the reference's signature manual partial+final aggregation
+    (monthly partial GROUP BY into a temp table, then algebraic
+    re-aggregation — Gold_Chunked_Dag.py:70-115). Spark's hash agg does
+    partial->final natively; expressed here as the same two-level
+    pipeline: per-(month,priority) partials re-aggregated to priority,
+    AVG recomputed as SUM/SUM (the algebraic identity the reference
+    exploits at :244-254)."""
+    o = _t(spark, sf_dir, "orders")
+    partial = o.groupBy(
+        F.trunc("o_orderdate", "month").alias("mth"), "o_orderpriority"
+    ).agg(
+        F.sum("o_totalprice").alias("s"),
+        F.count("*").alias("c"),
+    )
+    return partial.groupBy("o_orderpriority").agg(
+        F.round(F.sum("s"), 2).alias("total_price"),
+        F.sum("c").alias("n_orders"),
+        F.round(F.sum("s") / F.sum("c"), 4).alias("avg_price"),
+        F.countDistinct("mth").alias("n_months"),
+    )
+
+
+def a10_window_grandtotal(spark, sf_dir):
+    """A10+W3: grand-total window over a group-by —
+    `SUM(viajes)*100/SUM(SUM(viajes)) OVER ()` (Gold_Chunked_Dag.py:152)."""
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(F.hour("ts").alias("hora")).agg(
+        F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+    w = Window.partitionBy()
+    return hourly.select(
+        "hora",
+        "n_events",
+        "sum_value",
+        F.round(F.col("n_events") * 100.0 / F.sum("n_events").over(w), 4).alias("pct_of_total"),
+    )
+
+
+def a12_union_pivot(spark, sf_dir):
+    """A12+U1: UNION-ALL-encoded production/attraction pivot
+    (Gold_Chunked_Dag.py:174-192; src/visualization.py:88-106):
+    emit (key, generated, 0) UNION ALL (key, 0, attracted), then SUM."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    gen = o.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count("*").cast("long").alias("generated")
+    ).withColumn("attracted", F.lit(0).cast("long"))
+    att = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("o_custkey").alias("key"))
+        .agg(F.count("*").cast("long").alias("attracted"))
+        .withColumn("generated", F.lit(0).cast("long"))
+    )
+    both = gen.select("key", "generated", "attracted").unionByName(
+        att.select("key", "generated", "attracted")
+    )
+    return both.groupBy("key").agg(
+        F.sum("generated").alias("total_generated"),
+        F.sum("attracted").alias("total_attracted"),
+    )
+
+
+# =====================================================================
+# Windows / top-k / sorts / set ops (W2-W3, T1-T5, U2)
+# =====================================================================
+
+def w2_global_rank_topk(spark, sf_dir):
+    """W2+T1: global ROW_NUMBER rank over aggregated flows + top-k
+    (gold.sql:76-88 `ORDER BY SUM DESC LIMIT 1000`). The unpartitioned
+    window runs AFTER aggregation+limit has collapsed cardinality —
+    same discipline as the reference (rank post-GROUP-BY)."""
+    li = _t(spark, sf_dir, "lineitem")
+    flows = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.round(F.sum("l_quantity"), 2).alias("total_qty")
+    )
+    top = flows.orderBy(
+        F.desc("total_qty"), F.asc("l_suppkey"), F.asc("l_partkey")
+    ).limit(100)
+    w = Window.orderBy(F.desc("total_qty"), F.asc("l_suppkey"), F.asc("l_partkey"))
+    return top.withColumn("rnk", F.row_number().over(w))
+
+
+def w_partitioned_topk(spark, sf_dir):
+    """Partitioned top-k per group (the guide's canonical window use;
+    generalizes the reference's global ranks): top-3 orders per
+    customer by price, deterministic tie-break."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+def w_sessionize(spark, sf_dir):
+    """Sessionization via lag + cumulative gap counting (the batch form
+    of the streaming session window; beyond the reference's inventory,
+    required for the events/training-pipeline surface)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    sess = e.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ).withColumn("session_id", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("session_value"),
+    )
+
+
+def u2_distinct(spark, sf_dir):
+    """U2: SELECT DISTINCT (src/ingest_bronze.py:76; silver.sql:70)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").distinct()
+
+
+def t4_full_sort(spark, sf_dir):
+    """T4: full ORDER BY of a small aggregate (gold.sql:102 hourly)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.hour("ts").alias("hora"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("hora")
+    )
+
+
+# =====================================================================
+# Gold-layer analytic suite (the reference's gold tables re-expressed)
+# =====================================================================
+
+def gold_od_matrix_top(spark, sf_dir):
+    """gold_od_matrix_top (src/sql/gold.sql:4-16, 74-88 + J10 self-join
+    of the zone dim via two aliases): OD flows between customer nation
+    (origin) and supplier nation (destination), ranked, top 1000."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    no = F.broadcast(n.select(F.col("n_nationkey").alias("ok"), F.col("n_name").alias("origen")))
+    nd = F.broadcast(n.select(F.col("n_nationkey").alias("dk"), F.col("n_name").alias("destino")))
+    flows = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(no, c.c_nationkey == F.col("ok"))
+        .join(nd, s.s_nationkey == F.col("dk"))
+        .groupBy("origen", "destino")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("total_viajes"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total_km"),
+            F.count("*").alias("n_flows"),
+        )
+    )
+    top = flows.orderBy(F.desc("total_viajes"), "origen", "destino").limit(1000)
+    w = Window.orderBy(F.desc("total_viajes"), F.asc("origen"), F.asc("destino"))
+    return top.withColumn("od_rank", F.row_number().over(w))
+
+
+def gold_hourly_patterns(spark, sf_dir):
+    """gold_hourly_patterns (src/sql/gold.sql:19-27;
+    Gold_Chunked_Dag.py:146-156): hourly volume + share of total."""
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(F.hour("ts").alias("hora")).agg(
+        F.count("*").alias("total_viajes"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    w = Window.partitionBy()
+    return hourly.select(
+        "hora",
+        "total_viajes",
+        "total_value",
+        F.round(F.col("total_viajes") * 100.0 / F.sum("total_viajes").over(w), 4).alias("pct_dia"),
+    ).orderBy("hora")
+
+
+def gold_mobility_by_day_type(spark, sf_dir):
+    """gold_mobility_by_day_type (src/sql/gold.sql:30-37;
+    Gold_Chunked_Dag.py:244-254): day-type split with algebraic AVG
+    re-aggregation (sum-of-sums / sum-of-day-counts)."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum("o_totalprice").alias("day_total"), F.count("*").alias("day_n")
+    )
+    day_type = F.when(F.dayofweek("d").isin(1, 7), "weekend").otherwise("weekday")
+    return daily.groupBy(day_type.alias("day_type")).agg(
+        F.round(F.sum("day_total"), 2).alias("total_price"),
+        F.sum("day_n").alias("total_orders"),
+        F.countDistinct("d").alias("n_days"),
+        F.round(F.sum("day_total") / F.countDistinct("d"), 4).alias("avg_daily_price"),
+    )
+
+
+def gold_top_zones(spark, sf_dir):
+    """gold_top_zones (src/sql/gold.sql:40-49; Gold_Chunked_Dag.py:183-205):
+    per-zone generated/attracted totals (UNION-ALL pivot) + rank, top 20.
+    Zones -> nations; generated = orders by that nation's customers,
+    attracted = lineitems supplied by that nation's suppliers."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    c = F.broadcast(_t(spark, sf_dir, "customer"))
+    s = F.broadcast(_t(spark, sf_dir, "supplier"))
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    gen = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("zone_key"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("generated"))
+        .withColumn("attracted", F.lit(0.0))
+    )
+    att = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("s_nationkey").alias("zone_key"))
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("attracted"))
+        .withColumn("generated", F.lit(0.0))
+    )
+    both = (
+        gen.select("zone_key", "generated", "attracted")
+        .unionByName(att.select("zone_key", "generated", "attracted"))
+        .groupBy("zone_key")
+        .agg(
+            F.round(F.sum("generated"), 2).alias("total_generated"),
+            F.round(F.sum("attracted"), 2).alias("total_attracted"),
+        )
+    )
+    named = both.join(n, both.zone_key == n.n_nationkey).select(
+        "zone_key", F.col("n_name").alias("zone_name"), "total_generated", "total_attracted"
+    )
+    w = Window.orderBy(F.desc(F.col("total_generated") + F.col("total_attracted")), F.asc("zone_key"))
+    return named.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 20)
+
+
+def gold_gravity_model(spark, sf_dir):
+    """gold_gravity_model — the reference's 6-CTE flagship
+    (src/sql/gold.sql:140-249): observed OD flows, per-zone masses,
+    synthetic distance, gravity term mass_o*mass_d/dist^2, global
+    calibration k = SUM(observed)/SUM(term) (A11, 1-row aggregate
+    cross-joined J4), modeled flow, top pairs."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = F.broadcast(_t(spark, sf_dir, "customer"))
+    s = F.broadcast(_t(spark, sf_dir, "supplier"))
+    flows = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("c_nationkey").alias("ok"), F.col("s_nationkey").alias("dk"))
+        .agg(F.sum("l_quantity").alias("observed"))
+        .filter(F.col("ok") != F.col("dk"))
+    )
+    mass_o = flows.groupBy("ok").agg(F.sum("observed").alias("mass_o"))
+    mass_d = flows.groupBy("dk").agg(F.sum("observed").alias("mass_d"))
+    dist = F.greatest(F.lit(0.5), F.abs(F.col("ok") - F.col("dk")) * F.lit(111.0))
+    terms = (
+        flows.join(F.broadcast(mass_o), "ok")
+        .join(F.broadcast(mass_d), "dk")
+        .withColumn("gravity_term", F.col("mass_o") * F.col("mass_d") / F.pow(dist, 2))
+    )
+    k = terms.groupBy().agg(
+        (F.sum("observed") / F.sum("gravity_term")).alias("k")
+    )
+    modeled = terms.crossJoin(F.broadcast(k)).select(
+        "ok",
+        "dk",
+        F.round(F.col("observed"), 2).alias("observed"),
+        F.round(F.col("k") * F.col("gravity_term"), 4).alias("modeled"),
+    )
+    top = modeled.orderBy(F.desc("observed"), "ok", "dk").limit(500)
+    return top
+
+
+# =====================================================================
+# Text / dedup / similarity layer (training-data ops over documents &
+# embeddings — first-class per the build brief)
+# =====================================================================
+
+def txt_stats(spark, sf_dir):
+    """Text quality scoring: char len, token count (length arithmetic —
+    portable across engines), avg word length; per (lang, source)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
+    return (
+        d.withColumn("n_tokens", toks)
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg(F.col("n_chars") / F.col("n_tokens")), 4).alias("avg_word_len"),
+        )
+    )
+
+
+def txt_lang_heuristic(spark, sf_dir):
+    """Language-ID by stopword-hit heuristic: instr-based feature
+    columns + CASE argmax — the n-gram-lite language detector of a
+    training pipeline, expressed entirely JVM-side (no UDF)."""
+    d = _t(spark, sf_dir, "documents")
+    hit = lambda word: F.when(F.instr(F.col("text"), word) > 0, 1).otherwise(0)  # noqa: E731
+    scored = d.select(
+        "doc_id",
+        "lang",
+        hit(" the ").alias("f_en"),
+        hit(" der ").alias("f_de"),
+        hit(" le ").alias("f_fr"),
+        hit(" el ").alias("f_es"),
+    )
+    pred = (
+        F.when((F.col("f_en") >= F.col("f_de")) & (F.col("f_en") >= F.col("f_fr")) & (F.col("f_en") >= F.col("f_es")) & (F.col("f_en") > 0), "en")
+        .when((F.col("f_de") >= F.col("f_fr")) & (F.col("f_de") >= F.col("f_es")) & (F.col("f_de") > 0), "de")
+        .when((F.col("f_fr") >= F.col("f_es")) & (F.col("f_fr") > 0), "fr")
+        .when(F.col("f_es") > 0, "es")
+        .otherwise("unknown")
+    )
+    return scored.groupBy("lang", pred.alias("predicted")).agg(F.count("*").alias("n"))
+
+
+def txt_fingerprint_dedup(spark, sf_dir):
+    """Exact dedup by content fingerprint: md5(text) hash-groupBy — the
+    exact-dedup stage of a training pipeline. Reports docs per
+    duplicate-group size."""
+    d = _t(spark, sf_dir, "documents")
+    groups = d.groupBy(F.md5(F.col("text")).alias("fp")).agg(F.count("*").alias("group_size"))
+    return groups.groupBy("group_size").agg(F.count("*").alias("n_groups"))
+
+
+def dedup_token_jaccard(spark, sf_dir):
+    """Near-dup detection by token-set Jaccard >= 0.8: explode distinct
+    tokens, self-join on token to generate candidate pairs (the
+    content-keyed join IS the blocking step — no O(n^2) cross join),
+    count intersections, Jaccard from |A|,|B|,|A∩B|. Same algebra as
+    MinHash-LSH but exact; the LSH variant (no SQL oracle) is in
+    operators/dedup.py."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    ).filter(F.col("tok") != "")
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("ida"), F.col("b.doc_id").alias("idb"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("ida"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("idb"), F.col("sz").alias("szb"))
+    jac = (
+        inter.join(sa, "ida")
+        .join(sb, "idb")
+        .withColumn("jaccard", F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")))
+        .filter(F.col("jaccard") >= 0.8)
+    )
+    return jac.select("ida", "idb", F.round("jaccard", 4).alias("jaccard"))
+
+
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k ANN baseline over the embeddings table:
+    query = vec_id 0's embedding; dot/norms via zip_with + aggregate
+    (JVM-side higher-order functions, no UDF). The LSH-bucketed scale
+    path is operators/similarity.py."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    )
+    withq = e.filter(F.col("vec_id") != 0).crossJoin(q)
+    dot = F.aggregate(
+        F.zip_with("embedding", "qv", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda col: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(col, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    sim = dot / (norm(F.col("embedding")) * norm(F.col("qv")))
+    scored = withq.select("vec_id", "label", F.round(sim, 4).alias("cos_sim"))
+    return scored.orderBy(F.desc("cos_sim"), "vec_id").limit(10)
+
+
+def emb_label_profile(spark, sf_dir):
+    """Embedding column profiling: per-label count and mean element
+    value (explode/unnest aggregation over array<float>)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.explode("embedding").alias("x"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_elems"),
+            F.round(F.avg(F.col("x").cast("double")), 5).alias("avg_elem"),
+        )
+    )
+
+
+# =====================================================================
+# Oracle SQL twins (DuckDB dialect-compatible ANSI SQL)
+# =====================================================================
+
+ORACLE_SQL: dict[str, str] = {
+    "p_filter_project": """
+        SELECT l_orderkey, l_linenumber, l_returnflag,
+               l_extendedprice * (1 - l_discount) AS net_price,
+               'sf' AS ingest_tag
+        FROM lineitem
+        WHERE l_quantity > 0 AND l_returnflag IS NOT NULL
+          AND l_returnflag != '' AND l_discount >= 0.05
+    """,
+    "p_case_daytype": """
+        SELECT CASE WHEN isodow(o_orderdate) IN (6,7) THEN 'weekend' ELSE 'weekday' END AS day_type,
+               COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total_price
+        FROM orders GROUP BY 1
+    """,
+    "s_string_funcs": """
+        SELECT c_custkey,
+               SUBSTRING(c_name, 1, 8) AS name_prefix,
+               LENGTH(c_name) AS name_len,
+               REPLACE(c_name, '#', '-') AS name_dash,
+               printf('%09d', c_custkey) AS key_padded,
+               c_mktsegment || '|' || c_name AS seg_name,
+               COALESCE(NULLIF(c_mktsegment, 'MACHINERY'), 'OTHER') AS seg_nz
+        FROM customer
+    """,
+    "s_date_parse_roundtrip": """
+        WITH s AS (SELECT o_orderkey, strftime(o_orderdate, '%Y%m%d') AS fecha_str FROM orders)
+        SELECT o_orderkey,
+               CAST(strptime(fecha_str, '%Y%m%d') AS DATE) AS fecha,
+               CAST(SUBSTRING(fecha_str, 1, 4) AS INTEGER) AS anio,
+               CAST(SUBSTRING(fecha_str, 5, 2) AS INTEGER) AS mes,
+               CAST(SUBSTRING(fecha_str, 7, 2) AS INTEGER) AS dia
+        FROM s
+    """,
+    "s_hash_surrogate": """
+        SELECT l_orderkey, l_linenumber,
+               md5(CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_partkey AS VARCHAR)
+                   || '|' || CAST(l_suppkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)) AS row_key
+        FROM lineitem
+    """,
+    "s_math_distance": """
+        WITH z AS (SELECT n_nationkey AS k, n_nationkey*3.0 - 30.0 AS lat, n_nationkey*7.0 - 80.0 AS lon FROM nation)
+        SELECT a.k AS o_key, b.k AS d_key,
+               ROUND(GREATEST(0.5, 111.0 * SQRT(POW(b.lat - a.lat, 2)
+                     + POW((b.lon - a.lon) * COS(RADIANS((a.lat + b.lat)/2)), 2))), 3) AS dist_km
+        FROM z a, z b WHERE a.k < b.k
+    """,
+    "s_json_extract": """
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+               ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k
+        FROM events GROUP BY event_type
+    """,
+    "j1_fact_dim_inner": """
+        SELECT c_mktsegment, COUNT(*) AS n_items,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    "j2_multiway": """
+        SELECT r_name, COUNT(*) AS n_customers, ROUND(SUM(c_acctbal), 2) AS sum_bal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+    "j3_left_outer": """
+        SELECT c_custkey, COALESCE(n, 0) AS n_orders
+        FROM customer LEFT JOIN (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey) o
+        ON c_custkey = o.o_custkey
+    """,
+    "j4_scalar_cross": """
+        WITH per_flag AS (SELECT l_returnflag, SUM(l_extendedprice) AS flag_rev FROM lineitem GROUP BY 1),
+             tot AS (SELECT SUM(l_extendedprice) AS total_rev FROM lineitem)
+        SELECT l_returnflag, ROUND(flag_rev, 2) AS flag_rev,
+               ROUND(flag_rev * 100.0 / total_rev, 4) AS pct_of_total
+        FROM per_flag, tot
+    """,
+    "j5_semi": """
+        SELECT c_nationkey, COUNT(*) AS n_with_orders
+        FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY c_nationkey
+    """,
+    "j6_anti": """
+        SELECT c_nationkey, COUNT(*) AS n_without_orders
+        FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY c_nationkey
+    """,
+    "j7_prefix_join": """
+        WITH keyed AS (SELECT SUBSTRING(printf('%06d', o_custkey), 1, 2) AS pfx, o_totalprice FROM orders),
+             dim AS (SELECT DISTINCT pfx FROM keyed)
+        SELECT k.pfx, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total
+        FROM keyed k JOIN dim d ON k.pfx = d.pfx
+        GROUP BY k.pfx
+    """,
+    "j8_fuzzy_normalize": """
+        WITH l AS (SELECT TRY_CAST(regexp_replace(printf('%09d', c_custkey), '^0+', '') AS BIGINT) AS ckey,
+                          c_mktsegment FROM customer),
+             r AS (SELECT CAST(o_custkey AS BIGINT) AS ckey, o_totalprice FROM orders)
+        SELECT c_mktsegment, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+        FROM l JOIN r USING (ckey) GROUP BY c_mktsegment
+    """,
+    "a1_groupby_sums": """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               ROUND(AVG(l_quantity), 4) AS avg_qty,
+               ROUND(AVG(l_discount), 4) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "a2_max_dedup": """
+        SELECT p_brand, MAX(p_name) AS any_name, MAX(p_retailprice) AS max_price,
+               COUNT(*) AS n_parts
+        FROM part GROUP BY p_brand
+    """,
+    "a3_count_distinct": """
+        SELECT o_orderpriority,
+               COUNT(DISTINCT o_custkey) AS n_custs,
+               COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS n_days,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "a4_minmax_profile": """
+        SELECT o_orderstatus,
+               MIN(CAST(o_orderdate AS DATE)) AS min_date,
+               MAX(CAST(o_orderdate AS DATE)) AS max_date,
+               ROUND(MIN(o_totalprice), 2) AS min_price,
+               ROUND(MAX(o_totalprice), 2) AS max_price
+        FROM orders GROUP BY o_orderstatus
+    """,
+    "a5_conditional_counts": """
+        SELECT event_type, COUNT(*) AS n,
+               COUNT(*) FILTER (WHERE value > 50.0) AS n_high,
+               COUNT(*) FILTER (WHERE value IS NULL) AS n_null_value,
+               CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even_users
+        FROM events GROUP BY event_type
+    """,
+    "a7_having": """
+        SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS total_spent, COUNT(*) AS n_orders
+        FROM orders GROUP BY o_custkey HAVING ROUND(SUM(o_totalprice), 2) > 400000
+    """,
+    "a8_partial_final": """
+        WITH partial AS (
+            SELECT date_trunc('month', o_orderdate) AS mth, o_orderpriority,
+                   SUM(o_totalprice) AS s, COUNT(*) AS c
+            FROM orders GROUP BY 1, 2
+        )
+        SELECT o_orderpriority,
+               ROUND(SUM(s), 2) AS total_price,
+               CAST(SUM(c) AS BIGINT) AS n_orders,
+               ROUND(SUM(s) / SUM(c), 4) AS avg_price,
+               COUNT(DISTINCT mth) AS n_months
+        FROM partial GROUP BY o_orderpriority
+    """,
+    "a10_window_grandtotal": """
+        WITH hourly AS (
+            SELECT EXTRACT(hour FROM ts) AS hora, COUNT(*) AS n_events,
+                   ROUND(SUM(value), 2) AS sum_value
+            FROM events GROUP BY 1
+        )
+        SELECT CAST(hora AS INTEGER) AS hora, n_events, sum_value,
+               ROUND(n_events * 100.0 / SUM(n_events) OVER (), 4) AS pct_of_total
+        FROM hourly
+    """,
+    "a12_union_pivot": """
+        WITH gen AS (SELECT o_custkey AS key, COUNT(*) AS generated, 0 AS attracted
+                     FROM orders GROUP BY 1),
+             att AS (SELECT o_custkey AS key, 0 AS generated, COUNT(*) AS attracted
+                     FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1)
+        SELECT key, CAST(SUM(generated) AS BIGINT) AS total_generated, CAST(SUM(attracted) AS BIGINT) AS total_attracted
+        FROM (SELECT * FROM gen UNION ALL SELECT * FROM att) u
+        GROUP BY key
+    """,
+    "w2_global_rank_topk": """
+        WITH flows AS (
+            SELECT l_suppkey, l_partkey, ROUND(SUM(l_quantity), 2) AS total_qty
+            FROM lineitem GROUP BY 1, 2
+        ), top AS (
+            SELECT * FROM flows ORDER BY total_qty DESC, l_suppkey, l_partkey LIMIT 100
+        )
+        SELECT l_suppkey, l_partkey, total_qty,
+               CAST(ROW_NUMBER() OVER (ORDER BY total_qty DESC, l_suppkey, l_partkey) AS INTEGER) AS rnk
+        FROM top
+    """,
+    "w_partitioned_topk": """
+        SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rk
+            FROM orders
+        ) t WHERE rk <= 3
+    """,
+    "w_sessionize": """
+        WITH g AS (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) IS NULL
+                             OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), s AS (
+            SELECT user_id, value,
+                   CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+            FROM g
+        )
+        SELECT user_id, session_id, COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS session_value
+        FROM s GROUP BY user_id, session_id
+    """,
+    "u2_distinct": "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "t4_full_sort": """
+        SELECT CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hora, COUNT(*) AS n
+        FROM events GROUP BY 1 ORDER BY hora
+    """,
+    "gold_od_matrix_top": """
+        WITH flows AS (
+            SELECT no.n_name AS origen, nd.n_name AS destino,
+                   ROUND(SUM(l_quantity), 2) AS total_viajes,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_km,
+                   COUNT(*) AS n_flows
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation no ON c_nationkey = no.n_nationkey
+            JOIN nation nd ON s_nationkey = nd.n_nationkey
+            GROUP BY 1, 2
+        ), top AS (
+            SELECT * FROM flows ORDER BY total_viajes DESC, origen, destino LIMIT 1000
+        )
+        SELECT origen, destino, total_viajes, total_km, n_flows,
+               CAST(ROW_NUMBER() OVER (ORDER BY total_viajes DESC, origen, destino) AS INTEGER) AS od_rank
+        FROM top
+    """,
+    "gold_hourly_patterns": """
+        WITH hourly AS (
+            SELECT CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hora,
+                   COUNT(*) AS total_viajes, ROUND(SUM(value), 2) AS total_value
+            FROM events GROUP BY 1
+        )
+        SELECT hora, total_viajes, total_value,
+               ROUND(total_viajes * 100.0 / SUM(total_viajes) OVER (), 4) AS pct_dia
+        FROM hourly ORDER BY hora
+    """,
+    "gold_mobility_by_day_type": """
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS d, SUM(o_totalprice) AS day_total,
+                   COUNT(*) AS day_n
+            FROM orders GROUP BY 1
+        )
+        SELECT CASE WHEN isodow(d) IN (6,7) THEN 'weekend' ELSE 'weekday' END AS day_type,
+               ROUND(SUM(day_total), 2) AS total_price,
+               CAST(SUM(day_n) AS BIGINT) AS total_orders,
+               COUNT(DISTINCT d) AS n_days,
+               ROUND(SUM(day_total) / COUNT(DISTINCT d), 4) AS avg_daily_price
+        FROM daily GROUP BY 1
+    """,
+    "gold_top_zones": """
+        WITH gen AS (
+            SELECT c_nationkey AS zone_key, ROUND(SUM(o_totalprice), 2) AS generated, 0.0 AS attracted
+            FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1
+        ), att AS (
+            SELECT s_nationkey AS zone_key, 0.0 AS generated, ROUND(SUM(l_extendedprice), 2) AS attracted
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey GROUP BY 1
+        ), both_sides AS (
+            SELECT zone_key, ROUND(SUM(generated), 2) AS total_generated,
+                   ROUND(SUM(attracted), 2) AS total_attracted
+            FROM (SELECT * FROM gen UNION ALL SELECT * FROM att) u GROUP BY zone_key
+        ), named AS (
+            SELECT zone_key, n_name AS zone_name, total_generated, total_attracted
+            FROM both_sides JOIN nation ON zone_key = n_nationkey
+        )
+        SELECT * FROM (
+            SELECT zone_key, zone_name, total_generated, total_attracted,
+                   CAST(ROW_NUMBER() OVER (ORDER BY total_generated + total_attracted DESC, zone_key) AS INTEGER) AS rnk
+            FROM named
+        ) t WHERE rnk <= 20
+    """,
+    "gold_gravity_model": """
+        WITH flows AS (
+            SELECT c_nationkey AS ok, s_nationkey AS dk, SUM(l_quantity) AS observed
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY 1, 2 HAVING c_nationkey != s_nationkey
+        ), mo AS (SELECT ok, SUM(observed) AS mass_o FROM flows GROUP BY ok),
+           md AS (SELECT dk, SUM(observed) AS mass_d FROM flows GROUP BY dk),
+           terms AS (
+            SELECT f.ok, f.dk, f.observed,
+                   mo.mass_o * md.mass_d / POW(GREATEST(0.5, ABS(f.ok - f.dk) * 111.0), 2) AS gravity_term
+            FROM flows f JOIN mo ON f.ok = mo.ok JOIN md ON f.dk = md.dk
+        ), k AS (SELECT SUM(observed) / SUM(gravity_term) AS k FROM terms)
+        SELECT ok, dk, ROUND(observed, 2) AS observed,
+               ROUND(k.k * gravity_term, 4) AS modeled
+        FROM terms, k
+        ORDER BY observed DESC, ok, dk LIMIT 500
+    """,
+    "txt_stats": """
+        SELECT lang, source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(SUM(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) AS BIGINT) AS total_tokens,
+               ROUND(AVG(CAST(n_chars AS DOUBLE) /
+                     (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1)), 4) AS avg_word_len
+        FROM documents GROUP BY lang, source
+    """,
+    "txt_lang_heuristic": """
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   CASE WHEN POSITION(' the ' IN text) > 0 THEN 1 ELSE 0 END AS f_en,
+                   CASE WHEN POSITION(' der ' IN text) > 0 THEN 1 ELSE 0 END AS f_de,
+                   CASE WHEN POSITION(' le ' IN text) > 0 THEN 1 ELSE 0 END AS f_fr,
+                   CASE WHEN POSITION(' el ' IN text) > 0 THEN 1 ELSE 0 END AS f_es
+            FROM documents
+        )
+        SELECT lang,
+               CASE WHEN f_en >= f_de AND f_en >= f_fr AND f_en >= f_es AND f_en > 0 THEN 'en'
+                    WHEN f_de >= f_fr AND f_de >= f_es AND f_de > 0 THEN 'de'
+                    WHEN f_fr >= f_es AND f_fr > 0 THEN 'fr'
+                    WHEN f_es > 0 THEN 'es'
+                    ELSE 'unknown' END AS predicted,
+               COUNT(*) AS n
+        FROM scored GROUP BY 1, 2
+    """,
+    "txt_fingerprint_dedup": """
+        WITH groups AS (SELECT md5(text) AS fp, COUNT(*) AS group_size FROM documents GROUP BY 1)
+        SELECT group_size, COUNT(*) AS n_groups FROM groups GROUP BY group_size
+    """,
+    "dedup_token_jaccard": """
+        WITH toks AS (
+            SELECT DISTINCT doc_id, tok
+            FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents) t
+            WHERE tok != ''
+        ), sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS inter
+            FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT ida, idb,
+               ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard
+        FROM inter JOIN sizes sa ON ida = sa.doc_id JOIN sizes sb ON idb = sb.doc_id
+        WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8
+    """,
+    "ann_cosine_topk": """
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id, label,
+               ROUND(list_dot_product(embedding, qv) /
+                     (sqrt(list_dot_product(embedding, embedding)) * sqrt(list_dot_product(qv, qv))), 4) AS cos_sim
+        FROM embeddings, q WHERE vec_id != 0
+        ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+    "emb_label_profile": """
+        SELECT label, COUNT(*) AS n_elems, ROUND(AVG(CAST(x AS DOUBLE)), 5) AS avg_elem
+        FROM (SELECT label, UNNEST(embedding) AS x FROM embeddings) t
+        GROUP BY label
+    """,
+}
+
+
+QUERIES = {
+    "p_filter_project": p_filter_project,
+    "p_case_daytype": p_case_daytype,
+    "s_string_funcs": s_string_funcs,
+    "s_date_parse_roundtrip": s_date_parse_roundtrip,
+    "s_hash_surrogate": s_hash_surrogate,
+    "s_math_distance": s_math_distance,
+    "s_json_extract": s_json_extract,
+    "j1_fact_dim_inner": j1_fact_dim_inner,
+    "j2_multiway": j2_multiway,
+    "j3_left_outer": j3_left_outer,
+    "j4_scalar_cross": j4_scalar_cross,
+    "j5_semi": j5_semi,
+    "j6_anti": j6_anti,
+    "j7_prefix_join": j7_prefix_join,
+    "j8_fuzzy_normalize": j8_fuzzy_normalize,
+    "a1_groupby_sums": a1_groupby_sums,
+    "a2_max_dedup": a2_max_dedup,
+    "a3_count_distinct": a3_count_distinct,
+    "a4_minmax_profile": a4_minmax_profile,
+    "a5_conditional_counts": a5_conditional_counts,
+    "a7_having": a7_having,
+    "a8_partial_final": a8_partial_final,
+    "a10_window_grandtotal": a10_window_grandtotal,
+    "a12_union_pivot": a12_union_pivot,
+    "w2_global_rank_topk": w2_global_rank_topk,
+    "w_partitioned_topk": w_partitioned_topk,
+    "w_sessionize": w_sessionize,
+    "u2_distinct": u2_distinct,
+    "t4_full_sort": t4_full_sort,
+    "gold_od_matrix_top": gold_od_matrix_top,
+    "gold_hourly_patterns": gold_hourly_patterns,
+    "gold_mobility_by_day_type": gold_mobility_by_day_type,
+    "gold_top_zones": gold_top_zones,
+    "gold_gravity_model": gold_gravity_model,
+    "txt_stats": txt_stats,
+    "txt_lang_heuristic": txt_lang_heuristic,
+    "txt_fingerprint_dedup": txt_fingerprint_dedup,
+    "dedup_token_jaccard": dedup_token_jaccard,
+    "ann_cosine_topk": ann_cosine_topk,
+    "emb_label_profile": emb_label_profile,
+}
