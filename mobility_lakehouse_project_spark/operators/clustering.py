@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from ..functions.sfc import CURVES
 from ..lineage import LineageLog
 from ..tableformat import LakehouseTable
-from .compaction import DEFAULT_TARGET_FILE_SIZE, _chunk, _op_fingerprint
+from .compaction import DEFAULT_TARGET_FILE_SIZE, _chunk, _op_fingerprint, chunk_key
 
 _SFC_COL = "_sfc"
 
@@ -67,8 +67,8 @@ def cluster(
     metrics = {"files_in": 0, "files_out": 0, "rows": 0, "bytes": 0,
                "wall_ms": 0, "chunks_skipped": 0, "snapshots": []}
     for chunk_parts in _chunk(part_ids, n_chunks):
-        chunk_key = "p" + hashlib.sha256(",".join(chunk_parts).encode()).hexdigest()[:10]
-        if chunk_key in done:
+        ck = chunk_key(list(chunk_parts))
+        if ck in done:
             metrics["chunks_skipped"] += 1
             continue
         t0 = time.time()
@@ -87,12 +87,12 @@ def cluster(
         new_entries = table.write_data_files(shaped)  # distribution already set
         snap = table.commit_replace(
             removed, new_entries, operation="replace",
-            summary={"op": f"cluster-{curve}", "op_id": op_id, "chunk": chunk_key},
+            summary={"op": f"cluster-{curve}", "op_id": op_id, "chunk": ck},
         )
         wall_ms = int((time.time() - t0) * 1000)
         rows = sum(e["record_count"] for e in new_entries)
         nbytes = sum(e["file_size_bytes"] for e in new_entries)
-        log.record(op_id, chunk_key, list(chunk_parts), len(removed),
+        log.record(op_id, ck, list(chunk_parts), len(removed),
                    len(new_entries), rows, nbytes, wall_ms, snap.snapshot_id)
         metrics["files_in"] += len(removed)
         metrics["files_out"] += len(new_entries)

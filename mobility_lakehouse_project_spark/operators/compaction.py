@@ -80,6 +80,11 @@ def _op_fingerprint(kind: str, table: LakehouseTable, extra: str = "") -> str:
     return kind + "-" + hashlib.sha256(basis.encode()).hexdigest()[:12]
 
 
+def chunk_key(partition_ids: list[str]) -> str:
+    """Stable checkpoint key for a chunk of partitions."""
+    return "p" + hashlib.sha256(",".join(partition_ids).encode()).hexdigest()[:10]
+
+
 def _chunk(seq: list, n_chunks: int) -> list[list]:
     n_chunks = max(1, min(n_chunks, len(seq)))
     size = (len(seq) + n_chunks - 1) // n_chunks
@@ -108,10 +113,8 @@ def compact(
     metrics = {"files_in": 0, "files_out": 0, "rows": 0, "bytes": 0,
                "wall_ms": 0, "chunks_skipped": 0, "snapshots": []}
     for chunk in _chunk(plan, n_chunks):
-        chunk_key = "p" + hashlib.sha256(
-            ",".join(p["partition_id"] for p in chunk).encode()
-        ).hexdigest()[:10]
-        if chunk_key in done:
+        ck = chunk_key([p["partition_id"] for p in chunk])
+        if ck in done:
             metrics["chunks_skipped"] += 1
             continue
         t0 = time.time()
@@ -125,13 +128,13 @@ def compact(
         )
         snap = table.commit_replace(
             removed, new_entries, operation="replace",
-            summary={"op": "compact", "op_id": op_id, "chunk": chunk_key},
+            summary={"op": "compact", "op_id": op_id, "chunk": ck},
         )
         wall_ms = int((time.time() - t0) * 1000)
         rows = sum(e["record_count"] for e in new_entries)
         nbytes = sum(e["file_size_bytes"] for e in new_entries)
         log.record(
-            op_id, chunk_key, [p["partition_id"] for p in chunk],
+            op_id, ck, [p["partition_id"] for p in chunk],
             len(removed), len(new_entries), rows, nbytes, wall_ms,
             snap.snapshot_id,
         )

@@ -182,7 +182,7 @@ def j1_fact_dim_inner(spark, sf_dir):
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_items"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
         )
     )
 
@@ -300,7 +300,7 @@ def a1_groupby_sums(spark, sf_dir):
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count("*").alias("count_order"),
@@ -515,7 +515,7 @@ def gold_od_matrix_top(spark, sf_dir):
         .groupBy("origen", "destino")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("total_viajes"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total_km"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("total_km"),
             F.count("*").alias("n_flows"),
         )
     )
@@ -819,7 +819,7 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "j1_fact_dim_inner": """
         SELECT c_mktsegment, COUNT(*) AS n_items,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment
@@ -870,7 +870,7 @@ ORACLE_SQL: dict[str, str] = {
         SELECT l_returnflag, l_linestatus,
                ROUND(SUM(l_quantity), 2) AS sum_qty,
                ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
                ROUND(AVG(l_quantity), 4) AS avg_qty,
                ROUND(AVG(l_discount), 4) AS avg_disc,
                COUNT(*) AS count_order
@@ -985,7 +985,7 @@ ORACLE_SQL: dict[str, str] = {
         WITH flows AS (
             SELECT no.n_name AS origen, nd.n_name AS destino,
                    ROUND(SUM(l_quantity), 2) AS total_viajes,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_km,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS total_km,
                    COUNT(*) AS n_flows
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey

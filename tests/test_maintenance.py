@@ -1,0 +1,153 @@
+"""Maintenance-operator gates: compaction, clustering, MERGE, resume.
+
+Replays the reference QA ladder (SURVEY.md §5) against every rewrite:
+row-count conservation per partition, caption byte-equality, decoded
+pixel equality/PSNR, orphan/null/duplicate gates, and the kill/resume
+idempotency that mirrors Airflow catchup re-runs."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mobility_lakehouse_project_spark import synth
+from mobility_lakehouse_project_spark.lineage import LineageLog
+from mobility_lakehouse_project_spark.operators import (
+    clustering,
+    compaction,
+    merge,
+    verify,
+)
+from mobility_lakehouse_project_spark.tableformat import LakehouseTable
+
+N_ROWS = 2400
+
+
+@pytest.fixture()
+def fragmented_table(spark, tmp_table_dir):
+    """A table with many tiny files (FIXTURES.md F4 shape)."""
+    t = None
+    for k in range(3):
+        df = synth.images_df(spark, N_ROWS // 3, id_offset=k * (N_ROWS // 3), partitions=4)
+        if t is None:
+            t = LakehouseTable.create(tmp_table_dir, df.schema, partition_col="bucket")
+        t.append(df, n_files=24)
+    return t
+
+
+def test_compaction_reduces_files_conserves_rows(spark, fragmented_table):
+    t = fragmented_table
+    pre_snap = t.current_snapshot().snapshot_id
+    pre_files = len(t.all_entries())
+    m = compaction.compact(t, spark, target_file_size=1 << 20, n_chunks=2)
+    assert m["files_in"] > m["files_out"] > 0
+    assert len(t.all_entries()) < pre_files
+    rep = verify.verify_maintenance(t, spark, pre_snapshot_id=pre_snap)
+    assert rep["ok"]
+
+
+def test_compaction_resume_skips_completed_chunks(spark, fragmented_table):
+    """Kill/resume: pretend a prior run completed chunk 0 and died —
+    the resumed run must skip chunk 0's partitions (no recompaction,
+    north_rule) and process only the rest."""
+    t = fragmented_table
+    op_id = "compact-resume-test"
+    plan = compaction.plan_compaction(t, spark, target_file_size=1 << 20)
+    assert len(plan) >= 2
+    chunks = compaction._chunk(plan, 2)
+    ck0 = compaction.chunk_key([p["partition_id"] for p in chunks[0]])
+    LineageLog(t.location).record(
+        op_id, ck0, [p["partition_id"] for p in chunks[0]], 0, 0, 0, 0, 0, 0
+    )
+    pre_chunk0_files = {f for p in chunks[0] for f in p["files"]}
+    m = compaction.compact(t, spark, target_file_size=1 << 20, n_chunks=2, op_id=op_id)
+    assert m["chunks_skipped"] == 1
+    # chunk 0's files untouched on disk & still referenced
+    live = {e["file_path"] for e in t.all_entries()}
+    assert pre_chunk0_files <= live
+    assert t.scan(spark).count() == N_ROWS
+
+
+def test_cluster_zorder_improves_pruning(spark, fragmented_table):
+    t = fragmented_table
+    pre_snap = t.current_snapshot().snapshot_id
+    lo, hi = -(2**61), -(2**60)  # narrow phash band
+    before = clustering.pruning_ratio(t, spark, "phash", lo, hi)
+    m = clustering.cluster(t, spark, curve="zorder", target_file_size=200 * 1024, n_chunks=2)
+    assert m["rows"] == N_ROWS
+    after = clustering.pruning_ratio(t, spark, "phash", lo, hi)
+    assert after["pruned_fraction"] > before["pruned_fraction"]
+    rep = verify.verify_maintenance(t, spark, pre_snapshot_id=pre_snap)
+    assert rep["ok"]
+    # pruned scan returns exactly the same rows as a full-scan filter
+    full = t.scan(spark).filter((F.col("phash") >= lo) & (F.col("phash") <= hi)).count()
+    pruned = (
+        t.scan(spark, int_ranges={"phash": (lo, hi)})
+        .filter((F.col("phash") >= lo) & (F.col("phash") <= hi))
+        .count()
+    )
+    assert pruned == full
+
+
+def test_cluster_hilbert_runs(spark, fragmented_table):
+    t = fragmented_table
+    pre = t.current_snapshot().snapshot_id
+    m = clustering.cluster(t, spark, curve="hilbert", target_file_size=300 * 1024, n_chunks=1)
+    assert m["rows"] == N_ROWS
+    assert verify.verify_maintenance(t, spark, pre_snapshot_id=pre)["ok"]
+
+
+def test_merge_into_update_insert_semantics(spark, fragmented_table):
+    t = fragmented_table
+    src = synth.merge_source_df(spark, N_ROWS, 400, overlap=0.25)
+    n_src = src.count()
+    n_upd = src.join(t.scan(spark), "image_id", "left_semi").count()
+    res = merge.merge_into(t, spark, src, target_file_size=1 << 20)
+    post = t.scan(spark)
+    assert post.count() == N_ROWS + (n_src - n_upd)
+    # updated rows carry the source caption (seed+1 content)
+    updated = post.alias("p").join(src.alias("s"), "image_id").filter(
+        F.col("p.caption") != F.col("s.caption")
+    )
+    assert updated.count() == 0
+    # no duplicate keys anywhere
+    assert post.groupBy("image_id").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_merge_untouched_rows_survive_byte_identical(spark, fragmented_table):
+    t = fragmented_table
+    pre_snap = t.current_snapshot().snapshot_id
+    src = synth.merge_source_df(spark, N_ROWS, 200, overlap=0.5)
+    merge.merge_into(t, spark, src)
+    pre = t.scan(spark, snapshot_id=pre_snap).alias("a")
+    post = t.scan(spark).alias("b")
+    untouched = pre.join(src.select("image_id"), "image_id", "left_anti")
+    diff = (
+        untouched.alias("a")
+        .join(post, "image_id")
+        .filter(
+            (F.col("a.caption") != F.col("b.caption"))
+            | (F.col("a.bytes") != F.col("b.bytes"))
+        )
+        .count()
+    )
+    assert diff == 0
+
+
+def test_full_maintenance_pipeline_with_expiry(spark, fragmented_table):
+    """compact -> zorder -> merge -> expire: end state consistent, old
+    files GC'd, lineage queryable."""
+    t = fragmented_table
+    compaction.compact(t, spark, target_file_size=1 << 20, n_chunks=1)
+    clustering.cluster(t, spark, curve="zorder", target_file_size=1 << 20, n_chunks=1)
+    src = synth.merge_source_df(spark, N_ROWS, 100)
+    merge.merge_into(t, spark, src)
+    n_expected = t.scan(spark).count()
+    res = t.expire_snapshots(keep_last=2)
+    assert res["deleted_files"] > 0
+    assert t.scan(spark).count() == n_expected
+    ldf = LineageLog(t.location).lineage_df(spark)
+    assert ldf.count() >= 3
+    assert {r["op_id"].split("-")[0] for r in ldf.select("op_id").collect()} >= {
+        "compact",
+        "cluster",
+        "merge",
+    }

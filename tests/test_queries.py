@@ -1,0 +1,64 @@
+"""Smoke + spot-oracle tests for the relational layer.
+
+The driver runs the full 40-query oracle sweep (tools/check_oracles.py
+is the local mirror); here we keep a fast representative subset green
+under plain pytest."""
+
+import duckdb
+import pytest
+
+from mobility_lakehouse_project_spark.plans.relational import ORACLE_SQL, QUERIES
+
+SF = "/root/testdata/sf0.001"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+SPOT = ["a1_groupby_sums", "gold_od_matrix_top", "j6_anti", "w_sessionize", "ann_cosine_topk"]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return con
+
+
+def test_all_queries_run_and_have_oracles(spark):
+    missing = [n for n in QUERIES if n not in ORACLE_SQL]
+    assert missing == [], f"queries without oracle: {missing}"
+
+
+@pytest.mark.parametrize("name", SPOT)
+def test_spot_query_matches_oracle(spark, duck, name):
+    import numpy as np
+
+    sdf = QUERIES[name](spark, SF).toPandas()
+    odf = duck.execute(ORACLE_SQL[name]).df()
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    assert len(sdf) == len(odf)
+    a = sdf[sorted(sdf.columns)].copy()
+    b = odf[sorted(odf.columns)].copy()
+    for df in (a, b):
+        for c in df.columns:
+            if df[c].dtype == object:
+                df[c] = df[c].astype(str)
+            elif np.issubdtype(df[c].dtype, np.floating):
+                df[c] = df[c].round(6).astype("float64")
+            elif np.issubdtype(df[c].dtype, np.integer):
+                df[c] = df[c].astype("int64")
+            else:
+                df[c] = df[c].astype(str)
+    a = a.sort_values(by=list(a.columns)).reset_index(drop=True)
+    b = b.sort_values(by=list(b.columns)).reset_index(drop=True)
+    assert a.equals(b), f"value mismatch in {name}"
+
+
+def test_entry_contract(spark):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    df = mod.entry(spark)
+    assert df.count() >= 0
+    assert set(mod.oracle_sql()).issubset(set(mod.queries()))

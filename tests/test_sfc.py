@@ -1,0 +1,76 @@
+"""Property tests for the space-filling-curve kernels (SURVEY.md §7.3:
+'Hilbert curve correctness: ... property-test locality vs Morton')."""
+
+import numpy as np
+
+from mobility_lakehouse_project_spark.functions import sfc
+
+
+def _all_coords(bits):
+    n = 1 << bits
+    g = np.arange(n, dtype=np.uint64)
+    xx, yy, zz = np.meshgrid(g, g, g, indexing="ij")
+    return xx.ravel(), yy.ravel(), zz.ravel()
+
+
+def test_morton_bijective_small_grid():
+    x, y, z = _all_coords(3)
+    idx = sfc.morton3(x, y, z)
+    assert len(np.unique(idx)) == len(idx)
+    assert idx.min() == 0 and idx.max() == len(idx) - 1
+
+
+def test_hilbert_bijective_small_grid():
+    x, y, z = _all_coords(3)
+    idx = sfc.hilbert3(x, y, z, bits=3)
+    assert len(np.unique(idx)) == len(idx)
+    assert idx.min() == 0 and idx.max() == len(idx) - 1
+
+
+def test_hilbert_unit_step_locality():
+    """The defining Hilbert property: consecutive curve positions are
+    adjacent cells (manhattan distance exactly 1). Morton does NOT have
+    this property — verified as the contrast case."""
+    bits = 3
+    x, y, z = _all_coords(bits)
+    idx = sfc.hilbert3(x, y, z, bits=bits)
+    order = np.argsort(idx)
+    coords = np.stack([x, y, z], axis=1).astype(np.int64)[order]
+    steps = np.abs(np.diff(coords, axis=0)).sum(axis=1)
+    assert (steps == 1).all()
+
+    midx = sfc.morton3(x, y, z)
+    morder = np.argsort(midx)
+    mcoords = np.stack([x, y, z], axis=1).astype(np.int64)[morder]
+    msteps = np.abs(np.diff(mcoords, axis=0)).sum(axis=1)
+    assert (msteps > 1).any()
+
+
+def test_normalize_i64_order_preserving():
+    vals = np.array([-(2**63), -1, 0, 1, 2**62, 2**63 - 1], dtype=np.int64)
+    norm = sfc.normalize_i64(vals)
+    assert (np.diff(norm.astype(np.int64)) >= 0).all()
+
+
+def test_morton_high_bits_follow_first_dim():
+    """Top curve bits come from dim0 (phash) — the property that makes
+    per-file z-ranges imply tight phash ranges."""
+    lo = sfc.morton3(np.array([0], dtype=np.uint64), np.array([(1 << 21) - 1], dtype=np.uint64), np.array([(1 << 21) - 1], dtype=np.uint64))
+    hi = sfc.morton3(np.array([1 << 20], dtype=np.uint64), np.array([0], dtype=np.uint64), np.array([0], dtype=np.uint64))
+    assert hi[0] > lo[0]
+
+
+def test_udfs_run_in_spark(spark):
+    import pyspark.sql.functions as F
+
+    df = spark.range(1000).select(
+        (F.col("id") * 7919 - 500).alias("phash"),
+        (F.col("id") % 64).cast("int").alias("w"),
+        (F.col("id") % 32).cast("int").alias("h"),
+    )
+    out = df.select(
+        sfc.zorder_key("phash", "w", "h").alias("z"),
+        sfc.hilbert_key("phash", "w", "h").alias("hb"),
+    ).collect()
+    assert len(out) == 1000
+    assert all(r["z"] >= 0 and r["hb"] >= 0 for r in out)

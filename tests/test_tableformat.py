@@ -1,0 +1,120 @@
+"""Table-format invariants: snapshot isolation, atomic commit, time
+travel, partition overwrite idempotency, manifest pruning.
+
+Mirrors the reference's quality gates (SURVEY.md §5) at the metadata
+layer: the DELETE-day+INSERT-day idempotency of
+dags/Silver_Transform_Dag.py:188-207 becomes overwrite_partitions; the
+DuckLake catalog transaction becomes the version-pointer swap."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mobility_lakehouse_project_spark import synth
+from mobility_lakehouse_project_spark.tableformat import (
+    ConcurrentCommitError,
+    LakehouseTable,
+)
+
+
+@pytest.fixture()
+def small_table(spark, tmp_table_dir):
+    df = synth.images_df(spark, 800, partitions=4)
+    t = LakehouseTable.create(tmp_table_dir, df.schema, partition_col="bucket")
+    t.append(df, n_files=8)
+    return t
+
+
+def test_append_and_scan_counts(spark, small_table):
+    assert small_table.scan(spark).count() == 800
+    files = small_table.files(spark)
+    agg = files.agg(F.sum("record_count").alias("r")).collect()[0]
+    assert agg["r"] == 800
+
+
+def test_scan_matches_direct_parquet_read(spark, small_table):
+    """The reference's first gate (scripts/verify_lakehouse.py:82-101):
+    engine scan totals == direct file read totals."""
+    import os
+
+    direct = spark.read.parquet(
+        *[os.path.join(small_table.location, e["file_path"]) for e in small_table.all_entries()]
+    )
+    a = small_table.scan(spark).groupBy("bucket").count().collect()
+    b = direct.groupBy("bucket").count().collect()
+    assert sorted((r["bucket"], r["count"]) for r in a) == sorted(
+        (r["bucket"], r["count"]) for r in b
+    )
+
+
+def test_snapshot_time_travel(spark, small_table):
+    s1 = small_table.current_snapshot().snapshot_id
+    small_table.append(synth.images_df(spark, 200, id_offset=800, partitions=2), n_files=2)
+    s2 = small_table.current_snapshot().snapshot_id
+    assert small_table.scan(spark, snapshot_id=s1).count() == 800
+    assert small_table.scan(spark, snapshot_id=s2).count() == 1000
+    ops = [s.operation for s in small_table.snapshots_list()]
+    assert ops == ["append", "append"]
+
+
+def test_concurrent_commit_rejected(spark, small_table):
+    """Optimistic concurrency: a commit whose parent is stale must fail
+    (north_rule: commits 'validated against pre/post snapshot IDs')."""
+    stale_meta = small_table.load_metadata()
+    small_table.append(synth.images_df(spark, 100, id_offset=800), n_files=1)
+    entries = small_table.all_entries()[:1]
+    from mobility_lakehouse_project_spark.tableformat.table import Snapshot
+
+    snap = Snapshot(999, stale_meta["current_snapshot_id"], 99, 0, "append", [])
+    with pytest.raises(ConcurrentCommitError):
+        small_table._commit(stale_meta, snap, stale_meta["current_snapshot_id"])
+
+
+def test_overwrite_partitions_idempotent(spark, small_table):
+    """Re-running a partition load replaces, never duplicates — the
+    Spark-native DELETE+INSERT idiom."""
+    before = small_table.scan(spark).count()
+    one_bucket = synth.images_df(spark, 800, partitions=4).filter(F.col("bucket") == 3)
+    n_b3 = one_bucket.count()
+    for _ in range(2):  # idempotent under re-run
+        small_table.overwrite_partitions(one_bucket, n_files=2)
+        assert small_table.scan(spark).count() == before
+        assert small_table.scan(spark, partition_values={3}).filter(
+            F.col("bucket") == 3
+        ).count() == n_b3
+
+
+def test_manifest_pruning_narrows_file_set(spark, small_table):
+    entries = small_table.all_entries()
+    lo, hi = 10**17, 2 * 10**17
+    pruned = small_table.scan(spark, int_ranges={"phash": (lo, hi)})
+    direct_cnt = small_table.scan(spark).filter(
+        (F.col("phash") >= lo) & (F.col("phash") <= hi)
+    ).count()
+    pruned_cnt = pruned.filter((F.col("phash") >= lo) & (F.col("phash") <= hi)).count()
+    assert pruned_cnt == direct_cnt  # pruning never loses rows
+
+
+def test_rewrite_manifests_consolidates(spark, small_table):
+    small_table.append(synth.images_df(spark, 100, id_offset=800), n_files=2)
+    assert len(small_table.current_snapshot().manifests) == 2
+    small_table.rewrite_manifests()
+    assert len(small_table.current_snapshot().manifests) == 1
+    assert small_table.scan(spark).count() == 900
+
+
+def test_expire_snapshots_gc(spark, small_table):
+    import os
+
+    small_table.append(synth.images_df(spark, 100, id_offset=800), n_files=2)
+    # replace everything so old files become unreferenced
+    all_df = small_table.scan(spark)
+    entries = small_table.write_data_files(all_df, n_files=4)
+    small_table.commit_replace(
+        {e["file_path"] for e in small_table.all_entries()}, entries
+    )
+    res = small_table.expire_snapshots(keep_last=1)
+    assert res["expired"] >= 1 and res["deleted_files"] > 0
+    assert small_table.scan(spark).count() == 900
+    # all remaining manifest-referenced files exist on disk
+    for e in small_table.all_entries():
+        assert os.path.exists(os.path.join(small_table.location, e["file_path"]))
