@@ -1,0 +1,138 @@
+"""Benchmark harness — the engine's headline workload.
+
+Phases (all timed, one JSON line to stdout):
+  1. ingest   — synthesize the deterministic image+caption table
+                (FIXTURES.md F1, sized by sf) into many small files
+  2. compact  — bin-pack compaction to target file size
+  3. zorder   — Z-order clustering rewrite over (phash, w, h)
+  4. merge    — MERGE INTO with 10% source (update+insert mix)
+  5. queries  — headline analytic queries on $SPARK_GRAFT_SF_DIR
+
+The north-rule metric is compaction + Z-order throughput (MB/s,
+files/s); the JSON also carries per-phase seconds so the driver can
+track every component. Scaling-efficiency evidence (same job at
+local[8] vs local[32]) is produced by tools/run_scaling.py into
+BENCH/BASELINE.md.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default all), SPARK_GRAFT_BENCH_ROWS (override).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mobility_lakehouse_project_spark import synth  # noqa: E402
+from mobility_lakehouse_project_spark.operators import (  # noqa: E402
+    clustering,
+    compaction,
+    merge,
+)
+from mobility_lakehouse_project_spark.plans.relational import QUERIES  # noqa: E402
+from mobility_lakehouse_project_spark.session import get_spark  # noqa: E402
+from mobility_lakehouse_project_spark.tableformat import LakehouseTable  # noqa: E402
+
+BENCH_DIMS = (16, 32, 64, 128)
+ROWS_PER_SF = 1_500_000  # sf0.1 -> 150k rows (~1.3 GB decoded payload)
+HEADLINE_QUERIES = [
+    "a1_groupby_sums",
+    "gold_od_matrix_top",
+    "gold_gravity_model",
+    "gold_hourly_patterns",
+    "w_sessionize",
+    "ann_cosine_topk",
+    "txt_stats",
+]
+
+
+def run(sf_dir: str, cores: int, work_dir: str, rows: int | None = None) -> dict:
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    n_rows = rows or int(ROWS_PER_SF * sf)
+    n_ingest_files = max(64, cores * 8)
+
+    spark = get_spark("bench", cores=cores)
+    timings: dict[str, float] = {}
+    table_dir = os.path.join(work_dir, "images_table")
+    shutil.rmtree(table_dir, ignore_errors=True)
+
+    # 1. ingest (many small files — the fragmented state compaction fixes)
+    t0 = time.time()
+    half = n_rows // 2
+    d1 = synth.images_df(spark, half, dims=BENCH_DIMS, partitions=cores * 2)
+    d2 = synth.images_df(spark, n_rows - half, dims=BENCH_DIMS, partitions=cores * 2, id_offset=half)
+    table = LakehouseTable.create(table_dir, d1.schema, partition_col="bucket")
+    table.append(d1, n_files=n_ingest_files // 2)
+    table.append(d2, n_files=n_ingest_files // 2)
+    timings["ingest"] = time.time() - t0
+    entries = table.all_entries()
+    data_bytes = sum(e["file_size_bytes"] for e in entries)
+    files_before = len(entries)
+
+    # 2. bin-pack compaction
+    target = max(16 * 1024 * 1024, data_bytes // (cores * 2))
+    t0 = time.time()
+    cm = compaction.compact(table, spark, target_file_size=target, n_chunks=2)
+    timings["compact"] = time.time() - t0
+
+    # 3. Z-order clustering
+    t0 = time.time()
+    zm = clustering.cluster(table, spark, curve="zorder", target_file_size=target, n_chunks=2)
+    timings["zorder"] = time.time() - t0
+
+    # 4. MERGE INTO (10% of table size, 10% of that updates)
+    t0 = time.time()
+    src = synth.merge_source_df(spark, n_rows, n_rows // 10, dims=BENCH_DIMS)
+    mm = merge.merge_into(table, spark, src, target_file_size=target)
+    timings["merge"] = time.time() - t0
+
+    # 5. headline analytic queries on the TPC-H-shaped testdata
+    qt: dict[str, float] = {}
+    for name in HEADLINE_QUERIES:
+        t0 = time.time()
+        n = QUERIES[name](spark, sf_dir).count()
+        qt[name] = round(time.time() - t0, 3)
+
+    maint_secs = timings["compact"] + timings["zorder"]
+    maint_bytes = cm["bytes"] + zm["bytes"]
+    maint_files = cm["files_in"] + zm["files_in"]
+    result = {
+        "metric": "image-table maintenance (compact+zorder) + headline queries",
+        "value": round(sum(timings.values()) + sum(qt.values()), 3),
+        "unit": "sec",
+        "sf": sf,
+        "cores": cores,
+        "rows": n_rows,
+        "table_mb": round(data_bytes / 1e6, 1),
+        "files_before": files_before,
+        "files_after_compact": cm["files_out"],
+        "phases_sec": {k: round(v, 3) for k, v in timings.items()},
+        "maintenance_throughput_mb_s": round(maint_bytes / 1e6 / max(maint_secs, 1e-9), 2),
+        "maintenance_files_s": round(maint_files / max(maint_secs, 1e-9), 2),
+        "merge_rows_s": round(mm["rows_out"] / max(timings["merge"], 1e-9), 1),
+        "queries": qt,
+    }
+    spark.stop()
+    return result
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
+    rows = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "0")) or None
+    work = tempfile.mkdtemp(prefix="bench_")
+    try:
+        result = run(sf_dir, cores, work, rows)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -36,18 +36,28 @@ _MAGIC_JPG = b"FJPG"
 _JPEG_Q = 4  # quantization step -> ~46.9 dB PSNR
 
 
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (public-domain constants)."""
+    z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
 def synth_pixels(i: int, w: int, h: int) -> np.ndarray:
     """Deterministic (seed-free) pixel field for row index ``i``.
 
-    A gradient + per-row offset pattern: reproducible from ``i`` alone,
-    cheap, and non-constant so lossy-codec PSNR is meaningful.
+    Gradient base + hash-derived noise: reproducible from ``i`` alone,
+    non-constant (so lossy-codec PSNR is meaningful), and high-entropy
+    (so encoded blob sizes behave like real photos, not flat fills —
+    the property the GB/s compaction benchmark depends on).
     """
+    n = h * w * 3
     yy, xx = np.mgrid[0:h, 0:w]
-    base = (xx * 7 + yy * 13 + (i * 31) % 251).astype(np.int64)
-    r = (base % 256).astype(np.uint8)
-    g = ((base * 3 + i) % 256).astype(np.uint8)
-    b = ((base * 5 + i * 2) % 256).astype(np.uint8)
-    return np.stack([r, g, b], axis=-1)  # (h, w, 3) uint8
+    base = ((xx * 7 + yy * 13 + (i * 31) % 251) % 160).astype(np.uint8)
+    noise = _mix64(np.arange(n, dtype=np.uint64) ^ np.uint64(i * 0x9E3779B1))
+    noise8 = (noise & np.uint64(0x5F)).astype(np.uint8).reshape(h, w, 3)
+    return np.stack([base, base, base], axis=-1) + noise8  # (h, w, 3) uint8
 
 
 def encode(pixels: np.ndarray, fmt: str) -> bytes:

@@ -142,3 +142,12 @@ def hilbert_key(phash: pd.Series, w: pd.Series, h: pd.Series) -> pd.Series:
 
 
 CURVES = {"zorder": zorder_key, "hilbert": hilbert_key}
+
+
+def curve_np(curve: str, phash: np.ndarray, w: np.ndarray, h: np.ndarray) -> np.ndarray:
+    """Raw numpy curve kernel (for fused UDFs that combine the key with
+    further vectorized work in one Arrow round-trip)."""
+    d0 = normalize_i64(phash)
+    d1 = normalize_u32(w)
+    d2 = normalize_u32(h)
+    return morton3(d0, d1, d2) if curve == "zorder" else hilbert3(d0, d1, d2)

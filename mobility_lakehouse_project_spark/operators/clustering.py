@@ -6,36 +6,95 @@ ART indexes (SURVEY.md §4) — after clustering, per-file min/max stats
 in the manifests make point/range scans on the clustered columns prune
 most files.
 
-Plan shape (one shuffle per chunk):
-  scan chunk partitions
-    -> withColumn(_sfc, <Arrow-vectorized pandas UDF>)   # functions/sfc.py
-    -> repartitionByRange(n_out, partition_col, _sfc)    # contiguous slices
-    -> sortWithinPartitions(partition_col, _sfc)
-    -> drop(_sfc) -> write partitioned files -> replace-files commit
+Two-pass plan, designed so the image blobs are read EXACTLY ONCE:
 
-The `bytes` column rides exactly one shuffle (the rewrite itself — the
-measured workload); the curve key is computed before the exchange so
-range partitioning samples the key, and dropped before write. Because
-the curve's top bits are phash's top bits, each output file covers a
-tight phash band inside its bucket -> tight manifest stats.
+  pass 1 (key-only):  scan only (partition, phash, w, h) — parquet
+      column pruning makes this ~16 bytes/row vs ~KBs of blob — compute
+      the curve key (Arrow-vectorized pandas UDF, functions/sfc.py) and
+      per-partition quantile boundaries (percentile_approx) that split
+      each partition into target-file-size groups.
+      A naive ``repartitionByRange`` would instead let RangePartitioner
+      sample the full child plan — executing the blob scan twice, which
+      at 100 TB doubles the dominant cost. The key-only pass is the
+      scale-correct substitute.
+
+  pass 2 (single blob shuffle):  full scan -> curve key -> file-group
+      index via np.searchsorted against the broadcast boundaries ->
+      exact-slot hash shuffle (one group per reduce task, see
+      ``_slot_tokens``) -> sortWithinPartitions(partition, key) ->
+      write. Each output file is a contiguous curve range inside its
+      partition -> tight phash/w/h manifest stats.
 
 Resumable per chunk via the lineage log, like compaction.
 """
 
 from __future__ import annotations
 
-import hashlib
 import time
 
-from pyspark.sql import SparkSession
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-from ..functions.sfc import CURVES
+from ..functions.sfc import CURVES, curve_np
 from ..lineage import LineageLog
 from ..tableformat import LakehouseTable
 from .compaction import DEFAULT_TARGET_FILE_SIZE, _chunk, _op_fingerprint, chunk_key
 
 _SFC_COL = "_sfc"
+_GRP_COL = "_grp"
+_TOK_COL = "_tok"
+_QUANTILES = 128
+
+
+def _slot_tokens(spark: SparkSession, n: int) -> list[int]:
+    """Find ``n`` integer tokens whose Spark hash-partition slots
+    (pmod(murmur3(token), n)) are pairwise distinct, so
+    ``repartition(n, token)`` places each file-group in its own reduce
+    task — an exact partitioner built from DataFrame primitives (no
+    RDD API, no range sampling). The search is a metadata-sized job:
+    ~n*H(n) candidates scanned distributed, n rows collected."""
+    tokens: dict[int, int] = {}
+    lo = 0
+    while len(tokens) < n:
+        hi = lo + max(64, 8 * n)
+        rows = (
+            spark.range(lo, hi)
+            .select(F.col("id").alias("tok"), F.pmod(F.hash("id"), F.lit(n)).alias("slot"))
+            .dropDuplicates(["slot"])
+            .collect()
+        )
+        for r in rows:
+            tokens.setdefault(r["slot"], r["tok"])
+        lo = hi
+    return [tokens[s] for s in range(n)]
+
+
+def _fused_assigner(curve: str, bounds: dict, offsets: dict, tokens: np.ndarray):
+    """ONE Arrow round-trip: (partition, phash, w, h) -> shuffle token.
+
+    Fuses curve-key computation, quantile-group lookup (searchsorted
+    against the broadcast boundaries) and slot-token mapping, so pass 2
+    costs a single vectorized UDF over 4 narrow columns."""
+
+    @F.pandas_udf(T.LongType())
+    def assign(part: pd.Series, phash: pd.Series, w: pd.Series, h: pd.Series) -> pd.Series:
+        kv = curve_np(
+            curve,
+            phash.to_numpy(dtype=np.int64, na_value=0),
+            w.to_numpy(dtype=np.int64, na_value=0),
+            h.to_numpy(dtype=np.int64, na_value=0),
+        )
+        grp = np.empty(len(part), dtype=np.int64)
+        pv = part.to_numpy()
+        for p in pd.unique(pv):
+            m = pv == p
+            grp[m] = offsets[str(p)] + np.searchsorted(bounds[str(p)], kv[m], side="right")
+        return pd.Series(tokens[grp])
+
+    return assign
 
 
 def cluster(
@@ -58,7 +117,6 @@ def cluster(
     done = log.completed_chunks(op_id)
     pcol = table._partition_col()
 
-    # group entries per partition, chunk partitions for resume granularity
     parts: dict[str, list[dict]] = {}
     for e in entries:
         parts.setdefault(e["partition_id"], []).append(e)
@@ -74,17 +132,58 @@ def cluster(
         t0 = time.time()
         chunk_entries = [e for p in chunk_parts for e in parts[p]]
         removed = {e["file_path"] for e in chunk_entries}
-        chunk_bytes = sum(e["file_size_bytes"] for e in chunk_entries)
-        n_out = max(1, round(chunk_bytes / target_file_size))
-        df = table.scan_matched_files(chunk_entries, spark)
-        keyed = df.withColumn(_SFC_COL, key_udf(*[F.col(c) for c in cols]))
-        range_cols = ([pcol] if pcol else []) + [_SFC_COL]
-        shaped = (
-            keyed.repartitionByRange(n_out, *[F.col(c) for c in range_cols])
-            .sortWithinPartitions(*range_cols)
-            .drop(_SFC_COL)
+        part_bytes = {
+            p: sum(e["file_size_bytes"] for e in parts[p]) for p in chunk_parts
+        }
+        n_out_p = {
+            p: max(1, round(b / target_file_size)) for p, b in part_bytes.items()
+        }
+
+        # ---- pass 1: key-only quantile boundaries per partition ----
+        key_cols = ([pcol] if pcol else []) + [c for c in cols if c != pcol]
+        keys_df = table.scan_matched_files(chunk_entries, spark, columns=key_cols)
+        keyed = keys_df.withColumn(_SFC_COL, key_udf(*[F.col(c) for c in cols]))
+        probs = [i / _QUANTILES for i in range(1, _QUANTILES)]
+        group_col = F.col(pcol) if pcol else F.lit(0)
+        qrows = (
+            keyed.groupBy(group_col.alias("_p"))
+            .agg(F.percentile_approx(_SFC_COL, probs, 10_000).alias("qs"))
+            .collect()
         )
-        new_entries = table.write_data_files(shaped)  # distribution already set
+        bounds: dict[str, np.ndarray] = {}
+        offsets: dict[str, int] = {}
+        off = 0
+        for p in chunk_parts:
+            bkey = p if pcol else "0"  # unpartitioned: single group key
+            row = next((r for r in qrows if str(r["_p"]) == bkey), None)
+            n_o = n_out_p[p]
+            if row is None or n_o <= 1:
+                b = np.array([], dtype=np.int64)
+            else:
+                qs = row["qs"]
+                b = np.array(
+                    sorted({qs[int(_QUANTILES * i / n_o) - 1] for i in range(1, n_o)}),
+                    dtype=np.int64,
+                )
+            bounds[bkey] = b
+            offsets[bkey] = off
+            off += len(b) + 1
+        total_out = off
+
+        # ---- pass 2: single blob shuffle into exact slots ----
+        # within-file order does not change FILE-level min/max stats
+        # (group membership does), so sort by (partition, phash) — the
+        # curve key itself need not ride the shuffle.
+        tokens = np.array(_slot_tokens(spark, total_out), dtype=np.int64)
+        df = table.scan_matched_files(chunk_entries, spark)
+        assign = _fused_assigner(curve, bounds, offsets, tokens)
+        shaped = (
+            df.withColumn(_TOK_COL, assign(group_col.cast("string"), *[F.col(c) for c in cols]))
+            .repartition(total_out, F.col(_TOK_COL))
+            .sortWithinPartitions(*(([pcol] if pcol else []) + [cols[0]]))
+            .drop(_TOK_COL)
+        )
+        new_entries = table.write_data_files(shaped, distribution="none")
         snap = table.commit_replace(
             removed, new_entries, operation="replace",
             summary={"op": f"cluster-{curve}", "op_id": op_id, "chunk": ck},

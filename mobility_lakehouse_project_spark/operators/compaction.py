@@ -125,6 +125,7 @@ def compact(
         new_entries = table.write_data_files(
             df, n_files=n_out,
             sort_cols=[sort_col] if sort_col else None,
+            n_partitions_hint=len(chunk),
         )
         snap = table.commit_replace(
             removed, new_entries, operation="replace",

@@ -108,7 +108,10 @@ def merge_into(
 
     total_bytes = sum(e["file_size_bytes"] for e in touched_entries) or 1
     n_out = max(1, round(total_bytes / target_file_size))
-    new_entries = table.write_data_files(out, n_files=max(n_out, 1), sort_cols=[key])
+    n_parts = len({e["partition_id"] for e in touched_entries}) or 1
+    new_entries = table.write_data_files(
+        out, n_files=max(n_out, 1), sort_cols=[key], n_partitions_hint=n_parts
+    )
     snap = table.commit_replace(
         {e["file_path"] for e in touched_entries},
         new_entries,

@@ -43,6 +43,12 @@ def get_spark(
         # vectorized UDF batch of large rows stays well under executor memory.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # Blob-heavy tables: default 128MB scan splits + 4MB open cost
+        # collapse a chunk of mid-size files into 2-3 tasks; size splits
+        # so rewrites use the full core count.
+        .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
+        .config("spark.sql.files.openCostInBytes", str(1024 * 1024))
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", str(32 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))

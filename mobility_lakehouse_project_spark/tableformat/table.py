@@ -205,28 +205,52 @@ class LakehouseTable:
         df: DataFrame,
         n_files: int | None = None,
         sort_cols: list[str] | None = None,
+        distribution: str = "hash",
+        salt_col: str = "image_id",
+        n_partitions_hint: int | None = None,
     ) -> list[dict]:
         """Write a DataFrame as new data files; return manifest entries
         (NOT yet committed — callers pair this with a commit_* call).
 
-        Distribution: ``repartitionByRange(n, partition_col, *sort_cols)``
-        gives every output task a contiguous (partition, key) slice —
-        one shuffle that simultaneously (a) sizes output files, (b)
-        keeps each task inside 1-2 partition directories, and (c)
-        splits a hot partition across tasks (deterministic skew
-        handling: the range sampler sees the hot key's weight).
+        Distribution (one shuffle, chosen for blob-heavy rows):
+
+        * ``hash`` (default): ``repartition(n, partition_col, salt)``
+          with ``salt = pmod(xxhash64(salt_col), n/P)``. NO input
+          sampling — ``repartitionByRange`` would execute the child
+          plan twice (RangePartitioner's sample pass), i.e. read every
+          image blob twice; at 100 TB that doubles the dominant cost.
+          The salt also splits a hot partition (skewed phash bucket)
+          across ~n/P tasks deterministically.
+        * ``range``: ``repartitionByRange(n, partition_col, *sort_cols)``
+          — only for small/key-only frames where contiguous output
+          ranges are worth the sampling pass.
+        * ``none``: caller pre-shaped the distribution (clustering does
+          its own quantile-based grouping from a key-only scan).
+
+        ``sort_cols`` adds a within-partition sort (local, no extra
+        shuffle) so every file is internally ordered and gets tight
+        manifest min/max stats.
         """
         meta = self.load_metadata()
         pcol = meta["partition_col"]
         write_id = uuid.uuid4().hex[:12]
         out_dir = os.path.join(self.data_dir, f"snap-{write_id}")
-        range_cols = ([pcol] if pcol else []) + [c for c in (sort_cols or []) if c != pcol]
-        if n_files and range_cols:
-            df = df.repartitionByRange(n_files, *[F.col(c) for c in range_cols])
+        sort_all = ([pcol] if pcol else []) + [c for c in (sort_cols or []) if c != pcol]
+        if n_files and distribution == "hash":
+            n_parts = n_partitions_hint or 16
+            salts = max(1, round(n_files / max(n_parts, 1)))
+            salt = F.pmod(F.xxhash64(F.col(salt_col)), F.lit(salts))
+            keys = ([F.col(pcol)] if pcol else []) + [salt]
+            df = df.repartition(n_files, *keys)
             if sort_cols:
-                df = df.sortWithinPartitions(*range_cols)
+                df = df.sortWithinPartitions(*sort_all)
+        elif n_files and distribution == "range" and sort_all:
+            df = df.repartitionByRange(n_files, *[F.col(c) for c in sort_all])
+            df = df.sortWithinPartitions(*sort_all)
         elif n_files:
             df = df.repartition(n_files)
+        elif sort_cols:
+            df = df.sortWithinPartitions(*sort_all)
         writer = df
         if pcol:
             writer = writer.withColumn(_PART_DIR, F.col(pcol))
