@@ -49,27 +49,7 @@ _TOK_COL = "_tok"
 _QUANTILES = 128
 
 
-def _slot_tokens(spark: SparkSession, n: int) -> list[int]:
-    """Find ``n`` integer tokens whose Spark hash-partition slots
-    (pmod(murmur3(token), n)) are pairwise distinct, so
-    ``repartition(n, token)`` places each file-group in its own reduce
-    task — an exact partitioner built from DataFrame primitives (no
-    RDD API, no range sampling). The search is a metadata-sized job:
-    ~n*H(n) candidates scanned distributed, n rows collected."""
-    tokens: dict[int, int] = {}
-    lo = 0
-    while len(tokens) < n:
-        hi = lo + max(64, 8 * n)
-        rows = (
-            spark.range(lo, hi)
-            .select(F.col("id").alias("tok"), F.pmod(F.hash("id"), F.lit(n)).alias("slot"))
-            .dropDuplicates(["slot"])
-            .collect()
-        )
-        for r in rows:
-            tokens.setdefault(r["slot"], r["tok"])
-        lo = hi
-    return [tokens[s] for s in range(n)]
+from ..tableformat.distribute import slot_tokens as _slot_tokens  # noqa: E402
 
 
 def _fused_assigner(curve: str, bounds: dict, offsets: dict, tokens: np.ndarray):

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from ..lineage import LineageLog
 from ..tableformat import LakehouseTable
+from ..tableformat.distribute import exact_slot_repartition, partitioned_group_expr
 
 DEFAULT_TARGET_FILE_SIZE = 128 * 1024 * 1024
 
@@ -96,6 +97,7 @@ def compact(
     spark: SparkSession,
     target_file_size: int = DEFAULT_TARGET_FILE_SIZE,
     sort_col: str = "phash",
+    key_col: str = "image_id",
     n_chunks: int = 4,
     op_id: str | None = None,
 ) -> dict:
@@ -121,12 +123,18 @@ def compact(
         removed = {f for p in chunk for f in p["files"]}
         entries_in = [e for e in table.all_entries() if e["file_path"] in removed]
         df = table.scan_matched_files(entries_in, spark)
-        n_out = sum(p["n_out"] for p in chunk)
-        new_entries = table.write_data_files(
-            df, n_files=n_out,
-            sort_cols=[sort_col] if sort_col else None,
-            n_partitions_hint=len(chunk),
-        )
+        # exact-slot shuffle: one output file per reduce task, hot
+        # partitions salted over their n_out groups (distribute.py)
+        if pcol:
+            gexpr, total_out, _ = partitioned_group_expr(
+                pcol, key_col, {p["partition_id"]: p["n_out"] for p in chunk}
+            )
+        else:
+            total_out = sum(p["n_out"] for p in chunk)
+            gexpr = F.pmod(F.xxhash64(F.col(key_col)), F.lit(total_out))
+        sort_all = ([pcol] if pcol else []) + ([sort_col] if sort_col else [])
+        shaped = exact_slot_repartition(spark, df, gexpr, total_out, sort_cols=sort_all)
+        new_entries = table.write_data_files(shaped, distribution="none")
         snap = table.commit_replace(
             removed, new_entries, operation="replace",
             summary={"op": "compact", "op_id": op_id, "chunk": ck},

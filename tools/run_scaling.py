@@ -1,0 +1,136 @@
+"""Two-cluster-size scaling evidence (BASELINE.json north_rule).
+
+A real N vs 4N executor comparison is impossible in this sandbox, so —
+per the rule's sanctioned substitute — the SAME maintenance job
+(bin-pack compact + Z-order cluster) runs on the SAME on-disk input at
+two parallelism levels (local[8] and local[32]) and we report
+throughput at both plus scaling efficiency = (T_8 / T_32) / 4.
+
+The fragmented input table is built once, then copied per level so
+both runs rewrite byte-identical input. Each level runs in a fresh
+SparkSession (fresh JVM would be cleaner; sequential sessions in one
+process keep the page cache equally warm for both, which is the fairer
+comparison for an IO-heavy job).
+
+Writes BENCH/BASELINE.md. Usage: python tools/run_scaling.py [rows]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+N_LOW, N_HIGH = 8, 32
+ROWS = int(sys.argv[1]) if len(sys.argv) > 1 else 120_000
+BASE = "/tmp/scaling_base_table"
+RUN = "/tmp/scaling_run_table"
+
+
+def build_base() -> None:
+    from mobility_lakehouse_project_spark import synth
+    from mobility_lakehouse_project_spark.session import get_spark
+    from mobility_lakehouse_project_spark.tableformat import LakehouseTable
+
+    shutil.rmtree(BASE, ignore_errors=True)
+    spark = get_spark("scaling-build", cores=N_HIGH)
+    half = ROWS // 2
+    d1 = synth.images_df(spark, half, dims=(16, 32, 64, 128), partitions=64)
+    d2 = synth.images_df(spark, ROWS - half, dims=(16, 32, 64, 128), partitions=64, id_offset=half)
+    t = LakehouseTable.create(BASE, d1.schema, partition_col="bucket")
+    t.append(d1, n_files=128)
+    t.append(d2, n_files=128)
+    spark.stop()
+
+
+def run_level(cores: int) -> dict:
+    """Run compact+zorder at the given parallelism in a fresh process
+    (clean JVM; page cache shared between levels either way)."""
+    code = f"""
+import json, shutil, sys, time
+sys.path.insert(0, ".")
+from mobility_lakehouse_project_spark.session import get_spark
+from mobility_lakehouse_project_spark.tableformat import LakehouseTable
+from mobility_lakehouse_project_spark.operators import compaction, clustering
+
+shutil.rmtree({RUN!r}, ignore_errors=True)
+shutil.copytree({BASE!r}, {RUN!r})
+spark = get_spark("scaling-{cores}", cores={cores})
+t = LakehouseTable(location={RUN!r})
+data_bytes = sum(e["file_size_bytes"] for e in t.all_entries())
+target = max(16 * 1024 * 1024, data_bytes // 64)
+t0 = time.time()
+cm = compaction.compact(t, spark, target_file_size=target, n_chunks=2)
+t_compact = time.time() - t0
+t0 = time.time()
+zm = clustering.cluster(t, spark, curve="zorder", target_file_size=target, n_chunks=2)
+t_zorder = time.time() - t0
+print("RESULT " + json.dumps(dict(
+    cores={cores}, t_compact=round(t_compact,2), t_zorder=round(t_zorder,2),
+    total=round(t_compact + t_zorder, 2),
+    mb=round(data_bytes/1e6,1),
+    files_in=cm["files_in"] + zm["files_in"],
+    mb_s=round((cm["bytes"] + zm["bytes"])/1e6/(t_compact+t_zorder), 2),
+    files_s=round((cm["files_in"] + zm["files_in"])/(t_compact+t_zorder), 2),
+)))
+spark.stop()
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, cwd="/root/repo"
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[7:])
+    raise RuntimeError(f"level {cores} failed:\n{out.stdout[-2000:]}\n{out.stderr[-3000:]}")
+
+
+def main() -> None:
+    print(f"building base table ({ROWS} rows)...")
+    build_base()
+    results = {}
+    for cores in (N_LOW, N_HIGH):
+        print(f"running maintenance at local[{cores}]...")
+        results[cores] = run_level(cores)
+        print("  ", results[cores])
+    t_low, t_high = results[N_LOW]["total"], results[N_HIGH]["total"]
+    eff = (t_low / t_high) / (N_HIGH / N_LOW)
+    md = f"""# BENCH/BASELINE — engine throughput & scaling evidence
+
+Job: bin-pack compaction + Z-order clustering of the deterministic
+image+caption table ({ROWS} rows, {results[N_LOW]['mb']} MB data,
+{results[N_LOW]['files_in']} file rewrites), identical on-disk input at both
+parallelism levels (the sandbox substitute for N vs 4N executors —
+see BASELINE.json north_rule).
+
+| parallelism | compact (s) | zorder (s) | total (s) | MB/s | files/s |
+|---|---|---|---|---|---|
+| local[{N_LOW}] (N) | {results[N_LOW]['t_compact']} | {results[N_LOW]['t_zorder']} | {t_low} | {results[N_LOW]['mb_s']} | {results[N_LOW]['files_s']} |
+| local[{N_HIGH}] (4N) | {results[N_HIGH]['t_compact']} | {results[N_HIGH]['t_zorder']} | {t_high} | {results[N_HIGH]['mb_s']} | {results[N_HIGH]['files_s']} |
+
+**Scaling efficiency = (T_N / T_4N) / 4 = ({t_low} / {t_high}) / 4 = {eff:.2f}**
+(target >= 0.8 per BASELINE.json).
+
+Caveats: single host, so "4N" shares one memory subsystem and one disk
+with "N" — a real 4N-executor cluster adds memory bandwidth and disk
+spindles linearly, which this box cannot; the number above is therefore
+a lower bound on cluster scaling for this shuffle-light job. Reference
+single-node baseline for context: 18 MB/s bronze ingest, 0.6M rows/s
+silver transform (BASELINE.md).
+
+Raw: {json.dumps(results)}
+"""
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(md)
+    print(md)
+    shutil.rmtree(RUN, ignore_errors=True)
+    shutil.rmtree(BASE, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
