@@ -127,7 +127,7 @@ def cluster(
         group_col = F.col(pcol) if pcol else F.lit(0)
         qrows = (
             keyed.groupBy(group_col.alias("_p"))
-            .agg(F.percentile_approx(_SFC_COL, probs, 10_000).alias("qs"))
+            .agg(F.percentile_approx(_SFC_COL, probs, 2_500).alias("qs"))
             .collect()
         )
         bounds: dict[str, np.ndarray] = {}

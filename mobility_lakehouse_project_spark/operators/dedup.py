@@ -1,0 +1,171 @@
+"""Near-duplicate detection operators for the documents table.
+
+The training-data dedup ladder, each a DataFrame program:
+
+ * exact          — md5 fingerprint hash-groupBy (plans/relational.py
+                    txt_fingerprint_dedup, oracle-checked)
+ * token Jaccard  — exact set-similarity via token self-join
+                    (plans/relational.py dedup_token_jaccard,
+                    oracle-checked)
+ * MinHash + LSH  — this module: shingle -> k minhashes (one Arrow UDF)
+                    -> band buckets -> bucket equi-join -> candidate
+                    pairs -> estimated Jaccard. The scale path: the
+                    only join key is the band bucket hash, so work is
+                    proportional to colliding candidates, never O(n^2).
+ * SimHash        — this module: 64-bit hyperplane-free simhash from
+                    token hashes; near-dups = equal 16-bit bands
+                    (hamming blocking), verified by popcount distance.
+
+MinHash math (Broder 1997): P[minhash_i(A)=minhash_i(B)] = J(A,B);
+k independent permutations approximated by k splitmix64-salted hashes.
+LSH banding (Leskovec/Rajaraman/Ullman, "Mining of Massive Datasets"
+ch.3): b bands of r rows -> candidate iff some band matches.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    z = x + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def minhash_udf(k: int = 64, shingle: int = 2):
+    """Arrow-batched UDF: text -> array<long> of k minhash values.
+
+    Python's own str hash is salted per-process — NOT usable across
+    executors; we use a deterministic FNV-1a base hash instead."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def mh(texts: pd.Series) -> pd.Series:
+        salts = _mix64(np.arange(1, k + 1, dtype=np.uint64))
+        out = []
+        for t in texts:
+            toks = t.split()
+            if shingle > 1:
+                toks = [" ".join(toks[i : i + shingle]) for i in range(max(len(toks) - shingle + 1, 1))]
+            if not toks:
+                out.append([0] * k)
+                continue
+            base = np.array([_fnv1a(s) for s in set(toks)], dtype=np.uint64)
+            # k salted hashes of every shingle: (S, k) via broadcasting
+            m = _mix64(base[:, None] ^ salts[None, :]).min(axis=0)
+            out.append(m.view(np.int64).tolist())
+        return pd.Series(out)
+
+    return mh
+
+
+def _fnv1a(s: str) -> int:
+    h = 0xCBF29CE484222325
+    for b in s.encode():
+        h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def minhash_lsh_pairs(
+    spark: SparkSession,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 64,
+    bands: int = 16,
+    shingle: int = 2,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Candidate near-dup pairs with estimated Jaccard >= threshold.
+
+    Plan: one UDF pass -> explode k/bands band-hashes -> self-join on
+    (band_idx, band_hash) -> groupBy pair -> estimate = matching
+    minhashes / k. Candidate generation is blocking-based (bucket
+    equi-join), so the shuffle carries (id, band_hash) pairs only."""
+    r = k // bands
+    sigs = docs.select(F.col(id_col).alias("id"), minhash_udf(k, shingle)(F.col(text_col)).alias("sig"))
+    sigs = sigs.persist()
+    band_hash = F.xxhash64(F.concat_ws(",", F.slice("sig", F.col("band") * r + 1, r)), F.col("band"))
+    banded = (
+        sigs.select("id", "sig", F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"))
+        .select("id", "band", band_hash.alias("bh"))
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cands = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("ida"), F.col("b.id").alias("idb"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("id").alias("ida"), F.col("sig").alias("siga"))
+    sb = sigs.select(F.col("id").alias("idb"), F.col("sig").alias("sigb"))
+    est = F.size(F.filter(F.zip_with("siga", "sigb", lambda x, y: x == y), lambda m: m)) / F.lit(k)
+    return (
+        cands.join(sa, "ida")
+        .join(sb, "idb")
+        .select("ida", "idb", F.round(est, 4).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def simhash_udf(bits: int = 64):
+    """Arrow-batched UDF: text -> 64-bit SimHash (Charikar 2002):
+    sign of the per-bit sum of token-hash bit vectors."""
+
+    @F.pandas_udf(T.LongType())
+    def sh(texts: pd.Series) -> pd.Series:
+        out = np.empty(len(texts), dtype=np.int64)
+        powers = np.uint64(1) << np.arange(bits, dtype=np.uint64)
+        for i, t in enumerate(texts):
+            toks = set(t.split())
+            if not toks:
+                out[i] = 0
+                continue
+            hs = np.array([_fnv1a(s) for s in toks], dtype=np.uint64)
+            bitvec = ((hs[:, None] & powers[None, :]) != 0).sum(axis=0)
+            sig = np.uint64(0)
+            half = len(toks) / 2.0
+            sig = (powers[bitvec > half]).sum(dtype=np.uint64)
+            out[i] = np.int64(sig.astype(np.int64))
+        return pd.Series(out)
+
+    return sh
+
+
+def simhash_pairs(
+    spark: SparkSession,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= max_hamming.
+
+    Blocking: split the 64-bit signature into 4 x 16-bit bands; by
+    pigeonhole any pair with hamming <= 3 matches on at least one full
+    band -> candidate join per band, verify with bit_count(xor)."""
+    sigs = docs.select(F.col(id_col).alias("id"), simhash_udf()(F.col(text_col)).alias("sig"))
+    banded = sigs.select(
+        "id", "sig", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band")
+    ).select(
+        "id", "sig", "band",
+        F.shiftrightunsigned(F.col("sig"), F.col("band") * 16).bitwiseAND(F.lit(0xFFFF)).alias("bh"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    ham = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("ida"), F.col("b.id").alias("idb"), ham.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,107 @@
+"""Multimodal column operators: decode / feature-extract / resize /
+frame-sample over opaque binary payloads.
+
+The Spark-side plumbing (schemas, mapInPandas batch iteration, Arrow
+batch sizing, partition preservation) is real and tested; the pixel
+kernels use the engine's deterministic codec
+(functions/imagecodec.py). A production deployment swaps the kernel
+body for PIL/turbojpeg/ffmpeg behind the identical interface. Video
+frame-sampling has no codec in this container and raises
+NotImplementedError at the clearly-marked point (per the build brief:
+stub the decode, keep the plumbing real).
+
+All operators are mapInPandas (per-partition Arrow batch iterators):
+no shuffle, no driver involvement, blobs stream through Python once.
+`spark.sql.execution.arrow.maxRecordsPerBatch` (session.py) bounds the
+per-batch memory for multi-KB rows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..functions import imagecodec as ic
+
+FEATURE_SCHEMA = (
+    "image_id string, w int, h int, fmt string, "
+    "mean_r double, mean_g double, mean_b double, luma double, ahash long"
+)
+
+RESIZE_SCHEMA = (
+    "image_id string, bytes binary, w int, h int, fmt string, "
+    "caption string, phash long, bucket int"
+)
+
+
+def extract_features(images: DataFrame) -> DataFrame:
+    """Decode each image and emit per-channel stats + a 64-bit aHash —
+    the feature-extraction stage of a multimodal training pipeline."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            mr = np.empty(n); mg = np.empty(n); mb = np.empty(n)
+            lu = np.empty(n); ah = np.empty(n, dtype=np.int64)
+            for i in range(n):
+                px = ic.decode(pdf["bytes"].iloc[i], int(pdf["w"].iloc[i]),
+                               int(pdf["h"].iloc[i]), pdf["fmt"].iloc[i])
+                m = px.reshape(-1, 3).mean(axis=0)
+                mr[i], mg[i], mb[i] = m
+                lu[i] = float(m @ [0.299, 0.587, 0.114])
+                ah[i] = ic.average_hash(px)
+            yield pd.DataFrame({
+                "image_id": pdf["image_id"], "w": pdf["w"], "h": pdf["h"],
+                "fmt": pdf["fmt"], "mean_r": mr, "mean_g": mg, "mean_b": mb,
+                "luma": lu, "ahash": ah,
+            })
+
+    cols = ["image_id", "bytes", "w", "h", "fmt"]
+    return images.select(*cols).mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def resize_images(images: DataFrame, out_w: int, out_h: int, out_fmt: str = "png") -> DataFrame:
+    """Nearest-neighbor resize + re-encode; keeps the full row schema so
+    the result can be committed back as a new table version."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs, ws, hs, fmts = [], [], [], []
+            for i in range(len(pdf)):
+                px = ic.decode(pdf["bytes"].iloc[i], int(pdf["w"].iloc[i]),
+                               int(pdf["h"].iloc[i]), pdf["fmt"].iloc[i])
+                yi = (np.arange(out_h) * px.shape[0] // out_h)
+                xi = (np.arange(out_w) * px.shape[1] // out_w)
+                small = px[yi][:, xi]
+                blobs.append(ic.encode(small, out_fmt))
+                ws.append(out_w); hs.append(out_h); fmts.append(out_fmt)
+            out = pdf.copy()
+            out["bytes"] = blobs
+            out["w"] = np.array(ws, dtype=np.int32)
+            out["h"] = np.array(hs, dtype=np.int32)
+            out["fmt"] = fmts
+            yield out
+
+    return images.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+def sample_video_frames(videos: DataFrame, every_n: int = 30) -> DataFrame:
+    """Frame-sampling for video payloads.
+
+    The Spark plumbing is identical to extract_features (mapInPandas
+    over binary + metadata); the decode kernel requires a video codec
+    that is NOT in this container."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for _pdf in batches:
+            # STUB: no video codec available in this environment.
+            # Production: pyav/ffmpeg decode -> yield one row per
+            # sampled frame (video_id, frame_idx, bytes, w, h).
+            raise NotImplementedError(
+                "video decode requires ffmpeg/pyav (unavailable in sandbox)"
+            )
+
+    return videos.mapInPandas(run, schema="video_id string, frame_idx int, bytes binary, w int, h int")

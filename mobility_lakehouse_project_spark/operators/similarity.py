@@ -1,0 +1,168 @@
+"""Similarity search over the embeddings table (array<float>).
+
+ * brute-force cosine top-k — the exact baseline, fully JVM-side
+   (zip_with/aggregate higher-order functions; oracle-checked as
+   plans/relational.py ann_cosine_topk).
+ * random-hyperplane LSH (Charikar 2002) — the scale path: H
+   deterministic hyperplanes -> sign bits -> bucket key; queries probe
+   only their bucket (and optionally neighboring buckets by flipping
+   bits). Hyperplanes are derived from splitmix64 so every executor
+   regenerates them identically — no fit/broadcast state.
+ * IVF-style coarse quantizer — k centroids trained by a few Lloyd
+   iterations expressed as DataFrame aggregations; vectors assigned to
+   nearest centroid; queries probe nprobe cells.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
+    """Deterministic pseudo-gaussian hyperplanes via Box-Muller over
+    splitmix64 streams (no RNG state; regenerable anywhere)."""
+    n = dim * n_planes
+    idx = np.arange(n, dtype=np.uint64) + np.uint64(seed * 1_000_003)
+    z = idx + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    z = z ^ (z >> np.uint64(31))
+    u1 = ((z >> np.uint64(11)).astype(np.float64) + 0.5) / float(1 << 53)
+    z2 = z * np.uint64(0x9E3779B97F4A7C15)
+    u2 = ((z2 >> np.uint64(11)).astype(np.float64) + 0.5) / float(1 << 53)
+    g = np.sqrt(-2.0 * np.log(u1)) * np.cos(2.0 * np.pi * u2)
+    return g.reshape(n_planes, dim)
+
+
+def lsh_bucket_udf(dim: int, n_planes: int = 16, seed: int = 7):
+    """Arrow UDF: embedding -> LSH bucket id (sign-bit signature)."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    powers = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @F.pandas_udf(T.LongType())
+    def bucket(embs: pd.Series) -> pd.Series:
+        mat = np.stack(embs.to_numpy())  # (batch, dim)
+        signs = mat.astype(np.float64) @ planes.T > 0  # (batch, planes)
+        return pd.Series((signs * powers).sum(axis=1).astype(np.int64))
+
+    return bucket
+
+
+def ann_lsh_topk(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's LSH bucket.
+
+    At 10^12 scale the bucket column is what the table is partitioned/
+    clustered by, so the probe is a partition-pruned scan; here it is a
+    filter. Recall/latency tuned by n_planes (fewer planes = bigger
+    buckets = higher recall, more compute)."""
+    dim = len(query_vec)
+    bucket = lsh_bucket_udf(dim, n_planes)
+    planes = _hyperplanes(dim, n_planes)
+    q = np.array(query_vec, dtype=np.float64)
+    qb = int(((q @ planes.T > 0) * (1 << np.arange(n_planes))).sum())
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    cand = embeddings.withColumn("_bucket", bucket(F.col(vec_col))).filter(F.col("_bucket") == qb)
+    dot = F.aggregate(
+        F.zip_with(vec_col, qlit, lambda x, y: x.cast("double") * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    norm_v = F.sqrt(F.aggregate(
+        F.transform(F.col(vec_col), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    ))
+    qnorm = float(np.sqrt((q * q).sum()))
+    sim = dot / (norm_v * F.lit(qnorm))
+    return (
+        cand.select(F.col(id_col), F.round(sim, 4).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), id_col)
+        .limit(k)
+    )
+
+
+def ivf_train_centroids(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    seed: int = 11,
+) -> np.ndarray:
+    """Tiny Lloyd's k-means expressed as DataFrame aggregations:
+    assignment via a pandas UDF against broadcast centroids, update via
+    posexplode + groupBy(cell, pos) avg — both shuffle only
+    (cell, pos, sum) aggregates, never raw vectors to the driver."""
+    first = embeddings.select(vec_col).first()
+    dim = len(first[0])
+    cents = _hyperplanes(dim, n_cells, seed)  # deterministic init
+    for _ in range(iters):
+        cmat = cents.copy()
+
+        @F.pandas_udf(T.IntegerType())
+        def assign(embs: pd.Series) -> pd.Series:
+            mat = np.stack(embs.to_numpy()).astype(np.float64)
+            d = ((mat[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+            return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+        assigned = embeddings.select(assign(F.col(vec_col)).alias("cell"), F.posexplode(vec_col))
+        rows = (
+            assigned.groupBy("cell", "pos")
+            .agg(F.avg(F.col("col").cast("double")).alias("m"))
+            .collect()
+        )
+        for r in rows:
+            cents[r["cell"], r["pos"]] = r["m"]
+    return cents
+
+
+def ivf_topk(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe: score vectors whose cell is among the query's nprobe
+    nearest centroids."""
+    q = np.array(query_vec, dtype=np.float64)
+    d = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    probe = set(np.argsort(d)[:nprobe].tolist())
+    cmat = centroids.copy()
+
+    @F.pandas_udf(T.IntegerType())
+    def assign(embs: pd.Series) -> pd.Series:
+        mat = np.stack(embs.to_numpy()).astype(np.float64)
+        dd = ((mat[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(dd.argmin(axis=1).astype(np.int32))
+
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    dot = F.aggregate(
+        F.zip_with(vec_col, qlit, lambda x, y: x.cast("double") * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    norm_v = F.sqrt(F.aggregate(
+        F.transform(F.col(vec_col), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    ))
+    qnorm = float(np.sqrt((q * q).sum()))
+    sim = dot / (norm_v * F.lit(qnorm))
+    return (
+        embeddings.withColumn("_cell", assign(F.col(vec_col)))
+        .filter(F.col("_cell").isin(*probe))
+        .select(F.col(id_col), F.round(sim, 4).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), id_col)
+        .limit(k)
+    )

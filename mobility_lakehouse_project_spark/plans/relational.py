@@ -1126,7 +1126,56 @@ ORACLE_SQL: dict[str, str] = {
 }
 
 
+# ---------------------------------------------------------------------
+# Non-SQL-expressible operators (driver records rows-only checks):
+# LSH dedup / SimHash / LSH-ANN / multimodal feature extraction.
+# ---------------------------------------------------------------------
+
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup candidates over documents (operators/
+    dedup.py). No SQL oracle — the banding scheme is not reasonably
+    expressible in ANSI SQL; exactness is cross-checked in tests
+    against the oracle-checked dedup_token_jaccard."""
+    from ..operators.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(spark, d, threshold=0.5)
+
+
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs (hamming <= 3) over documents."""
+    from ..operators.dedup import simhash_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_pairs(spark, d)
+
+
+def ann_lsh_bucketed(spark, sf_dir):
+    """Random-hyperplane LSH ANN probe (operators/similarity.py):
+    approximate variant of the oracle-checked ann_cosine_topk."""
+    from ..operators.similarity import ann_lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return ann_lsh_topk(spark, e.filter(F.col("vec_id") != 0), [float(x) for x in qv], k=10, n_planes=8)
+
+
+def mm_image_features(spark, sf_dir):
+    """Multimodal feature extraction over a deterministic slice of the
+    synthetic image table (operators/multimodal.py): decode + channel
+    stats + aHash via mapInPandas."""
+    from .. import synth
+    from ..operators.multimodal import extract_features
+
+    imgs = synth.images_df(spark, 500, partitions=4)
+    return extract_features(imgs).orderBy("image_id")
+
+
 QUERIES = {
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "ann_lsh_bucketed": ann_lsh_bucketed,
+    "mm_image_features": mm_image_features,
     "p_filter_project": p_filter_project,
     "p_case_daytype": p_case_daytype,
     "s_string_funcs": s_string_funcs,

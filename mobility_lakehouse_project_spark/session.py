@@ -58,6 +58,11 @@ def get_spark(
         # write tasks touch 1-2 partition dirs, so concurrent writers
         # never spill.
         .config("spark.sql.maxConcurrentOutputFileWriters", "40")
+        # File listing: beyond 32 paths Spark launches a distributed
+        # listing job (hundreds of near-empty tasks per table scan —
+        # pure fixed cost on a local FS). List on the driver instead;
+        # on real object stores this knob would stay low.
+        .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "100000")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))

@@ -27,20 +27,46 @@ TOKEN_COL = "_slot_tok"
 GROUP_COL = "_slot_grp"
 
 
-def slot_tokens(spark: SparkSession, n: int) -> list[int]:
-    """``n`` integers with pairwise-distinct ``pmod(hash(x), n)`` slots."""
+def murmur3_long(values: np.ndarray, seed: int = 42) -> np.ndarray:
+    """Spark-compatible Murmur3_x86_32 hash of LongType columns
+    (the hash behind ``F.hash``/HashPartitioning), vectorized. Ported
+    from the public Murmur3 algorithm (Austin Appleby, public domain)
+    with Spark's hashLong layout: low 32 bits then high 32 bits,
+    seed 42. Verified against ``F.hash`` in tests."""
+    i32 = np.uint32
+    v = values.astype(np.int64).view(np.uint64)
+    h1 = np.full(len(v), seed, dtype=i32)
+    for part in (v & np.uint64(0xFFFFFFFF), v >> np.uint64(32)):
+        k1 = part.astype(i32)
+        k1 = k1 * i32(0xCC9E2D51)
+        k1 = (k1 << i32(15)) | (k1 >> i32(17))
+        k1 = k1 * i32(0x1B873593)
+        h1 ^= k1
+        h1 = (h1 << i32(13)) | (h1 >> i32(19))
+        h1 = h1 * i32(5) + i32(0xE6546B64)
+    h1 ^= i32(8)  # total byte length
+    h1 ^= h1 >> i32(16)
+    h1 = h1 * i32(0x85EBCA6B)
+    h1 ^= h1 >> i32(13)
+    h1 = h1 * i32(0xC2B2AE35)
+    h1 ^= h1 >> i32(16)
+    return h1.view(np.int32).astype(np.int64)
+
+
+def slot_tokens(spark: SparkSession | None, n: int) -> list[int]:
+    """``n`` integers with pairwise-distinct ``pmod(hash(x), n)`` slots.
+
+    Computed entirely driver-side with the Murmur3 port above — zero
+    Spark jobs (an earlier version ran a spark.range search per chunk;
+    at small job sizes those fixed costs dominated wall time)."""
     tokens: dict[int, int] = {}
     lo = 0
     while len(tokens) < n:
-        hi = lo + max(64, 8 * n)
-        rows = (
-            spark.range(lo, hi)
-            .select(F.col("id").alias("tok"), F.pmod(F.hash("id"), F.lit(n)).alias("slot"))
-            .dropDuplicates(["slot"])
-            .collect()
-        )
-        for r in rows:
-            tokens.setdefault(r["slot"], r["tok"])
+        hi = lo + max(256, 8 * n)
+        cand = np.arange(lo, hi, dtype=np.int64)
+        slots = murmur3_long(cand) % n  # python % = pmod (non-negative)
+        for s, t in zip(slots.tolist(), cand.tolist()):
+            tokens.setdefault(int(s), int(t))
         lo = hi
     return [tokens[s] for s in range(n)]
 

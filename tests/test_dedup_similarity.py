@@ -1,0 +1,94 @@
+"""Dedup + similarity operator tests.
+
+The LSH operators have no SQL oracle (driver records rows-only); here
+we cross-check them against exact computations on small data."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mobility_lakehouse_project_spark.operators import dedup, similarity
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark):
+    base = spark.read.parquet(f"{SF}/documents.parquet").limit(60)
+    # plant exact and near duplicates with known ids
+    dup = base.filter(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        "text", "lang", "source", "n_chars",
+    )
+    near = base.filter(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra token")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    return base.unionByName(dup).unionByName(near)
+
+
+def test_minhash_lsh_finds_planted_dups(spark, docs_with_dups):
+    pairs = dedup.minhash_lsh_pairs(
+        spark, docs_with_dups, threshold=0.8, k=64, bands=16
+    ).collect()
+    found = {(r["ida"], r["idb"]) for r in pairs}
+    for i in range(5):
+        assert (i, i + 100000) in found, f"exact dup {i} missed"
+    # exact dups estimate ~1.0
+    est = {(r["ida"], r["idb"]): r["est_jaccard"] for r in pairs}
+    for i in range(5):
+        assert est[(i, i + 100000)] >= 0.95
+
+
+def test_minhash_estimate_tracks_true_jaccard(spark, docs_with_dups):
+    """Near-dups (one extra token): estimated Jaccard close to exact."""
+    pairs = dedup.minhash_lsh_pairs(
+        spark, docs_with_dups, threshold=0.3, k=128, bands=32, shingle=1
+    ).collect()
+    est = {(r["ida"], r["idb"]): r["est_jaccard"] for r in pairs}
+    rows = {r["doc_id"]: r["text"] for r in docs_with_dups.collect()}
+    for i in range(5):
+        key = (i, i + 200000)
+        if key not in est:
+            continue
+        a = set(rows[i].split())
+        b = set(rows[i + 200000].split())
+        true_j = len(a & b) / len(a | b)
+        assert abs(est[key] - true_j) < 0.2
+
+
+def test_simhash_finds_exact_dups(spark, docs_with_dups):
+    pairs = dedup.simhash_pairs(spark, docs_with_dups, max_hamming=3).collect()
+    found = {(r["ida"], r["idb"]) for r in pairs}
+    for i in range(5):
+        assert (i, i + 100000) in found
+    ham = {(r["ida"], r["idb"]): r["hamming"] for r in pairs}
+    for i in range(5):
+        assert ham[(i, i + 100000)] == 0
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    rest = emb.filter(F.col("vec_id") != 0)
+    approx = similarity.ann_lsh_topk(spark, rest, qv, k=10, n_planes=6)
+    rows = approx.collect()
+    assert 0 < len(rows) <= 10
+    # every returned similarity matches a direct numpy computation
+    data = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rest.collect()}
+    q = np.array(qv)
+    for r in rows:
+        v = data[r["vec_id"]]
+        expect = float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v)))
+        assert abs(r["cos_sim"] - round(expect, 4)) < 1e-6
+
+
+def test_ivf_topk_runs_and_scores_correctly(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = similarity.ivf_train_centroids(emb, n_cells=4, iters=1)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    got = similarity.ivf_topk(spark, emb.filter(F.col("vec_id") != 0), cents, qv, k=5, nprobe=2)
+    rows = got.collect()
+    assert 0 < len(rows) <= 5
+    assert all(-1.0 <= r["cos_sim"] <= 1.0 for r in rows)

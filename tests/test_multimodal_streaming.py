@@ -1,0 +1,98 @@
+"""Multimodal plumbing + structured-streaming ingest tests."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mobility_lakehouse_project_spark import synth
+from mobility_lakehouse_project_spark.functions import imagecodec as ic
+from mobility_lakehouse_project_spark.operators import multimodal
+from mobility_lakehouse_project_spark.streaming import incremental
+from mobility_lakehouse_project_spark.tableformat import LakehouseTable
+
+
+def test_extract_features_matches_local_decode(spark):
+    imgs = synth.images_df(spark, 80, partitions=2)
+    feats = {r["image_id"]: r for r in multimodal.extract_features(imgs).collect()}
+    for r in imgs.collect()[:10]:
+        px = ic.decode(bytes(r["bytes"]), r["w"], r["h"], r["fmt"])
+        f = feats[r["image_id"]]
+        assert abs(f["mean_r"] - px[..., 0].mean()) < 1e-6
+        assert f["ahash"] == ic.average_hash(px)
+
+
+def test_resize_preserves_rows_and_dims(spark):
+    imgs = synth.images_df(spark, 60, partitions=2)
+    out = multimodal.resize_images(imgs, 8, 8, out_fmt="png")
+    rows = out.collect()
+    assert len(rows) == 60
+    assert all(r["w"] == 8 and r["h"] == 8 and r["fmt"] == "png" for r in rows)
+    r = rows[0]
+    px = ic.decode(bytes(r["bytes"]), 8, 8, "png")
+    assert px.shape == (8, 8, 3)
+
+
+def test_video_stub_raises(spark):
+    vids = spark.createDataFrame(
+        [("v1", bytearray(b"xx"))], "video_id string, bytes binary"
+    )
+    with pytest.raises(Exception, match="NotImplementedError|video decode"):
+        multimodal.sample_video_frames(vids).collect()
+
+
+def test_streaming_ingest_exactly_once(spark, tmp_path):
+    """File-source stream -> foreachBatch commit per micro-batch; a
+    second run over the same checkpoint adds nothing (exactly-once),
+    and a replayed batch id is skipped by the idempotent sink."""
+    src_dir = str(tmp_path / "src")
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events.limit(400).repartition(4).write.parquet(src_dir)
+    n_src = 400
+
+    tdir = str(tmp_path / "etable")
+    table = LakehouseTable.create(tdir, events.schema, partition_col=None)
+    ckpt = str(tmp_path / "ckpt")
+    incremental.run_file_stream_into_table(spark, src_dir, events.schema, table, ckpt)
+    got = table.scan(spark).count()
+    assert got == n_src
+    ops = [s.operation for s in table.snapshots_list()]
+    assert all(o == "append" for o in ops)
+    # restart over the same checkpoint: no new data -> no new snapshots
+    n_snaps = len(table.snapshots_list())
+    incremental.run_file_stream_into_table(spark, src_dir, events.schema, table, ckpt)
+    assert table.scan(spark).count() == n_src
+    assert len(table.snapshots_list()) == n_snaps
+    # manual replay of an already-committed batch id is a no-op
+    sink = incremental.stream_append_sink(table)
+    sink(events.limit(10), 0)
+    assert table.scan(spark).count() == n_src
+
+
+def test_windowed_stream_agg_matches_batch(spark, tmp_path):
+    """Watermarked tumbling windows over a bounded file stream equal
+    the same aggregation computed in batch."""
+    src_dir = str(tmp_path / "wsrc")
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet").limit(1000)
+    events.write.parquet(src_dir)
+    stream = spark.readStream.schema(events.schema).parquet(src_dir)
+    agg = incremental.windowed_event_counts(stream, watermark="1 minute", window="1 hour")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory").queryName("winagg")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["win_start"], r["event_type"]): (r["n"], round(r["total_value"], 4))
+        for r in spark.sql("select * from winagg").collect()
+    }
+    batch = (
+        spark.read.parquet(src_dir)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("tv"))
+        .collect()
+    )
+    expect = {
+        (r["win"]["start"], r["event_type"]): (r["n"], round(r["tv"], 4)) for r in batch
+    }
+    assert got == expect
