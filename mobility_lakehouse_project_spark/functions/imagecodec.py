@@ -60,17 +60,27 @@ def synth_pixels(i: int, w: int, h: int) -> np.ndarray:
     return np.stack([base, base, base], axis=-1) + noise8  # (h, w, 3) uint8
 
 
-def encode(pixels: np.ndarray, fmt: str) -> bytes:
+def encode(pixels: np.ndarray, fmt: str, level: int = 6) -> bytes:
     h, w, _ = pixels.shape
     raw = pixels.tobytes()
     if fmt == "raw":
         return raw
     if fmt == "png":
-        return _MAGIC_PNG + struct.pack("<HH", w, h) + zlib.compress(raw, 6)
+        return _MAGIC_PNG + struct.pack("<HH", w, h) + zlib.compress(raw, level)
     if fmt == "jpeg":
         q = (pixels.astype(np.int32) // _JPEG_Q * _JPEG_Q).astype(np.uint8)
-        return _MAGIC_JPG + struct.pack("<HH", w, h) + zlib.compress(q.tobytes(), 6)
+        return _MAGIC_JPG + struct.pack("<HH", w, h) + zlib.compress(q.tobytes(), level)
     raise ValueError(f"unknown fmt {fmt!r}")
+
+
+def recompress(blob: bytes, w: int, h: int, fmt: str, level: int) -> bytes:
+    """Decode + re-encode at the given compression level. Pixel-exact:
+    png/raw are lossless, and jpeg's quantization is idempotent (the
+    decoded pixels are already on the quantization grid), so any
+    PSNR gate sees identical pixels after recompression."""
+    if fmt == "raw":
+        return blob
+    return encode(decode(blob, w, h, fmt), fmt, level)
 
 
 def decode(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:

@@ -85,6 +85,7 @@ def cluster(
     target_file_size: int = DEFAULT_TARGET_FILE_SIZE,
     n_chunks: int = 4,
     op_id: str | None = None,
+    recompress_level: int | None = None,
 ) -> dict:
     """Rewrite the whole table clustered by ``curve`` over ``cols``."""
     key_udf = CURVES[curve]
@@ -156,6 +157,10 @@ def cluster(
         # curve key itself need not ride the shuffle.
         tokens = np.array(_slot_tokens(spark, total_out), dtype=np.int64)
         df = table.scan_matched_files(chunk_entries, spark)
+        if recompress_level is not None:
+            from .multimodal import recompress_images
+
+            df = recompress_images(df, recompress_level)
         assign = _fused_assigner(curve, bounds, offsets, tokens)
         shaped = (
             df.withColumn(_TOK_COL, assign(group_col.cast("string"), *[F.col(c) for c in cols]))

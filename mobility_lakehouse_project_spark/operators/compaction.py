@@ -100,6 +100,7 @@ def compact(
     key_col: str = "image_id",
     n_chunks: int = 4,
     op_id: str | None = None,
+    recompress_level: int | None = None,
 ) -> dict:
     """Bin-pack compact the table. Returns metrics {files_in, files_out,
     rows, bytes, wall_ms, chunks_skipped, snapshots}."""
@@ -123,6 +124,13 @@ def compact(
         removed = {f for p in chunk for f in p["files"]}
         entries_in = [e for e in table.all_entries() if e["file_path"] in removed]
         df = table.scan_matched_files(entries_in, spark)
+        if recompress_level is not None:
+            # storage-optimization rewrite: re-encode payloads in the
+            # scan stage (CPU spreads over input splits, before the
+            # shuffle moves the new bytes)
+            from .multimodal import recompress_images
+
+            df = recompress_images(df, recompress_level)
         # exact-slot shuffle: one output file per reduce task, hot
         # partitions salted over their n_out groups (distribute.py)
         if pcol:

@@ -88,6 +88,27 @@ def resize_images(images: DataFrame, out_w: int, out_h: int, out_fmt: str = "png
     return images.mapInPandas(run, schema=RESIZE_SCHEMA)
 
 
+def recompress_images(images: DataFrame, level: int = 6) -> DataFrame:
+    """Storage-optimization recompression (the 'optional recompression
+    in compaction' of SURVEY.md §2.10): decode + re-encode every blob
+    at the given codec level inside mapInPandas, schema-preserving and
+    pixel-exact (imagecodec.recompress). Used by compaction/clustering
+    rewrites with recompress_level set — turning the rewrite into the
+    storage-optimizing variant (and its cost from IO- to CPU-bound)."""
+    ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in images.schema.fields)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["bytes"] = [
+                ic.recompress(b, int(w), int(h), f, level)
+                for b, w, h, f in zip(pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"])
+            ]
+            yield pdf
+
+    return images.mapInPandas(run, schema=ddl)
+
+
 def sample_video_frames(videos: DataFrame, every_n: int = 30) -> DataFrame:
     """Frame-sampling for video payloads.
 

@@ -501,6 +501,13 @@ class LakehouseTable:
             ]
         )
 
+    def register(self, spark: SparkSession, name: str) -> None:
+        """Expose the table as a temp view for ad-hoc SQL — the
+        reference's parameterized-query entry point
+        (dags/Queries_dag.py:54-95 `con.execute(query)`) maps to
+        `table.register(spark, 'images'); spark.sql(...)`."""
+        self.scan(spark).createOrReplaceTempView(name)
+
     def snapshots_df(self, spark: SparkSession) -> DataFrame:
         rows = [
             (s.snapshot_id, s.parent_id, s.sequence, s.timestamp_ms, s.operation,

