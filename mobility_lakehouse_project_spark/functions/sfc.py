@@ -144,6 +144,43 @@ def hilbert_key(phash: pd.Series, w: pd.Series, h: pd.Series) -> pd.Series:
 CURVES = {"zorder": zorder_key, "hilbert": hilbert_key}
 
 
+_SPREAD_MASKS = (
+    (32, 0x1F00000000FFFF),
+    (16, 0x1F0000FF0000FF),
+    (8, 0x100F00F00F00F00F),
+    (4, 0x10C30C30C30C30C3),
+    (2, 0x1249249249249249),
+)
+
+
+def zorder_col(phash, w, h):
+    """The Z-order key as PURE Catalyst expressions (shiftleft/AND bit
+    spreading) — whole-stage-codegen'd, no Python worker in the plan.
+    Bit-identical to ``morton3``/``zorder_key`` (tested). Used for the
+    clustering key pass so the metadata pass is JVM-only; the Hilbert
+    variant stays an Arrow UDF (its loop structure doesn't reduce to
+    fixed-point expressions)."""
+    from pyspark.sql import functions as F  # local to keep module import-light
+
+    def spread(col):
+        x = col
+        for shift, mask in _SPREAD_MASKS:
+            x = x.bitwiseOR(F.shiftleft(x, shift)).bitwiseAND(F.lit(mask))
+        return x
+
+    d0 = F.shiftrightunsigned(
+        phash.cast("long").bitwiseXOR(F.lit(-(2**63))), 64 - BITS_PER_DIM
+    )
+    lim = F.lit((1 << BITS_PER_DIM) - 1)
+    d1 = F.least(F.greatest(w.cast("long"), F.lit(0)), lim)
+    d2 = F.least(F.greatest(h.cast("long"), F.lit(0)), lim)
+    return (
+        F.shiftleft(spread(d0), 2)
+        .bitwiseOR(F.shiftleft(spread(d1), 1))
+        .bitwiseOR(spread(d2))
+    )
+
+
 def curve_np(curve: str, phash: np.ndarray, w: np.ndarray, h: np.ndarray) -> np.ndarray:
     """Raw numpy curve kernel (for fused UDFs that combine the key with
     further vectorized work in one Arrow round-trip)."""

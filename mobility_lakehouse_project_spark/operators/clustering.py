@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.sfc import CURVES, curve_np
+from ..functions.sfc import CURVES, zorder_col
 from ..lineage import LineageLog
 from ..tableformat import LakehouseTable
 from .compaction import DEFAULT_TARGET_FILE_SIZE, _chunk, _op_fingerprint, chunk_key
@@ -52,21 +52,16 @@ _QUANTILES = 128
 from ..tableformat.distribute import slot_tokens as _slot_tokens  # noqa: E402
 
 
-def _fused_assigner(curve: str, bounds: dict, offsets: dict, tokens: np.ndarray):
-    """ONE Arrow round-trip: (partition, phash, w, h) -> shuffle token.
-
-    Fuses curve-key computation, quantile-group lookup (searchsorted
-    against the broadcast boundaries) and slot-token mapping, so pass 2
-    costs a single vectorized UDF over 4 narrow columns."""
+def _token_assigner(bounds: dict, offsets: dict, tokens: np.ndarray):
+    """Arrow UDF over two narrow columns: (partition, curve_key) ->
+    shuffle token (searchsorted against broadcast quantile boundaries,
+    then slot-token lookup). For the zorder curve the key column itself
+    is a pure Catalyst expression (sfc.zorder_col), so this is the only
+    Python in the rewrite besides optional recompression."""
 
     @F.pandas_udf(T.LongType())
-    def assign(part: pd.Series, phash: pd.Series, w: pd.Series, h: pd.Series) -> pd.Series:
-        kv = curve_np(
-            curve,
-            phash.to_numpy(dtype=np.int64, na_value=0),
-            w.to_numpy(dtype=np.int64, na_value=0),
-            h.to_numpy(dtype=np.int64, na_value=0),
-        )
+    def assign(part: pd.Series, key: pd.Series) -> pd.Series:
+        kv = key.to_numpy(dtype=np.int64, na_value=0)
         grp = np.empty(len(part), dtype=np.int64)
         pv = part.to_numpy()
         for p in pd.unique(pv):
@@ -88,7 +83,10 @@ def cluster(
     recompress_level: int | None = None,
 ) -> dict:
     """Rewrite the whole table clustered by ``curve`` over ``cols``."""
-    key_udf = CURVES[curve]
+    if curve == "zorder":
+        key_expr = lambda: zorder_col(*[F.col(c) for c in cols])  # noqa: E731
+    else:
+        key_expr = lambda: CURVES[curve](*[F.col(c) for c in cols])  # noqa: E731
     entries = table.all_entries()
     if not entries:
         return {"files_in": 0, "files_out": 0, "rows": 0, "bytes": 0,
@@ -123,7 +121,7 @@ def cluster(
         # ---- pass 1: key-only quantile boundaries per partition ----
         key_cols = ([pcol] if pcol else []) + [c for c in cols if c != pcol]
         keys_df = table.scan_matched_files(chunk_entries, spark, columns=key_cols)
-        keyed = keys_df.withColumn(_SFC_COL, key_udf(*[F.col(c) for c in cols]))
+        keyed = keys_df.withColumn(_SFC_COL, key_expr())
         probs = [i / _QUANTILES for i in range(1, _QUANTILES)]
         group_col = F.col(pcol) if pcol else F.lit(0)
         qrows = (
@@ -161,12 +159,13 @@ def cluster(
             from .multimodal import recompress_images
 
             df = recompress_images(df, recompress_level)
-        assign = _fused_assigner(curve, bounds, offsets, tokens)
+        assign = _token_assigner(bounds, offsets, tokens)
         shaped = (
-            df.withColumn(_TOK_COL, assign(group_col.cast("string"), *[F.col(c) for c in cols]))
+            df.withColumn(_SFC_COL, key_expr())
+            .withColumn(_TOK_COL, assign(group_col.cast("string"), F.col(_SFC_COL)))
             .repartition(total_out, F.col(_TOK_COL))
             .sortWithinPartitions(*(([pcol] if pcol else []) + [cols[0]]))
-            .drop(_TOK_COL)
+            .drop(_TOK_COL, _SFC_COL)
         )
         new_entries = table.write_data_files(shaped, distribution="none")
         snap = table.commit_replace(

