@@ -60,6 +60,27 @@ def test_morton_high_bits_follow_first_dim():
     assert hi[0] > lo[0]
 
 
+def test_jvm_zorder_col_bit_identical(spark):
+    """The Catalyst-expression Z-order key (sfc.zorder_col) must match
+    the numpy kernel bit-for-bit — it feeds the same quantile
+    boundaries the Arrow assigner searches."""
+    import pyspark.sql.functions as F
+
+    df = spark.range(2000).select(
+        (F.col("id") * 982451653 - 4611686018427387904).alias("phash"),
+        (F.col("id") % 70).cast("int").alias("w"),
+        (F.col("id") % 130).cast("int").alias("h"),
+    )
+    jvm = [r["z"] for r in df.select(sfc.zorder_col(F.col("phash"), F.col("w"), F.col("h")).alias("z")).collect()]
+    pdf = df.toPandas()
+    ref = sfc.morton3(
+        sfc.normalize_i64(pdf["phash"].to_numpy()),
+        sfc.normalize_u32(pdf["w"].to_numpy()),
+        sfc.normalize_u32(pdf["h"].to_numpy()),
+    )
+    assert list(ref) == jvm
+
+
 def test_udfs_run_in_spark(spark):
     import pyspark.sql.functions as F
 
