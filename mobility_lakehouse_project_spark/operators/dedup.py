@@ -157,7 +157,7 @@ def simhash_pairs(
         "id", "sig", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band")
     ).select(
         "id", "sig", "band",
-        F.shiftrightunsigned(F.col("sig"), F.col("band") * 16).bitwiseAND(F.lit(0xFFFF)).alias("bh"),
+        F.expr("shiftrightunsigned(sig, band * 16) & 65535").alias("bh"),
     )
     a = banded.alias("a")
     b = banded.alias("b")

@@ -124,5 +124,6 @@ def sample_video_frames(videos: DataFrame, every_n: int = 30) -> DataFrame:
             raise NotImplementedError(
                 "video decode requires ffmpeg/pyav (unavailable in sandbox)"
             )
+        yield  # pragma: no cover — makes `run` a generator (never reached)
 
     return videos.mapInPandas(run, schema="video_id string, frame_idx int, bytes binary, w int, h int")

@@ -40,6 +40,7 @@ to the reference's ART indexes (src/sql/silver.sql:123-132).
 
 from __future__ import annotations
 
+import datetime
 import glob as globmod
 import json
 import os
@@ -239,6 +240,13 @@ class LakehouseTable:
         if n_files and distribution == "hash":
             n_parts = n_partitions_hint or 16
             salts = max(1, round(n_files / max(n_parts, 1)))
+            if salt_col not in df.columns:
+                # fall back to the first non-binary column as salt key
+                salt_col = next(
+                    (f.name for f in df.schema.fields
+                     if not isinstance(f.dataType, T.BinaryType)),
+                    df.columns[0],
+                )
             salt = F.pmod(F.xxhash64(F.col(salt_col)), F.lit(salts))
             keys = ([F.col(pcol)] if pcol else []) + [salt]
             df = df.repartition(n_files, *keys)
@@ -292,7 +300,12 @@ class LakehouseTable:
                     if st is None or not st.has_min_max:
                         continue
                     if name in int_cols:
-                        lo, hi = int(st.min), int(st.max)
+                        lo, hi = st.min, st.max
+                        if isinstance(lo, datetime.date):
+                            # dates as days-since-epoch (Iceberg's encoding)
+                            epoch = datetime.date(1970, 1, 1)
+                            lo, hi = (lo - epoch).days, (hi - epoch).days
+                        lo, hi = int(lo), int(hi)
                         imins[name] = min(imins.get(name, lo), lo)
                         imaxs[name] = max(imaxs.get(name, hi), hi)
                     elif name in str_cols:
