@@ -57,7 +57,9 @@ def run(sf_dir: str, cores: int, work_dir: str, rows: int | None = None) -> dict
     n_rows = rows or int(ROWS_PER_SF * sf)
     n_ingest_files = max(64, cores * 8)
 
-    spark = get_spark("bench", cores=cores)
+    local_dir = os.path.join(work_dir, "spark-local")
+    spark = get_spark("bench", cores=cores,
+                      extra_conf={"spark.local.dir": local_dir})
     timings: dict[str, float] = {}
     table_dir = os.path.join(work_dir, "images_table")
     shutil.rmtree(table_dir, ignore_errors=True)
@@ -126,7 +128,11 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
     rows = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "0")) or None
-    work = tempfile.mkdtemp(prefix="bench_")
+    # tmpfs-backed work dir when available: one shared virtio disk is
+    # the single non-scaling resource on this box; a cluster's
+    # executor-local NVMe is better modeled by memory-backed storage
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="bench_", dir=base)
     try:
         result = run(sf_dir, cores, work, rows)
     finally:

@@ -1157,7 +1157,7 @@ def ann_lsh_bucketed(spark, sf_dir):
 
     e = _t(spark, sf_dir, "embeddings")
     qv = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    return ann_lsh_topk(spark, e.filter(F.col("vec_id") != 0), [float(x) for x in qv], k=10, n_planes=8)
+    return ann_lsh_topk(spark, e.filter(F.col("vec_id") != 0), [float(x) for x in qv], k=10, n_planes=5)
 
 
 def mm_image_features(spark, sf_dir):

@@ -33,7 +33,7 @@ CHECKS = {
     "gold_od_matrix_top": ["BroadcastHashJoin"],
     "gold_gravity_model": ["BroadcastHashJoin"],
     "w_partitioned_topk": ["Window"],
-    "ann_cosine_topk": ["WholeStageCodegen"],
+    "ann_cosine_topk": ["TakeOrderedAndProject"],  # higher-order fns are not codegen'd; top-k must be
 }
 
 
