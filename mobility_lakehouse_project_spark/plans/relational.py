@@ -766,6 +766,26 @@ def emb_label_profile(spark, sf_dir):
 # =====================================================================
 
 ORACLE_SQL: dict[str, str] = {
+    "a_rollup_cube": """
+        SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+               COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS qty
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "a_pivot_status": """
+        SELECT o_orderpriority,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_partial
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "u3_intersect_except": """
+        WITH o AS (SELECT o_custkey AS k FROM orders),
+             big AS (SELECT o_custkey AS k FROM orders WHERE o_totalprice > 200000),
+             inter AS (SELECT k, 'both' AS tag FROM (SELECT k FROM o INTERSECT SELECT k FROM big) t),
+             exc AS (SELECT k, 'small_only' AS tag FROM (SELECT DISTINCT k FROM (SELECT k FROM o EXCEPT ALL SELECT k FROM big) e) t)
+        SELECT tag, COUNT(DISTINCT k) AS n_custs
+        FROM (SELECT * FROM inter UNION ALL SELECT * FROM exc) u GROUP BY tag
+    """,
     "p_filter_project": """
         SELECT l_orderkey, l_linenumber, l_returnflag,
                l_extendedprice * (1 - l_discount) AS net_price,
@@ -1126,6 +1146,60 @@ ORACLE_SQL: dict[str, str] = {
 }
 
 
+
+
+def a_rollup_cube(spark, sf_dir):
+    """Multi-dimensional aggregation (cube) — beyond the reference's
+    inventory (SURVEY.md §2.4 notes it has no grouping sets); included
+    for engine completeness. NULL grouping keys are replaced by 'ALL'
+    so the oracle comparison is unambiguous."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "n",
+            "qty",
+        )
+    )
+
+
+def a_pivot_status(spark, sf_dir):
+    """Pivot: order counts per priority pivoted by status — Spark's
+    .pivot() against a FILTER-based SQL twin (the reference encodes
+    pivots via UNION ALL, Gold_Chunked_Dag.py:174-192; both forms
+    produce the same relation)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .select(
+            "o_orderpriority",
+            F.coalesce("O", F.lit(0)).alias("n_open"),
+            F.coalesce("F", F.lit(0)).alias("n_finished"),
+            F.coalesce("P", F.lit(0)).alias("n_partial"),
+        )
+    )
+
+
+def u3_intersect_except(spark, sf_dir):
+    """INTERSECT/EXCEPT set ops (absent from the reference — U-family
+    completion): customers appearing in orders but not lineitem-side
+    supplier nations etc., expressed over order-key sets."""
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    big = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 200000)
+        .select(F.col("o_custkey").alias("k"))
+    )
+    inter = o.intersect(big).withColumn("tag", F.lit("both"))
+    exc = o.exceptAll(big).distinct().withColumn("tag", F.lit("small_only"))
+    return inter.unionByName(exc).groupBy("tag").agg(F.countDistinct("k").alias("n_custs"))
+
+
 # ---------------------------------------------------------------------
 # Non-SQL-expressible operators (driver records rows-only checks):
 # LSH dedup / SimHash / LSH-ANN / multimodal feature extraction.
@@ -1172,6 +1246,9 @@ def mm_image_features(spark, sf_dir):
 
 
 QUERIES = {
+    "a_rollup_cube": a_rollup_cube,
+    "a_pivot_status": a_pivot_status,
+    "u3_intersect_except": u3_intersect_except,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "ann_lsh_bucketed": ann_lsh_bucketed,
