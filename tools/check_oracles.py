@@ -26,7 +26,11 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
         elif np.issubdtype(df[c].dtype, np.floating):
-            df[c] = df[c].round(6).astype("float64")
+            import os
+            if os.environ.get("ORACLE_EXACT"):
+                df[c] = df[c].astype("float64")
+            else:
+                df[c] = df[c].round(6).astype("float64")
         elif "datetime" in str(df[c].dtype) or str(df[c].dtype).startswith("date"):
             df[c] = df[c].astype(str)
         elif np.issubdtype(df[c].dtype, np.integer):
