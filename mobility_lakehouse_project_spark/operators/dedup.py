@@ -149,16 +149,31 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= max_hamming.
 
-    Blocking: split the 64-bit signature into 4 x 16-bit bands; by
-    pigeonhole any pair with hamming <= 3 matches on at least one full
-    band -> candidate join per band, verify with bit_count(xor)."""
+    Blocking: split the 64-bit signature into ``max_hamming + 1`` bands
+    (pigeonhole: a pair with <= max_hamming differing bits must match on
+    at least one full band) -> candidate join per band, verify with
+    bit_count(xor). Band count is DERIVED from max_hamming so recall is
+    guaranteed for any threshold (a fixed 4-band split would silently
+    miss pairs at max_hamming >= 4)."""
+    n_bands = max_hamming + 1
+    if n_bands > 64:
+        raise ValueError(f"max_hamming={max_hamming} needs >64 bands of a 64-bit sig")
+    width = 64 // n_bands  # first bands get `width` bits, last gets the rest
     sigs = docs.select(F.col(id_col).alias("id"), simhash_udf()(F.col(text_col)).alias("sig"))
+    band_exprs = []
+    for b in range(n_bands):
+        off = b * width
+        w = (64 - off) if b == n_bands - 1 else width
+        if w >= 64:  # single band == the whole signature (max_hamming=0)
+            bh = "sig"
+        else:
+            bh = f"shiftrightunsigned(sig, {off}) & {(1 << w) - 1}"
+        band_exprs.append(
+            F.struct(F.lit(b).alias("band"), F.expr(bh).alias("bh"))
+        )
     banded = sigs.select(
-        "id", "sig", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band")
-    ).select(
-        "id", "sig", "band",
-        F.expr("shiftrightunsigned(sig, band * 16) & 65535").alias("bh"),
-    )
+        "id", "sig", F.explode(F.array(*band_exprs)).alias("bb")
+    ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
     a = banded.alias("a")
     b = banded.alias("b")
     ham = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))

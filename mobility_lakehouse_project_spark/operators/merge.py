@@ -20,10 +20,13 @@ no MERGE, so the engine implements it as a file-level copy-on-write:
 Skew: target keys are unique, so the key join itself is balanced; the
 skew lives in *partition placement* (hot phash duplicates pile into one
 bucket — FIXTURES.md F1 makes 5%% of rows share 3 phash values). The
-write distributes via repartitionByRange(partition_col, key): the range
-sampler sees the hot bucket's weight and splits it across several
-output tasks — deterministic salting. AQE skew-join handles the join
-side.
+write distributes via the salted-hash shuffle of
+``write_data_files(distribution="hash")``: ``repartition(n,
+partition_col, pmod(xxhash64(key), n/P))`` — one shuffle, NO sampling
+pass (repartitionByRange would execute the blob-carrying child plan
+twice), and the deterministic salt splits a hot partition across ~n/P
+output tasks (proved by tests/test_skew.py's skewed-source MERGE case).
+AQE skew-join handles the join side.
 """
 
 from __future__ import annotations

@@ -36,10 +36,8 @@ def read_csv_stringly(
     """S2: schema-on-read scan — every column StringType, bad rows kept
     (the bronze contract: never lose raw data), source file attached.
     Returns None when the glob matches nothing (S3 skip-day probe)."""
-    if not globmod.glob(path.replace("*", "*")) and "*" in path:
-        matches = globmod.glob(path)
-        if not matches:
-            return None
+    if not globmod.glob(path):  # glob matches literal paths too (S3 probe)
+        return None
     schema = T.StructType([T.StructField(c, T.StringType(), True) for c in columns])
     df = spark.read.options(sep=sep, header=header, mode="PERMISSIVE").schema(schema).csv(path)
     if capture_filename:

@@ -25,25 +25,38 @@ from pyspark.sql import functions as F
 from ..tableformat import LakehouseTable
 
 
-def last_committed_batch(table: LakehouseTable) -> int:
+def last_committed_batch(table: LakehouseTable, stream_id: str = "default") -> int:
+    """Max committed batch id FOR THIS STREAM. The key is namespaced by
+    ``stream_id`` — a single global max would silently skip new batches
+    when a checkpoint dir is recreated (ids restart at 0) or when two
+    different streams write the same table."""
     mx = -1
     for s in table.snapshots_list():
+        if s.summary.get("streaming-id", "default") != stream_id:
+            continue
         b = s.summary.get("streaming-batch-id")
         if b is not None:
             mx = max(mx, int(b))
     return mx
 
 
-def stream_append_sink(table: LakehouseTable, n_files: int = 4):
+def stream_append_sink(table: LakehouseTable, n_files: int = 4,
+                       stream_id: str = "default"):
     """foreachBatch function committing each micro-batch as a snapshot,
     skipping replayed batch ids (exactly-once on top of checkpointed
-    offsets)."""
+    offsets). ``stream_id`` should be stable per (query, checkpoint) —
+    e.g. a hash of the checkpoint location — so replay detection is
+    scoped to the stream that owns the offsets."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id <= last_committed_batch(table):
+        if batch_id <= last_committed_batch(table, stream_id):
             return  # replay after restart — already committed
         entries = table.write_data_files(batch_df, n_files=n_files)
-        table.commit_append(entries, summary={"streaming-batch-id": int(batch_id)})
+        table.commit_append(
+            entries,
+            summary={"streaming-batch-id": int(batch_id),
+                     "streaming-id": stream_id},
+        )
 
     return sink
 
@@ -75,13 +88,17 @@ def run_file_stream_into_table(
     """Drive a file-source stream to completion synchronously (the
     local-mode test harness; a production job would .start() and run
     continuously)."""
+    import hashlib
+
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(source_dir)
     )
+    # stream identity = the checkpoint that owns the source offsets
+    sid = hashlib.sha256(checkpoint_dir.encode()).hexdigest()[:12]
     q = (
-        stream.writeStream.foreachBatch(stream_append_sink(table))
+        stream.writeStream.foreachBatch(stream_append_sink(table, stream_id=sid))
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

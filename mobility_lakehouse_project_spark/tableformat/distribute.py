@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 TOKEN_COL = "_slot_tok"
 GROUP_COL = "_slot_grp"
+HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
 
 
 def murmur3_long(values: np.ndarray, seed: int = 42) -> np.ndarray:
@@ -91,7 +92,21 @@ def exact_slot_repartition(
     )
     out = (
         df.withColumn(GROUP_COL, group_expr.cast("int"))
-        .join(tok_df, GROUP_COL)
+        # LEFT join + runtime assert: an inner join would silently DROP
+        # rows whose group_expr is null (e.g. a partition value missing
+        # from a lookup map) — data loss in a rewrite commit. assert_true
+        # fails the task instead, surfacing the planning bug.
+        .join(tok_df, GROUP_COL, "left")
+        # assert_true returns NULL when the condition holds, so this
+        # filter keeps every valid row; expressed as a FILTER (not a
+        # dropped projection) so Catalyst cannot prune the check away.
+        .where(
+            F.assert_true(
+                F.col(TOKEN_COL).isNotNull(),
+                F.lit("exact_slot_repartition: null slot token (group_expr "
+                      "evaluated to null / out-of-range group)"),
+            ).isNull()
+        )
         .repartition(total_groups, F.col(TOKEN_COL))
     )
     if sort_cols:
@@ -125,6 +140,12 @@ def partitioned_group_expr(
         off += n
     nmap = F.create_map(*pairs_n)
     omap = F.create_map(*pairs_o)
-    pkey = F.col(partition_col).cast("string")
+    # NULL partition values land in Hive's default-partition directory;
+    # the manifest partition_id records that sentinel, so the lookup key
+    # must coalesce to it too (a bare cast-to-string of NULL would miss
+    # the map and exact_slot_repartition would fail the assert).
+    pkey = F.coalesce(
+        F.col(partition_col).cast("string"), F.lit(HIVE_DEFAULT_PARTITION)
+    )
     expr = omap[pkey] + F.pmod(F.xxhash64(F.col(key_col)), nmap[pkey])
     return expr, off, offsets

@@ -596,7 +596,13 @@ class LakehouseTable:
         """Drop all but the newest ``keep_last`` snapshots and GC data/
         manifest files no retained snapshot references. Reachability is
         a set computation over manifests — driven by DataFrame-shaped
-        metadata (here the same entries the `files` table exposes)."""
+        metadata (here the same entries the `files` table exposes).
+
+        Ordering follows Iceberg: COMMIT the metadata that drops the
+        expired snapshots first, THEN delete files unreachable from the
+        committed version. A crash or ConcurrentCommitError before the
+        commit leaves the table untouched; a crash after it leaves only
+        harmless orphan files (re-running the GC pass cleans them)."""
         meta = self.load_metadata()
         snaps = sorted(self.snapshots_list(meta), key=lambda s: s.sequence)
         if len(snaps) <= keep_last:
@@ -607,6 +613,7 @@ class LakehouseTable:
             retained.append(cur)
         expired = [s for s in snaps if s.snapshot_id not in {r.snapshot_id for r in retained}]
 
+        # reachability computed while the expired manifests still exist
         live_manifests = {m for s in retained for m in s.manifests}
         dead_manifests = {m for s in expired for m in s.manifests} - live_manifests
         live_files: set[str] = set()
@@ -617,21 +624,7 @@ class LakehouseTable:
             dead_files |= {e["file_path"] for e in self.read_manifest_entries(m)}
         dead_files -= live_files
 
-        n_files = 0
-        for rel in dead_files:
-            fp = os.path.join(self.location, rel)
-            if os.path.exists(fp):
-                os.remove(fp)
-                n_files += 1
-        for m in dead_manifests:
-            mp = os.path.join(self.meta_dir, m)
-            if os.path.exists(mp):
-                os.remove(mp)
-        # prune now-empty snap dirs
-        for d in globmod.glob(os.path.join(self.data_dir, "snap-*")):
-            if not any(files for _, _, files in os.walk(d)):
-                shutil.rmtree(d, ignore_errors=True)
-
+        # 1) commit: expired snapshots become unreachable atomically
         parent = meta["current_snapshot_id"]
         snap_id, seq = self._next_ids(meta)
         meta["snapshots"] = [
@@ -640,13 +633,32 @@ class LakehouseTable:
         exp = Snapshot(
             snap_id, parent, seq, int(time.time() * 1000), "expire-snapshots",
             cur.manifests if cur else [],
-            {"expired-snapshots": len(expired), "deleted-files": n_files},
+            {"expired-snapshots": len(expired), "deleted-files": len(dead_files)},
         )
+        committed = self._commit(meta, exp, parent)
+
+        # 2) GC: delete files no committed snapshot can reach
+        n_files = 0
+        if delete_orphans:
+            for rel in dead_files:
+                fp = os.path.join(self.location, rel)
+                if os.path.exists(fp):
+                    os.remove(fp)
+                    n_files += 1
+            for m in dead_manifests:
+                mp = os.path.join(self.meta_dir, m)
+                if os.path.exists(mp):
+                    os.remove(mp)
+            # prune now-empty snap dirs
+            for d in globmod.glob(os.path.join(self.data_dir, "snap-*")):
+                if not any(files for _, _, files in os.walk(d)):
+                    shutil.rmtree(d, ignore_errors=True)
+
         return {
             "expired": len(expired),
             "deleted_files": n_files,
             "deleted_manifests": len(dead_manifests),
-            "snapshot": self._commit(meta, exp, parent).snapshot_id,
+            "snapshot": committed.snapshot_id,
         }
 
     def rewrite_manifests(self) -> Snapshot:

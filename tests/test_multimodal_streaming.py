@@ -64,10 +64,19 @@ def test_streaming_ingest_exactly_once(spark, tmp_path):
     incremental.run_file_stream_into_table(spark, src_dir, events.schema, table, ckpt)
     assert table.scan(spark).count() == n_src
     assert len(table.snapshots_list()) == n_snaps
-    # manual replay of an already-committed batch id is a no-op
-    sink = incremental.stream_append_sink(table)
+    # manual replay of an already-committed batch id (same stream) is a
+    # no-op — replay detection is namespaced per stream id
+    import hashlib
+
+    sid = hashlib.sha256(ckpt.encode()).hexdigest()[:12]
+    sink = incremental.stream_append_sink(table, stream_id=sid)
     sink(events.limit(10), 0)
     assert table.scan(spark).count() == n_src
+    # a DIFFERENT stream writing batch 0 to the same table is NOT masked
+    # (a global batch-id max would silently drop its data)
+    other = incremental.stream_append_sink(table, stream_id="other-stream")
+    other(events.limit(10), 0)
+    assert table.scan(spark).count() == n_src + 10
 
 
 def test_windowed_stream_agg_matches_batch(spark, tmp_path):

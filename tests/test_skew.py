@@ -51,3 +51,46 @@ def test_slot_tokens_distinct_slots():
         toks = slot_tokens(None, n)
         slots = murmur3_long(np.array(toks, dtype=np.int64)) % n
         assert sorted(slots.tolist()) == list(range(n))
+
+
+def test_exact_slot_repartition_fails_fast_on_null_group(spark):
+    """A null group token must raise (left join + assert_true), never
+    silently drop the row — dropped rows in a rewrite = data loss."""
+    from mobility_lakehouse_project_spark.tableformat.distribute import (
+        exact_slot_repartition,
+    )
+
+    df = spark.range(10).select(
+        F.when(F.col("id") < 9, F.col("id") % 2).alias("g"), "id"
+    )  # id=9 -> g NULL
+    shaped = exact_slot_repartition(spark, df, F.col("g"), 2)
+    with pytest.raises(Exception):
+        shaped.count()
+
+
+def test_skewed_source_merge_no_hotspot_files(spark, tmp_table_dir):
+    """MERGE with a source whose rows pile onto ONE hot partition: the
+    salted-hash write distribution must spread the hot partition's
+    rewrite across several output files (docstring contract of
+    operators/merge.py)."""
+    from mobility_lakehouse_project_spark.operators import merge
+
+    # whole base table piled on ONE partition value — the extreme of the
+    # hot-phash-bucket skew in FIXTURES.md F1
+    base = synth.images_df(spark, 3000, partitions=8).withColumn("bucket", F.lit(3))
+    t = LakehouseTable.create(tmp_table_dir, base.schema, partition_col="bucket")
+    t.append(base, n_files=16)
+
+    # source updates 600 existing rows of the hot partition
+    src = synth.images_df(spark, 600, seed=43, partitions=4).withColumn(
+        "bucket", F.lit(3)
+    )
+    m = merge.merge_into(t, spark, src, target_file_size=128 * 1024)
+    assert m["files_written"] >= 3  # hot partition split across tasks
+    sizes = sorted(
+        e["file_size_bytes"] for e in t.all_entries() if e["partition_id"] == "3"
+    )
+    assert len(sizes) >= 3
+    # no single hot-spot file dominating the partition
+    assert sizes[-1] < 0.7 * sum(sizes)
+    assert t.scan(spark).count() == 3000
