@@ -98,6 +98,27 @@ def decode(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
+def regenerate_decoded(i: int, w: int, h: int, fmt: str) -> np.ndarray:
+    """Expected decoded pixels reconstructed from the generative model
+    ALONE — no encoded bytes involved: synth_pixels plus the analytic
+    quantization a lossy decode would land on. Used as the independent
+    cross-check path for decode validation (a decode bug shows up as an
+    aHash mismatch against this regeneration)."""
+    px = synth_pixels(i, w, h)
+    if fmt == "jpeg":
+        px = (px.astype(np.int32) // _JPEG_Q * _JPEG_Q).astype(np.uint8)
+    return px
+
+
+def luma_milli(pixels: np.ndarray) -> int:
+    """Per-image mean luma in integer milli-units (np.rint) — the
+    integerized form both the Spark kernel and the Spark-free golden
+    path (tools/golden_mm.py) aggregate, so sums are exact and
+    order-independent."""
+    m = pixels.reshape(-1, 3).mean(axis=0)
+    return int(np.rint(float(m @ np.array([0.299, 0.587, 0.114])) * 1000.0))
+
+
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
     """Peak signal-to-noise ratio in dB; inf for identical images."""
     diff = a.astype(np.float64) - b.astype(np.float64)

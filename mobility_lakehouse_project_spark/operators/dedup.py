@@ -73,6 +73,28 @@ def _fnv1a(s: str) -> int:
     return h
 
 
+def _lsh_candidates(sigs: DataFrame, k: int, bands: int) -> DataFrame:
+    """Band-blocked candidate pairs from a (id, sig) signature frame:
+    explode band hashes -> self-join on (band_idx, band_hash). The only
+    join key is the bucket hash, so the shuffle carries (id, band_hash)
+    pairs and work is proportional to colliding candidates — never
+    O(n^2)."""
+    r = k // bands
+    band_hash = F.xxhash64(F.concat_ws(",", F.slice("sig", F.col("band") * r + 1, r)), F.col("band"))
+    banded = (
+        sigs.select("id", "sig", F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"))
+        .select("id", "band", band_hash.alias("bh"))
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("ida"), F.col("b.id").alias("idb"))
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(
     spark: SparkSession,
     docs: DataFrame,
@@ -89,22 +111,9 @@ def minhash_lsh_pairs(
     (band_idx, band_hash) -> groupBy pair -> estimate = matching
     minhashes / k. Candidate generation is blocking-based (bucket
     equi-join), so the shuffle carries (id, band_hash) pairs only."""
-    r = k // bands
     sigs = docs.select(F.col(id_col).alias("id"), minhash_udf(k, shingle)(F.col(text_col)).alias("sig"))
     sigs = sigs.persist()
-    band_hash = F.xxhash64(F.concat_ws(",", F.slice("sig", F.col("band") * r + 1, r)), F.col("band"))
-    banded = (
-        sigs.select("id", "sig", F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"))
-        .select("id", "band", band_hash.alias("bh"))
-    )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cands = (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))
-               & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("ida"), F.col("b.id").alias("idb"))
-        .distinct()
-    )
+    cands = _lsh_candidates(sigs, k, bands)
     sa = sigs.select(F.col("id").alias("ida"), F.col("sig").alias("siga"))
     sb = sigs.select(F.col("id").alias("idb"), F.col("sig").alias("sigb"))
     est = F.size(F.filter(F.zip_with("siga", "sigb", lambda x, y: x == y), lambda m: m)) / F.lit(k)
@@ -113,6 +122,63 @@ def minhash_lsh_pairs(
         .join(sb, "idb")
         .select("ida", "idb", F.round(est, 4).alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_exact_pairs(
+    spark: SparkSession,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 128,
+    bands: int = 64,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """LSH-blocked near-dup pairs with EXACT token-Jaccard verification
+    — the standard two-stage dedup of a training pipeline (candidates
+    by banding, then verify), and the form that admits a SQL oracle:
+    its output equals the exact token-Jaccard self-join
+    (plans/relational.py dedup_token_jaccard) whenever banding recall
+    holds, which at r=2, b=64 misses a J>=0.8 pair with probability
+    (1 - 0.8^2)^64 ~= 5e-29 — deterministic for any practical input.
+
+    Scale shape: candidate generation shuffles (id, band_hash) only;
+    the verify stage explodes tokens ONLY for docs appearing in some
+    candidate pair (semi-join pushdown), so verify cost is proportional
+    to near-duplicate volume, not corpus size."""
+    sigs = docs.select(
+        F.col(id_col).alias("id"), minhash_udf(k, shingle=1)(F.col(text_col)).alias("sig")
+    ).persist()
+    cands = _lsh_candidates(sigs, k, bands).persist()
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),
+    ).filter(F.col("tok") != "")
+    # verify only docs that occur in a candidate pair
+    cand_ids = (
+        cands.select(F.col("ida").alias("doc_id"))
+        .union(cands.select(F.col("idb").alias("doc_id")))
+        .distinct()
+    )
+    toks = toks.join(cand_ids, "doc_id", "left_semi")
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    ta = toks.select(F.col("doc_id").alias("ida"), "tok")
+    tb = toks.select(F.col("doc_id").alias("idb"), "tok")
+    inter = (
+        cands.join(ta, "ida")
+        .join(tb, ["idb", "tok"])
+        .groupBy("ida", "idb")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("ida"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("idb"), F.col("sz").alias("szb"))
+    return (
+        inter.join(sa, "ida")
+        .join(sb, "idb")
+        .withColumn("jaccard", F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("ida", "idb", F.round("jaccard", 4).alias("jaccard"))
     )
 
 

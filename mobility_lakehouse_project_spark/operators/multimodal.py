@@ -23,6 +23,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..functions import imagecodec as ic
 
@@ -61,6 +62,64 @@ def extract_features(images: DataFrame) -> DataFrame:
 
     cols = ["image_id", "bytes", "w", "h", "fmt"]
     return images.select(*cols).mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+VALIDATION_SCHEMA = (
+    "fmt string, n_images long, luma_milli_sum long, "
+    "n_ahash_mismatch long, n_psnr_violations long"
+)
+
+
+def validation_summary(images: DataFrame, psnr_gate: float = 40.0) -> DataFrame:
+    """Decode-validation summary per fmt: every blob is decoded and
+    cross-checked against pixels REGENERATED from the generative model
+    (imagecodec.regenerate_decoded — independent of the stored bytes):
+
+      * n_ahash_mismatch — decoded aHash != regenerated aHash
+      * n_psnr_violations — PSNR(decoded, pristine synth) < gate
+        (the per-row invariant of BASELINE.json input_hint)
+      * luma_milli_sum — exact integer sum of per-image mean luma,
+        order-independent, so the aggregate is bit-stable
+
+    mapInPandas emits one partial row per (batch, fmt); a tiny groupBy
+    folds partials — blobs never shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            acc: dict[str, list[int]] = {}
+            for i in range(len(pdf)):
+                w = int(pdf["w"].iloc[i]); h = int(pdf["h"].iloc[i])
+                fmt = pdf["fmt"].iloc[i]
+                idx = int(pdf["image_id"].iloc[i][3:])
+                px = ic.decode(pdf["bytes"].iloc[i], w, h, fmt)
+                regen = ic.regenerate_decoded(idx, w, h, fmt)
+                mism = int(ic.average_hash(px) != ic.average_hash(regen))
+                viol = int(ic.psnr(px, ic.synth_pixels(idx, w, h)) < psnr_gate)
+                a = acc.setdefault(fmt, [0, 0, 0, 0])
+                a[0] += 1
+                a[1] += ic.luma_milli(px)
+                a[2] += mism
+                a[3] += viol
+            yield pd.DataFrame(
+                {
+                    "fmt": list(acc),
+                    "n_images": [a[0] for a in acc.values()],
+                    "luma_milli_sum": [a[1] for a in acc.values()],
+                    "n_ahash_mismatch": [a[2] for a in acc.values()],
+                    "n_psnr_violations": [a[3] for a in acc.values()],
+                }
+            )
+
+    partial = images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        run, schema=VALIDATION_SCHEMA
+    )
+    agg = partial.groupBy("fmt").agg(
+        *[
+            F.sum(c).alias(c)
+            for c in ["n_images", "luma_milli_sum", "n_ahash_mismatch", "n_psnr_violations"]
+        ]
+    )
+    return agg.orderBy("fmt")
 
 
 def resize_images(images: DataFrame, out_w: int, out_h: int, out_fmt: str = "png") -> DataFrame:

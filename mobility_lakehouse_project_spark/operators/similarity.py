@@ -38,6 +38,49 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
     return g.reshape(n_planes, dim)
 
 
+def rademacher_signs(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
+    """+-1 hyperplanes (Rademacher projections — the 1-bit quantization
+    of Achlioptas 2001 / Charikar 2002 sign-LSH). Derived from the same
+    splitmix64 stream as _hyperplanes, so deterministic everywhere; the
+    +-1 entries are exactly representable, which lets the identical
+    plane matrix be embedded as literals in BOTH a Catalyst plan and an
+    ANSI-SQL oracle (plans/relational.py ann_lsh_bucketed)."""
+    return np.where(_hyperplanes(dim, n_planes, seed) > 0, 1.0, -1.0)
+
+
+def rademacher_bucket_col(vec_col: str, signs: np.ndarray):
+    """Pure-Catalyst LSH bucket id: for each +-1 plane, a zip_with dot
+    product (left-fold over the array — deterministic summation order)
+    and a sign bit; bucket = sum(2^i * bit_i). No UDF: the whole
+    expression stays inside whole-stage codegen."""
+    bits = []
+    for i, plane in enumerate(signs):
+        lit = F.array(*[F.lit(float(x)) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), lit, lambda x, y: x.cast("double") * y),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def rademacher_bucket_of(vec, signs: np.ndarray) -> int:
+    """Driver-side twin of rademacher_bucket_col for a single query
+    vector — left-fold accumulation in element order so the double
+    arithmetic is bit-identical to the Catalyst fold."""
+    bucket = 0
+    for i, plane in enumerate(signs):
+        acc = 0.0
+        for x, s in zip(vec, plane):
+            acc = acc + float(x) * float(s)
+        if acc > 0:
+            bucket += 1 << i
+    return bucket
+
+
 def lsh_bucket_udf(dim: int, n_planes: int = 16, seed: int = 7):
     """Arrow UDF: embedding -> LSH bucket id (sign-bit signature)."""
     planes = _hyperplanes(dim, n_planes, seed)

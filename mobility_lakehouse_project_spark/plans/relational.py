@@ -1146,6 +1146,101 @@ ORACLE_SQL: dict[str, str] = {
 }
 
 
+# ---------------------------------------------------------------------
+# Oracle twins for the approximate / multimodal operators.
+# ---------------------------------------------------------------------
+
+# LSH blocking + exact verification == the exact token-Jaccard self-join
+# (recall argument in dedup_minhash_lsh's docstring), so the oracle IS
+# the exact query's SQL: any missed candidate flips the driver's hash.
+ORACLE_SQL["dedup_minhash_lsh"] = ORACLE_SQL["dedup_token_jaccard"]
+
+# Bit-identical md5-token SimHash: exploded-bit form of the same algebra
+# the Catalyst plan computes with 64 conditional sums.
+ORACLE_SQL["dedup_simhash"] = """
+    WITH toks AS (
+        SELECT DISTINCT doc_id, tok
+        FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents) t
+        WHERE tok != ''
+    ), hashed AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hi,
+               ('0x' || substr(md5(tok), 9, 8))::BIGINT AS lo
+        FROM toks
+    ), bits AS (
+        SELECT doc_id, j,
+               SUM((hi >> j) & 1) AS ch, SUM((lo >> j) & 1) AS cl, COUNT(*) AS n
+        FROM hashed CROSS JOIN range(32) r(j)
+        GROUP BY doc_id, j
+    ), sigs AS (
+        SELECT doc_id,
+               SUM(CASE WHEN 2*ch > n THEN (1::BIGINT << j) ELSE 0 END) AS sig_hi,
+               SUM(CASE WHEN 2*cl > n THEN (1::BIGINT << j) ELSE 0 END) AS sig_lo
+        FROM bits GROUP BY doc_id
+    ), banded AS (
+        SELECT doc_id, sig_hi, sig_lo, 0 AS band, sig_lo & 65535 AS bh FROM sigs
+        UNION ALL SELECT doc_id, sig_hi, sig_lo, 1, (sig_lo >> 16) & 65535 FROM sigs
+        UNION ALL SELECT doc_id, sig_hi, sig_lo, 2, sig_hi & 65535 FROM sigs
+        UNION ALL SELECT doc_id, sig_hi, sig_lo, 3, (sig_hi >> 16) & 65535 FROM sigs
+    )
+    SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb,
+           bit_count(xor(a.sig_hi, b.sig_hi)) + bit_count(xor(a.sig_lo, b.sig_lo)) AS hamming
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig_hi, b.sig_hi)) + bit_count(xor(a.sig_lo, b.sig_lo)) <= 3
+"""
+
+
+ANN_LSH_PLANES = 4  # 16 buckets over 500 sf0.01 vectors (~31/bucket)
+
+
+def _ann_lsh_oracle_sql() -> str:
+    """Generated at import: embeds the +-1 plane matrix as SQL literals.
+    Bucket bits come from EXACT integer dot products (round(x*1024) in
+    [-2^20, 2^20], sums < 2^53 — double arithmetic on integers is exact
+    and order-independent), so DuckDB and Catalyst agree bit-for-bit."""
+    from ..operators.similarity import rademacher_signs
+
+    signs = rademacher_signs(64, ANN_LSH_PLANES)
+
+    def bucket(vec: str) -> str:
+        terms = []
+        for i, plane in enumerate(signs):
+            lst = "[" + ", ".join(f"{x:.1f}" for x in plane) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product(list_transform({vec}, "
+                f"x -> round(x::DOUBLE * 1024)), {lst}) > 0 THEN {1 << i} ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    return f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    qb AS (SELECT {bucket("qv")} AS qbucket FROM q)
+    SELECT vec_id, label,
+           ROUND(list_dot_product(embedding::DOUBLE[], qv::DOUBLE[]) /
+                 (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+                  sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))), 4) AS cos_sim
+    FROM embeddings, q, qb
+    WHERE vec_id != 0 AND ({bucket("embedding")}) = qbucket
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
+
+ORACLE_SQL["ann_lsh_bucketed"] = _ann_lsh_oracle_sql()
+
+# Golden constants from the Spark-free numpy path (tools/golden_mm.py,
+# n=500 seed=42 dims=(8,16,32,64)). Regenerate with:
+#   python tools/golden_mm.py 500
+ORACLE_SQL["mm_image_features"] = """
+        SELECT * FROM (VALUES
+            ('jpeg', 397::BIGINT, 49894160::BIGINT, 0::BIGINT, 0::BIGINT),
+            ('png', 39::BIGINT, 4962985::BIGINT, 0::BIGINT, 0::BIGINT),
+            ('raw', 64::BIGINT, 8163213::BIGINT, 0::BIGINT, 0::BIGINT)
+        ) AS t(fmt, n_images, luma_milli_sum, n_ahash_mismatch, n_psnr_violations)
+        ORDER BY fmt
+"""
+
+
 
 
 def a_rollup_cube(spark, sf_dir):
@@ -1201,48 +1296,152 @@ def u3_intersect_except(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------
-# Non-SQL-expressible operators (driver records rows-only checks):
-# LSH dedup / SimHash / LSH-ANN / multimodal feature extraction.
+# Approximate operators, each with a hard driver-visible oracle:
+# LSH dedup verifies candidates exactly (oracle = the exact self-join);
+# SimHash is computed from md5 token hashes entirely in Catalyst with a
+# bit-identical SQL twin; LSH-ANN uses +-1 planes over integer-quantized
+# embeddings so both engines compute the same buckets exactly; the
+# multimodal query is a validation summary against golden constants
+# computed by a Spark-free numpy path (tools/golden_mm.py).
 # ---------------------------------------------------------------------
 
 def dedup_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup candidates over documents (operators/
-    dedup.py). No SQL oracle — the banding scheme is not reasonably
-    expressible in ANSI SQL; exactness is cross-checked in tests
-    against the oracle-checked dedup_token_jaccard."""
-    from ..operators.dedup import minhash_lsh_pairs
+    """MinHash+LSH blocking with exact token-Jaccard verification
+    (operators/dedup.py minhash_lsh_exact_pairs): candidates from band
+    equi-joins (shuffle carries (id, band_hash) only), verified exactly
+    on candidate-pair tokens. Oracle = the exact Jaccard self-join SQL:
+    at r=2, b=64 banding misses a J>=0.8 pair w.p. ~5e-29, so the
+    outputs are identical — the hash check is the recall proof."""
+    from ..operators.dedup import minhash_lsh_exact_pairs
 
     d = _t(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(spark, d, threshold=0.5)
+    return minhash_lsh_exact_pairs(spark, d, threshold=0.8)
 
 
 def dedup_simhash(spark, sf_dir):
-    """SimHash near-dup pairs (hamming <= 3) over documents."""
-    from ..operators.dedup import simhash_pairs
-
-    d = _t(spark, sf_dir, "documents")
-    return simhash_pairs(spark, d)
+    """SimHash near-dup pairs (hamming <= 3) over documents, computed
+    entirely in Catalyst from md5-derived 64-bit token hashes (two
+    32-bit halves: conv(substr(md5(tok)))) so the DuckDB oracle can
+    reproduce every bit: per-bit majority vote -> (sig_hi, sig_lo),
+    4 x 16-bit pigeonhole bands -> candidate equi-join -> bit_count
+    verify. The Arrow-kernel variant for production pipelines is
+    operators/dedup.py simhash_pairs; this form is its SQL-checkable
+    twin (same banding algebra, portable hash)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    ).filter(F.col("tok") != "")
+    md = F.md5("tok")
+    hashed = toks.select(
+        "doc_id",
+        F.conv(F.substring(md, 1, 8), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring(md, 9, 8), 16, 10).cast("long").alias("lo"),
+    )
+    # one groupBy, 64 conditional-sum aggregates: per-bit vote counts
+    # (no 64x row explosion — the SQL twin uses the exploded form, same
+    # relation, different plan)
+    aggs = [F.count("*").alias("n")]
+    for j in range(32):
+        aggs.append(F.sum(F.expr(f"shiftright(hi, {j}) & 1")).alias(f"ch{j}"))
+        aggs.append(F.sum(F.expr(f"shiftright(lo, {j}) & 1")).alias(f"cl{j}"))
+    cnt = hashed.groupBy("doc_id").agg(*aggs)
+    sig_hi, sig_lo = F.lit(0).cast("long"), F.lit(0).cast("long")
+    for j in range(32):
+        sig_hi = sig_hi + F.when(2 * F.col(f"ch{j}") > F.col("n"), F.lit(1 << j).cast("long")).otherwise(F.lit(0))
+        sig_lo = sig_lo + F.when(2 * F.col(f"cl{j}") > F.col("n"), F.lit(1 << j).cast("long")).otherwise(F.lit(0))
+    sigs = cnt.select("doc_id", sig_hi.alias("sig_hi"), sig_lo.alias("sig_lo"))
+    banded = sigs.select(
+        "doc_id", "sig_hi", "sig_lo",
+        F.explode(F.array(
+            F.struct(F.lit(0).alias("band"), F.expr("sig_lo & 65535").alias("bh")),
+            F.struct(F.lit(1).alias("band"), F.expr("shiftright(sig_lo, 16) & 65535").alias("bh")),
+            F.struct(F.lit(2).alias("band"), F.expr("sig_hi & 65535").alias("bh")),
+            F.struct(F.lit(3).alias("band"), F.expr("shiftright(sig_hi, 16) & 65535").alias("bh")),
+        )).alias("bb"),
+    ).select("doc_id", "sig_hi", "sig_lo", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = (
+        F.bit_count(F.col("a.sig_hi").bitwiseXOR(F.col("b.sig_hi")))
+        + F.bit_count(F.col("a.sig_lo").bitwiseXOR(F.col("b.sig_lo")))
+    )
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("ida"), F.col("b.doc_id").alias("idb"), ham.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= 3)
+    )
 
 
 def ann_lsh_bucketed(spark, sf_dir):
-    """Random-hyperplane LSH ANN probe (operators/similarity.py):
-    approximate variant of the oracle-checked ann_cosine_topk."""
-    from ..operators.similarity import ann_lsh_topk
+    """Sign-LSH ANN probe with +-1 (Rademacher) planes over
+    integer-quantized embeddings: bucket bit i = sign of
+    sum_j(round(x_j*1024) * s_ij). The products are small integers, so
+    the double-precision sums are EXACT and order-independent — the
+    bucket ids computed by Catalyst and by the DuckDB oracle are
+    identical by construction. Probe = filter to the query's bucket,
+    then the same cosine scoring as the oracle-checked ann_cosine_topk.
+    At 10^12 scale the bucket is the partition/cluster key and the
+    probe is a partition-pruned scan."""
+    import math
+
+    from ..operators.similarity import rademacher_bucket_of, rademacher_signs
 
     e = _t(spark, sf_dir, "embeddings")
     qv = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    return ann_lsh_topk(spark, e.filter(F.col("vec_id") != 0), [float(x) for x in qv], k=10, n_planes=5)
+    signs = rademacher_signs(len(qv), ANN_LSH_PLANES)
+    # round-half-away-from-zero (Spark/DuckDB ROUND), not Python's
+    # banker's rounding
+    rnd = lambda v: math.copysign(math.floor(abs(v) + 0.5), v)  # noqa: E731
+    qb = rademacher_bucket_of([rnd(float(x) * 1024) for x in qv], signs)
+
+    def bucket_col():
+        bits = None
+        for i, plane in enumerate(signs):
+            lit = F.array(*[F.lit(float(s)) for s in plane])
+            dot = F.aggregate(
+                F.zip_with("embedding", lit, lambda x, y: F.round(x.cast("double") * 1024) * y),
+                F.lit(0.0), lambda acc, x: acc + x,
+            )
+            bit = F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
+            bits = bit if bits is None else bits + bit
+        return bits
+
+    cand = e.filter(F.col("vec_id") != 0).filter(bucket_col() == F.lit(qb))
+    q = F.broadcast(e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv")))
+    withq = cand.crossJoin(q)
+    dot = F.aggregate(
+        F.zip_with("embedding", "qv", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    norm = lambda col: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(col, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+    )
+    sim = dot / (norm(F.col("embedding")) * norm(F.col("qv")))
+    return (
+        withq.select("vec_id", "label", F.round(sim, 4).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )
 
 
 def mm_image_features(spark, sf_dir):
-    """Multimodal feature extraction over a deterministic slice of the
-    synthetic image table (operators/multimodal.py): decode + channel
-    stats + aHash via mapInPandas."""
+    """Multimodal decode validation summary over the deterministic
+    synthetic image table: mapInPandas decodes every blob, extracts
+    luma + aHash, and cross-checks each image against pixels
+    REGENERATED from the generative model (independent of the encoded
+    bytes), counting aHash mismatches and PSNR<40dB violations per fmt.
+    Oracle = golden constants computed by the Spark-free numpy path in
+    tools/golden_mm.py — a decode bug, a synthesis drift, or an Arrow
+    plumbing fault all flip the hash."""
     from .. import synth
-    from ..operators.multimodal import extract_features
+    from ..operators.multimodal import validation_summary
 
     imgs = synth.images_df(spark, 500, partitions=4)
-    return extract_features(imgs).orderBy("image_id")
+    return validation_summary(imgs)
 
 
 QUERIES = {

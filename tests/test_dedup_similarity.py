@@ -84,6 +84,53 @@ def test_ann_lsh_recall_vs_bruteforce(spark):
         assert abs(r["cos_sim"] - round(expect, 4)) < 1e-6
 
 
+def test_minhash_lsh_exact_pairs_equals_exact_selfjoin(spark, docs_with_dups):
+    """The LSH-blocked + exact-verified pipeline must reproduce the
+    exact token-Jaccard self-join bit-for-bit (the recall guarantee the
+    dedup_minhash_lsh oracle relies on)."""
+    got = {
+        (r["ida"], r["idb"]): r["jaccard"]
+        for r in dedup.minhash_lsh_exact_pairs(spark, docs_with_dups, threshold=0.8).collect()
+    }
+    # exact twin computed directly
+    d = docs_with_dups.select("doc_id", "text")
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    ).filter(F.col("tok") != "")
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a, b = toks.alias("a"), toks.alias("b")
+    inter = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("ida"), F.col("b.doc_id").alias("idb"))
+        .agg(F.count("*").alias("inter"))
+    )
+    exact = (
+        inter.join(sizes.select(F.col("doc_id").alias("ida"), F.col("sz").alias("sza")), "ida")
+        .join(sizes.select(F.col("doc_id").alias("idb"), F.col("sz").alias("szb")), "idb")
+        .withColumn("j", F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")))
+        .filter(F.col("j") >= 0.8)
+    )
+    expect = {(r["ida"], r["idb"]): round(r["j"], 4) for r in exact.collect()}
+    assert got == expect and len(got) >= 5  # the planted exact dups
+
+
+def test_rademacher_bucket_col_matches_driver_twin(spark):
+    """Catalyst bucket ids == the driver-side left-fold twin for every
+    vector (the exactness ann_lsh_bucketed's oracle depends on)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(50)
+    signs = similarity.rademacher_signs(64, 4)
+    got = {
+        r["vec_id"]: r["b"]
+        for r in emb.select(
+            "vec_id", similarity.rademacher_bucket_col("embedding", signs).alias("b")
+        ).collect()
+    }
+    for r in emb.collect():
+        assert got[r["vec_id"]] == similarity.rademacher_bucket_of(
+            [float(x) for x in r["embedding"]], signs
+        )
+
+
 def test_ivf_topk_runs_and_scores_correctly(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     cents = similarity.ivf_train_centroids(emb, n_cells=4, iters=1)
