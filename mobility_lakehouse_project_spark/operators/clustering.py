@@ -41,7 +41,13 @@ from pyspark.sql import types as T
 from ..functions.sfc import CURVES, zorder_col
 from ..lineage import LineageLog
 from ..tableformat import LakehouseTable
-from .compaction import DEFAULT_TARGET_FILE_SIZE, _chunk, _op_fingerprint, chunk_key
+from .compaction import (
+    DEFAULT_TARGET_FILE_SIZE,
+    _chunk,
+    _op_fingerprint,
+    chunk_file_paths,
+    chunk_key,
+)
 
 _SFC_COL = "_sfc"
 _GRP_COL = "_grp"
@@ -87,8 +93,15 @@ def cluster(
         key_expr = lambda: zorder_col(*[F.col(c) for c in cols])  # noqa: E731
     else:
         key_expr = lambda: CURVES[curve](*[F.col(c) for c in cols])  # noqa: E731
-    entries = table.all_entries()
-    if not entries:
+    # planning = one aggregation over the files metadata DataFrame:
+    # a single metadata-sized row per partition reaches the driver
+    plan_rows = (
+        table.files(spark)
+        .groupBy("partition_id")
+        .agg(F.sum("file_size_bytes").alias("bytes"), F.count("*").alias("n_files"))
+        .collect()
+    )
+    if not plan_rows:
         return {"files_in": 0, "files_out": 0, "rows": 0, "bytes": 0,
                 "wall_ms": 0, "chunks_skipped": 0, "snapshots": []}
     op_id = op_id or _op_fingerprint("cluster-" + curve, table, ",".join(cols))
@@ -96,10 +109,8 @@ def cluster(
     done = log.completed_chunks(op_id)
     pcol = table._partition_col()
 
-    parts: dict[str, list[dict]] = {}
-    for e in entries:
-        parts.setdefault(e["partition_id"], []).append(e)
-    part_ids = sorted(parts)
+    part_bytes_all = {r["partition_id"]: int(r["bytes"]) for r in plan_rows}
+    part_ids = sorted(part_bytes_all)
 
     metrics = {"files_in": 0, "files_out": 0, "rows": 0, "bytes": 0,
                "wall_ms": 0, "chunks_skipped": 0, "snapshots": []}
@@ -109,18 +120,16 @@ def cluster(
             metrics["chunks_skipped"] += 1
             continue
         t0 = time.time()
-        chunk_entries = [e for p in chunk_parts for e in parts[p]]
-        removed = {e["file_path"] for e in chunk_entries}
-        part_bytes = {
-            p: sum(e["file_size_bytes"] for e in parts[p]) for p in chunk_parts
-        }
+        # only this chunk's file paths are ever collected (bounded)
+        removed = set(chunk_file_paths(table, spark, list(chunk_parts)))
         n_out_p = {
-            p: max(1, round(b / target_file_size)) for p, b in part_bytes.items()
+            p: max(1, round(part_bytes_all[p] / target_file_size))
+            for p in chunk_parts
         }
 
         # ---- pass 1: key-only quantile boundaries per partition ----
         key_cols = ([pcol] if pcol else []) + [c for c in cols if c != pcol]
-        keys_df = table.scan_matched_files(chunk_entries, spark, columns=key_cols)
+        keys_df = table.scan_files(spark, sorted(removed), columns=key_cols)
         keyed = keys_df.withColumn(_SFC_COL, key_expr())
         probs = [i / _QUANTILES for i in range(1, _QUANTILES)]
         group_col = F.col(pcol) if pcol else F.lit(0)
@@ -154,7 +163,7 @@ def cluster(
         # (group membership does), so sort by (partition, phash) — the
         # curve key itself need not ride the shuffle.
         tokens = np.array(_slot_tokens(spark, total_out), dtype=np.int64)
-        df = table.scan_matched_files(chunk_entries, spark)
+        df = table.scan_files(spark, sorted(removed))
         if recompress_level is not None:
             from .multimodal import recompress_images
 
@@ -195,13 +204,22 @@ def pruning_ratio(
 ) -> dict:
     """Measure stats-pruning effectiveness for a range predicate: the
     fraction of files a clustered scan can skip (the observable payoff
-    of Z-order/Hilbert)."""
-    entries = table.all_entries()
-    total = len(entries)
-    kept = [
-        e for e in entries
-        if col not in e["int_maxs"]
-        or (e["int_maxs"][col] >= lo and e["int_mins"][col] <= hi)
-    ]
-    return {"total_files": total, "scanned_files": len(kept),
-            "pruned_fraction": 1.0 - len(kept) / max(total, 1)}
+    of Z-order/Hilbert). Counted on the manifest DataFrame — two
+    scalar aggregates reach the driver."""
+    row = (
+        table.files(spark)
+        .agg(
+            F.count("*").alias("total"),
+            F.count(
+                F.when(
+                    F.col("int_maxs")[col].isNull()
+                    | ((F.col("int_maxs")[col] >= lo) & (F.col("int_mins")[col] <= hi)),
+                    1,
+                )
+            ).alias("kept"),
+        )
+        .collect()[0]
+    )
+    total, kept = int(row["total"]), int(row["kept"])
+    return {"total_files": total, "scanned_files": kept,
+            "pruned_fraction": 1.0 - kept / max(total, 1)}

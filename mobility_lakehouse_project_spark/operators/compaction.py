@@ -42,13 +42,17 @@ def plan_compaction(
 
     A partition is a candidate when it has >=2 files below
     ``small_file_threshold * target_file_size`` (classic bin-pack
-    trigger). Returns [{partition_id, files, bytes, n_out}]."""
+    trigger). Returns [{partition_id, bytes, rows, n_files, n_out}] —
+    ONE metadata-sized row per partition; the per-chunk file lists are
+    fetched later (chunk_file_paths) so the driver never holds more
+    than one chunk's paths (at 10^12 scale the manifest set is
+    millions of entries — a collect_list here would be the
+    scale-killer the rest of the engine avoids)."""
     files = table.files(spark)
     small = files.filter(F.col("file_size_bytes") < int(target_file_size * small_file_threshold))
     plan = (
         small.groupBy("partition_id")
         .agg(
-            F.collect_list("file_path").alias("files"),
             F.sum("file_size_bytes").alias("bytes"),
             F.sum("record_count").alias("rows"),
             F.count("*").alias("n_files"),
@@ -64,13 +68,28 @@ def plan_compaction(
         out.append(
             {
                 "partition_id": r["partition_id"],
-                "files": sorted(r["files"]),
                 "bytes": int(r["bytes"]),
                 "rows": int(r["rows"]),
+                "n_files": int(r["n_files"]),
                 "n_out": n_out,
             }
         )
     return sorted(out, key=lambda p: p["partition_id"])
+
+
+def chunk_file_paths(
+    table: LakehouseTable,
+    spark: SparkSession,
+    partition_ids: list[str],
+    max_file_size: int | None = None,
+) -> list[str]:
+    """Collect the data-file paths of ONE chunk of partitions from the
+    manifest scan — the only point where planning materializes paths,
+    bounded by chunk size."""
+    df = table.plan_files(spark, partition_values=set(partition_ids))
+    if max_file_size is not None:
+        df = df.filter(F.col("file_size_bytes") < int(max_file_size))
+    return sorted(r["file_path"] for r in df.select("file_path").collect())
 
 
 def _op_fingerprint(kind: str, table: LakehouseTable, extra: str = "") -> str:
@@ -121,9 +140,13 @@ def compact(
             metrics["chunks_skipped"] += 1
             continue
         t0 = time.time()
-        removed = {f for p in chunk for f in p["files"]}
-        entries_in = [e for e in table.all_entries() if e["file_path"] in removed]
-        df = table.scan_matched_files(entries_in, spark)
+        removed = set(
+            chunk_file_paths(
+                table, spark, [p["partition_id"] for p in chunk],
+                max_file_size=int(target_file_size * 0.75),
+            )
+        )
+        df = table.scan_files(spark, sorted(removed))
         if recompress_level is not None:
             # storage-optimization rewrite: re-encode payloads in the
             # scan stage (CPU spreads over input splits, before the

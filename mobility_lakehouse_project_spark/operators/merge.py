@@ -73,8 +73,8 @@ def merge_into(
     )
 
     # 1. touched files: key+filename scan (bytes column pruned away)
-    entries = table.all_entries()
-    if not entries:
+    cur = table.current_snapshot()
+    if cur is None or not cur.manifests:
         snap = table.append(src)
         return {"files_rewritten": 0, "files_written": snap.summary["added-files"],
                 "rows_out": snap.summary["added-records"],
@@ -93,7 +93,19 @@ def merge_into(
     for f in touched_files:
         i = f.find(table.location)
         touched_rel.add(f[i + len(table.location) + 1 :] if i >= 0 else f)
-    touched_entries = [e for e in entries if e["file_path"] in touched_rel]
+    # stats for the touched set come from the manifest DataFrame —
+    # bounded by the touched-file count, never the whole table
+    if touched_rel:
+        tdf = spark.createDataFrame([(p,) for p in sorted(touched_rel)], "file_path string")
+        touched_entries = [
+            r.asDict()
+            for r in table.files(spark)
+            .join(F.broadcast(tdf), "file_path", "left_semi")
+            .select("file_path", "partition_id", "file_size_bytes", "record_count")
+            .collect()
+        ]
+    else:
+        touched_entries = []
 
     # 2. rewrite: full outer join touched-rows x source
     if touched_entries:

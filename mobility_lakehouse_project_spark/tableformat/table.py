@@ -460,9 +460,9 @@ class LakehouseTable:
         entries = self.write_data_files(df, n_files)
         new_parts = {e["partition_id"] for e in entries}
         removed = {
-            e["file_path"]
-            for e in self.all_entries()
-            if e["partition_id"] in new_parts
+            r["file_path"]
+            for r in self.plan_files(df.sparkSession, partition_values=new_parts)
+            .select("file_path").collect()
         }
         return self.commit_replace(removed, entries, operation="overwrite")
 
@@ -545,6 +545,34 @@ class LakehouseTable:
 
     # ---------------- scan (with manifest pruning) ----------------
 
+    def plan_files(
+        self,
+        spark: SparkSession,
+        snapshot_id: int | None = None,
+        partition_values: set | None = None,
+        int_ranges: dict[str, tuple[int | None, int | None]] | None = None,
+    ) -> DataFrame:
+        """Pruned `files` metadata DataFrame — the planning surface.
+
+        All partition/stats pruning happens as DataFrame filters over
+        the manifest scan, never by materializing entries on the
+        driver: at 10^12-image scale the manifest set is millions of
+        rows, and only the (already-pruned) file list a job actually
+        reads is ever collected."""
+        df = self.files(spark, snapshot_id)
+        if partition_values is not None:
+            pv = [str(v) for v in partition_values]
+            df = df.filter(F.col("partition_id").isin(pv))
+        for col, (lo, hi) in (int_ranges or {}).items():
+            cond = F.lit(True)
+            if lo is not None:
+                cond = cond & (F.col("int_maxs")[col] >= F.lit(int(lo)))
+            if hi is not None:
+                cond = cond & (F.col("int_mins")[col] <= F.lit(int(hi)))
+            # files with no stats for the column can never be pruned
+            df = df.filter(F.col("int_maxs")[col].isNull() | cond)
+        return df
+
     def scan(
         self,
         spark: SparkSession,
@@ -559,34 +587,28 @@ class LakehouseTable:
         [min,max] overlaps [lo,hi] — the stats-pruning path that Z-order
         clustering makes effective. The residual predicate is re-applied
         row-level by the caller; this method only narrows the file set.
-        """
-        entries = self.all_entries(snapshot_id)
-        if partition_values is not None:
-            pv = {str(v) for v in partition_values}
-            entries = [e for e in entries if e["partition_id"] in pv]
-        for col, (lo, hi) in (int_ranges or {}).items():
-            entries = [
-                e
-                for e in entries
-                if col not in e["int_maxs"]
-                or ((lo is None or e["int_maxs"][col] >= lo)
-                    and (hi is None or e["int_mins"][col] <= hi))
-            ]
+        Pruning runs distributed over the manifest scan (plan_files);
+        only surviving paths are collected (the list spark.read needs)."""
+        pruned = self.plan_files(spark, snapshot_id, partition_values, int_ranges)
+        paths = [r["file_path"] for r in pruned.select("file_path").collect()]
+        return self.scan_files(spark, paths, columns)
+
+    def scan_files(self, spark: SparkSession, rel_paths: list[str],
+                   columns: list[str] | None = None) -> DataFrame:
+        """Read an explicit (already-planned) set of table-relative data
+        files through the table schema."""
         schema = self.schema()
-        if not entries:
-            return spark.createDataFrame([], schema)
-        paths = [os.path.join(self.location, e["file_path"]) for e in entries]
-        reader = spark.read.schema(schema)
-        df = reader.parquet(*paths)
-        if columns:
-            df = df.select(*columns)
-        return df
+        if not rel_paths:
+            df = spark.createDataFrame([], schema)
+        else:
+            df = spark.read.schema(schema).parquet(
+                *[os.path.join(self.location, p) for p in rel_paths]
+            )
+        return df.select(*columns) if columns else df
 
     def scan_matched_files(self, entries: list[dict], spark: SparkSession,
                            columns: list[str] | None = None) -> DataFrame:
-        paths = [os.path.join(self.location, e["file_path"]) for e in entries]
-        df = spark.read.schema(self.schema()).parquet(*paths)
-        return df.select(*columns) if columns else df
+        return self.scan_files(spark, [e["file_path"] for e in entries], columns)
 
     # ---------------- expiration / GC ----------------
 

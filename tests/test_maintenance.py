@@ -57,7 +57,12 @@ def test_compaction_resume_skips_completed_chunks(spark, fragmented_table):
     LineageLog(t.location).record(
         op_id, ck0, [p["partition_id"] for p in chunks[0]], 0, 0, 0, 0, 0, 0
     )
-    pre_chunk0_files = {f for p in chunks[0] for f in p["files"]}
+    pre_chunk0_files = set(
+        compaction.chunk_file_paths(
+            t, spark, [p["partition_id"] for p in chunks[0]],
+            max_file_size=int((1 << 20) * 0.75),
+        )
+    )
     m = compaction.compact(t, spark, target_file_size=1 << 20, n_chunks=2, op_id=op_id)
     assert m["chunks_skipped"] == 1
     # chunk 0's files untouched on disk & still referenced
@@ -151,3 +156,49 @@ def test_full_maintenance_pipeline_with_expiry(spark, fragmented_table):
         "cluster",
         "merge",
     }
+
+
+def test_planning_never_materializes_full_manifest(spark, tmp_table_dir, monkeypatch):
+    """Inject a 10k-file synthetic manifest: compaction planning, chunk
+    path fetch, scan pruning, and pruning_ratio must all run as
+    files()-DataFrame operations — the driver-side all_entries
+    materialization is forbidden for the whole planning phase, and the
+    per-chunk collect is bounded by the chunk's partitions."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("image_id", T.StringType()),
+        T.StructField("phash", T.LongType()),
+        T.StructField("bucket", T.IntegerType()),
+    ])
+    t = LakehouseTable.create(tmp_table_dir, schema, partition_col="bucket")
+    entries = [
+        {
+            "file_path": f"data/fake/part-{i:05d}.parquet",
+            "partition_id": str(i % 50),
+            "record_count": 100,
+            "file_size_bytes": 1_000_000,
+            "added_snapshot_id": -1,
+            "int_mins": {"phash": i * 10},
+            "int_maxs": {"phash": i * 10 + 9},
+            "str_mins": {},
+            "str_maxs": {},
+        }
+        for i in range(10_000)
+    ]
+    t.commit_append(entries)
+
+    def forbid(self, *a, **k):
+        raise AssertionError("planning materialized the full manifest on the driver")
+
+    monkeypatch.setattr(LakehouseTable, "all_entries", forbid)
+    plan = compaction.plan_compaction(t, spark, target_file_size=100 * 1024 * 1024)
+    assert len(plan) == 50
+    assert all("files" not in p for p in plan)  # no per-partition path lists
+    # per-chunk fetch: exactly one partition's 200 paths
+    paths = compaction.chunk_file_paths(t, spark, [plan[0]["partition_id"]])
+    assert len(paths) == 200
+    # stats pruning plans distributed: phash in [0, 99] -> 10 files
+    assert t.plan_files(spark, int_ranges={"phash": (0, 99)}).count() == 10
+    pr = clustering.pruning_ratio(t, spark, "phash", 0, 99)
+    assert pr["scanned_files"] == 10 and pr["total_files"] == 10_000
