@@ -1,21 +1,34 @@
-"""MERGE INTO — copy-on-write upsert keyed on image_id.
+"""MERGE INTO — copy-on-write upsert, all the reference's variants.
 
-Reproduces the reference's MERGE semantics
-(`MERGE INTO tgt USING src ON key WHEN MATCHED THEN UPDATE SET ...
-WHEN NOT MATCHED THEN INSERT BY NAME`, dags/Bronze_Ingest_Dag.py:124-130,
-141-152, 178-184) without any table-format runtime: plain Spark SQL has
-no MERGE, so the engine implements it as a file-level copy-on-write:
+Reproduces the reference's MERGE surface without any table-format
+runtime (plain Spark SQL has no MERGE):
 
- 1. **Find touched files** — scan only (key, _file) of the target
+ * full upsert `WHEN MATCHED THEN UPDATE SET ... WHEN NOT MATCHED THEN
+   INSERT BY NAME` (dags/Bronze_Ingest_Dag.py:124-130)
+ * insert-only `WHEN NOT MATCHED THEN INSERT`
+   (dags/Bronze_Ingest_Dag.py:148-152) — fast path: an anti-join
+   append, NO file rewrite at all
+ * composite keys (`ON t.fecha = s.fecha AND t.zona = s.zona`,
+   dags/Bronze_Ingest_Dag.py:178-184)
+ * column-subset UPDATE (`UPDATE SET x = s.x` leaving other target
+   columns untouched)
+ * WHEN MATCHED DELETE
+
+File-level copy-on-write:
+
+ 1. **Find touched files** — scan only (keys, _file) of the target
     (column pruning keeps `bytes` out of this join entirely) and
     semi-join against the source keys; collect the distinct file list
-    (metadata-sized). Untouched files are never read again.
- 2. **Rewrite** — full-outer-join touched rows with the source on the
-    key: source wins when present (UPDATE / INSERT), target row
-    otherwise. Source rows whose key exists nowhere in the target are
-    INSERTs and land in the same write.
- 3. **Commit** — replace-files snapshot (touched files out, rewritten
-    files in), atomic, parent-validated.
+    (metadata-sized). Untouched files are never read again. Touched
+    stats come from the files() metadata DataFrame (broadcast
+    semi-join), never a full manifest materialization.
+ 2. **Rewrite** — outer-join touched rows with the source on the keys
+    and resolve each column per the matched/not-matched clauses.
+ 3. **Commit** — replace-files snapshot, atomic, parent-validated.
+
+Sizing: output file count covers touched bytes PLUS the estimated
+insert volume (source keys x the table's avg row bytes from manifest
+stats) — an insert-heavy merge no longer piles into one file.
 
 Skew: target keys are unique, so the key join itself is balanced; the
 skew lives in *partition placement* (hot phash duplicates pile into one
@@ -41,30 +54,18 @@ from ..lineage import LineageLog
 from ..tableformat import LakehouseTable
 
 
-def merge_into(
-    table: LakehouseTable,
-    spark: SparkSession,
-    source: DataFrame,
-    key: str = "image_id",
-    target_file_size: int = 64 * 1024 * 1024,
-    op_id: str | None = None,
-) -> dict:
-    """WHEN MATCHED UPDATE (all columns) / WHEN NOT MATCHED INSERT."""
-    t0 = time.time()
-    meta = table.load_metadata()
-    pcol = meta["partition_col"]
-    data_cols = [f.name for f in table.schema().fields]
-
-    # dedupe source deterministically on key (last-writer-wins is
-    # ill-defined for a batch; pick max over a stable tiebreaker)
-    src = source.select(*data_cols)
-    w_cols = [c for c in data_cols if c != key]
-    src = (
+def _dedupe_source(src: DataFrame, keys: list[str], data_cols: list[str]) -> DataFrame:
+    """Deterministic source dedupe on the merge keys (last-writer-wins
+    is ill-defined for a batch; pick max over a stable tiebreaker)."""
+    w_cols = [c for c in data_cols if c not in keys and c != "bytes"]
+    if not w_cols:
+        return src.dropDuplicates(keys)
+    return (
         src.withColumn(
             "_rn",
             F.row_number().over(
-                Window.partitionBy(key).orderBy(
-                    *[F.col(c).desc_nulls_last() for c in w_cols if c != "bytes"]
+                Window.partitionBy(*keys).orderBy(
+                    *[F.col(c).desc_nulls_last() for c in w_cols]
                 )
             ),
         )
@@ -72,20 +73,80 @@ def merge_into(
         .drop("_rn")
     )
 
-    # 1. touched files: key+filename scan (bytes column pruned away)
-    cur = table.current_snapshot()
+
+def merge_into(
+    table: LakehouseTable,
+    spark: SparkSession,
+    source: DataFrame,
+    key: str | list[str] = "image_id",
+    target_file_size: int = 64 * 1024 * 1024,
+    op_id: str | None = None,
+    when_matched: str | None = "update",
+    update_cols: list[str] | None = None,
+    when_not_matched: str | None = "insert",
+) -> dict:
+    """MERGE INTO table USING source ON keys.
+
+    ``when_matched``: "update" (all columns, or just ``update_cols``),
+    "delete", or None (matched rows untouched). ``when_not_matched``:
+    "insert" or None. Defaults reproduce the classic full upsert."""
+    if when_matched not in ("update", "delete", None):
+        raise ValueError(f"when_matched={when_matched!r}")
+    if when_not_matched not in ("insert", None):
+        raise ValueError(f"when_not_matched={when_not_matched!r}")
+    if when_matched is None and when_not_matched is None:
+        raise ValueError("no-op MERGE: both clauses are None")
+    t0 = time.time()
+    keys = [key] if isinstance(key, str) else list(key)
+    meta = table.load_metadata()
+    data_cols = [f.name for f in table.schema().fields]
+    bad = [c for c in (update_cols or []) if c in keys or c not in data_cols]
+    if bad:
+        raise ValueError(f"update_cols not updatable columns: {bad}")
+
+    src = _dedupe_source(source.select(*data_cols), keys, data_cols)
+    cur = table.current_snapshot(meta)
     if cur is None or not cur.manifests:
+        if when_not_matched != "insert":
+            return {"files_rewritten": 0, "files_written": 0, "rows_out": 0,
+                    "wall_ms": int((time.time() - t0) * 1000), "snapshot": None}
         snap = table.append(src)
         return {"files_rewritten": 0, "files_written": snap.summary["added-files"],
                 "rows_out": snap.summary["added-records"],
                 "wall_ms": int((time.time() - t0) * 1000),
                 "snapshot": snap.snapshot_id}
+
+    src_keys = src.select(*keys).persist()
+    n_src = src_keys.count()  # keys-only; also materializes the cache
+
+    # ---- fast path: insert-only MERGE = anti-join append, no rewrite --
+    if when_matched is None and when_not_matched == "insert":
+        target_keys = table.scan(spark, columns=keys)
+        new_rows = src.join(target_keys, keys, "left_anti")
+        stats = table.files(spark).agg(
+            F.sum("file_size_bytes").alias("b"), F.sum("record_count").alias("r")
+        ).collect()[0]
+        avg_row = (stats["b"] or 1) / max(stats["r"] or 1, 1)
+        n_files = max(1, round(n_src * avg_row / target_file_size))
+        entries = table.write_data_files(new_rows, n_files=n_files)
+        src_keys.unpersist()
+        if not entries:
+            return {"files_rewritten": 0, "files_written": 0, "rows_out": 0,
+                    "wall_ms": int((time.time() - t0) * 1000),
+                    "snapshot": cur.snapshot_id}
+        snap = table.commit_append(entries, summary={"op": "merge-insert-only"})
+        return {"files_rewritten": 0, "files_written": len(entries),
+                "rows_out": sum(e["record_count"] for e in entries),
+                "wall_ms": int((time.time() - t0) * 1000),
+                "snapshot": snap.snapshot_id}
+
+    # ---- 1. touched files: keys+filename scan (bytes pruned away) ----
     target_keys = table.scan(spark, columns=None).select(
-        F.col(key), F.input_file_name().alias("_file")
+        *[F.col(k) for k in keys], F.input_file_name().alias("_file")
     )
     touched_files = {
         r["_file"]
-        for r in target_keys.join(src.select(key), key, "left_semi")
+        for r in target_keys.join(src_keys, keys, "left_semi")
         .select("_file").distinct().collect()
     }
     # normalize URIs from input_file_name to table-relative paths
@@ -107,32 +168,54 @@ def merge_into(
     else:
         touched_entries = []
 
-    # 2. rewrite: full outer join touched-rows x source
-    if touched_entries:
-        tgt = table.scan_matched_files(touched_entries, spark).alias("t")
-    else:
-        tgt = spark.createDataFrame([], table.schema()).alias("t")
+    # ---- 2. rewrite: outer-join touched rows x source ----------------
+    tgt = table.scan_matched_files(touched_entries, spark).alias("t")
     s = src.alias("s")
-    joined = tgt.join(s, F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer")
-    src_present = F.col(f"s.{key}").isNotNull()
+    join_type = "full_outer" if when_not_matched == "insert" else "left_outer"
+    cond = None
+    for k in keys:
+        c = F.col(f"t.{k}") == F.col(f"s.{k}")
+        cond = c if cond is None else cond & c
+    joined = tgt.join(s, cond, join_type)
+    matched = F.col(f"s.{keys[0]}").isNotNull() & F.col(f"t.{keys[0]}").isNotNull()
+    src_only = F.col(f"t.{keys[0]}").isNull()
+    if when_matched == "delete":
+        joined = joined.filter(~matched)
+    upd = set(update_cols) if update_cols else set(c for c in data_cols if c not in keys)
+    take_src_on_match = when_matched == "update"
     out = joined.select(
         *[
-            F.when(src_present, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+            F.when(src_only, F.col(f"s.{c}"))
+            .when(matched & F.lit(take_src_on_match and (c in upd or c in keys)),
+                  F.col(f"s.{c}"))
+            .otherwise(F.col(f"t.{c}"))
+            .alias(c)
             for c in data_cols
         ]
     )
 
-    total_bytes = sum(e["file_size_bytes"] for e in touched_entries) or 1
-    n_out = max(1, round(total_bytes / target_file_size))
+    # ---- sizing: touched bytes + estimated insert volume -------------
+    touched_bytes = sum(e["file_size_bytes"] for e in touched_entries)
+    insert_bytes = 0.0
+    if when_not_matched == "insert":
+        stats = table.files(spark).agg(
+            F.sum("file_size_bytes").alias("b"), F.sum("record_count").alias("r")
+        ).collect()[0]
+        insert_bytes = n_src * (stats["b"] or 1) / max(stats["r"] or 1, 1)
+    n_out = max(1, round((touched_bytes + insert_bytes) / target_file_size))
     n_parts = len({e["partition_id"] for e in touched_entries}) or 1
     new_entries = table.write_data_files(
-        out, n_files=max(n_out, 1), sort_cols=[key], n_partitions_hint=n_parts
+        out, n_files=n_out, sort_cols=keys, n_partitions_hint=n_parts,
+        salt_col=keys[0],
     )
+    src_keys.unpersist()
     snap = table.commit_replace(
         {e["file_path"] for e in touched_entries},
         new_entries,
         operation="overwrite",
-        summary={"op": "merge", "key": key},
+        summary={"op": "merge", "key": ",".join(keys),
+                 "when_matched": str(when_matched),
+                 "when_not_matched": str(when_not_matched)},
     )
     wall_ms = int((time.time() - t0) * 1000)
     LineageLog(table.location).record(

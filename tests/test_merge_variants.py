@@ -1,0 +1,119 @@
+"""MERGE INTO variant semantics: insert-only, composite keys,
+column-subset UPDATE, WHEN MATCHED DELETE — the reference's full MERGE
+surface (dags/Bronze_Ingest_Dag.py:124-184)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mobility_lakehouse_project_spark import synth
+from mobility_lakehouse_project_spark.operators import merge
+from mobility_lakehouse_project_spark.tableformat import LakehouseTable
+
+N = 800
+
+
+@pytest.fixture()
+def base_table(spark, tmp_table_dir):
+    df = synth.images_df(spark, N, partitions=4)
+    t = LakehouseTable.create(tmp_table_dir, df.schema, partition_col="bucket")
+    t.append(df, n_files=8)
+    return t
+
+
+def test_insert_only_merge_no_rewrite(spark, base_table):
+    """WHEN NOT MATCHED INSERT only: existing rows byte-identical (no
+    file is rewritten), new keys appended, duplicate keys ignored."""
+    t = base_table
+    pre_files = {r["file_path"] for r in t.files(spark).select("file_path").collect()}
+    # source: 100 existing keys (would-be updates -> must be IGNORED)
+    # + 150 brand-new keys
+    src = synth.images_df(spark, 250, seed=99, partitions=2, id_offset=N - 100)
+    res = merge.merge_into(t, spark, src, when_matched=None)
+    assert res["files_rewritten"] == 0
+    post_files = {r["file_path"] for r in t.files(spark).select("file_path").collect()}
+    assert pre_files <= post_files  # nothing removed or rewritten
+    assert t.scan(spark).count() == N + 150
+    # the 100 overlapping keys kept their ORIGINAL captions
+    orig = synth.images_df(spark, N, partitions=4).select("image_id", "caption")
+    got = t.scan(spark, columns=["image_id", "caption"])
+    diff = got.alias("g").join(orig.alias("o"), "image_id").filter(
+        F.col("g.caption") != F.col("o.caption")
+    ).count()
+    assert diff == 0
+
+
+def test_composite_key_merge(spark, tmp_table_dir):
+    """ON t.fecha = s.fecha AND t.zona = s.zona (composite key) —
+    matched rows updated, new composite keys inserted."""
+    rows = [(f"2024-01-{d:02d}", z, float(d * 10 + z), "old")
+            for d in range(1, 11) for z in range(5)]
+    df = spark.createDataFrame(rows, "fecha string, zona int, total double, tag string")
+    t = LakehouseTable.create(tmp_table_dir, df.schema, partition_col=None)
+    t.append(df, n_files=4)
+    src = spark.createDataFrame(
+        [("2024-01-01", 0, 999.0, "new"), ("2024-01-02", 3, 888.0, "new"),
+         ("2024-01-31", 9, 777.0, "new")],
+        "fecha string, zona int, total double, tag string",
+    )
+    res = merge.merge_into(t, spark, src, key=["fecha", "zona"], target_file_size=1 << 20)
+    assert res["snapshot"] is not None
+    got = {(r["fecha"], r["zona"]): (r["total"], r["tag"]) for r in t.scan(spark).collect()}
+    assert len(got) == 51
+    assert got[("2024-01-01", 0)] == (999.0, "new")
+    assert got[("2024-01-02", 3)] == (888.0, "new")
+    assert got[("2024-01-31", 9)] == (777.0, "new")
+    assert got[("2024-01-05", 2)] == (52.0, "old")  # untouched
+
+
+def test_column_subset_update(spark, base_table):
+    """UPDATE SET caption = s.caption: only the listed column changes;
+    bytes/phash keep the target's values even though the source
+    carries different ones."""
+    t = base_table
+    pre = {r["image_id"]: (bytes(r["bytes"]), r["phash"])
+           for r in t.scan(spark).filter(F.col("image_id") < "img000000000050").collect()}
+    src = synth.images_df(spark, 50, seed=7, partitions=2)  # ids 0..49, new content
+    res = merge.merge_into(
+        t, spark, src, update_cols=["caption"], when_not_matched=None,
+        target_file_size=1 << 20,
+    )
+    assert res["files_rewritten"] > 0
+    post = {r["image_id"]: (bytes(r["bytes"]), r["phash"], r["caption"])
+            for r in t.scan(spark).filter(F.col("image_id") < "img000000000050").collect()}
+    src_caps = {r["image_id"]: r["caption"] for r in src.collect()}
+    assert t.scan(spark).count() == N  # no inserts
+    for iid, (b, p) in pre.items():
+        assert post[iid][0] == b and post[iid][1] == p  # payload untouched
+        assert post[iid][2] == src_caps[iid]            # caption updated
+
+
+def test_when_matched_delete(spark, base_table):
+    """WHEN MATCHED DELETE: matched keys removed; optionally inserts."""
+    t = base_table
+    src = synth.images_df(spark, 120, seed=5, partitions=2, id_offset=N - 100)
+    res = merge.merge_into(t, spark, src, when_matched="delete", when_not_matched=None)
+    assert res["files_rewritten"] > 0
+    assert t.scan(spark).count() == N - 100
+    remaining = {r["image_id"] for r in t.scan(spark, columns=["image_id"]).collect()}
+    assert f"img{N-100:012d}" not in remaining
+    assert f"img{N-101:012d}" in remaining
+
+
+def test_merge_rejects_bad_args(spark, base_table):
+    src = synth.images_df(spark, 10, partitions=1)
+    with pytest.raises(ValueError):
+        merge.merge_into(base_table, spark, src, when_matched="upsert")
+    with pytest.raises(ValueError):
+        merge.merge_into(base_table, spark, src, when_matched=None, when_not_matched=None)
+    with pytest.raises(ValueError):
+        merge.merge_into(base_table, spark, src, update_cols=["image_id"])
+
+
+def test_insert_heavy_merge_splits_output_files(spark, base_table):
+    """Insert-dominated upsert: output sizing must account for the
+    insert volume, not only touched bytes."""
+    t = base_table
+    src = synth.images_df(spark, 2400, partitions=4, id_offset=N - 20)
+    res = merge.merge_into(t, spark, src, target_file_size=512 * 1024)
+    assert t.scan(spark).count() == N + 2380
+    assert res["files_written"] >= 3
