@@ -178,6 +178,71 @@ class LakehouseTable:
         _atomic_write(t._hint_path, "1")
         return t
 
+    # ---------------- schema evolution ----------------
+
+    def _commit_metadata(self, meta: dict) -> int:
+        """Metadata-only commit (schema change): validate the version,
+        write v<N+1>, swap the pointer — no new snapshot (Iceberg's
+        schema updates are likewise pure metadata transactions)."""
+        cur_v = self.current_version()
+        if cur_v != meta["_version"]:
+            raise ConcurrentCommitError(
+                f"table advanced v{meta['_version']} -> v{cur_v} during commit"
+            )
+        m = {k: v for k, v in meta.items() if not k.startswith("_")}
+        new_v = cur_v + 1
+        _atomic_write(self._meta_path(new_v), json.dumps(m, indent=1))
+        _atomic_write(self._hint_path, str(new_v))
+        return new_v
+
+    def column_renames(self, meta: dict | None = None) -> dict[str, list[str]]:
+        """current column name -> prior physical names (oldest last)."""
+        return dict((meta or self.load_metadata()).get("column_renames", {}))
+
+    def add_columns(self, cols: dict[str, str]) -> int:
+        """Additive schema evolution: ``{name: spark_type_ddl}``.
+        Metadata-only commit; existing data files are read through the
+        new schema with NULLs for the added columns (the Iceberg
+        behavior DuckLake gives the reference's inferred-schema tables,
+        src/ingest_bronze.py:86-99). Type changes are not supported."""
+        meta = self.load_metadata()
+        schema = T.StructType.fromJson(json.loads(meta["schema_json"]))
+        taken = {f.name for f in schema.fields} | {
+            o for olds in self.column_renames(meta).values() for o in olds
+        }
+        for name, ddl in cols.items():
+            if name in taken:
+                raise ValueError(f"column {name!r} already exists (or is a prior name)")
+            field = T.StructType.fromDDL(f"`{name}` {ddl}").fields[0]
+            schema = schema.add(T.StructField(name, field.dataType, True))
+        meta["schema_json"] = schema.json()
+        return self._commit_metadata(meta)
+
+    def rename_column(self, old: str, new: str) -> int:
+        """Rename a column (metadata-only). Old data files keep the old
+        physical name; scans read both and coalesce — the field-id
+        mapping of Iceberg expressed as a rename history."""
+        meta = self.load_metadata()
+        schema = T.StructType.fromJson(json.loads(meta["schema_json"]))
+        names = [f.name for f in schema.fields]
+        if old not in names:
+            raise ValueError(f"no column {old!r}")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        renames = self.column_renames(meta)
+        prior = renames.pop(old, [])  # chained renames carry full history
+        renames[new] = [old] + prior
+        meta["schema_json"] = T.StructType(
+            [
+                T.StructField(new if f.name == old else f.name, f.dataType, f.nullable)
+                for f in schema.fields
+            ]
+        ).json()
+        meta["column_renames"] = renames
+        if meta.get("partition_col") == old:
+            meta["partition_col"] = new  # physical _p=<v> dirs are name-free
+        return self._commit_metadata(meta)
+
     # ---------------- snapshots ----------------
 
     def snapshots_list(self, meta: dict | None = None) -> list[Snapshot]:
@@ -596,13 +661,30 @@ class LakehouseTable:
     def scan_files(self, spark: SparkSession, rel_paths: list[str],
                    columns: list[str] | None = None) -> DataFrame:
         """Read an explicit (already-planned) set of table-relative data
-        files through the table schema."""
-        schema = self.schema()
+        files through the CURRENT schema, resolving schema evolution:
+        columns added later are NULL in old files (explicit read
+        schema), renamed columns read every historical physical name
+        and coalesce into the current one."""
+        meta = self.load_metadata()
+        schema = T.StructType.fromJson(json.loads(meta["schema_json"]))
         if not rel_paths:
             df = spark.createDataFrame([], schema)
-        else:
-            df = spark.read.schema(schema).parquet(
-                *[os.path.join(self.location, p) for p in rel_paths]
+            return df.select(*columns) if columns else df
+        renames = self.column_renames(meta)
+        phys_fields = list(schema.fields)
+        for new, olds in renames.items():
+            dt = schema[new].dataType
+            phys_fields += [T.StructField(o, dt, True) for o in olds]
+        df = spark.read.schema(T.StructType(phys_fields)).parquet(
+            *[os.path.join(self.location, p) for p in rel_paths]
+        )
+        if renames:
+            df = df.select(
+                *[
+                    (F.coalesce(f.name, *renames[f.name]).alias(f.name)
+                     if f.name in renames else F.col(f.name))
+                    for f in schema.fields
+                ]
             )
         return df.select(*columns) if columns else df
 
