@@ -52,6 +52,7 @@ from pyspark.sql.window import Window
 
 from ..lineage import LineageLog
 from ..tableformat import LakehouseTable
+from ..tableformat.paths import relativize
 
 
 def _dedupe_source(src: DataFrame, keys: list[str], data_cols: list[str]) -> DataFrame:
@@ -150,10 +151,8 @@ def merge_into(
         .select("_file").distinct().collect()
     }
     # normalize URIs from input_file_name to table-relative paths
-    touched_rel = set()
-    for f in touched_files:
-        i = f.find(table.location)
-        touched_rel.add(f[i + len(table.location) + 1 :] if i >= 0 else f)
+    # (scheme-robust: file:///x vs /x, s3a:// bases — tableformat.paths)
+    touched_rel = {relativize(f, table.location) for f in touched_files}
     # stats for the touched set come from the manifest DataFrame —
     # bounded by the touched-file count, never the whole table
     if touched_rel:

@@ -1,0 +1,52 @@
+"""Location/path normalization for table storage.
+
+The table location may be a plain POSIX path (this sandbox) or an
+object-store URI (``s3a://bucket/table`` — the reference runs against
+S3 + httpfs, dags/Bronze_Ingest_Dag.py:30-59). Every place that
+relativizes an absolute path/URI against the table location (e.g.
+``input_file_name()`` results in MERGE planning) goes through ONE
+normalizer so scheme differences can't silently mis-relativize:
+Spark reports local files as ``file:///abs/...`` while the table
+location is ``/abs/...``, and an ``s3a://`` location must never be
+fed to os.path.abspath (which would mangle the double slash).
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def is_uri(p: str) -> bool:
+    return "://" in p
+
+
+def normalize_location(location: str) -> str:
+    """Canonical table location: absolute for local paths, trailing
+    slash stripped for URIs (never abspath'd — it mangles schemes)."""
+    if is_uri(location):
+        return location.rstrip("/")
+    return os.path.abspath(location)
+
+
+def strip_scheme(p: str) -> str:
+    i = p.find("://")
+    return p[i + 3 :] if i >= 0 else p
+
+
+def relativize(path_or_uri: str, base: str) -> str:
+    """Table-relative path of a file under ``base``, robust to scheme
+    mismatches (file:///x vs /x, s3a://b/t vs s3a://b/t/). Returns the
+    input unchanged when it does not lie under base."""
+    sp = strip_scheme(path_or_uri)
+    sb = strip_scheme(base).rstrip("/")
+    i = sp.find(sb + "/")
+    if i >= 0:
+        return sp[i + len(sb) + 1 :]
+    return path_or_uri
+
+
+def join_path(base: str, *parts: str) -> str:
+    """Join under a location; URI-safe (plain '/' joining for URIs)."""
+    if is_uri(base):
+        return "/".join([base.rstrip("/")] + [p.strip("/") for p in parts])
+    return os.path.join(base, *parts)

@@ -118,10 +118,12 @@ _MANIFEST_SCHEMA = pa.schema(
 
 class LakehouseTable:
     def __init__(self, location: str):
-        self.location = os.path.abspath(location)
-        self.meta_dir = os.path.join(self.location, "metadata")
-        self.manifest_dir = os.path.join(self.meta_dir, "manifests")
-        self.data_dir = os.path.join(self.location, "data")
+        from .paths import join_path, normalize_location
+
+        self.location = normalize_location(location)
+        self.meta_dir = join_path(self.location, "metadata")
+        self.manifest_dir = join_path(self.meta_dir, "manifests")
+        self.data_dir = join_path(self.location, "data")
 
     # ---------------- metadata I/O ----------------
 
