@@ -113,7 +113,10 @@ def cluster(
     part_ids = sorted(part_bytes_all)
 
     metrics = {"files_in": 0, "files_out": 0, "rows": 0, "bytes": 0,
-               "wall_ms": 0, "chunks_skipped": 0, "snapshots": []}
+               "wall_ms": 0, "chunks_skipped": 0, "snapshots": [],
+               "phases_ms": {"plan": 0, "pass1_quantiles": 0,
+                             "pass2_rewrite": 0, "commit": 0}}
+    ph = metrics["phases_ms"]
     for chunk_parts in _chunk(part_ids, n_chunks):
         ck = chunk_key(list(chunk_parts))
         if ck in done:
@@ -126,10 +129,17 @@ def cluster(
             p: max(1, round(part_bytes_all[p] / target_file_size))
             for p in chunk_parts
         }
+        ph["plan"] += int((time.time() - t0) * 1000)
+        t1 = time.time()
 
         # ---- pass 1: key-only quantile boundaries per partition ----
         key_cols = ([pcol] if pcol else []) + [c for c in cols if c != pcol]
         keys_df = table.scan_files(spark, sorted(removed), columns=key_cols)
+        # the key columns are ~16 bytes/row vs KBs of blob, so the scan
+        # inherits far more splits than its data justifies (hundreds of
+        # near-empty tasks whose fixed cost dominates); coalesce to a
+        # couple of waves — no shuffle, each task reads several files
+        keys_df = keys_df.coalesce(max(spark.sparkContext.defaultParallelism * 2, 8))
         keyed = keys_df.withColumn(_SFC_COL, key_expr())
         probs = [i / _QUANTILES for i in range(1, _QUANTILES)]
         group_col = F.col(pcol) if pcol else F.lit(0)
@@ -157,6 +167,8 @@ def cluster(
             offsets[bkey] = off
             off += len(b) + 1
         total_out = off
+        ph["pass1_quantiles"] += int((time.time() - t1) * 1000)
+        t2 = time.time()
 
         # ---- pass 2: single blob shuffle into exact slots ----
         # within-file order does not change FILE-level min/max stats
@@ -177,10 +189,13 @@ def cluster(
             .drop(_TOK_COL, _SFC_COL)
         )
         new_entries = table.write_data_files(shaped, distribution="none")
+        ph["pass2_rewrite"] += int((time.time() - t2) * 1000)
+        t3 = time.time()
         snap = table.commit_replace(
             removed, new_entries, operation="replace",
             summary={"op": f"cluster-{curve}", "op_id": op_id, "chunk": ck},
         )
+        ph["commit"] += int((time.time() - t3) * 1000)
         wall_ms = int((time.time() - t0) * 1000)
         rows = sum(e["record_count"] for e in new_entries)
         nbytes = sum(e["file_size_bytes"] for e in new_entries)

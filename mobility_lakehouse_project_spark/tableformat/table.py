@@ -337,17 +337,18 @@ class LakehouseTable:
     def _collect_entries(self, out_dir: str, meta: dict) -> list[dict]:
         """Build manifest entries from freshly-written parquet footers.
 
-        Footer-only reads (O(files) metadata, no data pages). On a real
-        cluster these stats come back from executor task-commit
-        messages; locally the driver reads footers directly.
-        """
+        Footer-only reads (O(files) metadata, no data pages),
+        thread-pooled: footer I/O releases the GIL, and serial driver
+        time is exactly what Amdahl charges the high-parallelism level
+        for (measured: serial footer reads were ~8% of a local[8]
+        rewrite). On a real cluster these stats come back from executor
+        task-commit messages; locally the driver reads footers
+        directly."""
         schema = T.StructType.fromJson(json.loads(meta["schema_json"]))
         int_cols = {f.name for f in schema.fields if isinstance(f.dataType, _STAT_TYPES)}
         str_cols = {f.name for f in schema.fields if isinstance(f.dataType, T.StringType)}
-        entries = []
-        for fp in sorted(
-            globmod.glob(os.path.join(out_dir, "**", "*.parquet"), recursive=True)
-        ):
+
+        def one(fp: str) -> dict:
             rel = os.path.relpath(fp, self.location)
             partition_id = ""
             for seg in rel.split(os.sep):
@@ -379,20 +380,27 @@ class LakehouseTable:
                         lo, hi = str(st.min), str(st.max)
                         smins[name] = min(smins.get(name, lo), lo)
                         smaxs[name] = max(smaxs.get(name, hi), hi)
-            entries.append(
-                {
-                    "file_path": rel,
-                    "partition_id": partition_id,
-                    "record_count": md.num_rows,
-                    "file_size_bytes": os.path.getsize(fp),
-                    "added_snapshot_id": -1,  # patched at commit
-                    "int_mins": imins,
-                    "int_maxs": imaxs,
-                    "str_mins": smins,
-                    "str_maxs": smaxs,
-                }
-            )
-        return entries
+            return {
+                "file_path": rel,
+                "partition_id": partition_id,
+                "record_count": md.num_rows,
+                "file_size_bytes": os.path.getsize(fp),
+                "added_snapshot_id": -1,  # patched at commit
+                "int_mins": imins,
+                "int_maxs": imaxs,
+                "str_mins": smins,
+                "str_maxs": smaxs,
+            }
+
+        paths = sorted(
+            globmod.glob(os.path.join(out_dir, "**", "*.parquet"), recursive=True)
+        )
+        if len(paths) <= 4:
+            return [one(p) for p in paths]
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(16, len(paths))) as ex:
+            return list(ex.map(one, paths))
 
     def _write_manifest(self, entries: list[dict], snapshot_id: int) -> str:
         for e in entries:
@@ -489,8 +497,15 @@ class LakehouseTable:
         kept_manifests: list[str] = []
         survivors: list[dict] = []
         removed_seen = 0
-        for m in (prev.manifests if prev else []):
-            rows = self.read_manifest_entries(m)
+        prev_manifests = prev.manifests if prev else []
+        if len(prev_manifests) > 1:  # thread-pooled manifest reads (I/O)
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(16, len(prev_manifests))) as ex:
+                manifest_rows = list(ex.map(self.read_manifest_entries, prev_manifests))
+        else:
+            manifest_rows = [self.read_manifest_entries(m) for m in prev_manifests]
+        for m, rows in zip(prev_manifests, manifest_rows):
             hit = [r for r in rows if r["file_path"] in removed_paths]
             if not hit:
                 kept_manifests.append(m)
