@@ -761,6 +761,127 @@ def emb_label_profile(spark, sf_dir):
     )
 
 
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Near-dup detection by word-BIGRAM (2-gram shingle) Jaccard —
+    order-sensitive variant of dedup_token_jaccard (a reordered
+    document shares tokens but not bigrams). Same blocking algebra:
+    the gram self-join IS the candidate generator, no O(n^2) pass."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    n = F.size(toks)
+    grams_arr = F.array_distinct(
+        F.zip_with(
+            F.slice(toks, F.lit(1), n - 1),
+            F.slice(toks, F.lit(2), n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    )
+    g = (
+        d.filter(n >= 2)
+        .select("doc_id", F.explode(grams_arr).alias("gram"))
+    )
+    sizes = g.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a, b = g.alias("a"), g.alias("b")
+    inter = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("ida"), F.col("b.doc_id").alias("idb"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("ida"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("idb"), F.col("sz").alias("szb"))
+    return (
+        inter.join(sa, "ida").join(sb, "idb")
+        .withColumn("jaccard", F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")))
+        .filter(F.col("jaccard") >= 0.7)
+        .select("ida", "idb", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def dedup_embed_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs — the exact all-pairs baseline
+    (JVM higher-order functions, no UDF). The scale path is blocking by
+    LSH bucket / IVF cell (operators/similarity.py) with this same
+    scoring expression applied per block; at 10^12 rows the bucket is
+    the join key, never a cross join."""
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a = e.select(F.col("vec_id").alias("ida"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("idb"), F.col("embedding").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(F.col(c), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    ))
+    sim = dot / (norm("va") * norm("vb"))
+    return (
+        a.join(b, F.col("ida") < F.col("idb"))
+        .select("ida", "idb", F.round(sim, 4).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.44)
+    )
+
+
+def txt_quality_score(spark, sf_dir):
+    """Per-language text-quality profile — the quality-scoring stage of
+    a training pipeline: BPE-ish regex token counts (word / number /
+    symbol classes), punctuation ratio, stopword ratio, mean word
+    length; all pure Catalyst regex/string expressions (no UDF)."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.regexp_count(F.col("text"), F.lit("[a-z]+"))
+    numbers = F.regexp_count(F.col("text"), F.lit("[0-9]+"))
+    stop = F.regexp_count(F.col("text"), F.lit(" (the|and|of|to|in) "))
+    punct = F.length("text") - F.length(F.regexp_replace("text", "[.,;:!?]", ""))
+    scored = d.select(
+        "lang",
+        words.alias("w"),
+        numbers.alias("nn"),
+        stop.alias("st"),
+        (punct / F.greatest(F.length("text"), F.lit(1))).alias("punct_ratio"),
+        (F.length(F.regexp_replace("text", " ", "")) / F.greatest(words + numbers, F.lit(1))).alias("mean_tok_len"),
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            # doubles on both sides: DuckDB's SUM(BIGINT) widens to
+            # HUGEINT which lands as float64 in pandas
+            F.sum("w").cast("double").alias("word_tokens"),
+            F.sum("nn").cast("double").alias("number_tokens"),
+            F.sum("st").cast("double").alias("stopword_hits"),
+            F.round(F.avg("punct_ratio"), 5).alias("avg_punct_ratio"),
+            F.round(F.avg("mean_tok_len"), 4).alias("avg_tok_len"),
+        )
+    )
+
+
+def txt_rolling_fingerprint(spark, sf_dir):
+    """Document fingerprinting by positional rolling checksum: each
+    token contributes md5-derived-24-bit-residue x position-cycle
+    weight; the order-SENSITIVE analog of the md5 content fingerprint
+    (txt_fingerprint_dedup). Pure integer arithmetic -> bit-identical
+    across engines. Profiled per language (distinct fingerprints =
+    dedup cardinality under reordering)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    term = F.transform(
+        toks,
+        lambda x, i: F.conv(F.substring(F.md5(x), 1, 6), 16, 10).cast("long")
+        * (F.pmod(i, F.lit(16)) + 1),
+    )
+    fp = F.pmod(
+        F.aggregate(term, F.lit(0).cast("long"), lambda acc, x: acc + x),
+        F.lit(2147483647),
+    )
+    fps = d.select("lang", fp.alias("fp"))
+    return fps.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("fp").alias("n_distinct_fp"),
+        F.min("fp").alias("min_fp"),
+        F.max("fp").alias("max_fp"),
+    )
+
+
 # =====================================================================
 # Oracle SQL twins (DuckDB dialect-compatible ANSI SQL)
 # =====================================================================
@@ -1228,6 +1349,79 @@ def _ann_lsh_oracle_sql() -> str:
 
 ORACLE_SQL["ann_lsh_bucketed"] = _ann_lsh_oracle_sql()
 
+ORACLE_SQL["dedup_ngram_jaccard"] = """
+    WITH grams AS (
+        SELECT DISTINCT doc_id, gram
+        FROM (
+            SELECT doc_id,
+                   UNNEST(list_transform(range(1, len(toks)),
+                                         i -> toks[i] || ' ' || toks[i+1])) AS gram
+            FROM (SELECT doc_id,
+                         list_filter(string_split(text, ' '), x -> x != '') AS toks
+                  FROM documents) t
+            WHERE len(toks) >= 2
+        )
+    ), sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS inter
+        FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT ida, idb,
+           ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard
+    FROM inter JOIN sizes sa ON ida = sa.doc_id JOIN sizes sb ON idb = sb.doc_id
+    WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.7
+"""
+
+ORACLE_SQL["dedup_embed_cosine"] = """
+    SELECT a.vec_id AS ida, b.vec_id AS idb,
+           ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                 (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                  sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+                 4) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                 sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+                4) >= 0.44
+"""
+
+ORACLE_SQL["txt_quality_score"] = """
+    WITH scored AS (
+        SELECT lang,
+               len(regexp_extract_all(text, '[a-z]+')) AS w,
+               len(regexp_extract_all(text, '[0-9]+')) AS nn,
+               len(regexp_extract_all(text, ' (the|and|of|to|in) ')) AS st,
+               CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+                   / GREATEST(length(text), 1) AS punct_ratio,
+               CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE)
+                   / GREATEST(len(regexp_extract_all(text, '[a-z]+'))
+                              + len(regexp_extract_all(text, '[0-9]+')), 1) AS mean_tok_len
+        FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(w) AS DOUBLE) AS word_tokens,
+           CAST(SUM(nn) AS DOUBLE) AS number_tokens,
+           CAST(SUM(st) AS DOUBLE) AS stopword_hits,
+           ROUND(AVG(punct_ratio), 5) AS avg_punct_ratio,
+           ROUND(AVG(mean_tok_len), 4) AS avg_tok_len
+    FROM scored GROUP BY lang
+"""
+
+ORACLE_SQL["txt_rolling_fingerprint"] = """
+    WITH fps AS (
+        SELECT lang,
+               list_sum(list_transform(range(1, len(toks) + 1),
+                   i -> ('0x' || substr(md5(toks[i]), 1, 6))::BIGINT
+                        * (((i - 1) % 16) + 1)))::BIGINT % 2147483647 AS fp
+        FROM (SELECT lang,
+                     list_filter(string_split(text, ' '), x -> x != '') AS toks
+              FROM documents) t
+    )
+    SELECT lang, COUNT(*) AS n_docs, COUNT(DISTINCT fp) AS n_distinct_fp,
+           MIN(fp) AS min_fp, MAX(fp) AS max_fp
+    FROM fps GROUP BY lang
+"""
+
 # Golden constants from the Spark-free numpy path (tools/golden_mm.py,
 # n=500 seed=42 dims=(8,16,32,64)). Regenerate with:
 #   python tools/golden_mm.py 500
@@ -1490,6 +1684,10 @@ QUERIES = {
     "txt_lang_heuristic": txt_lang_heuristic,
     "txt_fingerprint_dedup": txt_fingerprint_dedup,
     "dedup_token_jaccard": dedup_token_jaccard,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_embed_cosine": dedup_embed_cosine,
+    "txt_quality_score": txt_quality_score,
+    "txt_rolling_fingerprint": txt_rolling_fingerprint,
     "ann_cosine_topk": ann_cosine_topk,
     "emb_label_profile": emb_label_profile,
 }
