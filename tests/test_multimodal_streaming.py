@@ -112,3 +112,75 @@ def test_windowed_stream_agg_matches_batch(spark, tmp_path):
         (r["win"]["start"], r["event_type"]): (r["n"], round(r["tv"], 4)) for r in batch
     }
     assert got == expect
+
+
+def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization: closed sessions emitted by
+    the stream equal the batch-computed sessions (each user's final,
+    possibly-open session excluded — the stream keeps it in state)."""
+    from pyspark.sql.window import Window
+
+    from mobility_lakehouse_project_spark.streaming import stateful
+
+    events = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"),
+                "value")
+        .filter(F.col("user_id") < 40)
+    )
+    # time-ordered files -> in-order arrival across micro-batches
+    src = str(tmp_path / "sess_src")
+    ordered = events.orderBy("ts").coalesce(1)
+    rows = ordered.collect()
+    third = max(1, len(rows) // 3)
+    for i in range(3):
+        chunk = rows[i * third: (i + 1) * third if i < 2 else len(rows)]
+        if chunk:
+            spark.createDataFrame(chunk, events.schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+
+    gap_min = 120.0
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stateful.sessionize_stream(stream, gap_minutes=gap_min)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("sessions")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"],
+         round(r["total_value"], 4))
+        for r in spark.sql("SELECT * FROM sessions").collect()
+    }
+
+    # batch twin: gap-split sessions, drop each user's LAST session
+    w = Window.partitionBy("user_id").orderBy("ts")
+    sess = (
+        events.withColumn("prev", F.lag("ts").over(w))
+        .withColumn(
+            "new_sess",
+            (F.col("prev").isNull()
+             | (F.col("ts").cast("long") - F.col("prev").cast("long")
+                > gap_min * 60)).cast("int"),
+        )
+        .withColumn("sid", F.sum("new_sess").over(w))
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("session_start"), F.max("ts").alias("session_end"),
+             F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+    )
+    last_sid = sess.groupBy("user_id").agg(F.max("sid").alias("sid"))
+    closed = sess.join(last_sid, ["user_id", "sid"], "left_anti")
+    expect = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"],
+         round(r["total_value"], 4))
+        for r in closed.collect()
+    }
+    assert len(got) > 0
+    assert got == expect

@@ -24,6 +24,10 @@ AUDIT = [
     "gold_gravity_model",    # expect broadcast mass joins
     "w_partitioned_topk",    # expect single shuffle for window
     "ann_cosine_topk",       # expect no python UDF (JVM higher-order fns)
+    "dedup_simhash",         # expect NO Python UDF (pure Catalyst simhash)
+    "ann_lsh_bucketed",      # expect NO Python UDF (Catalyst bucket expr)
+    "dedup_embed_cosine",    # expect no python UDF; join, not cartesian of blobs
+    "txt_quality_score",     # expect single HashAggregate pair, no UDF
 ]
 
 CHECKS = {
@@ -34,7 +38,15 @@ CHECKS = {
     "gold_gravity_model": ["BroadcastHashJoin"],
     "w_partitioned_topk": ["Window"],
     "ann_cosine_topk": ["TakeOrderedAndProject"],  # higher-order fns are not codegen'd; top-k must be
+    "dedup_simhash": ["HashAggregate"],
+    "ann_lsh_bucketed": ["TakeOrderedAndProject"],
+    "dedup_embed_cosine": [],
+    "txt_quality_score": ["HashAggregate"],
 }
+
+# plans that must contain NO row-at-a-time or Arrow Python evaluation
+NO_PYTHON = {"dedup_simhash", "ann_lsh_bucketed", "dedup_embed_cosine",
+             "txt_quality_score", "ann_cosine_topk"}
 
 
 def main() -> int:
@@ -50,6 +62,8 @@ def main() -> int:
         plan = buf.getvalue()
         musts = CHECKS.get(name, [])
         missing = [m for m in musts if m not in plan]
+        if name in NO_PYTHON and ("Python" in plan or "ArrowEval" in plan):
+            missing.append("NO-PYTHON violated")
         status = "OK" if not missing else f"MISSING {missing}"
         if missing:
             failures.append((name, missing))
