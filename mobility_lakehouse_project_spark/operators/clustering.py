@@ -194,6 +194,7 @@ def cluster(
         snap = table.commit_replace(
             removed, new_entries, operation="replace",
             summary={"op": f"cluster-{curve}", "op_id": op_id, "chunk": ck},
+            affected_partitions=set(chunk_parts),
         )
         ph["commit"] += int((time.time() - t3) * 1000)
         wall_ms = int((time.time() - t0) * 1000)

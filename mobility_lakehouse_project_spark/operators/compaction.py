@@ -169,6 +169,7 @@ def compact(
         snap = table.commit_replace(
             removed, new_entries, operation="replace",
             summary={"op": "compact", "op_id": op_id, "chunk": ck},
+            affected_partitions={p["partition_id"] for p in chunk},
         )
         wall_ms = int((time.time() - t0) * 1000)
         rows = sum(e["record_count"] for e in new_entries)

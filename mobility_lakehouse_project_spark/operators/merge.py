@@ -215,6 +215,9 @@ def merge_into(
         summary={"op": "merge", "key": ",".join(keys),
                  "when_matched": str(when_matched),
                  "when_not_matched": str(when_not_matched)},
+        # touched partitions + insert-target partitions bound the commit
+        affected_partitions={e["partition_id"] for e in touched_entries}
+        | {e["partition_id"] for e in new_entries},
     )
     wall_ms = int((time.time() - t0) * 1000)
     LineageLog(table.location).record(

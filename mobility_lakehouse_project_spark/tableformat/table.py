@@ -72,6 +72,11 @@ class Snapshot:
     operation: str  # append | overwrite | replace | delete | rewrite-manifests
     manifests: list[str]  # paths relative to metadata/
     summary: dict = field(default_factory=dict)
+    # manifest-list partition summaries (Iceberg's manifest_list role):
+    # manifest path -> sorted partition ids it contains, letting commits
+    # and planners skip manifests disjoint from the affected partitions
+    # without opening them. Missing entry (legacy snapshot) = must read.
+    manifest_parts: dict = field(default_factory=dict)
 
     def to_json(self) -> dict:
         return {
@@ -82,6 +87,7 @@ class Snapshot:
             "operation": self.operation,
             "manifests": self.manifests,
             "summary": self.summary,
+            "manifest_parts": self.manifest_parts,
         }
 
     @staticmethod
@@ -89,6 +95,7 @@ class Snapshot:
         return Snapshot(
             d["snapshot_id"], d["parent_id"], d["sequence"], d["timestamp_ms"],
             d["operation"], list(d["manifests"]), dict(d.get("summary", {})),
+            dict(d.get("manifest_parts", {})),
         )
 
 
@@ -402,7 +409,9 @@ class LakehouseTable:
         with ThreadPoolExecutor(max_workers=min(16, len(paths))) as ex:
             return list(ex.map(one, paths))
 
-    def _write_manifest(self, entries: list[dict], snapshot_id: int) -> str:
+    def _write_manifest(self, entries: list[dict], snapshot_id: int) -> tuple[str, list[str]]:
+        """Write a manifest file; returns (relative path, sorted
+        partition ids it covers — the manifest-list summary)."""
         for e in entries:
             e["added_snapshot_id"] = snapshot_id
         name = f"manifest-{snapshot_id}-{uuid.uuid4().hex[:8]}.parquet"
@@ -415,7 +424,7 @@ class LakehouseTable:
         }
         tbl = pa.table(cols, schema=_MANIFEST_SCHEMA)
         pq.write_table(tbl, os.path.join(self.manifest_dir, name))
-        return os.path.join("manifests", name)
+        return os.path.join("manifests", name), sorted({e["partition_id"] for e in entries})
 
     def read_manifest_entries(self, manifest_rel: str) -> list[dict]:
         tbl = pq.read_table(os.path.join(self.meta_dir, manifest_rel))
@@ -467,15 +476,18 @@ class LakehouseTable:
         meta = self.load_metadata()
         parent = meta["current_snapshot_id"]
         snap_id, seq = self._next_ids(meta)
-        manifest = self._write_manifest(entries, snap_id)
+        manifest, parts = self._write_manifest(entries, snap_id)
         prev = self.current_snapshot(meta)
         manifests = (prev.manifests if prev else []) + [manifest]
+        mparts = dict(prev.manifest_parts if prev else {})
+        mparts[manifest] = parts
         snap = Snapshot(
             snap_id, parent, seq, int(time.time() * 1000), "append", manifests,
             {"added-files": len(entries),
              "added-records": sum(e["record_count"] for e in entries),
              "added-bytes": sum(e["file_size_bytes"] for e in entries),
              **(summary or {})},
+            mparts,
         )
         return self._commit(meta, snap, parent)
 
@@ -485,48 +497,73 @@ class LakehouseTable:
         entries: list[dict],
         operation: str = "replace",
         summary: dict | None = None,
+        affected_partitions: set[str] | None = None,
     ) -> Snapshot:
         """Replace-files commit (compaction / clustering / MERGE / partition
         overwrite). Surviving entries of affected manifests are rewritten
         into a fresh manifest — the incremental form of manifest rewrite;
-        untouched manifests are carried over by reference."""
+        untouched manifests are carried over by reference.
+
+        ``affected_partitions`` lets the commit SKIP manifests whose
+        manifest-list partition summary is disjoint (never opened) — at
+        10^12 scale the commit cost becomes O(affected manifests), not
+        O(table). Safety: the removed-paths count check below still
+        fails loudly if a caller passes a wrong partition set."""
         meta = self.load_metadata()
         parent = meta["current_snapshot_id"]
         prev = self.current_snapshot(meta)
         snap_id, seq = self._next_ids(meta)
-        kept_manifests: list[str] = []
-        survivors: list[dict] = []
-        removed_seen = 0
         prev_manifests = prev.manifests if prev else []
-        if len(prev_manifests) > 1:  # thread-pooled manifest reads (I/O)
+        prev_parts = prev.manifest_parts if prev else {}
+        kept_manifests: list[str] = []
+        mparts: dict[str, list[str]] = {}
+        to_read: list[str] = []
+        for m in prev_manifests:
+            parts = prev_parts.get(m)
+            if (affected_partitions is not None and parts is not None
+                    and not (set(parts) & affected_partitions)):
+                kept_manifests.append(m)  # disjoint: keep without opening
+                mparts[m] = parts
+            else:
+                to_read.append(m)
+        if len(to_read) > 1:  # thread-pooled manifest reads (I/O)
             from concurrent.futures import ThreadPoolExecutor
 
-            with ThreadPoolExecutor(max_workers=min(16, len(prev_manifests))) as ex:
-                manifest_rows = list(ex.map(self.read_manifest_entries, prev_manifests))
+            with ThreadPoolExecutor(max_workers=min(16, len(to_read))) as ex:
+                manifest_rows = list(ex.map(self.read_manifest_entries, to_read))
         else:
-            manifest_rows = [self.read_manifest_entries(m) for m in prev_manifests]
-        for m, rows in zip(prev_manifests, manifest_rows):
+            manifest_rows = [self.read_manifest_entries(m) for m in to_read]
+        survivors: list[dict] = []
+        removed_seen = 0
+        for m, rows in zip(to_read, manifest_rows):
             hit = [r for r in rows if r["file_path"] in removed_paths]
             if not hit:
                 kept_manifests.append(m)
+                mparts[m] = prev_parts.get(m) or sorted({r["partition_id"] for r in rows})
             else:
                 removed_seen += len(hit)
                 survivors.extend(r for r in rows if r["file_path"] not in removed_paths)
         if removed_seen != len(removed_paths):
             raise ValueError(
                 f"{len(removed_paths) - removed_seen} removed paths not found "
-                "in current snapshot (stale plan?)"
+                "in current snapshot (stale plan, or affected_partitions "
+                "excluded a manifest that held removed files?)"
             )
         new_manifests = list(kept_manifests)
         if survivors:
-            new_manifests.append(self._write_manifest(survivors, snap_id))
+            m, parts = self._write_manifest(survivors, snap_id)
+            new_manifests.append(m)
+            mparts[m] = parts
         if entries:
-            new_manifests.append(self._write_manifest(entries, snap_id))
+            m, parts = self._write_manifest(entries, snap_id)
+            new_manifests.append(m)
+            mparts[m] = parts
         snap = Snapshot(
             snap_id, parent, seq, int(time.time() * 1000), operation, new_manifests,
             {"removed-files": len(removed_paths), "added-files": len(entries),
              "added-records": sum(e["record_count"] for e in entries),
              **(summary or {})},
+            mparts,
         )
         return self._commit(meta, snap, parent)
 
@@ -546,7 +583,8 @@ class LakehouseTable:
             for r in self.plan_files(df.sparkSession, partition_values=new_parts)
             .select("file_path").collect()
         }
-        return self.commit_replace(removed, entries, operation="overwrite")
+        return self.commit_replace(removed, entries, operation="overwrite",
+                                   affected_partitions=new_parts)
 
     # ---------------- metadata as DataFrames ----------------
 
@@ -755,6 +793,7 @@ class LakehouseTable:
             snap_id, parent, seq, int(time.time() * 1000), "expire-snapshots",
             cur.manifests if cur else [],
             {"expired-snapshots": len(expired), "deleted-files": len(dead_files)},
+            dict(cur.manifest_parts) if cur else {},
         )
         committed = self._commit(meta, exp, parent)
 
@@ -789,9 +828,10 @@ class LakehouseTable:
         parent = meta["current_snapshot_id"]
         entries = self.all_entries()
         snap_id, seq = self._next_ids(meta)
-        manifest = self._write_manifest(entries, snap_id)
+        manifest, parts = self._write_manifest(entries, snap_id)
         snap = Snapshot(
             snap_id, parent, seq, int(time.time() * 1000), "rewrite-manifests",
             [manifest], {"manifests-merged": len(self.current_snapshot(meta).manifests)},
+            {manifest: parts},
         )
         return self._commit(meta, snap, parent)

@@ -118,3 +118,55 @@ def test_expire_snapshots_gc(spark, small_table):
     # all remaining manifest-referenced files exist on disk
     for e in small_table.all_entries():
         assert os.path.exists(os.path.join(small_table.location, e["file_path"]))
+
+
+def test_commit_replace_skips_disjoint_manifests(spark, tmp_table_dir, monkeypatch):
+    """Manifest-list partition summaries: a replace commit scoped to
+    one partition must not OPEN manifests whose summaries are disjoint
+    — commit cost O(affected manifests), not O(table)."""
+    from mobility_lakehouse_project_spark import synth
+    from mobility_lakehouse_project_spark.tableformat.table import LakehouseTable as LT
+
+    df = synth.images_df(spark, 600, partitions=4)
+    t = LT.create(tmp_table_dir, df.schema, partition_col="bucket")
+    # one manifest per partition value (disjoint summaries)
+    for b in range(4):
+        part = df.filter(df.bucket == b)
+        if part.count():
+            t.append(part, n_files=2)
+    snap = t.current_snapshot()
+    assert len(snap.manifests) >= 3
+    assert all(m in snap.manifest_parts for m in snap.manifests)
+
+    reads = []
+    orig = LT.read_manifest_entries
+
+    def spy(self, m):
+        reads.append(m)
+        return orig(self, m)
+
+    monkeypatch.setattr(LT, "read_manifest_entries", spy)
+    target = snap.manifest_parts[snap.manifests[0]][0]  # a partition id
+    removed = {
+        r["file_path"]
+        for r in t.plan_files(spark, partition_values={target}).select("file_path").collect()
+    }
+    pre_rows = t.scan(spark).count()
+    entries = t.write_data_files(t.scan_files(spark, sorted(removed)), n_files=1)
+    t.commit_replace(removed, entries, affected_partitions={target})
+    # only manifests whose summary contains the target partition opened
+    opened_parts = {p for m in reads for p in t.current_snapshot().manifest_parts.get(m, [target])}
+    assert all(target in snap.manifest_parts[m] for m in reads)
+    assert len(reads) < len(snap.manifests)
+    assert t.scan(spark).count() == pre_rows
+    # wrong affected set -> loud failure, never silent loss
+    import pytest as _pt
+
+    snap2 = t.current_snapshot()
+    some_part = sorted({p for ps in snap2.manifest_parts.values() for p in ps})[0]
+    removed2 = {
+        r["file_path"]
+        for r in t.plan_files(spark, partition_values={some_part}).select("file_path").collect()
+    }
+    with _pt.raises(ValueError):
+        t.commit_replace(removed2, [], affected_partitions={"nonexistent-part"})
