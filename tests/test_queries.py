@@ -1,6 +1,6 @@
 """Smoke + spot-oracle tests for the relational layer.
 
-The driver runs the full 40-query oracle sweep (tools/check_oracles.py
+The driver runs the full 51-query oracle sweep (tools/check_oracles.py
 is the local mirror); here we keep a fast representative subset green
 under plain pytest."""
 
@@ -23,21 +23,13 @@ def duck():
     return con
 
 
-ROWS_ONLY = {"dedup_minhash_lsh", "dedup_simhash", "ann_lsh_bucketed", "mm_image_features"}
-
-
-def test_all_queries_run_and_have_oracles(spark):
-    """Every query has an oracle except the documented non-SQL-
-    expressible set (driver records rows-only checks for those)."""
-    missing = [n for n in QUERIES if n not in ORACLE_SQL and n not in ROWS_ONLY]
+def test_all_queries_have_oracles(spark):
+    """Since round 2 EVERY query has a DuckDB oracle twin — including
+    the LSH/SimHash/ANN/multimodal operators (exact-verified or
+    bit-portable forms; see their docstrings)."""
+    missing = [n for n in QUERIES if n not in ORACLE_SQL]
     assert missing == [], f"queries without oracle: {missing}"
     assert set(ORACLE_SQL) <= set(QUERIES)
-
-
-def test_rows_only_queries_run(spark):
-    for name in sorted(ROWS_ONLY):
-        df = QUERIES[name](spark, "/root/testdata/sf0.001")
-        assert df.count() >= 0, name
 
 
 @pytest.mark.parametrize("name", SPOT)
