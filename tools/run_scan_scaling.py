@@ -70,7 +70,13 @@ print("RESULT " + json.dumps(dict(cores={cores}, total=round(dt, 2),
       mb=round(data_bytes/1e6, 1), mb_s=round(data_bytes/1e6/dt, 2), violations=bad)))
 spark.stop()
 """
-    out = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True, cwd="/root/repo")
+    import os
+
+    # pin like run_scaling.py: a faithful N-core executor bounds JVM
+    # AND Python workers to N cores
+    pin = ["taskset", "-c", f"0-{cores - 1}"] if cores < (os.cpu_count() or 32) else []
+    out = subprocess.run(pin + [sys.executable, "-c", code],
+                         capture_output=True, text=True, cwd="/root/repo")
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
             return json.loads(line[7:])
