@@ -1,0 +1,182 @@
+"""The spark-submit application surface (north_star: "a single
+spark-submit --py-files application"). One subcommand per maintenance
+action; each prints exactly one JSON result line to stdout.
+
+    spark-submit --py-files mobility_lakehouse_project_spark.zip app.py <cmd> ...
+    python -m mobility_lakehouse_project_spark <cmd> ...          (local)
+
+Commands:
+    synth    --table DIR --rows N [--partitions P] [--files F] [--partition-col bucket]
+    compact  --table DIR [--target-mb 128] [--chunks 4] [--recompress L]
+    cluster  --table DIR [--curve zorder|hilbert] [--cols phash,w,h]
+             [--target-mb 128] [--chunks 4] [--recompress L]
+    merge    --table DIR --source PATH [--keys image_id]
+             [--when-matched update|delete|none] [--when-not-matched insert|none]
+             [--update-cols a,b] [--target-mb 64]
+    expire   --table DIR [--keep 2]
+    rewrite-manifests --table DIR
+    verify   --table DIR [--pre-snapshot ID] [--psnr-gate 40]
+    scan     --table DIR [--limit 5] [--partition P] [--snapshot ID]
+    lineage  --table DIR
+    snapshots --table DIR
+
+The session is built by session.get_spark (honors SPARK_GRAFT_CPUS);
+under spark-submit the submitted master/conf win via getOrCreate.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _mb(v: float) -> int:
+    return int(float(v) * 1024 * 1024)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="mobility_lakehouse_project_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def t(sp):
+        sp.add_argument("--table", required=True)
+
+    sp = sub.add_parser("synth")
+    t(sp)
+    sp.add_argument("--rows", type=int, required=True)
+    sp.add_argument("--partitions", type=int, default=None)
+    sp.add_argument("--files", type=int, default=16)
+    sp.add_argument("--partition-col", default="bucket")
+
+    sp = sub.add_parser("compact")
+    t(sp)
+    sp.add_argument("--target-mb", type=float, default=128)
+    sp.add_argument("--chunks", type=int, default=4)
+    sp.add_argument("--recompress", type=int, default=None)
+
+    sp = sub.add_parser("cluster")
+    t(sp)
+    sp.add_argument("--curve", choices=["zorder", "hilbert"], default="zorder")
+    sp.add_argument("--cols", default="phash,w,h")
+    sp.add_argument("--target-mb", type=float, default=128)
+    sp.add_argument("--chunks", type=int, default=4)
+    sp.add_argument("--recompress", type=int, default=None)
+
+    sp = sub.add_parser("merge")
+    t(sp)
+    sp.add_argument("--source", required=True, help="parquet path of the source")
+    sp.add_argument("--keys", default="image_id")
+    sp.add_argument("--when-matched", choices=["update", "delete", "none"], default="update")
+    sp.add_argument("--when-not-matched", choices=["insert", "none"], default="insert")
+    sp.add_argument("--update-cols", default=None)
+    sp.add_argument("--target-mb", type=float, default=64)
+
+    sp = sub.add_parser("expire")
+    t(sp)
+    sp.add_argument("--keep", type=int, default=2)
+
+    sp = sub.add_parser("rewrite-manifests")
+    t(sp)
+
+    sp = sub.add_parser("verify")
+    t(sp)
+    sp.add_argument("--pre-snapshot", type=int, required=True)
+    sp.add_argument("--sample", type=float, default=1.0)
+
+    sp = sub.add_parser("scan")
+    t(sp)
+    sp.add_argument("--limit", type=int, default=5)
+    sp.add_argument("--partition", default=None)
+    sp.add_argument("--snapshot", type=int, default=None)
+
+    sp = sub.add_parser("lineage")
+    t(sp)
+    sp = sub.add_parser("snapshots")
+    t(sp)
+
+    a = p.parse_args(argv)
+
+    from .session import get_spark
+    from .tableformat import LakehouseTable
+
+    spark = get_spark(f"engine-{a.cmd}")
+    out: dict
+    if a.cmd == "synth":
+        from . import synth
+
+        df = synth.images_df(spark, a.rows, partitions=a.partitions)
+        tbl = LakehouseTable(a.table)
+        if not tbl.exists:
+            tbl = LakehouseTable.create(a.table, df.schema, partition_col=a.partition_col or None)
+        snap = tbl.append(df, n_files=a.files)
+        out = {"cmd": "synth", "rows": a.rows, "snapshot": snap.snapshot_id,
+               "files": snap.summary["added-files"]}
+    elif a.cmd == "compact":
+        from .operators import compaction
+
+        out = {"cmd": "compact", **compaction.compact(
+            LakehouseTable(a.table), spark, target_file_size=_mb(a.target_mb),
+            n_chunks=a.chunks, recompress_level=a.recompress)}
+    elif a.cmd == "cluster":
+        from .operators import clustering
+
+        out = {"cmd": "cluster", "curve": a.curve, **clustering.cluster(
+            LakehouseTable(a.table), spark, curve=a.curve,
+            cols=tuple(a.cols.split(",")), target_file_size=_mb(a.target_mb),
+            n_chunks=a.chunks, recompress_level=a.recompress)}
+    elif a.cmd == "merge":
+        from .operators import merge
+
+        keys = a.keys.split(",")
+        out = {"cmd": "merge", **merge.merge_into(
+            LakehouseTable(a.table), spark, spark.read.parquet(a.source),
+            key=keys if len(keys) > 1 else keys[0],
+            target_file_size=_mb(a.target_mb),
+            when_matched=None if a.when_matched == "none" else a.when_matched,
+            update_cols=a.update_cols.split(",") if a.update_cols else None,
+            when_not_matched=None if a.when_not_matched == "none" else a.when_not_matched)}
+    elif a.cmd == "expire":
+        out = {"cmd": "expire", **LakehouseTable(a.table).expire_snapshots(keep_last=a.keep)}
+    elif a.cmd == "rewrite-manifests":
+        snap = LakehouseTable(a.table).rewrite_manifests()
+        out = {"cmd": "rewrite-manifests", "snapshot": snap.snapshot_id,
+               **snap.summary}
+    elif a.cmd == "verify":
+        from .operators import verify
+
+        out = {"cmd": "verify", **verify.verify_maintenance(
+            LakehouseTable(a.table), spark, pre_snapshot_id=a.pre_snapshot,
+            sample_fraction=a.sample)}
+    elif a.cmd == "scan":
+        tbl = LakehouseTable(a.table)
+        df = tbl.scan(
+            spark, snapshot_id=a.snapshot,
+            partition_values={a.partition} if a.partition is not None else None,
+        )
+        out = {"cmd": "scan", "rows": df.count(),
+               "sample": [
+                   {k: (v if not isinstance(v, (bytes, bytearray)) else f"<{len(v)}B>")
+                    for k, v in r.asDict().items()}
+                   for r in df.limit(a.limit).collect()
+               ]}
+    elif a.cmd == "lineage":
+        from .lineage import LineageLog
+
+        rows = LineageLog(a.table).lineage_df(spark).collect()
+        out = {"cmd": "lineage", "entries": [r.asDict() for r in rows]}
+    elif a.cmd == "snapshots":
+        out = {"cmd": "snapshots", "snapshots": [
+            {"id": s.snapshot_id, "op": s.operation, "seq": s.sequence,
+             "summary": s.summary}
+            for s in LakehouseTable(a.table).snapshots_list()
+        ]}
+    else:  # pragma: no cover
+        raise SystemExit(2)
+    print(json.dumps(out, default=str))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
