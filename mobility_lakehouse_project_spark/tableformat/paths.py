@@ -14,6 +14,9 @@ fed to os.path.abspath (which would mangle the double slash).
 from __future__ import annotations
 
 import os
+import re
+
+_SCHEME = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*:(//)?")
 
 
 def is_uri(p: str) -> bool:
@@ -29,19 +32,22 @@ def normalize_location(location: str) -> str:
 
 
 def strip_scheme(p: str) -> str:
-    i = p.find("://")
-    return p[i + 3 :] if i >= 0 else p
+    """Drop a leading URI scheme, handling both 'scheme://x' and the
+    single-slash 'file:/x' form Spark sometimes reports."""
+    m = _SCHEME.match(p)
+    return p[m.end():] if m else p
 
 
 def relativize(path_or_uri: str, base: str) -> str:
     """Table-relative path of a file under ``base``, robust to scheme
-    mismatches (file:///x vs /x, s3a://b/t vs s3a://b/t/). Returns the
-    input unchanged when it does not lie under base."""
+    mismatches (file:///x or file:/x vs /x, s3a://b/t vs s3a://b/t/).
+    The base must match as a PREFIX after scheme stripping — a base
+    that merely appears mid-path (/x/a/b vs base /a) never matches.
+    Returns the input unchanged when it does not lie under base."""
     sp = strip_scheme(path_or_uri)
     sb = strip_scheme(base).rstrip("/")
-    i = sp.find(sb + "/")
-    if i >= 0:
-        return sp[i + len(sb) + 1 :]
+    if sp.startswith(sb + "/"):
+        return sp[len(sb) + 1 :]
     return path_or_uri
 
 

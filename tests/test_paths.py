@@ -33,3 +33,10 @@ def test_join_and_normalize():
     assert join_path("s3a://b/t", "metadata", "v1.json") == "s3a://b/t/metadata/v1.json"
     assert normalize_location("s3a://b/t/") == "s3a://b/t"
     assert normalize_location("rel/dir").startswith("/")
+
+
+def test_relativize_never_matches_mid_path_or_single_slash_scheme():
+    # base appearing mid-path must NOT relativize
+    assert relativize("/x/a/b/f.parquet", "/a/b") == "/x/a/b/f.parquet"
+    # Spark's single-slash file:/abs form
+    assert relativize("file:/wh/t/data/f.parquet", "/wh/t") == "data/f.parquet"
