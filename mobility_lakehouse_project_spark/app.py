@@ -15,7 +15,7 @@ Commands:
              [--update-cols a,b] [--target-mb 64]
     expire   --table DIR [--keep 2]
     rewrite-manifests --table DIR
-    verify   --table DIR [--pre-snapshot ID] [--psnr-gate 40]
+    verify   --table DIR --pre-snapshot ID [--sample 1.0]
     scan     --table DIR [--limit 5] [--partition P] [--snapshot ID]
     lineage  --table DIR
     snapshots --table DIR

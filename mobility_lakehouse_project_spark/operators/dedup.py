@@ -146,9 +146,12 @@ def minhash_lsh_exact_pairs(
     the verify stage explodes tokens ONLY for docs appearing in some
     candidate pair (semi-join pushdown), so verify cost is proportional
     to near-duplicate volume, not corpus size."""
+    # sigs feed ONLY candidate generation here (no estimate stage), so
+    # no persist — caching single-use frames just pins executor memory
     sigs = docs.select(
         F.col(id_col).alias("id"), minhash_udf(k, shingle=1)(F.col(text_col)).alias("sig")
-    ).persist()
+    )
+    # cands is consumed three times (cand_ids union + the pair join)
     cands = _lsh_candidates(sigs, k, bands).persist()
 
     toks = docs.select(

@@ -124,11 +124,15 @@ def merge_into(
     if when_matched is None and when_not_matched == "insert":
         target_keys = table.scan(spark, columns=keys)
         new_rows = src.join(target_keys, keys, "left_anti")
+        # size by the ACTUAL insert count (keys-only anti-join count —
+        # sizing by all source rows fragments match-heavy merges into
+        # target/n_matched-sized slivers)
+        n_new = src_keys.join(target_keys, keys, "left_anti").count()
         stats = table.files(spark).agg(
             F.sum("file_size_bytes").alias("b"), F.sum("record_count").alias("r")
         ).collect()[0]
         avg_row = (stats["b"] or 1) / max(stats["r"] or 1, 1)
-        n_files = max(1, round(n_src * avg_row / target_file_size))
+        n_files = max(1, round(n_new * avg_row / target_file_size))
         entries = table.write_data_files(new_rows, n_files=n_files)
         src_keys.unpersist()
         if not entries:
@@ -168,16 +172,23 @@ def merge_into(
         touched_entries = []
 
     # ---- 2. rewrite: outer-join touched rows x source ----------------
-    tgt = table.scan_matched_files(touched_entries, spark).alias("t")
-    s = src.alias("s")
+    # presence flags, NOT key-null checks: a target row whose merge key
+    # is NULL never joins (== is null-rejecting) yet must be PRESERVED —
+    # classifying sides by key nullity would rewrite it from the all-
+    # NULL source side (silent corruption)
+    tgt = (
+        table.scan_matched_files(touched_entries, spark)
+        .withColumn("_t_present", F.lit(True)).alias("t")
+    )
+    s = src.withColumn("_s_present", F.lit(True)).alias("s")
     join_type = "full_outer" if when_not_matched == "insert" else "left_outer"
     cond = None
     for k in keys:
         c = F.col(f"t.{k}") == F.col(f"s.{k}")
         cond = c if cond is None else cond & c
     joined = tgt.join(s, cond, join_type)
-    matched = F.col(f"s.{keys[0]}").isNotNull() & F.col(f"t.{keys[0]}").isNotNull()
-    src_only = F.col(f"t.{keys[0]}").isNull()
+    matched = F.col("t._t_present").isNotNull() & F.col("s._s_present").isNotNull()
+    src_only = F.col("t._t_present").isNull()
     if when_matched == "delete":
         joined = joined.filter(~matched)
     upd = set(update_cols) if update_cols else set(c for c in data_cols if c not in keys)
@@ -197,10 +208,16 @@ def merge_into(
     touched_bytes = sum(e["file_size_bytes"] for e in touched_entries)
     insert_bytes = 0.0
     if when_not_matched == "insert":
+        # actual insert count: source keys with no target match
+        # (keys-only column-pruned scan; n_src would over-fragment
+        # match-heavy upserts)
+        n_new = src_keys.join(
+            target_keys.select(*keys), keys, "left_anti"
+        ).count()
         stats = table.files(spark).agg(
             F.sum("file_size_bytes").alias("b"), F.sum("record_count").alias("r")
         ).collect()[0]
-        insert_bytes = n_src * (stats["b"] or 1) / max(stats["r"] or 1, 1)
+        insert_bytes = n_new * (stats["b"] or 1) / max(stats["r"] or 1, 1)
     n_out = max(1, round((touched_bytes + insert_bytes) / target_file_size))
     n_parts = len({e["partition_id"] for e in touched_entries}) or 1
     new_entries = table.write_data_files(

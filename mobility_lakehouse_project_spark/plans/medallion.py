@@ -188,7 +188,10 @@ def transform_silver_personas(
     t = LakehouseTable(loc)
     if not t.exists:
         t = LakehouseTable.create(loc, fact.schema, partition_col="dia")
-    t.overwrite_partitions(fact, n_files=max(2, fact.select("dia").distinct().count()))
+    # day count from the raw bronze column — never re-execute the
+    # joined fact pipeline just to size the write
+    n_days = p.select("fecha").distinct().count()
+    t.overwrite_partitions(fact, n_files=max(2, n_days))
     return t
 
 
@@ -243,8 +246,11 @@ def transform_silver(
     t = LakehouseTable(loc)
     if not t.exists:
         t = LakehouseTable.create(loc, fact.schema, partition_col="dia")
+    # day count from the raw bronze column (column-pruned, no joins) —
+    # counting on `fact` would execute the whole agg pipeline twice
+    n_days = b.select("fecha").distinct().count()
     # per-day idempotent re-run: partitions present in the batch replace
-    t.overwrite_partitions(fact, n_files=max(2, fact.select("dia").distinct().count()))
+    t.overwrite_partitions(fact, n_files=max(2, n_days))
     return t
 
 
@@ -347,6 +353,11 @@ def gold_tables(
     ad = attrs.select(F.col("zone_id").alias("destino_zone_id"),
                       F.col("centroid_lat").alias("d_lat"),
                       F.col("centroid_lon").alias("d_lon"))
+    # NOTE on missing centroids: GREATEST skips NULLs in both Spark and
+    # DuckDB (verified), so a pair with no centroid gets the 0.5 km
+    # floor and the reference's own `WHERE distance_km IS NOT NULL`
+    # guard (gold.sql:221) is vestigial there too — we reproduce the
+    # reference's ACTUAL results rather than its comment's intent.
     dist = F.greatest(
         F.lit(0.5),
         F.when(

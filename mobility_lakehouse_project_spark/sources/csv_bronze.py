@@ -36,7 +36,10 @@ def read_csv_stringly(
     """S2: schema-on-read scan — every column StringType, bad rows kept
     (the bronze contract: never lose raw data), source file attached.
     Returns None when the glob matches nothing (S3 skip-day probe)."""
-    if not globmod.glob(path):  # glob matches literal paths too (S3 probe)
+    # existence probe applies to LOCAL paths only: Python glob cannot
+    # see object-store URIs (s3a://, hdfs://) and would mistake every
+    # remote path for an empty day — those go straight to spark.read
+    if "://" not in path and not globmod.glob(path):
         return None
     schema = T.StructType([T.StructField(c, T.StringType(), True) for c in columns])
     df = spark.read.options(sep=sep, header=header, mode="PERMISSIVE").schema(schema).csv(path)

@@ -62,9 +62,13 @@ def sessionize_stream(events: DataFrame, gap_minutes: float = 30.0) -> DataFrame
         (uid,) = key
         st = state.get if state.exists else (None, None, 0, 0.0)
         closed_all = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("ts")
-            closed, st = _fold(pdf[["ts", "value"]], st, gap_us)
+        # a group spanning multiple Arrow chunks must be sorted as ONE
+        # batch — per-chunk sorting would fold events out of time order
+        # across chunk boundaries and corrupt session assembly
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch):
+            batch = batch.sort_values("ts")
+            closed, st = _fold(batch[["ts", "value"]], st, gap_us)
             closed_all.extend(closed)
         if st[0] is not None:
             state.update(tuple(st))

@@ -236,8 +236,14 @@ class LakehouseTable:
         names = [f.name for f in schema.fields]
         if old not in names:
             raise ValueError(f"no column {old!r}")
-        if new in names:
-            raise ValueError(f"column {new!r} already exists")
+        taken = set(names) | {
+            o for olds in self.column_renames(meta).values() for o in olds
+        }
+        if new in taken:
+            raise ValueError(
+                f"column {new!r} already exists (or is a retired physical "
+                "name still present in old data files)"
+            )
         renames = self.column_renames(meta)
         prior = renames.pop(old, [])  # chained renames carry full history
         renames[new] = [old] + prior
@@ -792,7 +798,11 @@ class LakehouseTable:
         exp = Snapshot(
             snap_id, parent, seq, int(time.time() * 1000), "expire-snapshots",
             cur.manifests if cur else [],
-            {"expired-snapshots": len(expired), "deleted-files": len(dead_files)},
+            # files-to-gc is the PLANNED set (known pre-commit); actual
+            # deletions happen after the commit and are returned, not
+            # recorded in the immutable snapshot history
+            {"expired-snapshots": len(expired), "files-to-gc": len(dead_files),
+             "gc-enabled": bool(delete_orphans)},
             dict(cur.manifest_parts) if cur else {},
         )
         committed = self._commit(meta, exp, parent)

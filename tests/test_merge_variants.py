@@ -117,3 +117,36 @@ def test_insert_heavy_merge_splits_output_files(spark, base_table):
     res = merge.merge_into(t, spark, src, target_file_size=512 * 1024)
     assert t.scan(spark).count() == N + 2380
     assert res["files_written"] >= 3
+
+
+def test_merge_preserves_null_key_target_rows(spark, tmp_table_dir):
+    """A target row whose merge key is NULL never joins (== is
+    null-rejecting) but MUST survive a rewrite of its file untouched —
+    classifying join sides by key nullity would null out every column."""
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (None, "nullkey", 30.0)],
+        "id long, tag string, v double",
+    )
+    t = LakehouseTable.create(tmp_table_dir, df.schema, partition_col=None)
+    t.append(df, n_files=1)  # one file: the merge must rewrite it
+    src = spark.createDataFrame([(1, "a2", 11.0)], "id long, tag string, v double")
+    merge.merge_into(t, spark, src, key="id", target_file_size=1 << 20)
+    rows = {r["tag"]: (r["id"], r["v"]) for r in t.scan(spark).collect()}
+    assert rows["nullkey"] == (None, 30.0)  # preserved byte-for-byte
+    assert rows["a2"] == (1, 11.0)
+    assert rows["b"] == (2, 20.0)
+    assert len(rows) == 3
+
+
+def test_insert_only_sizing_uses_actual_insert_count(spark, tmp_table_dir):
+    """Match-heavy insert-only merge must not fragment: 1 actual insert
+    -> 1 new file, regardless of source size."""
+    base = synth.images_df(spark, 400, partitions=2)
+    t = LakehouseTable.create(tmp_table_dir, base.schema, partition_col="bucket")
+    t.append(base, n_files=4)
+    # 400 duplicates + 1 genuinely new key, tiny target size
+    src = synth.images_df(spark, 401, partitions=2)
+    res = merge.merge_into(t, spark, src, when_matched=None,
+                           target_file_size=8 * 1024)
+    assert res["rows_out"] == 1
+    assert res["files_written"] <= 2  # sized by n_new, not n_src

@@ -86,3 +86,13 @@ def test_stats_pruning_conservative_on_renamed_column(spark, tmp_table_dir):
     t.rename_column("v", "value")
     pruned = t.scan(spark, int_ranges={"value": (0, 50)})
     assert pruned.filter(F.col("value") <= 50).count() == 6
+
+
+def test_rename_to_retired_physical_name_rejected(spark, evolved_table):
+    """Renaming a column to a name old data files still carry would
+    duplicate fields in the physical read schema — must be rejected."""
+    t = evolved_table
+    with pytest.raises(ValueError):
+        t.rename_column("id", "a")  # 'a' is label's retired physical name
+    # table still scans fine
+    assert t.scan(spark).count() == 30
