@@ -478,24 +478,37 @@ class LakehouseTable:
         _atomic_write(self._hint_path, str(new_v))
         return new_snapshot
 
-    def commit_append(self, entries: list[dict], summary: dict | None = None) -> Snapshot:
-        meta = self.load_metadata()
-        parent = meta["current_snapshot_id"]
-        snap_id, seq = self._next_ids(meta)
-        manifest, parts = self._write_manifest(entries, snap_id)
-        prev = self.current_snapshot(meta)
-        manifests = (prev.manifests if prev else []) + [manifest]
-        mparts = dict(prev.manifest_parts if prev else {})
-        mparts[manifest] = parts
-        snap = Snapshot(
-            snap_id, parent, seq, int(time.time() * 1000), "append", manifests,
-            {"added-files": len(entries),
-             "added-records": sum(e["record_count"] for e in entries),
-             "added-bytes": sum(e["file_size_bytes"] for e in entries),
-             **(summary or {})},
-            mparts,
-        )
-        return self._commit(meta, snap, parent)
+    def commit_append(self, entries: list[dict], summary: dict | None = None,
+                      retries: int = 3) -> Snapshot:
+        """Append commit with optimistic-concurrency retry: appends
+        compose with ANY concurrent commit, so on ConcurrentCommitError
+        the commit re-reads the advanced metadata and re-applies itself
+        (Iceberg's retryable snapshot producer). A failed attempt may
+        leave an orphan manifest file — unreferenced, harmless, and
+        cleaned by the next expire GC."""
+        last: Exception | None = None
+        for _ in range(max(1, retries + 1)):
+            meta = self.load_metadata()
+            parent = meta["current_snapshot_id"]
+            snap_id, seq = self._next_ids(meta)
+            manifest, parts = self._write_manifest(entries, snap_id)
+            prev = self.current_snapshot(meta)
+            manifests = (prev.manifests if prev else []) + [manifest]
+            mparts = dict(prev.manifest_parts if prev else {})
+            mparts[manifest] = parts
+            snap = Snapshot(
+                snap_id, parent, seq, int(time.time() * 1000), "append", manifests,
+                {"added-files": len(entries),
+                 "added-records": sum(e["record_count"] for e in entries),
+                 "added-bytes": sum(e["file_size_bytes"] for e in entries),
+                 **(summary or {})},
+                mparts,
+            )
+            try:
+                return self._commit(meta, snap, parent)
+            except ConcurrentCommitError as e:
+                last = e
+        raise last
 
     def commit_replace(
         self,
@@ -504,6 +517,7 @@ class LakehouseTable:
         operation: str = "replace",
         summary: dict | None = None,
         affected_partitions: set[str] | None = None,
+        retries: int = 3,
     ) -> Snapshot:
         """Replace-files commit (compaction / clustering / MERGE / partition
         overwrite). Surviving entries of affected manifests are rewritten
@@ -514,7 +528,32 @@ class LakehouseTable:
         manifest-list partition summary is disjoint (never opened) — at
         10^12 scale the commit cost becomes O(affected manifests), not
         O(table). Safety: the removed-paths count check below still
-        fails loudly if a caller passes a wrong partition set."""
+        fails loudly if a caller passes a wrong partition set.
+
+        Optimistic concurrency: on ConcurrentCommitError the commit
+        re-reads the advanced metadata and re-derives survivors; a
+        DISJOINT concurrent commit (different partitions/files) then
+        composes cleanly, while a conflicting one (our removed files
+        are gone) fails the removed-paths check with ValueError — the
+        correct non-retryable outcome for a stale rewrite plan."""
+        last: Exception | None = None
+        for _ in range(max(1, retries + 1)):
+            try:
+                return self._commit_replace_once(
+                    removed_paths, entries, operation, summary, affected_partitions
+                )
+            except ConcurrentCommitError as e:
+                last = e
+        raise last
+
+    def _commit_replace_once(
+        self,
+        removed_paths: set[str],
+        entries: list[dict],
+        operation: str,
+        summary: dict | None,
+        affected_partitions: set[str] | None,
+    ) -> Snapshot:
         meta = self.load_metadata()
         parent = meta["current_snapshot_id"]
         prev = self.current_snapshot(meta)

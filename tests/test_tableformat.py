@@ -170,3 +170,86 @@ def test_commit_replace_skips_disjoint_manifests(spark, tmp_table_dir, monkeypat
     }
     with _pt.raises(ValueError):
         t.commit_replace(removed2, [], affected_partitions={"nonexistent-part"})
+
+
+def test_optimistic_commit_retry(spark, tmp_table_dir, monkeypatch):
+    """A commit racing another writer retries against the refreshed
+    metadata: appends always compose; a replace composes when its
+    removed files survive; a truly stale replace plan fails loudly."""
+    from mobility_lakehouse_project_spark import synth
+    from mobility_lakehouse_project_spark.tableformat.table import (
+        ConcurrentCommitError,
+        LakehouseTable as LT,
+    )
+
+    df = synth.images_df(spark, 200, partitions=2)
+    t = LT.create(tmp_table_dir, df.schema, partition_col="bucket")
+    t.append(df, n_files=2)
+
+    # inject: the first _commit attempt races a concurrent writer (we
+    # advance the table out from under it), subsequent attempts run real
+    orig_commit = LT._commit
+    state = {"raced": False}
+    racer_entries = t.write_data_files(synth.images_df(spark, 50, partitions=1,
+                                                       id_offset=10_000))
+
+    def racing_commit(self, base_meta, new_snapshot, expected_parent):
+        if not state["raced"]:
+            state["raced"] = True
+            # concurrent writer lands first (uses the real commit path)
+            orig_commit(
+                self, self.load_metadata(),
+                *_mk_snap(self, racer_entries),
+            )
+        return orig_commit(self, base_meta, new_snapshot, expected_parent)
+
+    def _mk_snap(tbl, entries):
+        meta = tbl.load_metadata()
+        parent = meta["current_snapshot_id"]
+        snap_id, seq = tbl._next_ids(meta)
+        manifest, parts = tbl._write_manifest(entries, snap_id)
+        prev = tbl.current_snapshot(meta)
+        from mobility_lakehouse_project_spark.tableformat.table import Snapshot
+        import time as _time
+
+        mp = dict(prev.manifest_parts if prev else {})
+        mp[manifest] = parts
+        snap = Snapshot(snap_id, parent, seq, int(_time.time() * 1000), "append",
+                        (prev.manifests if prev else []) + [manifest],
+                        {"added-files": len(entries)}, mp)
+        return snap, parent
+
+    monkeypatch.setattr(LT, "_commit", racing_commit)
+    # append retries through the race and lands on top of the racer
+    mine = t.write_data_files(synth.images_df(spark, 30, partitions=1,
+                                              id_offset=20_000))
+    t.commit_append(mine)
+    assert t.scan(spark).count() == 200 + 50 + 30
+
+    # replace retries too (racer appends disjoint data mid-commit)
+    state["raced"] = False
+    racer_entries = t.write_data_files(synth.images_df(spark, 40, partitions=1,
+                                                       id_offset=30_000))
+    some_part = sorted({
+        r["partition_id"] for r in t.files(spark).select("partition_id").collect()
+    })[0]
+    removed = {
+        r["file_path"]
+        for r in t.plan_files(spark, partition_values={some_part})
+        .select("file_path").collect()
+    }
+    rewritten = t.write_data_files(t.scan_files(spark, sorted(removed)), n_files=1)
+    t.commit_replace(removed, rewritten, affected_partitions={some_part})
+    assert t.scan(spark).count() == 200 + 50 + 30 + 40
+
+    # retries exhausted -> the error surfaces
+    def always_conflict(self, *a, **k):
+        raise ConcurrentCommitError("busy table")
+
+    monkeypatch.setattr(LT, "_commit", always_conflict)
+    import pytest as _pt
+
+    with _pt.raises(ConcurrentCommitError):
+        t.commit_append(t.write_data_files(synth.images_df(spark, 5, partitions=1,
+                                                           id_offset=40_000)),
+                        retries=2)
