@@ -103,20 +103,33 @@ def ann_lsh_topk(
     n_planes: int = 12,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_probes: int = 1,
 ) -> DataFrame:
     """Approximate top-k: score only vectors in the query's LSH bucket.
 
     At 10^12 scale the bucket column is what the table is partitioned/
     clustered by, so the probe is a partition-pruned scan; here it is a
     filter. Recall/latency tuned by n_planes (fewer planes = bigger
-    buckets = higher recall, more compute)."""
+    buckets = higher recall, more compute) and ``n_probes``:
+    MULTI-PROBE LSH (Lv et al., VLDB 2007) also visits the buckets at
+    Hamming distance 1 whose flipped plane has the SMALLEST |margin|
+    (the nearest decision boundaries — the most likely buckets to hold
+    lost neighbors), recovering recall without shrinking the plane
+    count."""
     dim = len(query_vec)
     bucket = lsh_bucket_udf(dim, n_planes)
     planes = _hyperplanes(dim, n_planes)
     q = np.array(query_vec, dtype=np.float64)
-    qb = int(((q @ planes.T > 0) * (1 << np.arange(n_planes))).sum())
+    margins = q @ planes.T  # signed distance to each plane
+    qb = int(((margins > 0) * (1 << np.arange(n_planes))).sum())
+    probe_buckets = [qb]
+    # flip the lowest-|margin| planes first
+    for i in np.argsort(np.abs(margins))[: max(0, n_probes - 1)]:
+        probe_buckets.append(qb ^ (1 << int(i)))
     qlit = F.array(*[F.lit(float(x)) for x in query_vec])
-    cand = embeddings.withColumn("_bucket", bucket(F.col(vec_col))).filter(F.col("_bucket") == qb)
+    cand = embeddings.withColumn("_bucket", bucket(F.col(vec_col))).filter(
+        F.col("_bucket").isin(probe_buckets)
+    )
     dot = F.aggregate(
         F.zip_with(vec_col, qlit, lambda x, y: x.cast("double") * y),
         F.lit(0.0), lambda acc, x: acc + x,
