@@ -1349,6 +1349,61 @@ def _ann_lsh_oracle_sql() -> str:
 
 ORACLE_SQL["ann_lsh_bucketed"] = _ann_lsh_oracle_sql()
 
+
+ANN_IVF_CELLS = 8
+
+
+def _ann_ivf_oracle_sql() -> str:
+    """Generated at import: the fixed +-1 coarse quantizer as SQL. Cell
+    assignment uses exact integer dots (round(x*1024) * +-1 summed in
+    doubles — exact, order-independent), so CASE-on-greatest picks the
+    identical cell in both engines; the query's 2 probe cells are
+    computed inside the SQL the same way."""
+    from ..operators.similarity import rademacher_signs
+
+    cents = rademacher_signs(64, ANN_IVF_CELLS, seed=23)
+
+    def dots(vec: str) -> list[str]:
+        out = []
+        for c in cents:
+            lst = "[" + ", ".join(f"{x:.1f}" for x in c) + "]"
+            out.append(
+                f"list_dot_product(list_transform({vec}, "
+                f"x -> round(x::DOUBLE * 1024)), {lst})"
+            )
+        return out
+
+    def cell(vec: str) -> str:
+        ds = dots(vec)
+        g = f"greatest({', '.join(ds)})"
+        cases = " ".join(f"WHEN {d} = {g} THEN {i}" for i, d in enumerate(ds))
+        return f"(CASE {cases} END)"
+
+    qd = dots("qv")
+    # the query's two best cells, ties by index (mirrors the plan's
+    # sorted(range, key=(-dot, i))[:2])
+    probe = f"""
+        (SELECT list_transform(
+             list_slice(list_sort(list_transform(range(1, {ANN_IVF_CELLS + 1}),
+                 i -> [-([{', '.join(qd)}])[i], i::DOUBLE])), 1, 2),
+             p -> CAST(p[2] AS INTEGER) - 1) AS cells
+         FROM q)
+    """
+    return f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    probe AS ({probe})
+    SELECT vec_id, label,
+           ROUND(list_dot_product(embedding::DOUBLE[], qv::DOUBLE[]) /
+                 (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+                  sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))), 4) AS cos_sim
+    FROM embeddings, q, probe
+    WHERE vec_id != 0 AND list_contains(probe.cells, {cell("embedding")})
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
+
+ORACLE_SQL["ann_ivf_probe"] = _ann_ivf_oracle_sql()
+
 ORACLE_SQL["dedup_ngram_jaccard"] = """
     WITH grams AS (
         SELECT DISTINCT doc_id, gram
@@ -1622,6 +1677,69 @@ def ann_lsh_bucketed(spark, sf_dir):
     )
 
 
+def ann_ivf_probe(spark, sf_dir):
+    """IVF-style ANN probe with a FIXED deterministic coarse quantizer:
+    8 +-1 centroids (all equal norm, so argmax integer dot == argmin
+    L2); each vector is assigned to its best cell, the query probes its
+    2 nearest cells, and only those cells are cosine-scored. The
+    trained-quantizer variant (Lloyd iterations as DataFrame aggs) is
+    operators/similarity.py::ivf_train_centroids; the fixed quantizer
+    is the form whose cell assignment a SQL oracle can reproduce
+    bit-for-bit (exact integer dots via round(x*1024)). At 10^12 scale
+    the cell is the partition key; the probe is a pruned scan."""
+    import math
+
+    from ..operators.similarity import rademacher_signs
+
+    cents = rademacher_signs(64, ANN_IVF_CELLS, seed=23)
+    e = _t(spark, sf_dir, "embeddings")
+
+    def cell_dots(df):
+        dots = []
+        for c in cents:
+            lit = F.array(*[F.lit(float(s)) for s in c])
+            dots.append(F.aggregate(
+                F.zip_with("embedding", lit, lambda x, y: F.round(x.cast("double") * 1024) * y),
+                F.lit(0.0), lambda acc, x: acc + x,
+            ))
+        return dots
+
+    def cell_expr(dots):
+        best = F.greatest(*dots)
+        expr = F.when(dots[0] == best, 0)
+        for i in range(1, len(dots)):
+            expr = expr.when(dots[i] == best, i)  # first match = lowest idx
+        return expr
+
+    # query cell + 2 probe cells, driver-side with the same exact ints
+    qv = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    rnd = lambda v: math.copysign(math.floor(abs(v) + 0.5), v)  # noqa: E731
+    qi = [rnd(float(x) * 1024) for x in qv]
+    qdots = [sum(a * b for a, b in zip(qi, c)) for c in cents]
+    order = sorted(range(ANN_IVF_CELLS), key=lambda i: (-qdots[i], i))
+    probe = order[:2]
+
+    cand = e.filter(F.col("vec_id") != 0).filter(
+        cell_expr(cell_dots(e)).isin(probe)
+    )
+    q = F.broadcast(e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv")))
+    withq = cand.crossJoin(q)
+    dot = F.aggregate(
+        F.zip_with("embedding", "qv", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    norm = lambda col: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(col, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    ))
+    sim = dot / (norm(F.col("embedding")) * norm(F.col("qv")))
+    return (
+        withq.select("vec_id", "label", F.round(sim, 4).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )
+
+
 def mm_image_features(spark, sf_dir):
     """Multimodal decode validation summary over the deterministic
     synthetic image table: mapInPandas decodes every blob, extracts
@@ -1689,5 +1807,6 @@ QUERIES = {
     "txt_quality_score": txt_quality_score,
     "txt_rolling_fingerprint": txt_rolling_fingerprint,
     "ann_cosine_topk": ann_cosine_topk,
+    "ann_ivf_probe": ann_ivf_probe,
     "emb_label_profile": emb_label_profile,
 }
