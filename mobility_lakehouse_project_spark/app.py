@@ -14,6 +14,7 @@ Commands:
              [--when-matched update|delete|none] [--when-not-matched insert|none]
              [--update-cols a,b] [--target-mb 64]
     expire   --table DIR [--keep 2]
+    remove-orphans --table DIR [--older-than-s 3600]
     rewrite-manifests --table DIR
     verify   --table DIR --pre-snapshot ID [--sample 1.0]
     scan     --table DIR [--limit 5] [--partition P] [--snapshot ID]
@@ -75,6 +76,10 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("expire")
     t(sp)
     sp.add_argument("--keep", type=int, default=2)
+
+    sp = sub.add_parser("remove-orphans")
+    t(sp)
+    sp.add_argument("--older-than-s", type=float, default=3600.0)
 
     sp = sub.add_parser("rewrite-manifests")
     t(sp)
@@ -138,6 +143,9 @@ def main(argv: list[str] | None = None) -> int:
             when_not_matched=None if a.when_not_matched == "none" else a.when_not_matched)}
     elif a.cmd == "expire":
         out = {"cmd": "expire", **LakehouseTable(a.table).expire_snapshots(keep_last=a.keep)}
+    elif a.cmd == "remove-orphans":
+        out = {"cmd": "remove-orphans",
+               **LakehouseTable(a.table).remove_orphan_files(a.older_than_s)}
     elif a.cmd == "rewrite-manifests":
         snap = LakehouseTable(a.table).rewrite_manifests()
         out = {"cmd": "rewrite-manifests", "snapshot": snap.snapshot_id,

@@ -870,6 +870,52 @@ class LakehouseTable:
             "snapshot": committed.snapshot_id,
         }
 
+    def remove_orphan_files(self, older_than_s: float = 3600.0) -> dict:
+        """Delete files in the table directory that NO snapshot
+        references — Iceberg's remove_orphan_files. Orphans come from
+        crashed writers (write_data_files outputs whose commit never
+        happened) and failed optimistic-commit attempts (unreferenced
+        manifests). ``older_than_s`` is the in-flight grace period: a
+        concurrent writer's not-yet-committed files are younger than it
+        and are left alone (Iceberg's default is 3 days; local tests
+        pass 0).
+
+        Reachability = every file_path in every manifest of EVERY
+        retained snapshot, plus every referenced manifest. Runs after
+        the current version is resolved, so files committed later are
+        never candidates (they are younger than the walk anyway)."""
+        live_manifests: set[str] = set()
+        for s in self.snapshots_list():
+            live_manifests |= set(s.manifests)
+        live_files: set[str] = set()
+        for m in live_manifests:
+            live_files |= {e["file_path"] for e in self.read_manifest_entries(m)}
+
+        now = time.time()
+        deleted_data = deleted_manifests = 0
+        for fp in globmod.glob(os.path.join(self.data_dir, "**", "*.parquet"),
+                               recursive=True):
+            rel = os.path.relpath(fp, self.location)
+            if rel in live_files:
+                continue
+            if now - os.path.getmtime(fp) < older_than_s:
+                continue  # possibly an in-flight write
+            os.remove(fp)
+            deleted_data += 1
+        for fp in globmod.glob(os.path.join(self.manifest_dir, "manifest-*.parquet")):
+            rel = os.path.join("manifests", os.path.basename(fp))
+            if rel in live_manifests:
+                continue
+            if now - os.path.getmtime(fp) < older_than_s:
+                continue
+            os.remove(fp)
+            deleted_manifests += 1
+        for d in globmod.glob(os.path.join(self.data_dir, "snap-*")):
+            if not any(files for _, _, files in os.walk(d)):
+                shutil.rmtree(d, ignore_errors=True)
+        return {"deleted_data_files": deleted_data,
+                "deleted_manifests": deleted_manifests}
+
     def rewrite_manifests(self) -> Snapshot:
         """Consolidate the current snapshot's manifests into one —
         metadata compaction, keeping planning scans O(1) files."""

@@ -253,3 +253,35 @@ def test_optimistic_commit_retry(spark, tmp_table_dir, monkeypatch):
         t.commit_append(t.write_data_files(synth.images_df(spark, 5, partitions=1,
                                                            id_offset=40_000)),
                         retries=2)
+
+
+def test_remove_orphan_files(spark, tmp_table_dir):
+    """Crashed-writer outputs (written, never committed) and manifests
+    from failed commit attempts are invisible to expire_snapshots;
+    remove_orphan_files GCs them while live data survives — and the
+    grace period protects in-flight writes."""
+    from mobility_lakehouse_project_spark import synth
+
+    df = synth.images_df(spark, 200, partitions=2)
+    t = LakehouseTable.create(tmp_table_dir, df.schema, partition_col="bucket")
+    t.append(df, n_files=2)
+    n_live = t.scan(spark).count()
+
+    # a crashed writer: files written, commit never happened
+    t.write_data_files(synth.images_df(spark, 50, partitions=1, id_offset=9999))
+    # grace period: young orphans survive
+    res = t.remove_orphan_files(older_than_s=3600)
+    assert res["deleted_data_files"] == 0
+    # age them out
+    import glob as g
+    import os
+
+    for fp in g.glob(os.path.join(t.data_dir, "**", "*.parquet"), recursive=True):
+        os.utime(fp, (1, 1))
+    for fp in g.glob(os.path.join(t.manifest_dir, "manifest-*.parquet")):
+        os.utime(fp, (1, 1))
+    res = t.remove_orphan_files(older_than_s=60)
+    assert res["deleted_data_files"] > 0  # the crashed writer's files
+    assert t.scan(spark).count() == n_live  # live data untouched
+    # idempotent
+    assert t.remove_orphan_files(older_than_s=60)["deleted_data_files"] == 0
