@@ -14,7 +14,7 @@ Commands:
              [--when-matched update|delete|none] [--when-not-matched insert|none]
              [--update-cols a,b] [--target-mb 64]
     expire   --table DIR [--keep 2]
-    remove-orphans --table DIR [--older-than-s 3600]
+    remove-orphans --table DIR [--older-than-s 259200]
     rewrite-manifests --table DIR
     verify   --table DIR --pre-snapshot ID [--sample 1.0]
     scan     --table DIR [--limit 5] [--partition P] [--snapshot ID]
@@ -79,7 +79,7 @@ def main(argv: list[str] | None = None) -> int:
 
     sp = sub.add_parser("remove-orphans")
     t(sp)
-    sp.add_argument("--older-than-s", type=float, default=3600.0)
+    sp.add_argument("--older-than-s", type=float, default=3 * 86400.0)
 
     sp = sub.add_parser("rewrite-manifests")
     t(sp)

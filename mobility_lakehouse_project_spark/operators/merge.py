@@ -139,7 +139,12 @@ def merge_into(
             return {"files_rewritten": 0, "files_written": 0, "rows_out": 0,
                     "wall_ms": int((time.time() - t0) * 1000),
                     "snapshot": cur.snapshot_id}
-        snap = table.commit_append(entries, summary={"op": "merge-insert-only"})
+        # retries=0: the anti-join's not-matched premise was computed
+        # against the snapshot we read — a concurrent commit may have
+        # inserted the same keys, so the conflict must surface for a
+        # full replan (re-running the merge re-anti-joins)
+        snap = table.commit_append(entries, summary={"op": "merge-insert-only"},
+                                   retries=0)
         return {"files_rewritten": 0, "files_written": len(entries),
                 "rows_out": sum(e["record_count"] for e in entries),
                 "wall_ms": int((time.time() - t0) * 1000),

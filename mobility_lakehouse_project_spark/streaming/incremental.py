@@ -49,14 +49,30 @@ def stream_append_sink(table: LakehouseTable, n_files: int = 4,
     scoped to the stream that owns the offsets."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from ..tableformat.table import ConcurrentCommitError
+
         if batch_id <= last_committed_batch(table, stream_id):
             return  # replay after restart — already committed
         entries = table.write_data_files(batch_df, n_files=n_files)
-        table.commit_append(
-            entries,
-            summary={"streaming-batch-id": int(batch_id),
-                     "streaming-id": stream_id},
-        )
+        # check-then-commit must stay ATOMIC under races: commit with
+        # retries=0 and RE-VALIDATE the batch-id precondition before
+        # each retry — a blind table-level retry would let a zombie
+        # driver and its restarted twin both land the same batch
+        last_err: Exception | None = None
+        for _ in range(4):
+            if batch_id <= last_committed_batch(table, stream_id):
+                return  # the racer was us (or our twin): already in
+            try:
+                table.commit_append(
+                    entries,
+                    summary={"streaming-batch-id": int(batch_id),
+                             "streaming-id": stream_id},
+                    retries=0,
+                )
+                return
+            except ConcurrentCommitError as e:
+                last_err = e
+        raise last_err
 
     return sink
 

@@ -40,6 +40,7 @@ to the reference's ART indexes (src/sql/silver.sql:123-132).
 
 from __future__ import annotations
 
+import contextlib
 import datetime
 import glob as globmod
 import json
@@ -480,12 +481,16 @@ class LakehouseTable:
 
     def commit_append(self, entries: list[dict], summary: dict | None = None,
                       retries: int = 3) -> Snapshot:
-        """Append commit with optimistic-concurrency retry: appends
-        compose with ANY concurrent commit, so on ConcurrentCommitError
-        the commit re-reads the advanced metadata and re-applies itself
-        (Iceberg's retryable snapshot producer). A failed attempt may
-        leave an orphan manifest file — unreferenced, harmless, and
-        cleaned by the next expire GC."""
+        """Append commit with optimistic-concurrency retry: the FILES of
+        an append compose with any concurrent commit, so on
+        ConcurrentCommitError the commit re-reads the advanced metadata
+        and re-applies itself (Iceberg's retryable snapshot producer).
+
+        Callers whose SEMANTICS carry a check-then-commit precondition
+        (the streaming exactly-once batch check, insert-only MERGE's
+        anti-join) must pass ``retries=0`` and re-validate the
+        precondition themselves before retrying — a blind retry would
+        commit data whose premise a concurrent commit just broke."""
         last: Exception | None = None
         for _ in range(max(1, retries + 1)):
             meta = self.load_metadata()
@@ -508,6 +513,9 @@ class LakehouseTable:
                 return self._commit(meta, snap, parent)
             except ConcurrentCommitError as e:
                 last = e
+                # drop the attempt's manifest rather than leave litter
+                with contextlib.suppress(OSError):
+                    os.remove(os.path.join(self.meta_dir, manifest))
         raise last
 
     def commit_replace(
@@ -532,15 +540,22 @@ class LakehouseTable:
 
         Optimistic concurrency: on ConcurrentCommitError the commit
         re-reads the advanced metadata and re-derives survivors; a
-        DISJOINT concurrent commit (different partitions/files) then
-        composes cleanly, while a conflicting one (our removed files
-        are gone) fails the removed-paths check with ValueError — the
-        correct non-retryable outcome for a stale rewrite plan."""
+        DISJOINT concurrent commit (different partitions) then composes
+        cleanly. A conflicting one is non-retryable: our removed files
+        gone -> ValueError (stale plan), or the AFFECTED partitions'
+        live file set changed (e.g. a concurrent append into a
+        partition this rewrite replaces — retrying would silently merge
+        data the plan never saw) -> ConcurrentCommitError surfaces so
+        the caller replans. Without ``affected_partitions`` there is no
+        way to prove the concurrent commit disjoint, so no retry."""
         last: Exception | None = None
-        for _ in range(max(1, retries + 1)):
+        baseline: dict = {"affected_files": None}
+        attempts = max(1, retries + 1) if affected_partitions is not None else 1
+        for _ in range(attempts):
             try:
                 return self._commit_replace_once(
-                    removed_paths, entries, operation, summary, affected_partitions
+                    removed_paths, entries, operation, summary,
+                    affected_partitions, baseline,
                 )
             except ConcurrentCommitError as e:
                 last = e
@@ -553,6 +568,7 @@ class LakehouseTable:
         operation: str,
         summary: dict | None,
         affected_partitions: set[str] | None,
+        baseline: dict | None = None,
     ) -> Snapshot:
         meta = self.load_metadata()
         parent = meta["current_snapshot_id"]
@@ -580,14 +596,32 @@ class LakehouseTable:
             manifest_rows = [self.read_manifest_entries(m) for m in to_read]
         survivors: list[dict] = []
         removed_seen = 0
+        affected_files: set[str] = set()
         for m, rows in zip(to_read, manifest_rows):
             hit = [r for r in rows if r["file_path"] in removed_paths]
+            if affected_partitions is not None:
+                affected_files |= {
+                    r["file_path"] for r in rows
+                    if r["partition_id"] in affected_partitions
+                }
             if not hit:
                 kept_manifests.append(m)
                 mparts[m] = prev_parts.get(m) or sorted({r["partition_id"] for r in rows})
             else:
                 removed_seen += len(hit)
                 survivors.extend(r for r in rows if r["file_path"] not in removed_paths)
+        # retry safety: the affected partitions' live file set must be
+        # IDENTICAL to the first attempt's — a concurrent commit that
+        # added/removed files there invalidates the rewrite plan
+        if baseline is not None and affected_partitions is not None:
+            if baseline["affected_files"] is None:
+                baseline["affected_files"] = affected_files
+            elif baseline["affected_files"] != affected_files:
+                raise ValueError(
+                    "affected partitions changed under the rewrite plan "
+                    "(concurrent commit into "
+                    f"{sorted(affected_partitions)}); replan required"
+                )
         if removed_seen != len(removed_paths):
             raise ValueError(
                 f"{len(removed_paths) - removed_seen} removed paths not found "
@@ -870,20 +904,23 @@ class LakehouseTable:
             "snapshot": committed.snapshot_id,
         }
 
-    def remove_orphan_files(self, older_than_s: float = 3600.0) -> dict:
+    def remove_orphan_files(self, older_than_s: float = 3 * 86400.0) -> dict:
         """Delete files in the table directory that NO snapshot
         references — Iceberg's remove_orphan_files. Orphans come from
         crashed writers (write_data_files outputs whose commit never
         happened) and failed optimistic-commit attempts (unreferenced
-        manifests). ``older_than_s`` is the in-flight grace period: a
-        concurrent writer's not-yet-committed files are younger than it
-        and are left alone (Iceberg's default is 3 days; local tests
-        pass 0).
+        manifests).
+
+        ``older_than_s`` is the in-flight grace period and must exceed
+        the longest possible WRITE-TO-COMMIT gap, not just the write
+        duration: a slow writer's landed-but-uncommitted files look
+        exactly like orphans until its commit. Default mirrors
+        Iceberg's 3 days; tests pass small values on quiesced tables.
 
         Reachability = every file_path in every manifest of EVERY
-        retained snapshot, plus every referenced manifest. Runs after
-        the current version is resolved, so files committed later are
-        never candidates (they are younger than the walk anyway)."""
+        retained snapshot, plus every referenced manifest. Tolerates
+        concurrent GC/expire deleting files between the listing and the
+        stat/remove (TOCTOU -> skip)."""
         live_manifests: set[str] = set()
         for s in self.snapshots_list():
             live_manifests |= set(s.manifests)
@@ -898,21 +935,28 @@ class LakehouseTable:
             rel = os.path.relpath(fp, self.location)
             if rel in live_files:
                 continue
-            if now - os.path.getmtime(fp) < older_than_s:
-                continue  # possibly an in-flight write
-            os.remove(fp)
-            deleted_data += 1
+            with contextlib.suppress(FileNotFoundError):
+                if now - os.path.getmtime(fp) < older_than_s:
+                    continue  # possibly an in-flight write
+                os.remove(fp)
+                deleted_data += 1
         for fp in globmod.glob(os.path.join(self.manifest_dir, "manifest-*.parquet")):
             rel = os.path.join("manifests", os.path.basename(fp))
             if rel in live_manifests:
                 continue
-            if now - os.path.getmtime(fp) < older_than_s:
-                continue
-            os.remove(fp)
-            deleted_manifests += 1
+            with contextlib.suppress(FileNotFoundError):
+                if now - os.path.getmtime(fp) < older_than_s:
+                    continue
+                os.remove(fp)
+                deleted_manifests += 1
         for d in globmod.glob(os.path.join(self.data_dir, "snap-*")):
-            if not any(files for _, _, files in os.walk(d)):
-                shutil.rmtree(d, ignore_errors=True)
+            with contextlib.suppress(FileNotFoundError):
+                # same grace for directories: a concurrent writer's
+                # output dir exists before its first file lands
+                if now - os.path.getmtime(d) < older_than_s:
+                    continue
+                if not any(files for _, _, files in os.walk(d)):
+                    shutil.rmtree(d, ignore_errors=True)
         return {"deleted_data_files": deleted_data,
                 "deleted_manifests": deleted_manifests}
 

@@ -226,13 +226,18 @@ def test_optimistic_commit_retry(spark, tmp_table_dir, monkeypatch):
     t.commit_append(mine)
     assert t.scan(spark).count() == 200 + 50 + 30
 
-    # replace retries too (racer appends disjoint data mid-commit)
-    state["raced"] = False
-    racer_entries = t.write_data_files(synth.images_df(spark, 40, partitions=1,
-                                                       id_offset=30_000))
-    some_part = sorted({
+    # replace retries when the racer's append is DISJOINT from the
+    # affected partition...
+    parts = sorted({
         r["partition_id"] for r in t.files(spark).select("partition_id").collect()
-    })[0]
+    })
+    some_part = parts[0]
+    other_part = int(parts[-1])
+    state["raced"] = False
+    racer_entries = t.write_data_files(
+        synth.images_df(spark, 40, partitions=1, id_offset=30_000)
+        .withColumn("bucket", F.lit(other_part))
+    )
     removed = {
         r["file_path"]
         for r in t.plan_files(spark, partition_values={some_part})
@@ -241,6 +246,25 @@ def test_optimistic_commit_retry(spark, tmp_table_dir, monkeypatch):
     rewritten = t.write_data_files(t.scan_files(spark, sorted(removed)), n_files=1)
     t.commit_replace(removed, rewritten, affected_partitions={some_part})
     assert t.scan(spark).count() == 200 + 50 + 30 + 40
+
+    # ...but a racer appending INTO the affected partition invalidates
+    # the rewrite plan: the retry must surface a replan error, never
+    # silently merge data the plan did not see
+    state["raced"] = False
+    racer_entries = t.write_data_files(
+        synth.images_df(spark, 10, partitions=1, id_offset=50_000)
+        .withColumn("bucket", F.lit(int(some_part)))
+    )
+    removed2 = {
+        r["file_path"]
+        for r in t.plan_files(spark, partition_values={some_part})
+        .select("file_path").collect()
+    }
+    rewritten2 = t.write_data_files(t.scan_files(spark, sorted(removed2)), n_files=1)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="replan"):
+        t.commit_replace(removed2, rewritten2, affected_partitions={some_part})
 
     # retries exhausted -> the error surfaces
     def always_conflict(self, *a, **k):
