@@ -28,6 +28,7 @@ AUDIT = [
     "ann_lsh_bucketed",      # expect NO Python UDF (Catalyst bucket expr)
     "dedup_embed_cosine",    # expect no python UDF; join, not cartesian of blobs
     "txt_quality_score",     # expect single HashAggregate pair, no UDF
+    "ann_ivf_probe",         # expect NO Python UDF (fixed-quantizer cells in Catalyst)
 ]
 
 CHECKS = {
@@ -42,11 +43,12 @@ CHECKS = {
     "ann_lsh_bucketed": ["TakeOrderedAndProject"],
     "dedup_embed_cosine": [],
     "txt_quality_score": ["HashAggregate"],
+    "ann_ivf_probe": ["TakeOrderedAndProject"],
 }
 
 # plans that must contain NO row-at-a-time or Arrow Python evaluation
 NO_PYTHON = {"dedup_simhash", "ann_lsh_bucketed", "dedup_embed_cosine",
-             "txt_quality_score", "ann_cosine_topk"}
+             "txt_quality_score", "ann_cosine_topk", "ann_ivf_probe"}
 
 
 def main() -> int:
