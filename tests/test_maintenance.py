@@ -202,3 +202,36 @@ def test_planning_never_materializes_full_manifest(spark, tmp_table_dir, monkeyp
     assert t.plan_files(spark, int_ranges={"phash": (0, 99)}).count() == 10
     pr = clustering.pruning_ratio(t, spark, "phash", 0, 99)
     assert pr["scanned_files"] == 10 and pr["total_files"] == 10_000
+
+
+def test_time_travel_across_maintenance_rewrites(spark, fragmented_table):
+    """Snapshot isolation through the whole maintenance story: after
+    compact + zorder + MERGE, a time-travel scan at the pre-maintenance
+    snapshot still returns the ORIGINAL data byte-identically (old
+    files are unreferenced by the new snapshots but not deleted until
+    expiry)."""
+    t = fragmented_table
+    s0 = t.current_snapshot().snapshot_id
+
+    def fingerprint(df):
+        return df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.crc32("caption")).alias("cap"),
+            F.sum(F.crc32("bytes")).alias("blob"),
+            F.sum(F.crc32(F.col("phash").cast("string"))).alias("ph"),
+        ).collect()[0]
+
+    pre = fingerprint(t.scan(spark))
+    compaction.compact(t, spark, target_file_size=1 << 20, n_chunks=2)
+    clustering.cluster(t, spark, curve="zorder", target_file_size=1 << 20, n_chunks=1)
+    merge.merge_into(t, spark, synth.merge_source_df(spark, N_ROWS, 200, overlap=0.5))
+    # current state HAS changed (merge updated captions/bytes)
+    cur = fingerprint(t.scan(spark))
+    assert (cur["cap"], cur["blob"]) != (pre["cap"], pre["blob"])
+    # ...but the pre-maintenance snapshot reads the original data
+    tt = fingerprint(t.scan(spark, snapshot_id=s0))
+    assert tuple(tt) == tuple(pre)
+    # and after expiry, old snapshots are gone by design
+    t.expire_snapshots(keep_last=1)
+    with pytest.raises(StopIteration):
+        t.scan(spark, snapshot_id=s0)
