@@ -64,6 +64,34 @@ def normalize_u32(x: np.ndarray) -> np.ndarray:
     return np.clip(x.astype(np.int64), 0, int(_DIM_MASK)).astype(np.uint64)
 
 
+# ---------------- range-scaled normalization ----------------
+#
+# Clipping alone collapses narrow-range dims: w,h in {16..128} occupy
+# only bits 4-7 of their 21-bit dim while a uniform 64-bit phash fills
+# all 21, so the interleaved key is ordered by ~13 phash bits before
+# any w/h bit participates and file min/max stats on w/h span the whole
+# table (measured: 0.000 pruned for w-only/h-only predicates pre-fix).
+# Iceberg/Delta Z-order range-normalizes each column from its observed
+# min/max before interleaving; we do the same. The (lo, scale) pair is
+# computed DRIVER-SIDE in exact Python int arithmetic, and both the
+# numpy kernels and the Catalyst twin then apply the identical IEEE-754
+# double sequence  clamp((x - lo) * scale, 0, M) |> floor  — monotone
+# (order-preserving) and bit-identical across the two engines.
+
+_M_F = float(int(_DIM_MASK))
+
+
+def dim_params(lo: int, hi: int) -> tuple[float, float]:
+    """(lo_as_double, scale) mapping [lo, hi] onto [0, 2^21-1]."""
+    span = max(int(hi) - int(lo), 1)  # exact Python ints: no overflow
+    return float(lo), _M_F / float(span)
+
+
+def normalize_scaled(x: np.ndarray, lo_f: float, scale: float) -> np.ndarray:
+    v = (x.astype(np.float64) - lo_f) * scale
+    return np.floor(np.clip(v, 0.0, _M_F)).astype(np.uint64)
+
+
 def morton3(d0: np.ndarray, d1: np.ndarray, d2: np.ndarray) -> np.ndarray:
     """Morton/Z-order index of three 21-bit dims -> int64 (always >= 0)."""
     return interleave3(d0, d1, d2).astype(np.int64)
@@ -120,26 +148,43 @@ def hilbert3(d0: np.ndarray, d1: np.ndarray, d2: np.ndarray, bits: int = BITS_PE
     return out.astype(np.int64)
 
 
-def _keys_from_series(phash: pd.Series, w: pd.Series, h: pd.Series):
-    d0 = normalize_i64(phash.to_numpy(dtype=np.int64, na_value=0))
-    d1 = normalize_u32(w.to_numpy(dtype=np.int64, na_value=0))
-    d2 = normalize_u32(h.to_numpy(dtype=np.int64, na_value=0))
-    return d0, d1, d2
+def _dims_np(
+    phash: np.ndarray, w: np.ndarray, h: np.ndarray,
+    bounds: tuple[tuple[int, int], ...] | None,
+):
+    """Normalize the three dim arrays; ``bounds`` = ((lo,hi),)*3 raw
+    column min/max (range-scaled) or None (legacy clip/top-bits)."""
+    if bounds is None:
+        return (normalize_i64(phash), normalize_u32(w), normalize_u32(h))
+    params = [dim_params(lo, hi) for lo, hi in bounds]
+    return tuple(
+        normalize_scaled(x, lo_f, sc)
+        for x, (lo_f, sc) in zip((phash, w, h), params)
+    )
 
 
-@F.pandas_udf(T.LongType())
-def zorder_key(phash: pd.Series, w: pd.Series, h: pd.Series) -> pd.Series:
-    """Vectorized Z-order key over (phash, w, h)."""
-    d0, d1, d2 = _keys_from_series(phash, w, h)
-    return pd.Series(morton3(d0, d1, d2))
+def curve_key_udf(curve: str, bounds: tuple[tuple[int, int], ...] | None = None):
+    """Arrow-batched pandas UDF computing the curve key, range-scaling
+    each dim from ``bounds`` (per-column min/max, e.g. one manifest
+    aggregation) so every dimension carries entropy in the key."""
+    fn = morton3 if curve == "zorder" else hilbert3
+
+    @F.pandas_udf(T.LongType())
+    def key(phash: pd.Series, w: pd.Series, h: pd.Series) -> pd.Series:
+        d0, d1, d2 = _dims_np(
+            phash.to_numpy(dtype=np.int64, na_value=0),
+            w.to_numpy(dtype=np.int64, na_value=0),
+            h.to_numpy(dtype=np.int64, na_value=0),
+            bounds,
+        )
+        return pd.Series(fn(d0, d1, d2))
+
+    return key
 
 
-@F.pandas_udf(T.LongType())
-def hilbert_key(phash: pd.Series, w: pd.Series, h: pd.Series) -> pd.Series:
-    """Vectorized Hilbert key over (phash, w, h)."""
-    d0, d1, d2 = _keys_from_series(phash, w, h)
-    return pd.Series(hilbert3(d0, d1, d2))
-
+# legacy fixed-normalization UDFs (kept for the bit-identity tests)
+zorder_key = curve_key_udf("zorder")
+hilbert_key = curve_key_udf("hilbert")
 
 CURVES = {"zorder": zorder_key, "hilbert": hilbert_key}
 
@@ -153,13 +198,17 @@ _SPREAD_MASKS = (
 )
 
 
-def zorder_col(phash, w, h):
+def zorder_col(phash, w, h, bounds: tuple[tuple[int, int], ...] | None = None):
     """The Z-order key as PURE Catalyst expressions (shiftleft/AND bit
     spreading) — whole-stage-codegen'd, no Python worker in the plan.
-    Bit-identical to ``morton3``/``zorder_key`` (tested). Used for the
-    clustering key pass so the metadata pass is JVM-only; the Hilbert
-    variant stays an Arrow UDF (its loop structure doesn't reduce to
-    fixed-point expressions)."""
+    Bit-identical to ``morton3``/``zorder_key``/``curve_key_udf``
+    (tested). Used for the clustering key pass so the metadata pass is
+    JVM-only; the Hilbert variant stays an Arrow UDF (its loop
+    structure doesn't reduce to fixed-point expressions).
+
+    With ``bounds`` each dim is range-scaled onto the full 21-bit space
+    via the same driver-computed (lo, scale) doubles as the numpy
+    kernels — identical IEEE op sequence, so keys stay bit-identical."""
     from pyspark.sql import functions as F  # local to keep module import-light
 
     def spread(col):
@@ -168,12 +217,23 @@ def zorder_col(phash, w, h):
             x = x.bitwiseOR(F.shiftleft(x, shift)).bitwiseAND(F.lit(mask))
         return x
 
-    d0 = F.shiftrightunsigned(
-        phash.cast("long").bitwiseXOR(F.lit(-(2**63))), 64 - BITS_PER_DIM
-    )
-    lim = F.lit((1 << BITS_PER_DIM) - 1)
-    d1 = F.least(F.greatest(w.cast("long"), F.lit(0)), lim)
-    d2 = F.least(F.greatest(h.cast("long"), F.lit(0)), lim)
+    if bounds is not None:
+        def scaled(col, lo, hi):
+            lo_f, sc = dim_params(lo, hi)
+            v = (col.cast("double") - F.lit(lo_f)) * F.lit(sc)
+            v = F.least(F.greatest(v, F.lit(0.0)), F.lit(_M_F))
+            return F.floor(v).cast("long")
+
+        d0 = scaled(phash, *bounds[0])
+        d1 = scaled(w, *bounds[1])
+        d2 = scaled(h, *bounds[2])
+    else:
+        d0 = F.shiftrightunsigned(
+            phash.cast("long").bitwiseXOR(F.lit(-(2**63))), 64 - BITS_PER_DIM
+        )
+        lim = F.lit((1 << BITS_PER_DIM) - 1)
+        d1 = F.least(F.greatest(w.cast("long"), F.lit(0)), lim)
+        d2 = F.least(F.greatest(h.cast("long"), F.lit(0)), lim)
     return (
         F.shiftleft(spread(d0), 2)
         .bitwiseOR(F.shiftleft(spread(d1), 1))
@@ -181,10 +241,11 @@ def zorder_col(phash, w, h):
     )
 
 
-def curve_np(curve: str, phash: np.ndarray, w: np.ndarray, h: np.ndarray) -> np.ndarray:
+def curve_np(
+    curve: str, phash: np.ndarray, w: np.ndarray, h: np.ndarray,
+    bounds: tuple[tuple[int, int], ...] | None = None,
+) -> np.ndarray:
     """Raw numpy curve kernel (for fused UDFs that combine the key with
     further vectorized work in one Arrow round-trip)."""
-    d0 = normalize_i64(phash)
-    d1 = normalize_u32(w)
-    d2 = normalize_u32(h)
+    d0, d1, d2 = _dims_np(phash, w, h, bounds)
     return morton3(d0, d1, d2) if curve == "zorder" else hilbert3(d0, d1, d2)

@@ -38,7 +38,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.sfc import CURVES, zorder_col
+from ..functions.sfc import curve_key_udf, zorder_col
 from ..lineage import LineageLog
 from ..tableformat import LakehouseTable
 from .compaction import (
@@ -89,10 +89,29 @@ def cluster(
     recompress_level: int | None = None,
 ) -> dict:
     """Rewrite the whole table clustered by ``curve`` over ``cols``."""
+    # dim bounds for range-scaled normalization: ONE aggregation over
+    # the manifest stats (zero data-file reads). Without this, a
+    # narrow-range dim (w, h in {16..128}) contributes no high bits to
+    # the interleaved key and its file stats never prune (measured
+    # 0.000 pruned pre-fix — tools/run_pruning.py).
+    brow = (
+        table.files(spark)
+        .agg(
+            *[F.min(F.col("int_mins")[c]).alias(f"lo_{c}") for c in cols],
+            *[F.max(F.col("int_maxs")[c]).alias(f"hi_{c}") for c in cols],
+        )
+        .collect()
+    )
+    dim_bounds = None
+    if brow:
+        bvals = [(brow[0][f"lo_{c}"], brow[0][f"hi_{c}"]) for c in cols]
+        if all(lo is not None and hi is not None for lo, hi in bvals):
+            dim_bounds = tuple((int(lo), int(hi)) for lo, hi in bvals)
     if curve == "zorder":
-        key_expr = lambda: zorder_col(*[F.col(c) for c in cols])  # noqa: E731
+        key_expr = lambda: zorder_col(*[F.col(c) for c in cols], bounds=dim_bounds)  # noqa: E731
     else:
-        key_expr = lambda: CURVES[curve](*[F.col(c) for c in cols])  # noqa: E731
+        _udf = curve_key_udf(curve, dim_bounds)
+        key_expr = lambda: _udf(*[F.col(c) for c in cols])  # noqa: E731
     # planning = one aggregation over the files metadata DataFrame:
     # a single metadata-sized row per partition reaches the driver
     plan_rows = (

@@ -50,6 +50,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from urllib.parse import unquote
+
 from ..lineage import LineageLog
 from ..tableformat import LakehouseTable
 from ..tableformat.paths import relativize
@@ -139,12 +141,13 @@ def merge_into(
             return {"files_rewritten": 0, "files_written": 0, "rows_out": 0,
                     "wall_ms": int((time.time() - t0) * 1000),
                     "snapshot": cur.snapshot_id}
-        # retries=0: the anti-join's not-matched premise was computed
-        # against the snapshot we read — a concurrent commit may have
-        # inserted the same keys, so the conflict must surface for a
-        # full replan (re-running the merge re-anti-joins)
+        # retries=0 + expected_parent: the anti-join's not-matched
+        # premise was computed against the plan snapshot — a concurrent
+        # commit (during OR before our commit attempt) may have inserted
+        # the same keys, so any advance must surface for a full replan
+        # (re-running the merge re-anti-joins)
         snap = table.commit_append(entries, summary={"op": "merge-insert-only"},
-                                   retries=0)
+                                   retries=0, expected_parent=cur.snapshot_id)
         return {"files_rewritten": 0, "files_written": len(entries),
                 "rows_out": sum(e["record_count"] for e in entries),
                 "wall_ms": int((time.time() - t0) * 1000),
@@ -159,9 +162,13 @@ def merge_into(
         for r in target_keys.join(src_keys, keys, "left_semi")
         .select("_file").distinct().collect()
     }
-    # normalize URIs from input_file_name to table-relative paths
-    # (scheme-robust: file:///x vs /x, s3a:// bases — tableformat.paths)
-    touched_rel = {relativize(f, table.location) for f in touched_files}
+    # normalize URIs from input_file_name to table-relative paths.
+    # input_file_name() returns PERCENT-ENCODED URIs (space -> %20),
+    # while manifest file_paths are raw — unquote first, else a data
+    # path with any URI-escapable character silently matches nothing
+    # and its matched rows are kept stale (scheme-robust relativize:
+    # file:///x vs /x, s3a:// bases — tableformat.paths)
+    touched_rel = {relativize(unquote(f), table.location) for f in touched_files}
     # stats for the touched set come from the manifest DataFrame —
     # bounded by the touched-file count, never the whole table
     if touched_rel:
@@ -175,6 +182,15 @@ def merge_into(
         ]
     else:
         touched_entries = []
+    # every semi-join hit MUST resolve to a manifest entry — a miss
+    # means relativize/unquote failed for that path scheme and the
+    # file's matched rows would be silently kept stale
+    if len(touched_entries) != len(touched_rel):
+        resolved = {e["file_path"] for e in touched_entries}
+        raise RuntimeError(
+            "MERGE planning: input_file_name paths did not all resolve "
+            f"to manifest entries; unresolved={sorted(touched_rel - resolved)[:5]}"
+        )
 
     # ---- 2. rewrite: outer-join touched rows x source ----------------
     # presence flags, NOT key-null checks: a target row whose merge key
@@ -240,6 +256,20 @@ def merge_into(
         # touched partitions + insert-target partitions bound the commit
         affected_partitions={e["partition_id"] for e in touched_entries}
         | {e["partition_id"] for e in new_entries},
+        # retries=0: the rewrite's matched/not-matched classification is
+        # a table-wide precondition, not a partition-scoped one — a
+        # concurrent append of a matching key into a partition OUTSIDE
+        # the affected set composes cleanly under a partition-scoped
+        # retry and the merge would insert a duplicate key. The conflict
+        # must surface so the caller replans (re-running merge_into
+        # re-derives touched files against the new snapshot). Iceberg's
+        # copy-on-write MERGE likewise validates conflicting appends
+        # against the merge condition table-wide.
+        retries=0,
+        # pin the commit to the snapshot the plan read: ANY commit that
+        # landed since planning (even a disjoint-partition append) fails
+        # the merge instead of composing into duplicate keys
+        expected_parent=cur.snapshot_id,
     )
     wall_ms = int((time.time() - t0) * 1000)
     LineageLog(table.location).record(

@@ -32,7 +32,13 @@ def last_committed_batch(table: LakehouseTable, stream_id: str = "default") -> i
     different streams write the same table."""
     mx = -1
     for s in table.snapshots_list():
-        if s.summary.get("streaming-id", "default") != stream_id:
+        sid = s.summary.get("streaming-id")
+        # legacy snapshots (committed before ids were namespaced) carry
+        # a batch-id but NO streaming-id — they must match EVERY stream,
+        # else a table written pre-upgrade restarts under a derived
+        # stream_id, sees max batch -1, and re-commits checkpoint-
+        # replayed batches (duplicate rows on upgrade)
+        if sid is not None and sid != stream_id:
             continue
         b = s.summary.get("streaming-batch-id")
         if b is not None:

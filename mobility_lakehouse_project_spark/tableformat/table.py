@@ -109,6 +109,37 @@ def _atomic_write(path: str, data: str) -> None:
     os.replace(tmp, path)  # atomic on POSIX
 
 
+def _exclusive_write(path: str, data: str) -> None:
+    """Compare-and-swap write: create ``path`` atomically, FAILING if it
+    already exists. This is what makes the version-file write a true
+    CAS — two committers racing to write v<N+1>.metadata.json cannot
+    both win (os.replace would let the second silently overwrite the
+    first: a lost commit). Iceberg's HadoopTableOperations relies on
+    rename-fails-if-existing for exactly this; the POSIX equivalent is
+    ``os.link`` (atomic, EEXIST on collision, works across fsyncs).
+
+    Known shared limitation (documented for Iceberg's HadoopCatalog
+    too): a committer that crashes AFTER creating v<N+1> but BEFORE
+    swapping version-hint leaves an orphan that blocks the next commit
+    at that version until removed (metadata files > hint are orphans).
+    """
+    tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        f.write(data)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, path)
+    except FileExistsError:
+        raise ConcurrentCommitError(
+            f"{os.path.basename(path)} already exists — a concurrent "
+            "committer won this version"
+        ) from None
+    finally:
+        with contextlib.suppress(OSError):
+            os.remove(tmp)
+
+
 _MANIFEST_SCHEMA = pa.schema(
     [
         ("file_path", pa.string()),          # relative to table location
@@ -184,7 +215,9 @@ class LakehouseTable:
             "last_sequence": 0,
             "snapshots": [],
         }
-        _atomic_write(t._meta_path(1), json.dumps(meta, indent=1))
+        # exclusive v1 write: two racing create() calls can both pass
+        # the exists-check; only one may win the table
+        _exclusive_write(t._meta_path(1), json.dumps(meta, indent=1))
         _atomic_write(t._hint_path, "1")
         return t
 
@@ -201,7 +234,7 @@ class LakehouseTable:
             )
         m = {k: v for k, v in meta.items() if not k.startswith("_")}
         new_v = cur_v + 1
-        _atomic_write(self._meta_path(new_v), json.dumps(m, indent=1))
+        _exclusive_write(self._meta_path(new_v), json.dumps(m, indent=1))
         _atomic_write(self._hint_path, str(new_v))
         return new_v
 
@@ -475,12 +508,16 @@ class LakehouseTable:
         meta["current_snapshot_id"] = new_snapshot.snapshot_id
         meta["last_sequence"] = new_snapshot.sequence
         new_v = cur_v + 1
-        _atomic_write(self._meta_path(new_v), json.dumps(meta, indent=1))
+        # exclusive create = the CAS: a concurrent committer who also
+        # passed the checks above loses here instead of silently
+        # overwriting our v<N+1> (lost commit)
+        _exclusive_write(self._meta_path(new_v), json.dumps(meta, indent=1))
         _atomic_write(self._hint_path, str(new_v))
         return new_snapshot
 
     def commit_append(self, entries: list[dict], summary: dict | None = None,
-                      retries: int = 3) -> Snapshot:
+                      retries: int = 3,
+                      expected_parent: int | None = None) -> Snapshot:
         """Append commit with optimistic-concurrency retry: the FILES of
         an append compose with any concurrent commit, so on
         ConcurrentCommitError the commit re-reads the advanced metadata
@@ -495,6 +532,14 @@ class LakehouseTable:
         for _ in range(max(1, retries + 1)):
             meta = self.load_metadata()
             parent = meta["current_snapshot_id"]
+            if expected_parent is not None and parent != expected_parent:
+                # caller's check-then-commit premise (anti-join, batch-id
+                # scan) was computed against expected_parent — any commit
+                # since then must surface for re-validation, not compose
+                raise ConcurrentCommitError(
+                    f"table advanced past plan snapshot {expected_parent} "
+                    f"(now {parent}); precondition must be re-validated"
+                )
             snap_id, seq = self._next_ids(meta)
             manifest, parts = self._write_manifest(entries, snap_id)
             prev = self.current_snapshot(meta)
@@ -526,6 +571,7 @@ class LakehouseTable:
         summary: dict | None = None,
         affected_partitions: set[str] | None = None,
         retries: int = 3,
+        expected_parent: int | None = None,
     ) -> Snapshot:
         """Replace-files commit (compaction / clustering / MERGE / partition
         overwrite). Surviving entries of affected manifests are rewritten
@@ -547,7 +593,20 @@ class LakehouseTable:
         partition this rewrite replaces — retrying would silently merge
         data the plan never saw) -> ConcurrentCommitError surfaces so
         the caller replans. Without ``affected_partitions`` there is no
-        way to prove the concurrent commit disjoint, so no retry."""
+        way to prove the concurrent commit disjoint, so no retry.
+
+        ``expected_parent`` pins the commit to the snapshot the caller's
+        PLAN was derived from: if any commit (even a partition-disjoint
+        append) landed since, the commit fails with
+        ConcurrentCommitError so the caller replans. This is what
+        content-sensitive rewrites (MERGE) need — their matched/
+        not-matched classification is a table-wide precondition, and a
+        concurrent append of a matching key into an untouched partition
+        would otherwise compose silently into duplicate keys (Iceberg's
+        copy-on-write MERGE likewise validates conflicting appends
+        against the merge condition table-wide, not per partition).
+        Content-neutral rewrites (compaction/clustering) should leave it
+        None and keep the compose-with-retry behavior."""
         last: Exception | None = None
         baseline: dict = {"affected_files": None}
         attempts = max(1, retries + 1) if affected_partitions is not None else 1
@@ -555,7 +614,7 @@ class LakehouseTable:
             try:
                 return self._commit_replace_once(
                     removed_paths, entries, operation, summary,
-                    affected_partitions, baseline,
+                    affected_partitions, baseline, expected_parent,
                 )
             except ConcurrentCommitError as e:
                 last = e
@@ -569,9 +628,15 @@ class LakehouseTable:
         summary: dict | None,
         affected_partitions: set[str] | None,
         baseline: dict | None = None,
+        expected_parent: int | None = None,
     ) -> Snapshot:
         meta = self.load_metadata()
         parent = meta["current_snapshot_id"]
+        if expected_parent is not None and parent != expected_parent:
+            raise ConcurrentCommitError(
+                f"table advanced past plan snapshot {expected_parent} "
+                f"(now {parent}); content-sensitive rewrite must replan"
+            )
         prev = self.current_snapshot(meta)
         snap_id, seq = self._next_ids(meta)
         prev_manifests = prev.manifests if prev else []

@@ -235,3 +235,38 @@ def test_time_travel_across_maintenance_rewrites(spark, fragmented_table):
     t.expire_snapshots(keep_last=1)
     with pytest.raises(StopIteration):
         t.scan(spark, snapshot_id=s0)
+
+
+def test_cluster_prunes_secondary_dims(spark, fragmented_table):
+    """r2 weak finding: w/h predicates pruned 0.000 of files because the
+    key builder clipped instead of range-scaling. After range-scaled
+    normalization, SECONDARY dims (w, h) must prune too, and the pruned
+    scan must stay exact."""
+    t = fragmented_table
+    # small target => ~20 files/partition so the curve prefix reaches
+    # the secondary dims' bits (with 2 files/partition only the primary
+    # dim's top bit can split — not a normalization defect)
+    m = clustering.cluster(
+        t, spark, curve="zorder", target_file_size=16 * 1024, n_chunks=2
+    )
+    assert m["rows"] == N_ROWS
+    # synth dims are {8,16,32,64}: a w=8 point predicate and an h>=32
+    # band must each skip a nonzero fraction of files
+    pw = clustering.pruning_ratio(t, spark, "w", 8, 8)
+    ph = clustering.pruning_ratio(t, spark, "h", 32, 2**31)
+    assert pw["pruned_fraction"] > 0.0
+    assert ph["pruned_fraction"] > 0.0
+    # phash (primary dim) must still prune as well
+    pp = clustering.pruning_ratio(t, spark, "phash", -(2**61), -(2**60))
+    assert pp["pruned_fraction"] > 0.0
+    # pruned scans return exactly the full-scan-filter answer
+    for col, lo, hi in (("w", 8, 8), ("h", 32, 2**31)):
+        full = t.scan(spark).filter(
+            (F.col(col) >= lo) & (F.col(col) <= hi)
+        ).count()
+        pruned = (
+            t.scan(spark, int_ranges={col: (lo, hi)})
+            .filter((F.col(col) >= lo) & (F.col(col) <= hi))
+            .count()
+        )
+        assert pruned == full and full > 0

@@ -150,3 +150,103 @@ def test_insert_only_sizing_uses_actual_insert_count(spark, tmp_table_dir):
                            target_file_size=8 * 1024)
     assert res["rows_out"] == 1
     assert res["files_written"] <= 2  # sized by n_new, not n_src
+
+
+def test_rewrite_merge_conflict_surfaces_not_duplicates(spark, tmp_table_dir):
+    """ADVICE r2: a concurrent append of a matching key into a partition
+    OUTSIDE the merge's affected set must surface as
+    ConcurrentCommitError (forcing a replan), never compose on retry
+    into duplicate keys. The replanned merge then sees the key as
+    MATCHED and updates in place — exactly one row survives."""
+    from mobility_lakehouse_project_spark.tableformat.table import (
+        ConcurrentCommitError,
+    )
+
+    df = synth.images_df(spark, 200, partitions=2)
+    t = LakehouseTable.create(tmp_table_dir, df.schema, partition_col="bucket")
+    t.append(df, n_files=4)
+    # source inserts brand-new key K into bucket 0
+    src = synth.images_df(spark, 1, seed=7, id_offset=10_000).withColumn(
+        "bucket", F.lit(0)
+    )
+    key = src.select("image_id").collect()[0][0]
+    # racer: the SAME key K appended into bucket 1 between the merge's
+    # planning scans and its commit
+    racer = src.withColumn("bucket", F.lit(1)).withColumn(
+        "caption", F.lit("racer caption")
+    )
+    orig = t.commit_replace
+    fired = {"done": False}
+
+    def racing_commit(*a, **k):
+        if not fired["done"]:
+            fired["done"] = True
+            t.append(racer, n_files=1)
+        return orig(*a, **k)
+
+    t.commit_replace = racing_commit
+    try:
+        with pytest.raises(ConcurrentCommitError):
+            merge.merge_into(t, spark, src)  # full upsert path
+        # replan: re-run the merge against the advanced snapshot
+        res = merge.merge_into(t, spark, src)
+    finally:
+        del t.commit_replace  # restore the bound method
+    assert res["snapshot"] is not None
+    rows = t.scan(spark).filter(F.col("image_id") == key)
+    assert rows.count() == 1  # no duplicate key
+    assert rows.select("caption").collect()[0][0] != "racer caption"  # updated
+    assert t.scan(spark).count() == 201
+
+
+def test_insert_only_merge_conflict_surfaces(spark, tmp_table_dir):
+    """Same window for the insert-only fast path: a commit landing
+    between the anti-join and the append fails the merge (the
+    not-matched premise may have been broken)."""
+    from mobility_lakehouse_project_spark.tableformat.table import (
+        ConcurrentCommitError,
+    )
+
+    df = synth.images_df(spark, 100, partitions=2)
+    t = LakehouseTable.create(tmp_table_dir, df.schema, partition_col="bucket")
+    t.append(df, n_files=2)
+    src = synth.images_df(spark, 1, seed=9, id_offset=5_000)
+    racer = src.withColumn("caption", F.lit("racer"))
+    orig = t.commit_append
+    fired = {"done": False}
+
+    def racing_commit(*a, **k):
+        if not fired["done"]:
+            fired["done"] = True
+            t.append(racer, n_files=1)
+        return orig(*a, **k)
+
+    t.commit_append = racing_commit
+    try:
+        with pytest.raises(ConcurrentCommitError):
+            merge.merge_into(t, spark, src, when_matched=None)
+    finally:
+        del t.commit_append
+    # replan: the racer's row is now matched -> ignored by insert-only
+    res = merge.merge_into(t, spark, src, when_matched=None)
+    assert res["files_written"] == 0
+    assert t.scan(spark).filter(F.col("image_id") == src.collect()[0][0]).count() == 1
+
+
+def test_merge_table_path_with_space(spark, tmp_path):
+    """ADVICE r2: input_file_name() returns percent-encoded URIs; a
+    table path containing a space must still resolve every touched file
+    (before the unquote fix, matched rows were silently kept stale)."""
+    loc = str(tmp_path / "my table dir" / "tbl")
+    df = synth.images_df(spark, 120, partitions=2)
+    t = LakehouseTable.create(loc, df.schema, partition_col="bucket")
+    t.append(df, n_files=4)
+    # update the captions of 20 existing keys
+    src = synth.images_df(spark, 20, seed=123).withColumn(
+        "caption", F.concat(F.lit("updated "), F.col("image_id"))
+    )
+    res = merge.merge_into(t, spark, src)
+    assert res["files_rewritten"] > 0
+    got = t.scan(spark).filter(F.col("caption").startswith("updated ")).count()
+    assert got == 20
+    assert t.scan(spark).count() == 120

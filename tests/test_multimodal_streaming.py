@@ -184,3 +184,25 @@ def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
     }
     assert len(got) > 0
     assert got == expect
+
+
+def test_legacy_stream_snapshots_match_any_stream_id(spark, tmp_table_dir):
+    """ADVICE r2: snapshots committed before batch ids were namespaced
+    carry a streaming-batch-id but NO streaming-id. They must count
+    toward EVERY stream's max — else an upgraded table restarts under a
+    derived stream id, sees max batch -1, and re-commits checkpoint-
+    replayed batches (duplicate rows)."""
+    df = synth.images_df(spark, 40, partitions=1)
+    t = LakehouseTable.create(tmp_table_dir, df.schema)
+    # legacy commit: batch-id, no streaming-id
+    t.commit_append(t.write_data_files(df, n_files=1),
+                    summary={"streaming-batch-id": 3})
+    assert incremental.last_committed_batch(t, "deadbeef1234") == 3
+    assert incremental.last_committed_batch(t, "default") == 3
+    # namespaced commits still scope to their own stream
+    t.commit_append(
+        t.write_data_files(synth.images_df(spark, 10, id_offset=40), n_files=1),
+        summary={"streaming-batch-id": 7, "streaming-id": "other-stream"},
+    )
+    assert incremental.last_committed_batch(t, "deadbeef1234") == 3
+    assert incremental.last_committed_batch(t, "other-stream") == 7

@@ -95,3 +95,61 @@ def test_udfs_run_in_spark(spark):
     ).collect()
     assert len(out) == 1000
     assert all(r["z"] >= 0 and r["hb"] >= 0 for r in out)
+
+
+def test_normalize_scaled_order_preserving_and_full_range():
+    """Range-scaled dims: order preserved AND narrow-range values spread
+    over the full 21-bit space (the r2 weak finding: clipping left w/h
+    in bits 4-7, so their file stats never pruned)."""
+    vals = np.array([16, 32, 64, 128], dtype=np.int64)
+    lo_f, sc = sfc.dim_params(16, 128)
+    norm = sfc.normalize_scaled(vals, lo_f, sc).astype(np.int64)
+    assert (np.diff(norm) > 0).all()
+    assert norm[0] == 0
+    assert norm[-1] == (1 << 21) - 1  # max maps to the top of the dim
+    # int64-wide dim (phash) stays order-preserving through the double path
+    big = np.array([-(2**63), -(2**40), -1, 0, 1, 2**40, 2**63 - 1],
+                   dtype=np.int64)
+    lo_f, sc = sfc.dim_params(-(2**63), 2**63 - 1)
+    nb = sfc.normalize_scaled(big, lo_f, sc).astype(np.int64)
+    assert (np.diff(nb) >= 0).all()
+    assert nb[0] == 0 and nb[-1] == (1 << 21) - 1
+
+
+def test_jvm_zorder_col_bit_identical_with_bounds(spark):
+    """Bounds-scaled Catalyst twin must stay bit-identical to the numpy
+    kernel — both apply the identical driver-computed (lo, scale)
+    double sequence."""
+    import pyspark.sql.functions as F
+
+    bounds = ((-(2**63), 2**63 - 1), (16, 128), (8, 512))
+    df = spark.range(2000).select(
+        (F.col("id") * 982451653 - 4611686018427387904).alias("phash"),
+        (16 + F.col("id") % 113).cast("int").alias("w"),
+        (8 + F.col("id") % 505).cast("int").alias("h"),
+    )
+    jvm = [
+        r["z"]
+        for r in df.select(
+            sfc.zorder_col(
+                F.col("phash"), F.col("w"), F.col("h"), bounds=bounds
+            ).alias("z")
+        ).collect()
+    ]
+    pdf = df.toPandas()
+    ref = sfc.curve_np(
+        "zorder",
+        pdf["phash"].to_numpy(),
+        pdf["w"].to_numpy(),
+        pdf["h"].to_numpy(),
+        bounds=bounds,
+    )
+    assert list(ref) == jvm
+    # and the Arrow UDF factory agrees too
+    udf_vals = [
+        r["z"]
+        for r in df.select(
+            sfc.curve_key_udf("zorder", bounds)("phash", "w", "h").alias("z")
+        ).collect()
+    ]
+    assert udf_vals == jvm

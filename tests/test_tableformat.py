@@ -309,3 +309,33 @@ def test_remove_orphan_files(spark, tmp_table_dir):
     assert t.scan(spark).count() == n_live  # live data untouched
     # idempotent
     assert t.remove_orphan_files(older_than_s=60)["deleted_data_files"] == 0
+
+
+def test_cas_prevents_lost_commit(spark, small_table):
+    """ADVICE r2: the version-file write must be a true CAS. Simulate a
+    racer that wrote v<N+1>.metadata.json but has not yet swapped the
+    hint — our commit passes the check-then-write version checks, so
+    only an exclusive-create at the file itself can stop us from
+    silently overwriting the racer's commit (lost commit)."""
+    t = small_table
+    racer_path = t._meta_path(t.current_version() + 1)
+    with open(racer_path, "x") as f:
+        f.write('{"racer": true}')
+    with pytest.raises(ConcurrentCommitError):
+        t.append(synth.images_df(spark, 10, id_offset=900), n_files=1)
+    with open(racer_path) as f:
+        assert "racer" in f.read()  # the racer's commit was NOT overwritten
+
+
+def test_commit_append_expected_parent_pins_plan_snapshot(spark, small_table):
+    """A check-then-commit caller (merge insert-only anti-join) pins the
+    commit to the snapshot its premise was computed against; any commit
+    landing in the plan->commit window must surface, not compose."""
+    t = small_table
+    parent = t.load_metadata()["current_snapshot_id"]
+    entries = t.write_data_files(
+        synth.images_df(spark, 10, id_offset=900), n_files=1
+    )
+    t.append(synth.images_df(spark, 5, id_offset=950), n_files=1)  # concurrent
+    with pytest.raises(ConcurrentCommitError):
+        t.commit_append(entries, retries=0, expected_parent=parent)
