@@ -73,9 +73,9 @@ def run(sf_dir: str, cores: int, work_dir: str, rows: int | None = None) -> dict
     table.append(d1, n_files=n_ingest_files // 2)
     table.append(d2, n_files=n_ingest_files // 2)
     timings["ingest"] = time.time() - t0
-    entries = table.all_entries()
-    data_bytes = sum(e["file_size_bytes"] for e in entries)
-    files_before = len(entries)
+    st = table.size_stats(spark)  # files() aggregation, not a driver collect
+    data_bytes = st["bytes"]
+    files_before = st["files"]
 
     # 2. bin-pack compaction
     target = max(16 * 1024 * 1024, data_bytes // (cores * 2))

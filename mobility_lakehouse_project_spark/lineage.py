@@ -33,7 +33,9 @@ LINEAGE_SCHEMA = (
 
 class LineageLog:
     def __init__(self, table_location: str):
-        self.root = os.path.join(table_location, "_lineage")
+        from .tableformat.paths import to_local
+
+        self.root = os.path.join(to_local(table_location), "_lineage")
 
     def _op_dir(self, op_id: str) -> str:
         return os.path.join(self.root, op_id)

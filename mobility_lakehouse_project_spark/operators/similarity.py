@@ -48,16 +48,25 @@ def rademacher_signs(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
     return np.where(_hyperplanes(dim, n_planes, seed) > 0, 1.0, -1.0)
 
 
-def rademacher_bucket_col(vec_col: str, signs: np.ndarray):
+def rademacher_bucket_col(vec_col: str, signs: np.ndarray, quantize: bool = False):
     """Pure-Catalyst LSH bucket id: for each +-1 plane, a zip_with dot
     product (left-fold over the array — deterministic summation order)
     and a sign bit; bucket = sum(2^i * bit_i). No UDF: the whole
-    expression stays inside whole-stage codegen."""
+    expression stays inside whole-stage codegen.
+
+    ``quantize`` rounds each element to an integer (x*1024) before the
+    dot: integer sums in doubles are EXACT and order-independent, which
+    is what lets a SQL oracle reproduce the bucket bit-for-bit
+    (plans/relational.py ann_lsh_bucketed / ann_lsh_clustered)."""
     bits = []
     for i, plane in enumerate(signs):
         lit = F.array(*[F.lit(float(x)) for x in plane])
+        if quantize:
+            elem = lambda x, y: F.round(x.cast("double") * 1024) * y  # noqa: E731
+        else:
+            elem = lambda x, y: x.cast("double") * y  # noqa: E731
         dot = F.aggregate(
-            F.zip_with(F.col(vec_col), lit, lambda x, y: x.cast("double") * y),
+            F.zip_with(F.col(vec_col), lit, elem),
             F.lit(0.0), lambda acc, x: acc + x,
         )
         bits.append(F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0)))
@@ -65,6 +74,15 @@ def rademacher_bucket_col(vec_col: str, signs: np.ndarray):
     for b in bits[1:]:
         out = out + b
     return out
+
+
+def quantize_vec(vec) -> list[float]:
+    """Driver-side twin of the ``quantize`` element transform:
+    round-half-away-from-zero (Spark/DuckDB ROUND semantics, NOT
+    Python's banker's rounding) of x*1024."""
+    import math
+
+    return [math.copysign(math.floor(abs(float(x)) * 1024 + 0.5), x) for x in vec]
 
 
 def rademacher_bucket_of(vec, signs: np.ndarray) -> int:
@@ -79,6 +97,125 @@ def rademacher_bucket_of(vec, signs: np.ndarray) -> int:
         if acc > 0:
             bucket += 1 << i
     return bucket
+
+
+def rademacher_margins_of(vec, signs: np.ndarray) -> list[float]:
+    """Per-plane signed dot products of one query vector — left-fold in
+    element order (bit-identical to the Catalyst fold). The bucket is
+    the sign pattern; |margin| orders multi-probe bit flips."""
+    out = []
+    for plane in signs:
+        acc = 0.0
+        for x, s in zip(vec, plane):
+            acc = acc + float(x) * float(s)
+        out.append(acc)
+    return out
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k of ``df`` against one query vector — fully
+    JVM-side (zip_with/aggregate higher-order functions, no UDF)."""
+    q = np.array(query_vec, dtype=np.float64)
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    dot = F.aggregate(
+        F.zip_with(vec_col, qlit, lambda x, y: x.cast("double") * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    norm_v = F.sqrt(F.aggregate(
+        F.transform(F.col(vec_col), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    ))
+    qnorm = float(np.sqrt((q * q).sum()))
+    sim = dot / (norm_v * F.lit(qnorm))
+    return (
+        df.select(F.col(id_col), F.round(sim, 4).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), id_col)
+        .limit(k)
+    )
+
+
+def build_lsh_clustered_table(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    location: str,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    n_files: int | None = None,
+    quantize: bool = False,
+):
+    """Persist an embeddings DataFrame as a lakehouse table PARTITIONED
+    by its LSH bucket — the scale path promised by ann_lsh_topk's
+    docstring made physical: at 10^12 vectors the probe becomes a
+    manifest-pruned scan of n_probes/2^n_planes of the files instead of
+    a full scan + filter. The bucket column is pure Catalyst
+    (rademacher_bucket_col — whole-stage codegen, no Python), and the
+    probe recomputes the query's bucket driver-side from the same
+    deterministic plane matrix."""
+    from ..tableformat import LakehouseTable
+
+    first = embeddings.select(vec_col).first()
+    signs = rademacher_signs(len(first[0]), n_planes, seed)
+    bucketed = embeddings.withColumn(
+        "_bucket", rademacher_bucket_col(vec_col, signs, quantize).cast("int")
+    )
+    t = LakehouseTable.create(location, bucketed.schema, partition_col="_bucket")
+    entries = t.write_data_files(
+        bucketed,
+        n_files=n_files or max(4, spark.sparkContext.defaultParallelism),
+        salt_col=id_col,
+    )
+    t.commit_append(entries, summary={"lsh-planes": n_planes, "lsh-seed": seed,
+                                      "lsh-quantized": int(quantize)})
+    return t
+
+
+def ann_lsh_topk_clustered(
+    spark: SparkSession,
+    table,
+    query_vec: list[float],
+    k: int = 10,
+    n_probes: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, dict]:
+    """ANN probe against a bucket-clustered table: resolve the probe
+    buckets driver-side, scan ONLY their partitions via manifest
+    pruning, then exact-cosine the candidates. Returns (topk, stats)
+    where stats reports the observable payoff: files scanned vs total.
+    Plane count/seed come from the build commit's snapshot summary, so
+    probe and build can never disagree on the bucket function."""
+    summ = next(
+        s.summary for s in reversed(table.snapshots_list())
+        if "lsh-planes" in s.summary
+    )
+    n_planes, seed = int(summ["lsh-planes"]), int(summ["lsh-seed"])
+    signs = rademacher_signs(len(query_vec), n_planes, seed)
+    qv = quantize_vec(query_vec) if int(summ.get("lsh-quantized", 0)) else query_vec
+    margins = rademacher_margins_of(qv, signs)
+    qb = sum((1 << i) for i, m in enumerate(margins) if m > 0)
+    probe = [qb]
+    for i in np.argsort(np.abs(np.array(margins)))[: max(0, n_probes - 1)]:
+        probe.append(qb ^ (1 << int(i)))
+    pv = {str(b) for b in probe}
+    total = table.size_stats(spark)["files"]
+    scanned = table.plan_files(spark, partition_values=pv).count()
+    topk = cosine_topk(
+        table.scan(spark, partition_values=pv), query_vec, k, id_col, vec_col
+    )
+    return topk, {
+        "total_files": total,
+        "scanned_files": scanned,
+        "pruned_fraction": 1.0 - scanned / max(total, 1),
+        "probe_buckets": probe,
+    }
 
 
 def lsh_bucket_udf(dim: int, n_planes: int = 16, seed: int = 7):
@@ -126,25 +263,10 @@ def ann_lsh_topk(
     # flip the lowest-|margin| planes first
     for i in np.argsort(np.abs(margins))[: max(0, n_probes - 1)]:
         probe_buckets.append(qb ^ (1 << int(i)))
-    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
     cand = embeddings.withColumn("_bucket", bucket(F.col(vec_col))).filter(
         F.col("_bucket").isin(probe_buckets)
     )
-    dot = F.aggregate(
-        F.zip_with(vec_col, qlit, lambda x, y: x.cast("double") * y),
-        F.lit(0.0), lambda acc, x: acc + x,
-    )
-    norm_v = F.sqrt(F.aggregate(
-        F.transform(F.col(vec_col), lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x,
-    ))
-    qnorm = float(np.sqrt((q * q).sum()))
-    sim = dot / (norm_v * F.lit(qnorm))
-    return (
-        cand.select(F.col(id_col), F.round(sim, 4).alias("cos_sim"))
-        .orderBy(F.desc("cos_sim"), id_col)
-        .limit(k)
-    )
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)
 
 
 def ivf_train_centroids(
@@ -204,21 +326,7 @@ def ivf_topk(
         dd = ((mat[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
         return pd.Series(dd.argmin(axis=1).astype(np.int32))
 
-    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
-    dot = F.aggregate(
-        F.zip_with(vec_col, qlit, lambda x, y: x.cast("double") * y),
-        F.lit(0.0), lambda acc, x: acc + x,
+    cand = embeddings.withColumn("_cell", assign(F.col(vec_col))).filter(
+        F.col("_cell").isin(*probe)
     )
-    norm_v = F.sqrt(F.aggregate(
-        F.transform(F.col(vec_col), lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x,
-    ))
-    qnorm = float(np.sqrt((q * q).sum()))
-    sim = dot / (norm_v * F.lit(qnorm))
-    return (
-        embeddings.withColumn("_cell", assign(F.col(vec_col)))
-        .filter(F.col("_cell").isin(*probe))
-        .select(F.col(id_col), F.round(sim, 4).alias("cos_sim"))
-        .orderBy(F.desc("cos_sim"), id_col)
-        .limit(k)
-    )
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)

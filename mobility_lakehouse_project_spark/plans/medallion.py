@@ -60,14 +60,29 @@ def ingest_bronze(spark: SparkSession, csv_glob: str, warehouse: str) -> Lakehou
     return ingest_bronze_table(spark, csv_glob, warehouse, "bronze_mitma_viajes", BRONZE_COLS)
 
 
+_REPLACE_MAX_FILES = 10_000
+
+
 def _replace_table(df: DataFrame, loc: str, n_files: int = 2) -> LakehouseTable:
     """S8 replace sink (CTAS semantics): full-rebuild dimension write —
-    the reference's CREATE OR REPLACE / INSERT-after-truncate idiom."""
+    the reference's CREATE OR REPLACE / INSERT-after-truncate idiom.
+
+    Serves METADATA-SIZED dimension tables only: it collects the full
+    replaced file list on the driver, which is fine for a dim's handful
+    of files but must never be pointed at a fact table — guarded by an
+    explicit file-count assertion (one metadata aggregation)."""
     t = LakehouseTable(loc)
     if not t.exists:
         t = LakehouseTable.create(loc, df.schema, partition_col=None)
         t.append(df, n_files=n_files)
         return t
+    n_live = t.size_stats(df.sparkSession)["files"]
+    if n_live > _REPLACE_MAX_FILES:
+        raise ValueError(
+            f"_replace_table is a dimension-table sink; {loc} has {n_live} "
+            f"files (> {_REPLACE_MAX_FILES}). Rebuild fact tables via "
+            "overwrite_partitions/compaction, which plan in chunks."
+        )
     removed = {
         r["file_path"]
         for r in t.plan_files(df.sparkSession).select("file_path").collect()

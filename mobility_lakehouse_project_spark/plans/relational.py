@@ -1315,7 +1315,7 @@ ORACLE_SQL["dedup_simhash"] = """
 ANN_LSH_PLANES = 4  # 16 buckets over 500 sf0.01 vectors (~31/bucket)
 
 
-def _ann_lsh_oracle_sql() -> str:
+def _ann_lsh_oracle_sql(with_label: bool = True) -> str:
     """Generated at import: embeds the +-1 plane matrix as SQL literals.
     Bucket bits come from EXACT integer dot products (round(x*1024) in
     [-2^20, 2^20], sums < 2^53 — double arithmetic on integers is exact
@@ -1334,10 +1334,11 @@ def _ann_lsh_oracle_sql() -> str:
             )
         return " + ".join(terms)
 
+    cols = "vec_id, label," if with_label else "vec_id,"
     return f"""
     WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
     qb AS (SELECT {bucket("qv")} AS qbucket FROM q)
-    SELECT vec_id, label,
+    SELECT {cols}
            ROUND(list_dot_product(embedding::DOUBLE[], qv::DOUBLE[]) /
                  (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
                   sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))), 4) AS cos_sim
@@ -1348,6 +1349,10 @@ def _ann_lsh_oracle_sql() -> str:
 
 
 ORACLE_SQL["ann_lsh_bucketed"] = _ann_lsh_oracle_sql()
+# clustered variant: SEMANTICALLY the same probe — the difference under
+# test is physical (bucket persisted as the partition key, probe routed
+# through manifest partition pruning instead of a full scan + filter)
+ORACLE_SQL["ann_lsh_clustered"] = _ann_lsh_oracle_sql(with_label=False)
 
 
 ANN_IVF_CELLS = 8
@@ -1677,6 +1682,33 @@ def ann_lsh_bucketed(spark, sf_dir):
     )
 
 
+def ann_lsh_clustered(spark, sf_dir):
+    """ANN probe against a PERSISTED bucket-clustered lakehouse table:
+    the embeddings are written partitioned by their quantized sign-LSH
+    bucket (pure-Catalyst bucket expression), then the probe resolves
+    the query's bucket driver-side and scans ONLY that partition via
+    manifest pruning — the physical form of ann_lsh_bucketed's
+    'at 10^12 scale the bucket is the partition key' claim. Results are
+    hash-identical to the filter-based probe (same planes, same
+    quantization), which is exactly what the oracle checks."""
+    import tempfile
+
+    from ..operators.similarity import (
+        ann_lsh_topk_clustered,
+        build_lsh_clustered_table,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    loc = tempfile.mkdtemp(prefix="ann-clustered-") + "/emb"
+    t = build_lsh_clustered_table(
+        spark, e.filter(F.col("vec_id") != 0), loc,
+        n_planes=ANN_LSH_PLANES, quantize=True,
+    )
+    topk, _stats = ann_lsh_topk_clustered(spark, t, qv, k=10, n_probes=1)
+    return topk
+
+
 def ann_ivf_probe(spark, sf_dir):
     """IVF-style ANN probe with a FIXED deterministic coarse quantizer:
     8 +-1 centroids (all equal norm, so argmax integer dot == argmin
@@ -1808,5 +1840,6 @@ QUERIES = {
     "txt_rolling_fingerprint": txt_rolling_fingerprint,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_probe": ann_ivf_probe,
+    "ann_lsh_clustered": ann_lsh_clustered,
     "emb_label_profile": emb_label_profile,
 }

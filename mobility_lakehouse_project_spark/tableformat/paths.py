@@ -51,6 +51,28 @@ def relativize(path_or_uri: str, base: str) -> str:
     return path_or_uri
 
 
+def to_local(location: str) -> str:
+    """Driver-side filesystem root for a table location.
+
+    ``file:``-scheme URIs map to their plain local path (percent-
+    decoded — a URI location may encode spaces); plain paths pass
+    through. Other schemes (s3a://, hdfs://) pass through UNCHANGED:
+    constructing a table object at a remote location stays valid (all
+    derived paths keep the URI form), and the driver-side metadata I/O
+    (open/os/pyarrow) fails at use time — a production deployment swaps
+    that I/O for a Hadoop-FS/boto shim, while all Spark-side reads/
+    writes and the relativize() matching already handle remote URIs."""
+    if not is_uri(location):
+        return location
+    m = _SCHEME.match(location)
+    scheme = location[: m.end()].rstrip(":/").lower()
+    if scheme != "file":
+        return location
+    from urllib.parse import unquote
+
+    return unquote(strip_scheme(location))
+
+
 def join_path(base: str, *parts: str) -> str:
     """Join under a location; URI-safe (plain '/' joining for URIs)."""
     if is_uri(base):

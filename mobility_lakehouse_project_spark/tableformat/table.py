@@ -160,9 +160,15 @@ class LakehouseTable:
         from .paths import join_path, normalize_location
 
         self.location = normalize_location(location)
-        self.meta_dir = join_path(self.location, "metadata")
+        # driver-side I/O root: file:-scheme URIs -> plain local path;
+        # self.location keeps the URI form (the relativize() base for
+        # input_file_name matching and the user-facing identity)
+        from .paths import to_local
+
+        self._local_root = to_local(self.location)
+        self.meta_dir = join_path(self._local_root, "metadata")
         self.manifest_dir = join_path(self.meta_dir, "manifests")
-        self.data_dir = join_path(self.location, "data")
+        self.data_dir = join_path(self._local_root, "data")
 
     # ---------------- metadata I/O ----------------
 
@@ -396,7 +402,7 @@ class LakehouseTable:
         str_cols = {f.name for f in schema.fields if isinstance(f.dataType, T.StringType)}
 
         def one(fp: str) -> dict:
-            rel = os.path.relpath(fp, self.location)
+            rel = os.path.relpath(fp, self._local_root)
             partition_id = ""
             for seg in rel.split(os.sep):
                 if seg.startswith(_PART_DIR + "="):
@@ -762,6 +768,19 @@ class LakehouseTable:
         paths = [os.path.join(self.meta_dir, m) for m in snap.manifests]
         return spark.read.parquet(*paths)
 
+    def size_stats(self, spark: SparkSession) -> dict:
+        """Table-level (files, bytes, rows) as ONE aggregation of the
+        files metadata DataFrame — the planning-safe substitute for
+        materializing ``all_entries()`` on the driver (which at 10^12
+        scale is millions of rows)."""
+        row = self.files(spark).agg(
+            F.count("*").alias("files"),
+            F.sum("file_size_bytes").alias("bytes"),
+            F.sum("record_count").alias("rows"),
+        ).collect()[0]
+        return {"files": int(row["files"] or 0), "bytes": int(row["bytes"] or 0),
+                "rows": int(row["rows"] or 0)}
+
     @staticmethod
     def _files_spark_schema() -> T.StructType:
         return T.StructType(
@@ -875,7 +894,7 @@ class LakehouseTable:
             dt = schema[new].dataType
             phys_fields += [T.StructField(o, dt, True) for o in olds]
         df = spark.read.schema(T.StructType(phys_fields)).parquet(
-            *[os.path.join(self.location, p) for p in rel_paths]
+            *[os.path.join(self._local_root, p) for p in rel_paths]
         )
         if renames:
             df = df.select(
@@ -949,7 +968,7 @@ class LakehouseTable:
         n_files = 0
         if delete_orphans:
             for rel in dead_files:
-                fp = os.path.join(self.location, rel)
+                fp = os.path.join(self._local_root, rel)
                 if os.path.exists(fp):
                     os.remove(fp)
                     n_files += 1
@@ -997,7 +1016,7 @@ class LakehouseTable:
         deleted_data = deleted_manifests = 0
         for fp in globmod.glob(os.path.join(self.data_dir, "**", "*.parquet"),
                                recursive=True):
-            rel = os.path.relpath(fp, self.location)
+            rel = os.path.relpath(fp, self._local_root)
             if rel in live_files:
                 continue
             with contextlib.suppress(FileNotFoundError):

@@ -285,3 +285,20 @@ def test_star_silver_semi_join_discipline(spark, star):
         .join(zones, "zone_id", "left_anti").count()
     )
     assert orphans == 0
+
+
+def test_replace_table_guards_large_tables(spark, tmp_path, monkeypatch):
+    """_replace_table collects the replaced file list on the driver —
+    valid for metadata-sized dims only; a many-file table must be
+    rejected loudly instead of silently materializing its manifest."""
+    import pytest as _pt
+
+    from mobility_lakehouse_project_spark import synth
+    from mobility_lakehouse_project_spark.plans import medallion
+
+    loc = str(tmp_path / "bigdim")
+    df = synth.images_df(spark, 120, partitions=2)
+    medallion._replace_table(df, loc, n_files=6)  # create: fine
+    monkeypatch.setattr(medallion, "_REPLACE_MAX_FILES", 0)
+    with _pt.raises(ValueError, match="dimension-table sink"):
+        medallion._replace_table(df, loc, n_files=6)

@@ -49,7 +49,7 @@ def main() -> None:
                       extra_conf={"spark.local.dir": "/dev/shm/spark-profile-tmp"})
     spark.range(0, CORES * 4, numPartitions=CORES * 2).select(_warm("id")).count()
     t = LakehouseTable(RUN)
-    data_bytes = sum(e["file_size_bytes"] for e in t.all_entries())
+    data_bytes = t.size_stats(spark)["bytes"]
     target = max(16 * 1024 * 1024, data_bytes // 64)
     t0 = time.time()
     zm = clustering.cluster(t, spark, curve="zorder", target_file_size=target,

@@ -106,7 +106,7 @@ _w = "/dev/shm/spark-scaling-tmp/warm.parquet"
 spark.range(0, 64).write.mode("overwrite").parquet(_w)
 spark.read.parquet(_w).count()
 t = LakehouseTable(location={RUN!r})
-data_bytes = sum(e["file_size_bytes"] for e in t.all_entries())
+data_bytes = t.size_stats(spark)["bytes"]
 # 128 output slots at full size: a finer task quantum keeps the last
 # scheduling wave small at 4N (67 tasks on 8 cores left a ~6% tail)
 target = max(4 * 1024 * 1024, data_bytes // (128 * {rows} / {ROWS}))

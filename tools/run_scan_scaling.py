@@ -61,7 +61,7 @@ def decode_psnr(b: pd.Series, w: pd.Series, h: pd.Series, fmt: pd.Series) -> pd.
     return pd.Series(out)
 
 t = LakehouseTable(location={RUN!r})
-data_bytes = sum(e["file_size_bytes"] for e in t.all_entries())
+data_bytes = t.size_stats(spark)["bytes"]
 df = t.scan(spark)
 t0 = time.time()
 bad = df.select(decode_psnr("bytes", "w", "h", "fmt").alias("p")).filter(F.col("p") < 40.0).count()
