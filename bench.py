@@ -52,6 +52,24 @@ HEADLINE_QUERIES = [
 ]
 
 
+def _noise_probe(spark, cores: int) -> float:
+    """Fixed-size CPU-bound calibration job (~1 s on idle 32 cores):
+    xxhash64 over 40M longs, all in whole-stage codegen. Run three
+    times across the bench (before compact / after zorder / after
+    merge); a wide spread means a co-tenant noise window hit THIS run —
+    the documented failure mode of this host (identical rewrites have
+    measured 2x apart minutes apart), letting a reader distinguish a
+    noise-band swing from a real regression in single-run numbers."""
+    from pyspark.sql import functions as F
+
+    t0 = time.time()
+    # bit_xor, not sum: ANSI mode makes a 40M-term long sum overflow
+    spark.range(0, 40_000_000, numPartitions=cores).select(
+        F.bit_xor(F.xxhash64("id"))
+    ).collect()
+    return round(time.time() - t0, 3)
+
+
 def run(sf_dir: str, cores: int, work_dir: str, rows: int | None = None) -> dict:
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     n_rows = rows or int(ROWS_PER_SF * sf)
@@ -77,6 +95,9 @@ def run(sf_dir: str, cores: int, work_dir: str, rows: int | None = None) -> dict
     data_bytes = st["bytes"]
     files_before = st["files"]
 
+    _noise_probe(spark, cores)  # discarded: codegen/JIT warm-up
+    probes = [_noise_probe(spark, cores)]
+
     # 2. bin-pack compaction
     target = max(16 * 1024 * 1024, data_bytes // (cores * 2))
     t0 = time.time()
@@ -87,12 +108,14 @@ def run(sf_dir: str, cores: int, work_dir: str, rows: int | None = None) -> dict
     t0 = time.time()
     zm = clustering.cluster(table, spark, curve="zorder", target_file_size=target, n_chunks=2)
     timings["zorder"] = time.time() - t0
+    probes.append(_noise_probe(spark, cores))
 
     # 4. MERGE INTO (10% of table size, 10% of that updates)
     t0 = time.time()
     src = synth.merge_source_df(spark, n_rows, n_rows // 10, dims=BENCH_DIMS)
     mm = merge.merge_into(table, spark, src, target_file_size=target)
     timings["merge"] = time.time() - t0
+    probes.append(_noise_probe(spark, cores))
 
     # 5. headline analytic queries on the TPC-H-shaped testdata
     qt: dict[str, float] = {}
@@ -118,6 +141,10 @@ def run(sf_dir: str, cores: int, work_dir: str, rows: int | None = None) -> dict
         "maintenance_throughput_mb_s": round(maint_bytes / 1e6 / max(maint_secs, 1e-9), 2),
         "maintenance_files_s": round(maint_files / max(maint_secs, 1e-9), 2),
         "merge_rows_s": round(mm["rows_out"] / max(timings["merge"], 1e-9), 1),
+        # host-noise evidence: identical fixed-size probes through the
+        # run; spread >> 1 flags a co-tenant window inside THIS run
+        "noise_probe_sec": probes,
+        "noise_spread": round(max(probes) / max(min(probes), 1e-9), 2),
         "queries": qt,
     }
     spark.stop()

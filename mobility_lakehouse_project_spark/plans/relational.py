@@ -749,14 +749,21 @@ def ann_cosine_topk(spark, sf_dir):
 
 def emb_label_profile(spark, sf_dir):
     """Embedding column profiling: per-label count and mean element
-    value (explode/unnest aggregation over array<float>)."""
+    value. Each row PRE-SUMS its own array with a JVM higher-order fold
+    before the groupBy, so the shuffle carries one (label, sum, size)
+    row per record instead of rows x dim exploded elements — at 10^12
+    rows x 1k dims that is the difference between a 10^12-row and a
+    10^15-row shuffle."""
     e = _t(spark, sf_dir, "embeddings")
+    row_sum = F.aggregate(
+        F.col("embedding"), F.lit(0.0), lambda acc, x: acc + x.cast("double")
+    )
     return (
-        e.select("label", F.explode("embedding").alias("x"))
+        e.select("label", row_sum.alias("s"), F.size("embedding").alias("c"))
         .groupBy("label")
         .agg(
-            F.count("*").alias("n_elems"),
-            F.round(F.avg(F.col("x").cast("double")), 5).alias("avg_elem"),
+            F.sum("c").alias("n_elems"),
+            F.round(F.sum("s") / F.sum("c"), 5).alias("avg_elem"),
         )
     )
 
@@ -1260,8 +1267,11 @@ ORACLE_SQL: dict[str, str] = {
         ORDER BY cos_sim DESC, vec_id LIMIT 10
     """,
     "emb_label_profile": """
-        SELECT label, COUNT(*) AS n_elems, ROUND(AVG(CAST(x AS DOUBLE)), 5) AS avg_elem
-        FROM (SELECT label, UNNEST(embedding) AS x FROM embeddings) t
+        -- mirrors the plan's per-row pre-sum (one shuffle row per record)
+        SELECT label, CAST(SUM(len(embedding)) AS BIGINT) AS n_elems,
+               ROUND(SUM(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))))
+                     / SUM(len(embedding)), 5) AS avg_elem
+        FROM embeddings
         GROUP BY label
     """,
 }

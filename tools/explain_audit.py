@@ -29,6 +29,8 @@ AUDIT = [
     "dedup_embed_cosine",    # expect no python UDF; join, not cartesian of blobs
     "txt_quality_score",     # expect single HashAggregate pair, no UDF
     "ann_ivf_probe",         # expect NO Python UDF (fixed-quantizer cells in Catalyst)
+    "ann_lsh_clustered",     # expect NO Python UDF + pruned file scan (bucket = partition key)
+    "emb_label_profile",     # expect per-row pre-sum: one HashAggregate pair, NO Generate/explode
 ]
 
 CHECKS = {
@@ -44,11 +46,17 @@ CHECKS = {
     "dedup_embed_cosine": [],
     "txt_quality_score": ["HashAggregate"],
     "ann_ivf_probe": ["TakeOrderedAndProject"],
+    "ann_lsh_clustered": ["TakeOrderedAndProject"],
+    "emb_label_profile": ["HashAggregate"],
 }
 
 # plans that must contain NO row-at-a-time or Arrow Python evaluation
 NO_PYTHON = {"dedup_simhash", "ann_lsh_bucketed", "dedup_embed_cosine",
-             "txt_quality_score", "ann_cosine_topk", "ann_ivf_probe"}
+             "txt_quality_score", "ann_cosine_topk", "ann_ivf_probe",
+             "ann_lsh_clustered", "emb_label_profile"}
+
+# plans that must NOT explode arrays into the shuffle (per-row pre-sum)
+NO_GENERATE = {"emb_label_profile"}
 
 
 def main() -> int:
@@ -66,6 +74,8 @@ def main() -> int:
         missing = [m for m in musts if m not in plan]
         if name in NO_PYTHON and ("Python" in plan or "ArrowEval" in plan):
             missing.append("NO-PYTHON violated")
+        if name in NO_GENERATE and "Generate" in plan:
+            missing.append("NO-GENERATE violated (array exploded into shuffle)")
         status = "OK" if not missing else f"MISSING {missing}"
         if missing:
             failures.append((name, missing))

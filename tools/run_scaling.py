@@ -250,8 +250,20 @@ All weak runs: {weak_json}
 ctx32: {json.dumps(ctx32)}
 """
     os.makedirs("BENCH", exist_ok=True)
+    # preserve the appendix (pruning tables, regression analyses appended
+    # by other tools) across this tool's rewrite of the scaling report
+    appendix = ""
+    marker = "<!-- appendix: preserved across run_scaling rewrites -->"
+    try:
+        with open("BENCH/BASELINE.md") as f:
+            old = f.read()
+        if marker in old:
+            appendix = old[old.index(marker):]
+    except FileNotFoundError:
+        pass
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(md)
+        f.write("\n" + (appendix or marker + "\n"))
     print(md)
     shutil.rmtree(RUN, ignore_errors=True)
     shutil.rmtree("/dev/shm/spark-scaling-tmp", ignore_errors=True)
