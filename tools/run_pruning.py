@@ -45,54 +45,75 @@ def prune_fraction(table: LakehouseTable, spark, int_ranges: dict) -> tuple[int,
     return total, kept
 
 
+def measure(spark, curve: str, file_divisor: int):
+    """Cluster a fresh copy with ``curve``; target sized so the table
+    ends up with ~``file_divisor`` files. Returns (results, scanned,
+    correctness) for all PREDICATES."""
+    loc = f"{BASE}_{curve}_{file_divisor}"
+    shutil.rmtree(loc, ignore_errors=True)
+    df = synth.images_df(spark, ROWS, dims=(16, 32, 64, 128), partitions=32)
+    t = LakehouseTable.create(loc, df.schema, partition_col="bucket")
+    t.append(df, n_files=64)
+    total_bytes = sum(
+        r["file_size_bytes"]
+        for r in t.files(spark).select("file_size_bytes").collect()
+    )
+    clustering.cluster(t, spark, curve=curve,
+                       target_file_size=max(total_bytes // file_divisor, 64 * 1024),
+                       n_chunks=1)
+    results, scanned = {}, {}
+    for name, rng in PREDICATES:
+        total, kept = prune_fraction(t, spark, rng)
+        results[name] = round(1.0 - kept / total, 3)
+        scanned[name] = f"{kept}/{total}"
+    lo, hi = -(2**63), -(2**63) + 2**59
+    full = t.scan(spark).filter((F.col("phash") >= lo) & (F.col("phash") <= hi)).count()
+    pruned = (
+        t.scan(spark, int_ranges={"phash": (lo, hi)})
+        .filter((F.col("phash") >= lo) & (F.col("phash") <= hi)).count()
+    )
+    shutil.rmtree(loc, ignore_errors=True)
+    return results, scanned, (full, pruned, full == pruned)
+
+
 def main() -> None:
     spark = get_spark("pruning-eval", cores=16,
                       extra_conf={"spark.local.dir": "/dev/shm/spark-pruning-tmp"})
+    # two file densities: ~48 files (the r2-comparable coarse layout,
+    # ~3 files/partition) and ~512 files (~16/partition — the regime a
+    # 100 TB partition actually lives in, where the curve prefix is
+    # deep enough to reach every interleaved dim)
     results: dict[str, dict[str, float]] = {}
     scanned: dict[str, dict[str, str]] = {}
     correctness = {}
     for curve in ("zorder", "hilbert"):
-        loc = f"{BASE}_{curve}"
-        shutil.rmtree(loc, ignore_errors=True)
-        df = synth.images_df(spark, ROWS, dims=(16, 32, 64, 128), partitions=32)
-        t = LakehouseTable.create(loc, df.schema, partition_col="bucket")
-        t.append(df, n_files=64)
-        target = sum(
-            r["file_size_bytes"]
-            for r in t.files(spark).select("file_size_bytes").collect()
-        ) // 48
-        clustering.cluster(t, spark, curve=curve, target_file_size=max(target, 4 << 20),
-                           n_chunks=1)
-        for name, rng in PREDICATES:
-            total, kept = prune_fraction(t, spark, rng)
-            results.setdefault(name, {})[curve] = round(1.0 - kept / total, 3)
-            scanned.setdefault(name, {})[curve] = f"{kept}/{total}"
-        # pruned scan == full-scan filter (correctness of pruning)
-        lo, hi = -(2**63), -(2**63) + 2**59
-        full = t.scan(spark).filter((F.col("phash") >= lo) & (F.col("phash") <= hi)).count()
-        pruned = (
-            t.scan(spark, int_ranges={"phash": (lo, hi)})
-            .filter((F.col("phash") >= lo) & (F.col("phash") <= hi)).count()
-        )
-        correctness[curve] = (full, pruned, full == pruned)
-        shutil.rmtree(loc, ignore_errors=True)
+        for div, tag in ((48, "coarse"), (512, "dense")):
+            r, sc, corr = measure(spark, curve, div)
+            for name in r:
+                results.setdefault(name, {})[f"{curve}-{tag}"] = r[name]
+                scanned.setdefault(name, {})[f"{curve}-{tag}"] = sc[name]
+            correctness[f"{curve}-{tag}"] = corr
 
+    cols = ["zorder-coarse", "zorder-dense", "hilbert-coarse", "hilbert-dense"]
     lines = [
         "",
-        "## Clustering pruning evidence: Z-order vs Hilbert",
+        "## Clustering pruning evidence: Z-order vs Hilbert (range-normalized dims)",
         "",
         f"Same {ROWS}-row image table clustered with each curve over",
-        "(phash, w, h); pruned_fraction = share of data files a",
-        "manifest-stats scan skips for the predicate (higher is better).",
+        "(phash, w, h) with RANGE-SCALED dims; pruned_fraction = share of",
+        "data files a manifest-stats scan skips (higher is better).",
+        "coarse = ~3 files/partition (r2-comparable layout); dense = ~16",
+        "files/partition (the file density a 100 TB partition actually",
+        "has — the curve prefix reaches every interleaved dim).",
         "",
-        "| predicate | zorder pruned | hilbert pruned | zorder files | hilbert files |",
-        "|---|---|---|---|---|",
+        "| predicate | " + " | ".join(f"{c} pruned (files)" for c in cols) + " |",
+        "|---|" + "---|" * len(cols),
     ]
     for name, _ in PREDICATES:
         r, s = results[name], scanned[name]
         lines.append(
-            f"| {name} | {r['zorder']:.3f} | {r['hilbert']:.3f} "
-            f"| {s['zorder']} | {s['hilbert']} |"
+            "| " + name + " | "
+            + " | ".join(f"{r[c]:.3f} ({s[c]})" for c in cols) + " |"
         )
     lines += [
         "",
