@@ -97,6 +97,45 @@ def morton3(d0: np.ndarray, d1: np.ndarray, d2: np.ndarray) -> np.ndarray:
     return interleave3(d0, d1, d2).astype(np.int64)
 
 
+def _part1by1(x: np.ndarray) -> np.ndarray:
+    """Spread each of the low 21 bits of ``x`` to every 2nd bit."""
+    x = x.astype(np.uint64) & _DIM_MASK
+    x = (x | (x << np.uint64(16))) & np.uint64(0x0000FFFF0000FFFF)
+    x = (x | (x << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
+    x = (x | (x << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    x = (x | (x << np.uint64(2))) & np.uint64(0x3333333333333333)
+    x = (x | (x << np.uint64(1))) & np.uint64(0x5555555555555555)
+    return x
+
+
+def morton_n(dims: list[np.ndarray]) -> np.ndarray:
+    """Z-order key over 1-3 dims. One dim = the (normalized) value
+    itself — a plain sort key, the right choice when only a single
+    column carries selective predicates (BENCH/BASELINE.md: at coarse
+    file granularity a multi-dim key dilutes single-dim pruning)."""
+    n = len(dims)
+    if n == 1:
+        return (dims[0].astype(np.uint64) & _DIM_MASK).astype(np.int64)
+    if n == 2:
+        return ((_part1by1(dims[0]) << np.uint64(1)) | _part1by1(dims[1])).astype(np.int64)
+    return morton3(*dims)
+
+
+def hilbert_n(dims: list[np.ndarray], bits: int = BITS_PER_DIM) -> np.ndarray:
+    """Hilbert key over 1-3 dims (1 dim degenerates to the value)."""
+    n = len(dims)
+    if n == 1:
+        return (dims[0].astype(np.uint64) & _DIM_MASK).astype(np.int64)
+    if n == 3:
+        return hilbert3(*dims, bits=bits)
+    tx = axes_to_transpose(list(dims), bits)
+    out = np.zeros_like(tx[0])
+    for level in range(bits - 1, -1, -1):
+        for i in range(n):
+            out = (out << np.uint64(1)) | ((tx[i] >> np.uint64(level)) & np.uint64(1))
+    return out.astype(np.int64)
+
+
 def axes_to_transpose(coords: list[np.ndarray], bits: int) -> list[np.ndarray]:
     """Skilling's AxesToTranspose, vectorized: in-place-style transform
     of ``n`` coordinate arrays into the 'transposed' Hilbert form."""
@@ -149,35 +188,34 @@ def hilbert3(d0: np.ndarray, d1: np.ndarray, d2: np.ndarray, bits: int = BITS_PE
 
 
 def _dims_np(
-    phash: np.ndarray, w: np.ndarray, h: np.ndarray,
+    arrays: tuple[np.ndarray, ...],
     bounds: tuple[tuple[int, int], ...] | None,
-):
-    """Normalize the three dim arrays; ``bounds`` = ((lo,hi),)*3 raw
-    column min/max (range-scaled) or None (legacy clip/top-bits)."""
+) -> list[np.ndarray]:
+    """Normalize 1-3 dim arrays; ``bounds`` = ((lo,hi),)*n raw column
+    min/max (range-scaled) or None (legacy: top-bits for the first dim,
+    clip for the rest — the pre-r3 fixed scheme)."""
     if bounds is None:
-        return (normalize_i64(phash), normalize_u32(w), normalize_u32(h))
+        return [normalize_i64(arrays[0])] + [normalize_u32(a) for a in arrays[1:]]
     params = [dim_params(lo, hi) for lo, hi in bounds]
-    return tuple(
+    return [
         normalize_scaled(x, lo_f, sc)
-        for x, (lo_f, sc) in zip((phash, w, h), params)
-    )
+        for x, (lo_f, sc) in zip(arrays, params)
+    ]
 
 
 def curve_key_udf(curve: str, bounds: tuple[tuple[int, int], ...] | None = None):
-    """Arrow-batched pandas UDF computing the curve key, range-scaling
-    each dim from ``bounds`` (per-column min/max, e.g. one manifest
-    aggregation) so every dimension carries entropy in the key."""
-    fn = morton3 if curve == "zorder" else hilbert3
+    """Arrow-batched pandas UDF computing the curve key over 1-3 dims,
+    range-scaling each dim from ``bounds`` (per-column min/max, e.g.
+    one manifest aggregation) so every dimension carries entropy in
+    the key."""
+    fn = morton_n if curve == "zorder" else hilbert_n
 
     @F.pandas_udf(T.LongType())
-    def key(phash: pd.Series, w: pd.Series, h: pd.Series) -> pd.Series:
-        d0, d1, d2 = _dims_np(
-            phash.to_numpy(dtype=np.int64, na_value=0),
-            w.to_numpy(dtype=np.int64, na_value=0),
-            h.to_numpy(dtype=np.int64, na_value=0),
-            bounds,
+    def key(*cols: pd.Series) -> pd.Series:
+        dims = _dims_np(
+            tuple(c.to_numpy(dtype=np.int64, na_value=0) for c in cols), bounds
         )
-        return pd.Series(fn(d0, d1, d2))
+        return pd.Series(fn(dims))
 
     return key
 
@@ -189,31 +227,42 @@ hilbert_key = curve_key_udf("hilbert")
 CURVES = {"zorder": zorder_key, "hilbert": hilbert_key}
 
 
-_SPREAD_MASKS = (
+_SPREAD_MASKS_3 = (
     (32, 0x1F00000000FFFF),
     (16, 0x1F0000FF0000FF),
     (8, 0x100F00F00F00F00F),
     (4, 0x10C30C30C30C30C3),
     (2, 0x1249249249249249),
 )
+_SPREAD_MASKS_2 = (
+    (16, 0x0000FFFF0000FFFF),
+    (8, 0x00FF00FF00FF00FF),
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (2, 0x3333333333333333),
+    (1, 0x5555555555555555),
+)
 
 
-def zorder_col(phash, w, h, bounds: tuple[tuple[int, int], ...] | None = None):
-    """The Z-order key as PURE Catalyst expressions (shiftleft/AND bit
-    spreading) — whole-stage-codegen'd, no Python worker in the plan.
-    Bit-identical to ``morton3``/``zorder_key``/``curve_key_udf``
+def zorder_col(*cols, bounds: tuple[tuple[int, int], ...] | None = None):
+    """The Z-order key over 1-3 columns as PURE Catalyst expressions
+    (shiftleft/AND bit spreading) — whole-stage-codegen'd, no Python
+    worker in the plan. Bit-identical to ``morton_n``/``curve_key_udf``
     (tested). Used for the clustering key pass so the metadata pass is
     JVM-only; the Hilbert variant stays an Arrow UDF (its loop
     structure doesn't reduce to fixed-point expressions).
 
     With ``bounds`` each dim is range-scaled onto the full 21-bit space
     via the same driver-computed (lo, scale) doubles as the numpy
-    kernels — identical IEEE op sequence, so keys stay bit-identical."""
+    kernels — identical IEEE op sequence, so keys stay bit-identical.
+    One column = plain (normalized) sort key, no interleaving."""
     from pyspark.sql import functions as F  # local to keep module import-light
+
+    n = len(cols)
+    masks = _SPREAD_MASKS_3 if n == 3 else _SPREAD_MASKS_2
 
     def spread(col):
         x = col
-        for shift, mask in _SPREAD_MASKS:
+        for shift, mask in masks:
             x = x.bitwiseOR(F.shiftleft(x, shift)).bitwiseAND(F.lit(mask))
         return x
 
@@ -224,21 +273,20 @@ def zorder_col(phash, w, h, bounds: tuple[tuple[int, int], ...] | None = None):
             v = F.least(F.greatest(v, F.lit(0.0)), F.lit(_M_F))
             return F.floor(v).cast("long")
 
-        d0 = scaled(phash, *bounds[0])
-        d1 = scaled(w, *bounds[1])
-        d2 = scaled(h, *bounds[2])
+        dims = [scaled(c, *b) for c, b in zip(cols, bounds)]
     else:
-        d0 = F.shiftrightunsigned(
-            phash.cast("long").bitwiseXOR(F.lit(-(2**63))), 64 - BITS_PER_DIM
-        )
         lim = F.lit((1 << BITS_PER_DIM) - 1)
-        d1 = F.least(F.greatest(w.cast("long"), F.lit(0)), lim)
-        d2 = F.least(F.greatest(h.cast("long"), F.lit(0)), lim)
-    return (
-        F.shiftleft(spread(d0), 2)
-        .bitwiseOR(F.shiftleft(spread(d1), 1))
-        .bitwiseOR(spread(d2))
-    )
+        dims = [
+            F.shiftrightunsigned(
+                cols[0].cast("long").bitwiseXOR(F.lit(-(2**63))), 64 - BITS_PER_DIM
+            )
+        ] + [F.least(F.greatest(c.cast("long"), F.lit(0)), lim) for c in cols[1:]]
+    if n == 1:
+        return dims[0]
+    out = F.shiftleft(spread(dims[0]), n - 1)
+    for i, d in enumerate(dims[1:], start=1):
+        out = out.bitwiseOR(F.shiftleft(spread(d), n - 1 - i))
+    return out
 
 
 def curve_np(
@@ -247,5 +295,5 @@ def curve_np(
 ) -> np.ndarray:
     """Raw numpy curve kernel (for fused UDFs that combine the key with
     further vectorized work in one Arrow round-trip)."""
-    d0, d1, d2 = _dims_np(phash, w, h, bounds)
-    return morton3(d0, d1, d2) if curve == "zorder" else hilbert3(d0, d1, d2)
+    dims = _dims_np((phash, w, h), bounds)
+    return morton_n(dims) if curve == "zorder" else hilbert_n(dims)

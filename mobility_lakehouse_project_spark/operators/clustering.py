@@ -82,13 +82,18 @@ def cluster(
     table: LakehouseTable,
     spark: SparkSession,
     curve: str = "zorder",
-    cols: tuple[str, str, str] = ("phash", "w", "h"),
+    cols: tuple[str, ...] = ("phash", "w", "h"),
     target_file_size: int = DEFAULT_TARGET_FILE_SIZE,
     n_chunks: int = 4,
     op_id: str | None = None,
     recompress_level: int | None = None,
 ) -> dict:
-    """Rewrite the whole table clustered by ``curve`` over ``cols``."""
+    """Rewrite the whole table clustered by ``curve`` over ``cols``
+    (1-3 integer columns; a single column degenerates to a plain sort —
+    the right layout when only one column carries selective predicates,
+    see BENCH/BASELINE.md's coarse-granularity reading)."""
+    if not 1 <= len(cols) <= 3:
+        raise ValueError(f"cluster over 1-3 columns, got {cols!r}")
     # dim bounds for range-scaled normalization: ONE aggregation over
     # the manifest stats (zero data-file reads). Without this, a
     # narrow-range dim (w, h in {16..128}) contributes no high bits to

@@ -270,3 +270,25 @@ def test_cluster_prunes_secondary_dims(spark, fragmented_table):
             .count()
         )
         assert pruned == full and full > 0
+
+
+def test_cluster_single_column_max_phash_pruning(spark, fragmented_table):
+    """cluster(cols=("phash",)) = plain sort layout: at COARSE file
+    granularity (few files/partition) it must prune a narrow phash band
+    at least as well as the 3-dim key does (the single-dim-workload
+    recommendation in BENCH/BASELINE.md)."""
+    t = fragmented_table
+    m = clustering.cluster(
+        t, spark, curve="zorder", cols=("phash",),
+        target_file_size=150 * 1024, n_chunks=2,
+    )
+    assert m["rows"] == N_ROWS
+    lo, hi = -(2**61), -(2**60)
+    p = clustering.pruning_ratio(t, spark, "phash", lo, hi)
+    assert p["pruned_fraction"] >= 0.5  # pure sort: tight phash ranges
+    full = t.scan(spark).filter((F.col("phash") >= lo) & (F.col("phash") <= hi)).count()
+    pruned = (
+        t.scan(spark, int_ranges={"phash": (lo, hi)})
+        .filter((F.col("phash") >= lo) & (F.col("phash") <= hi)).count()
+    )
+    assert pruned == full

@@ -153,3 +153,51 @@ def test_jvm_zorder_col_bit_identical_with_bounds(spark):
         ).collect()
     ]
     assert udf_vals == jvm
+
+
+def test_morton2_bijective_small_grid():
+    n = 1 << 5
+    g = np.arange(n, dtype=np.uint64)
+    xx, yy = np.meshgrid(g, g, indexing="ij")
+    idx = sfc.morton_n([xx.ravel(), yy.ravel()])
+    assert len(np.unique(idx)) == len(idx)
+    assert idx.min() == 0 and idx.max() == len(idx) - 1
+
+
+def test_hilbert2_unit_step_locality():
+    bits = 4
+    n = 1 << bits
+    g = np.arange(n, dtype=np.uint64)
+    xx, yy = np.meshgrid(g, g, indexing="ij")
+    idx = sfc.hilbert_n([xx.ravel(), yy.ravel()], bits=bits)
+    order = np.argsort(idx)
+    coords = np.stack([xx.ravel(), yy.ravel()], axis=1).astype(np.int64)[order]
+    steps = np.abs(np.diff(coords, axis=0)).sum(axis=1)
+    assert (steps == 1).all()
+
+
+def test_jvm_zorder_col_n_dims_bit_identical(spark):
+    """The variadic Catalyst twin must match morton_n for 1 and 2 dims
+    (bounds-scaled), like the 3-dim case."""
+    import pyspark.sql.functions as F
+
+    df = spark.range(1500).select(
+        (F.col("id") * 982451653 - 4611686018427387904).alias("phash"),
+        (16 + F.col("id") % 113).cast("int").alias("w"),
+    )
+    pdf = df.toPandas()
+    b2 = ((-(2**63), 2**63 - 1), (16, 128))
+    jvm2 = [r["z"] for r in df.select(
+        sfc.zorder_col(F.col("phash"), F.col("w"), bounds=b2).alias("z")).collect()]
+    ref2 = sfc.morton_n(sfc._dims_np(
+        (pdf["phash"].to_numpy(), pdf["w"].to_numpy()), b2))
+    assert list(ref2) == jvm2
+    b1 = ((-(2**63), 2**63 - 1),)
+    jvm1 = [r["z"] for r in df.select(
+        sfc.zorder_col(F.col("phash"), bounds=b1).alias("z")).collect()]
+    ref1 = sfc.morton_n(sfc._dims_np((pdf["phash"].to_numpy(),), b1))
+    assert list(ref1) == jvm1
+    # and the variadic Arrow UDF agrees
+    udf2 = [r["z"] for r in df.select(
+        sfc.curve_key_udf("zorder", b2)("phash", "w").alias("z")).collect()]
+    assert udf2 == jvm2
