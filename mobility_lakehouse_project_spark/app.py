@@ -55,6 +55,8 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--target-mb", type=float, default=128)
     sp.add_argument("--chunks", type=int, default=4)
     sp.add_argument("--recompress", type=int, default=None)
+    sp.add_argument("--partitions", default=None,
+                    help="comma-separated partition ids to scope the run")
 
     sp = sub.add_parser("cluster")
     t(sp)
@@ -100,6 +102,13 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("snapshots")
     t(sp)
 
+    sp = sub.add_parser("rollback")
+    t(sp)
+    g = sp.add_mutually_exclusive_group(required=True)
+    g.add_argument("--snapshot", type=int, help="snapshot id to restore")
+    g.add_argument("--as-of-ms", type=int,
+                   help="restore the snapshot current at this epoch-ms")
+
     a = p.parse_args(argv)
 
     from .session import get_spark
@@ -122,7 +131,8 @@ def main(argv: list[str] | None = None) -> int:
 
         out = {"cmd": "compact", **compaction.compact(
             LakehouseTable(a.table), spark, target_file_size=_mb(a.target_mb),
-            n_chunks=a.chunks, recompress_level=a.recompress)}
+            n_chunks=a.chunks, recompress_level=a.recompress,
+            only_partitions=set(a.partitions.split(",")) if a.partitions else None)}
     elif a.cmd == "cluster":
         from .operators import clustering
 
@@ -173,6 +183,12 @@ def main(argv: list[str] | None = None) -> int:
 
         rows = LineageLog(a.table).lineage_df(spark).collect()
         out = {"cmd": "lineage", "entries": [r.asDict() for r in rows]}
+    elif a.cmd == "rollback":
+        tbl = LakehouseTable(a.table)
+        sid = (a.snapshot if a.snapshot is not None
+               else tbl.snapshot_as_of(a.as_of_ms).snapshot_id)
+        v = tbl.rollback_to(sid)
+        out = {"cmd": "rollback", "snapshot": sid, "metadata_version": v}
     elif a.cmd == "snapshots":
         out = {"cmd": "snapshots", "snapshots": [
             {"id": s.snapshot_id, "op": s.operation, "seq": s.sequence,

@@ -87,8 +87,9 @@ def cluster(
     n_chunks: int = 4,
     op_id: str | None = None,
     recompress_level: int | None = None,
+    only_partitions: set[str] | None = None,
 ) -> dict:
-    """Rewrite the whole table clustered by ``curve`` over ``cols``
+    """Rewrite the table clustered by ``curve`` over ``cols``
     (1-3 integer columns; a single column degenerates to a plain sort —
     the right layout when only one column carries selective predicates,
     see BENCH/BASELINE.md's coarse-granularity reading)."""
@@ -134,6 +135,13 @@ def cluster(
     pcol = table._partition_col()
 
     part_bytes_all = {r["partition_id"]: int(r["bytes"]) for r in plan_rows}
+    if only_partitions is not None:
+        # incremental clustering: only the partitions a recent ingest
+        # disturbed are rewritten; dim bounds above stay TABLE-wide so
+        # keys remain comparable with already-clustered partitions
+        part_bytes_all = {
+            p: b for p, b in part_bytes_all.items() if p in only_partitions
+        }
     part_ids = sorted(part_bytes_all)
 
     metrics = {"files_in": 0, "files_out": 0, "rows": 0, "bytes": 0,

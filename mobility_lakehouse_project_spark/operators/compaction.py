@@ -120,10 +120,17 @@ def compact(
     n_chunks: int = 4,
     op_id: str | None = None,
     recompress_level: int | None = None,
+    only_partitions: set[str] | None = None,
 ) -> dict:
     """Bin-pack compact the table. Returns metrics {files_in, files_out,
-    rows, bytes, wall_ms, chunks_skipped, snapshots}."""
+    rows, bytes, wall_ms, chunks_skipped, snapshots}.
+
+    ``only_partitions`` scopes the run (incremental maintenance: touch
+    only the partitions a recent ingest fragmented, instead of
+    re-walking the whole table)."""
     plan = plan_compaction(table, spark, target_file_size)
+    if only_partitions is not None:
+        plan = [p for p in plan if p["partition_id"] in only_partitions]
     if not plan:
         return {"files_in": 0, "files_out": 0, "rows": 0, "bytes": 0,
                 "wall_ms": 0, "chunks_skipped": 0, "snapshots": []}

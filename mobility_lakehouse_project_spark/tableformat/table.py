@@ -316,6 +316,37 @@ class LakehouseTable:
             s for s in self.snapshots_list() if s.snapshot_id == snapshot_id
         )
 
+    def snapshot_as_of(self, timestamp_ms: int) -> Snapshot:
+        """Latest snapshot committed at or before ``timestamp_ms`` —
+        timestamp time travel (Iceberg's FOR SYSTEM_TIME AS OF)."""
+        cands = [s for s in self.snapshots_list() if s.timestamp_ms <= timestamp_ms]
+        if not cands:
+            raise ValueError(
+                f"no snapshot at or before {timestamp_ms} (earliest is "
+                f"{min(s.timestamp_ms for s in self.snapshots_list())})"
+            )
+        return max(cands, key=lambda s: s.sequence)
+
+    def rollback_to(self, snapshot_id: int, retries: int = 3) -> int:
+        """Point the table back at an existing snapshot (Iceberg's
+        rollback). Metadata-only commit through the same CAS as every
+        other commit; NO snapshot is deleted, so the abandoned branch
+        stays time-travelable until expire_snapshots drops it, and the
+        next data commit simply parents off the restored snapshot."""
+        last: Exception | None = None
+        for _ in range(max(1, retries + 1)):
+            meta = self.load_metadata()
+            if not any(
+                s.snapshot_id == snapshot_id for s in self.snapshots_list(meta)
+            ):
+                raise ValueError(f"unknown snapshot {snapshot_id}")
+            meta["current_snapshot_id"] = snapshot_id
+            try:
+                return self._commit_metadata(meta)
+            except ConcurrentCommitError as e:
+                last = e
+        raise last
+
     # ---------------- data write path ----------------
 
     def _partition_col(self, meta: dict | None = None) -> str | None:

@@ -292,3 +292,41 @@ def test_cluster_single_column_max_phash_pruning(spark, fragmented_table):
         .filter((F.col("phash") >= lo) & (F.col("phash") <= hi)).count()
     )
     assert pruned == full
+
+
+def test_only_partitions_scopes_maintenance(spark, fragmented_table):
+    """Incremental maintenance: compact/cluster scoped to a partition
+    subset touch ONLY those partitions' files."""
+    t = fragmented_table
+    parts = sorted(
+        r["partition_id"]
+        for r in t.files(spark).select("partition_id").distinct().collect()
+    )
+    scope = set(parts[:2])
+    before = {
+        r["file_path"]: r["partition_id"]
+        for r in t.files(spark).select("file_path", "partition_id").collect()
+    }
+    m = compaction.compact(
+        t, spark, target_file_size=1 << 20, n_chunks=1, only_partitions=scope
+    )
+    assert m["files_in"] > 0
+    after = {
+        r["file_path"]: r["partition_id"]
+        for r in t.files(spark).select("file_path", "partition_id").collect()
+    }
+    untouched_before = {p for p, pid in before.items() if pid not in scope}
+    untouched_after = {p for p, pid in after.items() if pid not in scope}
+    assert untouched_before == untouched_after  # out-of-scope files intact
+    assert all(pid in scope for p, pid in after.items() if p not in before)
+    assert t.scan(spark).count() == N_ROWS
+    m2 = clustering.cluster(
+        t, spark, curve="zorder", target_file_size=1 << 20, n_chunks=1,
+        only_partitions=scope,
+    )
+    assert m2["rows"] == sum(
+        r["record_count"]
+        for r in t.files(spark).filter(F.col("partition_id").isin(list(scope)))
+        .select("record_count").collect()
+    )
+    assert t.scan(spark).count() == N_ROWS

@@ -339,3 +339,29 @@ def test_commit_append_expected_parent_pins_plan_snapshot(spark, small_table):
     t.append(synth.images_df(spark, 5, id_offset=950), n_files=1)  # concurrent
     with pytest.raises(ConcurrentCommitError):
         t.commit_append(entries, retries=0, expected_parent=parent)
+
+
+def test_snapshot_as_of_and_rollback(spark, small_table):
+    """Timestamp time travel + rollback: rollback is a metadata-only
+    commit through the CAS; the abandoned branch stays readable and the
+    next data commit parents off the restored snapshot."""
+    t = small_table
+    s1 = t.current_snapshot()
+    t.append(synth.images_df(spark, 100, id_offset=800), n_files=1)
+    s2 = t.current_snapshot()
+    assert t.scan(spark).count() == 900
+    # timestamp travel: as-of s1's commit time resolves to s1
+    assert t.snapshot_as_of(s1.timestamp_ms).snapshot_id == s1.snapshot_id
+    assert t.snapshot_as_of(s2.timestamp_ms + 10).snapshot_id == s2.snapshot_id
+    with pytest.raises(ValueError):
+        t.snapshot_as_of(s1.timestamp_ms - 100_000)
+    # rollback to s1: current scan shrinks, branch stays readable
+    t.rollback_to(s1.snapshot_id)
+    assert t.scan(spark).count() == 800
+    assert t.scan(spark, snapshot_id=s2.snapshot_id).count() == 900
+    with pytest.raises(ValueError):
+        t.rollback_to(424242)
+    # next commit parents off the restored snapshot
+    t.append(synth.images_df(spark, 50, id_offset=900), n_files=1)
+    assert t.scan(spark).count() == 850
+    assert t.current_snapshot().parent_id == s1.snapshot_id
