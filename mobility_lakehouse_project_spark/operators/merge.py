@@ -87,6 +87,7 @@ def merge_into(
     when_matched: str | None = "update",
     update_cols: list[str] | None = None,
     when_not_matched: str | None = "insert",
+    extra_summary: dict | None = None,
 ) -> dict:
     """MERGE INTO table USING source ON keys.
 
@@ -113,7 +114,10 @@ def merge_into(
         if when_not_matched != "insert":
             return {"files_rewritten": 0, "files_written": 0, "rows_out": 0,
                     "wall_ms": int((time.time() - t0) * 1000), "snapshot": None}
-        snap = table.append(src)
+        snap = table.commit_append(
+            table.write_data_files(src),
+            summary={"op": "merge-bootstrap", **(extra_summary or {})},
+        )
         return {"files_rewritten": 0, "files_written": snap.summary["added-files"],
                 "rows_out": snap.summary["added-records"],
                 "wall_ms": int((time.time() - t0) * 1000),
@@ -124,18 +128,25 @@ def merge_into(
 
     # ---- fast path: insert-only MERGE = anti-join append, no rewrite --
     if when_matched is None and when_not_matched == "insert":
+        # ONE column-pruned scan of the target's keys: the anti-join
+        # result is SOURCE-sized, so persisting it lets the insert
+        # count, the sizing, and the write all reuse it — without the
+        # persist, the count and the write would each re-execute the
+        # full target key scan (2x the metadata-side cost at 100 TB)
         target_keys = table.scan(spark, columns=keys)
-        new_rows = src.join(target_keys, keys, "left_anti")
+        new_keys = src_keys.join(target_keys, keys, "left_anti").persist()
         # size by the ACTUAL insert count (keys-only anti-join count —
         # sizing by all source rows fragments match-heavy merges into
         # target/n_matched-sized slivers)
-        n_new = src_keys.join(target_keys, keys, "left_anti").count()
+        n_new = new_keys.count()  # also materializes the cache
+        new_rows = src.join(new_keys, keys, "left_semi")
         stats = table.files(spark).agg(
             F.sum("file_size_bytes").alias("b"), F.sum("record_count").alias("r")
         ).collect()[0]
         avg_row = (stats["b"] or 1) / max(stats["r"] or 1, 1)
         n_files = max(1, round(n_new * avg_row / target_file_size))
         entries = table.write_data_files(new_rows, n_files=n_files)
+        new_keys.unpersist()
         src_keys.unpersist()
         if not entries:
             return {"files_rewritten": 0, "files_written": 0, "rows_out": 0,
@@ -146,21 +157,28 @@ def merge_into(
         # commit (during OR before our commit attempt) may have inserted
         # the same keys, so any advance must surface for a full replan
         # (re-running the merge re-anti-joins)
-        snap = table.commit_append(entries, summary={"op": "merge-insert-only"},
-                                   retries=0, expected_parent=cur.snapshot_id)
+        snap = table.commit_append(
+            entries,
+            summary={"op": "merge-insert-only", **(extra_summary or {})},
+            retries=0, expected_parent=cur.snapshot_id)
         return {"files_rewritten": 0, "files_written": len(entries),
                 "rows_out": sum(e["record_count"] for e in entries),
                 "wall_ms": int((time.time() - t0) * 1000),
                 "snapshot": snap.snapshot_id}
 
     # ---- 1. touched files: keys+filename scan (bytes pruned away) ----
+    # ONE pass over the target's keys serves BOTH planning questions:
+    # which files hold matches (touched set) and how many source keys
+    # matched (for insert-volume sizing). The inner-join result is
+    # bounded by the deduped SOURCE size (target keys unique), so it is
+    # safe to persist — without it, the sizing anti-join below would
+    # re-execute the entire target key scan a second time.
     target_keys = table.scan(spark, columns=None).select(
         *[F.col(k) for k in keys], F.input_file_name().alias("_file")
     )
+    matched_keys = target_keys.join(src_keys, keys, "inner").persist()
     touched_files = {
-        r["_file"]
-        for r in target_keys.join(src_keys, keys, "left_semi")
-        .select("_file").distinct().collect()
+        r["_file"] for r in matched_keys.select("_file").distinct().collect()
     }
     # normalize URIs from input_file_name to table-relative paths.
     # input_file_name() returns PERCENT-ENCODED URIs (space -> %20),
@@ -229,16 +247,15 @@ def merge_into(
     touched_bytes = sum(e["file_size_bytes"] for e in touched_entries)
     insert_bytes = 0.0
     if when_not_matched == "insert":
-        # actual insert count: source keys with no target match
-        # (keys-only column-pruned scan; n_src would over-fragment
-        # match-heavy upserts)
-        n_new = src_keys.join(
-            target_keys.select(*keys), keys, "left_anti"
-        ).count()
+        # actual insert count = source keys minus matched keys — both
+        # already materialized; NO second pass over the target
+        # (n_src alone would over-fragment match-heavy upserts)
+        n_new = n_src - matched_keys.select(*keys).distinct().count()
         stats = table.files(spark).agg(
             F.sum("file_size_bytes").alias("b"), F.sum("record_count").alias("r")
         ).collect()[0]
         insert_bytes = n_new * (stats["b"] or 1) / max(stats["r"] or 1, 1)
+    matched_keys.unpersist()
     n_out = max(1, round((touched_bytes + insert_bytes) / target_file_size))
     n_parts = len({e["partition_id"] for e in touched_entries}) or 1
     new_entries = table.write_data_files(
@@ -252,7 +269,8 @@ def merge_into(
         operation="overwrite",
         summary={"op": "merge", "key": ",".join(keys),
                  "when_matched": str(when_matched),
-                 "when_not_matched": str(when_not_matched)},
+                 "when_not_matched": str(when_not_matched),
+                 **(extra_summary or {})},
         # touched partitions + insert-target partitions bound the commit
         affected_partitions={e["partition_id"] for e in touched_entries}
         | {e["partition_id"] for e in new_entries},

@@ -83,6 +83,42 @@ def stream_append_sink(table: LakehouseTable, n_files: int = 4,
     return sink
 
 
+def stream_merge_sink(table: LakehouseTable, key: str | list[str] = "image_id",
+                      stream_id: str = "default",
+                      target_file_size: int = 64 * 1024 * 1024):
+    """foreachBatch function running each micro-batch as a MERGE INTO
+    (CDC-style streaming upsert: late corrections UPDATE, new keys
+    INSERT) with the same exactly-once upgrade as stream_append_sink —
+    the batch id rides the merge commit's summary, replayed ids are
+    skipped, and a concurrent-commit conflict triggers a full replan
+    (merge_into re-derives its touched files against the new snapshot)
+    after re-validating the batch-id precondition. The reference's
+    closest idiom is re-running a day with MERGE
+    (dags/Bronze_Ingest_Dag.py:124-130); this is its continuous form."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.merge import merge_into
+        from ..tableformat.table import ConcurrentCommitError
+
+        last_err: Exception | None = None
+        for _ in range(4):
+            if batch_id <= last_committed_batch(table, stream_id):
+                return  # replay (or our twin's win) — already committed
+            try:
+                merge_into(
+                    table, batch_df.sparkSession, batch_df, key=key,
+                    target_file_size=target_file_size,
+                    extra_summary={"streaming-batch-id": int(batch_id),
+                                   "streaming-id": stream_id},
+                )
+                return
+            except ConcurrentCommitError as e:
+                last_err = e  # replan: loop re-checks batch id, re-merges
+        raise last_err
+
+    return sink
+
+
 def windowed_event_counts(events_stream: DataFrame, watermark: str = "10 minutes",
                           window: str = "5 minutes") -> DataFrame:
     """Watermarked tumbling-window aggregation over the events schema

@@ -206,3 +206,40 @@ def test_legacy_stream_snapshots_match_any_stream_id(spark, tmp_table_dir):
     )
     assert incremental.last_committed_batch(t, "deadbeef1234") == 3
     assert incremental.last_committed_batch(t, "other-stream") == 7
+
+
+def test_stream_merge_sink_exactly_once_upsert(spark, tmp_path):
+    """CDC-style streaming MERGE: each micro-batch upserts (updates
+    matched keys, inserts new ones); replayed batch ids are no-ops;
+    distinct streams are not masked."""
+    base = synth.images_df(spark, 120, partitions=2)
+    t = LakehouseTable.create(str(tmp_path / "mtable"), base.schema,
+                              partition_col="bucket")
+    t.append(base, n_files=2)
+    sink = incremental.stream_merge_sink(t, stream_id="s1")
+    # batch 0: 20 updates (new captions) + 10 inserts
+    b0 = synth.images_df(spark, 30, seed=9, id_offset=100).withColumn(
+        "caption", F.lit("v2")
+    )
+    sink(b0, 0)
+    assert t.scan(spark).count() == 130
+    assert t.scan(spark).filter(F.col("caption") == "v2").count() == 30
+    # replay of batch 0 (checkpoint recovery): no-op
+    sink(b0.withColumn("caption", F.lit("v3")), 0)
+    assert t.scan(spark).filter(F.col("caption") == "v3").count() == 0
+    # batch 1 continues the stream
+    b1 = synth.images_df(spark, 5, seed=4, id_offset=130).withColumn(
+        "caption", F.lit("v4")
+    )
+    sink(b1, 1)
+    assert t.scan(spark).count() == 135
+    # a different stream's batch 0 is NOT masked by s1's batch 0
+    other = incremental.stream_merge_sink(t, stream_id="s2")
+    other(synth.images_df(spark, 3, seed=2, id_offset=200), 0)
+    assert t.scan(spark).count() == 138
+    # no duplicate keys after all merges
+    dups = (
+        t.scan(spark).groupBy("image_id").count()
+        .filter(F.col("count") > 1).count()
+    )
+    assert dups == 0
