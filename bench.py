@@ -87,7 +87,13 @@ def run(sf_dir: str, cores: int, work_dir: str, rows: int | None = None) -> dict
     half = n_rows // 2
     d1 = synth.images_df(spark, half, dims=BENCH_DIMS, partitions=cores * 2)
     d2 = synth.images_df(spark, n_rows - half, dims=BENCH_DIMS, partitions=cores * 2, id_offset=half)
-    table = LakehouseTable.create(table_dir, d1.schema, partition_col="bucket")
+    # image blobs are already compressed (jpeg/png bytes): parquet-level
+    # zstd costs 2.2x slower writes+reads for +0.7% size on this payload
+    # (measured, tableformat/table.py::create docstring)
+    table = LakehouseTable.create(
+        table_dir, d1.schema, partition_col="bucket",
+        properties={"write.parquet.compression-codec": "uncompressed"},
+    )
     table.append(d1, n_files=n_ingest_files // 2)
     table.append(d2, n_files=n_ingest_files // 2)
     timings["ingest"] = time.time() - t0

@@ -365,3 +365,38 @@ def test_snapshot_as_of_and_rollback(spark, small_table):
     t.append(synth.images_df(spark, 50, id_offset=900), n_files=1)
     assert t.scan(spark).count() == 850
     assert t.current_snapshot().parent_id == s1.snapshot_id
+
+
+def test_table_properties_and_write_codec(spark, tmp_table_dir):
+    """Table properties persist through metadata commits, and the
+    write.parquet.compression-codec property controls the parquet codec
+    of THIS table's data files (blob payloads are already compressed —
+    recompressing burns CPU for no ratio)."""
+    import glob as g
+    import os
+
+    import pyarrow.parquet as pq
+
+    df = synth.images_df(spark, 120, partitions=2)
+    t = LakehouseTable.create(
+        tmp_table_dir, df.schema, partition_col="bucket",
+        properties={"write.parquet.compression-codec": "uncompressed"},
+    )
+    t.append(df, n_files=2)
+    fp = g.glob(os.path.join(t.data_dir, "**", "*.parquet"), recursive=True)[0]
+    md = pq.ParquetFile(fp).metadata
+    codecs = {md.row_group(0).column(i).compression for i in range(md.num_columns)}
+    assert codecs == {"UNCOMPRESSED"}
+    assert t.scan(spark).count() == 120  # parquet is self-describing
+    # property update is a CAS metadata commit; new writes honor it
+    t.update_properties({"write.parquet.compression-codec": "zstd"})
+    assert t.properties()["write.parquet.compression-codec"] == "zstd"
+    t.append(synth.images_df(spark, 30, id_offset=120, partitions=1), n_files=1)
+    newest = max(
+        g.glob(os.path.join(t.data_dir, "**", "*.parquet"), recursive=True),
+        key=os.path.getmtime,
+    )
+    md2 = pq.ParquetFile(newest).metadata
+    codecs2 = {md2.row_group(0).column(i).compression for i in range(md2.num_columns)}
+    assert codecs2 == {"ZSTD"}
+    assert t.scan(spark).count() == 150  # mixed codecs read fine
