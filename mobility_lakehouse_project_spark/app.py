@@ -102,6 +102,13 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("snapshots")
     t(sp)
 
+    sp = sub.add_parser("delete")
+    t(sp)
+    sp.add_argument("--where", required=True, help="SQL predicate over non-binary columns")
+    sp.add_argument("--range", default=None,
+                    help="col:lo:hi stats-pruning hint matching the predicate")
+    sp.add_argument("--target-mb", type=float, default=64)
+
     sp = sub.add_parser("rollback")
     t(sp)
     g = sp.add_mutually_exclusive_group(required=True)
@@ -183,6 +190,16 @@ def main(argv: list[str] | None = None) -> int:
 
         rows = LineageLog(a.table).lineage_df(spark).collect()
         out = {"cmd": "lineage", "entries": [r.asDict() for r in rows]}
+    elif a.cmd == "delete":
+        from .operators import delete as delete_op
+
+        rng = None
+        if a.range:
+            col, lo, hi = a.range.split(":")
+            rng = {col: (int(lo) if lo else None, int(hi) if hi else None)}
+        out = {"cmd": "delete", **delete_op.delete_where(
+            LakehouseTable(a.table), spark, a.where, int_ranges=rng,
+            target_file_size=_mb(a.target_mb))}
     elif a.cmd == "rollback":
         tbl = LakehouseTable(a.table)
         sid = (a.snapshot if a.snapshot is not None

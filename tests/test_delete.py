@@ -1,0 +1,91 @@
+"""Row-level DELETE: stats-pruned copy-on-write (operators/delete.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mobility_lakehouse_project_spark import synth
+from mobility_lakehouse_project_spark.operators import clustering, delete
+from mobility_lakehouse_project_spark.tableformat import LakehouseTable
+
+N = 2400
+
+
+@pytest.fixture()
+def clustered_table(spark, tmp_table_dir):
+    df = synth.images_df(spark, N, partitions=4)
+    t = LakehouseTable.create(tmp_table_dir, df.schema, partition_col="bucket")
+    t.append(df, n_files=24)
+    clustering.cluster(t, spark, curve="zorder", target_file_size=64 * 1024,
+                       n_chunks=1)
+    return t
+
+
+def test_delete_phash_band_prunes_and_is_exact(spark, clustered_table):
+    t = clustered_table
+    pre_snap = t.current_snapshot().snapshot_id
+    lo, hi = -(2**62), 2**61  # wide band, plenty of matches
+    expect_deleted = t.scan(spark).filter(
+        (F.col("phash") >= lo) & (F.col("phash") <= hi)
+    ).count()
+    assert expect_deleted > 0
+    pre_files = {
+        r["file_path"] for r in t.files(spark).select("file_path").collect()
+    }
+    res = delete.delete_where(
+        t, spark, f"phash >= {lo} AND phash <= {hi}",
+        int_ranges={"phash": (lo, hi)},
+    )
+    assert res["rows_deleted"] == expect_deleted
+    # clustering makes the candidate set a strict subset of the table
+    assert 0 < res["candidate_files"] < res["total_files"]
+    # deleted rows are gone; everything else survives
+    assert t.scan(spark).count() == N - expect_deleted
+    assert t.scan(spark).filter(
+        (F.col("phash") >= lo) & (F.col("phash") <= hi)
+    ).count() == 0
+    # untouched files are carried over by reference (no rewrite churn)
+    post_files = {
+        r["file_path"] for r in t.files(spark).select("file_path").collect()
+    }
+    untouched = pre_files & post_files
+    assert len(untouched) == res["total_files"] - res["files_rewritten"]
+    # snapshot isolation: the pre-delete snapshot still has every row
+    assert t.scan(spark, snapshot_id=pre_snap).count() == N
+
+
+def test_delete_no_match_is_noop(spark, clustered_table):
+    t = clustered_table
+    n_snaps = len(t.snapshots_list())
+    res = delete.delete_where(t, spark, "w = 9999")
+    assert res["rows_deleted"] == 0 and res["files_rewritten"] == 0
+    assert len(t.snapshots_list()) == n_snaps  # no empty commit
+    assert t.scan(spark).count() == N
+
+
+def test_delete_conflict_forces_replan(spark, clustered_table):
+    """A commit landing between DELETE planning and its commit must
+    surface (expected_parent pinning), not silently compose."""
+    from mobility_lakehouse_project_spark.tableformat.table import (
+        ConcurrentCommitError,
+    )
+
+    t = clustered_table
+    racer = synth.images_df(spark, 10, seed=77, id_offset=50_000)
+    orig = t.commit_replace
+    fired = {"done": False}
+
+    def racing(*a, **k):
+        if not fired["done"]:
+            fired["done"] = True
+            t.append(racer, n_files=1)
+        return orig(*a, **k)
+
+    t.commit_replace = racing
+    try:
+        with pytest.raises(ConcurrentCommitError):
+            delete.delete_where(t, spark, "w = 16")
+        res = delete.delete_where(t, spark, "w = 16")  # replan succeeds
+    finally:
+        del t.commit_replace
+    assert res["rows_deleted"] > 0
+    assert t.scan(spark).filter(F.col("w") == 16).count() == 0
