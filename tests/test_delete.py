@@ -89,3 +89,31 @@ def test_delete_conflict_forces_replan(spark, clustered_table):
         del t.commit_replace
     assert res["rows_deleted"] > 0
     assert t.scan(spark).filter(F.col("w") == 16).count() == 0
+
+
+def test_update_where_applies_assignments(spark, clustered_table):
+    t = clustered_table
+    pre_snap = t.current_snapshot().snapshot_id
+    n_match = t.scan(spark).filter(F.col("w") == 16).count()
+    assert n_match > 0
+    res = delete.update_where(
+        t, spark, "w = 16",
+        {"caption": "concat(caption, ' [small]')", "fmt": F.lit("png")},
+        int_ranges={"w": (16, 16)},
+    )
+    assert res["rows_updated"] == n_match
+    assert 0 < res["candidate_files"] < res["total_files"]
+    post = t.scan(spark)
+    assert post.count() == N  # row count conserved
+    assert post.filter(F.col("caption").endswith(" [small]")).count() == n_match
+    assert post.filter((F.col("w") == 16) & (F.col("fmt") != "png")).count() == 0
+    # non-matching rows untouched
+    assert post.filter(
+        (F.col("w") != 16) & F.col("caption").endswith(" [small]")
+    ).count() == 0
+    # snapshot isolation
+    assert t.scan(spark, snapshot_id=pre_snap).filter(
+        F.col("caption").endswith(" [small]")
+    ).count() == 0
+    with pytest.raises(ValueError):
+        delete.update_where(t, spark, "w = 16", {"nope": "1"})
