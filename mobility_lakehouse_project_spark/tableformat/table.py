@@ -278,6 +278,31 @@ class LakehouseTable:
                 last = e
         raise last
 
+    def drop_column(self, name: str) -> int:
+        """Drop a column (metadata-only; Iceberg's dropColumn). Data
+        files keep the physical column — scans simply stop selecting it
+        (the explicit read schema of scan_files ignores extras), and the
+        bytes age out as rewrites touch the files. The dropped name and
+        its rename history are retired permanently: re-adding the same
+        name is refused because old files still carry the physical
+        column and would silently resurrect stale values."""
+        meta = self.load_metadata()
+        schema = T.StructType.fromJson(json.loads(meta["schema_json"]))
+        if name not in [f.name for f in schema.fields]:
+            raise ValueError(f"no column {name!r}")
+        if meta.get("partition_col") == name:
+            raise ValueError(f"cannot drop the partition column {name!r}")
+        renames = self.column_renames(meta)
+        retired = [name] + renames.pop(name, [])
+        meta["column_renames"] = renames
+        meta["retired_columns"] = sorted(
+            set(meta.get("retired_columns", [])) | set(retired)
+        )
+        meta["schema_json"] = T.StructType(
+            [f for f in schema.fields if f.name != name]
+        ).json()
+        return self._commit_metadata(meta)
+
     def column_renames(self, meta: dict | None = None) -> dict[str, list[str]]:
         """current column name -> prior physical names (oldest last)."""
         return dict((meta or self.load_metadata()).get("column_renames", {}))
@@ -292,7 +317,7 @@ class LakehouseTable:
         schema = T.StructType.fromJson(json.loads(meta["schema_json"]))
         taken = {f.name for f in schema.fields} | {
             o for olds in self.column_renames(meta).values() for o in olds
-        }
+        } | set(meta.get("retired_columns", []))
         for name, ddl in cols.items():
             if name in taken:
                 raise ValueError(f"column {name!r} already exists (or is a prior name)")
@@ -312,7 +337,7 @@ class LakehouseTable:
             raise ValueError(f"no column {old!r}")
         taken = set(names) | {
             o for olds in self.column_renames(meta).values() for o in olds
-        }
+        } | set(meta.get("retired_columns", []))
         if new in taken:
             raise ValueError(
                 f"column {new!r} already exists (or is a retired physical "

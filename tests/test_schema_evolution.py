@@ -96,3 +96,33 @@ def test_rename_to_retired_physical_name_rejected(spark, evolved_table):
         t.rename_column("id", "a")  # 'a' is label's retired physical name
     # table still scans fine
     assert t.scan(spark).count() == 30
+
+
+def test_drop_column(spark, tmp_table_dir):
+    """Drop is metadata-only: scans stop selecting the column, writes
+    through the new schema work, re-adding the retired name is refused
+    (old files still carry the physical bytes), and the partition
+    column cannot be dropped."""
+    from mobility_lakehouse_project_spark import synth
+
+    df = synth.images_df(spark, 80, partitions=1)
+    t = LakehouseTable.create(tmp_table_dir, df.schema, partition_col="bucket")
+    t.append(df, n_files=1)
+    t.drop_column("fmt")
+    got = t.scan(spark)
+    assert "fmt" not in got.columns
+    assert got.count() == 80
+    # appends through the new schema
+    t.append(synth.images_df(spark, 20, id_offset=80, partitions=1).drop("fmt"),
+             n_files=1)
+    assert t.scan(spark).count() == 100
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        t.add_columns({"fmt": "string"})  # retired name: stale resurrection
+    with _pt.raises(ValueError):
+        t.rename_column("caption", "fmt")
+    with _pt.raises(ValueError):
+        t.drop_column("bucket")  # partition column
+    with _pt.raises(ValueError):
+        t.drop_column("nope")
