@@ -109,6 +109,14 @@ def main(argv: list[str] | None = None) -> int:
                     help="col:lo:hi stats-pruning hint matching the predicate")
     sp.add_argument("--target-mb", type=float, default=64)
 
+    sp = sub.add_parser("update")
+    t(sp)
+    sp.add_argument("--where", required=True)
+    sp.add_argument("--set", required=True, dest="assign",
+                    help="col=sql_expr[,col=sql_expr...]")
+    sp.add_argument("--range", default=None, help="col:lo:hi pruning hint")
+    sp.add_argument("--target-mb", type=float, default=64)
+
     sp = sub.add_parser("rollback")
     t(sp)
     g = sp.add_mutually_exclusive_group(required=True)
@@ -199,6 +207,35 @@ def main(argv: list[str] | None = None) -> int:
             rng = {col: (int(lo) if lo else None, int(hi) if hi else None)}
         out = {"cmd": "delete", **delete_op.delete_where(
             LakehouseTable(a.table), spark, a.where, int_ranges=rng,
+            target_file_size=_mb(a.target_mb))}
+    elif a.cmd == "update":
+        from .operators import delete as delete_op
+
+        rng = None
+        if a.range:
+            col, lo, hi = a.range.split(":")
+            rng = {col: (int(lo) if lo else None, int(hi) if hi else None)}
+        # split assignments on top-level commas only (expressions may
+        # contain commas inside parens/quotes)
+        parts, depth, q, buf = [], 0, None, ""
+        for ch in a.assign:
+            if q:
+                q = None if ch == q else q
+            elif ch in "'\"":
+                q = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if ch == "," and depth == 0 and not q:
+                parts.append(buf)
+                buf = ""
+            else:
+                buf += ch
+        parts.append(buf)
+        assigns = dict(kv.split("=", 1) for kv in parts if kv.strip())
+        out = {"cmd": "update", **delete_op.update_where(
+            LakehouseTable(a.table), spark, a.where, assigns, int_ranges=rng,
             target_file_size=_mb(a.target_mb))}
     elif a.cmd == "rollback":
         tbl = LakehouseTable(a.table)
