@@ -1719,6 +1719,92 @@ def ann_lsh_clustered(spark, sf_dir):
     return topk
 
 
+def ann_batch_join(spark, sf_dir):
+    """BATCH ANN: top-3 neighbors for EACH of 5 query vectors in one
+    bucketed join — the cross-corpus shape of near-dup detection at
+    scale (compare a new batch against the corpus: bucket both sides
+    with the same quantized sign-LSH planes, equi-join on the bucket,
+    rank within each query). Candidate generation is the bucket
+    EQUI-JOIN, never a cross join; the per-query rank is a window —
+    no Python anywhere in the plan."""
+    from ..operators.similarity import rademacher_bucket_col, rademacher_signs
+
+    e = _t(spark, sf_dir, "embeddings")
+    signs = rademacher_signs(64, ANN_LSH_PLANES)
+    b = lambda c: rademacher_bucket_col(c, signs, quantize=True)  # noqa: E731
+    queries = (
+        e.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+        .withColumn("_b", b("qv"))
+    )
+    cand = e.filter(F.col("vec_id") >= 5).withColumn("_b", b("embedding"))
+    joined = cand.join(F.broadcast(queries), "_b")
+    dot = F.aggregate(
+        F.zip_with("embedding", "qv", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    norm = lambda col: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(col, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+    )
+    sim = dot / (norm(F.col("embedding")) * norm(F.col("qv")))
+    from pyspark.sql.window import Window
+
+    scored = joined.select("qid", "vec_id", F.round(sim, 4).alias("cos_sim"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("qid", "vec_id", "cos_sim", "rnk")
+    )
+
+
+def _ann_batch_join_oracle_sql() -> str:
+    """Same plan in SQL: quantized bucket literals (exact integer dots,
+    identical in both engines), bucket equi-join, per-query rank."""
+    from ..operators.similarity import rademacher_signs
+
+    signs = rademacher_signs(64, ANN_LSH_PLANES)
+
+    def bucket(vec: str) -> str:
+        terms = []
+        for i, plane in enumerate(signs):
+            lst = "[" + ", ".join(f"{x:.1f}" for x in plane) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product(list_transform({vec}, "
+                f"x -> round(x::DOUBLE * 1024)), {lst}) > 0 THEN {1 << i} ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    return f"""
+    WITH q AS (
+        SELECT vec_id AS qid, embedding AS qv, ({bucket("embedding")}) AS b
+        FROM embeddings WHERE vec_id < 5
+    ),
+    c AS (
+        SELECT vec_id, embedding, ({bucket("embedding")}) AS b
+        FROM embeddings WHERE vec_id >= 5
+    ),
+    scored AS (
+        SELECT q.qid, c.vec_id,
+               ROUND(list_dot_product(c.embedding::DOUBLE[], q.qv::DOUBLE[]) /
+                     (sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])) *
+                      sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))), 4) AS cos_sim
+        FROM c JOIN q ON c.b = q.b
+    )
+    SELECT qid, vec_id, cos_sim, rnk FROM (
+        SELECT qid, vec_id, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rnk
+        FROM scored
+    ) WHERE rnk <= 3
+"""
+
+
+ORACLE_SQL["ann_batch_join"] = _ann_batch_join_oracle_sql()
+
+
 def ann_ivf_probe(spark, sf_dir):
     """IVF-style ANN probe with a FIXED deterministic coarse quantizer:
     8 +-1 centroids (all equal norm, so argmax integer dot == argmin
@@ -1851,5 +1937,6 @@ QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_probe": ann_ivf_probe,
     "ann_lsh_clustered": ann_lsh_clustered,
+    "ann_batch_join": ann_batch_join,
     "emb_label_profile": emb_label_profile,
 }

@@ -31,6 +31,7 @@ AUDIT = [
     "ann_ivf_probe",         # expect NO Python UDF (fixed-quantizer cells in Catalyst)
     "ann_lsh_clustered",     # expect NO Python UDF + pruned file scan (bucket = partition key)
     "emb_label_profile",     # expect per-row pre-sum: one HashAggregate pair, NO Generate/explode
+    "ann_batch_join",        # expect bucket EQUI-join (broadcast), Window rank, NO Python, NO cartesian
 ]
 
 CHECKS = {
@@ -48,12 +49,13 @@ CHECKS = {
     "ann_ivf_probe": ["TakeOrderedAndProject"],
     "ann_lsh_clustered": ["TakeOrderedAndProject"],
     "emb_label_profile": ["HashAggregate"],
+    "ann_batch_join": ["BroadcastHashJoin", "Window"],
 }
 
 # plans that must contain NO row-at-a-time or Arrow Python evaluation
 NO_PYTHON = {"dedup_simhash", "ann_lsh_bucketed", "dedup_embed_cosine",
              "txt_quality_score", "ann_cosine_topk", "ann_ivf_probe",
-             "ann_lsh_clustered", "emb_label_profile"}
+             "ann_lsh_clustered", "emb_label_profile", "ann_batch_join"}
 
 # plans that must NOT explode arrays into the shuffle (per-row pre-sum)
 NO_GENERATE = {"emb_label_profile"}
