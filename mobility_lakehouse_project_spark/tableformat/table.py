@@ -256,6 +256,49 @@ class LakehouseTable:
         _atomic_write(self._hint_path, str(new_v))
         return new_v
 
+    def tags(self, meta: dict | None = None) -> dict[str, int]:
+        """name -> snapshot_id (Iceberg's tag refs)."""
+        return dict((meta or self.load_metadata()).get("tags", {}))
+
+    def create_tag(self, name: str, snapshot_id: int | None = None,
+                   retries: int = 3) -> int:
+        """Pin a snapshot under a name (metadata-only CAS commit).
+        Tagged snapshots are PROTECTED from expire_snapshots — the
+        audit/repro handle Iceberg tags exist for. Defaults to the
+        current snapshot."""
+        last: Exception | None = None
+        for _ in range(max(1, retries + 1)):
+            meta = self.load_metadata()
+            sid = (snapshot_id if snapshot_id is not None
+                   else meta["current_snapshot_id"])
+            if not any(s.snapshot_id == sid for s in self.snapshots_list(meta)):
+                raise ValueError(f"unknown snapshot {sid}")
+            tags = dict(meta.get("tags", {}))
+            if name in tags and tags[name] != sid:
+                raise ValueError(f"tag {name!r} already points at {tags[name]}")
+            tags[name] = sid
+            meta["tags"] = tags
+            try:
+                return self._commit_metadata(meta)
+            except ConcurrentCommitError as e:
+                last = e
+        raise last
+
+    def drop_tag(self, name: str, retries: int = 3) -> int:
+        last: Exception | None = None
+        for _ in range(max(1, retries + 1)):
+            meta = self.load_metadata()
+            tags = dict(meta.get("tags", {}))
+            if name not in tags:
+                raise ValueError(f"no tag {name!r}")
+            del tags[name]
+            meta["tags"] = tags
+            try:
+                return self._commit_metadata(meta)
+            except ConcurrentCommitError as e:
+                last = e
+        raise last
+
     def properties(self, meta: dict | None = None) -> dict:
         return dict((meta or self.load_metadata()).get("properties", {}))
 
@@ -957,6 +1000,7 @@ class LakehouseTable:
         partition_values: set | None = None,
         int_ranges: dict[str, tuple[int | None, int | None]] | None = None,
         columns: list[str] | None = None,
+        ref: str | None = None,
     ) -> DataFrame:
         """Read the table at a snapshot, pruning files via manifest stats.
 
@@ -966,6 +1010,10 @@ class LakehouseTable:
         row-level by the caller; this method only narrows the file set.
         Pruning runs distributed over the manifest scan (plan_files);
         only surviving paths are collected (the list spark.read needs)."""
+        if ref is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass snapshot_id or ref, not both")
+            snapshot_id = self.tags()[ref]  # KeyError = unknown tag
         pruned = self.plan_files(spark, snapshot_id, partition_values, int_ranges)
         paths = [r["file_path"] for r in pruned.select("file_path").collect()]
         return self.scan_files(spark, paths, columns)
@@ -1027,6 +1075,11 @@ class LakehouseTable:
         cur = self.current_snapshot(meta)
         if cur and cur.snapshot_id not in {s.snapshot_id for s in retained}:
             retained.append(cur)
+        # tagged snapshots are pinned: expiry never drops a tag target
+        tagged = set(self.tags(meta).values())
+        kept_ids = {s.snapshot_id for s in retained}
+        retained += [s for s in snaps
+                     if s.snapshot_id in tagged and s.snapshot_id not in kept_ids]
         expired = [s for s in snaps if s.snapshot_id not in {r.snapshot_id for r in retained}]
 
         # reachability computed while the expired manifests still exist

@@ -400,3 +400,32 @@ def test_table_properties_and_write_codec(spark, tmp_table_dir):
     codecs2 = {md2.row_group(0).column(i).compression for i in range(md2.num_columns)}
     assert codecs2 == {"ZSTD"}
     assert t.scan(spark).count() == 150  # mixed codecs read fine
+
+
+def test_tags_pin_snapshots_through_expiry(spark, small_table):
+    """Iceberg-style tag refs: a tagged snapshot stays readable by name
+    and survives expire_snapshots even when it falls out of the
+    keep-last window."""
+    t = small_table
+    first = t.current_snapshot().snapshot_id
+    t.create_tag("audit-v1")  # defaults to current
+    assert t.tags() == {"audit-v1": first}
+    # advance the table well past keep_last
+    for k in range(3):
+        t.append(synth.images_df(spark, 50, id_offset=800 + 50 * k), n_files=1)
+    t.expire_snapshots(keep_last=2)
+    # tag target retained: readable by ref, files intact
+    assert t.scan(spark, ref="audit-v1").count() == 800
+    assert t.scan(spark).count() == 950
+    with pytest.raises(KeyError):
+        t.scan(spark, ref="nope").count()
+    with pytest.raises(ValueError):
+        t.create_tag("audit-v1", t.current_snapshot().snapshot_id)  # repoint refused
+    with pytest.raises(ValueError):
+        t.create_tag("ghost", 123456)
+    # drop the tag; the next expiry may collect it
+    t.drop_tag("audit-v1")
+    assert t.tags() == {}
+    t.expire_snapshots(keep_last=2)
+    with pytest.raises(Exception):
+        t.scan(spark, snapshot_id=first).count()  # snapshot gone from the log
