@@ -117,3 +117,19 @@ def test_update_where_applies_assignments(spark, clustered_table):
     ).count() == 0
     with pytest.raises(ValueError):
         delete.update_where(t, spark, "w = 16", {"nope": "1"})
+
+
+def test_delete_everything_then_append(spark, tmp_table_dir):
+    """Full-table DELETE: every file removed, zero new entries, the
+    table reads empty, and life continues (append works)."""
+    from mobility_lakehouse_project_spark.operators import delete as dops
+
+    df = synth.images_df(spark, 150, partitions=2)
+    t = LakehouseTable.create(tmp_table_dir, df.schema, partition_col="bucket")
+    t.append(df, n_files=4)
+    res = dops.delete_where(t, spark, "phash IS NOT NULL OR phash IS NULL")
+    assert res["rows_deleted"] == 150
+    assert t.scan(spark).count() == 0
+    assert t.files(spark).count() == 0
+    t.append(synth.images_df(spark, 30, seed=3, partitions=1), n_files=1)
+    assert t.scan(spark).count() == 30
