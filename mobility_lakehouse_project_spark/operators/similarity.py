@@ -218,6 +218,105 @@ def ann_lsh_topk_clustered(
     }
 
 
+def ivf_cell_col(vec_col: str, cents: np.ndarray, quantize: bool = True):
+    """Pure-Catalyst IVF cell id for a FIXED +-1 quantizer: argmax of
+    the integer dot products (all centroids equal-norm, so argmax dot ==
+    argmin L2). ``quantize`` rounds elements to ints (x*1024) so the
+    double sums are exact and order-independent — the same bit-portable
+    form as plans/relational.py::ann_ivf_probe."""
+    dots = []
+    for c in cents:
+        lit = F.array(*[F.lit(float(s)) for s in c])
+        if quantize:
+            elem = lambda x, y: F.round(x.cast("double") * 1024) * y  # noqa: E731
+        else:
+            elem = lambda x, y: x.cast("double") * y  # noqa: E731
+        dots.append(F.aggregate(
+            F.zip_with(F.col(vec_col), lit, elem), F.lit(0.0),
+            lambda acc, x: acc + x,
+        ))
+    best = F.greatest(*dots)
+    expr = F.when(dots[0] == best, 0)
+    for i in range(1, len(dots)):
+        expr = expr.when(dots[i] == best, i)  # ties -> lowest index
+    return expr
+
+
+def ivf_cells_of(vec, cents: np.ndarray, nprobe: int, quantize: bool = True) -> list[int]:
+    """Driver-side twin: the query's ``nprobe`` best cells by exact
+    integer dots, ties by index (same order as the Catalyst CASE)."""
+    q = quantize_vec(vec) if quantize else [float(x) for x in vec]
+    dots = [sum(a * float(b) for a, b in zip(q, c)) for c in cents]
+    order = sorted(range(len(cents)), key=lambda i: (-dots[i], i))
+    return order[:nprobe]
+
+
+def build_ivf_clustered_table(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    location: str,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 23,
+    n_files: int | None = None,
+):
+    """Persist embeddings PARTITIONED by IVF cell (fixed deterministic
+    +-1 quantizer) — the coarse-quantizer twin of
+    build_lsh_clustered_table: a probe reads nprobe/n_cells of the
+    files via manifest partition pruning instead of assigning every
+    row at query time."""
+    from ..tableformat import LakehouseTable
+
+    first = embeddings.select(vec_col).first()
+    cents = rademacher_signs(len(first[0]), n_cells, seed)
+    celled = embeddings.withColumn(
+        "_cell", ivf_cell_col(vec_col, cents).cast("int")
+    )
+    t = LakehouseTable.create(location, celled.schema, partition_col="_cell")
+    entries = t.write_data_files(
+        celled,
+        n_files=n_files or max(4, spark.sparkContext.defaultParallelism),
+        salt_col=id_col,
+    )
+    t.commit_append(entries, summary={"ivf-cells": n_cells, "ivf-seed": seed})
+    return t
+
+
+def ann_ivf_topk_clustered(
+    spark: SparkSession,
+    table,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, dict]:
+    """IVF probe against a cell-partitioned table: resolve the query's
+    nprobe cells driver-side (exact integer dots against the same
+    quantizer the build used — params from the build commit's summary),
+    scan only those partitions, exact-cosine the candidates."""
+    summ = next(
+        s.summary for s in reversed(table.snapshots_list())
+        if "ivf-cells" in s.summary
+    )
+    n_cells, seed = int(summ["ivf-cells"]), int(summ["ivf-seed"])
+    cents = rademacher_signs(len(query_vec), n_cells, seed)
+    probe = ivf_cells_of(query_vec, cents, nprobe)
+    pv = {str(c) for c in probe}
+    total = table.size_stats(spark)["files"]
+    scanned = table.plan_files(spark, partition_values=pv).count()
+    topk = cosine_topk(
+        table.scan(spark, partition_values=pv), query_vec, k, id_col, vec_col
+    )
+    return topk, {
+        "total_files": total,
+        "scanned_files": scanned,
+        "pruned_fraction": 1.0 - scanned / max(total, 1),
+        "probe_cells": probe,
+    }
+
+
 def lsh_bucket_udf(dim: int, n_planes: int = 16, seed: int = 7):
     """Arrow UDF: embedding -> LSH bucket id (sign-bit signature)."""
     planes = _hyperplanes(dim, n_planes, seed)

@@ -202,3 +202,31 @@ def test_persisted_lsh_clustering_prunes_probe(spark, tmp_path):
     assert got == want
     # round-trip integrity: every row landed in exactly one bucket
     assert t.scan(spark).count() == emb.count()
+
+
+def test_persisted_ivf_cell_clustering_prunes_probe(spark, tmp_path):
+    """IVF twin of the persisted LSH clustering: cell = partition key,
+    probe scans ~nprobe/n_cells of the files, results identical to the
+    assign-at-query-time filter probe."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n_cells, nprobe = 8, 2
+    t = similarity.build_ivf_clustered_table(
+        spark, emb, str(tmp_path / "ivft"), n_cells=n_cells
+    )
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    topk, st = similarity.ann_ivf_topk_clustered(spark, t, qv, k=5, nprobe=nprobe)
+    got = [(r["vec_id"], r["cos_sim"]) for r in topk.collect()]
+    assert len(got) == 5
+    assert st["scanned_files"] >= 1
+    assert st["pruned_fraction"] >= 1.0 - 2 * (nprobe / n_cells)
+    # identical to the filter-based probe with the same quantizer/cells
+    cents = similarity.rademacher_signs(len(qv), n_cells, seed=23)
+    raw = emb.withColumn(
+        "_cell", similarity.ivf_cell_col("embedding", cents).cast("int")
+    ).filter(F.col("_cell").isin(st["probe_cells"]))
+    want = [
+        (r["vec_id"], r["cos_sim"])
+        for r in similarity.cosine_topk(raw, qv, k=5).collect()
+    ]
+    assert got == want
+    assert t.scan(spark).count() == emb.count()
