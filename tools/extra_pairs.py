@@ -13,8 +13,11 @@ spec = importlib.util.spec_from_file_location("rs", "tools/run_scaling.py")
 rs = importlib.util.module_from_spec(spec)
 spec.loader.exec_module(rs)
 for i in range(n):
-    lo = rs.run_level(2)
+    # 4N first: lulls on this host last minutes, and the short run is
+    # the one a closing lull corrupts most — let it sample the window
+    # closest to launch
     hi = rs.run_level(8)
+    lo = rs.run_level(2)
     print(json.dumps({"pair": i, "lo": lo, "hi": hi,
                       "eff": round((lo["total"] / hi["total"]) / 4, 3)}),
           flush=True)
