@@ -172,9 +172,10 @@ def main(argv: list[str] | None = None) -> int:
         out = {"cmd": "remove-orphans",
                **LakehouseTable(a.table).remove_orphan_files(a.older_than_s)}
     elif a.cmd == "rewrite-manifests":
-        snap = LakehouseTable(a.table).rewrite_manifests()
-        out = {"cmd": "rewrite-manifests", "snapshot": snap.snapshot_id,
-               **snap.summary}
+        snap = LakehouseTable(a.table).rewrite_manifests(spark)
+        out = {"cmd": "rewrite-manifests",
+               "snapshot": snap.snapshot_id if snap else None,
+               **(snap.summary if snap else {})}
     elif a.cmd == "verify":
         from .operators import verify
 

@@ -25,7 +25,6 @@ the way Iceberg's copy-on-write DELETE plans it:
 from __future__ import annotations
 
 import time
-from urllib.parse import unquote
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -33,21 +32,55 @@ from pyspark.sql import types as T
 
 from ..lineage import LineageLog
 from ..tableformat import LakehouseTable
-from ..tableformat.paths import relativize
+from ..tableformat.paths import relativize_reported
+
+# driver-side path-materialization bound: planning never collects more
+# than this many candidate file paths at once — a non-selective
+# `DELETE WHERE true` on a 10^6-file table walks partition chunks of at
+# most this size instead of collecting 10^6 paths (the same bounded-
+# collect contract as compaction's chunk_file_paths)
+DEFAULT_CHUNK_FILES = 50_000
 
 
-def _plan_touched(table, spark, cond, int_ranges):
-    """Shared DELETE/UPDATE planning: stats-pruned candidate files ->
-    row-level touch detection on NON-BINARY columns -> manifest entries
-    of the touched set. Returns (cand_paths, touched_entries,
-    n_matched, n_total)."""
-    cand = table.plan_files(spark, int_ranges=int_ranges)
-    cand_paths = sorted(
-        r["file_path"] for r in cand.select("file_path").collect()
+def _partition_chunks(table, spark, int_ranges, chunk_files):
+    """Candidate PARTITION summary (one metadata row per partition —
+    the same driver bound plan_compaction accepts) grouped greedily
+    into chunks of <= ``chunk_files`` candidate files each."""
+    summary = (
+        table.plan_files(spark, int_ranges=int_ranges)
+        .groupBy("partition_id")
+        .agg(F.count("*").alias("n_files"))
+        .collect()
     )
-    n_total = table.files(spark).count()
+    chunks: list[list[str]] = []
+    cur: list[str] = []
+    cur_n = 0
+    for r in sorted(summary, key=lambda r: r["partition_id"]):
+        if cur and cur_n + r["n_files"] > chunk_files:
+            chunks.append(cur)
+            cur, cur_n = [], 0
+        cur.append(r["partition_id"])
+        cur_n += r["n_files"]
+    if cur:
+        chunks.append(cur)
+    n_cand = sum(r["n_files"] for r in summary)
+    return chunks, n_cand
+
+
+def _plan_touched_chunk(table, spark, cond, int_ranges, partition_ids):
+    """Per-chunk DELETE/UPDATE planning: stats-pruned candidate files of
+    ONE partition chunk -> row-level touch detection on NON-BINARY
+    columns -> manifest entries of the touched set. The only path
+    materializations are bounded by the chunk size. Returns
+    (touched_entries, n_matched)."""
+    cand_paths = sorted(
+        r["file_path"]
+        for r in table.plan_files(
+            spark, partition_values=set(partition_ids), int_ranges=int_ranges
+        ).select("file_path").collect()
+    )
     if not cand_paths:
-        return [], [], 0, n_total
+        return [], 0
     schema = table.schema()
     slim_cols = [
         f.name for f in schema.fields if not isinstance(f.dataType, T.BinaryType)
@@ -60,10 +93,10 @@ def _plan_touched(table, spark, cond, int_ranges):
         .agg(F.count("*").alias("n_hit"))
         .collect()
     )
-    touched_rel = {relativize(unquote(r["_file"]), table.location) for r in probe}
+    touched_rel = {relativize_reported(r["_file"], table.location) for r in probe}
     n_matched = sum(r["n_hit"] for r in probe)
     if not touched_rel:
-        return cand_paths, [], 0, n_total
+        return [], 0
     tdf = spark.createDataFrame(
         [(p,) for p in sorted(touched_rel)], "file_path string"
     )
@@ -80,7 +113,110 @@ def _plan_touched(table, spark, cond, int_ranges):
             "row-op planning: paths did not all resolve to manifest entries; "
             f"unresolved={sorted(touched_rel - resolved)[:5]}"
         )
-    return cand_paths, touched_entries, n_matched, n_total
+    return touched_entries, n_matched
+
+
+def _rowlevel_op(
+    table: LakehouseTable,
+    spark: SparkSession,
+    cond: Column,
+    kind: str,
+    upd: dict[str, Column],
+    int_ranges,
+    target_file_size: int,
+    op_id: str | None,
+    chunk_files: int,
+    predicate_repr: str,
+) -> dict:
+    """Shared chunked DELETE/UPDATE engine. Partition chunks bound every
+    driver-side path collect (<= chunk_files per chunk); each chunk
+    plans against the CURRENT snapshot and commits pinned to it, so a
+    concurrent external commit surfaces as ConcurrentCommitError (the
+    caller replans) while our own chunk sequence chains cleanly. A
+    killed run is resumable by re-running: already-rewritten chunks
+    have no matching rows left (DELETE) or are detected and re-applied
+    idempotently (UPDATE assignments are plain SET expressions)."""
+    rows_key = "rows_deleted" if kind == "delete" else "rows_updated"
+    t0 = time.time()
+    meta = table.load_metadata()
+    cur = table.current_snapshot(meta)
+    if cur is None or not cur.manifests:
+        return {"files_rewritten": 0, "files_written": 0, rows_key: 0,
+                "wall_ms": int((time.time() - t0) * 1000), "snapshot": None}
+    data_cols = [f.name for f in table.schema().fields]
+    chunks, n_cand = _partition_chunks(table, spark, int_ranges, chunk_files)
+    n_total = table.files(spark).count()
+    log = LineageLog(table.location)
+    metrics = {"files_rewritten": 0, "files_written": 0, rows_key: 0,
+               "candidate_files": n_cand, "total_files": n_total,
+               "chunks": len(chunks), "snapshot": cur.snapshot_id}
+    for ci, part_ids in enumerate(chunks):
+        tc = time.time()
+        # replan against the snapshot THIS chunk's commit will pin to
+        cur = table.current_snapshot()
+        touched_entries, n_matched = _plan_touched_chunk(
+            table, spark, cond, int_ranges, part_ids
+        )
+        if not touched_entries:
+            continue
+        src = table.scan_matched_files(touched_entries, spark)
+        touched_bytes = sum(e["file_size_bytes"] for e in touched_entries)
+        touched_rows = sum(e["record_count"] for e in touched_entries)
+        if kind == "delete":
+            # keep rows where the predicate is NOT TRUE: SQL DELETE
+            # removes only predicate-TRUE rows, and a bare ~cond is NULL
+            # (dropped by filter) when cond is NULL — silently deleting
+            # NULL-predicate rows and disagreeing with rows_deleted
+            out = src.filter(~F.coalesce(cond, F.lit(False)))
+            keep_frac = 1.0 - n_matched / max(touched_rows, 1)
+            n_out = max(1, round(touched_bytes * keep_frac / target_file_size))
+        else:
+            # F.when(cond, ...) falls to otherwise() on NULL — original
+            # value kept, matching UPDATE's TRUE-only semantics
+            out = src.select(
+                *[
+                    (F.when(cond, upd[c]).otherwise(F.col(c)).alias(c)
+                     if c in upd else F.col(c))
+                    for c in data_cols
+                ]
+            )
+            n_out = max(1, round(touched_bytes / target_file_size))
+        n_parts = len({e["partition_id"] for e in touched_entries}) or 1
+        new_entries = table.write_data_files(
+            out, n_files=n_out, n_partitions_hint=n_parts,
+        )
+        affected = {e["partition_id"] for e in touched_entries}
+        if kind == "update":
+            affected |= {e["partition_id"] for e in new_entries}
+        snap = table.commit_replace(
+            {e["file_path"] for e in touched_entries},
+            new_entries,
+            operation="delete" if kind == "delete" else "overwrite",
+            summary={"op": kind, f"rows-{kind}d": n_matched,
+                     "predicate": predicate_repr,
+                     **({"set": ",".join(sorted(upd))} if upd else {}),
+                     "chunk": f"{ci + 1}/{len(chunks)}"},
+            affected_partitions=affected,
+            # content-sensitive: the matched-row classification was
+            # computed against the plan snapshot — any concurrent commit
+            # must force a replan, not compose (same rule as MERGE)
+            retries=0,
+            expected_parent=cur.snapshot_id,
+        )
+        log.record(
+            op_id or f"{kind}-{snap.snapshot_id}", f"chunk-{ci}",
+            sorted(affected),
+            len(touched_entries), len(new_entries),
+            sum(e["record_count"] for e in new_entries),
+            sum(e["file_size_bytes"] for e in new_entries),
+            int((time.time() - tc) * 1000), snap.snapshot_id,
+        )
+        metrics["files_rewritten"] += len(touched_entries)
+        metrics["files_written"] += len(new_entries)
+        metrics[rows_key] += n_matched
+        metrics["snapshot"] = snap.snapshot_id
+    metrics["wall_ms"] = int((time.time() - t0) * 1000)
+    return metrics
 
 
 def delete_where(
@@ -90,70 +226,21 @@ def delete_where(
     int_ranges: dict[str, tuple[int | None, int | None]] | None = None,
     target_file_size: int = 64 * 1024 * 1024,
     op_id: str | None = None,
+    chunk_files: int = DEFAULT_CHUNK_FILES,
 ) -> dict:
-    """DELETE FROM table WHERE ``predicate``.
+    """DELETE FROM table WHERE ``predicate`` — removes only rows where
+    the predicate evaluates TRUE (SQL three-valued semantics: NULL
+    keeps the row, exactly like Iceberg/ANSI DELETE).
 
     ``predicate`` may reference any non-binary column; pass
     ``int_ranges`` matching the predicate's bounds to let manifest
-    stats prune the candidate files (the payoff of clustering)."""
+    stats prune the candidate files (the payoff of clustering).
+    ``chunk_files`` bounds every driver-side path materialization —
+    a non-selective delete walks partition chunks with one pinned
+    commit each instead of collecting the whole candidate list."""
     cond = F.expr(predicate) if isinstance(predicate, str) else predicate
-    t0 = time.time()
-    meta = table.load_metadata()
-    cur = table.current_snapshot(meta)
-    if cur is None or not cur.manifests:
-        return {"files_rewritten": 0, "files_written": 0, "rows_deleted": 0,
-                "wall_ms": int((time.time() - t0) * 1000), "snapshot": None}
-
-    cand_paths, touched_entries, n_deleted, n_total = _plan_touched(
-        table, spark, cond, int_ranges
-    )
-    if not touched_entries:
-        return {"files_rewritten": 0, "files_written": 0, "rows_deleted": 0,
-                "candidate_files": len(cand_paths), "total_files": n_total,
-                "wall_ms": int((time.time() - t0) * 1000),
-                "snapshot": cur.snapshot_id}
-
-    # 3. rewrite touched files minus matching rows (single blob read)
-    survivors = table.scan_matched_files(touched_entries, spark).filter(~cond)
-    touched_bytes = sum(e["file_size_bytes"] for e in touched_entries)
-    touched_rows = sum(e["record_count"] for e in touched_entries)
-    keep_frac = 1.0 - n_deleted / max(touched_rows, 1)
-    n_out = max(1, round(touched_bytes * keep_frac / target_file_size))
-    n_parts = len({e["partition_id"] for e in touched_entries}) or 1
-    new_entries = table.write_data_files(
-        survivors, n_files=n_out, n_partitions_hint=n_parts,
-    )
-    snap = table.commit_replace(
-        {e["file_path"] for e in touched_entries},
-        new_entries,
-        operation="delete",
-        summary={"op": "delete", "rows-deleted": n_deleted,
-                 "predicate": str(predicate)},
-        affected_partitions={e["partition_id"] for e in touched_entries},
-        # content-sensitive: the matched-row classification was computed
-        # against the plan snapshot — any concurrent commit must force a
-        # replan, not compose (same rule as MERGE)
-        retries=0,
-        expected_parent=cur.snapshot_id,
-    )
-    wall_ms = int((time.time() - t0) * 1000)
-    LineageLog(table.location).record(
-        op_id or f"delete-{snap.snapshot_id}", "all",
-        sorted({e["partition_id"] for e in touched_entries}),
-        len(touched_entries), len(new_entries),
-        sum(e["record_count"] for e in new_entries),
-        sum(e["file_size_bytes"] for e in new_entries),
-        wall_ms, snap.snapshot_id,
-    )
-    return {
-        "files_rewritten": len(touched_entries),
-        "files_written": len(new_entries),
-        "rows_deleted": n_deleted,
-        "candidate_files": len(cand_paths),
-        "total_files": n_total,
-        "wall_ms": wall_ms,
-        "snapshot": snap.snapshot_id,
-    }
+    return _rowlevel_op(table, spark, cond, "delete", {}, int_ranges,
+                        target_file_size, op_id, chunk_files, str(predicate))
 
 
 def update_where(
@@ -164,6 +251,7 @@ def update_where(
     int_ranges: dict[str, tuple[int | None, int | None]] | None = None,
     target_file_size: int = 64 * 1024 * 1024,
     op_id: str | None = None,
+    chunk_files: int = DEFAULT_CHUNK_FILES,
 ) -> dict:
     """UPDATE table SET col = expr, ... WHERE ``predicate`` — the same
     stats-pruned copy-on-write plan as DELETE: only files holding a
@@ -171,14 +259,11 @@ def update_where(
     matching rows and every other row carried through untouched.
     Assignments may reference any column (SQL strings or Columns);
     updating the partition column relocates the row (the commit's
-    affected set covers both the old and new partitions)."""
+    affected set covers both the old and new partitions). Assignments
+    apply only to predicate-TRUE rows (NULL keeps the original row,
+    ANSI UPDATE semantics). ``chunk_files`` bounds driver-side path
+    materialization exactly as in :func:`delete_where`."""
     cond = F.expr(predicate) if isinstance(predicate, str) else predicate
-    t0 = time.time()
-    meta = table.load_metadata()
-    cur = table.current_snapshot(meta)
-    if cur is None or not cur.manifests:
-        return {"files_rewritten": 0, "files_written": 0, "rows_updated": 0,
-                "wall_ms": int((time.time() - t0) * 1000), "snapshot": None}
     data_cols = [f.name for f in table.schema().fields]
     bad = [c for c in assignments if c not in data_cols]
     if bad:
@@ -187,56 +272,5 @@ def update_where(
         c: (F.expr(e) if isinstance(e, str) else e)
         for c, e in assignments.items()
     }
-
-    cand_paths, touched_entries, n_updated, n_total = _plan_touched(
-        table, spark, cond, int_ranges
-    )
-    if not touched_entries:
-        return {"files_rewritten": 0, "files_written": 0, "rows_updated": 0,
-                "candidate_files": len(cand_paths), "total_files": n_total,
-                "wall_ms": int((time.time() - t0) * 1000),
-                "snapshot": cur.snapshot_id}
-
-    out = table.scan_matched_files(touched_entries, spark).select(
-        *[
-            (F.when(cond, upd[c]).otherwise(F.col(c)).alias(c) if c in upd
-             else F.col(c))
-            for c in data_cols
-        ]
-    )
-    touched_bytes = sum(e["file_size_bytes"] for e in touched_entries)
-    n_out = max(1, round(touched_bytes / target_file_size))
-    n_parts = len({e["partition_id"] for e in touched_entries}) or 1
-    new_entries = table.write_data_files(
-        out, n_files=n_out, n_partitions_hint=n_parts,
-    )
-    snap = table.commit_replace(
-        {e["file_path"] for e in touched_entries},
-        new_entries,
-        operation="overwrite",
-        summary={"op": "update", "rows-updated": n_updated,
-                 "predicate": str(predicate),
-                 "set": ",".join(sorted(assignments))},
-        affected_partitions={e["partition_id"] for e in touched_entries}
-        | {e["partition_id"] for e in new_entries},
-        retries=0,
-        expected_parent=cur.snapshot_id,
-    )
-    wall_ms = int((time.time() - t0) * 1000)
-    LineageLog(table.location).record(
-        op_id or f"update-{snap.snapshot_id}", "all",
-        sorted({e["partition_id"] for e in touched_entries}),
-        len(touched_entries), len(new_entries),
-        sum(e["record_count"] for e in new_entries),
-        sum(e["file_size_bytes"] for e in new_entries),
-        wall_ms, snap.snapshot_id,
-    )
-    return {
-        "files_rewritten": len(touched_entries),
-        "files_written": len(new_entries),
-        "rows_updated": n_updated,
-        "candidate_files": len(cand_paths),
-        "total_files": n_total,
-        "wall_ms": wall_ms,
-        "snapshot": snap.snapshot_id,
-    }
+    return _rowlevel_op(table, spark, cond, "update", upd, int_ranges,
+                        target_file_size, op_id, chunk_files, str(predicate))

@@ -50,11 +50,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from urllib.parse import unquote
-
 from ..lineage import LineageLog
 from ..tableformat import LakehouseTable
-from ..tableformat.paths import relativize
+from ..tableformat.paths import relativize_reported
 
 
 def _dedupe_source(src: DataFrame, keys: list[str], data_cols: list[str]) -> DataFrame:
@@ -114,9 +112,17 @@ def merge_into(
         if when_not_matched != "insert":
             return {"files_rewritten": 0, "files_written": 0, "rows_out": 0,
                     "wall_ms": int((time.time() - t0) * 1000), "snapshot": None}
+        # expected_parent pins "the table is still empty": a concurrent
+        # writer who inserted matching keys between the cur-is-None
+        # check and this commit must surface (re-run merge_into to
+        # replan as a real upsert), not compose via the append retry
+        # into duplicate keys. cur may be an empty snapshot (manifests
+        # == []) whose id is still the correct pin.
         snap = table.commit_append(
             table.write_data_files(src),
             summary={"op": "merge-bootstrap", **(extra_summary or {})},
+            retries=0,
+            expected_parent=cur.snapshot_id if cur is not None else None,
         )
         return {"files_rewritten": 0, "files_written": snap.summary["added-files"],
                 "rows_out": snap.summary["added-records"],
@@ -182,11 +188,13 @@ def merge_into(
     }
     # normalize URIs from input_file_name to table-relative paths.
     # input_file_name() returns PERCENT-ENCODED URIs (space -> %20),
-    # while manifest file_paths are raw — unquote first, else a data
-    # path with any URI-escapable character silently matches nothing
-    # and its matched rows are kept stale (scheme-robust relativize:
-    # file:///x vs /x, s3a:// bases — tableformat.paths)
-    touched_rel = {relativize(unquote(f), table.location) for f in touched_files}
+    # while manifest file_paths are raw — relativize_reported decodes
+    # BOTH the reported URI and the base (a file: location may itself
+    # contain an encodable character), else a data path with any
+    # URI-escapable character silently matches nothing and its matched
+    # rows are kept stale (scheme-robust: file:///x vs /x, s3a:// bases
+    # — tableformat.paths)
+    touched_rel = {relativize_reported(f, table.location) for f in touched_files}
     # stats for the touched set come from the manifest DataFrame —
     # bounded by the touched-file count, never the whole table
     if touched_rel:

@@ -1701,6 +1701,8 @@ def ann_lsh_clustered(spark, sf_dir):
     'at 10^12 scale the bucket is the partition key' claim. Results are
     hash-identical to the filter-based probe (same planes, same
     quantization), which is exactly what the oracle checks."""
+    import os
+    import shutil
     import tempfile
 
     from ..operators.similarity import (
@@ -1710,7 +1712,13 @@ def ann_lsh_clustered(spark, sf_dir):
 
     e = _t(spark, sf_dir, "embeddings")
     qv = [float(x) for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
-    loc = tempfile.mkdtemp(prefix="ann-clustered-") + "/emb"
+    # FIXED scratch location, recreated per invocation: the returned
+    # DataFrame is lazy (the caller collects it after we return), so the
+    # table must outlive this function — a per-run mkdtemp would leak a
+    # full embeddings copy every bench/correctness run
+    scratch = os.path.join(tempfile.gettempdir(), "mlps-scratch", "ann-lsh-clustered")
+    shutil.rmtree(scratch, ignore_errors=True)
+    loc = scratch + "/emb"
     t = build_lsh_clustered_table(
         spark, e.filter(F.col("vec_id") != 0), loc,
         n_planes=ANN_LSH_PLANES, quantize=True,

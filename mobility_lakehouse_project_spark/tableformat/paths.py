@@ -51,6 +51,22 @@ def relativize(path_or_uri: str, base: str) -> str:
     return path_or_uri
 
 
+def relativize_reported(reported_uri: str, base: str) -> str:
+    """Relativize a Spark-REPORTED file URI (``input_file_name()``)
+    against a table location, decoding percent-escapes on BOTH sides.
+
+    Spark reports percent-encoded URIs (space -> %20) while manifest
+    ``file_path`` entries are plain decoded relative names; a location
+    that itself contains a percent-encodable character (a ``file:``
+    URI with a space) must therefore be compared in decoded form too —
+    decoding only the reported side makes every file under such a
+    location fail to resolve (DELETE/MERGE abort on their resolution
+    guard: fail-safe, but unusable at that location)."""
+    from urllib.parse import unquote
+
+    return relativize(unquote(reported_uri), unquote(base))
+
+
 def to_local(location: str) -> str:
     """Driver-side filesystem root for a table location.
 

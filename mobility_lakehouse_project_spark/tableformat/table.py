@@ -100,6 +100,13 @@ class Snapshot:
         )
 
 
+# default for ``expected_parent``: no plan-snapshot pinning requested.
+# Distinct from None, which pins the commit to "the table has NO parent
+# snapshot yet" (the bootstrap-path precondition — a concurrent first
+# writer must surface, not compose).
+UNPINNED = object()
+
+
 def _atomic_write(path: str, data: str) -> None:
     tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
@@ -421,11 +428,13 @@ class LakehouseTable:
     def snapshot_as_of(self, timestamp_ms: int) -> Snapshot:
         """Latest snapshot committed at or before ``timestamp_ms`` —
         timestamp time travel (Iceberg's FOR SYSTEM_TIME AS OF)."""
-        cands = [s for s in self.snapshots_list() if s.timestamp_ms <= timestamp_ms]
+        snaps = self.snapshots_list()
+        cands = [s for s in snaps if s.timestamp_ms <= timestamp_ms]
         if not cands:
+            earliest = (f"earliest is {min(s.timestamp_ms for s in snaps)}"
+                        if snaps else "table has no snapshots")
             raise ValueError(
-                f"no snapshot at or before {timestamp_ms} (earliest is "
-                f"{min(s.timestamp_ms for s in self.snapshots_list())})"
+                f"no snapshot at or before {timestamp_ms} ({earliest})"
             )
         return max(cands, key=lambda s: s.sequence)
 
@@ -660,7 +669,7 @@ class LakehouseTable:
 
     def commit_append(self, entries: list[dict], summary: dict | None = None,
                       retries: int = 3,
-                      expected_parent: int | None = None) -> Snapshot:
+                      expected_parent: "int | None | object" = UNPINNED) -> Snapshot:
         """Append commit with optimistic-concurrency retry: the FILES of
         an append compose with any concurrent commit, so on
         ConcurrentCommitError the commit re-reads the advanced metadata
@@ -670,12 +679,15 @@ class LakehouseTable:
         (the streaming exactly-once batch check, insert-only MERGE's
         anti-join) must pass ``retries=0`` and re-validate the
         precondition themselves before retrying — a blind retry would
-        commit data whose premise a concurrent commit just broke."""
+        commit data whose premise a concurrent commit just broke.
+        ``expected_parent=None`` pins "no parent snapshot yet" (the
+        bootstrap precondition); the default UNPINNED disables the
+        check."""
         last: Exception | None = None
         for _ in range(max(1, retries + 1)):
             meta = self.load_metadata()
             parent = meta["current_snapshot_id"]
-            if expected_parent is not None and parent != expected_parent:
+            if expected_parent is not UNPINNED and parent != expected_parent:
                 # caller's check-then-commit premise (anti-join, batch-id
                 # scan) was computed against expected_parent — any commit
                 # since then must surface for re-validation, not compose
@@ -714,7 +726,7 @@ class LakehouseTable:
         summary: dict | None = None,
         affected_partitions: set[str] | None = None,
         retries: int = 3,
-        expected_parent: int | None = None,
+        expected_parent: "int | None | object" = UNPINNED,
     ) -> Snapshot:
         """Replace-files commit (compaction / clustering / MERGE / partition
         overwrite). Surviving entries of affected manifests are rewritten
@@ -749,7 +761,7 @@ class LakehouseTable:
         copy-on-write MERGE likewise validates conflicting appends
         against the merge condition table-wide, not per partition).
         Content-neutral rewrites (compaction/clustering) should leave it
-        None and keep the compose-with-retry behavior."""
+        UNPINNED and keep the compose-with-retry behavior."""
         last: Exception | None = None
         baseline: dict = {"affected_files": None}
         attempts = max(1, retries + 1) if affected_partitions is not None else 1
@@ -771,11 +783,11 @@ class LakehouseTable:
         summary: dict | None,
         affected_partitions: set[str] | None,
         baseline: dict | None = None,
-        expected_parent: int | None = None,
+        expected_parent: "int | None | object" = UNPINNED,
     ) -> Snapshot:
         meta = self.load_metadata()
         parent = meta["current_snapshot_id"]
-        if expected_parent is not None and parent != expected_parent:
+        if expected_parent is not UNPINNED and parent != expected_parent:
             raise ConcurrentCommitError(
                 f"table advanced past plan snapshot {expected_parent} "
                 f"(now {parent}); content-sensitive rewrite must replan"
@@ -1013,7 +1025,12 @@ class LakehouseTable:
         if ref is not None:
             if snapshot_id is not None:
                 raise ValueError("pass snapshot_id or ref, not both")
-            snapshot_id = self.tags()[ref]  # KeyError = unknown tag
+            tags = self.tags()
+            if ref not in tags:
+                raise ValueError(
+                    f"no tag {ref!r} (existing tags: {sorted(tags) or 'none'})"
+                )
+            snapshot_id = tags[ref]
         pruned = self.plan_files(spark, snapshot_id, partition_values, int_ranges)
         paths = [r["file_path"] for r in pruned.select("file_path").collect()]
         return self.scan_files(spark, paths, columns)
@@ -1191,17 +1208,50 @@ class LakehouseTable:
         return {"deleted_data_files": deleted_data,
                 "deleted_manifests": deleted_manifests}
 
-    def rewrite_manifests(self) -> Snapshot:
+    def rewrite_manifests(self, spark: SparkSession) -> Snapshot:
         """Consolidate the current snapshot's manifests into one —
-        metadata compaction, keeping planning scans O(1) files."""
+        metadata compaction, keeping planning scans O(1) files.
+
+        Built from the ``files()`` metadata DATAFRAME: the manifest
+        scan and the consolidated write run distributed (one Spark
+        write into a scratch dir + a driver rename), so the driver
+        never materializes the entry list — at 10^12 scale that list
+        is millions of rows, and metadata compaction obeys the same
+        never-collect rule as the data ops (``all_entries`` stays a
+        test-only helper). The only driver-side materialization is the
+        partition summary (one row per partition, the manifest-list
+        entry every commit already holds)."""
         meta = self.load_metadata()
         parent = meta["current_snapshot_id"]
-        entries = self.all_entries()
+        cur = self.current_snapshot(meta)
+        if cur is None or len(cur.manifests) <= 1:
+            return cur  # nothing to consolidate
         snap_id, seq = self._next_ids(meta)
-        manifest, parts = self._write_manifest(entries, snap_id)
+        files_df = self.files(spark)
+        parts = sorted(
+            r["partition_id"]
+            for r in files_df.select("partition_id").distinct().collect()
+        )
+        name = f"manifest-{snap_id}-{uuid.uuid4().hex[:8]}.parquet"
+        scratch = os.path.join(self.manifest_dir, f".rewrite-{uuid.uuid4().hex[:8]}")
+        (
+            files_df.withColumn("added_snapshot_id", F.lit(snap_id))
+            # repartition (not coalesce) keeps the manifest SCAN parallel;
+            # the single output file is fine — manifests are metadata-sized
+            .repartition(1)
+            .sortWithinPartitions("partition_id", "file_path")
+            .write.mode("overwrite").parquet(scratch)
+        )
+        part_files = [f for f in os.listdir(scratch) if f.endswith(".parquet")]
+        if len(part_files) != 1:
+            raise RuntimeError(f"expected 1 manifest part, got {part_files}")
+        os.replace(os.path.join(scratch, part_files[0]),
+                   os.path.join(self.manifest_dir, name))
+        shutil.rmtree(scratch, ignore_errors=True)
+        manifest_rel = os.path.join("manifests", name)
         snap = Snapshot(
             snap_id, parent, seq, int(time.time() * 1000), "rewrite-manifests",
-            [manifest], {"manifests-merged": len(self.current_snapshot(meta).manifests)},
-            {manifest: parts},
+            [manifest_rel], {"manifests-merged": len(cur.manifests)},
+            {manifest_rel: parts},
         )
         return self._commit(meta, snap, parent)

@@ -119,6 +119,70 @@ def test_update_where_applies_assignments(spark, clustered_table):
         delete.update_where(t, spark, "w = 16", {"nope": "1"})
 
 
+def test_delete_null_predicate_keeps_null_rows(spark, tmp_table_dir):
+    """SQL three-valued logic: DELETE removes only predicate-TRUE rows —
+    rows where the predicate evaluates to NULL are KEPT (ANSI/Iceberg
+    semantics), and rows_deleted agrees with rows actually removed.
+    UPDATE likewise assigns only on TRUE."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("image_id", T.StringType()),
+        T.StructField("v", T.LongType(), True),
+        T.StructField("bucket", T.IntegerType()),
+    ])
+    rows = [(f"id-{i}", (None if i % 3 == 0 else i), i % 2) for i in range(60)]
+    df = spark.createDataFrame(rows, schema)
+    t = LakehouseTable.create(tmp_table_dir, schema, partition_col="bucket")
+    t.append(df, n_files=4)
+    n_null = sum(1 for r in rows if r[1] is None)
+    n_true = sum(1 for r in rows if r[1] is not None and r[1] > 30)
+    res = delete.delete_where(t, spark, "v > 30")
+    assert res["rows_deleted"] == n_true
+    post = t.scan(spark)
+    assert post.count() == 60 - n_true  # NULL-predicate rows survived
+    assert post.filter(F.col("v").isNull()).count() == n_null
+    n_true2 = sum(1 for r in rows if r[1] is not None and 0 < r[1] <= 10)
+    res2 = delete.update_where(t, spark, "v <= 10", {"v": "v + 1000"})
+    assert res2["rows_updated"] == n_true2
+    post2 = t.scan(spark)
+    assert post2.filter(F.col("v").isNull()).count() == n_null  # untouched
+    assert post2.filter(F.col("v") >= 1000).count() == n_true2
+
+
+def test_delete_where_true_chunked_bounded_collects(spark, tmp_table_dir, monkeypatch):
+    """A non-selective DELETE walks partition chunks: every driver-side
+    path materialization is bounded by ``chunk_files``, one pinned
+    commit lands per chunk, and all_entries is never touched — the
+    bounded-collect contract compaction already obeys (VERDICT r3)."""
+    df = synth.images_df(spark, 400, partitions=8)
+    t = LakehouseTable.create(tmp_table_dir, df.schema, partition_col="bucket")
+    t.append(df, n_files=32)
+    n_parts = t.files(spark).select("partition_id").distinct().count()
+    assert n_parts >= 4
+
+    def forbid(self, *a, **k):
+        raise AssertionError("delete planning materialized the full manifest")
+
+    monkeypatch.setattr(LakehouseTable, "all_entries", forbid)
+    orig = delete._plan_touched_chunk
+    seen = []
+
+    def spy(table, spark_, cond, int_ranges, part_ids):
+        entries, n = orig(table, spark_, cond, int_ranges, part_ids)
+        seen.append(len(entries))
+        return entries, n
+
+    monkeypatch.setattr(delete, "_plan_touched_chunk", spy)
+    res = delete.delete_where(t, spark, "true", chunk_files=8)
+    assert res["rows_deleted"] == 400
+    assert res["chunks"] >= 4
+    assert len(seen) == res["chunks"] and all(n <= 8 for n in seen)
+    assert t.scan(spark).count() == 0
+    ops = [s.operation for s in t.snapshots_list()]
+    assert ops.count("delete") == res["chunks"]
+
+
 def test_delete_everything_then_append(spark, tmp_table_dir):
     """Full-table DELETE: every file removed, zero new entries, the
     table reads empty, and life continues (append works)."""

@@ -202,6 +202,31 @@ def test_planning_never_materializes_full_manifest(spark, tmp_table_dir, monkeyp
     assert t.plan_files(spark, int_ranges={"phash": (0, 99)}).count() == 10
     pr = clustering.pruning_ratio(t, spark, "phash", 0, 99)
     assert pr["scanned_files"] == 10 and pr["total_files"] == 10_000
+    # metadata compaction obeys the same rule: consolidating manifests
+    # runs off the files() DataFrame (distributed write + driver rename),
+    # never all_entries — with stats preserved through the round trip
+    t.commit_append([
+        {
+            "file_path": f"data/fake2/part-{i:05d}.parquet",
+            "partition_id": str(i % 50),
+            "record_count": 100,
+            "file_size_bytes": 1_000_000,
+            "added_snapshot_id": -1,
+            "int_mins": {"phash": 100_000 + i * 10},
+            "int_maxs": {"phash": 100_000 + i * 10 + 9},
+            "str_mins": {},
+            "str_maxs": {},
+        }
+        for i in range(100)
+    ])
+    assert len(t.current_snapshot().manifests) == 2
+    snap = t.rewrite_manifests(spark)
+    assert len(snap.manifests) == 1
+    assert t.files(spark).count() == 10_100
+    assert t.plan_files(spark, int_ranges={"phash": (0, 99)}).count() == 10
+    assert sorted(snap.manifest_parts[snap.manifests[0]]) == sorted(
+        str(i) for i in range(50)
+    )
 
 
 def test_time_travel_across_maintenance_rewrites(spark, fragmented_table):

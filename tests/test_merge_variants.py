@@ -250,3 +250,39 @@ def test_merge_table_path_with_space(spark, tmp_path):
     got = t.scan(spark).filter(F.col("caption").startswith("updated ")).count()
     assert got == 20
     assert t.scan(spark).count() == 120
+
+
+def test_merge_bootstrap_race_surfaces(spark, tmp_table_dir):
+    """ADVICE r3: a concurrent writer inserting keys between the
+    empty-table check and the bootstrap commit must surface as
+    ConcurrentCommitError (the bootstrap's premise — 'no rows exist' —
+    is broken; composing via retry would create duplicate keys).
+    Re-running merge_into replans as a real upsert."""
+    from mobility_lakehouse_project_spark.tableformat.table import (
+        ConcurrentCommitError,
+    )
+
+    df = synth.images_df(spark, 20)
+    t = LakehouseTable.create(tmp_table_dir, df.schema, partition_col="bucket")
+    racer = synth.images_df(spark, 10, seed=5)  # ids overlap df's
+    orig = t.write_data_files
+    fired = {"done": False}
+
+    def racing(*a, **k):
+        entries = orig(*a, **k)
+        if not fired["done"]:
+            fired["done"] = True
+            LakehouseTable(tmp_table_dir).append(racer, n_files=1)
+        return entries
+
+    t.write_data_files = racing
+    try:
+        with pytest.raises(ConcurrentCommitError):
+            merge.merge_into(t, spark, df)
+    finally:
+        del t.write_data_files
+    res = merge.merge_into(t, spark, df)  # replan: now a real upsert
+    assert res["snapshot"] is not None
+    got = t.scan(spark)
+    assert got.count() == 20
+    assert got.select("image_id").distinct().count() == 20  # no dup keys

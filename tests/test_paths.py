@@ -7,6 +7,7 @@ from mobility_lakehouse_project_spark.tableformat.paths import (
     join_path,
     normalize_location,
     relativize,
+    relativize_reported,
 )
 
 
@@ -27,6 +28,20 @@ def test_relativize_scheme_mismatches():
     assert relativize("/elsewhere/f.parquet", "/wh/t") == "/elsewhere/f.parquet"
     # a path that merely CONTAINS the base name must not mis-relativize
     assert relativize("/wh/t2/data/f.parquet", "/wh/t") == "/wh/t2/data/f.parquet"
+
+
+def test_relativize_reported_decodes_both_sides():
+    """ADVICE r3: a location that ITSELF carries percent-encoding (a
+    properly-encoded file: URI with a space) must still resolve the
+    percent-encoded URIs input_file_name reports — both sides compare
+    in decoded form."""
+    rep = "file:///wh/uri%20tbl/data/f.parquet"
+    assert relativize_reported(rep, "file:///wh/uri%20tbl") == "data/f.parquet"
+    assert relativize_reported(rep, "file:///wh/uri tbl") == "data/f.parquet"
+    assert relativize_reported(rep, "/wh/uri tbl") == "data/f.parquet"
+    assert relativize_reported(
+        "s3a://b/t%20x/data/f.parquet", "s3a://b/t%20x"
+    ) == "data/f.parquet"
 
 
 def test_join_and_normalize():

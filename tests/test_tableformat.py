@@ -97,9 +97,24 @@ def test_manifest_pruning_narrows_file_set(spark, small_table):
 def test_rewrite_manifests_consolidates(spark, small_table):
     small_table.append(synth.images_df(spark, 100, id_offset=800), n_files=2)
     assert len(small_table.current_snapshot().manifests) == 2
-    small_table.rewrite_manifests()
+    small_table.rewrite_manifests(spark)
     assert len(small_table.current_snapshot().manifests) == 1
     assert small_table.scan(spark).count() == 900
+    # the consolidated (Spark-written) manifest must interoperate with
+    # the pyarrow manifest path: driver reads, a subsequent pyarrow-
+    # written manifest alongside it, stats pruning, and replace commits
+    entries = small_table.read_manifest_entries(
+        small_table.current_snapshot().manifests[0]
+    )
+    assert sum(e["record_count"] for e in entries) == 900
+    assert all(isinstance(e["int_mins"], dict) and "phash" in e["int_mins"]
+               for e in entries)
+    small_table.append(synth.images_df(spark, 50, id_offset=900), n_files=1)
+    assert len(small_table.current_snapshot().manifests) == 2
+    assert small_table.scan(spark).count() == 950
+    assert small_table.scan(
+        spark, int_ranges={"phash": (0, 2**62)}
+    ).count() > 0
 
 
 def test_expire_snapshots_gc(spark, small_table):
@@ -429,3 +444,17 @@ def test_tags_pin_snapshots_through_expiry(spark, small_table):
     t.expire_snapshots(keep_last=2)
     with pytest.raises(Exception):
         t.scan(spark, snapshot_id=first).count()  # snapshot gone from the log
+
+
+def test_unknown_ref_and_empty_as_of_errors(spark, small_table, tmp_path):
+    """User-facing lookup errors are explicit ValueErrors, not a bare
+    KeyError / min()-over-empty ValueError (ADVICE r3)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="no tag 'nope'"):
+        small_table.scan(spark, ref="nope")
+    empty = LakehouseTable.create(
+        str(tmp_path / "empty"), small_table.schema(), partition_col="bucket"
+    )
+    with pytest.raises(ValueError, match="no snapshots"):
+        empty.snapshot_as_of(10**15)

@@ -1,0 +1,148 @@
+"""Load-gated strong-scaling pair harness (BASELINE.json north_rule).
+
+Collects taskset-pinned interleaved local[2]/local[8] pairs with the
+identical methodology of tools/run_scaling.py (4N leg first, seeded
+input rebuilt per leg, tables + shuffle on tmpfs) but certifies a pair
+as LULL-CLEAN only when the host was measurably quiet:
+
+ * pair pre-gate: 1-min /proc/loadavg < LOAD_GATE before the pair's
+   first build starts. The harness idles before this point, so the
+   1-min load is a pure co-tenant signal at that instant.
+ * per-leg interference: the measured rewrite is pinned to cores
+   0..N-1, so the remaining 32-N cores are a live window onto
+   co-tenant activity DURING the leg. external_cores =
+   delta_busy(unpinned cores)/wall * 32/(32-N) (the scheduler spreads
+   an unpinned co-tenant uniformly over all cores, so the unpinned
+   window sees (32-N)/32 of it); steal_cores from the global steal
+   counter (hypervisor co-tenancy). A leg is clean iff
+   external_cores < EXT_GATE and steal_cores < STEAL_GATE.
+
+The per-leg check is strictly stronger than endpoint loadavg checks:
+raw loadavg at leg end cannot separate the harness's own contribution
+(a pinned local[2] leg alone adds ~2.0) from co-tenants, while the
+unpinned-core window measures co-tenants directly over the WHOLE leg,
+start to finish — the intent of "both legs start AND finish under
+load < 0.7".
+
+Every pair, clean or not, is appended to BENCH/gated_pairs.jsonl.
+Summarize into BENCH/BASELINE.md with tools/gated_summary.py.
+
+Usage: python tools/gated_pairs.py [max_pairs] [target_clean] [rows]
+"""
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+NCPU = os.cpu_count() or 32
+HZ = os.sysconf("SC_CLK_TCK")
+LOAD_GATE = 0.7   # judge-specified lull criterion (1-min loadavg)
+EXT_GATE = 0.7    # max co-tenant cores during a leg
+STEAL_GATE = 0.3  # max hypervisor-stolen cores during a leg
+JSONL = "BENCH/gated_pairs.jsonl"
+
+
+def loadavg() -> float:
+    return float(open("/proc/loadavg").read().split()[0])
+
+
+def percpu() -> dict[int, tuple[int, int]]:
+    """Per-CPU (busy_jiffies, steal_jiffies) from /proc/stat."""
+    out: dict[int, tuple[int, int]] = {}
+    for line in open("/proc/stat"):
+        p = line.split()
+        if p and p[0].startswith("cpu") and p[0][3:].isdigit():
+            v = [int(x) for x in p[1:]]
+            busy = v[0] + v[1] + v[2] + v[5] + v[6]  # user nice sys irq sirq
+            out[int(p[0][3:])] = (busy, v[7] if len(v) > 7 else 0)
+    return out
+
+
+class Monitor:
+    """run_level monitor hook: samples co-tenant activity per leg."""
+
+    def __init__(self) -> None:
+        self.legs: list[dict] = []
+
+    def __call__(self, event: str, cores: int) -> None:
+        snap = (time.time(), loadavg(), percpu())
+        if event == "measure_start":
+            self._start = snap
+            return
+        (t0, la0, c0), (t1, la1, c1) = self._start, snap
+        wall = max(t1 - t0, 1e-6)
+        unpinned = [i for i in range(NCPU) if i >= cores] or list(range(NCPU))
+        dbusy = sum(c1[i][0] - c0[i][0] for i in unpinned) / HZ
+        dsteal = sum(c1[i][1] - c0[i][1] for i in range(NCPU)) / HZ
+        ext = dbusy / wall * NCPU / len(unpinned)
+        steal = dsteal / wall
+        self.legs.append(dict(
+            cores=cores, wall=round(wall, 1), load_start=la0, load_end=la1,
+            external_cores=round(ext, 3), steal_cores=round(steal, 3),
+            clean=bool(ext < EXT_GATE and steal < STEAL_GATE)))
+
+
+def existing() -> list[dict]:
+    try:
+        with open(JSONL) as f:
+            return [json.loads(x) for x in f if x.strip()]
+    except FileNotFoundError:
+        return []
+
+
+def main() -> None:
+    max_pairs = int(sys.argv[1]) if len(sys.argv) > 1 else 40
+    target_clean = int(sys.argv[2]) if len(sys.argv) > 2 else 6
+    rows = sys.argv[3] if len(sys.argv) > 3 else "150000"
+    sys.argv = ["run_scaling.py", rows]
+    spec = importlib.util.spec_from_file_location("rs", "tools/run_scaling.py")
+    rs = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rs)
+    os.makedirs("BENCH", exist_ok=True)
+
+    prior = existing()
+    clean = sum(1 for p in prior if p.get("clean"))
+    pair_idx = len(prior)
+    print(f"resuming: {len(prior)} pairs on disk, {clean} clean; "
+          f"targets: {target_clean} clean / {max_pairs} new max", flush=True)
+    new = 0
+    while new < max_pairs and clean < target_clean:
+        # pre-gate: idle-poll until the 1-min load (pure co-tenant
+        # signal while we idle) drops under the lull threshold
+        waited = 0
+        while (la := loadavg()) >= LOAD_GATE:
+            if waited % 300 == 0:
+                print(f"waiting for lull: load1={la}", flush=True)
+            time.sleep(15)
+            waited += 15
+        mon = Monitor()
+        try:
+            hi = rs.run_level(8, monitor=mon)   # 4N leg first (short leg
+            lo = rs.run_level(2, monitor=mon)   # samples the lull freshest)
+        except RuntimeError as e:
+            print(f"pair {pair_idx} failed: {e}", flush=True)
+            time.sleep(30)
+            continue
+        eff = round((lo["total"] / hi["total"]) / 4, 3)
+        rec = dict(ts=round(time.time(), 1), pair=pair_idx, rows=int(rows),
+                   pre_gate_load=la, eff=eff,
+                   clean=bool(all(l["clean"] for l in mon.legs)),
+                   legs=mon.legs, hi=hi, lo=lo)
+        with open(JSONL, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        clean += rec["clean"]
+        new += 1
+        pair_idx += 1
+        print(f"pair {rec['pair']}: eff={eff} clean={rec['clean']} "
+              f"legs={[(l['cores'], l['external_cores'], l['steal_cores']) for l in mon.legs]} "
+              f"({clean} clean total)", flush=True)
+    print(f"done: {clean} clean pairs (target {target_clean})", flush=True)
+
+
+if __name__ == "__main__":
+    main()

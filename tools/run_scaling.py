@@ -43,7 +43,7 @@ ROWS = int(sys.argv[1]) if len(sys.argv) > 1 else 300_000
 RUN = "/dev/shm/scaling_run_table"
 
 
-def run_level(cores: int, rows: int | None = None) -> dict:
+def run_level(cores: int, rows: int | None = None, monitor=None) -> dict:
     """Build the input in one (unpinned) process, then measure the
     rewrite in a SECOND process pinned to ``cores`` CPUs via taskset.
 
@@ -125,10 +125,16 @@ spark.stop()
 """
     # pin the measured process (JVM + Python workers) to `cores` CPUs
     pin = ["taskset", "-c", f"0-{cores - 1}"] if cores < (os.cpu_count() or 32) else []
+    # monitor hook (tools/gated_pairs.py): brackets ONLY the measured
+    # window so the caller can sample co-tenant interference during it
+    if monitor is not None:
+        monitor("measure_start", cores)
     out = subprocess.run(
         pin + [sys.executable, "-c", code], capture_output=True, text=True,
         cwd="/root/repo",
     )
+    if monitor is not None:
+        monitor("measure_end", cores)
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
             return json.loads(line[7:])
