@@ -95,40 +95,48 @@ def cluster(
     see BENCH/BASELINE.md's coarse-granularity reading)."""
     if not 1 <= len(cols) <= 3:
         raise ValueError(f"cluster over 1-3 columns, got {cols!r}")
-    # dim bounds for range-scaled normalization: ONE aggregation over
-    # the manifest stats (zero data-file reads). Without this, a
-    # narrow-range dim (w, h in {16..128}) contributes no high bits to
-    # the interleaved key and its file stats never prune (measured
-    # 0.000 pruned pre-fix — tools/run_pruning.py).
-    brow = (
+    # planning = ONE aggregation over the files metadata DataFrame: a
+    # single metadata-sized row per partition reaches the driver,
+    # carrying BOTH the per-partition sizing and the per-partition
+    # stats extrema. The table-wide dim bounds for range-scaled key
+    # normalization derive from those rows driver-side — folding what
+    # used to be a second manifest job into this one (each tiny job
+    # costs ~0.3-0.5 s of fixed scheduling, an Amdahl term the 4N level
+    # pays in full). Without range normalization, a narrow-range dim
+    # (w, h in {16..128}) contributes no high bits to the interleaved
+    # key and its file stats never prune (measured 0.000 pruned
+    # pre-fix — tools/run_pruning.py).
+    plan_rows = (
         table.files(spark)
+        .groupBy("partition_id")
         .agg(
+            F.sum("file_size_bytes").alias("bytes"),
+            F.count("*").alias("n_files"),
             *[F.min(F.col("int_mins")[c]).alias(f"lo_{c}") for c in cols],
             *[F.max(F.col("int_maxs")[c]).alias(f"hi_{c}") for c in cols],
         )
         .collect()
     )
+    if not plan_rows:
+        return {"files_in": 0, "files_out": 0, "rows": 0, "bytes": 0,
+                "wall_ms": 0, "chunks_skipped": 0, "snapshots": []}
     dim_bounds = None
-    if brow:
-        bvals = [(brow[0][f"lo_{c}"], brow[0][f"hi_{c}"]) for c in cols]
-        if all(lo is not None and hi is not None for lo, hi in bvals):
-            dim_bounds = tuple((int(lo), int(hi)) for lo, hi in bvals)
+    bvals = [
+        (
+            min((r[f"lo_{c}"] for r in plan_rows if r[f"lo_{c}"] is not None),
+                default=None),
+            max((r[f"hi_{c}"] for r in plan_rows if r[f"hi_{c}"] is not None),
+                default=None),
+        )
+        for c in cols
+    ]
+    if all(lo is not None and hi is not None for lo, hi in bvals):
+        dim_bounds = tuple((int(lo), int(hi)) for lo, hi in bvals)
     if curve == "zorder":
         key_expr = lambda: zorder_col(*[F.col(c) for c in cols], bounds=dim_bounds)  # noqa: E731
     else:
         _udf = curve_key_udf(curve, dim_bounds)
         key_expr = lambda: _udf(*[F.col(c) for c in cols])  # noqa: E731
-    # planning = one aggregation over the files metadata DataFrame:
-    # a single metadata-sized row per partition reaches the driver
-    plan_rows = (
-        table.files(spark)
-        .groupBy("partition_id")
-        .agg(F.sum("file_size_bytes").alias("bytes"), F.count("*").alias("n_files"))
-        .collect()
-    )
-    if not plan_rows:
-        return {"files_in": 0, "files_out": 0, "rows": 0, "bytes": 0,
-                "wall_ms": 0, "chunks_skipped": 0, "snapshots": []}
     op_id = op_id or _op_fingerprint("cluster-" + curve, table, ",".join(cols))
     log = LineageLog(table.location)
     done = log.completed_chunks(op_id)
@@ -222,6 +230,8 @@ def cluster(
         )
         new_entries = table.write_data_files(shaped, distribution="none")
         ph["pass2_rewrite"] += int((time.time() - t2) * 1000)
+        for k, v in getattr(table, "last_write_phases", {}).items():
+            ph[k] = ph.get(k, 0) + v
         t3 = time.time()
         snap = table.commit_replace(
             removed, new_entries, operation="replace",

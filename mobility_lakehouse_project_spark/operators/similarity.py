@@ -218,6 +218,110 @@ def ann_lsh_topk_clustered(
     }
 
 
+def rademacher_probe_buckets_col(
+    vec_col: str, signs: np.ndarray, n_probes: int = 1, quantize: bool = False
+):
+    """Pure-Catalyst ARRAY of probe buckets for one vector: its own
+    sign-LSH bucket plus the (n_probes-1) Hamming-1 neighbors whose
+    flipped plane has the smallest |margin| (Lv et al. multi-probe LSH,
+    VLDB 2007) — array_sort over (|margin|, plane) structs picks the
+    nearest decision boundaries, all inside whole-stage codegen. The
+    scalar driver-side twin is rademacher_margins_of + the argsort in
+    ann_lsh_topk_clustered."""
+    dots = []
+    for plane in signs:
+        lit = F.array(*[F.lit(float(x)) for x in plane])
+        if quantize:
+            elem = lambda x, y: F.round(x.cast("double") * 1024) * y  # noqa: E731
+        else:
+            elem = lambda x, y: x.cast("double") * y  # noqa: E731
+        dots.append(F.aggregate(
+            F.zip_with(F.col(vec_col), lit, elem), F.lit(0.0),
+            lambda acc, x: acc + x,
+        ))
+    bucket = None
+    for i, d in enumerate(dots):
+        b = F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = b if bucket is None else bucket + b
+    if n_probes <= 1:
+        return F.array(bucket)
+    # the flip mask 1<<i rides the struct (array_sort orders by |margin|
+    # then mask — identical tie-break to the driver twin's stable argsort)
+    pairs = F.array(*[
+        F.struct(F.abs(dots[i]).alias("m"), F.lit(1 << i).alias("f"))
+        for i in range(len(dots))
+    ])
+    flips = F.slice(F.array_sort(pairs), 1, n_probes - 1)
+    return F.concat(
+        F.array(bucket),
+        F.transform(flips, lambda s: bucket.bitwiseXOR(s["f"])),
+    )
+
+
+def ann_batch_topk_clustered(
+    spark: SparkSession,
+    table,
+    queries: DataFrame,
+    k: int = 3,
+    n_probes: int = 1,
+    qid_col: str = "qid",
+    qvec_col: str = "qv",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, dict]:
+    """BATCH ANN against a PERSISTED LSH-clustered table: every query
+    vector's probe buckets come from the same pinned plane matrix the
+    build used (commit summary), the table is scanned pruned to the
+    UNION of probe partitions (manifest pruning — the only collected
+    planning value is the distinct bucket set, bounded by 2^n_planes,
+    never query vectors), and candidates meet queries in a bucket
+    EQUI-JOIN with a per-query window rank. The many-query form of
+    ann_lsh_topk_clustered: one pruned scan + one shuffle join for the
+    whole batch, no per-query loop."""
+    from pyspark.sql.window import Window
+
+    summ = next(
+        s.summary for s in reversed(table.snapshots_list())
+        if "lsh-planes" in s.summary
+    )
+    n_planes, seed = int(summ["lsh-planes"]), int(summ["lsh-seed"])
+    quant = bool(int(summ.get("lsh-quantized", 0)))
+    first = queries.select(qvec_col).first()
+    signs = rademacher_signs(len(first[0]), n_planes, seed)
+    qx = queries.select(
+        qid_col, qvec_col,
+        F.explode(
+            rademacher_probe_buckets_col(qvec_col, signs, n_probes, quant)
+        ).alias("_bucket"),
+    )
+    buckets = {str(r["_bucket"]) for r in qx.select("_bucket").distinct().collect()}
+    total = table.size_stats(spark)["files"]
+    scanned = table.plan_files(spark, partition_values=buckets).count()
+    cand = table.scan(spark, partition_values=buckets)
+    joined = cand.join(F.broadcast(qx), "_bucket")
+    dot = F.aggregate(
+        F.zip_with(vec_col, qvec_col, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    norm = lambda col: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(col, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    ))
+    sim = dot / (norm(F.col(vec_col)) * norm(F.col(qvec_col)))
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cos_sim"), id_col)
+    topk = (
+        joined.select(qid_col, id_col, F.round(sim, 4).alias("cos_sim"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+    return topk, {
+        "total_files": total,
+        "scanned_files": scanned,
+        "pruned_fraction": 1.0 - scanned / max(total, 1),
+        "probe_buckets": len(buckets),
+    }
+
+
 def ivf_cell_col(vec_col: str, cents: np.ndarray, quantize: bool = True):
     """Pure-Catalyst IVF cell id for a FIXED +-1 quantizer: argmax of
     the integer dot products (all centroids equal-norm, so argmax dot ==
@@ -251,6 +355,51 @@ def ivf_cells_of(vec, cents: np.ndarray, nprobe: int, quantize: bool = True) -> 
     return order[:nprobe]
 
 
+def ivf_trained_cell_col(vec_col: str, cq: np.ndarray):
+    """Pure-Catalyst argmin-L2 cell for TRAINED (unequal-norm)
+    centroids on the exact-integer grid: with v' = round(v*1024) and
+    integer-grid centroids c_i, argmin ||v'-c_i||^2 == argmax
+    (v'.c_i - |c_i|^2/2). The dot is an exact integer sum in doubles
+    (order-independent), the bias a baked literal — so the driver twin
+    (ivf_trained_cells_of) reproduces the assignment bit-for-bit.
+    Ties resolve to the lowest cell index (CASE order)."""
+    scores = []
+    for c in cq:
+        lit = F.array(*[F.lit(float(s)) for s in c])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), lit,
+                       lambda x, y: F.round(x.cast("double") * 1024) * y),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        scores.append(dot - F.lit(float((c * c).sum()) / 2.0))
+    best = F.greatest(*scores)
+    expr = F.when(scores[0] == best, 0)
+    for i in range(1, len(scores)):
+        expr = expr.when(scores[i] == best, i)
+    return expr
+
+
+def ivf_trained_cells_of(vec, cq: np.ndarray, nprobe: int) -> list[int]:
+    """Driver-side twin of ivf_trained_cell_col: the query's ``nprobe``
+    best cells by exact integer dots minus the half-squared-norm bias,
+    ties by index."""
+    q = quantize_vec(vec)
+    scores = [
+        sum(a * float(b) for a, b in zip(q, c)) - float((c * c).sum()) / 2.0
+        for c in cq
+    ]
+    order = sorted(range(len(cq)), key=lambda i: (-scores[i], i))
+    return order[:nprobe]
+
+
+def quantize_centroids(centroids: np.ndarray) -> np.ndarray:
+    """Snap trained centroids onto the exact-integer grid (x*1024,
+    round-half-away like quantize_vec) so cell assignment is
+    bit-portable between build, probe, and any SQL twin."""
+    c = np.asarray(centroids, dtype=np.float64) * 1024.0
+    return np.copysign(np.floor(np.abs(c) + 0.5), c)
+
+
 def build_ivf_clustered_table(
     spark: SparkSession,
     embeddings: DataFrame,
@@ -260,26 +409,43 @@ def build_ivf_clustered_table(
     vec_col: str = "embedding",
     seed: int = 23,
     n_files: int | None = None,
+    centroids: np.ndarray | None = None,
 ):
-    """Persist embeddings PARTITIONED by IVF cell (fixed deterministic
-    +-1 quantizer) — the coarse-quantizer twin of
-    build_lsh_clustered_table: a probe reads nprobe/n_cells of the
-    files via manifest partition pruning instead of assigning every
-    row at query time."""
+    """Persist embeddings PARTITIONED by IVF cell — the coarse-quantizer
+    twin of build_lsh_clustered_table: a probe reads nprobe/n_cells of
+    the files via manifest partition pruning instead of assigning every
+    row at query time.
+
+    ``centroids=None`` uses the fixed deterministic +-1 quantizer
+    (data-oblivious; the SQL-oracle-reproducible form). Pass
+    ``ivf_train_centroids(...)`` output to cluster by DATA-DERIVED
+    cells instead — the quantized centroids are pinned in the commit
+    summary (like the fixed quantizer's params), so the probe can never
+    disagree with the build. Reference analog: the data-derived zone
+    hierarchy built before clustering queries on it
+    (/root/reference/src/sql/silver.sql:85-89)."""
+    import json
+
     from ..tableformat import LakehouseTable
 
     first = embeddings.select(vec_col).first()
-    cents = rademacher_signs(len(first[0]), n_cells, seed)
-    celled = embeddings.withColumn(
-        "_cell", ivf_cell_col(vec_col, cents).cast("int")
-    )
+    if centroids is None:
+        cents = rademacher_signs(len(first[0]), n_cells, seed)
+        cell_expr = ivf_cell_col(vec_col, cents)
+        summary = {"ivf-cells": n_cells, "ivf-seed": seed}
+    else:
+        cq = quantize_centroids(centroids)
+        cell_expr = ivf_trained_cell_col(vec_col, cq)
+        summary = {"ivf-cells": len(cq),
+                   "ivf-centroids": json.dumps(cq.astype(int).tolist())}
+    celled = embeddings.withColumn("_cell", cell_expr.cast("int"))
     t = LakehouseTable.create(location, celled.schema, partition_col="_cell")
     entries = t.write_data_files(
         celled,
         n_files=n_files or max(4, spark.sparkContext.defaultParallelism),
         salt_col=id_col,
     )
-    t.commit_append(entries, summary={"ivf-cells": n_cells, "ivf-seed": seed})
+    t.commit_append(entries, summary=summary)
     return t
 
 
@@ -294,15 +460,22 @@ def ann_ivf_topk_clustered(
 ) -> tuple[DataFrame, dict]:
     """IVF probe against a cell-partitioned table: resolve the query's
     nprobe cells driver-side (exact integer dots against the same
-    quantizer the build used — params from the build commit's summary),
-    scan only those partitions, exact-cosine the candidates."""
+    quantizer the build used — fixed-quantizer params OR pinned trained
+    centroids from the build commit's summary), scan only those
+    partitions, exact-cosine the candidates."""
+    import json
+
     summ = next(
         s.summary for s in reversed(table.snapshots_list())
         if "ivf-cells" in s.summary
     )
-    n_cells, seed = int(summ["ivf-cells"]), int(summ["ivf-seed"])
-    cents = rademacher_signs(len(query_vec), n_cells, seed)
-    probe = ivf_cells_of(query_vec, cents, nprobe)
+    if "ivf-centroids" in summ:
+        cq = np.array(json.loads(summ["ivf-centroids"]), dtype=np.float64)
+        probe = ivf_trained_cells_of(query_vec, cq, nprobe)
+    else:
+        n_cells, seed = int(summ["ivf-cells"]), int(summ["ivf-seed"])
+        cents = rademacher_signs(len(query_vec), n_cells, seed)
+        probe = ivf_cells_of(query_vec, cents, nprobe)
     pv = {str(c) for c in probe}
     total = table.size_stats(spark)["files"]
     scanned = table.plan_files(spark, partition_values=pv).count()
@@ -374,31 +547,46 @@ def ivf_train_centroids(
     iters: int = 3,
     vec_col: str = "embedding",
     seed: int = 11,
+    sample_fraction: float | None = None,
 ) -> np.ndarray:
     """Tiny Lloyd's k-means expressed as DataFrame aggregations:
     assignment via a pandas UDF against broadcast centroids, update via
     posexplode + groupBy(cell, pos) avg — both shuffle only
-    (cell, pos, sum) aggregates, never raw vectors to the driver."""
-    first = embeddings.select(vec_col).first()
-    dim = len(first[0])
-    cents = _hyperplanes(dim, n_cells, seed)  # deterministic init
-    for _ in range(iters):
-        cmat = cents.copy()
+    (cell, pos, sum) aggregates, never raw vectors to the driver.
 
-        @F.pandas_udf(T.IntegerType())
-        def assign(embs: pd.Series) -> pd.Series:
-            mat = np.stack(embs.to_numpy()).astype(np.float64)
-            d = ((mat[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
-            return pd.Series(d.argmin(axis=1).astype(np.int32))
+    The key-only projection is PERSISTED across iterations (one source
+    scan total, not one per Lloyd step), and ``sample_fraction``
+    trains on a deterministic sample — at 10^12-vector scale quantizer
+    quality needs only a sample, not the corpus."""
+    emb = embeddings.select(vec_col)
+    if sample_fraction is not None:
+        emb = emb.sample(fraction=sample_fraction, seed=seed)
+    emb = emb.persist()
+    try:
+        first = emb.first()
+        dim = len(first[0])
+        cents = _hyperplanes(dim, n_cells, seed)  # deterministic init
+        for _ in range(iters):
+            cmat = cents.copy()
 
-        assigned = embeddings.select(assign(F.col(vec_col)).alias("cell"), F.posexplode(vec_col))
-        rows = (
-            assigned.groupBy("cell", "pos")
-            .agg(F.avg(F.col("col").cast("double")).alias("m"))
-            .collect()
-        )
-        for r in rows:
-            cents[r["cell"], r["pos"]] = r["m"]
+            @F.pandas_udf(T.IntegerType())
+            def assign(embs: pd.Series) -> pd.Series:
+                mat = np.stack(embs.to_numpy()).astype(np.float64)
+                d = ((mat[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+                return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+            assigned = emb.select(
+                assign(F.col(vec_col)).alias("cell"), F.posexplode(vec_col)
+            )
+            rows = (
+                assigned.groupBy("cell", "pos")
+                .agg(F.avg(F.col("col").cast("double")).alias("m"))
+                .collect()
+            )
+            for r in rows:
+                cents[r["cell"], r["pos"]] = r["m"]
+    finally:
+        emb.unpersist()
     return cents
 
 

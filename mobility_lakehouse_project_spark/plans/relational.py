@@ -1813,6 +1813,41 @@ def _ann_batch_join_oracle_sql() -> str:
 ORACLE_SQL["ann_batch_join"] = _ann_batch_join_oracle_sql()
 
 
+def ann_batch_clustered(spark, sf_dir):
+    """PERSISTED-table twin of ann_batch_join (VERDICT r3 #8): the
+    corpus is written as a lakehouse table PARTITIONED by its quantized
+    sign-LSH bucket, and the batch probe scans only the union of the
+    query batch's probe partitions via manifest pruning before the
+    bucket equi-join + per-query rank
+    (operators/similarity.py::ann_batch_topk_clustered). Same planes,
+    same quantization, same scoring as the computed form — so the
+    results are hash-identical and share ann_batch_join's SQL oracle."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.similarity import (
+        ann_batch_topk_clustered,
+        build_lsh_clustered_table,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    scratch = os.path.join(tempfile.gettempdir(), "mlps-scratch", "ann-batch-clustered")
+    shutil.rmtree(scratch, ignore_errors=True)
+    t = build_lsh_clustered_table(
+        spark, e.filter(F.col("vec_id") >= 5), scratch + "/emb",
+        n_planes=ANN_LSH_PLANES, quantize=True,
+    )
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    topk, _stats = ann_batch_topk_clustered(spark, t, queries, k=3, n_probes=1)
+    return topk.select("qid", "vec_id", "cos_sim", "rnk")
+
+
+ORACLE_SQL["ann_batch_clustered"] = _ann_batch_join_oracle_sql()
+
+
 def ann_ivf_probe(spark, sf_dir):
     """IVF-style ANN probe with a FIXED deterministic coarse quantizer:
     8 +-1 centroids (all equal norm, so argmax integer dot == argmin
@@ -1946,5 +1981,6 @@ QUERIES = {
     "ann_ivf_probe": ann_ivf_probe,
     "ann_lsh_clustered": ann_lsh_clustered,
     "ann_batch_join": ann_batch_join,
+    "ann_batch_clustered": ann_batch_clustered,
     "emb_label_profile": emb_label_profile,
 }

@@ -530,8 +530,17 @@ class LakehouseTable:
         codec = meta.get("properties", {}).get("write.parquet.compression-codec")
         if codec:
             w = w.option("compression", codec)
+        tw = time.time()
         w.parquet(out_dir)
-        return self._collect_entries(out_dir, meta)
+        tf = time.time()
+        entries = self._collect_entries(out_dir, meta)
+        # sub-phase timings for scaling diagnostics: the footer pass is
+        # driver-serial locally (Amdahl term), the write job is parallel
+        self.last_write_phases = {
+            "write_job_ms": int((tf - tw) * 1000),
+            "footer_stats_ms": int((time.time() - tf) * 1000),
+        }
+        return entries
 
     def _collect_entries(self, out_dir: str, meta: dict) -> list[dict]:
         """Build manifest entries from freshly-written parquet footers.

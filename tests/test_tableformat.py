@@ -458,3 +458,102 @@ def test_unknown_ref_and_empty_as_of_errors(spark, small_table, tmp_path):
     )
     with pytest.raises(ValueError, match="no snapshots"):
         empty.snapshot_as_of(10**15)
+
+
+def test_multiprocess_cas_exactly_one_winner(spark, tmp_table_dir):
+    """VERDICT r3 #7: the os.link CAS under REAL concurrency — two
+    subprocess committers race the same version with the same base
+    metadata (file-barrier synchronized); exactly one wins, the loser
+    gets ConcurrentCommitError, and the surviving metadata is
+    consistent with the winner's snapshot."""
+    import subprocess
+    import sys as _sys
+    import time as _time
+    import os as _os
+
+    df = synth.images_df(spark, 50, partitions=1)
+    t = LakehouseTable.create(tmp_table_dir, df.schema, partition_col="bucket")
+    t.append(df, n_files=1)
+    racer = r'''
+import os, sys, time
+sys.path.insert(0, "/root/repo")
+from mobility_lakehouse_project_spark.tableformat.table import (
+    ConcurrentCommitError, LakehouseTable, Snapshot,
+)
+loc, tag = sys.argv[1], sys.argv[2]
+t = LakehouseTable(loc)
+entry = {"file_path": f"data/fake-{tag}.parquet", "partition_id": "0",
+         "record_count": 1, "file_size_bytes": 10, "added_snapshot_id": -1,
+         "int_mins": {}, "int_maxs": {}, "str_mins": {}, "str_maxs": {}}
+meta = t.load_metadata()           # SAME base version in both racers
+snap_id, seq = t._next_ids(meta)
+manifest, parts = t._write_manifest([entry], snap_id)
+prev = t.current_snapshot(meta)
+manifests = (prev.manifests if prev else []) + [manifest]
+mparts = dict(prev.manifest_parts if prev else {}); mparts[manifest] = parts
+snap = Snapshot(snap_id + (1 if tag == "b" else 0), meta["current_snapshot_id"],
+                seq, 0, "append", manifests, {"racer": tag}, mparts)
+open(os.path.join(loc, f"ready-{tag}"), "w").close()
+while not os.path.exists(os.path.join(loc, "go")):
+    time.sleep(0.002)
+try:
+    t._commit(meta, snap, meta["current_snapshot_id"])
+    print("WIN", snap.snapshot_id)
+except ConcurrentCommitError:
+    print("LOSE")
+'''
+    procs = [
+        subprocess.Popen(
+            [_sys.executable, "-c", racer, tmp_table_dir, tag],
+            stdout=subprocess.PIPE, text=True,
+        )
+        for tag in ("a", "b")
+    ]
+    deadline = _time.time() + 30
+    while _time.time() < deadline and not all(
+        _os.path.exists(_os.path.join(tmp_table_dir, f"ready-{tag}"))
+        for tag in ("a", "b")
+    ):
+        _time.sleep(0.01)
+    open(_os.path.join(tmp_table_dir, "go"), "w").close()
+    outs = [p.communicate(timeout=60)[0].strip() for p in procs]
+    results = sorted(o.split()[0] for o in outs)
+    assert results == ["LOSE", "WIN"], outs
+    winner_id = int(next(o.split()[1] for o in outs if o.startswith("WIN")))
+    t2 = LakehouseTable(tmp_table_dir)
+    assert t2.current_snapshot().snapshot_id == winner_id
+    assert t2.current_snapshot().summary.get("racer") in ("a", "b")
+    # metadata chain still parses; the pre-race data is intact (the
+    # racers' entries are fake paths, so scan at the parent snapshot)
+    assert t2.scan(spark, snapshot_id=t2.current_snapshot().parent_id).count() == 50
+    assert len(t2.snapshots_list()) == 2  # exactly ONE racer landed
+
+
+def test_register_adhoc_sql_entry_point(spark, small_table):
+    """VERDICT r3 #6: the reference's ad-hoc parameterized SQL entry
+    point (dags/Queries_dag.py:54-95 `con.execute(query)`) — register
+    the lakehouse table as a view and run an arbitrary SQL string over
+    it, checked against the equivalent DataFrame computation."""
+    small_table.register(spark, "images")
+    got = spark.sql("""
+        SELECT bucket, fmt, COUNT(*) AS n, AVG(w * h) AS avg_px
+        FROM images
+        WHERE w >= 32
+        GROUP BY bucket, fmt
+        HAVING COUNT(*) > 1
+        ORDER BY bucket, fmt
+    """).collect()
+    want = (
+        small_table.scan(spark)
+        .filter(F.col("w") >= 32)
+        .groupBy("bucket", "fmt")
+        .agg(F.count("*").alias("n"), F.avg(F.col("w") * F.col("h")).alias("avg_px"))
+        .filter(F.col("n") > 1)
+        .orderBy("bucket", "fmt")
+        .collect()
+    )
+    assert len(got) > 0 and got == want
+    # parameterized form (the reference's f-string zone filter)
+    zone = 2
+    n = spark.sql("SELECT COUNT(*) AS n FROM images WHERE bucket = {z}", z=zone).collect()[0]["n"]
+    assert n == small_table.scan(spark).filter(F.col("bucket") == zone).count()
