@@ -432,7 +432,7 @@ def test_tags_pin_snapshots_through_expiry(spark, small_table):
     # tag target retained: readable by ref, files intact
     assert t.scan(spark, ref="audit-v1").count() == 800
     assert t.scan(spark).count() == 950
-    with pytest.raises(KeyError):
+    with pytest.raises(ValueError, match="no tag 'nope'"):
         t.scan(spark, ref="nope").count()
     with pytest.raises(ValueError):
         t.create_tag("audit-v1", t.current_snapshot().snapshot_id)  # repoint refused

@@ -32,6 +32,7 @@ AUDIT = [
     "ann_lsh_clustered",     # expect NO Python UDF + pruned file scan (bucket = partition key)
     "emb_label_profile",     # expect per-row pre-sum: one HashAggregate pair, NO Generate/explode
     "ann_batch_join",        # expect bucket EQUI-join (broadcast), Window rank, NO Python, NO cartesian
+    "ann_batch_clustered",   # persisted twin: pruned scan + bucket equi-join, NO Python
 ]
 
 CHECKS = {
@@ -50,12 +51,14 @@ CHECKS = {
     "ann_lsh_clustered": ["TakeOrderedAndProject"],
     "emb_label_profile": ["HashAggregate"],
     "ann_batch_join": ["BroadcastHashJoin", "Window"],
+    "ann_batch_clustered": ["BroadcastHashJoin", "Window"],
 }
 
 # plans that must contain NO row-at-a-time or Arrow Python evaluation
 NO_PYTHON = {"dedup_simhash", "ann_lsh_bucketed", "dedup_embed_cosine",
              "txt_quality_score", "ann_cosine_topk", "ann_ivf_probe",
-             "ann_lsh_clustered", "emb_label_profile", "ann_batch_join"}
+             "ann_lsh_clustered", "emb_label_profile", "ann_batch_join",
+             "ann_batch_clustered"}
 
 # plans that must NOT explode arrays into the shuffle (per-row pre-sum)
 NO_GENERATE = {"emb_label_profile"}
