@@ -67,6 +67,15 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
     )
+    # diagnostics hook (tools/stage_profile.py): JSON conf overrides via
+    # env — lets a wrapper enable e.g. eventLog inside subprocess legs
+    # without changing their code path
+    env_json = os.environ.get("SPARK_GRAFT_EXTRA_JSON")
+    if env_json:
+        import json
+
+        for k, v in json.loads(env_json).items():
+            builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
