@@ -157,6 +157,29 @@ def cluster(
                "phases_ms": {"plan": 0, "pass1_quantiles": 0,
                              "pass2_rewrite": 0, "commit": 0}}
     ph = metrics["phases_ms"]
+    # The rewrite's physical plan is fully pinned: the exact-slot
+    # repartition fixes the reduce partition count, there are no joins
+    # to re-strategize, and sizing comes from manifest stats — AQE's
+    # materialize-and-replan pause at every stage boundary is pure
+    # driver latency here (event-log measured: the pauses are an Amdahl
+    # constant the 4N level pays in full). Disabled for the rewrite
+    # jobs only, restored after.
+    aqe_prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        _cluster_chunks(
+            table, spark, part_ids, n_chunks, done, metrics, ph, pcol,
+            part_bytes_all, target_file_size, key_expr, recompress_level,
+            log, op_id, curve, cols,
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
+    return metrics
+
+
+def _cluster_chunks(table, spark, part_ids, n_chunks, done, metrics, ph,
+                    pcol, part_bytes_all, target_file_size, key_expr,
+                    recompress_level, log, op_id, curve, cols):
     for chunk_parts in _chunk(part_ids, n_chunks):
         ck = chunk_key(list(chunk_parts))
         if ck in done:
@@ -250,7 +273,6 @@ def cluster(
         metrics["bytes"] += nbytes
         metrics["wall_ms"] += wall_ms
         metrics["snapshots"].append(snap.snapshot_id)
-    return metrics
 
 
 def pruning_ratio(
