@@ -34,8 +34,12 @@ from __future__ import annotations
 import importlib.util
 import json
 import os
+import statistics
 import sys
+import threading
 import time
+
+import numpy as np
 
 sys.path.insert(0, ".")
 
@@ -63,11 +67,48 @@ def percpu() -> dict[int, tuple[int, int]]:
     return out
 
 
+class HostProbe(threading.Thread):
+    """Continuous single-core throughput probe pinned to the LAST core
+    (outside every leg's 0..N-1 pin set). Guest-side gates (loadavg,
+    steal, unpinned-core busy) cannot see HOST-level contention — SMT
+    siblings, frequency scaling, or memory bandwidth taken by another
+    VM — but such contention slows this calibrated numpy kernel exactly
+    as it slows the measured leg (observed: a guest-pristine pair with
+    a 2x slower 8-core leg). Per-leg probe medians are recorded in the
+    pair JSON; cleanliness against the GLOBAL best calibration is
+    derived at summary time (tools/gated_summary.py)."""
+
+    def __init__(self) -> None:
+        super().__init__(daemon=True)
+        self.samples: list[tuple[float, float]] = []  # (t_end, sec)
+        self._stop = False
+
+    def run(self) -> None:
+        os.sched_setaffinity(0, {NCPU - 1})
+        a = np.arange(400_000, dtype=np.float64)
+        while not self._stop:
+            t0 = time.perf_counter()
+            s = 0.0
+            for _ in range(60):
+                s += float((a * a).sum())
+            dt = time.perf_counter() - t0
+            self.samples.append((time.time(), dt))
+            time.sleep(0.08)
+
+    def window_median(self, t0: float, t1: float) -> float | None:
+        xs = [d for t, d in self.samples if t0 <= t <= t1]
+        return round(statistics.median(xs), 4) if xs else None
+
+    def best(self) -> float | None:
+        return round(min(d for _, d in self.samples), 4) if self.samples else None
+
+
 class Monitor:
     """run_level monitor hook: samples co-tenant activity per leg."""
 
-    def __init__(self) -> None:
+    def __init__(self, probe: HostProbe | None = None) -> None:
         self.legs: list[dict] = []
+        self.probe = probe
 
     def __call__(self, event: str, cores: int) -> None:
         snap = (time.time(), loadavg(), percpu())
@@ -81,9 +122,11 @@ class Monitor:
         dsteal = sum(c1[i][1] - c0[i][1] for i in range(NCPU)) / HZ
         ext = dbusy / wall * NCPU / len(unpinned)
         steal = dsteal / wall
+        probe_med = self.probe.window_median(t0, t1) if self.probe else None
         self.legs.append(dict(
             cores=cores, wall=round(wall, 1), load_start=la0, load_end=la1,
             external_cores=round(ext, 3), steal_cores=round(steal, 3),
+            probe_median=probe_med,
             clean=bool(ext < EXT_GATE and steal < STEAL_GATE)))
 
 
@@ -108,8 +151,12 @@ def main() -> None:
     prior = existing()
     clean = sum(1 for p in prior if p.get("clean"))
     pair_idx = len(prior)
+    probe = HostProbe()
+    probe.start()
+    time.sleep(3)  # initial calibration samples
     print(f"resuming: {len(prior)} pairs on disk, {clean} clean; "
-          f"targets: {target_clean} clean / {max_pairs} new max", flush=True)
+          f"targets: {target_clean} clean / {max_pairs} new max; "
+          f"probe baseline {probe.best()}s", flush=True)
     new = 0
     while new < max_pairs and clean < target_clean:
         # pre-gate: idle-poll until the 1-min load (pure co-tenant
@@ -120,7 +167,7 @@ def main() -> None:
                 print(f"waiting for lull: load1={la}", flush=True)
             time.sleep(15)
             waited += 15
-        mon = Monitor()
+        mon = Monitor(probe)
         try:
             hi = rs.run_level(8, monitor=mon)   # 4N leg first (short leg
             lo = rs.run_level(2, monitor=mon)   # samples the lull freshest)
@@ -129,9 +176,19 @@ def main() -> None:
             time.sleep(30)
             continue
         eff = round((lo["total"] / hi["total"]) / 4, 3)
+        best = probe.best()
+        # host-clean (session view): every leg's probe median within
+        # 12% of the session's best sample; the summary recomputes
+        # against the global best across all sessions
+        host_ok = all(
+            l["probe_median"] is not None and best is not None
+            and l["probe_median"] < 1.12 * best
+            for l in mon.legs
+        )
         rec = dict(ts=round(time.time(), 1), pair=pair_idx, rows=int(rows),
-                   pre_gate_load=la, eff=eff,
-                   clean=bool(all(l["clean"] for l in mon.legs)),
+                   pre_gate_load=la, eff=eff, probe_best=best,
+                   clean=bool(all(l["clean"] for l in mon.legs) and host_ok),
+                   guest_clean=bool(all(l["clean"] for l in mon.legs)),
                    legs=mon.legs, hi=hi, lo=lo)
         with open(JSONL, "a") as f:
             f.write(json.dumps(rec) + "\n")
@@ -139,7 +196,8 @@ def main() -> None:
         new += 1
         pair_idx += 1
         print(f"pair {rec['pair']}: eff={eff} clean={rec['clean']} "
-              f"legs={[(l['cores'], l['external_cores'], l['steal_cores']) for l in mon.legs]} "
+              f"probes={[(l['cores'], l['probe_median']) for l in mon.legs]} best={best} "
+              f"ext={[(l['cores'], l['external_cores'], l['steal_cores']) for l in mon.legs]} "
               f"({clean} clean total)", flush=True)
     print(f"done: {clean} clean pairs (target {target_clean})", flush=True)
 

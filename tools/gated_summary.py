@@ -20,15 +20,33 @@ def main() -> None:
     if not pairs:
         print("no pairs")
         return
+    # recompute host-cleanliness against the GLOBAL best probe sample
+    # across the whole collection (each session's live gate only knew
+    # its own best-so-far)
+    probes = [
+        l["probe_median"] for p in pairs for l in p["legs"]
+        if l.get("probe_median") is not None
+    ]
+    gbest = min(probes) if probes else None
+    for p in pairs:
+        if gbest is not None and all(
+            l.get("probe_median") is not None for l in p["legs"]
+        ):
+            host_ok = all(l["probe_median"] < 1.12 * gbest for l in p["legs"])
+            p["clean"] = bool(p.get("guest_clean", p["clean"]) and host_ok)
     clean = [p for p in pairs if p["clean"]]
     rows = []
     for p in pairs:
         legs = {l["cores"]: l for l in p["legs"]}
+        pm = "/".join(
+            str(legs[c].get("probe_median", "-")) for c in (2, 8)
+        )
         rows.append(
             f"| {p['pair']} | {p['pre_gate_load']:.2f} | "
             f"{p['lo']['total']:.1f} | {p['hi']['total']:.1f} | "
             f"{legs[2]['external_cores']:.2f}/{legs[8]['external_cores']:.2f} | "
             f"{legs[2]['steal_cores']:.2f}/{legs[8]['steal_cores']:.2f} | "
+            f"{pm} | "
             f"{p['eff']:.3f} | {'YES' if p['clean'] else 'no'} |"
         )
     med_clean = statistics.median(p["eff"] for p in clean) if clean else None
@@ -50,8 +68,17 @@ whole duration — strictly stronger than endpoint loadavg checks
 (raw loadavg at leg end cannot separate the harness's own ~2-8 load
 contribution from co-tenants).
 
-| pair | pre-gate load | T_N (s) | T_4N (s) | ext cores N/4N | steal N/4N | eff | clean |
-|---|---|---|---|---|---|---|---|
+A third, decisive gate (added after a guest-pristine pair still showed
+a 2x-slower 4N leg): a calibrated single-core numpy probe runs
+continuously on core 31 (outside every leg's pin set) — HOST-level
+contention (SMT siblings / frequency / memory bandwidth taken by
+another VM) is invisible to every guest-side counter but slows this
+probe exactly as it slows the leg. A pair is clean only if every leg's
+probe median is within 12% of the global best sample
+(= {gbest if gbest is not None else 'n/a'} s here).
+
+| pair | pre-gate load | T_N (s) | T_4N (s) | ext cores N/4N | steal N/4N | probe N/4N (s) | eff | clean |
+|---|---|---|---|---|---|---|---|---|
 {chr(10).join(rows)}
 
 **Lull-clean pairs: {len(clean)}/{len(pairs)}; clean median efficiency =
