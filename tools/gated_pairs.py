@@ -130,6 +130,20 @@ class Monitor:
             clean=bool(ext < EXT_GATE and steal < STEAL_GATE)))
 
 
+def idle_window_external(sec: float = 8.0) -> float:
+    """Average busy cores over an idle window (the harness sleeps, so
+    every busy core except the probe's is a co-tenant) — a self-noise-
+    free gate that works right after our own builds, when the 1-min
+    loadavg is still contaminated by their decay."""
+    c0 = percpu()
+    t0 = time.time()
+    time.sleep(sec)
+    c1 = percpu()
+    wall = max(time.time() - t0, 1e-6)
+    busy = sum(c1[i][0] - c0[i][0] for i in c1) / HZ
+    return busy / wall
+
+
 def existing() -> list[dict]:
     try:
         with open(JSONL) as f:
@@ -158,19 +172,43 @@ def main() -> None:
           f"targets: {target_clean} clean / {max_pairs} new max; "
           f"probe baseline {probe.best()}s", flush=True)
     new = 0
+    loc_hi, loc_lo = "/dev/shm/scaling_run_hi", "/dev/shm/scaling_run_lo"
     while new < max_pairs and clean < target_clean:
-        # pre-gate: idle-poll until the 1-min load (pure co-tenant
-        # signal while we idle) drops under the lull threshold
+        # build BOTH legs' inputs BEFORE the lull gate — builds are not
+        # measured, so they can run under any load; the lull is then
+        # spent only on the two measured legs (~2.9 min instead of
+        # ~4.2 with in-lull rebuilds; host lulls last minutes)
+        try:
+            rs.build_input(run_loc=loc_hi)
+            rs.build_input(run_loc=loc_lo)
+        except RuntimeError as e:
+            print(f"build failed: {e}", flush=True)
+            time.sleep(30)
+            continue
+        # pre-gate: idle-poll until co-tenants are quiet. Direct
+        # measurements (idle-window busy cores minus the probe's own
+        # core, plus the host probe itself) instead of loadavg — the
+        # 1-min loadavg stays contaminated by our own just-finished
+        # builds for ~2 min of a lull we'd rather spend measuring.
         waited = 0
-        while (la := loadavg()) >= LOAD_GATE:
-            if waited % 300 == 0:
-                print(f"waiting for lull: load1={la}", flush=True)
-            time.sleep(15)
-            waited += 15
+        while True:
+            ext = idle_window_external() - 1.0  # the probe burns one core
+            best = probe.best()
+            recent = [d for _, d in probe.samples[-6:]]
+            probe_ok = (best is not None and recent
+                        and statistics.median(recent) < 1.12 * best)
+            if ext < EXT_GATE and probe_ok:
+                break
+            if waited % 300 < 16:
+                print(f"waiting for lull: idle-ext={ext:.2f} "
+                      f"probe_ok={probe_ok} load1={loadavg()}", flush=True)
+            time.sleep(8)
+            waited += 16
+        la = loadavg()
         mon = Monitor(probe)
         try:
-            hi = rs.run_level(8, monitor=mon)   # 4N leg first (short leg
-            lo = rs.run_level(2, monitor=mon)   # samples the lull freshest)
+            hi = rs.measure_level(8, monitor=mon, run_loc=loc_hi)  # 4N first
+            lo = rs.measure_level(2, monitor=mon, run_loc=loc_lo)
         except RuntimeError as e:
             print(f"pair {pair_idx} failed: {e}", flush=True)
             time.sleep(30)

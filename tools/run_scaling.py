@@ -43,19 +43,13 @@ ROWS = int(sys.argv[1]) if len(sys.argv) > 1 else 300_000
 RUN = "/dev/shm/scaling_run_table"
 
 
-def run_level(cores: int, rows: int | None = None, monitor=None) -> dict:
-    """Build the input in one (unpinned) process, then measure the
-    rewrite in a SECOND process pinned to ``cores`` CPUs via taskset.
-
-    The pinning is what makes local[N] a faithful N-core-executor
-    model: Spark bounds only JVM task slots with local[N]; Python UDF
-    workers (the zlib recompression kernels here) are separate
-    processes that would otherwise escape onto idle host cores —
-    measured: an unpinned local[2] run reached ~13.5 MB/s/core vs 10.0
-    at local[8], i.e. the low level was silently using ~2.7 cores. A
-    real 2-core executor shares its 2 cores between JVM and Python.
-    ``rows`` overrides the input size (weak-scaling levels)."""
+def build_input(rows: int | None = None, run_loc: str | None = None) -> str:
+    """Build the deterministic seeded input table in one (unpinned)
+    subprocess. Separated from the measurement so a caller (the
+    load-gated pair harness) can build BOTH legs' inputs before a lull
+    and spend the lull only on measured legs."""
     rows = rows or ROWS
+    run_loc = run_loc or RUN
     n_files = max(16, round(256 * rows / ROWS))  # constant file size across sizes
     build_code = f"""
 import shutil, sys
@@ -64,13 +58,13 @@ from mobility_lakehouse_project_spark.session import get_spark
 from mobility_lakehouse_project_spark.tableformat import LakehouseTable
 from mobility_lakehouse_project_spark import synth
 
-shutil.rmtree({RUN!r}, ignore_errors=True)
+shutil.rmtree({run_loc!r}, ignore_errors=True)
 build = get_spark("scaling-build", cores=16,
                   extra_conf={{"spark.local.dir": "/dev/shm/spark-scaling-tmp"}})
 half = {rows} // 2
 d1 = synth.images_df(build, half, dims=(16, 32, 64, 128), partitions=64)
 d2 = synth.images_df(build, {rows} - half, dims=(16, 32, 64, 128), partitions=64, id_offset=half)
-t = LakehouseTable.create({RUN!r}, d1.schema, partition_col="bucket")
+t = LakehouseTable.create({run_loc!r}, d1.schema, partition_col="bucket")
 t.append(d1, n_files={n_files} // 2)
 t.append(d2, n_files={n_files} // 2)
 build.stop()
@@ -82,6 +76,24 @@ print("BUILD-OK")
     )
     if "BUILD-OK" not in b.stdout:
         raise RuntimeError(f"build failed:\n{b.stdout[-2000:]}\n{b.stderr[-3000:]}")
+    return run_loc
+
+
+def measure_level(cores: int, rows: int | None = None, monitor=None,
+                  run_loc: str | None = None) -> dict:
+    """Measure the rewrite on an ALREADY-BUILT input table in a process
+    pinned to ``cores`` CPUs via taskset.
+
+    The pinning is what makes local[N] a faithful N-core-executor
+    model: Spark bounds only JVM task slots with local[N]; Python UDF
+    workers (the zlib recompression kernels here) are separate
+    processes that would otherwise escape onto idle host cores —
+    measured: an unpinned local[2] run reached ~13.5 MB/s/core vs 10.0
+    at local[8], i.e. the low level was silently using ~2.7 cores. A
+    real 2-core executor shares its 2 cores between JVM and Python.
+    ``rows`` overrides the input size (weak-scaling levels)."""
+    rows = rows or ROWS
+    run_loc = run_loc or RUN
     code = f"""
 import json, shutil, sys, time
 sys.path.insert(0, ".")
@@ -125,7 +137,7 @@ _wdf.write.mode("overwrite").parquet(_w)
  .withColumn("_pdir", _F.col("_p"))
  .write.partitionBy("_pdir").mode("overwrite")
  .parquet(_w + ".part"))
-t = LakehouseTable(location={RUN!r})
+t = LakehouseTable(location={run_loc!r})
 data_bytes = t.size_stats(spark)["bytes"]
 # 128 output slots at full size: a finer task quantum keeps the last
 # scheduling wave small at 4N (67 tasks on 8 cores left a ~6% tail)
@@ -159,6 +171,12 @@ spark.stop()
         if line.startswith("RESULT "):
             return json.loads(line[7:])
     raise RuntimeError(f"level {cores} failed:\n{out.stdout[-2000:]}\n{out.stderr[-3000:]}")
+
+
+def run_level(cores: int, rows: int | None = None, monitor=None) -> dict:
+    """Build + measure (the original one-call form)."""
+    build_input(rows)
+    return measure_level(cores, rows, monitor)
 
 
 def main() -> None:
