@@ -99,6 +99,11 @@ class HostProbe(threading.Thread):
         xs = [d for t, d in self.samples if t0 <= t <= t1]
         return round(statistics.median(xs), 4) if xs else None
 
+    def window_duty(self, t0: float, t1: float) -> float:
+        """Fraction of one core the probe itself burned in [t0, t1]."""
+        busy = sum(d for t, d in self.samples if t0 <= t <= t1)
+        return busy / max(t1 - t0, 1e-6)
+
     def best(self) -> float | None:
         return round(min(d for _, d in self.samples), 4) if self.samples else None
 
@@ -117,7 +122,9 @@ class Monitor:
             return
         (t0, la0, c0), (t1, la1, c1) = self._start, snap
         wall = max(t1 - t0, 1e-6)
-        unpinned = [i for i in range(NCPU) if i >= cores] or list(range(NCPU))
+        # cores N..30: outside the leg's pin set AND excluding core 31,
+        # where the HostProbe's own duty would read as co-tenant load
+        unpinned = [i for i in range(NCPU - 1) if i >= cores] or list(range(NCPU - 1))
         dbusy = sum(c1[i][0] - c0[i][0] for i in unpinned) / HZ
         dsteal = sum(c1[i][1] - c0[i][1] for i in range(NCPU)) / HZ
         ext = dbusy / wall * NCPU / len(unpinned)
@@ -192,7 +199,10 @@ def main() -> None:
         # builds for ~2 min of a lull we'd rather spend measuring.
         waited = 0
         while True:
-            ext = idle_window_external() - 1.0  # the probe burns one core
+            t_w0 = time.time()
+            ext_raw = idle_window_external()
+            # subtract the probe's own measured duty cycle, not a guess
+            ext = ext_raw - probe.window_duty(t_w0, time.time())
             best = probe.best()
             recent = [d for _, d in probe.samples[-6:]]
             probe_ok = (best is not None and recent
