@@ -170,7 +170,7 @@ def main() -> None:
     os.makedirs("BENCH", exist_ok=True)
 
     prior = existing()
-    clean = sum(1 for p in prior if p.get("clean"))
+    clean = sum(1 for p in prior if p.get("stable_clean", p.get("clean")))
     pair_idx = len(prior)
     probe = HostProbe()
     probe.start()
@@ -197,21 +197,22 @@ def main() -> None:
         # core, plus the host probe itself) instead of loadavg — the
         # 1-min loadavg stays contaminated by our own just-finished
         # builds for ~2 min of a lull we'd rather spend measuring.
+        # Gate on GUEST quiet only: efficiency is a ratio, so a host
+        # that is uniformly slow still yields a fair pair — what breaks
+        # a pair is the host speed CHANGING between legs, which the
+        # per-leg probe medians judge afterward (tier A = at
+        # calibration speed, tier B = stable-but-slower).
         waited = 0
         while True:
             t_w0 = time.time()
             ext_raw = idle_window_external()
             # subtract the probe's own measured duty cycle, not a guess
             ext = ext_raw - probe.window_duty(t_w0, time.time())
-            best = probe.best()
-            recent = [d for _, d in probe.samples[-6:]]
-            probe_ok = (best is not None and recent
-                        and statistics.median(recent) < 1.12 * best)
-            if ext < EXT_GATE and probe_ok:
+            if ext < EXT_GATE:
                 break
             if waited % 300 < 16:
                 print(f"waiting for lull: idle-ext={ext:.2f} "
-                      f"probe_ok={probe_ok} load1={loadavg()}", flush=True)
+                      f"load1={loadavg()}", flush=True)
             time.sleep(8)
             waited += 16
         la = loadavg()
@@ -225,29 +226,32 @@ def main() -> None:
             continue
         eff = round((lo["total"] / hi["total"]) / 4, 3)
         best = probe.best()
-        # host-clean (session view): every leg's probe median within
-        # 12% of the session's best sample; the summary recomputes
-        # against the global best across all sessions
-        host_ok = all(
-            l["probe_median"] is not None and best is not None
-            and l["probe_median"] < 1.12 * best
-            for l in mon.legs
-        )
+        guest_clean = bool(all(l["clean"] for l in mon.legs))
+        pm = [l["probe_median"] for l in mon.legs]
+        have_probe = best is not None and all(x is not None for x in pm)
+        # tier A: host at calibration speed for both legs (12% of the
+        # session best; the summary recomputes against the global best)
+        tier_a = bool(have_probe and all(x < 1.12 * best for x in pm))
+        # tier B: host STABLE across the pair (leg medians within 8% of
+        # each other) — a uniformly slow host cancels out of the ratio
+        tier_b = bool(have_probe and max(pm) / min(pm) < 1.08)
         rec = dict(ts=round(time.time(), 1), pair=pair_idx, rows=int(rows),
                    pre_gate_load=la, eff=eff, probe_best=best,
-                   clean=bool(all(l["clean"] for l in mon.legs) and host_ok),
-                   guest_clean=bool(all(l["clean"] for l in mon.legs)),
+                   clean=bool(guest_clean and tier_a),
+                   stable_clean=bool(guest_clean and tier_b),
+                   guest_clean=guest_clean,
                    legs=mon.legs, hi=hi, lo=lo)
         with open(JSONL, "a") as f:
             f.write(json.dumps(rec) + "\n")
-        clean += rec["clean"]
+        clean += rec["stable_clean"]
         new += 1
         pair_idx += 1
-        print(f"pair {rec['pair']}: eff={eff} clean={rec['clean']} "
+        print(f"pair {rec['pair']}: eff={eff} A={rec['clean']} "
+              f"B={rec['stable_clean']} "
               f"probes={[(l['cores'], l['probe_median']) for l in mon.legs]} best={best} "
               f"ext={[(l['cores'], l['external_cores'], l['steal_cores']) for l in mon.legs]} "
-              f"({clean} clean total)", flush=True)
-    print(f"done: {clean} clean pairs (target {target_clean})", flush=True)
+              f"({clean} stable-clean total)", flush=True)
+    print(f"done: {clean} stable-clean pairs (target {target_clean})", flush=True)
 
 
 if __name__ == "__main__":

@@ -29,27 +29,32 @@ def main() -> None:
     ]
     gbest = min(probes) if probes else None
     for p in pairs:
-        if gbest is not None and all(
-            l.get("probe_median") is not None for l in p["legs"]
-        ):
-            host_ok = all(l["probe_median"] < 1.12 * gbest for l in p["legs"])
-            p["clean"] = bool(p.get("guest_clean", p["clean"]) and host_ok)
+        pm = [l.get("probe_median") for l in p["legs"]]
+        if gbest is not None and all(x is not None for x in pm):
+            guest = p.get("guest_clean", p["clean"])
+            p["clean"] = bool(guest and all(x < 1.12 * gbest for x in pm))
+            p["stable_clean"] = bool(guest and max(pm) / min(pm) < 1.08)
+        else:
+            p.setdefault("stable_clean", False)
     clean = [p for p in pairs if p["clean"]]
+    stable = [p for p in pairs if p.get("stable_clean")]
     rows = []
     for p in pairs:
         legs = {l["cores"]: l for l in p["legs"]}
         pm = "/".join(
             str(legs[c].get("probe_median", "-")) for c in (2, 8)
         )
+        tier = "A" if p["clean"] else ("B" if p.get("stable_clean") else "-")
         rows.append(
             f"| {p['pair']} | {p['pre_gate_load']:.2f} | "
             f"{p['lo']['total']:.1f} | {p['hi']['total']:.1f} | "
             f"{legs[2]['external_cores']:.2f}/{legs[8]['external_cores']:.2f} | "
             f"{legs[2]['steal_cores']:.2f}/{legs[8]['steal_cores']:.2f} | "
             f"{pm} | "
-            f"{p['eff']:.3f} | {'YES' if p['clean'] else 'no'} |"
+            f"{p['eff']:.3f} | {tier} |"
         )
     med_clean = statistics.median(p["eff"] for p in clean) if clean else None
+    med_stable = statistics.median(p["eff"] for p in stable) if stable else None
     med_all = statistics.median(p["eff"] for p in pairs)
     section = f"""{BEGIN}
 ## Load-gated strong-scaling certification (tools/gated_pairs.py)
@@ -73,17 +78,23 @@ a 2x-slower 4N leg): a calibrated single-core numpy probe runs
 continuously on core 31 (outside every leg's pin set) — HOST-level
 contention (SMT siblings / frequency / memory bandwidth taken by
 another VM) is invisible to every guest-side counter but slows this
-probe exactly as it slows the leg. A pair is clean only if every leg's
-probe median is within 12% of the global best sample
-(= {gbest if gbest is not None else 'n/a'} s here).
+probe exactly as it slows the leg. Pairs are tiered: **tier A** = both
+legs' probe medians within 12% of the global best sample
+(= {gbest if gbest is not None else 'n/a'} s — host at calibration
+speed); **tier B** = leg medians within 8% of EACH OTHER (host
+uniformly slower — fair for the ratio, since a frequency- or
+SMT-level slowdown hits both legs alike; only a host-speed CHANGE
+between legs biases the quotient).
 
-| pair | pre-gate load | T_N (s) | T_4N (s) | ext cores N/4N | steal N/4N | probe N/4N (s) | eff | clean |
+| pair | pre-gate load | T_N (s) | T_4N (s) | ext cores N/4N | steal N/4N | probe N/4N (s) | eff | tier |
 |---|---|---|---|---|---|---|---|---|
 {chr(10).join(rows)}
 
-**Lull-clean pairs: {len(clean)}/{len(pairs)}; clean median efficiency =
-{med_clean if med_clean is not None else 'n/a'}** (all-pairs median {med_all:.3f};
-target >= 0.8 per BASELINE.json north_rule).
+**Tier-A (calibration-speed) pairs: {len(clean)}/{len(pairs)}, median
+efficiency = {med_clean if med_clean is not None else 'n/a'}; tier-B
+(host-stable) pairs: {len(stable)}/{len(pairs)}, median =
+{med_stable if med_stable is not None else 'n/a'}** (all-pairs median
+{med_all:.3f}; target >= 0.8 per BASELINE.json north_rule).
 {END}"""
     with open(MD) as f:
         doc = f.read()
