@@ -233,8 +233,13 @@ def main() -> None:
         # session best; the summary recomputes against the global best)
         tier_a = bool(have_probe and all(x < 1.12 * best for x in pm))
         # tier B: host STABLE across the pair (leg medians within 8% of
-        # each other) — a uniformly slow host cancels out of the ratio
-        tier_b = bool(have_probe and max(pm) / min(pm) < 1.08)
+        # each other) AND only mildly off calibration (<20%) — a
+        # frequency-level slowdown cancels out of the ratio, but a
+        # heavily contended host (probe 40%+ slow) degrades 8
+        # concurrent streams superlinearly vs the single-core probe
+        # (observed: stable probes 0.038/0.0405 yet eff 0.41)
+        tier_b = bool(have_probe and max(pm) / min(pm) < 1.08
+                      and all(x < 1.20 * best for x in pm))
         rec = dict(ts=round(time.time(), 1), pair=pair_idx, rows=int(rows),
                    pre_gate_load=la, eff=eff, probe_best=best,
                    clean=bool(guest_clean and tier_a),

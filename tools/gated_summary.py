@@ -33,7 +33,10 @@ def main() -> None:
         if gbest is not None and all(x is not None for x in pm):
             guest = p.get("guest_clean", p["clean"])
             p["clean"] = bool(guest and all(x < 1.12 * gbest for x in pm))
-            p["stable_clean"] = bool(guest and max(pm) / min(pm) < 1.08)
+            p["stable_clean"] = bool(
+                guest and max(pm) / min(pm) < 1.08
+                and all(x < 1.20 * gbest for x in pm)
+            )
         else:
             p.setdefault("stable_clean", False)
     clean = [p for p in pairs if p["clean"]]
@@ -81,10 +84,12 @@ another VM) is invisible to every guest-side counter but slows this
 probe exactly as it slows the leg. Pairs are tiered: **tier A** = both
 legs' probe medians within 12% of the global best sample
 (= {gbest if gbest is not None else 'n/a'} s — host at calibration
-speed); **tier B** = leg medians within 8% of EACH OTHER (host
-uniformly slower — fair for the ratio, since a frequency- or
-SMT-level slowdown hits both legs alike; only a host-speed CHANGE
-between legs biases the quotient).
+speed); **tier B** = leg medians within 8% of EACH OTHER and within
+20% of the global best (host mildly and uniformly slower — fair for
+the ratio, since a frequency-level slowdown hits both legs alike; a
+HEAVILY contended host is excluded even when stable, because
+bandwidth-type contention degrades 8 concurrent streams superlinearly
+vs the single-core probe — observed as stable probes yet eff 0.41).
 
 | pair | pre-gate load | T_N (s) | T_4N (s) | ext cores N/4N | steal N/4N | probe N/4N (s) | eff | tier |
 |---|---|---|---|---|---|---|---|---|
