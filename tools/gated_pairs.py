@@ -208,11 +208,19 @@ def main() -> None:
             ext_raw = idle_window_external()
             # subtract the probe's own measured duty cycle, not a guess
             ext = ext_raw - probe.window_duty(t_w0, time.time())
-            if ext < EXT_GATE:
+            best = probe.best()
+            recent = [d for _, d in probe.samples[-8:]]
+            # don't burn a 4-minute pair when the HOST is too degraded
+            # to qualify for either tier (observed hour-long 30-50%-slow
+            # host states) — wait for it to recover past the tier-B cap
+            host_ok = (best is not None and recent
+                       and statistics.median(recent) < 1.18 * best)
+            if ext < EXT_GATE and host_ok:
                 break
             if waited % 300 < 16:
                 print(f"waiting for lull: idle-ext={ext:.2f} "
-                      f"load1={loadavg()}", flush=True)
+                      f"host_ok={host_ok} probe~{statistics.median(recent) if recent else None} "
+                      f"best={best} load1={loadavg()}", flush=True)
             time.sleep(8)
             waited += 16
         la = loadavg()
