@@ -78,9 +78,12 @@ class HostProbe(threading.Thread):
     pair JSON; cleanliness against the GLOBAL best calibration is
     derived at summary time (tools/gated_summary.py)."""
 
-    def __init__(self) -> None:
+    def __init__(self, seed_best: float | None = None) -> None:
         super().__init__(daemon=True)
         self.samples: list[tuple[float, float]] = []  # (t_end, sec)
+        self.seed_best = seed_best  # global best from prior sessions:
+        # a session that STARTS during host degradation must not adopt
+        # the degraded speed as its calibration floor
         self._stop = False
 
     def run(self) -> None:
@@ -105,7 +108,10 @@ class HostProbe(threading.Thread):
         return busy / max(t1 - t0, 1e-6)
 
     def best(self) -> float | None:
-        return round(min(d for _, d in self.samples), 4) if self.samples else None
+        vals = [d for _, d in self.samples]
+        if self.seed_best is not None:
+            vals.append(self.seed_best)
+        return round(min(vals), 4) if vals else None
 
 
 class Monitor:
@@ -172,7 +178,10 @@ def main() -> None:
     prior = existing()
     clean = sum(1 for p in prior if p.get("stable_clean", p.get("clean")))
     pair_idx = len(prior)
-    probe = HostProbe()
+    seed = [p["probe_best"] for p in prior if p.get("probe_best")]
+    seed += [l["probe_median"] for p in prior for l in p.get("legs", [])
+             if l.get("probe_median")]
+    probe = HostProbe(seed_best=min(seed) if seed else None)
     probe.start()
     time.sleep(3)  # initial calibration samples
     print(f"resuming: {len(prior)} pairs on disk, {clean} clean; "
