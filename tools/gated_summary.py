@@ -26,7 +26,7 @@ def main() -> None:
     probes = [
         l["probe_median"] for p in pairs for l in p["legs"]
         if l.get("probe_median") is not None
-    ]
+    ] + [p["probe_best"] for p in pairs if p.get("probe_best") is not None]
     gbest = min(probes) if probes else None
     for p in pairs:
         pm = [l.get("probe_median") for l in p["legs"]]
