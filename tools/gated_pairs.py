@@ -189,7 +189,13 @@ def main() -> None:
           f"probe baseline {probe.best()}s", flush=True)
     new = 0
     loc_hi, loc_lo = "/dev/shm/scaling_run_hi", "/dev/shm/scaling_run_lo"
+    # two N->4N lines, alternated: 2->8 (the r1-r3 configuration) and
+    # 1->4 (same 4x ratio; fewer concurrent streams -> less single-box
+    # memory-subsystem inflation, so it better isolates engine
+    # coordination cost from the shared-memory platform term)
+    LEVELS = [(2, 8), (1, 4)]
     while new < max_pairs and clean < target_clean:
+        n_lo, n_hi = LEVELS[new % len(LEVELS)]
         # build BOTH legs' inputs BEFORE the lull gate — builds are not
         # measured, so they can run under any load; the lull is then
         # spent only on the two measured legs (~2.9 min instead of
@@ -235,13 +241,13 @@ def main() -> None:
         la = loadavg()
         mon = Monitor(probe)
         try:
-            hi = rs.measure_level(8, monitor=mon, run_loc=loc_hi)  # 4N first
-            lo = rs.measure_level(2, monitor=mon, run_loc=loc_lo)
+            hi = rs.measure_level(n_hi, monitor=mon, run_loc=loc_hi)  # 4N first
+            lo = rs.measure_level(n_lo, monitor=mon, run_loc=loc_lo)
         except RuntimeError as e:
             print(f"pair {pair_idx} failed: {e}", flush=True)
             time.sleep(30)
             continue
-        eff = round((lo["total"] / hi["total"]) / 4, 3)
+        eff = round((lo["total"] / hi["total"]) / (n_hi / n_lo), 3)
         best = probe.best()
         guest_clean = bool(all(l["clean"] for l in mon.legs))
         pm = [l["probe_median"] for l in mon.legs]
@@ -258,6 +264,7 @@ def main() -> None:
         tier_b = bool(have_probe and max(pm) / min(pm) < 1.08
                       and all(x < 1.20 * best for x in pm))
         rec = dict(ts=round(time.time(), 1), pair=pair_idx, rows=int(rows),
+                   levels=[n_lo, n_hi],
                    pre_gate_load=la, eff=eff, probe_best=best,
                    clean=bool(guest_clean and tier_a),
                    stable_clean=bool(guest_clean and tier_b),

@@ -43,22 +43,30 @@ def main() -> None:
     stable = [p for p in pairs if p.get("stable_clean")]
     rows = []
     for p in pairs:
+        lvl = p.get("levels", [2, 8])
         legs = {l["cores"]: l for l in p["legs"]}
-        pm = "/".join(
-            str(legs[c].get("probe_median", "-")) for c in (2, 8)
-        )
+        lo_l, hi_l = legs[lvl[0]], legs[lvl[1]]
+        pm = f"{lo_l.get('probe_median', '-')}/{hi_l.get('probe_median', '-')}"
         tier = "A" if p["clean"] else ("B" if p.get("stable_clean") else "-")
         rows.append(
-            f"| {p['pair']} | {p['pre_gate_load']:.2f} | "
+            f"| {p['pair']} | {lvl[0]}->{lvl[1]} | {p['pre_gate_load']:.2f} | "
             f"{p['lo']['total']:.1f} | {p['hi']['total']:.1f} | "
-            f"{legs[2]['external_cores']:.2f}/{legs[8]['external_cores']:.2f} | "
-            f"{legs[2]['steal_cores']:.2f}/{legs[8]['steal_cores']:.2f} | "
+            f"{lo_l['external_cores']:.2f}/{hi_l['external_cores']:.2f} | "
+            f"{lo_l['steal_cores']:.2f}/{hi_l['steal_cores']:.2f} | "
             f"{pm} | "
             f"{p['eff']:.3f} | {tier} |"
         )
     med_clean = statistics.median(p["eff"] for p in clean) if clean else None
     med_stable = statistics.median(p["eff"] for p in stable) if stable else None
     med_all = statistics.median(p["eff"] for p in pairs)
+    by_level = {}
+    for p in clean + [p for p in stable if p not in clean]:
+        by_level.setdefault(tuple(p.get("levels", [2, 8])), []).append(p["eff"])
+    level_lines = "".join(
+        f"\n- clean+stable {lo}->{hi}: n={len(effs)}, median "
+        f"{statistics.median(effs):.3f}"
+        for (lo, hi), effs in sorted(by_level.items())
+    ) or "\n- (no clean/stable pairs yet)"
     section = f"""{BEGIN}
 ## Load-gated strong-scaling certification (tools/gated_pairs.py)
 
@@ -91,8 +99,13 @@ HEAVILY contended host is excluded even when stable, because
 bandwidth-type contention degrades 8 concurrent streams superlinearly
 vs the single-core probe — observed as stable probes yet eff 0.41).
 
-| pair | pre-gate load | T_N (s) | T_4N (s) | ext cores N/4N | steal N/4N | probe N/4N (s) | eff | tier |
-|---|---|---|---|---|---|---|---|---|
+Two N->4N configurations are collected: 2->8 (the r1-r3 line) and
+1->4 (same 4x ratio; 4 concurrent streams suffer less single-box
+memory-subsystem contention than 8, better isolating engine
+coordination cost from the shared-memory platform term).
+
+| pair | N->4N | pre-gate load | T_N (s) | T_4N (s) | ext cores N/4N | steal N/4N | probe N/4N (s) | eff | tier |
+|---|---|---|---|---|---|---|---|---|---|
 {chr(10).join(rows)}
 
 **Tier-A (calibration-speed) pairs: {len(clean)}/{len(pairs)}, median
@@ -100,6 +113,7 @@ efficiency = {med_clean if med_clean is not None else 'n/a'}; tier-B
 (host-stable) pairs: {len(stable)}/{len(pairs)}, median =
 {med_stable if med_stable is not None else 'n/a'}** (all-pairs median
 {med_all:.3f}; target >= 0.8 per BASELINE.json north_rule).
+Per-configuration (clean+stable):{level_lines}
 {END}"""
     with open(MD) as f:
         doc = f.read()
