@@ -70,6 +70,28 @@ def _noise_probe(spark, cores: int) -> float:
     return round(time.time() - t0, 3)
 
 
+def _host_probe(n: int = 30) -> float:
+    """Median of a calibrated single-core numpy kernel (the same kernel
+    as tools/gated_pairs.py's HostProbe). Calibration on THIS VM's
+    healthy host state: ~0.027-0.028 s; 0.033+ means the HOST (SMT
+    siblings / frequency / memory bandwidth taken by another VM) is
+    degraded — invisible to guest loadavg/steal, and observed to slow
+    identical runs up to 2x. Lets a reader judge whether this
+    snapshot's absolute numbers are from a healthy or degraded host."""
+    import numpy as np
+
+    a = np.arange(400_000, dtype=np.float64)
+    xs = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        s = 0.0
+        for _ in range(60):
+            s += float((a * a).sum())
+        xs.append(time.perf_counter() - t0)
+    xs.sort()
+    return round(xs[len(xs) // 2], 4)
+
+
 def run(sf_dir: str, cores: int, work_dir: str, rows: int | None = None) -> dict:
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     n_rows = rows or int(ROWS_PER_SF * sf)
@@ -151,6 +173,9 @@ def run(sf_dir: str, cores: int, work_dir: str, rows: int | None = None) -> dict
         # run; spread >> 1 flags a co-tenant window inside THIS run
         "noise_probe_sec": probes,
         "noise_spread": round(max(probes) / max(min(probes), 1e-9), 2),
+        # single-core HOST-state calibration (healthy ~0.027-0.028 s):
+        # guest counters cannot see host-level contention; this can
+        "host_probe_sec": _host_probe(),
         "queries": qt,
     }
     spark.stop()
