@@ -225,11 +225,14 @@ def main() -> None:
             ext = ext_raw - probe.window_duty(t_w0, time.time())
             best = probe.best()
             recent = [d for _, d in probe.samples[-8:]]
-            # don't burn a 4-minute pair when the HOST is too degraded
-            # to qualify for either tier (observed hour-long 30-50%-slow
-            # host states) — wait for it to recover past the tier-B cap
+            # don't burn a 4-minute pair when the HOST is heavily
+            # degraded (observed hour-long 30-50%-slow states); mildly
+            # degraded windows are still measured — the strict tier
+            # labels (A < 1.12, B < 1.20 + stability) are applied
+            # afterward, and the in-between pairs document the
+            # degradation effect itself
             host_ok = (best is not None and recent
-                       and statistics.median(recent) < 1.18 * best)
+                       and statistics.median(recent) < 1.30 * best)
             if ext < EXT_GATE and host_ok:
                 break
             if waited % 300 < 16:
