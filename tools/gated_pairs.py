@@ -234,7 +234,7 @@ def main() -> None:
             # afterward, and the in-between pairs document the
             # degradation effect itself
             host_ok = (best is not None and recent
-                       and statistics.median(recent) < 1.30 * best)
+                       and statistics.median(recent) < 1.45 * best)
             if ext < EXT_GATE and host_ok:
                 break
             if waited % 300 < 16:
