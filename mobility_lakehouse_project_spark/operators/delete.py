@@ -32,7 +32,6 @@ from pyspark.sql import types as T
 
 from ..lineage import LineageLog
 from ..tableformat import LakehouseTable
-from ..tableformat.paths import relativize_reported
 
 # driver-side path-materialization bound: planning never collects more
 # than this many candidate file paths at once — a non-selective
@@ -85,15 +84,18 @@ def _plan_touched_chunk(table, spark, cond, int_ranges, partition_ids):
     slim_cols = [
         f.name for f in schema.fields if not isinstance(f.dataType, T.BinaryType)
     ]
+    # file identity comes from the scan itself (with_pos) rather than a
+    # caller-side input_file_name(): already table-relative, and correct
+    # even when the scan applies pending MOR deletes (input_file_name
+    # evaluated after that anti-join has no defined "current file")
     probe = (
-        table.scan_files(spark, cand_paths, columns=slim_cols)
-        .withColumn("_file", F.input_file_name())
+        table.scan_files(spark, cand_paths, columns=slim_cols, with_pos=True)
         .filter(cond)
         .groupBy("_file")
         .agg(F.count("*").alias("n_hit"))
         .collect()
     )
-    touched_rel = {relativize_reported(r["_file"], table.location) for r in probe}
+    touched_rel = {r["_file"] for r in probe}
     n_matched = sum(r["n_hit"] for r in probe)
     if not touched_rel:
         return [], 0
@@ -227,6 +229,7 @@ def delete_where(
     target_file_size: int = 64 * 1024 * 1024,
     op_id: str | None = None,
     chunk_files: int = DEFAULT_CHUNK_FILES,
+    mode: str = "cow",
 ) -> dict:
     """DELETE FROM table WHERE ``predicate`` — removes only rows where
     the predicate evaluates TRUE (SQL three-valued semantics: NULL
@@ -237,10 +240,235 @@ def delete_where(
     stats prune the candidate files (the payoff of clustering).
     ``chunk_files`` bounds every driver-side path materialization —
     a non-selective delete walks partition chunks with one pinned
-    commit each instead of collecting the whole candidate list."""
+    commit each instead of collecting the whole candidate list.
+
+    ``mode``:
+
+    * ``"cow"`` (default) — copy-on-write: touched files are rewritten
+      without the matching rows. Best read performance; write cost is
+      a full rewrite of every touched file (a delete of 100 rows
+      spread over 1000 image files rewrites ~1000 blobs' worth).
+    * ``"mor"`` — merge-on-read (Iceberg v2 position deletes): only
+      tiny (file, row-position) delete files are written — write cost
+      O(matched rows), no blob rewrite — and every subsequent scan
+      anti-joins them away until :func:`rewrite_position_deletes`
+      folds them into the data. The right mode for frequent small
+      deletes (GDPR erasure of single image_ids) on blob-heavy tables
+      at 10^12-image scale, where rewriting a 500 MB file to drop one
+      row is the scale-killer.
+    """
     cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+    if mode == "mor":
+        return _mor_delete(table, spark, cond, int_ranges, op_id,
+                           chunk_files, str(predicate))
+    if mode != "cow":
+        raise ValueError(f"unknown delete mode {mode!r} (cow|mor)")
     return _rowlevel_op(table, spark, cond, "delete", {}, int_ranges,
                         target_file_size, op_id, chunk_files, str(predicate))
+
+
+# target rows per position-delete file: (path, int64) rows are ~100 B;
+# 2M rows ~ a 10-20 MB sorted delete file with tight data-file bounds
+ROWS_PER_DELETE_FILE = 2_000_000
+
+
+def _mor_delete(table, spark, cond, int_ranges, op_id, chunk_files,
+                predicate_repr) -> dict:
+    """Merge-on-read DELETE: per partition chunk, one slim-column scan
+    finds (file, row-position) of predicate-TRUE rows; those pairs are
+    written as sorted position-delete files and committed pinned to
+    the plan snapshot (positions are content-addressed — any
+    concurrent rewrite invalidates them, so it must surface). The scan
+    applies PRIOR pending deletes, so re-deleting an already-deleted
+    row is a no-op and re-running a killed job is idempotent."""
+    t0 = time.time()
+    cur = table.current_snapshot()
+    if cur is None or not cur.manifests:
+        return {"delete_files_written": 0, "rows_deleted": 0,
+                "wall_ms": int((time.time() - t0) * 1000), "snapshot": None}
+    schema = table.schema()
+    slim_cols = [
+        f.name for f in schema.fields if not isinstance(f.dataType, T.BinaryType)
+    ]
+    chunks, n_cand = _partition_chunks(table, spark, int_ranges, chunk_files)
+    log = LineageLog(table.location)
+    metrics = {"delete_files_written": 0, "rows_deleted": 0,
+               "candidate_files": n_cand, "chunks": len(chunks),
+               "snapshot": cur.snapshot_id}
+    for ci, part_ids in enumerate(chunks):
+        tc = time.time()
+        cur = table.current_snapshot()
+        cand_paths = sorted(
+            r["file_path"]
+            for r in table.plan_files(
+                spark, partition_values=set(part_ids), int_ranges=int_ranges
+            ).select("file_path").collect()
+        )
+        if not cand_paths:
+            continue
+        matched = (
+            table.scan_files(spark, cand_paths, columns=slim_cols,
+                             with_pos=True)
+            .filter(cond)
+            .select(F.col("_file").alias("file_path"),
+                    F.col("_pos").alias("pos"))
+            .persist()
+        )
+        per_file = matched.groupBy("file_path").count().collect()
+        n_matched = sum(r["count"] for r in per_file)
+        if not n_matched:
+            matched.unpersist()
+            continue
+        # resolution assertion: every matched file identity must be a
+        # path we planned — a relativize failure (exotic scheme) would
+        # otherwise write delete entries no scan can ever match
+        unresolved = {r["file_path"] for r in per_file} - set(cand_paths)
+        if unresolved:
+            matched.unpersist()
+            raise RuntimeError(
+                "MOR delete: scan file identities did not resolve to "
+                f"planned paths; unresolved={sorted(unresolved)[:5]}"
+            )
+        n_files = max(1, round(n_matched / ROWS_PER_DELETE_FILE))
+        entries = table.write_position_delete_files(matched, n_files)
+        matched.unpersist()
+        snap = table.commit_delete_files(
+            entries,
+            summary={"predicate": predicate_repr,
+                     "chunk": f"{ci + 1}/{len(chunks)}"},
+            expected_parent=cur.snapshot_id,
+        )
+        log.record(
+            op_id or f"mor-delete-{snap.snapshot_id}", f"chunk-{ci}",
+            sorted(part_ids), len(per_file), len(entries), n_matched,
+            sum(e["file_size_bytes"] for e in entries),
+            int((time.time() - tc) * 1000), snap.snapshot_id,
+        )
+        metrics["delete_files_written"] += len(entries)
+        metrics["rows_deleted"] += n_matched
+        metrics["snapshot"] = snap.snapshot_id
+    metrics["wall_ms"] = int((time.time() - t0) * 1000)
+    return metrics
+
+
+def rewrite_position_deletes(
+    table: LakehouseTable,
+    spark: SparkSession,
+    target_file_size: int = 64 * 1024 * 1024,
+    op_id: str | None = None,
+    chunk_files: int = DEFAULT_CHUNK_FILES,
+) -> dict:
+    """Fold pending position deletes into the data (Iceberg's
+    rewrite_position_deletes + the data-file side of its
+    rewrite_data_files delete-compaction): every data file referenced
+    by a delete entry is rewritten WITHOUT its deleted rows (the MOR
+    scan applies them for free), chunk by partition chunk with pinned
+    commits; once no delete entry references a live data file, a final
+    metadata-only commit drops the delete manifests. The now-
+    unreferenced delete files are GC'd by expire_snapshots /
+    remove_orphan_files like any other unreachable file.
+
+    Scans between commits stay correct throughout: rewritten files'
+    delete entries become no-ops (their data file is gone), untouched
+    files' entries stay applied."""
+    t0 = time.time()
+    cur = table.current_snapshot()
+    if cur is None or not cur.delete_manifests:
+        return {"files_rewritten": 0, "files_written": 0, "chunks": 0,
+                "cleared": False, "wall_ms": int((time.time() - t0) * 1000),
+                "snapshot": cur.snapshot_id if cur else None}
+    ddf, n_del = table.position_deletes_df(spark)
+    log = LineageLog(table.location)
+    metrics = {"files_rewritten": 0, "files_written": 0,
+               "deletes_pending": n_del, "snapshot": cur.snapshot_id}
+    chunks: list[list[str]] = []
+    if ddf is not None:
+        touched_parts = (
+            table.files(spark)
+            .join(ddf.select("file_path").distinct(), "file_path", "left_semi")
+            .groupBy("partition_id")
+            .agg(F.count("*").alias("n_files"))
+            .collect()
+        )
+        cur_chunk: list[str] = []
+        cur_n = 0
+        for r in sorted(touched_parts, key=lambda r: r["partition_id"]):
+            if cur_chunk and cur_n + r["n_files"] > chunk_files:
+                chunks.append(cur_chunk)
+                cur_chunk, cur_n = [], 0
+            cur_chunk.append(r["partition_id"])
+            cur_n += r["n_files"]
+        if cur_chunk:
+            chunks.append(cur_chunk)
+    metrics["chunks"] = len(chunks)
+    for ci, part_ids in enumerate(chunks):
+        tc = time.time()
+        cur = table.current_snapshot()
+        touched_entries = [
+            r.asDict()
+            for r in table.files(spark)
+            .filter(F.col("partition_id").isin(list(part_ids)))
+            .join(ddf.select("file_path").distinct(), "file_path", "left_semi")
+            .select("file_path", "partition_id", "file_size_bytes",
+                    "record_count")
+            .collect()
+        ]
+        if not touched_entries:
+            continue
+        src = table.scan_matched_files(touched_entries, spark)
+        touched_bytes = sum(e["file_size_bytes"] for e in touched_entries)
+        n_out = max(1, round(touched_bytes / target_file_size))
+        n_parts = len({e["partition_id"] for e in touched_entries}) or 1
+        new_entries = table.write_data_files(
+            src, n_files=n_out, n_partitions_hint=n_parts)
+        affected = {e["partition_id"] for e in touched_entries}
+        snap = table.commit_replace(
+            {e["file_path"] for e in touched_entries},
+            new_entries,
+            operation="rewrite-deletes",
+            summary={"op": "rewrite-position-deletes",
+                     "chunk": f"{ci + 1}/{len(chunks)}"},
+            affected_partitions=affected,
+            # the delete application is content-sensitive to the plan
+            # snapshot's delete set and file contents: replan on any
+            # concurrent commit rather than compose
+            retries=0,
+            expected_parent=cur.snapshot_id,
+        )
+        log.record(
+            op_id or f"rewrite-deletes-{snap.snapshot_id}", f"chunk-{ci}",
+            sorted(affected), len(touched_entries), len(new_entries),
+            sum(e["record_count"] for e in new_entries),
+            sum(e["file_size_bytes"] for e in new_entries),
+            int((time.time() - tc) * 1000), snap.snapshot_id,
+        )
+        metrics["files_rewritten"] += len(touched_entries)
+        metrics["files_written"] += len(new_entries)
+        metrics["snapshot"] = snap.snapshot_id
+    # clear: safe only once NO delete entry references a live data file
+    ddf2, _ = table.position_deletes_df(spark)
+    cleared = False
+    if ddf2 is None:
+        cleared = True  # manifests listed no delete files at all
+        snap = table.clear_delete_manifests()
+        metrics["snapshot"] = snap.snapshot_id
+    else:
+        remaining = (
+            ddf2.select("file_path").distinct()
+            .join(table.files(spark), "file_path", "left_semi")
+            .count()
+        )
+        if remaining:
+            raise RuntimeError(
+                f"rewrite_position_deletes: {remaining} delete-referenced "
+                "data files still live after rewrite (concurrent append?)"
+            )
+        snap = table.clear_delete_manifests()
+        cleared = True
+        metrics["snapshot"] = snap.snapshot_id
+    metrics["cleared"] = cleared
+    metrics["wall_ms"] = int((time.time() - t0) * 1000)
+    return metrics
 
 
 def update_where(

@@ -52,7 +52,6 @@ from pyspark.sql.window import Window
 
 from ..lineage import LineageLog
 from ..tableformat import LakehouseTable
-from ..tableformat.paths import relativize_reported
 
 
 def _dedupe_source(src: DataFrame, keys: list[str], data_cols: list[str]) -> DataFrame:
@@ -179,22 +178,18 @@ def merge_into(
     # bounded by the deduped SOURCE size (target keys unique), so it is
     # safe to persist — without it, the sizing anti-join below would
     # re-execute the entire target key scan a second time.
-    target_keys = table.scan(spark, columns=None).select(
-        *[F.col(k) for k in keys], F.input_file_name().alias("_file")
+    # _file comes from the scan itself (table-relative, decoded,
+    # computed on the scan stage BEFORE any MOR delete anti-join —
+    # input_file_name() projected after a join has no defined "current
+    # file"); the manifest-resolution assertion below still guards any
+    # relativize failure for exotic path schemes
+    target_keys = table.scan(spark, columns=None, with_pos=True).select(
+        *[F.col(k) for k in keys], F.col("_file")
     )
     matched_keys = target_keys.join(src_keys, keys, "inner").persist()
-    touched_files = {
+    touched_rel = {
         r["_file"] for r in matched_keys.select("_file").distinct().collect()
     }
-    # normalize URIs from input_file_name to table-relative paths.
-    # input_file_name() returns PERCENT-ENCODED URIs (space -> %20),
-    # while manifest file_paths are raw — relativize_reported decodes
-    # BOTH the reported URI and the base (a file: location may itself
-    # contain an encodable character), else a data path with any
-    # URI-escapable character silently matches nothing and its matched
-    # rows are kept stale (scheme-robust: file:///x vs /x, s3a:// bases
-    # — tableformat.paths)
-    touched_rel = {relativize_reported(f, table.location) for f in touched_files}
     # stats for the touched set come from the manifest DataFrame —
     # bounded by the touched-file count, never the whole table
     if touched_rel:

@@ -78,6 +78,11 @@ class Snapshot:
     # and planners skip manifests disjoint from the affected partitions
     # without opening them. Missing entry (legacy snapshot) = must read.
     manifest_parts: dict = field(default_factory=dict)
+    # merge-on-read position deletes (Iceberg v2 delete manifests):
+    # manifests listing position-delete files (rows of data-file path +
+    # row position) that scans of THIS snapshot must anti-join away.
+    # Empty for copy-on-write-only tables — the common, zero-cost case.
+    delete_manifests: list[str] = field(default_factory=list)
 
     def to_json(self) -> dict:
         return {
@@ -89,6 +94,7 @@ class Snapshot:
             "manifests": self.manifests,
             "summary": self.summary,
             "manifest_parts": self.manifest_parts,
+            "delete_manifests": self.delete_manifests,
         }
 
     @staticmethod
@@ -97,6 +103,7 @@ class Snapshot:
             d["snapshot_id"], d["parent_id"], d["sequence"], d["timestamp_ms"],
             d["operation"], list(d["manifests"]), dict(d.get("summary", {})),
             dict(d.get("manifest_parts", {})),
+            list(d.get("delete_manifests", [])),
         )
 
 
@@ -717,6 +724,7 @@ class LakehouseTable:
                  "added-bytes": sum(e["file_size_bytes"] for e in entries),
                  **(summary or {})},
                 mparts,
+                list(prev.delete_manifests) if prev else [],
             )
             try:
                 return self._commit(meta, snap, parent)
@@ -872,6 +880,12 @@ class LakehouseTable:
              "added-records": sum(e["record_count"] for e in entries),
              **(summary or {})},
             mparts,
+            # pending position deletes survive a file rewrite: entries
+            # referencing the removed files become no-ops (their data
+            # file is gone AND the rewrite applied them via the MOR
+            # scan), entries for untouched files stay live. Clearing is
+            # rewrite_position_deletes' explicit final commit.
+            list(prev.delete_manifests) if prev else [],
         )
         return self._commit(meta, snap, parent)
 
@@ -1022,6 +1036,7 @@ class LakehouseTable:
         int_ranges: dict[str, tuple[int | None, int | None]] | None = None,
         columns: list[str] | None = None,
         ref: str | None = None,
+        with_pos: bool = False,
     ) -> DataFrame:
         """Read the table at a snapshot, pruning files via manifest stats.
 
@@ -1030,7 +1045,9 @@ class LakehouseTable:
         clustering makes effective. The residual predicate is re-applied
         row-level by the caller; this method only narrows the file set.
         Pruning runs distributed over the manifest scan (plan_files);
-        only surviving paths are collected (the list spark.read needs)."""
+        only surviving paths are collected (the list spark.read needs).
+        Position deletes of the SCANNED snapshot are applied (time
+        travel to a pre-delete snapshot shows the undeleted rows)."""
         if ref is not None:
             if snapshot_id is not None:
                 raise ValueError("pass snapshot_id or ref, not both")
@@ -1042,20 +1059,47 @@ class LakehouseTable:
             snapshot_id = tags[ref]
         pruned = self.plan_files(spark, snapshot_id, partition_values, int_ranges)
         paths = [r["file_path"] for r in pruned.select("file_path").collect()]
-        return self.scan_files(spark, paths, columns)
+        snap = (self.snapshot_by_id(snapshot_id) if snapshot_id is not None
+                else self.current_snapshot())
+        return self.scan_files(spark, paths, columns, snapshot=snap,
+                               with_pos=with_pos)
 
     def scan_files(self, spark: SparkSession, rel_paths: list[str],
-                   columns: list[str] | None = None) -> DataFrame:
+                   columns: list[str] | None = None, *,
+                   snapshot: "Snapshot | None" = None,
+                   apply_deletes: bool = True,
+                   with_pos: bool = False) -> DataFrame:
         """Read an explicit (already-planned) set of table-relative data
         files through the CURRENT schema, resolving schema evolution:
         columns added later are NULL in old files (explicit read
         schema), renamed columns read every historical physical name
-        and coalesce into the current one."""
+        and coalesce into the current one.
+
+        Merge-on-read: when the governing snapshot (``snapshot``, else
+        the current one) carries position-delete manifests and
+        ``apply_deletes`` is on (the default — EVERY internal reader
+        must see deletes applied, or a copy-on-write rewrite would
+        resurrect MOR-deleted rows), deleted rows are removed by a
+        left-anti join on (file, row position); both sides are
+        computed JVM-side (``_metadata`` columns), the delete side is
+        stats-pruned to the scanned file range and broadcast when
+        small, so the data side — the blobs — never shuffles. A table
+        with no pending deletes (the common case) pays nothing.
+
+        ``with_pos=True`` appends ``_file`` (table-relative path) and
+        ``_pos`` (row position in that file) columns, computed BEFORE
+        any anti-join — the file-identity surface MERGE/DELETE
+        planning needs (``input_file_name()`` would be unreliable
+        after the MOR join)."""
         meta = self.load_metadata()
         schema = T.StructType.fromJson(json.loads(meta["schema_json"]))
+        pos_cols = ["_file", "_pos"] if with_pos else []
         if not rel_paths:
             df = spark.createDataFrame([], schema)
-            return df.select(*columns) if columns else df
+            for c in pos_cols:
+                df = df.withColumn(
+                    c, F.lit(None).cast("string" if c == "_file" else "long"))
+            return df.select(*(columns + pos_cols)) if columns else df
         renames = self.column_renames(meta)
         phys_fields = list(schema.fields)
         for new, olds in renames.items():
@@ -1064,19 +1108,216 @@ class LakehouseTable:
         df = spark.read.schema(T.StructType(phys_fields)).parquet(
             *[os.path.join(self._local_root, p) for p in rel_paths]
         )
+        snap = snapshot if snapshot is not None else self.current_snapshot(meta)
+        mor = bool(apply_deletes and snap is not None and snap.delete_manifests)
+        if mor or with_pos:
+            df = (
+                df.withColumn("_file", self._rel_path_col())
+                .withColumn("_pos", F.col("_metadata.row_index"))
+            )
+        if mor:
+            ddf, n_del = self.position_deletes_df(
+                spark, snap, (min(rel_paths), max(rel_paths)))
+            if ddf is not None:
+                dd = ddf.select(F.col("file_path").alias("__del_file"),
+                                F.col("pos").alias("__del_pos"))
+                if n_del <= self.MOR_BROADCAST_ROWS:
+                    dd = F.broadcast(dd)
+                df = df.join(
+                    dd,
+                    (df["_file"] == dd["__del_file"])
+                    & (df["_pos"] == dd["__del_pos"]),
+                    "left_anti",
+                )
+        extra = [c for c in ("_file", "_pos") if c in df.columns]
         if renames:
             df = df.select(
                 *[
                     (F.coalesce(f.name, *renames[f.name]).alias(f.name)
                      if f.name in renames else F.col(f.name))
                     for f in schema.fields
-                ]
+                ],
+                *extra,
             )
-        return df.select(*columns) if columns else df
+        if extra and not with_pos:
+            df = df.drop(*extra)
+        return df.select(*(columns + pos_cols)) if columns else df
 
     def scan_matched_files(self, entries: list[dict], spark: SparkSession,
-                           columns: list[str] | None = None) -> DataFrame:
-        return self.scan_files(spark, [e["file_path"] for e in entries], columns)
+                           columns: list[str] | None = None,
+                           with_pos: bool = False) -> DataFrame:
+        return self.scan_files(spark, [e["file_path"] for e in entries], columns,
+                               with_pos=with_pos)
+
+    # -------- merge-on-read position deletes (Iceberg v2 model) --------
+
+    def _rel_path_col(self) -> "F.Column":
+        """Executor-side table-relative path of the file each row came
+        from, derived from ``_metadata.file_path`` — the JVM-native
+        replacement for driver-side ``relativize_reported`` over
+        ``input_file_name()`` (which is unreliable after a join: the
+        expression evaluates wherever it is projected, and post-shuffle
+        there is no "current file"). Decoding mirrors
+        paths.relativize_reported: percent-decode BOTH sides
+        (``url_decode`` is form-decoding, so ``+`` is pre-escaped to
+        survive literally), strip the URI scheme, strip the decoded
+        base prefix. A path outside the table location passes through
+        un-relativized — callers' resolution assertions then fail
+        loudly instead of matching the wrong file."""
+        from urllib.parse import unquote
+
+        from .paths import strip_scheme
+
+        base = strip_scheme(unquote(self.location)).rstrip("/")
+        dec = F.expr("url_decode(replace(_metadata.file_path, '+', '%2B'))")
+        stripped = F.regexp_replace(
+            dec, r"^[a-zA-Z][a-zA-Z0-9+.\-]*:(//)?", "")
+        return F.when(
+            stripped.startswith(base + "/"),
+            F.substring(stripped, len(base) + 2, 2_000_000_000),
+        ).otherwise(stripped)
+
+    def write_position_delete_files(
+        self, matched: DataFrame, n_files: int = 1
+    ) -> list[dict]:
+        """Write position-delete files from a DataFrame of
+        ``(file_path string, pos long)`` — the data-file-relative row
+        positions to delete (Iceberg v2 position deletes, spec §Delete
+        Formats). Files are range-distributed and sorted on
+        (file_path, pos) so each carries tight min/max stats over the
+        data files it references — scans prune delete files against
+        the scanned file range the same way data scans prune on column
+        stats. Returns delete-manifest entries for
+        :meth:`commit_delete_files`; like ``write_data_files`` nothing
+        is committed here."""
+        write_id = uuid.uuid4().hex[:12]
+        out_dir = os.path.join(self.data_dir, f"deletes-{write_id}")
+        df = matched.select(
+            F.col("file_path").cast("string"), F.col("pos").cast("long")
+        )
+        if n_files > 1:
+            df = df.repartitionByRange(n_files, "file_path", "pos")
+        else:
+            df = df.coalesce(1)
+        df = df.sortWithinPartitions("file_path", "pos")
+        df.write.mode("append").parquet(out_dir)
+        fake_meta = {
+            "schema_json": T.StructType([
+                T.StructField("file_path", T.StringType()),
+                T.StructField("pos", T.LongType()),
+            ]).json()
+        }
+        return self._collect_entries(out_dir, fake_meta)
+
+    def commit_delete_files(
+        self,
+        delete_entries: list[dict],
+        summary: dict | None = None,
+        expected_parent: "int | None | object" = UNPINNED,
+    ) -> Snapshot:
+        """Commit position-delete files as a merge-on-read DELETE
+        snapshot: data manifests carry over untouched (no rewrite —
+        that is the point of MOR), and the new delete manifest appends
+        to the snapshot's delete set. No retry composition: row
+        POSITIONS are content-addressed against the plan snapshot's
+        files, so any concurrent commit (a compaction moves rows to
+        new files) invalidates them — callers pin ``expected_parent``
+        and replan on ConcurrentCommitError, like MERGE."""
+        meta = self.load_metadata()
+        parent = meta["current_snapshot_id"]
+        if expected_parent is not UNPINNED and parent != expected_parent:
+            raise ConcurrentCommitError(
+                f"table advanced past plan snapshot {expected_parent} "
+                f"(now {parent}); position-delete plan must be re-derived"
+            )
+        prev = self.current_snapshot(meta)
+        if prev is None:
+            raise ValueError("cannot position-delete from an empty table")
+        snap_id, seq = self._next_ids(meta)
+        dm, _ = self._write_manifest(delete_entries, snap_id)
+        snap = Snapshot(
+            snap_id, parent, seq, int(time.time() * 1000), "delete",
+            list(prev.manifests),
+            {"op": "mor-delete",
+             "added-delete-files": len(delete_entries),
+             "deleted-records": sum(e["record_count"] for e in delete_entries),
+             **(summary or {})},
+            dict(prev.manifest_parts),
+            list(prev.delete_manifests) + [dm],
+        )
+        return self._commit(meta, snap, parent)
+
+    def clear_delete_manifests(
+        self, expected_parent: "int | None | object" = UNPINNED
+    ) -> Snapshot:
+        """Metadata-only commit dropping the snapshot's delete
+        manifests — the final step of rewrite_position_deletes, valid
+        only once no delete entry references a live data file (the
+        caller's responsibility to verify; entries referencing removed
+        files are no-ops either way, so a premature clear can
+        resurrect nothing that a scan was still hiding ONLY if a
+        referenced data file is still live — hence the check)."""
+        meta = self.load_metadata()
+        parent = meta["current_snapshot_id"]
+        if expected_parent is not UNPINNED and parent != expected_parent:
+            raise ConcurrentCommitError(
+                f"table advanced past plan snapshot {expected_parent} "
+                f"(now {parent})"
+            )
+        prev = self.current_snapshot(meta)
+        if prev is None or not prev.delete_manifests:
+            return prev
+        snap_id, seq = self._next_ids(meta)
+        snap = Snapshot(
+            snap_id, parent, seq, int(time.time() * 1000), "rewrite-deletes",
+            list(prev.manifests),
+            {"op": "clear-delete-manifests",
+             "removed-delete-manifests": len(prev.delete_manifests)},
+            dict(prev.manifest_parts),
+            [],
+        )
+        return self._commit(meta, snap, parent)
+
+    def position_deletes_df(
+        self,
+        spark: SparkSession,
+        snapshot: Snapshot | None = None,
+        rel_path_bounds: tuple[str, str] | None = None,
+    ) -> tuple[DataFrame | None, int]:
+        """The snapshot's pending position deletes as a DataFrame of
+        ``(file_path, pos)`` plus their total row count (from manifest
+        stats — no data read). ``rel_path_bounds=(lo, hi)`` prunes
+        delete FILES whose referenced-data-file range is disjoint from
+        the scanned file range, using the min/max the sorted delete
+        write left in the delete manifest. Returns (None, 0) when the
+        snapshot has no (surviving) deletes."""
+        snap = snapshot if snapshot is not None else self.current_snapshot()
+        if snap is None or not snap.delete_manifests:
+            return None, 0
+        entries: list[dict] = []
+        for m in snap.delete_manifests:
+            entries.extend(self.read_manifest_entries(m))
+        if rel_path_bounds is not None:
+            lo, hi = rel_path_bounds
+            entries = [
+                e for e in entries
+                if e["str_mins"].get("file_path") is None
+                or (e["str_maxs"]["file_path"] >= lo
+                    and e["str_mins"]["file_path"] <= hi)
+            ]
+        if not entries:
+            return None, 0
+        n = sum(e["record_count"] for e in entries)
+        df = spark.read.schema("file_path string, pos long").parquet(
+            *[os.path.join(self._local_root, e["file_path"]) for e in entries]
+        )
+        return df, n
+
+    # broadcast the delete set into the anti-join below this many rows:
+    # (short string + long) rows hash-build at ~100 B/row -> ~100 MB,
+    # map-side join, blobs never shuffle. Above it, Catalyst/AQE picks
+    # the strategy — and rewrite_position_deletes is overdue anyway.
+    MOR_BROADCAST_ROWS = 1_000_000
 
     # ---------------- expiration / GC ----------------
 
@@ -1108,9 +1349,15 @@ class LakehouseTable:
                      if s.snapshot_id in tagged and s.snapshot_id not in kept_ids]
         expired = [s for s in snaps if s.snapshot_id not in {r.snapshot_id for r in retained}]
 
-        # reachability computed while the expired manifests still exist
+        # reachability computed while the expired manifests still exist;
+        # delete manifests and the position-delete files they list are
+        # table files like any other (Iceberg expires them the same way)
         live_manifests = {m for s in retained for m in s.manifests}
-        dead_manifests = {m for s in expired for m in s.manifests} - live_manifests
+        live_manifests |= {m for s in retained for m in s.delete_manifests}
+        dead_manifests = (
+            {m for s in expired for m in s.manifests}
+            | {m for s in expired for m in s.delete_manifests}
+        ) - live_manifests
         live_files: set[str] = set()
         for m in live_manifests:
             live_files |= {e["file_path"] for e in self.read_manifest_entries(m)}
@@ -1134,6 +1381,7 @@ class LakehouseTable:
             {"expired-snapshots": len(expired), "files-to-gc": len(dead_files),
              "gc-enabled": bool(delete_orphans)},
             dict(cur.manifest_parts) if cur else {},
+            list(cur.delete_manifests) if cur else [],
         )
         committed = self._commit(meta, exp, parent)
 
@@ -1149,10 +1397,11 @@ class LakehouseTable:
                 mp = os.path.join(self.meta_dir, m)
                 if os.path.exists(mp):
                     os.remove(mp)
-            # prune now-empty snap dirs
-            for d in globmod.glob(os.path.join(self.data_dir, "snap-*")):
-                if not any(files for _, _, files in os.walk(d)):
-                    shutil.rmtree(d, ignore_errors=True)
+            # prune now-empty snap/delete dirs
+            for pat in ("snap-*", "deletes-*"):
+                for d in globmod.glob(os.path.join(self.data_dir, pat)):
+                    if not any(files for _, _, files in os.walk(d)):
+                        shutil.rmtree(d, ignore_errors=True)
 
         return {
             "expired": len(expired),
@@ -1181,6 +1430,7 @@ class LakehouseTable:
         live_manifests: set[str] = set()
         for s in self.snapshots_list():
             live_manifests |= set(s.manifests)
+            live_manifests |= set(s.delete_manifests)
         live_files: set[str] = set()
         for m in live_manifests:
             live_files |= {e["file_path"] for e in self.read_manifest_entries(m)}
@@ -1206,14 +1456,15 @@ class LakehouseTable:
                     continue
                 os.remove(fp)
                 deleted_manifests += 1
-        for d in globmod.glob(os.path.join(self.data_dir, "snap-*")):
-            with contextlib.suppress(FileNotFoundError):
-                # same grace for directories: a concurrent writer's
-                # output dir exists before its first file lands
-                if now - os.path.getmtime(d) < older_than_s:
-                    continue
-                if not any(files for _, _, files in os.walk(d)):
-                    shutil.rmtree(d, ignore_errors=True)
+        for pat in ("snap-*", "deletes-*"):
+            for d in globmod.glob(os.path.join(self.data_dir, pat)):
+                with contextlib.suppress(FileNotFoundError):
+                    # same grace for directories: a concurrent writer's
+                    # output dir exists before its first file lands
+                    if now - os.path.getmtime(d) < older_than_s:
+                        continue
+                    if not any(files for _, _, files in os.walk(d)):
+                        shutil.rmtree(d, ignore_errors=True)
         return {"deleted_data_files": deleted_data,
                 "deleted_manifests": deleted_manifests}
 
@@ -1262,5 +1513,6 @@ class LakehouseTable:
             snap_id, parent, seq, int(time.time() * 1000), "rewrite-manifests",
             [manifest_rel], {"manifests-merged": len(cur.manifests)},
             {manifest_rel: parts},
+            list(cur.delete_manifests),
         )
         return self._commit(meta, snap, parent)
