@@ -1927,6 +1927,58 @@ def mm_image_features(spark, sf_dir):
     return validation_summary(imgs)
 
 
+def mor_delete_scan(spark, sf_dir):
+    """Merge-on-read DELETE, oracle-checked end to end: a scratch
+    lakehouse table of the orders keys is MOR-deleted ('F' status rows
+    become position-delete files — NO data-file rewrite) and the
+    survivors aggregated through the delete-applying scan. The oracle
+    is plain `WHERE NOT (status = 'F')` over the same parquet — if the
+    anti-join misses a delete entry, resurrects a row, or drops a
+    survivor, the counts and integer-exact key sums diverge. The
+    reference's only row removal is partition-wise delete+insert
+    (dags/Silver_Transform_Dag.py:188-207); this is the row-level MOR
+    form Iceberg v2 adds on top."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.delete import delete_where
+    from ..tableformat import LakehouseTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    # FIXED scratch location, recreated per invocation (the returned
+    # DataFrame is lazy: the table must outlive this function)
+    scratch = os.path.join(tempfile.gettempdir(), "mlps-scratch", "mor-delete")
+    shutil.rmtree(scratch, ignore_errors=True)
+    t = LakehouseTable.create(
+        scratch + "/orders", o.schema, partition_col="o_orderpriority"
+    )
+    t.append(o, n_files=8)
+    delete_where(t, spark, "o_orderstatus = 'F'", mode="mor")
+    return (
+        t.scan(spark)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("o_orderkey").alias("sum_key"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_SQL["mor_delete_scan"] = """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+        FROM orders
+        WHERE NOT (o_orderstatus = 'F')
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+"""
+
+
 QUERIES = {
     "a_rollup_cube": a_rollup_cube,
     "a_pivot_status": a_pivot_status,
@@ -1983,4 +2035,5 @@ QUERIES = {
     "ann_batch_join": ann_batch_join,
     "ann_batch_clustered": ann_batch_clustered,
     "emb_label_profile": emb_label_profile,
+    "mor_delete_scan": mor_delete_scan,
 }
