@@ -108,6 +108,15 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--range", default=None,
                     help="col:lo:hi stats-pruning hint matching the predicate")
     sp.add_argument("--target-mb", type=float, default=64)
+    sp.add_argument("--mode", choices=["cow", "mor"], default="cow",
+                    help="cow = rewrite touched files; mor = write "
+                         "position-delete files only (no blob rewrite)")
+
+    sp = sub.add_parser("rewrite-deletes",
+                        help="fold pending position deletes into the data "
+                             "and clear the delete manifests")
+    t(sp)
+    sp.add_argument("--target-mb", type=float, default=64)
 
     sp = sub.add_parser("update")
     t(sp)
@@ -208,7 +217,12 @@ def main(argv: list[str] | None = None) -> int:
             rng = {col: (int(lo) if lo else None, int(hi) if hi else None)}
         out = {"cmd": "delete", **delete_op.delete_where(
             LakehouseTable(a.table), spark, a.where, int_ranges=rng,
-            target_file_size=_mb(a.target_mb))}
+            target_file_size=_mb(a.target_mb), mode=a.mode)}
+    elif a.cmd == "rewrite-deletes":
+        from .operators import delete as delete_op
+
+        out = {"cmd": "rewrite-deletes", **delete_op.rewrite_position_deletes(
+            LakehouseTable(a.table), spark, target_file_size=_mb(a.target_mb))}
     elif a.cmd == "update":
         from .operators import delete as delete_op
 
