@@ -126,6 +126,22 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--range", default=None, help="col:lo:hi pruning hint")
     sp.add_argument("--target-mb", type=float, default=64)
 
+    sp = sub.add_parser("branch", help="create/drop/list branch refs")
+    t(sp)
+    g = sp.add_mutually_exclusive_group(required=True)
+    g.add_argument("--create", metavar="NAME")
+    g.add_argument("--drop", metavar="NAME")
+    g.add_argument("--list", action="store_true")
+    sp.add_argument("--snapshot", type=int, default=None,
+                    help="branch point for --create (default: current)")
+
+    sp = sub.add_parser("publish",
+                        help="fast-forward a target ref to a branch head "
+                             "(the write-audit-publish publish step)")
+    t(sp)
+    sp.add_argument("--source", required=True, dest="source", metavar="BRANCH")
+    sp.add_argument("--target", default="main")
+
     sp = sub.add_parser("rollback")
     t(sp)
     g = sp.add_mutually_exclusive_group(required=True)
@@ -252,6 +268,23 @@ def main(argv: list[str] | None = None) -> int:
         out = {"cmd": "update", **delete_op.update_where(
             LakehouseTable(a.table), spark, a.where, assigns, int_ranges=rng,
             target_file_size=_mb(a.target_mb))}
+    elif a.cmd == "branch":
+        tbl = LakehouseTable(a.table)
+        if a.create:
+            v = tbl.create_branch(a.create, snapshot_id=a.snapshot)
+            out = {"cmd": "branch", "created": a.create,
+                   "head": tbl.branches()[a.create], "metadata_version": v}
+        elif a.drop:
+            v = tbl.drop_branch(a.drop)
+            out = {"cmd": "branch", "dropped": a.drop, "metadata_version": v}
+        else:
+            out = {"cmd": "branch", "branches": tbl.branches(),
+                   "tags": tbl.tags()}
+    elif a.cmd == "publish":
+        tbl = LakehouseTable(a.table)
+        v = tbl.fast_forward(a.source, target=a.target)
+        out = {"cmd": "publish", "source": a.source, "target": a.target,
+               "head": tbl.branch_head(a.target), "metadata_version": v}
     elif a.cmd == "rollback":
         tbl = LakehouseTable(a.table)
         sid = (a.snapshot if a.snapshot is not None

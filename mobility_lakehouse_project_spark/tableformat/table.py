@@ -313,6 +313,115 @@ class LakehouseTable:
                 last = e
         raise last
 
+    # ---------------- branches (write-audit-publish) ----------------
+
+    def branches(self, meta: dict | None = None) -> dict[str, int]:
+        """name -> head snapshot_id (Iceberg branch refs). ``main`` is
+        implicit — its head is ``current_snapshot_id``."""
+        return dict((meta or self.load_metadata()).get("branches", {}))
+
+    def branch_head(self, name: str, meta: dict | None = None) -> int:
+        meta = meta or self.load_metadata()
+        if name == "main":
+            head = meta["current_snapshot_id"]
+            if head is None:
+                raise ValueError("main has no snapshot yet")
+            return head
+        br = meta.get("branches", {})
+        if name not in br:
+            raise ValueError(
+                f"no branch {name!r} (existing: {sorted(br) or 'none'})"
+            )
+        return br[name]
+
+    def create_branch(self, name: str, snapshot_id: int | None = None,
+                      retries: int = 3) -> int:
+        """Create a named branch at a snapshot (default: current).
+        Branches are mutable refs that ``append(..., branch=)`` can
+        advance independently of main — the write-audit-publish
+        staging area (Iceberg branch refs): ingest to an ``audit``
+        branch, run the quality gates against ``scan(ref='audit')``,
+        then :meth:`fast_forward` main. Branch heads are pinned
+        through snapshot expiry like tags."""
+        if name == "main":
+            raise ValueError("main is implicit; it cannot be re-created")
+        last: Exception | None = None
+        for _ in range(max(1, retries + 1)):
+            meta = self.load_metadata()
+            sid = (snapshot_id if snapshot_id is not None
+                   else meta["current_snapshot_id"])
+            if not any(s.snapshot_id == sid for s in self.snapshots_list(meta)):
+                raise ValueError(f"unknown snapshot {sid}")
+            if name in meta.get("tags", {}):
+                raise ValueError(f"{name!r} is already a tag")
+            br = dict(meta.get("branches", {}))
+            if name in br and br[name] != sid:
+                raise ValueError(f"branch {name!r} already at {br[name]}")
+            br[name] = sid
+            meta["branches"] = br
+            try:
+                return self._commit_metadata(meta)
+            except ConcurrentCommitError as e:
+                last = e
+        raise last
+
+    def drop_branch(self, name: str, retries: int = 3) -> int:
+        last: Exception | None = None
+        for _ in range(max(1, retries + 1)):
+            meta = self.load_metadata()
+            br = dict(meta.get("branches", {}))
+            if name not in br:
+                raise ValueError(f"no branch {name!r}")
+            del br[name]
+            meta["branches"] = br
+            try:
+                return self._commit_metadata(meta)
+            except ConcurrentCommitError as e:
+                last = e
+        raise last
+
+    def fast_forward(self, source: str, target: str = "main",
+                     retries: int = 3) -> int:
+        """Publish a branch: move ``target``'s head to ``source``'s
+        head, valid only when the move is a FAST-FORWARD (target's
+        current head is an ancestor of — or equal to — source's head,
+        walking snapshot parent ids). A target that advanced
+        divergently since the branch was cut raises ValueError: the
+        staged work must be re-based (re-run against current main),
+        never silently merged — exactly Iceberg's
+        fast_forward(branch) contract. The audit->main publish is a
+        metadata-only CAS commit: atomic, and concurrent publishes
+        serialize through the version swap."""
+        last: Exception | None = None
+        for _ in range(max(1, retries + 1)):
+            meta = self.load_metadata()
+            snaps = {s.snapshot_id: s for s in self.snapshots_list(meta)}
+            src_head = self.branch_head(source, meta)
+            tgt_head = (meta["current_snapshot_id"] if target == "main"
+                        else self.branch_head(target, meta))
+            if src_head == tgt_head:
+                return meta["_version"]  # already published
+            sid: int | None = src_head
+            while sid is not None and sid != tgt_head:
+                sid = snaps[sid].parent_id if sid in snaps else None
+            if sid != tgt_head:
+                raise ValueError(
+                    f"not a fast-forward: {target!r} head {tgt_head} is not "
+                    f"an ancestor of {source!r} head {src_head}; re-base the "
+                    "branch against the current target"
+                )
+            if target == "main":
+                meta["current_snapshot_id"] = src_head
+            else:
+                br = dict(meta.get("branches", {}))
+                br[target] = src_head
+                meta["branches"] = br
+            try:
+                return self._commit_metadata(meta)
+            except ConcurrentCommitError as e:
+                last = e
+        raise last
+
     def properties(self, meta: dict | None = None) -> dict:
         return dict((meta or self.load_metadata()).get("properties", {}))
 
@@ -658,22 +767,33 @@ class LakehouseTable:
         base_meta: dict,
         new_snapshot: Snapshot,
         expected_parent: int | None,
+        branch: str = "main",
     ) -> Snapshot:
-        """Atomic commit: validate parent, write v<N+1>, swap pointer."""
+        """Atomic commit: validate parent, write v<N+1>, swap pointer.
+        ``branch`` selects which ref the commit advances; the parent
+        validation runs against THAT ref's live head (a branch dropped
+        concurrently surfaces as a head mismatch)."""
         cur_v = self.current_version()
         if cur_v != base_meta["_version"]:
             raise ConcurrentCommitError(
                 f"table advanced v{base_meta['_version']} -> v{cur_v} during commit"
             )
         live = self.load_metadata(cur_v)
-        if live["current_snapshot_id"] != expected_parent:
+        live_head = (live["current_snapshot_id"] if branch == "main"
+                     else live.get("branches", {}).get(branch))
+        if live_head != expected_parent:
             raise ConcurrentCommitError(
-                f"expected parent snapshot {expected_parent}, "
-                f"found {live['current_snapshot_id']}"
+                f"expected parent snapshot {expected_parent} on {branch!r}, "
+                f"found {live_head}"
             )
         meta = {k: v for k, v in base_meta.items() if not k.startswith("_")}
         meta["snapshots"] = meta["snapshots"] + [new_snapshot.to_json()]
-        meta["current_snapshot_id"] = new_snapshot.snapshot_id
+        if branch == "main":
+            meta["current_snapshot_id"] = new_snapshot.snapshot_id
+        else:
+            br = dict(meta.get("branches", {}))
+            br[branch] = new_snapshot.snapshot_id
+            meta["branches"] = br
         meta["last_sequence"] = new_snapshot.sequence
         new_v = cur_v + 1
         # exclusive create = the CAS: a concurrent committer who also
@@ -685,7 +805,8 @@ class LakehouseTable:
 
     def commit_append(self, entries: list[dict], summary: dict | None = None,
                       retries: int = 3,
-                      expected_parent: "int | None | object" = UNPINNED) -> Snapshot:
+                      expected_parent: "int | None | object" = UNPINNED,
+                      branch: str = "main") -> Snapshot:
         """Append commit with optimistic-concurrency retry: the FILES of
         an append compose with any concurrent commit, so on
         ConcurrentCommitError the commit re-reads the advanced metadata
@@ -698,11 +819,17 @@ class LakehouseTable:
         commit data whose premise a concurrent commit just broke.
         ``expected_parent=None`` pins "no parent snapshot yet" (the
         bootstrap precondition); the default UNPINNED disables the
-        check."""
+        check. ``branch`` appends onto a named branch's head instead
+        of main — the write-audit-publish staging write (the branch
+        must exist; only appends support branches, rewrites stay
+        main-only)."""
         last: Exception | None = None
         for _ in range(max(1, retries + 1)):
             meta = self.load_metadata()
-            parent = meta["current_snapshot_id"]
+            if branch == "main":
+                parent = meta["current_snapshot_id"]
+            else:
+                parent = self.branch_head(branch, meta)  # ValueError if absent
             if expected_parent is not UNPINNED and parent != expected_parent:
                 # caller's check-then-commit premise (anti-join, batch-id
                 # scan) was computed against expected_parent — any commit
@@ -713,7 +840,9 @@ class LakehouseTable:
                 )
             snap_id, seq = self._next_ids(meta)
             manifest, parts = self._write_manifest(entries, snap_id)
-            prev = self.current_snapshot(meta)
+            prev = (self.current_snapshot(meta) if branch == "main"
+                    else next(s for s in self.snapshots_list(meta)
+                              if s.snapshot_id == parent))
             manifests = (prev.manifests if prev else []) + [manifest]
             mparts = dict(prev.manifest_parts if prev else {})
             mparts[manifest] = parts
@@ -727,7 +856,7 @@ class LakehouseTable:
                 list(prev.delete_manifests) if prev else [],
             )
             try:
-                return self._commit(meta, snap, parent)
+                return self._commit(meta, snap, parent, branch=branch)
             except ConcurrentCommitError as e:
                 last = e
                 # drop the attempt's manifest rather than leave litter
@@ -890,8 +1019,10 @@ class LakehouseTable:
         return self._commit(meta, snap, parent)
 
     def append(self, df: DataFrame, n_files: int | None = None,
-               sort_cols: list[str] | None = None) -> Snapshot:
-        return self.commit_append(self.write_data_files(df, n_files, sort_cols))
+               sort_cols: list[str] | None = None,
+               branch: str = "main") -> Snapshot:
+        return self.commit_append(
+            self.write_data_files(df, n_files, sort_cols), branch=branch)
 
     def overwrite_partitions(self, df: DataFrame, n_files: int | None = None) -> Snapshot:
         """Dynamic-partition-overwrite: the Spark-native form of the
@@ -1051,12 +1182,19 @@ class LakehouseTable:
         if ref is not None:
             if snapshot_id is not None:
                 raise ValueError("pass snapshot_id or ref, not both")
-            tags = self.tags()
-            if ref not in tags:
+            meta = self.load_metadata()
+            tags = self.tags(meta)
+            branches = self.branches(meta)
+            if ref in tags:
+                snapshot_id = tags[ref]
+            elif ref in branches:
+                snapshot_id = branches[ref]
+            else:
                 raise ValueError(
-                    f"no tag {ref!r} (existing tags: {sorted(tags) or 'none'})"
+                    f"no tag or branch {ref!r} (tags: "
+                    f"{sorted(tags) or 'none'}; branches: "
+                    f"{sorted(branches) or 'none'})"
                 )
-            snapshot_id = tags[ref]
         pruned = self.plan_files(spark, snapshot_id, partition_values, int_ranges)
         paths = [r["file_path"] for r in pruned.select("file_path").collect()]
         snap = (self.snapshot_by_id(snapshot_id) if snapshot_id is not None
@@ -1342,8 +1480,10 @@ class LakehouseTable:
         cur = self.current_snapshot(meta)
         if cur and cur.snapshot_id not in {s.snapshot_id for s in retained}:
             retained.append(cur)
-        # tagged snapshots are pinned: expiry never drops a tag target
-        tagged = set(self.tags(meta).values())
+        # tagged snapshots and branch heads are pinned: expiry never
+        # drops a ref target (Iceberg retains per-ref history; pinning
+        # the head is the minimal sound form)
+        tagged = set(self.tags(meta).values()) | set(self.branches(meta).values())
         kept_ids = {s.snapshot_id for s in retained}
         retained += [s for s in snaps
                      if s.snapshot_id in tagged and s.snapshot_id not in kept_ids]

@@ -1,0 +1,145 @@
+"""Branches + write-audit-publish (Iceberg branch refs).
+
+The reference promotes data bronze->silver->gold only after quality
+gates pass (dags/Silver_Transform_Dag.py:139-186 null/orphan checks);
+the lakehouse-native form is WAP: ingest to an ``audit`` branch, run
+the gates against ``scan(ref='audit')``, and fast-forward main — a
+metadata-only atomic publish. A failed audit drops the branch; main
+never saw the bad data.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mobility_lakehouse_project_spark import synth
+from mobility_lakehouse_project_spark.tableformat import LakehouseTable
+
+N = 400
+
+
+@pytest.fixture()
+def table(spark, tmp_table_dir):
+    df = synth.images_df(spark, N, partitions=2)
+    t = LakehouseTable.create(tmp_table_dir, df.schema, partition_col="bucket")
+    t.append(df, n_files=4)
+    return t
+
+
+def test_branch_append_isolated_until_fast_forward(spark, table):
+    t = table
+    main_head = t.current_snapshot().snapshot_id
+    t.create_branch("audit")
+    staged1 = synth.images_df(spark, 50, seed=7, id_offset=10_000)
+    staged2 = synth.images_df(spark, 30, seed=8, id_offset=20_000)
+    s1 = t.append(staged1, n_files=1, branch="audit")
+    s2 = t.append(staged2, n_files=1, branch="audit")
+    assert s2.parent_id == s1.snapshot_id and s1.parent_id == main_head
+    # main is untouched; the branch sees the staged rows
+    assert t.current_snapshot().snapshot_id == main_head
+    assert t.scan(spark).count() == N
+    assert t.scan(spark, ref="audit").count() == N + 80
+    assert t.branches()["audit"] == s2.snapshot_id
+
+    # publish: fast-forward main to the branch head
+    t.fast_forward("audit")
+    assert t.current_snapshot().snapshot_id == s2.snapshot_id
+    assert t.scan(spark).count() == N + 80
+    # idempotent re-publish is a no-op
+    t.fast_forward("audit")
+    assert t.current_snapshot().snapshot_id == s2.snapshot_id
+
+
+def test_fast_forward_rejects_divergent_target(spark, table):
+    t = table
+    t.create_branch("audit")
+    t.append(synth.images_df(spark, 20, seed=9, id_offset=30_000),
+             n_files=1, branch="audit")
+    # main advances divergently after the branch was cut
+    t.append(synth.images_df(spark, 10, seed=10, id_offset=40_000), n_files=1)
+    with pytest.raises(ValueError, match="not a fast-forward"):
+        t.fast_forward("audit")
+    # staged work is re-based by dropping and re-staging
+    t.drop_branch("audit")
+    assert "audit" not in t.branches()
+    assert t.scan(spark).count() == N + 10
+
+
+def test_wap_publish_gated(spark, table):
+    """The reference's quality-gate idiom, branch-shaped: a bad batch
+    fails the gate on the audit branch and never reaches main."""
+    t = table
+    t.create_branch("audit")
+    bad = synth.images_df(spark, 40, seed=11, id_offset=50_000).withColumn(
+        "caption", F.lit(None).cast("string")
+    )
+    t.append(bad, n_files=1, branch="audit")
+    null_captions = (
+        t.scan(spark, ref="audit").filter(F.col("caption").isNull()).count()
+    )
+    assert null_captions == 40  # gate FAILS
+    t.drop_branch("audit")
+    assert t.scan(spark).filter(F.col("caption").isNull()).count() == 0
+
+    # good batch passes the gate and publishes
+    t.create_branch("audit")
+    good = synth.images_df(spark, 40, seed=12, id_offset=60_000)
+    t.append(good, n_files=1, branch="audit")
+    assert t.scan(spark, ref="audit").filter(
+        F.col("caption").isNull()).count() == 0
+    t.fast_forward("audit")
+    t.drop_branch("audit")
+    assert t.scan(spark).count() == N + 40
+
+
+def test_branch_head_pinned_through_expiry(spark, table):
+    t = table
+    t.create_branch("audit")
+    s = t.append(synth.images_df(spark, 25, seed=13, id_offset=70_000),
+                 n_files=1, branch="audit")
+    # churn main so expiry has snapshots to drop
+    for i in range(3):
+        t.append(synth.images_df(spark, 5, seed=20 + i,
+                                 id_offset=80_000 + 100 * i), n_files=1)
+    t.expire_snapshots(keep_last=1)
+    # the branch head snapshot and its files survived
+    assert t.scan(spark, ref="audit").count() == N + 25
+    assert t.branches()["audit"] == s.snapshot_id
+
+
+def test_branch_append_composes_with_main_commits(spark, table):
+    """A branch append racing a main commit composes via the commit
+    retry (different refs — disjoint by construction)."""
+    t = table
+    t.create_branch("audit")
+    orig = t._commit
+    fired = {"done": False}
+
+    def racing(meta, snap, parent, branch="main"):
+        if not fired["done"] and branch != "main":
+            fired["done"] = True
+            t.append(synth.images_df(spark, 5, seed=30, id_offset=90_000),
+                     n_files=1)
+        return orig(meta, snap, parent, branch=branch)
+
+    t._commit = racing
+    t.append(synth.images_df(spark, 15, seed=31, id_offset=91_000),
+             n_files=1, branch="audit")
+    t._commit = orig
+    assert fired["done"]
+    assert t.scan(spark, ref="audit").count() == N + 15
+    assert t.scan(spark).count() == N + 5
+
+
+def test_branch_ref_errors(spark, table):
+    t = table
+    t.create_tag("v1")
+    with pytest.raises(ValueError, match="already a tag"):
+        t.create_branch("v1")
+    with pytest.raises(ValueError, match="main is implicit"):
+        t.create_branch("main")
+    with pytest.raises(ValueError, match="no tag or branch"):
+        t.scan(spark, ref="nope")
+    with pytest.raises(ValueError, match="no branch"):
+        t.drop_branch("nope")
+    with pytest.raises(ValueError, match="no branch"):
+        t.append(synth.images_df(spark, 5), n_files=1, branch="nope")

@@ -208,7 +208,7 @@ def test_optimistic_commit_retry(spark, tmp_table_dir, monkeypatch):
     racer_entries = t.write_data_files(synth.images_df(spark, 50, partitions=1,
                                                        id_offset=10_000))
 
-    def racing_commit(self, base_meta, new_snapshot, expected_parent):
+    def racing_commit(self, base_meta, new_snapshot, expected_parent, branch="main"):
         if not state["raced"]:
             state["raced"] = True
             # concurrent writer lands first (uses the real commit path)
@@ -216,7 +216,7 @@ def test_optimistic_commit_retry(spark, tmp_table_dir, monkeypatch):
                 self, self.load_metadata(),
                 *_mk_snap(self, racer_entries),
             )
-        return orig_commit(self, base_meta, new_snapshot, expected_parent)
+        return orig_commit(self, base_meta, new_snapshot, expected_parent, branch)
 
     def _mk_snap(tbl, entries):
         meta = tbl.load_metadata()
@@ -432,7 +432,7 @@ def test_tags_pin_snapshots_through_expiry(spark, small_table):
     # tag target retained: readable by ref, files intact
     assert t.scan(spark, ref="audit-v1").count() == 800
     assert t.scan(spark).count() == 950
-    with pytest.raises(ValueError, match="no tag 'nope'"):
+    with pytest.raises(ValueError, match="no tag or branch 'nope'"):
         t.scan(spark, ref="nope").count()
     with pytest.raises(ValueError):
         t.create_tag("audit-v1", t.current_snapshot().snapshot_id)  # repoint refused
@@ -451,7 +451,7 @@ def test_unknown_ref_and_empty_as_of_errors(spark, small_table, tmp_path):
     KeyError / min()-over-empty ValueError (ADVICE r3)."""
     import pytest
 
-    with pytest.raises(ValueError, match="no tag 'nope'"):
+    with pytest.raises(ValueError, match="no tag or branch 'nope'"):
         small_table.scan(spark, ref="nope")
     empty = LakehouseTable.create(
         str(tmp_path / "empty"), small_table.schema(), partition_col="bucket"
