@@ -1979,6 +1979,60 @@ ORACLE_SQL["mor_delete_scan"] = """
 """
 
 
+def cdc_changelog_scan(spark, sf_dir):
+    """CDC changelog, oracle-checked: two appends + a merge-on-read
+    DELETE on a scratch orders table, then the full changelog feed
+    aggregated per (change type, priority). The oracle is the pure-SQL
+    statement of the same history — inserts are ALL appended rows,
+    deletes exactly the 'F' rows — so a changelog that drops a commit,
+    re-emits an already-deleted row, or mis-attributes a change type
+    diverges. (Iceberg's create_changelog_view idiom; the reference
+    re-reads whole days instead, dags/Silver_Transform_Dag.py:188-207.)"""
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.delete import delete_where
+    from ..streaming.changelog import changelog_df
+    from ..tableformat import LakehouseTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    scratch = os.path.join(tempfile.gettempdir(), "mlps-scratch", "cdc-changelog")
+    shutil.rmtree(scratch, ignore_errors=True)
+    t = LakehouseTable.create(
+        scratch + "/orders", o.schema, partition_col="o_orderpriority"
+    )
+    t.append(o.filter(F.col("o_orderkey") % 2 == 0), n_files=4)
+    t.append(o.filter(F.col("o_orderkey") % 2 != 0), n_files=4)
+    delete_where(t, spark, "o_orderstatus = 'F'", mode="mor")
+    return (
+        changelog_df(t, spark)
+        .groupBy("_change_type", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("o_orderkey").alias("sum_key"),
+        )
+        .orderBy("_change_type", "o_orderpriority")
+    )
+
+
+ORACLE_SQL["cdc_changelog_scan"] = """
+        SELECT * FROM (
+            SELECT 'insert' AS _change_type, o_orderpriority,
+                   COUNT(*) AS n_rows,
+                   CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+            FROM orders GROUP BY o_orderpriority
+            UNION ALL
+            SELECT 'delete' AS _change_type, o_orderpriority,
+                   COUNT(*) AS n_rows,
+                   CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+            FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderpriority
+        ) ORDER BY _change_type, o_orderpriority
+"""
+
+
 QUERIES = {
     "a_rollup_cube": a_rollup_cube,
     "a_pivot_status": a_pivot_status,
@@ -2036,4 +2090,5 @@ QUERIES = {
     "ann_batch_clustered": ann_batch_clustered,
     "emb_label_profile": emb_label_profile,
     "mor_delete_scan": mor_delete_scan,
+    "cdc_changelog_scan": cdc_changelog_scan,
 }

@@ -1,0 +1,170 @@
+"""CDC changelog scan — row-level changes between two snapshots.
+
+Iceberg's changelog reads (`create_changelog_view` /
+`spark.read.format("iceberg").option("start-snapshot-id", ...)`)
+re-expressed on this table format: walk the snapshot log between two
+snapshots and emit each commit's row-level changes tagged with
+``_change_type`` ('insert' | 'delete') and ``_snapshot_id``. The
+reference has no CDC surface at all — downstream layers re-read whole
+days (dags/Silver_Transform_Dag.py:188-207); a changelog feed is what
+lets a 10^12-image silver layer consume bronze incrementally instead.
+
+Commit classification (mirrors Iceberg's changelog contract, which
+likewise refuses snapshots it cannot attribute row-level):
+
+* ``append`` (ingest, streaming batches, insert-only MERGE) — inserts:
+  exactly the rows of the files the snapshot added (distributed scan
+  of `added_snapshot_id == snapshot` files; no diffing).
+* merge-on-read DELETE — deletes: the snapshot's NEW position-delete
+  files joined back to the rows they reference ((file, pos) semi-join;
+  prior manifests never re-list a pair, so this is exactly the newly
+  deleted row set).
+* compaction / clustering / manifest rewrite / position-delete rewrite
+  / snapshot expiry — no logical change, emitted as nothing.
+* copy-on-write content rewrites (CoW DELETE/UPDATE, MERGE upsert,
+  partition overwrite, CTAS replace) — cannot be attributed row-level
+  from file metadata alone; raises ChangelogUnsupportedError naming
+  the snapshot (callers either scope the range around it or use MOR
+  deletes, whose changelog is exact).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tableformat import LakehouseTable
+
+
+class ChangelogUnsupportedError(ValueError):
+    """The range contains a content rewrite that file metadata cannot
+    attribute row-level."""
+
+
+_NOOP_OPS = {"rewrite-manifests", "rewrite-deletes", "expire-snapshots"}
+
+
+def _classify(snap) -> str:
+    if snap.operation == "append":
+        return "insert"
+    if snap.operation in _NOOP_OPS:
+        return "skip"
+    summ_op = str(snap.summary.get("op", ""))
+    if snap.operation == "replace" and (
+        summ_op == "compact" or summ_op.startswith("cluster-")
+    ):
+        return "skip"
+    if snap.operation == "delete" and summ_op == "mor-delete":
+        return "mor-delete"
+    return "unsupported"
+
+
+def changelog_df(
+    table: LakehouseTable,
+    spark: SparkSession,
+    from_snapshot_id: int | None = None,
+    to_snapshot_id: int | None = None,
+) -> DataFrame:
+    """Row-level changes AFTER ``from_snapshot_id`` (exclusive; None =
+    from the beginning) up to ``to_snapshot_id`` (inclusive; None =
+    current). Returns the table's columns plus ``_change_type`` and
+    ``_snapshot_id``, ordered within each commit as stored. The range
+    must lie within retained history (expired snapshots have no files
+    to read — same constraint as Iceberg's changelog)."""
+    snaps = sorted(table.snapshots_list(), key=lambda s: s.sequence)
+    by_id = {s.snapshot_id: s for s in snaps}
+    if from_snapshot_id is not None and from_snapshot_id not in by_id:
+        raise ValueError(f"unknown from_snapshot {from_snapshot_id}")
+    cur = table.current_snapshot()
+    if to_snapshot_id is None:
+        to_snapshot_id = cur.snapshot_id if cur else None
+    if to_snapshot_id is not None and to_snapshot_id not in by_id:
+        raise ValueError(f"unknown to_snapshot {to_snapshot_id}")
+    lo = by_id[from_snapshot_id].sequence if from_snapshot_id is not None else -1
+    hi = by_id[to_snapshot_id].sequence if to_snapshot_id is not None else -1
+
+    data_cols = [f.name for f in table.schema().fields]
+    pieces: list[DataFrame] = []
+    for snap in snaps:
+        if not (lo < snap.sequence <= hi):
+            continue
+        kind = _classify(snap)
+        if kind == "skip":
+            continue
+        if kind == "unsupported":
+            raise ChangelogUnsupportedError(
+                f"snapshot {snap.snapshot_id} ({snap.operation}"
+                f"/{snap.summary.get('op')}) is a content rewrite; its "
+                "row-level changes cannot be derived from file metadata "
+                "— scope the changelog range around it, or use "
+                "merge-on-read deletes"
+            )
+        if kind == "insert":
+            added = [
+                r["file_path"]
+                for r in table.files(spark, snap.snapshot_id)
+                .filter(F.col("added_snapshot_id") == snap.snapshot_id)
+                .select("file_path").collect()
+            ]
+            if not added:
+                continue
+            # freshly appended files can carry no delete entries at
+            # their own snapshot — skip the MOR join outright
+            rows = table.scan_files(spark, added, apply_deletes=False)
+            pieces.append(rows.select(
+                *data_cols,
+                F.lit("insert").alias("_change_type"),
+                F.lit(snap.snapshot_id).alias("_snapshot_id"),
+            ))
+        else:  # mor-delete
+            parent = by_id.get(snap.parent_id)
+            parent_dm = set(parent.delete_manifests) if parent else set()
+            new_dm = [m for m in snap.delete_manifests if m not in parent_dm]
+            entries = []
+            for m in new_dm:
+                entries.extend(table.read_manifest_entries(m))
+            if not entries:
+                continue
+            import os as _os
+
+            dd = spark.read.schema("file_path string, pos long").parquet(
+                *[_os.path.join(table._local_root, e["file_path"])
+                  for e in entries]
+            )
+            ref_files = sorted(
+                r["file_path"] for r in dd.select("file_path").distinct().collect()
+            )
+            # the deleted rows themselves: (file, pos) semi-join against
+            # the referenced data files. A pair appears in exactly one
+            # delete manifest (MOR planning scans with prior deletes
+            # applied), so no already-deleted row is re-emitted.
+            rows = table.scan_files(spark, ref_files, with_pos=True,
+                                    apply_deletes=False)
+            dd2 = dd.select(F.col("file_path").alias("__cf"),
+                            F.col("pos").alias("__cp"))
+            if sum(e["record_count"] for e in entries) \
+                    <= LakehouseTable.MOR_BROADCAST_ROWS:
+                dd2 = F.broadcast(dd2)
+            deleted = rows.join(
+                dd2,
+                (rows["_file"] == dd2["__cf"]) & (rows["_pos"] == dd2["__cp"]),
+                "left_semi",
+            )
+            pieces.append(deleted.select(
+                *data_cols,
+                F.lit("delete").alias("_change_type"),
+                F.lit(snap.snapshot_id).alias("_snapshot_id"),
+            ))
+    if not pieces:
+        import pyspark.sql.types as T
+
+        schema = T.StructType(
+            list(table.schema().fields)
+            + [T.StructField("_change_type", T.StringType()),
+               T.StructField("_snapshot_id", T.LongType())]
+        )
+        return spark.createDataFrame([], schema)
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
