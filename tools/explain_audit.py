@@ -33,6 +33,8 @@ AUDIT = [
     "emb_label_profile",     # expect per-row pre-sum: one HashAggregate pair, NO Generate/explode
     "ann_batch_join",        # expect bucket EQUI-join (broadcast), Window rank, NO Python, NO cartesian
     "ann_batch_clustered",   # persisted twin: pruned scan + bucket equi-join, NO Python
+    "mor_delete_scan",       # expect broadcast LEFT-ANTI delete join; data side never shuffles
+    "cdc_changelog_scan",    # expect changelog union + broadcast semi for delete rows, NO Python
 ]
 
 CHECKS = {
@@ -52,13 +54,18 @@ CHECKS = {
     "emb_label_profile": ["HashAggregate"],
     "ann_batch_join": ["BroadcastHashJoin", "Window"],
     "ann_batch_clustered": ["BroadcastHashJoin", "Window"],
+    # LeftAnti over a BROADCAST of the delete set: the data side (the
+    # blob-carrying scan) must not shuffle to apply MOR deletes, and
+    # the aggregation pushes filters/pruning through the join
+    "mor_delete_scan": ["BroadcastHashJoin", "LeftAnti", "HashAggregate"],
+    "cdc_changelog_scan": ["BroadcastHashJoin", "LeftSemi", "HashAggregate"],
 }
 
 # plans that must contain NO row-at-a-time or Arrow Python evaluation
 NO_PYTHON = {"dedup_simhash", "ann_lsh_bucketed", "dedup_embed_cosine",
              "txt_quality_score", "ann_cosine_topk", "ann_ivf_probe",
              "ann_lsh_clustered", "emb_label_profile", "ann_batch_join",
-             "ann_batch_clustered"}
+             "ann_batch_clustered", "mor_delete_scan", "cdc_changelog_scan"}
 
 # plans that must NOT explode arrays into the shuffle (per-row pre-sum)
 NO_GENERATE = {"emb_label_profile"}
