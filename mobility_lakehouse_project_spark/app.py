@@ -74,6 +74,9 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--when-not-matched", choices=["insert", "none"], default="insert")
     sp.add_argument("--update-cols", default=None)
     sp.add_argument("--target-mb", type=float, default=64)
+    sp.add_argument("--mode", choices=["cow", "mor"], default="cow",
+                    help="mor = position-delete matched rows + append "
+                         "new versions; no touched-file rewrite")
 
     sp = sub.add_parser("expire")
     t(sp)
@@ -125,6 +128,7 @@ def main(argv: list[str] | None = None) -> int:
                     help="col=sql_expr[,col=sql_expr...]")
     sp.add_argument("--range", default=None, help="col:lo:hi pruning hint")
     sp.add_argument("--target-mb", type=float, default=64)
+    sp.add_argument("--mode", choices=["cow", "mor"], default="cow")
 
     sp = sub.add_parser("branch", help="create/drop/list branch refs")
     t(sp)
@@ -190,7 +194,8 @@ def main(argv: list[str] | None = None) -> int:
             target_file_size=_mb(a.target_mb),
             when_matched=None if a.when_matched == "none" else a.when_matched,
             update_cols=a.update_cols.split(",") if a.update_cols else None,
-            when_not_matched=None if a.when_not_matched == "none" else a.when_not_matched)}
+            when_not_matched=None if a.when_not_matched == "none" else a.when_not_matched,
+            mode=a.mode)}
     elif a.cmd == "expire":
         out = {"cmd": "expire", **LakehouseTable(a.table).expire_snapshots(keep_last=a.keep)}
     elif a.cmd == "remove-orphans":
@@ -267,7 +272,7 @@ def main(argv: list[str] | None = None) -> int:
         assigns = dict(kv.split("=", 1) for kv in parts if kv.strip())
         out = {"cmd": "update", **delete_op.update_where(
             LakehouseTable(a.table), spark, a.where, assigns, int_ranges=rng,
-            target_file_size=_mb(a.target_mb))}
+            target_file_size=_mb(a.target_mb), mode=a.mode)}
     elif a.cmd == "branch":
         tbl = LakehouseTable(a.table)
         if a.create:

@@ -480,6 +480,7 @@ def update_where(
     target_file_size: int = 64 * 1024 * 1024,
     op_id: str | None = None,
     chunk_files: int = DEFAULT_CHUNK_FILES,
+    mode: str = "cow",
 ) -> dict:
     """UPDATE table SET col = expr, ... WHERE ``predicate`` — the same
     stats-pruned copy-on-write plan as DELETE: only files holding a
@@ -490,7 +491,15 @@ def update_where(
     affected set covers both the old and new partitions). Assignments
     apply only to predicate-TRUE rows (NULL keeps the original row,
     ANSI UPDATE semantics). ``chunk_files`` bounds driver-side path
-    materialization exactly as in :func:`delete_where`."""
+    materialization exactly as in :func:`delete_where`.
+
+    ``mode="mor"`` updates merge-on-read: matched rows' positions
+    become position-delete files and the updated row versions are
+    APPENDED in the same snapshot — untouched rows of touched files
+    are never rewritten (the write is O(matched rows), the MOR upsert
+    shape). Matched rows ARE read (assignments transform the old
+    row), so the read-side saving over CoW is the row filter, and the
+    write-side saving is total."""
     cond = F.expr(predicate) if isinstance(predicate, str) else predicate
     data_cols = [f.name for f in table.schema().fields]
     bad = [c for c in assignments if c not in data_cols]
@@ -500,5 +509,105 @@ def update_where(
         c: (F.expr(e) if isinstance(e, str) else e)
         for c, e in assignments.items()
     }
+    if mode == "mor":
+        return _mor_update(table, spark, cond, upd, int_ranges,
+                           target_file_size, op_id, chunk_files,
+                           str(predicate))
+    if mode != "cow":
+        raise ValueError(f"unknown update mode {mode!r} (cow|mor)")
     return _rowlevel_op(table, spark, cond, "update", upd, int_ranges,
                         target_file_size, op_id, chunk_files, str(predicate))
+
+
+def _mor_update(table, spark, cond, upd, int_ranges, target_file_size,
+                op_id, chunk_files, predicate_repr) -> dict:
+    """Merge-on-read UPDATE: per partition chunk, matched rows (read
+    once, blobs included — the assignments need the old row) become
+    (a) position-delete entries for their old locations and (b) an
+    appended file of their updated versions, committed atomically via
+    ``commit_delete_files(data_entries=)`` pinned to the plan
+    snapshot. Re-running after a kill is NOT idempotent the way CoW
+    UPDATE is (an idempotent assignment applied to an already-updated
+    row re-matches and rewrites it again — same rows, new versions),
+    but every intermediate state is consistent."""
+    t0 = time.time()
+    cur = table.current_snapshot()
+    if cur is None or not cur.manifests:
+        return {"delete_files_written": 0, "files_written": 0,
+                "rows_updated": 0,
+                "wall_ms": int((time.time() - t0) * 1000), "snapshot": None}
+    data_cols = [f.name for f in table.schema().fields]
+    chunks, n_cand = _partition_chunks(table, spark, int_ranges, chunk_files)
+    log = LineageLog(table.location)
+    metrics = {"delete_files_written": 0, "files_written": 0,
+               "rows_updated": 0, "candidate_files": n_cand,
+               "chunks": len(chunks), "snapshot": cur.snapshot_id}
+    for ci, part_ids in enumerate(chunks):
+        tc = time.time()
+        cur = table.current_snapshot()
+        cand_paths = sorted(
+            r["file_path"]
+            for r in table.plan_files(
+                spark, partition_values=set(part_ids), int_ranges=int_ranges
+            ).select("file_path").collect()
+        )
+        if not cand_paths:
+            continue
+        matched = (
+            table.scan_files(spark, cand_paths, with_pos=True)
+            .filter(cond)
+            .persist()
+        )
+        per_file = matched.groupBy("_file").count().collect()
+        n_matched = sum(r["count"] for r in per_file)
+        if not n_matched:
+            matched.unpersist()
+            continue
+        unresolved = {r["_file"] for r in per_file} - set(cand_paths)
+        if unresolved:
+            matched.unpersist()
+            raise RuntimeError(
+                "MOR update: scan file identities did not resolve to "
+                f"planned paths; unresolved={sorted(unresolved)[:5]}"
+            )
+        delete_entries = table.write_position_delete_files(
+            matched.select(F.col("_file").alias("file_path"),
+                           F.col("_pos").alias("pos")),
+            max(1, round(n_matched / ROWS_PER_DELETE_FILE)),
+        )
+        updated = matched.select(
+            *[(upd[c].alias(c) if c in upd else F.col(c)) for c in data_cols]
+        )
+        # size by the matched fraction of the candidate bytes (one
+        # metadata aggregation)
+        stats = table.plan_files(
+            spark, partition_values=set(part_ids), int_ranges=int_ranges
+        ).agg(F.sum("record_count").alias("r"),
+              F.sum("file_size_bytes").alias("b")).collect()[0]
+        frac = n_matched / max(int(stats["r"] or 1), 1)
+        n_out = max(1, round(int(stats["b"] or 0) * frac / target_file_size))
+        data_entries = table.write_data_files(
+            updated, n_files=n_out,
+            n_partitions_hint=len(part_ids) or 1,
+        )
+        matched.unpersist()
+        snap = table.commit_delete_files(
+            delete_entries, data_entries=data_entries,
+            operation="overwrite", op_name="mor-update",
+            summary={"predicate": predicate_repr,
+                     "set": ",".join(sorted(upd)),
+                     "chunk": f"{ci + 1}/{len(chunks)}"},
+            expected_parent=cur.snapshot_id,
+        )
+        log.record(
+            op_id or f"mor-update-{snap.snapshot_id}", f"chunk-{ci}",
+            sorted(part_ids), len(per_file), len(data_entries), n_matched,
+            sum(e["file_size_bytes"] for e in data_entries),
+            int((time.time() - tc) * 1000), snap.snapshot_id,
+        )
+        metrics["delete_files_written"] += len(delete_entries)
+        metrics["files_written"] += len(data_entries)
+        metrics["rows_updated"] += n_matched
+        metrics["snapshot"] = snap.snapshot_id
+    metrics["wall_ms"] = int((time.time() - t0) * 1000)
+    return metrics

@@ -85,18 +85,43 @@ def merge_into(
     update_cols: list[str] | None = None,
     when_not_matched: str | None = "insert",
     extra_summary: dict | None = None,
+    mode: str = "cow",
 ) -> dict:
     """MERGE INTO table USING source ON keys.
 
     ``when_matched``: "update" (all columns, or just ``update_cols``),
     "delete", or None (matched rows untouched). ``when_not_matched``:
-    "insert" or None. Defaults reproduce the classic full upsert."""
+    "insert" or None. Defaults reproduce the classic full upsert.
+
+    ``mode``:
+
+    * ``"cow"`` (default) — copy-on-write: files holding matched rows
+      are rewritten. Best read performance.
+    * ``"mor"`` — merge-on-read upsert (Iceberg v2): matched rows'
+      positions become position-delete files and the new row versions
+      are APPENDED — the touched files' blobs are never read or
+      rewritten. On a 10^12-image table a small upsert costs
+      O(source) instead of O(touched files): the key scan is
+      column-pruned, the delete files are tiny, and the only data
+      write is the source itself. Requires full-row updates
+      (``update_cols=None``) — a column-subset MOR update would need
+      the old row read back, which is what CoW already does better.
+      Read cost until :func:`~.delete.rewrite_position_deletes` runs:
+      one broadcast anti-join per scan.
+    """
     if when_matched not in ("update", "delete", None):
         raise ValueError(f"when_matched={when_matched!r}")
     if when_not_matched not in ("insert", None):
         raise ValueError(f"when_not_matched={when_not_matched!r}")
     if when_matched is None and when_not_matched is None:
         raise ValueError("no-op MERGE: both clauses are None")
+    if mode not in ("cow", "mor"):
+        raise ValueError(f"unknown merge mode {mode!r} (cow|mor)")
+    if mode == "mor" and update_cols:
+        raise ValueError(
+            "mode='mor' supports full-row updates only (update_cols=None); "
+            "column-subset updates need the old row read back — use cow"
+        )
     t0 = time.time()
     keys = [key] if isinstance(key, str) else list(key)
     meta = table.load_metadata()
@@ -170,6 +195,11 @@ def merge_into(
                 "rows_out": sum(e["record_count"] for e in entries),
                 "wall_ms": int((time.time() - t0) * 1000),
                 "snapshot": snap.snapshot_id}
+
+    if mode == "mor":
+        return _merge_mor(table, spark, src, src_keys, n_src, keys,
+                          when_matched, when_not_matched, target_file_size,
+                          cur, op_id, extra_summary, t0)
 
     # ---- 1. touched files: keys+filename scan (bytes pruned away) ----
     # ONE pass over the target's keys serves BOTH planning questions:
@@ -305,6 +335,115 @@ def merge_into(
         "files_rewritten": len(touched_entries),
         "files_written": len(new_entries),
         "rows_out": sum(e["record_count"] for e in new_entries),
+        "wall_ms": wall_ms,
+        "snapshot": snap.snapshot_id,
+    }
+
+
+def _merge_mor(table, spark, src, src_keys, n_src, keys, when_matched,
+               when_not_matched, target_file_size, cur, op_id,
+               extra_summary, t0) -> dict:
+    """Merge-on-read MERGE: ONE column-pruned scan of (keys, _file,
+    _pos) classifies matched target rows into position-delete files;
+    the new row versions (full source rows) are appended. Both land in
+    a single atomic snapshot via ``commit_delete_files(data_entries=)``
+    pinned to the plan snapshot. The touched files' blobs are never
+    read — the cost is O(source + target keys), not O(touched files):
+    the scale shape for frequent small upserts on blob tables."""
+    from .delete import ROWS_PER_DELETE_FILE
+
+    target_keys = table.scan(spark, columns=None, with_pos=True).select(
+        *[F.col(k) for k in keys], F.col("_file"), F.col("_pos")
+    )
+    matched = target_keys.join(src_keys, keys, "inner").persist()
+    n_matched = matched.count()  # target keys unique => matched rows
+
+    delete_entries: list[dict] = []
+    if n_matched and when_matched in ("update", "delete"):
+        # resolution assertion, bounded by the touched-file count
+        touched = {r["_file"]
+                   for r in matched.select("_file").distinct().collect()}
+        tdf = spark.createDataFrame(
+            [(p,) for p in sorted(touched)], "file_path string")
+        resolved = (
+            table.files(spark)
+            .join(F.broadcast(tdf), "file_path", "left_semi").count()
+        )
+        if resolved != len(touched):
+            raise RuntimeError(
+                "MOR MERGE planning: scan file identities did not all "
+                "resolve to manifest entries"
+            )
+        delete_entries = table.write_position_delete_files(
+            matched.select(F.col("_file").alias("file_path"),
+                           F.col("_pos").alias("pos")),
+            max(1, round(n_matched / ROWS_PER_DELETE_FILE)),
+        )
+
+    if when_not_matched == "insert":
+        if when_matched == "update":
+            out_rows, n_out = src, n_src  # replacements + inserts
+        else:  # matched rows deleted; insert the rest
+            out_rows = src.join(matched.select(*keys), keys, "left_anti")
+            n_out = n_src - n_matched
+    else:
+        if when_matched == "update":
+            out_rows = src.join(matched.select(*keys), keys, "left_semi")
+            n_out = n_matched
+        else:
+            out_rows, n_out = None, 0
+
+    entries: list[dict] = []
+    if out_rows is not None and n_out:
+        stats = table.files(spark).agg(
+            F.sum("file_size_bytes").alias("b"),
+            F.sum("record_count").alias("r"),
+        ).collect()[0]
+        avg_row = (stats["b"] or 1) / max(stats["r"] or 1, 1)
+        entries = table.write_data_files(
+            out_rows,
+            n_files=max(1, round(n_out * avg_row / target_file_size)),
+            sort_cols=keys, salt_col=keys[0],
+        )
+    matched.unpersist()
+    src_keys.unpersist()
+    if not delete_entries and not entries:
+        return {"files_rewritten": 0, "files_written": 0, "rows_out": 0,
+                "delete_files_written": 0, "rows_deleted_positions": 0,
+                "wall_ms": int((time.time() - t0) * 1000),
+                "snapshot": cur.snapshot_id}
+    summary = {"key": ",".join(keys), "when_matched": str(when_matched),
+               "when_not_matched": str(when_not_matched),
+               **(extra_summary or {})}
+    if delete_entries:
+        snap = table.commit_delete_files(
+            delete_entries, data_entries=entries, operation="merge-mor",
+            op_name="merge-mor", summary=summary,
+            expected_parent=cur.snapshot_id,
+        )
+    else:
+        # nothing matched: a pure insert — same pinned append the
+        # insert-only fast path uses (premise re-validated on replan)
+        snap = table.commit_append(
+            entries, summary={"op": "merge-mor", **summary},
+            retries=0, expected_parent=cur.snapshot_id,
+        )
+    wall_ms = int((time.time() - t0) * 1000)
+    LineageLog(table.location).record(
+        op_id or f"merge-mor-{snap.snapshot_id}", "all",
+        sorted({e["partition_id"] for e in entries}),
+        0, len(entries),
+        sum(e["record_count"] for e in entries),
+        sum(e["file_size_bytes"] for e in entries),
+        wall_ms, snap.snapshot_id,
+    )
+    return {
+        "files_rewritten": 0,
+        "files_written": len(entries),
+        "rows_out": sum(e["record_count"] for e in entries),
+        "delete_files_written": len(delete_entries),
+        "rows_deleted_positions": n_matched
+        if when_matched in ("update", "delete") else 0,
         "wall_ms": wall_ms,
         "snapshot": snap.snapshot_id,
     }

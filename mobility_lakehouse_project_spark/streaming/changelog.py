@@ -56,6 +56,11 @@ def _classify(snap) -> str:
         return "skip"
     if snap.operation == "delete" and summ_op == "mor-delete":
         return "mor-delete"
+    # MOR upserts (MERGE mode='mor', UPDATE mode='mor') are exactly
+    # attributable: position-delete files name the old row versions,
+    # added files carry the new ones
+    if summ_op in ("merge-mor", "mor-update"):
+        return "mor-upsert"
     return "unsupported"
 
 
@@ -99,24 +104,23 @@ def changelog_df(
                 "— scope the changelog range around it, or use "
                 "merge-on-read deletes"
             )
-        if kind == "insert":
+        if kind in ("insert", "mor-upsert"):
             added = [
                 r["file_path"]
                 for r in table.files(spark, snap.snapshot_id)
                 .filter(F.col("added_snapshot_id") == snap.snapshot_id)
                 .select("file_path").collect()
             ]
-            if not added:
-                continue
-            # freshly appended files can carry no delete entries at
-            # their own snapshot — skip the MOR join outright
-            rows = table.scan_files(spark, added, apply_deletes=False)
-            pieces.append(rows.select(
-                *data_cols,
-                F.lit("insert").alias("_change_type"),
-                F.lit(snap.snapshot_id).alias("_snapshot_id"),
-            ))
-        else:  # mor-delete
+            if added:
+                # freshly appended files can carry no delete entries at
+                # their own snapshot — skip the MOR join outright
+                rows = table.scan_files(spark, added, apply_deletes=False)
+                pieces.append(rows.select(
+                    *data_cols,
+                    F.lit("insert").alias("_change_type"),
+                    F.lit(snap.snapshot_id).alias("_snapshot_id"),
+                ))
+        if kind in ("mor-delete", "mor-upsert"):
             parent = by_id.get(snap.parent_id)
             parent_dm = set(parent.delete_manifests) if parent else set()
             new_dm = [m for m in snap.delete_manifests if m not in parent_dm]

@@ -1352,11 +1352,17 @@ class LakehouseTable:
         delete_entries: list[dict],
         summary: dict | None = None,
         expected_parent: "int | None | object" = UNPINNED,
+        data_entries: list[dict] | None = None,
+        operation: str = "delete",
+        op_name: str = "mor-delete",
     ) -> Snapshot:
         """Commit position-delete files as a merge-on-read DELETE
         snapshot: data manifests carry over untouched (no rewrite —
         that is the point of MOR), and the new delete manifest appends
-        to the snapshot's delete set. No retry composition: row
+        to the snapshot's delete set. ``data_entries`` additionally
+        appends new data files in the SAME atomic snapshot — the MOR
+        upsert shape (MERGE/UPDATE = position-delete the old row
+        versions + append the new ones). No retry composition: row
         POSITIONS are content-addressed against the plan snapshot's
         files, so any concurrent commit (a compaction moves rows to
         new files) invalidates them — callers pin ``expected_parent``
@@ -1373,14 +1379,24 @@ class LakehouseTable:
             raise ValueError("cannot position-delete from an empty table")
         snap_id, seq = self._next_ids(meta)
         dm, _ = self._write_manifest(delete_entries, snap_id)
+        manifests = list(prev.manifests)
+        mparts = dict(prev.manifest_parts)
+        added = list(data_entries or [])
+        if added:
+            m, parts = self._write_manifest(added, snap_id)
+            manifests.append(m)
+            mparts[m] = parts
         snap = Snapshot(
-            snap_id, parent, seq, int(time.time() * 1000), "delete",
-            list(prev.manifests),
-            {"op": "mor-delete",
+            snap_id, parent, seq, int(time.time() * 1000), operation,
+            manifests,
+            {"op": op_name,
              "added-delete-files": len(delete_entries),
              "deleted-records": sum(e["record_count"] for e in delete_entries),
+             **({"added-files": len(added),
+                 "added-records": sum(e["record_count"] for e in added)}
+                if added else {}),
              **(summary or {})},
-            dict(prev.manifest_parts),
+            mparts,
             list(prev.delete_manifests) + [dm],
         )
         return self._commit(meta, snap, parent)
