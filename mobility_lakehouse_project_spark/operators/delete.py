@@ -358,15 +358,18 @@ def rewrite_position_deletes(
     op_id: str | None = None,
     chunk_files: int = DEFAULT_CHUNK_FILES,
 ) -> dict:
-    """Fold pending position deletes into the data (Iceberg's
+    """Fold ALL pending merge-on-read deletes into the data (Iceberg's
     rewrite_position_deletes + the data-file side of its
-    rewrite_data_files delete-compaction): every data file referenced
-    by a delete entry is rewritten WITHOUT its deleted rows (the MOR
-    scan applies them for free), chunk by partition chunk with pinned
-    commits; once no delete entry references a live data file, a final
-    metadata-only commit drops the delete manifests. The now-
-    unreferenced delete files are GC'd by expire_snapshots /
-    remove_orphan_files like any other unreachable file.
+    rewrite_data_files delete-compaction): every data file a delete
+    still affects — referenced by a position-delete entry, or holding
+    a live row an equality delete matches (found by a chunked
+    key-column probe over earlier-sequenced files) — is rewritten
+    WITHOUT its deleted rows (the MOR scan applies them for free),
+    chunk by partition chunk with pinned commits; once no delete can
+    affect a live row, a final metadata-only commit drops the delete
+    manifests. The now-unreferenced delete files are GC'd by
+    expire_snapshots / remove_orphan_files like any other unreachable
+    file.
 
     Scans between commits stay correct throughout: rewritten files'
     delete entries become no-ops (their data file is gone), untouched
@@ -378,15 +381,63 @@ def rewrite_position_deletes(
                 "cleared": False, "wall_ms": int((time.time() - t0) * 1000),
                 "snapshot": cur.snapshot_id if cur else None}
     ddf, n_del = table.position_deletes_df(spark)
+    eq_infos = table.equality_deletes_info()
     log = LineageLog(table.location)
     metrics = {"files_rewritten": 0, "files_written": 0,
-               "deletes_pending": n_del, "snapshot": cur.snapshot_id}
-    chunks: list[list[str]] = []
+               "deletes_pending": n_del,
+               "eq_delete_keys_pending": sum(i[3] for i in eq_infos),
+               "snapshot": cur.snapshot_id}
+
+    # candidate files per delete kind: position = exactly the
+    # referenced files; equality = every file sequenced BEFORE the
+    # delete (superset — the per-chunk key probe refines it). Both
+    # derived from the files() metadata DataFrame; paths materialize
+    # only per chunk.
+    import os as _os
+
+    cand_df = None
     if ddf is not None:
-        touched_parts = (
+        cand_df = (
             table.files(spark)
             .join(ddf.select("file_path").distinct(), "file_path", "left_semi")
-            .groupBy("partition_id")
+            .select("file_path", "partition_id")
+        )
+    eq_groups: dict[tuple, dict] = {}
+    if eq_infos:
+        snap_seqs = table._snapshot_seqs()
+        seq_map_df = spark.createDataFrame(
+            list(snap_seqs.items()) or [(0, 0)],
+            "added_snapshot_id long, __fseq long",
+        )
+        files_seq = (
+            table.files(spark)
+            .join(F.broadcast(seq_map_df), "added_snapshot_id", "left")
+            .withColumn("__fseq", F.coalesce(F.col("__fseq"), F.lit(0)))
+        )
+        # one probe per key-column set: union that set's delete files
+        # with their per-manifest apply sequence
+        for paths, cols, eq_seq, _n in eq_infos:
+            g = eq_groups.setdefault(tuple(cols), {"max_seq": 0, "dfs": []})
+            g["max_seq"] = max(g["max_seq"], eq_seq)
+            schema = table.schema()
+            edf = spark.read.schema(
+                T.StructType([schema[c] for c in cols])
+            ).parquet(*[_os.path.join(table._local_root, p) for p in paths])
+            g["dfs"].append(edf.withColumn("__eq_seq", F.lit(eq_seq)))
+        for cols_t, g in eq_groups.items():
+            u = g["dfs"][0]
+            for d in g["dfs"][1:]:
+                u = u.unionByName(d)
+            g["keys"] = u
+            eq_cand = (files_seq.filter(F.col("__fseq") < F.lit(g["max_seq"]))
+                       .select("file_path", "partition_id"))
+            cand_df = eq_cand if cand_df is None else \
+                cand_df.unionByName(eq_cand).distinct()
+
+    chunks: list[list[str]] = []
+    if cand_df is not None:
+        touched_parts = (
+            cand_df.groupBy("partition_id")
             .agg(F.count("*").alias("n_files"))
             .collect()
         )
@@ -401,18 +452,62 @@ def rewrite_position_deletes(
         if cur_chunk:
             chunks.append(cur_chunk)
     metrics["chunks"] = len(chunks)
+
+    def _eq_touched_in(paths: list[str], seqs: dict[str, int]) -> set[str]:
+        """Files among ``paths`` PHYSICALLY holding a row some equality
+        delete matches (key equal AND file sequenced earlier). The
+        probe must read RAW (apply_deletes=False): a probe through the
+        MOR scan would apply the very deletes being folded and see
+        nothing. Overcounting rows that other pending deletes already
+        hide is harmless — it only re-includes a file the fold was
+        going to rewrite anyway."""
+        touched: set[str] = set()
+        for cols_t, g in eq_groups.items():
+            cols = list(cols_t)
+            cand = [p for p in paths if seqs.get(p, 0) < g["max_seq"]]
+            if not cand:
+                continue
+            probe = table.scan_files(spark, cand, columns=cols,
+                                     with_pos=True, apply_deletes=False)
+            sdf = spark.createDataFrame(
+                [(p, seqs.get(p, 0)) for p in cand], "__pp string, __ps long")
+            probe = probe.join(F.broadcast(sdf),
+                               probe["_file"] == F.col("__pp"), "left")
+            eq = g["keys"]
+            cond = F.col("__ps") < eq["__eq_seq"]
+            for c in cols:
+                cond = cond & (probe[c] == eq[c])
+            hit = (probe.join(eq, cond, "left_semi")
+                   .select("_file").distinct().collect())
+            touched |= {r["_file"] for r in hit}
+        return touched
+
     for ci, part_ids in enumerate(chunks):
         tc = time.time()
         cur = table.current_snapshot()
-        touched_entries = [
-            r.asDict()
-            for r in table.files(spark)
-            .filter(F.col("partition_id").isin(list(part_ids)))
-            .join(ddf.select("file_path").distinct(), "file_path", "left_semi")
+        plan_rows = (
+            table.plan_files(spark, partition_values=set(part_ids))
             .select("file_path", "partition_id", "file_size_bytes",
-                    "record_count")
+                    "record_count", "added_snapshot_id")
             .collect()
-        ]
+        )
+        by_path = {r["file_path"]: r.asDict() for r in plan_rows}
+        touched_set: set[str] = set()
+        if ddf is not None:
+            pos_hit = (
+                spark.createDataFrame(
+                    [(p,) for p in by_path] or [("",)], "file_path string")
+                .join(ddf.select("file_path").distinct(), "file_path",
+                      "left_semi")
+                .collect()
+            )
+            touched_set |= {r["file_path"] for r in pos_hit} & set(by_path)
+        if eq_groups:
+            snap_seqs = table._snapshot_seqs()
+            seqs = {p: snap_seqs.get(r["added_snapshot_id"], 0)
+                    for p, r in by_path.items()}
+            touched_set |= _eq_touched_in(sorted(by_path), seqs)
+        touched_entries = [by_path[p] for p in sorted(touched_set)]
         if not touched_entries:
             continue
         src = table.scan_matched_files(touched_entries, spark)
@@ -445,14 +540,9 @@ def rewrite_position_deletes(
         metrics["files_rewritten"] += len(touched_entries)
         metrics["files_written"] += len(new_entries)
         metrics["snapshot"] = snap.snapshot_id
-    # clear: safe only once NO delete entry references a live data file
+    # clear: safe only once NO delete entry can still affect a live row
     ddf2, _ = table.position_deletes_df(spark)
-    cleared = False
-    if ddf2 is None:
-        cleared = True  # manifests listed no delete files at all
-        snap = table.clear_delete_manifests()
-        metrics["snapshot"] = snap.snapshot_id
-    else:
+    if ddf2 is not None:
         remaining = (
             ddf2.select("file_path").distinct()
             .join(table.files(spark), "file_path", "left_semi")
@@ -463,10 +553,28 @@ def rewrite_position_deletes(
                 f"rewrite_position_deletes: {remaining} delete-referenced "
                 "data files still live after rewrite (concurrent append?)"
             )
-        snap = table.clear_delete_manifests()
-        cleared = True
-        metrics["snapshot"] = snap.snapshot_id
-    metrics["cleared"] = cleared
+    if eq_groups:
+        # re-probe every candidate partition: rewritten files carry a
+        # NEWER sequence than any pending equality delete, so only an
+        # untouched matching row (a planning bug or concurrent append)
+        # can remain
+        snap_seqs = table._snapshot_seqs()
+        for part_ids in chunks:
+            plan_rows = (
+                table.plan_files(spark, partition_values=set(part_ids))
+                .select("file_path", "added_snapshot_id").collect()
+            )
+            seqs = {r["file_path"]: snap_seqs.get(r["added_snapshot_id"], 0)
+                    for r in plan_rows}
+            rem = _eq_touched_in(sorted(seqs), seqs)
+            if rem:
+                raise RuntimeError(
+                    "rewrite_position_deletes: equality deletes still "
+                    f"match live rows in {sorted(rem)[:5]}"
+                )
+    snap = table.clear_delete_manifests()
+    metrics["snapshot"] = snap.snapshot_id
+    metrics["cleared"] = True
     metrics["wall_ms"] = int((time.time() - t0) * 1000)
     return metrics
 

@@ -61,6 +61,12 @@ def _classify(snap) -> str:
     # added files carry the new ones
     if summ_op in ("merge-mor", "mor-update"):
         return "mor-upsert"
+    # equality deletes/upserts: the deleted rows are the parent
+    # snapshot's earlier-sequenced rows matching the delete keys
+    if summ_op == "eq-delete":
+        return "eq-delete"
+    if summ_op == "eq-upsert":
+        return "eq-upsert"
     return "unsupported"
 
 
@@ -104,7 +110,7 @@ def changelog_df(
                 "— scope the changelog range around it, or use "
                 "merge-on-read deletes"
             )
-        if kind in ("insert", "mor-upsert"):
+        if kind in ("insert", "mor-upsert", "eq-upsert"):
             added = [
                 r["file_path"]
                 for r in table.files(spark, snap.snapshot_id)
@@ -118,6 +124,54 @@ def changelog_df(
                 pieces.append(rows.select(
                     *data_cols,
                     F.lit("insert").alias("_change_type"),
+                    F.lit(snap.snapshot_id).alias("_snapshot_id"),
+                ))
+        if kind in ("eq-delete", "eq-upsert"):
+            import os as _os
+
+            import pyspark.sql.types as T
+
+            parent = by_id.get(snap.parent_id)
+            parent_dm = set(parent.delete_manifests) if parent else set()
+            snap_seqs = {s.snapshot_id: s.sequence for s in snaps}
+            schema = table.schema()
+            for m, cols, eq_seq in snap.equality_delete_manifests():
+                if m in parent_dm or parent is None:
+                    continue
+                entries = table.read_manifest_entries(m)
+                if not entries:
+                    continue
+                keys_df = spark.read.schema(
+                    T.StructType([schema[c] for c in cols])
+                ).parquet(*[_os.path.join(table._local_root, e["file_path"])
+                            for e in entries])
+                keys2 = keys_df.select(
+                    *[F.col(c).alias(f"__eq_{c}") for c in cols])
+                if sum(e["record_count"] for e in entries) \
+                        <= LakehouseTable.MOR_BROADCAST_ROWS:
+                    keys2 = F.broadcast(keys2)
+                # only parent files sequenced BEFORE the delete can hold
+                # affected rows — the candidate filter IS the seq scope
+                cand = [
+                    r["file_path"]
+                    for r in table.files(spark, parent.snapshot_id)
+                    .select("file_path", "added_snapshot_id").collect()
+                    if snap_seqs.get(r["added_snapshot_id"], 0) < eq_seq
+                ]
+                if not cand:
+                    continue
+                # parent-scoped scan: rows already deleted before this
+                # commit are not re-emitted
+                rows = table.scan_files(spark, cand, with_pos=True,
+                                        snapshot=parent)
+                cond = None
+                for c in cols:
+                    cc = rows[c] == keys2[f"__eq_{c}"]
+                    cond = cc if cond is None else cond & cc
+                deleted = rows.join(keys2, cond, "left_semi")
+                pieces.append(deleted.select(
+                    *data_cols,
+                    F.lit("delete").alias("_change_type"),
                     F.lit(snap.snapshot_id).alias("_snapshot_id"),
                 ))
         if kind in ("mor-delete", "mor-upsert"):

@@ -119,6 +119,64 @@ def stream_merge_sink(table: LakehouseTable, key: str | list[str] = "image_id",
     return sink
 
 
+def stream_upsert_eq_sink(table: LakehouseTable,
+                          key: str | list[str] = "image_id",
+                          n_files: int = 4,
+                          stream_id: str = "default"):
+    """BLIND streaming upsert via equality deletes: each micro-batch
+    commits (equality-delete of the batch's keys + append of the batch
+    rows) in ONE snapshot, WITHOUT EVER READING THE TARGET — the
+    Flink/Iceberg CDC-writer shape. Sequence scoping makes it correct
+    without coordination: the delete erases every EARLIER version of
+    each key, while this batch's own rows (and any later writer's)
+    are sequenced at-or-after it and survive. Compare
+    stream_merge_sink, which scans target keys per batch: at
+    10^12-image scale a blind writer's per-batch cost is O(batch),
+    independent of table size — the difference between a sink that
+    keeps up and one that falls behind as the table grows. Read-side
+    cost accumulates one anti-join per batch until
+    rewrite_position_deletes folds them, so schedule folds with
+    compaction. Exactly-once replay protection as stream_append_sink
+    (batch id in the commit summary, re-validated before any retry)."""
+    keys = [key] if isinstance(key, str) else list(key)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.merge import _dedupe_source
+        from ..tableformat.table import ConcurrentCommitError
+
+        if batch_id <= last_committed_batch(table, stream_id):
+            return
+        data_cols = [f.name for f in table.schema().fields]
+        batch = _dedupe_source(batch_df.select(*data_cols), keys, data_cols)
+        cur = table.current_snapshot()
+        summary = {"streaming-batch-id": int(batch_id),
+                   "streaming-id": stream_id}
+        if cur is None or not cur.manifests:
+            # bootstrap: nothing earlier to delete — plain append with
+            # the empty-table pin (a concurrent first writer surfaces)
+            entries = table.write_data_files(batch, n_files=n_files)
+            table.commit_append(
+                entries, summary=summary, retries=0,
+                expected_parent=cur.snapshot_id if cur else None)
+            return
+        entries = table.write_data_files(batch, n_files=n_files)
+        eq_entries = table.write_equality_delete_files(batch, keys)
+        last_err: Exception | None = None
+        for _ in range(4):
+            if batch_id <= last_committed_batch(table, stream_id):
+                return  # our twin won — already committed
+            try:
+                table.commit_equality_deletes(
+                    eq_entries, keys, data_entries=entries,
+                    summary=summary, retries=0)
+                return
+            except ConcurrentCommitError as e:
+                last_err = e  # re-validate batch id, then plain retry
+        raise last_err
+
+    return sink
+
+
 def windowed_event_counts(events_stream: DataFrame, watermark: str = "10 minutes",
                           window: str = "5 minutes") -> DataFrame:
     """Watermarked tumbling-window aggregation over the events schema

@@ -78,11 +78,20 @@ class Snapshot:
     # and planners skip manifests disjoint from the affected partitions
     # without opening them. Missing entry (legacy snapshot) = must read.
     manifest_parts: dict = field(default_factory=dict)
-    # merge-on-read position deletes (Iceberg v2 delete manifests):
-    # manifests listing position-delete files (rows of data-file path +
-    # row position) that scans of THIS snapshot must anti-join away.
-    # Empty for copy-on-write-only tables — the common, zero-cost case.
+    # merge-on-read deletes (Iceberg v2 delete manifests): manifests
+    # listing position-delete files (rows of data-file path + row
+    # position) or equality-delete files (rows of key values) that
+    # scans of THIS snapshot must anti-join away. Empty for
+    # copy-on-write-only tables — the common, zero-cost case.
     delete_manifests: list[str] = field(default_factory=list)
+    # per-delete-manifest metadata: manifest -> {"kind": "equality",
+    # "cols": [...], "seq": N}. A manifest with no entry is a
+    # position-delete manifest (back-compat). Equality deletes apply
+    # only to data files committed at a sequence BEFORE the delete's —
+    # Iceberg's sequence-number scoping, which is what lets a writer
+    # upsert blindly (delete-by-key + append) without reading the
+    # table: later inserts of the same key are untouched.
+    delete_manifest_meta: dict = field(default_factory=dict)
 
     def to_json(self) -> dict:
         return {
@@ -95,6 +104,7 @@ class Snapshot:
             "summary": self.summary,
             "manifest_parts": self.manifest_parts,
             "delete_manifests": self.delete_manifests,
+            "delete_manifest_meta": self.delete_manifest_meta,
         }
 
     @staticmethod
@@ -104,7 +114,21 @@ class Snapshot:
             d["operation"], list(d["manifests"]), dict(d.get("summary", {})),
             dict(d.get("manifest_parts", {})),
             list(d.get("delete_manifests", [])),
+            dict(d.get("delete_manifest_meta", {})),
         )
+
+    def position_delete_manifests(self) -> list[str]:
+        return [m for m in self.delete_manifests
+                if self.delete_manifest_meta.get(m, {}).get("kind") != "equality"]
+
+    def equality_delete_manifests(self) -> list[tuple[str, list[str], int]]:
+        """(manifest, key_cols, apply_sequence) triples."""
+        out = []
+        for m in self.delete_manifests:
+            info = self.delete_manifest_meta.get(m, {})
+            if info.get("kind") == "equality":
+                out.append((m, list(info["cols"]), int(info["seq"])))
+        return out
 
 
 # default for ``expected_parent``: no plan-snapshot pinning requested.
@@ -854,6 +878,7 @@ class LakehouseTable:
                  **(summary or {})},
                 mparts,
                 list(prev.delete_manifests) if prev else [],
+                dict(prev.delete_manifest_meta) if prev else {},
             )
             try:
                 return self._commit(meta, snap, parent, branch=branch)
@@ -1015,6 +1040,7 @@ class LakehouseTable:
             # scan), entries for untouched files stay live. Clearing is
             # rewrite_position_deletes' explicit final commit.
             list(prev.delete_manifests) if prev else [],
+            dict(prev.delete_manifest_meta) if prev else {},
         )
         return self._commit(meta, snap, parent)
 
@@ -1196,17 +1222,47 @@ class LakehouseTable:
                     f"{sorted(branches) or 'none'})"
                 )
         pruned = self.plan_files(spark, snapshot_id, partition_values, int_ranges)
-        paths = [r["file_path"] for r in pruned.select("file_path").collect()]
         snap = (self.snapshot_by_id(snapshot_id) if snapshot_id is not None
                 else self.current_snapshot())
+        if snap is not None and snap.equality_delete_manifests():
+            # one collect serves both the path list and the per-file
+            # sequence map the equality-delete scoping needs
+            rows = pruned.select("file_path", "added_snapshot_id").collect()
+            paths = [r["file_path"] for r in rows]
+            snap_seqs = self._snapshot_seqs()
+            file_seqs = {r["file_path"]: snap_seqs.get(r["added_snapshot_id"], 0)
+                         for r in rows}
+        else:
+            paths = [r["file_path"] for r in pruned.select("file_path").collect()]
+            file_seqs = None
         return self.scan_files(spark, paths, columns, snapshot=snap,
-                               with_pos=with_pos)
+                               with_pos=with_pos, file_seqs=file_seqs)
+
+    def _file_seqs_for(self, spark: SparkSession, rel_paths: list[str],
+                       snapshot_id: int | None = None) -> dict[str, int]:
+        """rel path -> commit sequence of the snapshot that added the
+        file (for equality-delete scoping), resolved against the given
+        snapshot's manifests. Files whose adding snapshot was expired
+        resolve to 0 = oldest — correct, since an expired snapshot is
+        older than every retained one, hence older than any live
+        equality delete."""
+        snap_seqs = self._snapshot_seqs()
+        tdf = spark.createDataFrame([(p,) for p in rel_paths],
+                                    "file_path string")
+        rows = (
+            self.files(spark, snapshot_id)
+            .join(F.broadcast(tdf), "file_path", "left_semi")
+            .select("file_path", "added_snapshot_id").collect()
+        )
+        return {r["file_path"]: snap_seqs.get(r["added_snapshot_id"], 0)
+                for r in rows}
 
     def scan_files(self, spark: SparkSession, rel_paths: list[str],
                    columns: list[str] | None = None, *,
                    snapshot: "Snapshot | None" = None,
                    apply_deletes: bool = True,
-                   with_pos: bool = False) -> DataFrame:
+                   with_pos: bool = False,
+                   file_seqs: dict[str, int] | None = None) -> DataFrame:
         """Read an explicit (already-planned) set of table-relative data
         files through the CURRENT schema, resolving schema evolution:
         columns added later are NULL in old files (explicit read
@@ -1267,6 +1323,35 @@ class LakehouseTable:
                     & (df["_pos"] == dd["__del_pos"]),
                     "left_anti",
                 )
+            eq_infos = self.equality_deletes_info(snap)
+            if eq_infos:
+                # per-row file sequence via a broadcast (path, seq) map
+                # — equality deletes apply only to earlier-sequenced
+                # files (a later re-insert of the key survives)
+                seqs = (file_seqs if file_seqs is not None
+                        else self._file_seqs_for(
+                            spark, rel_paths,
+                            snap.snapshot_id if snap else None))
+                seq_df = spark.createDataFrame(
+                    [(p, seqs.get(p, 0)) for p in rel_paths],
+                    "__fsp string, __fseq long",
+                )
+                df = df.join(F.broadcast(seq_df),
+                             df["_file"] == F.col("__fsp"), "left").drop("__fsp")
+                df = df.withColumn("__fseq",
+                                   F.coalesce(F.col("__fseq"), F.lit(0)))
+                for paths, cols, eq_seq, n_keys in eq_infos:
+                    eq_schema = T.StructType([schema[c] for c in cols])
+                    eq = spark.read.schema(eq_schema).parquet(
+                        *[os.path.join(self._local_root, p) for p in paths]
+                    ).select(*[F.col(c).alias(f"__eq_{c}") for c in cols])
+                    if n_keys <= self.MOR_BROADCAST_ROWS:
+                        eq = F.broadcast(eq)
+                    cond = F.col("__fseq") < F.lit(eq_seq)
+                    for c in cols:
+                        cond = cond & (df[c] == eq[f"__eq_{c}"])
+                    df = df.join(eq, cond, "left_anti")
+                df = df.drop("__fseq")
         extra = [c for c in ("_file", "_pos") if c in df.columns]
         if renames:
             df = df.select(
@@ -1398,6 +1483,7 @@ class LakehouseTable:
              **(summary or {})},
             mparts,
             list(prev.delete_manifests) + [dm],
+            dict(prev.delete_manifest_meta),
         )
         return self._commit(meta, snap, parent)
 
@@ -1429,6 +1515,7 @@ class LakehouseTable:
              "removed-delete-manifests": len(prev.delete_manifests)},
             dict(prev.manifest_parts),
             [],
+            {},
         )
         return self._commit(meta, snap, parent)
 
@@ -1449,7 +1536,7 @@ class LakehouseTable:
         if snap is None or not snap.delete_manifests:
             return None, 0
         entries: list[dict] = []
-        for m in snap.delete_manifests:
+        for m in snap.position_delete_manifests():
             entries.extend(self.read_manifest_entries(m))
         if rel_path_bounds is not None:
             lo, hi = rel_path_bounds
@@ -1472,6 +1559,108 @@ class LakehouseTable:
     # map-side join, blobs never shuffle. Above it, Catalyst/AQE picks
     # the strategy — and rewrite_position_deletes is overdue anyway.
     MOR_BROADCAST_ROWS = 1_000_000
+
+    def write_equality_delete_files(
+        self, keys_df: DataFrame, cols: list[str], n_files: int = 1
+    ) -> list[dict]:
+        """Write equality-delete files: rows of key values whose EVERY
+        prior version must disappear (Iceberg v2 equality deletes —
+        the delete flavor a writer can produce WITHOUT reading the
+        table, which is what makes blind streaming upserts possible).
+        Returns entries for :meth:`commit_equality_deletes`."""
+        write_id = uuid.uuid4().hex[:12]
+        out_dir = os.path.join(self.data_dir, f"deletes-eq-{write_id}")
+        df = keys_df.select(*cols).dropDuplicates(cols)
+        df = df.coalesce(n_files) if n_files else df
+        df.write.mode("append").parquet(out_dir)
+        schema = self.schema()
+        fake_meta = {"schema_json": T.StructType(
+            [schema[c] for c in cols]).json()}
+        return self._collect_entries(out_dir, fake_meta)
+
+    def commit_equality_deletes(
+        self,
+        delete_entries: list[dict],
+        cols: list[str],
+        data_entries: list[dict] | None = None,
+        summary: dict | None = None,
+        retries: int = 3,
+    ) -> Snapshot:
+        """Commit equality-delete files (+ optionally appended data in
+        the same snapshot — the blind-upsert shape: delete-by-key every
+        prior version, append the new one). Unlike position deletes,
+        equality deletes are NOT content-addressed: they scope by the
+        commit SEQUENCE (apply only to data files sequenced earlier),
+        so the commit composes with concurrent commits under plain
+        optimistic retry — either serialization order is consistent,
+        which is exactly why a streaming CDC writer can use this path
+        without coordination."""
+        bad = [c for c in cols if c not in {f.name for f in self.schema().fields}]
+        if bad:
+            raise ValueError(f"unknown equality-delete columns: {bad}")
+        last: Exception | None = None
+        for _ in range(max(1, retries + 1)):
+            meta = self.load_metadata()
+            parent = meta["current_snapshot_id"]
+            prev = self.current_snapshot(meta)
+            if prev is None:
+                raise ValueError("cannot equality-delete from an empty table")
+            snap_id, seq = self._next_ids(meta)
+            dm, _ = self._write_manifest(delete_entries, snap_id)
+            manifests = list(prev.manifests)
+            mparts = dict(prev.manifest_parts)
+            added = list(data_entries or [])
+            if added:
+                m, parts = self._write_manifest(added, snap_id)
+                manifests.append(m)
+                mparts[m] = parts
+            dmeta = dict(prev.delete_manifest_meta)
+            dmeta[dm] = {"kind": "equality", "cols": list(cols), "seq": seq}
+            snap = Snapshot(
+                snap_id, parent, seq, int(time.time() * 1000),
+                "delete" if not added else "eq-upsert",
+                manifests,
+                {"op": "eq-delete" if not added else "eq-upsert",
+                 "equality-cols": ",".join(cols),
+                 "added-delete-files": len(delete_entries),
+                 "delete-keys": sum(e["record_count"] for e in delete_entries),
+                 **({"added-files": len(added),
+                     "added-records": sum(e["record_count"] for e in added)}
+                    if added else {}),
+                 **(summary or {})},
+                mparts,
+                list(prev.delete_manifests) + [dm],
+                dmeta,
+            )
+            try:
+                return self._commit(meta, snap, parent)
+            except ConcurrentCommitError as e:
+                last = e
+                with contextlib.suppress(OSError):
+                    os.remove(os.path.join(self.meta_dir, dm))
+        raise last
+
+    def _snapshot_seqs(self, meta: dict | None = None) -> dict[int, int]:
+        """snapshot_id -> sequence, for scoping equality deletes to
+        earlier-sequenced data files."""
+        return {s.snapshot_id: s.sequence
+                for s in self.snapshots_list(meta or self.load_metadata())}
+
+    def equality_deletes_info(
+        self, snapshot: Snapshot | None = None
+    ) -> list[tuple[list[str], list[str], int, int]]:
+        """Per equality-delete manifest: (delete file rel paths,
+        key cols, apply sequence, key row count)."""
+        snap = snapshot if snapshot is not None else self.current_snapshot()
+        if snap is None:
+            return []
+        out = []
+        for m, cols, seq in snap.equality_delete_manifests():
+            entries = self.read_manifest_entries(m)
+            if entries:
+                out.append(([e["file_path"] for e in entries], cols, seq,
+                            sum(e["record_count"] for e in entries)))
+        return out
 
     # ---------------- expiration / GC ----------------
 
@@ -1538,6 +1727,7 @@ class LakehouseTable:
              "gc-enabled": bool(delete_orphans)},
             dict(cur.manifest_parts) if cur else {},
             list(cur.delete_manifests) if cur else [],
+            dict(cur.delete_manifest_meta) if cur else {},
         )
         committed = self._commit(meta, exp, parent)
 
@@ -1670,5 +1860,6 @@ class LakehouseTable:
             [manifest_rel], {"manifests-merged": len(cur.manifests)},
             {manifest_rel: parts},
             list(cur.delete_manifests),
+            dict(cur.delete_manifest_meta),
         )
         return self._commit(meta, snap, parent)
