@@ -130,6 +130,19 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--target-mb", type=float, default=64)
     sp.add_argument("--mode", choices=["cow", "mor"], default="cow")
 
+    sp = sub.add_parser("evolve-partition",
+                        help="change the partition column for future "
+                             "writes (metadata-only; no data moves)")
+    t(sp)
+    sp.add_argument("--col", required=True,
+                    help="new partition column, or 'none' to unpartition")
+
+    sp = sub.add_parser("migrate-partitions",
+                        help="rewrite older-spec files under the current "
+                             "partition spec")
+    t(sp)
+    sp.add_argument("--target-mb", type=float, default=128)
+
     sp = sub.add_parser("branch", help="create/drop/list branch refs")
     t(sp)
     g = sp.add_mutually_exclusive_group(required=True)
@@ -273,6 +286,16 @@ def main(argv: list[str] | None = None) -> int:
         out = {"cmd": "update", **delete_op.update_where(
             LakehouseTable(a.table), spark, a.where, assigns, int_ranges=rng,
             target_file_size=_mb(a.target_mb), mode=a.mode)}
+    elif a.cmd == "evolve-partition":
+        tbl = LakehouseTable(a.table)
+        v = tbl.evolve_partition(None if a.col == "none" else a.col)
+        out = {"cmd": "evolve-partition", "partition_col": tbl._partition_col(),
+               "specs": tbl.partition_specs(), "metadata_version": v}
+    elif a.cmd == "migrate-partitions":
+        from .operators import compaction
+
+        out = {"cmd": "migrate-partitions", **compaction.migrate_partitions(
+            LakehouseTable(a.table), spark, target_file_size=_mb(a.target_mb))}
     elif a.cmd == "branch":
         tbl = LakehouseTable(a.table)
         if a.create:

@@ -95,6 +95,9 @@ def cluster(
     see BENCH/BASELINE.md's coarse-granularity reading)."""
     if not 1 <= len(cols) <= 3:
         raise ValueError(f"cluster over 1-3 columns, got {cols!r}")
+    from .compaction import require_single_spec
+
+    require_single_spec(table, spark)
     # planning = ONE aggregation over the files metadata DataFrame: a
     # single metadata-sized row per partition reaches the driver,
     # carrying BOTH the per-partition sizing and the per-partition

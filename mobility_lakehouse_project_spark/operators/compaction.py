@@ -32,6 +32,106 @@ from ..tableformat.distribute import exact_slot_repartition, partitioned_group_e
 DEFAULT_TARGET_FILE_SIZE = 128 * 1024 * 1024
 
 
+def require_single_spec(table: LakehouseTable, spark: SparkSession) -> None:
+    """Partition-keyed rewrites (compact/cluster) assign output slots
+    by the CURRENT partition column's row values, assuming they match
+    the manifest partition ids — untrue for files written under an
+    older spec. Until those are migrated, fail loudly instead of
+    mis-slotting."""
+    meta = table.load_metadata()
+    cur_ids = table._current_spec_snapshot_ids(meta)
+    if cur_ids is None:
+        return
+    old = (
+        table.files(spark)
+        .filter(~F.col("added_snapshot_id").isin(cur_ids))
+        .limit(1).count()
+    )
+    if old:
+        raise ValueError(
+            "table has files from an older partition spec; run "
+            "compaction.migrate_partitions first"
+        )
+
+
+def migrate_partitions(
+    table: LakehouseTable,
+    spark: SparkSession,
+    target_file_size: int = DEFAULT_TARGET_FILE_SIZE,
+    chunk_files: int = 50_000,
+    op_id: str | None = None,
+) -> dict:
+    """Rewrite every file written under an OLDER partition spec into
+    the current spec (Iceberg's rewrite_data_files migration after
+    partition evolution). Old files are walked in chunks grouped by
+    their old partition ids (bounded driver collects); the generic
+    salted-hash write re-derives partition values from the current
+    column; pending MOR deletes are applied by the rewrite scan. After
+    this, partition-level ops (overwrite_partitions, compact, cluster)
+    are valid again."""
+    t0 = time.time()
+    meta = table.load_metadata()
+    cur_ids = table._current_spec_snapshot_ids(meta)
+    metrics = {"files_migrated": 0, "files_written": 0, "chunks": 0}
+    if cur_ids is None:
+        metrics["wall_ms"] = 0
+        return metrics
+    log = LineageLog(table.location)
+    old_parts = (
+        table.files(spark)
+        .filter(~F.col("added_snapshot_id").isin(cur_ids))
+        .groupBy("partition_id").agg(F.count("*").alias("n_files"))
+        .collect()
+    )
+    chunks: list[list[str]] = []
+    cur_chunk: list[str] = []
+    n = 0
+    for r in sorted(old_parts, key=lambda r: r["partition_id"]):
+        if cur_chunk and n + r["n_files"] > chunk_files:
+            chunks.append(cur_chunk)
+            cur_chunk, n = [], 0
+        cur_chunk.append(r["partition_id"])
+        n += r["n_files"]
+    if cur_chunk:
+        chunks.append(cur_chunk)
+    metrics["chunks"] = len(chunks)
+    for ci, part_ids in enumerate(chunks):
+        tc = time.time()
+        entries = [
+            r.asDict()
+            for r in table.files(spark)
+            .filter(~F.col("added_snapshot_id").isin(cur_ids)
+                    & F.col("partition_id").isin(list(part_ids)))
+            .select("file_path", "partition_id", "file_size_bytes",
+                    "record_count").collect()
+        ]
+        if not entries:
+            continue
+        src = table.scan_matched_files(entries, spark)
+        nbytes = sum(e["file_size_bytes"] for e in entries)
+        new_entries = table.write_data_files(
+            src, n_files=max(1, round(nbytes / target_file_size)))
+        snap = table.commit_replace(
+            {e["file_path"] for e in entries}, new_entries,
+            operation="replace",
+            summary={"op": "migrate-partitions",
+                     "chunk": f"{ci + 1}/{len(chunks)}"},
+            affected_partitions={e["partition_id"] for e in entries},
+        )
+        log.record(
+            op_id or f"migrate-{snap.snapshot_id}", f"chunk-{ci}",
+            sorted(part_ids), len(entries), len(new_entries),
+            sum(e["record_count"] for e in new_entries),
+            sum(e["file_size_bytes"] for e in new_entries),
+            int((time.time() - tc) * 1000), snap.snapshot_id,
+        )
+        metrics["files_migrated"] += len(entries)
+        metrics["files_written"] += len(new_entries)
+        metrics["snapshot"] = snap.snapshot_id
+    metrics["wall_ms"] = int((time.time() - t0) * 1000)
+    return metrics
+
+
 def plan_compaction(
     table: LakehouseTable,
     spark: SparkSession,
@@ -128,6 +228,7 @@ def compact(
     ``only_partitions`` scopes the run (incremental maintenance: touch
     only the partitions a recent ingest fragmented, instead of
     re-walking the whole table)."""
+    require_single_spec(table, spark)
     plan = plan_compaction(table, spark, target_file_size)
     if only_partitions is not None:
         plan = [p for p in plan if p["partition_id"] in only_partitions]

@@ -51,7 +51,8 @@ def _classify(snap) -> str:
         return "skip"
     summ_op = str(snap.summary.get("op", ""))
     if snap.operation == "replace" and (
-        summ_op == "compact" or summ_op.startswith("cluster-")
+        summ_op in ("compact", "migrate-partitions")
+        or summ_op.startswith("cluster-")
     ):
         return "skip"
     if snap.operation == "delete" and summ_op == "mor-delete":

@@ -545,6 +545,11 @@ class LakehouseTable:
         meta["column_renames"] = renames
         if meta.get("partition_col") == old:
             meta["partition_col"] = new  # physical _p=<v> dirs are name-free
+        if meta.get("partition_specs"):
+            meta["partition_specs"] = [
+                {**s, "col": new} if s.get("col") == old else s
+                for s in meta["partition_specs"]
+            ]
         return self._commit_metadata(meta)
 
     # ---------------- snapshots ----------------
@@ -602,6 +607,66 @@ class LakehouseTable:
 
     def _partition_col(self, meta: dict | None = None) -> str | None:
         return (meta or self.load_metadata())["partition_col"]
+
+    # ---------------- partition evolution ----------------
+
+    def partition_specs(self, meta: dict | None = None) -> list[dict]:
+        """Spec history: [{"col": <col|None>, "from_seq": N}, ...] in
+        order; the last entry is the current spec. A never-evolved
+        table has a single implicit spec from sequence 0."""
+        meta = meta or self.load_metadata()
+        specs = meta.get("partition_specs")
+        if specs:
+            return list(specs)
+        return [{"col": meta.get("partition_col"), "from_seq": 0}]
+
+    def evolve_partition(self, new_col: str | None, retries: int = 3) -> int:
+        """Change the partition column for FUTURE writes (Iceberg
+        partition evolution): a metadata-only commit — no data moves.
+        Existing files keep their old layout; planning stops
+        value-pruning them on partition (stats pruning still applies)
+        and ``scan(partition_values=)`` re-filters row-level so
+        results stay exact. ``compaction.migrate_partitions`` rewrites
+        the old-spec files under the current spec (Iceberg's
+        rewrite_data_files migration path); until it runs,
+        partition-KEYED ops — ``overwrite_partitions``, compact,
+        cluster — refuse the mixed-spec table loudly rather than
+        mis-map old files."""
+        if new_col is not None:
+            schema = self.schema()
+            names = {f.name for f in schema.fields}
+            if new_col not in names:
+                raise ValueError(f"unknown partition column {new_col!r}")
+            if isinstance(schema[new_col].dataType, T.BinaryType):
+                raise ValueError("cannot partition by a binary column")
+        last: Exception | None = None
+        for _ in range(max(1, retries + 1)):
+            meta = self.load_metadata()
+            if meta.get("partition_col") == new_col:
+                return meta["_version"]
+            specs = self.partition_specs(meta)
+            specs.append({"col": new_col,
+                          "from_seq": meta["last_sequence"] + 1})
+            meta["partition_specs"] = specs
+            meta["partition_col"] = new_col
+            try:
+                return self._commit_metadata(meta)
+            except ConcurrentCommitError as e:
+                last = e
+        raise last
+
+    def _current_spec_snapshot_ids(self, meta: dict) -> list[int] | None:
+        """Snapshot ids whose files were written under the CURRENT
+        spec, or None for a never-evolved table (every file current —
+        the zero-cost fast path). Files whose adding snapshot was
+        expired resolve to the oldest spec (conservative: they are
+        never partition-value-pruned)."""
+        specs = self.partition_specs(meta)
+        if len(specs) == 1:
+            return None
+        cur_from = specs[-1]["from_seq"]
+        return [s.snapshot_id for s in self.snapshots_list(meta)
+                if s.sequence >= cur_from]
 
     def write_data_files(
         self,
@@ -1054,7 +1119,27 @@ class LakehouseTable:
         """Dynamic-partition-overwrite: the Spark-native form of the
         reference's idempotent `DELETE FROM t WHERE fecha = ds` + INSERT
         (dags/Silver_Transform_Dag.py:188-207). Partitions present in
-        ``df`` are replaced wholesale; others untouched."""
+        ``df`` are replaced wholesale; others untouched.
+
+        Refused on a partially-migrated evolved table: "replace the
+        partition" is ill-defined while files from an older spec still
+        hold rows of the target partitions — compact/cluster first
+        (rewrites re-partition under the current spec)."""
+        meta = self.load_metadata()
+        cur_ids = self._current_spec_snapshot_ids(meta)
+        if cur_ids is not None:
+            spark = df.sparkSession
+            old_left = (
+                self.files(spark)
+                .filter(~F.col("added_snapshot_id").isin(cur_ids))
+                .limit(1).count()
+            )
+            if old_left:
+                raise ValueError(
+                    "overwrite_partitions on an evolved table with "
+                    "older-spec files present; run compaction/clustering "
+                    "to migrate them to the current spec first"
+                )
         entries = self.write_data_files(df, n_files)
         new_parts = {e["partition_id"] for e in entries}
         removed = {
@@ -1174,7 +1259,18 @@ class LakehouseTable:
         df = self.files(spark, snapshot_id)
         if partition_values is not None:
             pv = [str(v) for v in partition_values]
-            df = df.filter(F.col("partition_id").isin(pv))
+            cur_ids = self._current_spec_snapshot_ids(self.load_metadata())
+            if cur_ids is None:
+                df = df.filter(F.col("partition_id").isin(pv))
+            else:
+                # evolved table: partition ids of files written under an
+                # OLDER spec live in a different value domain — keep
+                # them un-pruned (the caller/scan re-filters row-level);
+                # prune only current-spec files
+                df = df.filter(
+                    ~F.col("added_snapshot_id").isin(cur_ids)
+                    | F.col("partition_id").isin(pv)
+                )
         for col, (lo, hi) in (int_ranges or {}).items():
             cond = F.lit(True)
             if lo is not None:
@@ -1235,8 +1331,27 @@ class LakehouseTable:
         else:
             paths = [r["file_path"] for r in pruned.select("file_path").collect()]
             file_seqs = None
-        return self.scan_files(spark, paths, columns, snapshot=snap,
-                               with_pos=with_pos, file_seqs=file_seqs)
+        df = self.scan_files(spark, paths, columns, snapshot=snap,
+                             with_pos=with_pos, file_seqs=file_seqs)
+        if partition_values is not None:
+            meta = self.load_metadata()
+            if self._current_spec_snapshot_ids(meta) is not None:
+                # evolved table: older-spec files survive the file-level
+                # prune, so make the partition predicate exact row-level
+                pcol = meta.get("partition_col")
+                if pcol is None:
+                    raise ValueError(
+                        "partition_values scan on a table whose current "
+                        "spec is unpartitioned"
+                    )
+                if columns is not None and pcol not in columns:
+                    raise ValueError(
+                        f"partition_values scan on an evolved table needs "
+                        f"{pcol!r} in columns for the row-level re-filter"
+                    )
+                pv = [str(v) for v in partition_values]
+                df = df.filter(F.col(pcol).cast("string").isin(pv))
+        return df
 
     def _file_seqs_for(self, spark: SparkSession, rel_paths: list[str],
                        snapshot_id: int | None = None) -> dict[str, int]:
