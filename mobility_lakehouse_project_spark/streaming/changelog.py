@@ -227,3 +227,59 @@ def changelog_df(
     for p in pieces[1:]:
         out = out.unionByName(p)
     return out
+
+
+class ChangelogCursor:
+    """Durable consumption cursor for incremental CDC reads — the
+    consumer half of the changelog (Iceberg's
+    `stream-from-timestamp`/`start-snapshot-id` reader loop, without
+    a long-running streaming query): each ``poll`` returns the
+    changes committed since the last acknowledged snapshot, and
+    ``ack`` durably advances the cursor AFTER the consumer has
+    processed them — at-least-once delivery, so downstream processing
+    must be idempotent on replay (the same contract as every
+    checkpointed source). The cursor file lives wherever the consumer
+    keeps state; one file per (table, consumer) pair."""
+
+    def __init__(self, table: LakehouseTable, cursor_path: str):
+        self.table = table
+        self.cursor_path = cursor_path
+
+    def position(self) -> int | None:
+        import json
+        import os
+
+        if not os.path.exists(self.cursor_path):
+            return None
+        with open(self.cursor_path) as f:
+            return json.load(f)["snapshot_id"]
+
+    def poll(self, spark: SparkSession) -> "tuple[DataFrame, int] | None":
+        """(changes_df, head_snapshot_id) for everything after the
+        cursor, or None when the table has not advanced. Pass the
+        returned head to :meth:`ack` once processed. Raises
+        ChangelogUnsupportedError if the span contains a content
+        rewrite — ack the offending snapshot explicitly (``ack(id)``)
+        to skip past it after handling it out of band (e.g. a full
+        re-sync)."""
+        cur = self.table.current_snapshot()
+        if cur is None:
+            return None
+        pos = self.position()
+        if pos == cur.snapshot_id:
+            return None
+        df = changelog_df(self.table, spark, from_snapshot_id=pos,
+                          to_snapshot_id=cur.snapshot_id)
+        return df, cur.snapshot_id
+
+    def ack(self, snapshot_id: int) -> None:
+        import json
+        import os
+        import uuid
+
+        tmp = f"{self.cursor_path}.tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump({"snapshot_id": snapshot_id}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self.cursor_path)

@@ -101,3 +101,31 @@ def test_changelog_empty_range_and_unknown_ids(spark, table):
     assert "_change_type" in empty.columns
     with pytest.raises(ValueError, match="unknown from_snapshot"):
         changelog_df(t, spark, from_snapshot_id=123)
+
+
+def test_changelog_cursor_incremental_consumption(spark, table, tmp_path):
+    from mobility_lakehouse_project_spark.streaming.changelog import (
+        ChangelogCursor,
+    )
+
+    t = table
+    cur = ChangelogCursor(t, str(tmp_path / "cursor.json"))
+    # first poll: full history (cursor empty)
+    df, head = cur.poll(spark)
+    assert df.filter("_change_type = 'insert'").count() == 300
+    cur.ack(head)
+    assert cur.poll(spark) is None  # nothing new
+
+    # new commits: only the increment is delivered
+    t.append(synth.images_df(spark, 25, seed=90, id_offset=9_000), n_files=1)
+    n16 = t.scan(spark).filter("w = 16").count()
+    delete.delete_where(t, spark, "w = 16", mode="mor")
+    df, head2 = cur.poll(spark)
+    assert head2 != head
+    assert df.filter("_change_type = 'insert'").count() == 25
+    assert df.filter("_change_type = 'delete'").count() == n16
+    # replay before ack: identical delivery (at-least-once)
+    df2, head3 = cur.poll(spark)
+    assert head3 == head2 and df2.count() == df.count()
+    cur.ack(head2)
+    assert cur.poll(spark) is None
