@@ -130,6 +130,12 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--target-mb", type=float, default=64)
     sp.add_argument("--mode", choices=["cow", "mor"], default="cow")
 
+    sp = sub.add_parser("analyze",
+                        help="compute per-column NDV/null statistics "
+                             "for the current snapshot")
+    t(sp)
+    sp.add_argument("--columns", default=None, help="comma-separated subset")
+
     sp = sub.add_parser("evolve-partition",
                         help="change the partition column for future "
                              "writes (metadata-only; no data moves)")
@@ -286,6 +292,12 @@ def main(argv: list[str] | None = None) -> int:
         out = {"cmd": "update", **delete_op.update_where(
             LakehouseTable(a.table), spark, a.where, assigns, int_ranges=rng,
             target_file_size=_mb(a.target_mb), mode=a.mode)}
+    elif a.cmd == "analyze":
+        from .operators import analyze as analyze_op
+
+        out = {"cmd": "analyze", **analyze_op.analyze_table(
+            LakehouseTable(a.table), spark,
+            columns=a.columns.split(",") if a.columns else None)}
     elif a.cmd == "evolve-partition":
         tbl = LakehouseTable(a.table)
         v = tbl.evolve_partition(None if a.col == "none" else a.col)
