@@ -130,6 +130,20 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--target-mb", type=float, default=64)
     sp.add_argument("--mode", choices=["cow", "mor"], default="cow")
 
+    sp = sub.add_parser("maintain",
+                        help="full maintenance pass: fold deletes, "
+                             "migrate specs, compact, optional cluster, "
+                             "rewrite manifests, expire, GC, analyze")
+    t(sp)
+    sp.add_argument("--target-mb", type=float, default=128)
+    sp.add_argument("--curve", choices=["zorder", "hilbert", "none"],
+                    default="none")
+    sp.add_argument("--cols", default="phash,w,h")
+    sp.add_argument("--keep", type=int, default=5)
+    sp.add_argument("--orphan-grace-s", type=float, default=3 * 86400.0)
+    sp.add_argument("--analyze", action="store_true")
+    sp.add_argument("--recompress", type=int, default=None)
+
     sp = sub.add_parser("analyze",
                         help="compute per-column NDV/null statistics "
                              "for the current snapshot")
@@ -292,6 +306,15 @@ def main(argv: list[str] | None = None) -> int:
         out = {"cmd": "update", **delete_op.update_where(
             LakehouseTable(a.table), spark, a.where, assigns, int_ranges=rng,
             target_file_size=_mb(a.target_mb), mode=a.mode)}
+    elif a.cmd == "maintain":
+        from .plans.maintenance import run_maintenance
+
+        out = {"cmd": "maintain", **run_maintenance(
+            LakehouseTable(a.table), spark, target_file_size=_mb(a.target_mb),
+            cluster_curve=None if a.curve == "none" else a.curve,
+            cluster_cols=tuple(a.cols.split(",")),
+            keep_snapshots=a.keep, orphan_grace_s=a.orphan_grace_s,
+            analyze=a.analyze, recompress_level=a.recompress)}
     elif a.cmd == "analyze":
         from .operators import analyze as analyze_op
 

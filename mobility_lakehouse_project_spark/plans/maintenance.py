@@ -1,0 +1,92 @@
+"""One-call table maintenance — the policy-driven orchestrator that
+makes this engine a single ``spark-submit`` application replacing the
+reference's Airflow DAG fan-out (Bronze/Silver/Gold_*_Dag.py schedule
+compaction-ish work as separate DAGs; BASELINE.json's north star asks
+for ONE submitted app).
+
+Runs, in dependency order, each enabled action:
+
+ 1. fold merge-on-read deletes (scan-tax reclamation) — first, so the
+    rewrites below never carry anti-joins;
+ 2. migrate files from older partition specs (unblocks the
+    partition-keyed steps after an evolve_partition);
+ 3. bin-pack compaction (small-file problem);
+ 4. optional Z-order/Hilbert clustering (scan-pruning layout);
+ 5. manifest rewrite when the manifest list has fragmented;
+ 6. snapshot expiry (keep_last) + orphan-file GC;
+ 7. optional ANALYZE refresh.
+
+Every step is independently resumable (each keeps its own lineage
+checkpoints / idempotence), so a killed maintenance run re-runs
+safely — the property the reference gets from Airflow retries, here
+without the scheduler."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import SparkSession
+
+from ..tableformat import LakehouseTable
+
+
+def run_maintenance(
+    table: LakehouseTable,
+    spark: SparkSession,
+    target_file_size: int = 128 * 1024 * 1024,
+    fold_deletes: bool = True,
+    cluster_curve: str | None = None,
+    cluster_cols: tuple[str, ...] = ("phash", "w", "h"),
+    rewrite_manifests_min: int = 4,
+    keep_snapshots: int = 5,
+    orphan_grace_s: float = 3 * 86400.0,
+    analyze: bool = False,
+    recompress_level: int | None = None,
+) -> dict:
+    """Run the full maintenance pass; returns per-step metrics.
+    ``cluster_curve=None`` skips clustering (compaction alone);
+    ``analyze=True`` refreshes column statistics at the end."""
+    from ..operators import analyze as analyze_op
+    from ..operators import clustering, compaction, delete
+
+    t0 = time.time()
+    report: dict = {}
+    cur = table.current_snapshot()
+    if cur is None:
+        return {"skipped": "empty table", "wall_ms": 0}
+
+    if fold_deletes and cur.delete_manifests:
+        report["fold_deletes"] = delete.rewrite_position_deletes(
+            table, spark, target_file_size=target_file_size)
+
+    if table._current_spec_snapshot_ids(table.load_metadata()) is not None:
+        report["migrate_partitions"] = compaction.migrate_partitions(
+            table, spark, target_file_size=target_file_size)
+
+    report["compact"] = compaction.compact(
+        table, spark, target_file_size=target_file_size,
+        recompress_level=recompress_level)
+
+    if cluster_curve is not None:
+        report["cluster"] = clustering.cluster(
+            table, spark, curve=cluster_curve, cols=cluster_cols,
+            target_file_size=target_file_size,
+            recompress_level=recompress_level)
+
+    cur = table.current_snapshot()
+    if cur is not None and len(cur.manifests) >= rewrite_manifests_min:
+        snap = table.rewrite_manifests(spark)
+        report["rewrite_manifests"] = {
+            "snapshot": snap.snapshot_id if snap else None,
+            **(snap.summary if snap else {}),
+        }
+
+    report["expire_snapshots"] = table.expire_snapshots(
+        keep_last=keep_snapshots)
+    report["remove_orphans"] = table.remove_orphan_files(orphan_grace_s)
+
+    if analyze:
+        report["analyze"] = analyze_op.analyze_table(table, spark)
+
+    report["wall_ms"] = int((time.time() - t0) * 1000)
+    return report

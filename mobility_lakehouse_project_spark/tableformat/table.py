@@ -658,15 +658,16 @@ class LakehouseTable:
     def _current_spec_snapshot_ids(self, meta: dict) -> list[int] | None:
         """Snapshot ids whose files were written under the CURRENT
         spec, or None for a never-evolved table (every file current —
-        the zero-cost fast path). Files whose adding snapshot was
-        expired resolve to the oldest spec (conservative: they are
-        never partition-value-pruned)."""
+        the zero-cost fast path). Resolved through the permanent
+        ``snapshot_seqs`` record, so attribution survives snapshot
+        expiry; only pre-record legacy ids fall back to the oldest
+        spec (conservative: never partition-value-pruned)."""
         specs = self.partition_specs(meta)
         if len(specs) == 1:
             return None
         cur_from = specs[-1]["from_seq"]
-        return [s.snapshot_id for s in self.snapshots_list(meta)
-                if s.sequence >= cur_from]
+        return [sid for sid, seq in self._snapshot_seqs(meta).items()
+                if seq >= cur_from]
 
     def write_data_files(
         self,
@@ -817,9 +818,19 @@ class LakehouseTable:
 
     def _write_manifest(self, entries: list[dict], snapshot_id: int) -> tuple[str, list[str]]:
         """Write a manifest file; returns (relative path, sorted
-        partition ids it covers — the manifest-list summary)."""
+        partition ids it covers — the manifest-list summary).
+
+        ``added_snapshot_id`` is stamped only on FRESH entries (the -1
+        sentinel from the writer); survivor entries carried through a
+        commit_replace manifest rewrite KEEP the id of the commit that
+        actually added their file — it is the file's data lineage
+        (Iceberg's data sequence number), and re-stamping it would
+        make equality-delete sequence scoping and partition-spec
+        attribution silently wrong for every file that survives any
+        rewrite commit."""
         for e in entries:
-            e["added_snapshot_id"] = snapshot_id
+            if e.get("added_snapshot_id", -1) == -1:
+                e["added_snapshot_id"] = snapshot_id
         name = f"manifest-{snapshot_id}-{uuid.uuid4().hex[:8]}.parquet"
         cols = {
             k: [
@@ -877,6 +888,14 @@ class LakehouseTable:
             )
         meta = {k: v for k, v in base_meta.items() if not k.startswith("_")}
         meta["snapshots"] = meta["snapshots"] + [new_snapshot.to_json()]
+        # permanent (never expired) snapshot_id -> sequence record: the
+        # data lineage of files OUTLIVES their adding snapshot (manifest
+        # entries keep added_snapshot_id after expiry), and both
+        # equality-delete scoping and partition-spec attribution resolve
+        # through it. ~30 bytes per commit, bounded by commit count.
+        seqs = dict(meta.get("snapshot_seqs", {}))
+        seqs[str(new_snapshot.snapshot_id)] = new_snapshot.sequence
+        meta["snapshot_seqs"] = seqs
         if branch == "main":
             meta["current_snapshot_id"] = new_snapshot.snapshot_id
         else:
@@ -1756,10 +1775,19 @@ class LakehouseTable:
         raise last
 
     def _snapshot_seqs(self, meta: dict | None = None) -> dict[int, int]:
-        """snapshot_id -> sequence, for scoping equality deletes to
-        earlier-sequenced data files."""
-        return {s.snapshot_id: s.sequence
-                for s in self.snapshots_list(meta or self.load_metadata())}
+        """snapshot_id -> sequence for EVERY commit ever made (the
+        permanent ``snapshot_seqs`` record, which survives snapshot
+        expiry), merged with the live snapshot list for tables created
+        before the record existed. Equality-delete scoping and
+        partition-spec attribution both resolve through this — an
+        expired-but-recorded snapshot keeps its files correctly
+        classified; a truly unknown id (pre-record legacy) falls back
+        to 0 = oldest, which is conservative for both uses."""
+        meta = meta or self.load_metadata()
+        out = {int(k): int(v) for k, v in meta.get("snapshot_seqs", {}).items()}
+        for s in self.snapshots_list(meta):
+            out[s.snapshot_id] = s.sequence
+        return out
 
     def equality_deletes_info(
         self, snapshot: Snapshot | None = None
@@ -1956,7 +1984,9 @@ class LakehouseTable:
         name = f"manifest-{snap_id}-{uuid.uuid4().hex[:8]}.parquet"
         scratch = os.path.join(self.manifest_dir, f".rewrite-{uuid.uuid4().hex[:8]}")
         (
-            files_df.withColumn("added_snapshot_id", F.lit(snap_id))
+            # added_snapshot_id is preserved: it is each file's data
+            # lineage (see _write_manifest), not the consolidation's id
+            files_df
             # repartition (not coalesce) keeps the manifest SCAN parallel;
             # the single output file is fine — manifests are metadata-sized
             .repartition(1)

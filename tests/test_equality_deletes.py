@@ -149,3 +149,25 @@ def test_eq_delete_unknown_column_rejected(spark, table):
     keys = spark.createDataFrame([("x",)], "nope string")
     with pytest.raises(ValueError, match="unknown equality-delete"):
         table.commit_equality_deletes([], ["nope"])
+
+
+def test_eq_scoping_survives_unrelated_rewrites(spark, table):
+    """Survivor manifest entries must KEEP their original
+    added_snapshot_id through commit_replace / rewrite_manifests — a
+    re-stamp would bump their sequence past the equality delete's and
+    resurrect the deleted keys (the file-lineage bug the maintenance
+    orchestrator exposed)."""
+    t = table
+    victims = [f"img{i:012d}" for i in range(5)]
+    _eq_delete(t, spark, victims)
+    expect = N - 5
+    assert t.scan(spark).count() == expect
+    # an unrelated CoW delete rewrites manifests holding survivors
+    n8 = t.scan(spark).filter("w = 8").count()
+    delete.delete_where(t, spark, "w = 8", mode="cow")
+    assert t.scan(spark).count() == expect - n8
+    assert t.scan(spark).filter(F.col("image_id").isin(victims)).count() == 0
+    # manifest consolidation preserves lineage too
+    t.rewrite_manifests(spark)
+    assert t.scan(spark).filter(F.col("image_id").isin(victims)).count() == 0
+    assert t.scan(spark).count() == expect - n8

@@ -1,0 +1,60 @@
+"""One-call maintenance orchestrator (plans/maintenance.py)."""
+
+from pyspark.sql import functions as F
+
+from mobility_lakehouse_project_spark import synth
+from mobility_lakehouse_project_spark.operators import delete, merge
+from mobility_lakehouse_project_spark.plans.maintenance import run_maintenance
+from mobility_lakehouse_project_spark.tableformat import LakehouseTable
+
+N = 600
+
+
+def test_full_maintenance_pass(spark, tmp_table_dir):
+    """A table with every kind of debt — fragmentation, pending MOR
+    deletes from a delete AND a MOR merge, a half-migrated partition
+    evolution, snapshot churn — comes out clean in one call with the
+    logical contents intact."""
+    df = synth.images_df(spark, N, partitions=2)
+    t = LakehouseTable.create(tmp_table_dir, df.schema, partition_col="bucket")
+    for i in range(3):  # fragmented ingest
+        t.append(synth.images_df(spark, N // 3, seed=40 + i,
+                                 id_offset=i * (N // 3)), n_files=8)
+    n16 = t.scan(spark).filter("w = 16").count()
+    delete.delete_where(t, spark, "w = 16", mode="mor")
+    src = synth.images_df(spark, 30, seed=45).withColumn(
+        "caption", F.lit("v2"))
+    merge.merge_into(t, spark, src, key="image_id", mode="mor")
+    t.evolve_partition("fmt")
+    t.append(synth.images_df(spark, 40, seed=46, id_offset=50_000), n_files=2)
+
+    expect = t.scan(spark).count()
+    expect_v2 = t.scan(spark).filter("caption = 'v2'").count()
+    # later appends + the merge re-introduce w=16 rows; only the
+    # pre-delete generation must stay dead
+    expect_w16 = t.scan(spark).filter("w = 16").count()
+    files_before = t.files(spark).count()
+
+    report = run_maintenance(
+        t, spark, target_file_size=1 << 20, cluster_curve="zorder",
+        keep_snapshots=2, orphan_grace_s=0.0, analyze=True,
+    )
+
+    assert report["fold_deletes"]["cleared"] is True
+    assert report["migrate_partitions"]["files_migrated"] > 0
+    assert "cluster" in report and "expire_snapshots" in report
+    assert report["analyze"]["row_count"] == expect
+    # logical contents preserved through every step
+    assert t.scan(spark).count() == expect
+    assert t.scan(spark).filter("caption = 'v2'").count() == expect_v2
+    assert t.scan(spark).filter("w = 16").count() == expect_w16 < n16
+    # physically clean: no pending deletes, single spec, fewer files
+    snap = t.current_snapshot()
+    assert not snap.delete_manifests
+    assert t._current_spec_snapshot_ids(t.load_metadata()) is None or \
+        t.files(spark).filter(
+            ~F.col("added_snapshot_id").isin(
+                t._current_spec_snapshot_ids(t.load_metadata()))
+        ).count() == 0
+    assert t.files(spark).count() < files_before
+    assert len(t.snapshots_list()) <= 4  # keep_last + pinned current
