@@ -1443,6 +1443,20 @@ class LakehouseTable:
                 df.withColumn("_file", self._rel_path_col())
                 .withColumn("_pos", F.col("_metadata.row_index"))
             )
+        extra = [c for c in ("_file", "_pos") if c in df.columns]
+        if renames:
+            # resolve schema evolution BEFORE applying deletes: equality
+            # deletes reference CURRENT column names, and a pre-rename
+            # file's rows only carry the key under its old physical name
+            # — joining before the coalesce would silently miss them
+            df = df.select(
+                *[
+                    (F.coalesce(f.name, *renames[f.name]).alias(f.name)
+                     if f.name in renames else F.col(f.name))
+                    for f in schema.fields
+                ],
+                *extra,
+            )
         if mor:
             ddf, n_del = self.position_deletes_df(
                 spark, snap, (min(rel_paths), max(rel_paths)))
@@ -1486,16 +1500,6 @@ class LakehouseTable:
                         cond = cond & (df[c] == eq[f"__eq_{c}"])
                     df = df.join(eq, cond, "left_anti")
                 df = df.drop("__fseq")
-        extra = [c for c in ("_file", "_pos") if c in df.columns]
-        if renames:
-            df = df.select(
-                *[
-                    (F.coalesce(f.name, *renames[f.name]).alias(f.name)
-                     if f.name in renames else F.col(f.name))
-                    for f in schema.fields
-                ],
-                *extra,
-            )
         if extra and not with_pos:
             df = df.drop(*extra)
         return df.select(*(columns + pos_cols)) if columns else df

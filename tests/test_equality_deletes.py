@@ -171,3 +171,17 @@ def test_eq_scoping_survives_unrelated_rewrites(spark, table):
     t.rewrite_manifests(spark)
     assert t.scan(spark).filter(F.col("image_id").isin(victims)).count() == 0
     assert t.scan(spark).count() == expect - n8
+
+
+def test_eq_delete_on_renamed_key_column(spark, table):
+    """Equality deletes name CURRENT columns; rows written before a
+    rename carry the key under its old physical name — deletes must
+    apply through the schema-evolution coalesce, not before it."""
+    t = table
+    t.rename_column("image_id", "img_id")
+    victims = [f"img{i:012d}" for i in range(7)]
+    keys = spark.createDataFrame([(i,) for i in victims], "img_id string")
+    t.commit_equality_deletes(
+        t.write_equality_delete_files(keys, ["img_id"]), ["img_id"])
+    assert t.scan(spark).count() == N - 7
+    assert t.scan(spark).filter(F.col("img_id").isin(victims)).count() == 0
