@@ -1774,8 +1774,11 @@ class LakehouseTable:
                 return self._commit(meta, snap, parent)
             except ConcurrentCommitError as e:
                 last = e
-                with contextlib.suppress(OSError):
-                    os.remove(os.path.join(self.meta_dir, dm))
+                # drop BOTH of the attempt's manifests, not just the
+                # delete one — litter otherwise waits for orphan GC
+                for attempt_m in [dm] + manifests[len(prev.manifests):]:
+                    with contextlib.suppress(OSError):
+                        os.remove(os.path.join(self.meta_dir, attempt_m))
         raise last
 
     def _snapshot_seqs(self, meta: dict | None = None) -> dict[int, int]:
