@@ -1259,6 +1259,114 @@ class LakehouseTable:
             rows, "snapshot_id long, manifest_path string, manifest_size_bytes long"
         )
 
+    def partitions_df(
+        self, spark: SparkSession, snapshot_id: int | None = None
+    ) -> DataFrame:
+        """The `partitions` inspection table (Iceberg `table$partitions`,
+        reference dashboard rollup shape): per-partition file/row/byte
+        rollup computed as ONE distributed aggregation of the files
+        metadata DataFrame — at 10^12-image scale this is a manifest
+        scan, never a data read, and never a driver materialization.
+        When the snapshot carries position-delete manifests, the
+        pending delete rows are attributed to partitions by joining the
+        delete (file_path, pos) set against the file->partition map, so
+        the ``live_record_count`` column reports post-MOR visibility.
+        """
+        snap = (
+            self.snapshot_by_id(snapshot_id)
+            if snapshot_id is not None
+            else self.current_snapshot()
+        )
+        files = self.files(spark, snapshot_id)
+        agg = files.groupBy("partition_id").agg(
+            F.count("*").alias("file_count"),
+            F.sum("record_count").alias("record_count"),
+            F.sum("file_size_bytes").alias("total_size_bytes"),
+            F.min("added_snapshot_id").alias("oldest_added_snapshot_id"),
+            F.max("added_snapshot_id").alias("newest_added_snapshot_id"),
+        )
+        deletes, _ = self.position_deletes_df(spark, snapshot=snap)
+        if deletes is None:
+            return agg.withColumn(
+                "position_delete_count", F.lit(0).cast("long")
+            ).withColumn(
+                "live_record_count", F.col("record_count").cast("long")
+            )
+        per_file = deletes.groupBy("file_path").agg(
+            F.count("*").alias("position_delete_count")
+        )
+        per_part = (
+            files.select("file_path", "partition_id")
+            .join(F.broadcast(per_file), "file_path", "inner")
+            .groupBy("partition_id")
+            .agg(F.sum("position_delete_count").alias("position_delete_count"))
+        )
+        return (
+            agg.join(per_part, "partition_id", "left")
+            .withColumn(
+                "position_delete_count",
+                F.coalesce(F.col("position_delete_count"), F.lit(0)).cast("long"),
+            )
+            .withColumn(
+                "live_record_count",
+                (F.col("record_count") - F.col("position_delete_count")).cast("long"),
+            )
+        )
+
+    def history_df(self, spark: SparkSession) -> DataFrame:
+        """The `history` inspection table (Iceberg `table$history`):
+        every snapshot ever committed, with ``is_current_ancestor``
+        marking the lineage of the CURRENT head — snapshots stranded by
+        a rollback_to() stay listed but flagged false, which is how a
+        reader distinguishes time-travelable history from abandoned
+        line(s)."""
+        ancestors: set[int] = set()
+        by_id = {s.snapshot_id: s for s in self.snapshots_list()}
+        cur = self.current_snapshot()
+        sid = cur.snapshot_id if cur is not None else None
+        while sid is not None and sid in by_id:
+            ancestors.add(sid)
+            sid = by_id[sid].parent_id
+        rows = [
+            (s.timestamp_ms, s.snapshot_id, s.parent_id, s.operation,
+             s.snapshot_id in ancestors)
+            for s in sorted(by_id.values(), key=lambda s: s.sequence)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "made_current_at_ms long, snapshot_id long, parent_id long, "
+            "operation string, is_current_ancestor boolean",
+        )
+
+    def refs_df(self, spark: SparkSession) -> DataFrame:
+        """The `refs` inspection table (Iceberg `table$refs`): every
+        named ref — the implicit ``main`` branch, explicit branches,
+        and tags — with the snapshot it points at."""
+        meta = self.load_metadata()
+        rows: list[tuple[str, str, int]] = []
+        head = meta.get("current_snapshot_id")
+        if head is not None:
+            rows.append(("main", "branch", int(head)))
+        for name, sid in sorted(self.branches(meta).items()):
+            rows.append((name, "branch", int(sid)))
+        for name, sid in sorted(self.tags(meta).items()):
+            rows.append((name, "tag", int(sid)))
+        return spark.createDataFrame(
+            rows, "name string, type string, snapshot_id long"
+        )
+
+    def register_metadata(self, spark: SparkSession, name: str) -> None:
+        """Register every inspection table as `{name}_{files,snapshots,
+        manifests,partitions,history,refs}` temp views, so ad-hoc SQL
+        can audit the table the way the reference's dashboards query
+        DuckDB information tables (dags/Queries_dag.py)."""
+        self.files(spark).createOrReplaceTempView(f"{name}_files")
+        self.snapshots_df(spark).createOrReplaceTempView(f"{name}_snapshots")
+        self.manifests_df(spark).createOrReplaceTempView(f"{name}_manifests")
+        self.partitions_df(spark).createOrReplaceTempView(f"{name}_partitions")
+        self.history_df(spark).createOrReplaceTempView(f"{name}_history")
+        self.refs_df(spark).createOrReplaceTempView(f"{name}_refs")
+
     # ---------------- scan (with manifest pruning) ----------------
 
     def plan_files(
