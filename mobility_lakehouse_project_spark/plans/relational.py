@@ -2033,6 +2033,59 @@ ORACLE_SQL["cdc_changelog_scan"] = """
 """
 
 
+def bloom_point_lookup(spark, sf_dir):
+    """Point lookup through manifest bloom filters, oracle-checked: a
+    scratch lakehouse table of the orders keys is written with
+    `write.metadata.bloom-columns = o_orderkey` (per-file blooms in the
+    manifest entries), then the MIN and MAX order keys plus one absent
+    key are looked up via `scan(point_eq=...)` — bloom + min/max file
+    skipping; at 10^12 rows this touches ~1 file per key instead of
+    scanning the table. The oracle is the plain `WHERE o_orderkey IN
+    (min, max)` over the same parquet: a bloom false NEGATIVE (the
+    only correctness hazard — a skipped file that held the row) makes
+    the results diverge. The reference scans whole partitions for id
+    lookups (dags/Queries_dag.py); file-level skipping is the scale
+    path Iceberg reserves for Parquet/Puffin bloom metadata."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..tableformat import LakehouseTable
+    from ..tableformat.table import BLOOM_COLS_PROP
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    lo, hi = o.agg(F.min("o_orderkey"), F.max("o_orderkey")).collect()[0]
+    scratch = os.path.join(tempfile.gettempdir(), "mlps-scratch", "bloom-point")
+    shutil.rmtree(scratch, ignore_errors=True)
+    t = LakehouseTable.create(
+        scratch + "/orders", o.schema, partition_col="o_orderpriority"
+    )
+    t.update_properties({BLOOM_COLS_PROP: "o_orderkey"})
+    t.append(o, n_files=16)
+    parts = [
+        t.scan(spark, point_eq={"o_orderkey": int(k)})
+        .filter(F.col("o_orderkey") == int(k))
+        for k in (int(lo), int(hi), int(hi) + 7)  # last key absent
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    ).orderBy("o_orderkey")
+
+
+ORACLE_SQL["bloom_point_lookup"] = """
+        SELECT o_orderkey, o_orderstatus, o_orderpriority
+        FROM orders
+        WHERE o_orderkey IN (SELECT MIN(o_orderkey) FROM orders)
+           OR o_orderkey IN (SELECT MAX(o_orderkey) FROM orders)
+        ORDER BY o_orderkey
+"""
+
+
 QUERIES = {
     "a_rollup_cube": a_rollup_cube,
     "a_pivot_status": a_pivot_status,
@@ -2091,4 +2144,5 @@ QUERIES = {
     "emb_label_profile": emb_label_profile,
     "mor_delete_scan": mor_delete_scan,
     "cdc_changelog_scan": cdc_changelog_scan,
+    "bloom_point_lookup": bloom_point_lookup,
 }

@@ -1,0 +1,191 @@
+"""Structured Streaming SOURCE over a lakehouse table: incremental
+snapshot consumption with checkpointed offsets.
+
+`spark.readStream.format("lakehouse_stream").option("location", ...)`
+streams a table's APPENDED rows, one micro-batch per offset range,
+with exactly-once progress tracking through the query checkpoint —
+the Iceberg "streaming read" surface (Iceberg streams append
+snapshots and fails on overwrite/delete; same contract here, with
+``onchange=skip`` as the opt-out). The reference's consumers re-read
+whole day partitions on a cron (dags/Queries_dag.py); a streaming
+source turns the same table into a push-style feed any Spark sink
+(including this package's stream_merge_sink) can consume.
+
+Scale shape: offsets are snapshot sequence numbers (tiny JSON);
+`partitions()` diffs the MANIFEST LIST between a snapshot and its
+parent, so planning a micro-batch reads only the manifests the commit
+added — O(new files), never O(table). Each new data file becomes one
+input partition, read executor-side as Arrow record batches (the
+Python-data-source path; at 1000 executors the per-file reads fan out
+like any parquet scan).
+
+Built on the public PySpark 4 Python Data Source API
+(pyspark.sql.datasource) — no private interfaces.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql import types as T
+
+from ..tableformat import LakehouseTable
+from .changelog import _classify
+
+FORMAT_NAME = "lakehouse_stream"
+
+
+def _arrow_type(dt: T.DataType) -> pa.DataType:
+    m = {
+        T.StringType: pa.string(),
+        T.LongType: pa.int64(),
+        T.IntegerType: pa.int32(),
+        T.ShortType: pa.int16(),
+        T.ByteType: pa.int8(),
+        T.DoubleType: pa.float64(),
+        T.FloatType: pa.float32(),
+        T.BooleanType: pa.bool_(),
+        T.BinaryType: pa.binary(),
+        T.DateType: pa.date32(),
+        T.TimestampType: pa.timestamp("us"),
+    }
+    for k, v in m.items():
+        if isinstance(dt, k):
+            return v
+    raise ValueError(f"unsupported streaming column type: {dt.simpleString()}")
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str, snapshot_id: int, renames: dict):
+        self.path = path
+        self.snapshot_id = snapshot_id
+        # current name -> prior physical names; carried per partition
+        # because read() runs executor-side on a pickled copy of the
+        # reader whose state from partitions() may not travel
+        self.renames = renames
+
+
+class LakehouseStreamReader(DataSourceStreamReader):
+    def __init__(self, options: dict, schema: T.StructType):
+        self._location = options.get("location")
+        if not self._location:
+            raise ValueError("option 'location' is required")
+        self._on_change = options.get("onchange", "error")
+        if self._on_change not in ("error", "skip"):
+            raise ValueError("option 'onchange' must be 'error' or 'skip'")
+        self._start = options.get("start", "earliest")
+        self._schema = schema
+
+    def _table(self) -> LakehouseTable:
+        return LakehouseTable(self._location)
+
+    @staticmethod
+    def _max_seq(table: LakehouseTable) -> int:
+        snaps = table.snapshots_list()
+        return max((s.sequence for s in snaps), default=0)
+
+    def initialOffset(self) -> dict:
+        if self._start == "latest":
+            return {"seq": self._max_seq(self._table())}
+        return {"seq": 0}
+
+    def latestOffset(self) -> dict:
+        return {"seq": self._max_seq(self._table())}
+
+    def partitions(self, start: dict, end: dict):
+        t = self._table()
+        meta = t.load_metadata()
+        renames = t.column_renames(meta)
+        snaps = sorted(t.snapshots_list(meta), key=lambda s: s.sequence)
+        by_id = {s.snapshot_id: s for s in snaps}
+        parts: list[_FilePartition] = []
+        for snap in snaps:
+            if not (start["seq"] < snap.sequence <= end["seq"]):
+                continue
+            kind = _classify(snap)
+            if kind == "skip":
+                continue
+            if kind != "insert":
+                if self._on_change == "skip":
+                    continue
+                raise ValueError(
+                    f"snapshot {snap.snapshot_id} is a {kind} change; the "
+                    "streaming source reads APPEND snapshots only (set "
+                    ".option('onchange', 'skip') to pass over row-level "
+                    "changes, or consume changelog_df for full CDC)"
+                )
+            parent = by_id.get(snap.parent_id)
+            prev = set(parent.manifests) if parent is not None else set()
+            for m in snap.manifests:
+                if m in prev:
+                    continue
+                for e in t.read_manifest_entries(m):
+                    if e["added_snapshot_id"] != snap.snapshot_id:
+                        continue
+                    parts.append(_FilePartition(
+                        os.path.join(t._local_root, e["file_path"]),
+                        snap.snapshot_id,
+                        renames,
+                    ))
+        return parts
+
+    def read(self, partition: _FilePartition) -> Iterator[pa.RecordBatch]:
+        tbl = pq.read_table(partition.path)
+        renames = partition.renames
+        cols = []
+        names = []
+        present = set(tbl.schema.names)
+        n = tbl.num_rows
+        for f in self._schema.fields:
+            if f.name in present:
+                cols.append(tbl.column(f.name))
+            else:
+                phys = next((p for p in renames.get(f.name, [])
+                             if p in present), None)
+                if phys is not None:
+                    cols.append(tbl.column(phys))
+                else:
+                    cols.append(pa.nulls(n, type=_arrow_type(f.dataType)))
+            names.append(f.name)
+        out = pa.table(cols, names=names)
+        for b in out.to_batches():
+            yield b
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class LakehouseStreamDataSource(DataSource):
+    """`spark.dataSource.register(LakehouseStreamDataSource)`, then
+    `spark.readStream.format("lakehouse_stream")
+    .option("location", path).load()`.
+
+    Options: ``location`` (table path, required), ``start``
+    ('earliest' streams existing rows as the first batch, 'latest'
+    only new commits), ``onchange`` ('error' | 'skip' for non-append
+    snapshots)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self):
+        loc = self.options.get("location")
+        if not loc:
+            raise ValueError("option 'location' is required")
+        t = LakehouseTable(loc)
+        return T.StructType.fromJson(
+            json.loads(t.load_metadata()["schema_json"])
+        )
+
+    def streamReader(self, schema: T.StructType) -> LakehouseStreamReader:
+        return LakehouseStreamReader(dict(self.options), schema)

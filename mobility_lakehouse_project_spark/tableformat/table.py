@@ -189,8 +189,24 @@ _MANIFEST_SCHEMA = pa.schema(
         ("int_maxs", pa.map_(pa.string(), pa.int64())),
         ("str_mins", pa.map_(pa.string(), pa.string())),
         ("str_maxs", pa.map_(pa.string(), pa.string())),
+        # per-file bloom filters (col -> 64-bit words), Iceberg-puffin
+        # analog: point-lookup file skipping on high-cardinality columns
+        # where min/max stats cannot prune (every file spans the range)
+        ("blooms", pa.map_(pa.string(), pa.list_(pa.int64()))),
     ]
 )
+
+# Bloom sizing: ~10 bits/row, 7 probes => ~1% false-positive rate at any
+# file size (m scales with the file's record count, rounded to whole
+# 64-bit words so bit-index arithmetic can use `pos % 64 == C % 64`).
+_BLOOM_K = 7
+_BLOOM_BITS_PER_ROW = 10
+BLOOM_COLS_PROP = "write.metadata.bloom-columns"
+
+
+def _bloom_m(n_rows: int) -> int:
+    words = max(1, -(-(max(1, n_rows) * _BLOOM_BITS_PER_ROW) // 64))
+    return int(words * 64)
 
 
 class LakehouseTable:
@@ -740,13 +756,139 @@ class LakehouseTable:
         w.parquet(out_dir)
         tf = time.time()
         entries = self._collect_entries(out_dir, meta)
+        tb = time.time()
+        bloom_cols = [
+            c.strip()
+            for c in meta.get("properties", {}).get(BLOOM_COLS_PROP, "").split(",")
+            if c.strip()
+        ]
+        if bloom_cols and entries:
+            self._attach_blooms(df.sparkSession, out_dir, entries, bloom_cols, meta)
         # sub-phase timings for scaling diagnostics: the footer pass is
         # driver-serial locally (Amdahl term), the write job is parallel
         self.last_write_phases = {
             "write_job_ms": int((tf - tw) * 1000),
-            "footer_stats_ms": int((time.time() - tf) * 1000),
+            "footer_stats_ms": int((tb - tf) * 1000),
+            "bloom_build_ms": int((time.time() - tb) * 1000),
         }
         return entries
+
+    def _attach_blooms(
+        self,
+        spark: SparkSession,
+        out_dir: str,
+        entries: list[dict],
+        cols: list[str],
+        meta: dict,
+    ) -> None:
+        """Compute per-file bloom filters for ``cols`` over the freshly
+        written files and attach them to the manifest entries.
+
+        One distributed job per column, shaped for 10^12-row scale:
+
+        * the read-back is COLUMN-PRUNED to the bloom column (never the
+          image blobs), so it costs a tiny fraction of the write;
+        * hashing stays JVM-side (``xxhash64`` twice, Kirsch-
+          Mitzenmacher double hashing for the k=7 probe positions);
+        * the shuffle is O(files x bloom_words), NOT O(rows):
+          ``bit_or`` partial aggregation OR-combines probe masks
+          map-side, so each task emits at most one (file, word, mask)
+          row per set word (~m/64 rows/file) regardless of row count.
+
+        Bloom size scales with the file's record count (~10 bits/row,
+        whole 64-bit words), pinned per file from the footer stats
+        already collected — the probe side recovers m as
+        ``size(bloom)*64``."""
+        schema_cols = {f.name for f in
+                       T.StructType.fromJson(json.loads(meta["schema_json"])).fields}
+        missing = [c for c in cols if c not in schema_cols]
+        if missing:
+            raise ValueError(
+                f"{BLOOM_COLS_PROP} names columns not in the table "
+                f"schema: {missing}"
+            )
+        # join key = last TWO path segments: a partitioned write reuses
+        # the same part-file basename in every partition directory, so
+        # basename alone collides; (partition dir, basename) is unique
+        # within one write job
+        def keyof(rel: str) -> str:
+            return "/".join(rel.split("/")[-2:])
+
+        by_base = {keyof(e["file_path"]): e for e in entries}
+        if len(by_base) != len(entries):
+            raise RuntimeError(
+                "bloom build: non-unique (dir, basename) keys in write"
+            )
+        mdf = spark.createDataFrame(
+            [(b, e["file_path"], _bloom_m(e["record_count"]))
+             for b, e in by_base.items()],
+            "b string, rel string, m long",
+        )
+        # the reported URI may percent-encode partition-dir characters;
+        # decode each segment back to the on-disk (entry) form
+        seg = ("coalesce(try_url_decode(element_at(split(_f, '/'), {i})), "
+               "element_at(split(_f, '/'), {i}))")
+        src = (
+            spark.read.parquet(out_dir)
+            .select(F.col("_metadata.file_path").alias("_f"), *cols)
+            .withColumn(
+                "b",
+                F.expr(f"concat_ws('/', {seg.format(i=-2)}, {seg.format(i=-1)})"),
+            )
+            .drop("_f")
+            .join(F.broadcast(mdf), "b")
+        )
+        blooms: dict[str, dict[str, list[int]]] = {
+            e["file_path"]: {} for e in entries
+        }
+        for c in cols:
+            probes = (
+                src.select(
+                    "rel",
+                    "m",
+                    F.pmod(F.xxhash64(F.col(c)), F.lit(2 ** 31)).alias("h1"),
+                    (F.pmod(F.xxhash64(F.col(c), F.lit(1)), F.lit(2 ** 30)) * 2
+                     + 1).alias("h2"),
+                )
+                .select(
+                    "rel",
+                    "m",
+                    F.explode(
+                        F.array(*[
+                            (F.col("h1") + F.lit(i) * F.col("h2"))
+                            for i in range(_BLOOM_K)
+                        ])
+                    ).alias("hk"),
+                )
+                .select("rel", "m", F.pmod(F.col("hk"), F.col("m")).alias("pos"))
+            )
+            words = (
+                probes.select(
+                    "rel",
+                    "m",
+                    F.floor(F.col("pos") / F.lit(64)).cast("long").alias("word"),
+                    F.expr("shiftleft(1L, cast(pos % 64 as int))").alias("mask"),
+                )
+                .groupBy("rel", "m", "word")
+                .agg(F.expr("bit_or(mask)").alias("mask"))
+                .groupBy("rel", "m")
+                .agg(
+                    F.map_from_entries(
+                        F.collect_list(F.struct("word", "mask"))
+                    ).alias("wm")
+                )
+                .select(
+                    "rel",
+                    F.expr(
+                        "transform(sequence(0L, m div 64 - 1), "
+                        "w -> coalesce(element_at(wm, w), 0L))"
+                    ).alias("bloom"),
+                )
+            )
+            for r in words.collect():
+                blooms[r["rel"]][c] = list(r["bloom"])
+        for e in entries:
+            e["blooms"] = blooms.get(e["file_path"], {})
 
     def _collect_entries(self, out_dir: str, meta: dict) -> list[dict]:
         """Build manifest entries from freshly-written parquet footers.
@@ -831,6 +973,8 @@ class LakehouseTable:
         for e in entries:
             if e.get("added_snapshot_id", -1) == -1:
                 e["added_snapshot_id"] = snapshot_id
+            # survivor entries read from pre-bloom manifests
+            e.setdefault("blooms", {})
         name = f"manifest-{snapshot_id}-{uuid.uuid4().hex[:8]}.parquet"
         cols = {
             k: [
@@ -847,8 +991,8 @@ class LakehouseTable:
         tbl = pq.read_table(os.path.join(self.meta_dir, manifest_rel))
         rows = tbl.to_pylist()
         for r in rows:
-            for k in ("int_mins", "int_maxs", "str_mins", "str_maxs"):
-                r[k] = dict(r[k] or [])
+            for k in ("int_mins", "int_maxs", "str_mins", "str_maxs", "blooms"):
+                r[k] = dict(r.get(k) or [])
         return rows
 
     # ---------------- commits ----------------
@@ -1199,7 +1343,9 @@ class LakehouseTable:
         if snap is None or not snap.manifests:
             return spark.createDataFrame([], self._files_spark_schema())
         paths = [os.path.join(self.meta_dir, m) for m in snap.manifests]
-        return spark.read.parquet(*paths)
+        # explicit schema: manifests written before a schema addition
+        # (e.g. the blooms column) read the missing column as null
+        return spark.read.schema(self._files_spark_schema()).parquet(*paths)
 
     def size_stats(self, spark: SparkSession) -> dict:
         """Table-level (files, bytes, rows) as ONE aggregation of the
@@ -1227,6 +1373,10 @@ class LakehouseTable:
                 T.StructField("int_maxs", T.MapType(T.StringType(), T.LongType())),
                 T.StructField("str_mins", T.MapType(T.StringType(), T.StringType())),
                 T.StructField("str_maxs", T.MapType(T.StringType(), T.StringType())),
+                T.StructField(
+                    "blooms",
+                    T.MapType(T.StringType(), T.ArrayType(T.LongType())),
+                ),
             ]
         )
 
@@ -1375,8 +1525,14 @@ class LakehouseTable:
         snapshot_id: int | None = None,
         partition_values: set | None = None,
         int_ranges: dict[str, tuple[int | None, int | None]] | None = None,
+        point_eq: dict[str, object] | None = None,
     ) -> DataFrame:
         """Pruned `files` metadata DataFrame — the planning surface.
+
+        ``point_eq={'image_id': v}`` adds point-lookup file skipping:
+        per-file bloom filters (written when the table property
+        ``write.metadata.bloom-columns`` names the column) plus min/max
+        stats; see `_bloom_prune`.
 
         All partition/stats pruning happens as DataFrame filters over
         the manifest scan, never by materializing entries on the
@@ -1406,6 +1562,72 @@ class LakehouseTable:
                 cond = cond & (F.col("int_mins")[col] <= F.lit(int(hi)))
             # files with no stats for the column can never be pruned
             df = df.filter(F.col("int_maxs")[col].isNull() | cond)
+        for col, val in (point_eq or {}).items():
+            df = self._bloom_prune(spark, df, col, val)
+        return df
+
+    def _bloom_point_hashes(
+        self, spark: SparkSession, col: str, value
+    ) -> tuple[int, int]:
+        """(h1, h2) for a point-lookup literal, computed with the SAME
+        JVM xxhash64 the build side used — the literal is cast to the
+        column's declared type first, because Spark hashes int and long
+        (or any two physical types) differently."""
+        dt = next(
+            (f.dataType.simpleString() for f in self.schema().fields
+             if f.name == col),
+            None,
+        )
+        lit = F.lit(value).cast(dt) if dt else F.lit(value)
+        row = spark.range(1).select(
+            F.pmod(F.xxhash64(lit), F.lit(2 ** 31)).alias("h1"),
+            (F.pmod(F.xxhash64(lit, F.lit(1)), F.lit(2 ** 30)) * 2 + 1).alias("h2"),
+        ).collect()[0]
+        return int(row["h1"]), int(row["h2"])
+
+    def _bloom_prune(
+        self, spark: SparkSession, df: DataFrame, col: str, val
+    ) -> DataFrame:
+        """Keep only files that might contain ``col = val``.
+
+        Two independent file-skipping signals, both fail-safe (a file
+        with no stats / no bloom for the column is always kept):
+
+        * min/max stats — effective when the column is (nearly) sorted
+          across files;
+        * the per-file bloom filter — effective on high-cardinality
+          UNSORTED columns where every file spans the whole value range
+          and min/max can never prune. ~1% of files survive as false
+          positives; at 10^12 rows this is the difference between
+          touching ~1 file and scanning the table.
+
+        The probe is a pure Catalyst filter over the manifest scan:
+        because every bloom is a whole number of 64-bit words, the bit
+        index of probe i is the CONSTANT ``(h1 + i*h2) % 64`` and only
+        the word index depends on the file's bloom size."""
+        h1, h2 = self._bloom_point_hashes(spark, col, val)
+        arr = f"blooms['{col}']"
+        tests = " AND ".join(
+            f"((shiftright(element_at({arr}, "
+            f"cast(pmod({h1 + i * h2}L, size({arr}) * 64L) div 64 as int) + 1), "
+            f"{(h1 + i * h2) % 64}) & 1L) = 1L)"
+            for i in range(_BLOOM_K)
+        )
+        df = df.filter(F.expr(f"blooms IS NULL OR {arr} IS NULL OR ({tests})"))
+        if isinstance(val, bool):
+            return df
+        if isinstance(val, int):
+            v = F.lit(int(val))
+            df = df.filter(
+                F.col("int_maxs")[col].isNull()
+                | ((F.col("int_maxs")[col] >= v) & (F.col("int_mins")[col] <= v))
+            )
+        elif isinstance(val, str):
+            v = F.lit(val)
+            df = df.filter(
+                F.col("str_maxs")[col].isNull()
+                | ((F.col("str_maxs")[col] >= v) & (F.col("str_mins")[col] <= v))
+            )
         return df
 
     def scan(
@@ -1417,8 +1639,13 @@ class LakehouseTable:
         columns: list[str] | None = None,
         ref: str | None = None,
         with_pos: bool = False,
+        point_eq: dict[str, object] | None = None,
     ) -> DataFrame:
         """Read the table at a snapshot, pruning files via manifest stats.
+
+        ``point_eq={'image_id': v}`` narrows the FILE set via bloom +
+        min/max skipping (see plan_files); like int_ranges, the
+        row-level residual predicate stays with the caller.
 
         ``int_ranges={'phash': (lo, hi)}`` keeps only files whose
         [min,max] overlaps [lo,hi] — the stats-pruning path that Z-order
@@ -1444,7 +1671,8 @@ class LakehouseTable:
                     f"{sorted(tags) or 'none'}; branches: "
                     f"{sorted(branches) or 'none'})"
                 )
-        pruned = self.plan_files(spark, snapshot_id, partition_values, int_ranges)
+        pruned = self.plan_files(spark, snapshot_id, partition_values, int_ranges,
+                                 point_eq=point_eq)
         snap = (self.snapshot_by_id(snapshot_id) if snapshot_id is not None
                 else self.current_snapshot())
         if snap is not None and snap.equality_delete_manifests():
@@ -1531,7 +1759,13 @@ class LakehouseTable:
         schema = T.StructType.fromJson(json.loads(meta["schema_json"]))
         pos_cols = ["_file", "_pos"] if with_pos else []
         if not rel_paths:
-            df = spark.createDataFrame([], schema)
+            # JVM-only empty relation (createDataFrame([]) plans an
+            # applySchemaToPythonRDD node — a Python scan in every
+            # downstream .explain, and a pickle round-trip for nothing)
+            df = spark.range(0).select(
+                *[F.lit(None).cast(f.dataType).alias(f.name)
+                  for f in schema.fields]
+            )
             for c in pos_cols:
                 df = df.withColumn(
                     c, F.lit(None).cast("string" if c == "_file" else "long"))

@@ -35,6 +35,7 @@ AUDIT = [
     "ann_batch_clustered",   # persisted twin: pruned scan + bucket equi-join, NO Python
     "mor_delete_scan",       # expect broadcast LEFT-ANTI delete join; data side never shuffles
     "cdc_changelog_scan",    # expect changelog union + broadcast semi for delete rows, NO Python
+    "bloom_point_lookup",    # expect tiny pruned file scans (bloom file skipping) + pushed key filter
 ]
 
 CHECKS = {
@@ -59,13 +60,16 @@ CHECKS = {
     # the aggregation pushes filters/pruning through the join
     "mor_delete_scan": ["BroadcastHashJoin", "LeftAnti", "HashAggregate"],
     "cdc_changelog_scan": ["BroadcastHashJoin", "LeftSemi", "HashAggregate"],
+    # the key predicate must reach the (already bloom-pruned) scans
+    "bloom_point_lookup": ["Union", "PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey"],
 }
 
 # plans that must contain NO row-at-a-time or Arrow Python evaluation
 NO_PYTHON = {"dedup_simhash", "ann_lsh_bucketed", "dedup_embed_cosine",
              "txt_quality_score", "ann_cosine_topk", "ann_ivf_probe",
              "ann_lsh_clustered", "emb_label_profile", "ann_batch_join",
-             "ann_batch_clustered", "mor_delete_scan", "cdc_changelog_scan"}
+             "ann_batch_clustered", "mor_delete_scan", "cdc_changelog_scan",
+             "bloom_point_lookup"}
 
 # plans that must NOT explode arrays into the shuffle (per-row pre-sum)
 NO_GENERATE = {"emb_label_profile"}
