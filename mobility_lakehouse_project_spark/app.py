@@ -31,9 +31,25 @@ import argparse
 import json
 import sys
 
+from pyspark.sql import functions as F
+
 
 def _mb(v: float) -> int:
     return int(float(v) * 1024 * 1024)
+
+
+def _parse_key(s: str | None) -> dict | None:
+    """``col=value`` -> point_eq dict (value typed as int when it
+    parses, else string)."""
+    if not s:
+        return None
+    col, _, raw = s.partition("=")
+    if not col or not raw:
+        raise SystemExit(f"--key expects col=value, got {s!r}")
+    try:
+        return {col: int(raw)}
+    except ValueError:
+        return {col: raw}
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -99,6 +115,10 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--limit", type=int, default=5)
     sp.add_argument("--partition", default=None)
     sp.add_argument("--snapshot", type=int, default=None)
+    sp.add_argument("--key", default=None,
+                    help="col=value point lookup: prunes the file set "
+                         "via manifest bloom filters + min/max stats "
+                         "and filters rows to the exact match")
 
     sp = sub.add_parser("lineage")
     t(sp)
@@ -114,6 +134,9 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--mode", choices=["cow", "mor"], default="cow",
                     help="cow = rewrite touched files; mor = write "
                          "position-delete files only (no blob rewrite)")
+    sp.add_argument("--key", default=None,
+                    help="col=value bloom-pruning hint matching an "
+                         "equality predicate (GDPR single-key erase)")
 
     sp = sub.add_parser("rewrite-deletes",
                         help="fold pending position deletes into the data "
@@ -247,10 +270,15 @@ def main(argv: list[str] | None = None) -> int:
             sample_fraction=a.sample)}
     elif a.cmd == "scan":
         tbl = LakehouseTable(a.table)
+        key = _parse_key(a.key)
         df = tbl.scan(
             spark, snapshot_id=a.snapshot,
             partition_values={a.partition} if a.partition is not None else None,
+            point_eq=key,
         )
+        if key:
+            for c, v in key.items():
+                df = df.filter(F.col(c) == v)
         out = {"cmd": "scan", "rows": df.count(),
                "sample": [
                    {k: (v if not isinstance(v, (bytes, bytearray)) else f"<{len(v)}B>")
@@ -271,7 +299,8 @@ def main(argv: list[str] | None = None) -> int:
             rng = {col: (int(lo) if lo else None, int(hi) if hi else None)}
         out = {"cmd": "delete", **delete_op.delete_where(
             LakehouseTable(a.table), spark, a.where, int_ranges=rng,
-            target_file_size=_mb(a.target_mb), mode=a.mode)}
+            target_file_size=_mb(a.target_mb), mode=a.mode,
+            point_eq=_parse_key(a.key))}
     elif a.cmd == "rewrite-deletes":
         from .operators import delete as delete_op
 

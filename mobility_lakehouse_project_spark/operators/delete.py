@@ -41,12 +41,13 @@ from ..tableformat import LakehouseTable
 DEFAULT_CHUNK_FILES = 50_000
 
 
-def _partition_chunks(table, spark, int_ranges, chunk_files):
+def _partition_chunks(table, spark, int_ranges, chunk_files,
+                      point_eq=None):
     """Candidate PARTITION summary (one metadata row per partition —
     the same driver bound plan_compaction accepts) grouped greedily
     into chunks of <= ``chunk_files`` candidate files each."""
     summary = (
-        table.plan_files(spark, int_ranges=int_ranges)
+        table.plan_files(spark, int_ranges=int_ranges, point_eq=point_eq)
         .groupBy("partition_id")
         .agg(F.count("*").alias("n_files"))
         .collect()
@@ -66,7 +67,8 @@ def _partition_chunks(table, spark, int_ranges, chunk_files):
     return chunks, n_cand
 
 
-def _plan_touched_chunk(table, spark, cond, int_ranges, partition_ids):
+def _plan_touched_chunk(table, spark, cond, int_ranges, partition_ids,
+                        point_eq=None):
     """Per-chunk DELETE/UPDATE planning: stats-pruned candidate files of
     ONE partition chunk -> row-level touch detection on NON-BINARY
     columns -> manifest entries of the touched set. The only path
@@ -75,7 +77,8 @@ def _plan_touched_chunk(table, spark, cond, int_ranges, partition_ids):
     cand_paths = sorted(
         r["file_path"]
         for r in table.plan_files(
-            spark, partition_values=set(partition_ids), int_ranges=int_ranges
+            spark, partition_values=set(partition_ids),
+            int_ranges=int_ranges, point_eq=point_eq
         ).select("file_path").collect()
     )
     if not cand_paths:
@@ -129,6 +132,7 @@ def _rowlevel_op(
     op_id: str | None,
     chunk_files: int,
     predicate_repr: str,
+    point_eq=None,
 ) -> dict:
     """Shared chunked DELETE/UPDATE engine. Partition chunks bound every
     driver-side path collect (<= chunk_files per chunk); each chunk
@@ -146,7 +150,8 @@ def _rowlevel_op(
         return {"files_rewritten": 0, "files_written": 0, rows_key: 0,
                 "wall_ms": int((time.time() - t0) * 1000), "snapshot": None}
     data_cols = [f.name for f in table.schema().fields]
-    chunks, n_cand = _partition_chunks(table, spark, int_ranges, chunk_files)
+    chunks, n_cand = _partition_chunks(table, spark, int_ranges, chunk_files,
+                                       point_eq=point_eq)
     n_total = table.files(spark).count()
     log = LineageLog(table.location)
     metrics = {"files_rewritten": 0, "files_written": 0, rows_key: 0,
@@ -157,7 +162,7 @@ def _rowlevel_op(
         # replan against the snapshot THIS chunk's commit will pin to
         cur = table.current_snapshot()
         touched_entries, n_matched = _plan_touched_chunk(
-            table, spark, cond, int_ranges, part_ids
+            table, spark, cond, int_ranges, part_ids, point_eq=point_eq
         )
         if not touched_entries:
             continue
@@ -230,6 +235,7 @@ def delete_where(
     op_id: str | None = None,
     chunk_files: int = DEFAULT_CHUNK_FILES,
     mode: str = "cow",
+    point_eq: dict | None = None,
 ) -> dict:
     """DELETE FROM table WHERE ``predicate`` — removes only rows where
     the predicate evaluates TRUE (SQL three-valued semantics: NULL
@@ -256,15 +262,21 @@ def delete_where(
       deletes (GDPR erasure of single image_ids) on blob-heavy tables
       at 10^12-image scale, where rewriting a 500 MB file to drop one
       row is the scale-killer.
+
+    ``point_eq={'image_id': v}`` (or a list of values) prunes the
+    candidate files through the manifest bloom filters before any data
+    is read — with blooms on the key column, erasing one image_id
+    probes ~1 file instead of row-scanning every candidate.
     """
     cond = F.expr(predicate) if isinstance(predicate, str) else predicate
     if mode == "mor":
         return _mor_delete(table, spark, cond, int_ranges, op_id,
-                           chunk_files, str(predicate))
+                           chunk_files, str(predicate), point_eq=point_eq)
     if mode != "cow":
         raise ValueError(f"unknown delete mode {mode!r} (cow|mor)")
     return _rowlevel_op(table, spark, cond, "delete", {}, int_ranges,
-                        target_file_size, op_id, chunk_files, str(predicate))
+                        target_file_size, op_id, chunk_files, str(predicate),
+                        point_eq=point_eq)
 
 
 # target rows per position-delete file: (path, int64) rows are ~100 B;
@@ -273,7 +285,7 @@ ROWS_PER_DELETE_FILE = 2_000_000
 
 
 def _mor_delete(table, spark, cond, int_ranges, op_id, chunk_files,
-                predicate_repr) -> dict:
+                predicate_repr, point_eq=None) -> dict:
     """Merge-on-read DELETE: per partition chunk, one slim-column scan
     finds (file, row-position) of predicate-TRUE rows; those pairs are
     written as sorted position-delete files and committed pinned to
@@ -290,7 +302,8 @@ def _mor_delete(table, spark, cond, int_ranges, op_id, chunk_files,
     slim_cols = [
         f.name for f in schema.fields if not isinstance(f.dataType, T.BinaryType)
     ]
-    chunks, n_cand = _partition_chunks(table, spark, int_ranges, chunk_files)
+    chunks, n_cand = _partition_chunks(table, spark, int_ranges, chunk_files,
+                                       point_eq=point_eq)
     log = LineageLog(table.location)
     metrics = {"delete_files_written": 0, "rows_deleted": 0,
                "candidate_files": n_cand, "chunks": len(chunks),
@@ -301,7 +314,8 @@ def _mor_delete(table, spark, cond, int_ranges, op_id, chunk_files,
         cand_paths = sorted(
             r["file_path"]
             for r in table.plan_files(
-                spark, partition_values=set(part_ids), int_ranges=int_ranges
+                spark, partition_values=set(part_ids),
+                int_ranges=int_ranges, point_eq=point_eq
             ).select("file_path").collect()
         )
         if not cand_paths:
@@ -589,6 +603,7 @@ def update_where(
     op_id: str | None = None,
     chunk_files: int = DEFAULT_CHUNK_FILES,
     mode: str = "cow",
+    point_eq: dict | None = None,
 ) -> dict:
     """UPDATE table SET col = expr, ... WHERE ``predicate`` — the same
     stats-pruned copy-on-write plan as DELETE: only files holding a
@@ -620,15 +635,16 @@ def update_where(
     if mode == "mor":
         return _mor_update(table, spark, cond, upd, int_ranges,
                            target_file_size, op_id, chunk_files,
-                           str(predicate))
+                           str(predicate), point_eq=point_eq)
     if mode != "cow":
         raise ValueError(f"unknown update mode {mode!r} (cow|mor)")
     return _rowlevel_op(table, spark, cond, "update", upd, int_ranges,
-                        target_file_size, op_id, chunk_files, str(predicate))
+                        target_file_size, op_id, chunk_files, str(predicate),
+                        point_eq=point_eq)
 
 
 def _mor_update(table, spark, cond, upd, int_ranges, target_file_size,
-                op_id, chunk_files, predicate_repr) -> dict:
+                op_id, chunk_files, predicate_repr, point_eq=None) -> dict:
     """Merge-on-read UPDATE: per partition chunk, matched rows (read
     once, blobs included — the assignments need the old row) become
     (a) position-delete entries for their old locations and (b) an
@@ -645,7 +661,8 @@ def _mor_update(table, spark, cond, upd, int_ranges, target_file_size,
                 "rows_updated": 0,
                 "wall_ms": int((time.time() - t0) * 1000), "snapshot": None}
     data_cols = [f.name for f in table.schema().fields]
-    chunks, n_cand = _partition_chunks(table, spark, int_ranges, chunk_files)
+    chunks, n_cand = _partition_chunks(table, spark, int_ranges, chunk_files,
+                                       point_eq=point_eq)
     log = LineageLog(table.location)
     metrics = {"delete_files_written": 0, "files_written": 0,
                "rows_updated": 0, "candidate_files": n_cand,
@@ -656,7 +673,8 @@ def _mor_update(table, spark, cond, upd, int_ranges, target_file_size,
         cand_paths = sorted(
             r["file_path"]
             for r in table.plan_files(
-                spark, partition_values=set(part_ids), int_ranges=int_ranges
+                spark, partition_values=set(part_ids),
+                int_ranges=int_ranges, point_eq=point_eq
             ).select("file_path").collect()
         )
         if not cand_paths:

@@ -1566,29 +1566,13 @@ class LakehouseTable:
             df = self._bloom_prune(spark, df, col, val)
         return df
 
-    def _bloom_point_hashes(
-        self, spark: SparkSession, col: str, value
-    ) -> tuple[int, int]:
-        """(h1, h2) for a point-lookup literal, computed with the SAME
-        JVM xxhash64 the build side used — the literal is cast to the
-        column's declared type first, because Spark hashes int and long
-        (or any two physical types) differently."""
-        dt = next(
-            (f.dataType.simpleString() for f in self.schema().fields
-             if f.name == col),
-            None,
-        )
-        lit = F.lit(value).cast(dt) if dt else F.lit(value)
-        row = spark.range(1).select(
-            F.pmod(F.xxhash64(lit), F.lit(2 ** 31)).alias("h1"),
-            (F.pmod(F.xxhash64(lit, F.lit(1)), F.lit(2 ** 30)) * 2 + 1).alias("h2"),
-        ).collect()[0]
-        return int(row["h1"]), int(row["h2"])
-
     def _bloom_prune(
         self, spark: SparkSession, df: DataFrame, col: str, val
     ) -> DataFrame:
-        """Keep only files that might contain ``col = val``.
+        """Keep only files that might contain ``col = val`` (or, when
+        ``val`` is a list/set/tuple, ``col IN vals`` — a file survives
+        if ANY of the values may be present; the batch-key-fetch
+        shape).
 
         Two independent file-skipping signals, both fail-safe (a file
         with no stats / no bloom for the column is always kept):
@@ -1604,31 +1588,76 @@ class LakehouseTable:
         The probe is a pure Catalyst filter over the manifest scan:
         because every bloom is a whole number of 64-bit words, the bit
         index of probe i is the CONSTANT ``(h1 + i*h2) % 64`` and only
-        the word index depends on the file's bloom size."""
-        h1, h2 = self._bloom_point_hashes(spark, col, val)
+        the word index depends on the file's bloom size.
+
+        IN-lists over ~128 values skip the bloom term (the filter
+        expression would outgrow codegen for negligible extra skipping)
+        and keep the min/max ENVELOPE [min(vals), max(vals)] — a valid
+        relaxation of the per-value disjunction."""
+        many = isinstance(val, (list, tuple, set, frozenset))
+        vals = list(val) if many else [val]
+        if not vals:
+            return df.filter(F.lit(False))  # IN () matches nothing
         arr = f"blooms['{col}']"
-        tests = " AND ".join(
-            f"((shiftright(element_at({arr}, "
-            f"cast(pmod({h1 + i * h2}L, size({arr}) * 64L) div 64 as int) + 1), "
-            f"{(h1 + i * h2) % 64}) & 1L) = 1L)"
-            for i in range(_BLOOM_K)
-        )
-        df = df.filter(F.expr(f"blooms IS NULL OR {arr} IS NULL OR ({tests})"))
-        if isinstance(val, bool):
+        if len(vals) <= 128:
+            per_val = []
+            for h1, h2 in self._bloom_point_hashes_many(spark, col, vals):
+                per_val.append("(" + " AND ".join(
+                    f"((shiftright(element_at({arr}, "
+                    f"cast(pmod({h1 + i * h2}L, size({arr}) * 64L) div 64 "
+                    f"as int) + 1), "
+                    f"{(h1 + i * h2) % 64}) & 1L) = 1L)"
+                    for i in range(_BLOOM_K)
+                ) + ")")
+            tests = " OR ".join(per_val)
+            df = df.filter(
+                F.expr(f"blooms IS NULL OR {arr} IS NULL OR ({tests})")
+            )
+        if any(isinstance(v, bool) for v in vals):
             return df
-        if isinstance(val, int):
-            v = F.lit(int(val))
+        if all(isinstance(v, int) for v in vals):
+            lo, hi = F.lit(min(vals)), F.lit(max(vals))
             df = df.filter(
                 F.col("int_maxs")[col].isNull()
-                | ((F.col("int_maxs")[col] >= v) & (F.col("int_mins")[col] <= v))
+                | ((F.col("int_maxs")[col] >= lo) & (F.col("int_mins")[col] <= hi))
             )
-        elif isinstance(val, str):
-            v = F.lit(val)
+        elif all(isinstance(v, str) for v in vals):
+            lo, hi = F.lit(min(vals)), F.lit(max(vals))
             df = df.filter(
                 F.col("str_maxs")[col].isNull()
-                | ((F.col("str_maxs")[col] >= v) & (F.col("str_mins")[col] <= v))
+                | ((F.col("str_maxs")[col] >= lo) & (F.col("str_mins")[col] <= hi))
             )
         return df
+
+    def _bloom_point_hashes_many(
+        self, spark: SparkSession, col: str, values: list
+    ) -> list[tuple[int, int]]:
+        """(h1, h2) per value, ONE tiny local job for the whole list
+        (posexplode over an array literal). Each literal is cast to the
+        column's declared type first — the probe must use the SAME JVM
+        xxhash64 the build side used, and Spark hashes int and long (or
+        any two physical types) differently."""
+        dt = next(
+            (f.dataType.simpleString() for f in self.schema().fields
+             if f.name == col),
+            None,
+        )
+        lits = [F.lit(v).cast(dt) if dt else F.lit(v) for v in values]
+        rows = (
+            spark.range(1)
+            .select(F.posexplode(F.array(*lits)).alias("i", "v"))
+            .select(
+                "i",
+                F.pmod(F.xxhash64(F.col("v")), F.lit(2 ** 31)).alias("h1"),
+                (F.pmod(F.xxhash64(F.col("v"), F.lit(1)), F.lit(2 ** 30)) * 2
+                 + 1).alias("h2"),
+            )
+            .collect()
+        )
+        out: list[tuple[int, int] | None] = [None] * len(values)
+        for r in rows:
+            out[r["i"]] = (int(r["h1"]), int(r["h2"]))
+        return out  # type: ignore[return-value]
 
     def scan(
         self,

@@ -139,6 +139,45 @@ def test_point_lookup_after_mor_delete(spark, table):
     )
 
 
+def test_in_list_point_lookup(spark, table):
+    t = table
+    total = t.files(spark).count()
+    ids = [r["image_id"]
+           for r in t.scan(spark).select("image_id").limit(5).collect()]
+    kept = t.plan_files(spark, point_eq={"image_id": ids}).count()
+    assert kept < total
+    found = (
+        t.scan(spark, point_eq={"image_id": ids})
+        .filter(F.col("image_id").isin(ids)).count()
+    )
+    assert found == len(ids)
+    # empty IN-list matches nothing
+    assert t.plan_files(spark, point_eq={"image_id": []}).count() == 0
+
+
+def test_point_eq_prunes_delete_planning(spark, table):
+    t = table
+    total = t.files(spark).count()
+    v = t.scan(spark).select("image_id").limit(1).collect()[0]["image_id"]
+    res = delete.delete_where(
+        t, spark, f"image_id = '{v}'", mode="mor",
+        point_eq={"image_id": v},
+    )
+    assert res["rows_deleted"] == 1
+    # the GDPR single-key erase probes ~1 file, not every candidate
+    assert res["candidate_files"] <= max(2, total // 10)
+    assert t.scan(spark).filter(F.col("image_id") == v).count() == 0
+    # CoW path with an IN-list
+    ids = [r["image_id"]
+           for r in t.scan(spark).select("image_id").limit(3).collect()]
+    res2 = delete.delete_where(
+        t, spark, F.col("image_id").isin(ids), point_eq={"image_id": ids},
+    )
+    assert res2["rows_deleted"] == 3
+    assert res2["candidate_files"] < total
+    assert t.scan(spark).filter(F.col("image_id").isin(ids)).count() == 0
+
+
 def test_unknown_bloom_column_raises_at_write(spark, tmp_table_dir):
     df = synth.images_df(spark, 100, partitions=2)
     t = LakehouseTable.create(

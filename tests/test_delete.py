@@ -168,8 +168,8 @@ def test_delete_where_true_chunked_bounded_collects(spark, tmp_table_dir, monkey
     orig = delete._plan_touched_chunk
     seen = []
 
-    def spy(table, spark_, cond, int_ranges, part_ids):
-        entries, n = orig(table, spark_, cond, int_ranges, part_ids)
+    def spy(table, spark_, cond, int_ranges, part_ids, **kw):
+        entries, n = orig(table, spark_, cond, int_ranges, part_ids, **kw)
         seen.append(len(entries))
         return entries, n
 
