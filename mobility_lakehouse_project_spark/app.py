@@ -81,6 +81,12 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--target-mb", type=float, default=128)
     sp.add_argument("--chunks", type=int, default=4)
     sp.add_argument("--recompress", type=int, default=None)
+    sp.add_argument("--incremental", action="store_true",
+                    help="re-sort only files added since the last full "
+                         "cluster (O(ingest), not O(table)); partitions "
+                         "with >= --merge-threshold new bytes get a "
+                         "full per-partition re-cluster")
+    sp.add_argument("--merge-threshold", type=float, default=0.4)
 
     sp = sub.add_parser("merge")
     t(sp)
@@ -162,6 +168,8 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--curve", choices=["zorder", "hilbert", "none"],
                     default="none")
     sp.add_argument("--cols", default="phash,w,h")
+    sp.add_argument("--cluster-mode", choices=["full", "incremental"],
+                    default="full")
     sp.add_argument("--keep", type=int, default=5)
     sp.add_argument("--orphan-grace-s", type=float, default=3 * 86400.0)
     sp.add_argument("--analyze", action="store_true")
@@ -236,10 +244,20 @@ def main(argv: list[str] | None = None) -> int:
     elif a.cmd == "cluster":
         from .operators import clustering
 
-        out = {"cmd": "cluster", "curve": a.curve, **clustering.cluster(
-            LakehouseTable(a.table), spark, curve=a.curve,
-            cols=tuple(a.cols.split(",")), target_file_size=_mb(a.target_mb),
-            n_chunks=a.chunks, recompress_level=a.recompress)}
+        if a.incremental:
+            res = clustering.cluster_incremental(
+                LakehouseTable(a.table), spark, curve=a.curve,
+                cols=tuple(a.cols.split(",")),
+                target_file_size=_mb(a.target_mb), n_chunks=a.chunks,
+                merge_threshold=a.merge_threshold,
+                recompress_level=a.recompress)
+        else:
+            res = clustering.cluster(
+                LakehouseTable(a.table), spark, curve=a.curve,
+                cols=tuple(a.cols.split(",")),
+                target_file_size=_mb(a.target_mb),
+                n_chunks=a.chunks, recompress_level=a.recompress)
+        out = {"cmd": "cluster", "curve": a.curve, **res}
     elif a.cmd == "merge":
         from .operators import merge
 
@@ -342,6 +360,7 @@ def main(argv: list[str] | None = None) -> int:
             LakehouseTable(a.table), spark, target_file_size=_mb(a.target_mb),
             cluster_curve=None if a.curve == "none" else a.curve,
             cluster_cols=tuple(a.cols.split(",")),
+            cluster_mode=a.cluster_mode,
             keep_snapshots=a.keep, orphan_grace_s=a.orphan_grace_s,
             analyze=a.analyze, recompress_level=a.recompress)}
     elif a.cmd == "analyze":

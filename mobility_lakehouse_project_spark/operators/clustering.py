@@ -30,6 +30,7 @@ Resumable per chunk via the lineage log, like compaction.
 
 from __future__ import annotations
 
+import json
 import time
 
 import numpy as np
@@ -173,7 +174,7 @@ def cluster(
         _cluster_chunks(
             table, spark, part_ids, n_chunks, done, metrics, ph, pcol,
             part_bytes_all, target_file_size, key_expr, recompress_level,
-            log, op_id, curve, cols,
+            log, op_id, curve, cols, dim_bounds=dim_bounds,
         )
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
@@ -182,7 +183,8 @@ def cluster(
 
 def _cluster_chunks(table, spark, part_ids, n_chunks, done, metrics, ph,
                     pcol, part_bytes_all, target_file_size, key_expr,
-                    recompress_level, log, op_id, curve, cols):
+                    recompress_level, log, op_id, curve, cols,
+                    paths_fn=None, dim_bounds=None, minor=False):
     for chunk_parts in _chunk(part_ids, n_chunks):
         ck = chunk_key(list(chunk_parts))
         if ck in done:
@@ -190,7 +192,12 @@ def _cluster_chunks(table, spark, part_ids, n_chunks, done, metrics, ph,
             continue
         t0 = time.time()
         # only this chunk's file paths are ever collected (bounded)
-        removed = set(chunk_file_paths(table, spark, list(chunk_parts)))
+        if paths_fn is not None:
+            removed = set(paths_fn(list(chunk_parts)))
+        else:
+            removed = set(chunk_file_paths(table, spark, list(chunk_parts)))
+        if not removed:
+            continue
         n_out_p = {
             p: max(1, round(part_bytes_all[p] / target_file_size))
             for p in chunk_parts
@@ -261,7 +268,16 @@ def _cluster_chunks(table, spark, part_ids, n_chunks, done, metrics, ph,
         t3 = time.time()
         snap = table.commit_replace(
             removed, new_entries, operation="replace",
-            summary={"op": f"cluster-{curve}", "op_id": op_id, "chunk": ck},
+            summary={"op": f"cluster-{curve}", "op_id": op_id, "chunk": ck,
+                     # signature of the layout this commit produced —
+                     # cluster_incremental resolves "when was this
+                     # table last clustered THIS way" and reuses the
+                     # key-normalization bounds so minor runs stay
+                     # comparable with the majority layout
+                     "cluster_cols": ",".join(cols),
+                     "cluster_minor": "1" if minor else "0",
+                     "cluster_bounds": json.dumps(list(dim_bounds))
+                     if dim_bounds else ""},
             affected_partitions=set(chunk_parts),
         )
         ph["commit"] += int((time.time() - t3) * 1000)
@@ -276,6 +292,200 @@ def _cluster_chunks(table, spark, part_ids, n_chunks, done, metrics, ph,
         metrics["bytes"] += nbytes
         metrics["wall_ms"] += wall_ms
         metrics["snapshots"].append(snap.snapshot_id)
+
+
+def _last_cluster_snapshot(table, curve, cols):
+    """Most recent FULL-layout cluster commit with the same curve+cols
+    signature (minor commits don't reset the incremental baseline — a
+    sequence of minor runs still measures newness against the last
+    major layout, so un-merged minor files keep being candidates for
+    the eventual major merge). Returns (snapshot|None, bounds|None)."""
+    want_op = f"cluster-{curve}"
+    want_cols = ",".join(cols)
+    for s in reversed(table.snapshots_list()):
+        sm = s.summary or {}
+        if (sm.get("op") == want_op
+                and sm.get("cluster_cols", want_cols) == want_cols
+                and sm.get("cluster_minor", "0") != "1"):
+            bounds = None
+            if sm.get("cluster_bounds"):
+                bounds = tuple(
+                    (int(lo), int(hi))
+                    for lo, hi in json.loads(sm["cluster_bounds"])
+                )
+            return s, bounds
+    return None, None
+
+
+def cluster_incremental(
+    table: LakehouseTable,
+    spark: SparkSession,
+    curve: str = "zorder",
+    cols: tuple[str, ...] = ("phash", "w", "h"),
+    target_file_size: int = DEFAULT_TARGET_FILE_SIZE,
+    n_chunks: int = 4,
+    merge_threshold: float = 0.4,
+    op_id: str | None = None,
+    recompress_level: int | None = None,
+) -> dict:
+    """Cluster only what a recent ingest disturbed — the maintenance
+    shape that survives 100 TB.
+
+    A full ``cluster()`` rewrites every byte of the table; at 10^12
+    images that is a multi-PB shuffle per maintenance run, which is why
+    real engines (Iceberg's rewrite_data_files with a where-clause, LSM
+    minor compaction) re-sort only the *delta*. This operator:
+
+      1. finds the last full cluster commit with the same curve+cols
+         signature (its sequence number is the layout baseline);
+      2. classifies each partition by how much data arrived since —
+         new-bytes / total-bytes >= ``merge_threshold`` means sorting
+         just the delta would leave the partition mostly unsorted, so
+         it gets a MAJOR (full partition) re-cluster via ``cluster(
+         only_partitions=...)``;
+      3. every other touched partition gets a MINOR pass: ONLY the
+         post-baseline files are read, curve-sorted, and rewritten —
+         already-clustered files are never touched, so the rewrite cost
+         is O(ingested bytes), not O(table bytes).
+
+    Minor output files form a second sorted run next to the major
+    layout. File-level min/max stats stay exact, so scan pruning
+    degrades only by the (bounded, < merge_threshold) overlap until the
+    next major run folds the runs together. Minor commits carry
+    ``cluster_minor=1`` so the baseline keeps pointing at the last
+    MAJOR layout and minor files remain merge candidates.
+
+    Key comparability: minor runs reuse the baseline's persisted
+    range-normalization bounds (commit summary ``cluster_bounds``);
+    out-of-range new values clamp — file stats, and therefore pruning,
+    remain exact regardless.
+
+    Never-clustered tables fall through to a full ``cluster()``.
+    """
+    from .compaction import require_single_spec
+
+    require_single_spec(table, spark)
+    last, prior_bounds = _last_cluster_snapshot(table, curve, cols)
+    if last is None:
+        return {"mode": "full",
+                **cluster(table, spark, curve=curve, cols=cols,
+                          target_file_size=target_file_size,
+                          n_chunks=n_chunks, op_id=op_id,
+                          recompress_level=recompress_level)}
+    cutoff_seq = last.sequence
+    seqs = table._snapshot_seqs()
+    new_ids = [sid for sid, sq in seqs.items() if sq > cutoff_seq]
+    # post-baseline snapshots split into INGEST commits vs this op's own
+    # minor-run outputs: a partition is touched only when real ingest
+    # reached it — otherwise back-to-back maintenance runs would
+    # re-sort their own minor output forever (O(minor-set) per run at
+    # zero ingest). Once ingest does arrive, the partition's WHOLE
+    # post-baseline set (prior minor outputs included) re-sorts, so the
+    # runs keep folding together.
+    minor_sig = {"op": f"cluster-{curve}", "cluster_cols": ",".join(cols),
+                 "cluster_minor": "1"}
+    live = {s.snapshot_id: (s.summary or {}) for s in table.snapshots_list()}
+    ingest_ids = [
+        sid for sid in new_ids
+        if not all(live.get(sid, {}).get(k) == v for k, v in minor_sig.items())
+    ]
+    empty = {"files_in": 0, "files_out": 0, "rows": 0, "bytes": 0,
+             "wall_ms": 0, "chunks_skipped": 0, "snapshots": []}
+    if not ingest_ids:
+        return {"mode": "noop", "major_partitions": [],
+                "minor_partitions": [], **empty}
+    newf = F.col("added_snapshot_id").isin(new_ids)
+    ingf = F.col("added_snapshot_id").isin(ingest_ids)
+    plan_rows = (
+        table.files(spark)
+        .groupBy("partition_id")
+        .agg(
+            F.sum(F.when(newf, F.col("file_size_bytes"))).alias("new_bytes"),
+            F.count(F.when(newf, F.lit(1))).alias("new_files"),
+            F.count(F.when(ingf, F.lit(1))).alias("ingest_files"),
+            F.sum("file_size_bytes").alias("total_bytes"),
+        )
+        .collect()
+    )
+    majors = {
+        r["partition_id"] for r in plan_rows
+        if r["ingest_files"]
+        and r["new_bytes"] / max(r["total_bytes"], 1) >= merge_threshold
+    }
+    minor_bytes = {
+        r["partition_id"]: int(r["new_bytes"]) for r in plan_rows
+        if r["ingest_files"] and r["partition_id"] not in majors
+    }
+    if not majors and not minor_bytes:
+        # the post-baseline snapshots exist but none of their files
+        # survive (already folded by a prior minor run / rewritten)
+        return {"mode": "noop", "major_partitions": [],
+                "minor_partitions": [], **empty}
+    report: dict = {"mode": "incremental",
+                    "major_partitions": sorted(majors),
+                    "minor_partitions": sorted(minor_bytes)}
+    if majors:
+        report["major"] = cluster(
+            table, spark, curve=curve, cols=cols,
+            target_file_size=target_file_size, n_chunks=n_chunks,
+            recompress_level=recompress_level, only_partitions=majors,
+        )
+    if not minor_bytes:
+        report.setdefault("minor", dict(empty))
+        return report
+
+    dim_bounds = prior_bounds
+    if dim_bounds is None:
+        # legacy baseline without persisted bounds: derive from the
+        # minor candidates alone (clamping still keeps stats exact)
+        brows = (
+            table.files(spark)
+            .filter(newf & F.col("partition_id").isin(sorted(minor_bytes)))
+            .agg(*[F.min(F.col("int_mins")[c]).alias(f"lo_{c}") for c in cols],
+                 *[F.max(F.col("int_maxs")[c]).alias(f"hi_{c}") for c in cols])
+            .collect()[0]
+        )
+        if all(brows[f"lo_{c}"] is not None and brows[f"hi_{c}"] is not None
+               for c in cols):
+            dim_bounds = tuple(
+                (int(brows[f"lo_{c}"]), int(brows[f"hi_{c}"])) for c in cols
+            )
+    if curve == "zorder":
+        key_expr = lambda: zorder_col(*[F.col(c) for c in cols], bounds=dim_bounds)  # noqa: E731
+    else:
+        _udf = curve_key_udf(curve, dim_bounds)
+        key_expr = lambda: _udf(*[F.col(c) for c in cols])  # noqa: E731
+
+    def paths_fn(parts: list[str]) -> list[str]:
+        return sorted(
+            r["file_path"]
+            for r in table.plan_files(spark, partition_values=set(parts))
+            .filter(F.col("added_snapshot_id").isin(new_ids))
+            .select("file_path").collect()
+        )
+
+    op_id = op_id or _op_fingerprint(
+        "cluster-inc-" + curve, table, ",".join(cols))
+    log = LineageLog(table.location)
+    done = log.completed_chunks(op_id)
+    pcol = table._partition_col()
+    metrics = dict(empty)
+    metrics["snapshots"] = []
+    metrics["phases_ms"] = {"plan": 0, "pass1_quantiles": 0,
+                            "pass2_rewrite": 0, "commit": 0}
+    aqe_prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        _cluster_chunks(
+            table, spark, sorted(minor_bytes), n_chunks, done, metrics,
+            metrics["phases_ms"], pcol, minor_bytes, target_file_size,
+            key_expr, recompress_level, log, op_id, curve, cols,
+            paths_fn=paths_fn, dim_bounds=dim_bounds, minor=True,
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
+    report["minor"] = metrics
+    return report
 
 
 def pruning_ratio(

@@ -37,6 +37,7 @@ def run_maintenance(
     fold_deletes: bool = True,
     cluster_curve: str | None = None,
     cluster_cols: tuple[str, ...] = ("phash", "w", "h"),
+    cluster_mode: str = "full",
     rewrite_manifests_min: int = 4,
     keep_snapshots: int = 5,
     orphan_grace_s: float = 3 * 86400.0,
@@ -68,7 +69,13 @@ def run_maintenance(
         recompress_level=recompress_level)
 
     if cluster_curve is not None:
-        report["cluster"] = clustering.cluster(
+        # incremental = the steady-state shape at scale: re-sort only
+        # post-baseline files (O(ingest) not O(table)); partitions the
+        # ingest mostly rewrote get a full per-partition re-cluster
+        cluster_fn = (clustering.cluster_incremental
+                      if cluster_mode == "incremental"
+                      else clustering.cluster)
+        report["cluster"] = cluster_fn(
             table, spark, curve=cluster_curve, cols=cluster_cols,
             target_file_size=target_file_size,
             recompress_level=recompress_level)
