@@ -149,6 +149,10 @@ def main(argv: list[str] | None = None) -> int:
                              "and clear the delete manifests")
     t(sp)
     sp.add_argument("--target-mb", type=float, default=64)
+    sp.add_argument("--min-delete-ratio", type=float, default=0.0,
+                    help="fold only files with >= this fraction of "
+                         "rows deleted (targeted fold; manifests kept "
+                         "until a full fold)")
 
     sp = sub.add_parser("update")
     t(sp)
@@ -323,7 +327,8 @@ def main(argv: list[str] | None = None) -> int:
         from .operators import delete as delete_op
 
         out = {"cmd": "rewrite-deletes", **delete_op.rewrite_position_deletes(
-            LakehouseTable(a.table), spark, target_file_size=_mb(a.target_mb))}
+            LakehouseTable(a.table), spark, target_file_size=_mb(a.target_mb),
+            min_delete_ratio=a.min_delete_ratio)}
     elif a.cmd == "update":
         from .operators import delete as delete_op
 

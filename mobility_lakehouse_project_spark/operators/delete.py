@@ -371,8 +371,9 @@ def rewrite_position_deletes(
     target_file_size: int = 64 * 1024 * 1024,
     op_id: str | None = None,
     chunk_files: int = DEFAULT_CHUNK_FILES,
+    min_delete_ratio: float = 0.0,
 ) -> dict:
-    """Fold ALL pending merge-on-read deletes into the data (Iceberg's
+    """Fold pending merge-on-read deletes into the data (Iceberg's
     rewrite_position_deletes + the data-file side of its
     rewrite_data_files delete-compaction): every data file a delete
     still affects — referenced by a position-delete entry, or holding
@@ -387,7 +388,19 @@ def rewrite_position_deletes(
 
     Scans between commits stay correct throughout: rewritten files'
     delete entries become no-ops (their data file is gone), untouched
-    files' entries stay applied."""
+    files' entries stay applied.
+
+    ``min_delete_ratio`` (Iceberg's delete-file-threshold idiom) makes
+    the fold TARGETED: only data files whose pending position-delete
+    rows are >= that fraction of their rows are rewritten — at
+    10^12-image scale, rewriting a 500 MB blob file to reclaim 0.1% of
+    its rows costs more in write amplification than the scan-time
+    anti-join it saves. Skipped files keep their delete entries applied
+    (the delete manifests are NOT cleared; ``cleared=False`` and
+    ``files_below_ratio`` report the remainder); equality deletes are
+    always folded in full (their scan tax is per-key-set, not
+    per-file). A later ``min_delete_ratio=0`` run folds the remainder
+    and clears."""
     t0 = time.time()
     cur = table.current_snapshot()
     if cur is None or not cur.delete_manifests:
@@ -410,10 +423,21 @@ def rewrite_position_deletes(
     import os as _os
 
     cand_df = None
+    pos_target_df = None
     if ddf is not None:
+        pos_target_df = ddf.select("file_path").distinct()
+        if min_delete_ratio > 0:
+            refs = ddf.groupBy("file_path").agg(F.count("*").alias("__ndel"))
+            pos_target_df = (
+                table.files(spark)
+                .join(refs, "file_path", "inner")
+                .filter(F.col("__ndel")
+                        >= F.col("record_count") * F.lit(min_delete_ratio))
+                .select("file_path")
+            )
         cand_df = (
             table.files(spark)
-            .join(ddf.select("file_path").distinct(), "file_path", "left_semi")
+            .join(pos_target_df, "file_path", "left_semi")
             .select("file_path", "partition_id")
         )
     eq_groups: dict[tuple, dict] = {}
@@ -507,12 +531,11 @@ def rewrite_position_deletes(
         )
         by_path = {r["file_path"]: r.asDict() for r in plan_rows}
         touched_set: set[str] = set()
-        if ddf is not None:
+        if pos_target_df is not None:
             pos_hit = (
                 spark.createDataFrame(
                     [(p,) for p in by_path] or [("",)], "file_path string")
-                .join(ddf.select("file_path").distinct(), "file_path",
-                      "left_semi")
+                .join(pos_target_df, "file_path", "left_semi")
                 .collect()
             )
             touched_set |= {r["file_path"] for r in pos_hit} & set(by_path)
@@ -562,6 +585,13 @@ def rewrite_position_deletes(
             .join(table.files(spark), "file_path", "left_semi")
             .count()
         )
+        if remaining and min_delete_ratio > 0:
+            # targeted fold: sub-threshold files intentionally keep
+            # their (still-applied) delete entries; no clear
+            metrics["files_below_ratio"] = remaining
+            metrics["cleared"] = False
+            metrics["wall_ms"] = int((time.time() - t0) * 1000)
+            return metrics
         if remaining:
             raise RuntimeError(
                 f"rewrite_position_deletes: {remaining} delete-referenced "

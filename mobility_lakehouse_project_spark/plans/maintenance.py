@@ -35,6 +35,7 @@ def run_maintenance(
     spark: SparkSession,
     target_file_size: int = 128 * 1024 * 1024,
     fold_deletes: bool = True,
+    fold_min_delete_ratio: float = 0.0,
     cluster_curve: str | None = None,
     cluster_cols: tuple[str, ...] = ("phash", "w", "h"),
     cluster_mode: str = "full",
@@ -58,7 +59,8 @@ def run_maintenance(
 
     if fold_deletes and cur.delete_manifests:
         report["fold_deletes"] = delete.rewrite_position_deletes(
-            table, spark, target_file_size=target_file_size)
+            table, spark, target_file_size=target_file_size,
+            min_delete_ratio=fold_min_delete_ratio)
 
     if table._current_spec_snapshot_ids(table.load_metadata()) is not None:
         report["migrate_partitions"] = compaction.migrate_partitions(

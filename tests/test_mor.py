@@ -220,3 +220,44 @@ def test_mor_delete_conflict_forces_replan(spark, table):
     # fail-safe: no delete manifest landed, table intact
     assert not t.current_snapshot().delete_manifests
     assert t.scan(spark).count() == N + 10
+
+
+def test_targeted_fold_min_delete_ratio(spark, table):
+    """Iceberg's delete-file-threshold idiom: fold only files whose
+    pending-delete fraction makes the rewrite worth its write
+    amplification; sub-threshold files keep riding the scan-time
+    anti-join until a later full fold."""
+    t = table
+    # heavy deletes confined to one partition (~25% of its rows), plus
+    # a single-row delete in ANOTHER partition (ratio ~1/record_count)
+    n16 = t.scan(spark).filter("w = 16 AND bucket = 0").count()
+    assert n16 > 0
+    one = (t.scan(spark).filter("w = 64 AND bucket = 1").select("image_id")
+           .limit(1).collect()[0]["image_id"])
+    delete.delete_where(t, spark, "w = 16 AND bucket = 0", mode="mor")
+    delete.delete_where(t, spark, f"image_id = '{one}'", mode="mor")
+    pre_rows = t.scan(spark).count()
+    assert pre_rows == N - n16 - 1
+    pre_files = _file_set(t, spark)
+
+    res = delete.rewrite_position_deletes(
+        t, spark, target_file_size=1 << 20, min_delete_ratio=0.10)
+
+    # partial: manifests kept, the single-row file was NOT rewritten
+    assert res["cleared"] is False
+    assert res["files_below_ratio"] >= 1
+    assert res["files_rewritten"] >= 1
+    assert t.current_snapshot().delete_manifests
+    # scans stay exact across the partial fold
+    assert t.scan(spark).count() == pre_rows
+    assert t.scan(spark).filter("w = 16 AND bucket = 0").count() == 0
+    assert t.scan(spark).filter(F.col("image_id") == one).count() == 0
+    # fewer files rewritten than a full fold would have touched
+    assert len(pre_files - _file_set(t, spark)) == res["files_rewritten"]
+
+    # a later full fold picks up the remainder and clears
+    res2 = delete.rewrite_position_deletes(t, spark, target_file_size=1 << 20)
+    assert res2["cleared"] is True
+    assert not t.current_snapshot().delete_manifests
+    assert t.scan(spark).count() == pre_rows
+    assert t.scan(spark).filter(F.col("image_id") == one).count() == 0
