@@ -74,6 +74,28 @@ class _FilePartition(InputPartition):
         self.renames = renames
 
 
+def _project(tbl: pa.Table, schema: T.StructType, renames: dict) -> pa.Table:
+    """Arrow projection of a physical parquet table onto the CURRENT
+    logical schema: renamed columns resolve through their prior
+    physical names, added columns null-fill."""
+    cols = []
+    names = []
+    present = set(tbl.schema.names)
+    n = tbl.num_rows
+    for f in schema.fields:
+        if f.name in present:
+            cols.append(tbl.column(f.name))
+        else:
+            phys = next((p for p in renames.get(f.name, [])
+                         if p in present), None)
+            if phys is not None:
+                cols.append(tbl.column(phys))
+            else:
+                cols.append(pa.nulls(n, type=_arrow_type(f.dataType)))
+        names.append(f.name)
+    return pa.table(cols, names=names)
+
+
 class LakehouseStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict, schema: T.StructType):
         self._location = options.get("location")
@@ -139,24 +161,8 @@ class LakehouseStreamReader(DataSourceStreamReader):
         return parts
 
     def read(self, partition: _FilePartition) -> Iterator[pa.RecordBatch]:
-        tbl = pq.read_table(partition.path)
-        renames = partition.renames
-        cols = []
-        names = []
-        present = set(tbl.schema.names)
-        n = tbl.num_rows
-        for f in self._schema.fields:
-            if f.name in present:
-                cols.append(tbl.column(f.name))
-            else:
-                phys = next((p for p in renames.get(f.name, [])
-                             if p in present), None)
-                if phys is not None:
-                    cols.append(tbl.column(phys))
-                else:
-                    cols.append(pa.nulls(n, type=_arrow_type(f.dataType)))
-            names.append(f.name)
-        out = pa.table(cols, names=names)
+        out = _project(pq.read_table(partition.path), self._schema,
+                       partition.renames)
         for b in out.to_batches():
             yield b
 
@@ -189,3 +195,180 @@ class LakehouseStreamDataSource(DataSource):
 
     def streamReader(self, schema: T.StructType) -> LakehouseStreamReader:
         return LakehouseStreamReader(dict(self.options), schema)
+
+
+# ---------------- CDC changelog streaming source ----------------
+
+CDC_FORMAT_NAME = "lakehouse_cdc"
+
+
+class _CDCPartition(InputPartition):
+    """One unit of changelog work, planned metadata-only:
+
+    * kind='insert' — one data file the snapshot ADDED; its rows stream
+      as _change_type='insert'.
+    * kind='delete' — one POSITION-DELETE file the snapshot added; the
+      executor reads its (file, pos) pairs (bounded: delete files are
+      written ROWS_PER_DELETE_FILE-capped) and fetches exactly those
+      rows from the referenced data files as _change_type='delete'. A
+      pair appears in exactly one delete manifest (MOR planning scans
+      with prior deletes applied), so no already-deleted row re-emits.
+    """
+
+    def __init__(self, kind: str, path: str, root: str,
+                 snapshot_id: int, renames: dict):
+        self.kind = kind
+        self.path = path
+        self.root = root
+        self.snapshot_id = snapshot_id
+        self.renames = renames
+
+
+class LakehouseCDCStreamReader(DataSourceStreamReader):
+    """Streaming CDC feed: every committed row-level change, tagged
+    ``_change_type`` ('insert' | 'delete') + ``_snapshot_id`` — the
+    streaming twin of ``changelog_df`` (same classification), built on
+    the same offsets-by-sequence/checkpoint contract as
+    `LakehouseStreamReader`. Supported exactly: appends, MOR deletes,
+    MOR upserts; maintenance rewrites emit nothing. Content rewrites
+    (CoW ops) and equality deletes raise — or skip with
+    ``.option('onchange', 'skip')`` — matching changelog_df's refusal
+    to fabricate row-level attribution it cannot prove."""
+
+    def __init__(self, options: dict, schema: T.StructType):
+        self._location = options.get("location")
+        if not self._location:
+            raise ValueError("option 'location' is required")
+        self._on_change = options.get("onchange", "error")
+        if self._on_change not in ("error", "skip"):
+            raise ValueError("option 'onchange' must be 'error' or 'skip'")
+        self._start = options.get("start", "earliest")
+        self._schema = schema
+        # table columns only (the two _-prefixed CDC columns are ours)
+        self._base_schema = T.StructType(
+            [f for f in schema.fields
+             if f.name not in ("_change_type", "_snapshot_id")]
+        )
+
+    def _table(self) -> LakehouseTable:
+        return LakehouseTable(self._location)
+
+    def initialOffset(self) -> dict:
+        if self._start == "latest":
+            return {"seq": LakehouseStreamReader._max_seq(self._table())}
+        return {"seq": 0}
+
+    def latestOffset(self) -> dict:
+        return {"seq": LakehouseStreamReader._max_seq(self._table())}
+
+    def partitions(self, start: dict, end: dict):
+        t = self._table()
+        meta = t.load_metadata()
+        renames = t.column_renames(meta)
+        snaps = sorted(t.snapshots_list(meta), key=lambda s: s.sequence)
+        by_id = {s.snapshot_id: s for s in snaps}
+        parts: list[_CDCPartition] = []
+        for snap in snaps:
+            if not (start["seq"] < snap.sequence <= end["seq"]):
+                continue
+            kind = _classify(snap)
+            if kind == "skip":
+                continue
+            if kind in ("unsupported", "eq-delete", "eq-upsert"):
+                if self._on_change == "skip":
+                    continue
+                raise ValueError(
+                    f"snapshot {snap.snapshot_id} ({snap.operation}/"
+                    f"{snap.summary.get('op')}) cannot stream row-level: "
+                    "the CDC source supports appends and merge-on-read "
+                    "deletes/upserts (set .option('onchange','skip') to "
+                    "pass over it, or consume changelog_df driver-side "
+                    "for equality deletes)"
+                )
+            parent = by_id.get(snap.parent_id)
+            if kind in ("insert", "mor-upsert"):
+                prev = set(parent.manifests) if parent is not None else set()
+                for m in snap.manifests:
+                    if m in prev:
+                        continue
+                    for e in t.read_manifest_entries(m):
+                        if e["added_snapshot_id"] != snap.snapshot_id:
+                            continue
+                        parts.append(_CDCPartition(
+                            "insert", e["file_path"], t._local_root,
+                            snap.snapshot_id, renames))
+            if kind in ("mor-delete", "mor-upsert"):
+                parent_dm = (set(parent.delete_manifests)
+                             if parent is not None else set())
+                for m in snap.delete_manifests:
+                    if m in parent_dm:
+                        continue
+                    for e in t.read_manifest_entries(m):
+                        if e.get("content") == "equality-deletes":
+                            continue
+                        parts.append(_CDCPartition(
+                            "delete", e["file_path"], t._local_root,
+                            snap.snapshot_id, renames))
+        return parts
+
+    def read(self, partition: _CDCPartition) -> Iterator[pa.RecordBatch]:
+        import collections
+
+        sid = partition.snapshot_id
+        if partition.kind == "insert":
+            rows = _project(
+                pq.read_table(os.path.join(partition.root, partition.path)),
+                self._base_schema, partition.renames)
+            tagged = rows.append_column(
+                "_change_type", pa.array(["insert"] * rows.num_rows))
+            tagged = tagged.append_column(
+                "_snapshot_id", pa.array([sid] * rows.num_rows,
+                                         type=pa.int64()))
+            yield from tagged.to_batches()
+            return
+        dd = pq.read_table(os.path.join(partition.root, partition.path))
+        pairs: dict[str, list[int]] = collections.defaultdict(list)
+        for fp, pos in zip(dd.column("file_path").to_pylist(),
+                           dd.column("pos").to_pylist()):
+            pairs[fp].append(pos)
+        for fp in sorted(pairs):
+            data = pq.read_table(os.path.join(partition.root, fp))
+            take = data.take(sorted(pairs[fp]))
+            rows = _project(take, self._base_schema, partition.renames)
+            tagged = rows.append_column(
+                "_change_type", pa.array(["delete"] * rows.num_rows))
+            tagged = tagged.append_column(
+                "_snapshot_id", pa.array([sid] * rows.num_rows,
+                                         type=pa.int64()))
+            yield from tagged.to_batches()
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class LakehouseCDCDataSource(DataSource):
+    """`spark.dataSource.register(LakehouseCDCDataSource)`, then
+    `spark.readStream.format("lakehouse_cdc")
+    .option("location", path).load()` → the table's columns +
+    ``_change_type`` + ``_snapshot_id``, streamed incrementally.
+    Options as `LakehouseStreamDataSource`."""
+
+    @classmethod
+    def name(cls) -> str:
+        return CDC_FORMAT_NAME
+
+    def schema(self):
+        loc = self.options.get("location")
+        if not loc:
+            raise ValueError("option 'location' is required")
+        t = LakehouseTable(loc)
+        base = T.StructType.fromJson(
+            json.loads(t.load_metadata()["schema_json"]))
+        return T.StructType(
+            list(base.fields)
+            + [T.StructField("_change_type", T.StringType()),
+               T.StructField("_snapshot_id", T.LongType())]
+        )
+
+    def streamReader(self, schema: T.StructType) -> LakehouseCDCStreamReader:
+        return LakehouseCDCStreamReader(dict(self.options), schema)
