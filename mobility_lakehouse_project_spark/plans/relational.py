@@ -690,13 +690,9 @@ def txt_fingerprint_dedup(spark, sf_dir):
     return groups.groupBy("group_size").agg(F.count("*").alias("n_groups"))
 
 
-def dedup_token_jaccard(spark, sf_dir):
-    """Near-dup detection by token-set Jaccard >= 0.8: explode distinct
-    tokens, self-join on token to generate candidate pairs (the
-    content-keyed join IS the blocking step — no O(n^2) cross join),
-    count intersections, Jaccard from |A|,|B|,|A∩B|. Same algebra as
-    MinHash-LSH but exact; the LSH variant (no SQL oracle) is in
-    operators/dedup.py."""
+def _token_jaccard_pairs(spark, sf_dir, threshold: float) -> DataFrame:
+    """Shared pair builder for dedup_token_jaccard / dedup_cc_canonical:
+    exact token-set Jaccard >= threshold via token self-join blocking."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     toks = d.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
@@ -715,9 +711,19 @@ def dedup_token_jaccard(spark, sf_dir):
         inter.join(sa, "ida")
         .join(sb, "idb")
         .withColumn("jaccard", F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")))
-        .filter(F.col("jaccard") >= 0.8)
+        .filter(F.col("jaccard") >= F.lit(threshold))
     )
     return jac.select("ida", "idb", F.round("jaccard", 4).alias("jaccard"))
+
+
+def dedup_token_jaccard(spark, sf_dir):
+    """Near-dup detection by token-set Jaccard >= 0.8: explode distinct
+    tokens, self-join on token to generate candidate pairs (the
+    content-keyed join IS the blocking step — no O(n^2) cross join),
+    count intersections, Jaccard from |A|,|B|,|A∩B|. Same algebra as
+    MinHash-LSH but exact; the LSH variant (no SQL oracle) is in
+    operators/dedup.py."""
+    return _token_jaccard_pairs(spark, sf_dir, 0.8)
 
 
 def ann_cosine_topk(spark, sf_dir):
@@ -2086,6 +2092,150 @@ ORACLE_SQL["bloom_point_lookup"] = """
 """
 
 
+def dedup_cc_canonical(spark, sf_dir):
+    """Near-dup CLUSTERS, not just pairs: token-Jaccard >= 0.7 pairs
+    form an undirected graph; connected components (iterative
+    min-label propagation + pointer jumping, operators/dedup.py::
+    connected_components) assign every clustered doc its canonical id
+    (the component's min doc_id) — the "keep one per group" step every
+    training-corpus dedup pipeline needs, and the transitive closure
+    the reference's MAX-per-key dedup (dags/Silver_Transform_Dag.py:
+    118-131) can't express. Oracle: DuckDB recursive CTE computing the
+    same transitive closure — an iterative Spark algorithm checked
+    hash-exact against declarative recursion."""
+    from ..operators.dedup import connected_components
+
+    edges = _token_jaccard_pairs(spark, sf_dir, 0.7).select("ida", "idb")
+    labels = connected_components(edges, src="ida", dst="idb")
+    return (
+        labels.select(
+            F.col("component").alias("canonical_id"),
+            F.col("id").alias("member_id"),
+        )
+        .withColumn("cluster_size", F.count("*").over(Window.partitionBy("canonical_id")))
+        .orderBy("canonical_id", "member_id")
+    )
+
+
+ORACLE_SQL["dedup_cc_canonical"] = """
+        WITH RECURSIVE toks AS (
+            SELECT DISTINCT doc_id, tok
+            FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents) t
+            WHERE tok != ''
+        ), sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS inter
+            FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT ida, idb
+            FROM inter JOIN sizes sa ON ida = sa.doc_id JOIN sizes sb ON idb = sb.doc_id
+            WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.7
+        ),
+        sym AS (SELECT ida AS s, idb AS d FROM pairs UNION SELECT idb, ida FROM pairs),
+        reach(id, lbl) AS (
+            SELECT s, s FROM sym
+            UNION
+            SELECT sym.d, reach.lbl FROM sym JOIN reach ON reach.id = sym.s
+        ),
+        comp AS (SELECT id, MIN(lbl) AS canonical_id FROM reach GROUP BY id)
+        SELECT canonical_id, id AS member_id,
+               COUNT(*) OVER (PARTITION BY canonical_id) AS cluster_size
+        FROM comp
+        ORDER BY canonical_id, member_id
+"""
+
+
+def sample_hash_mod(spark, sf_dir):
+    """Deterministic hash-mod sampling — the reproducible TABLESAMPLE a
+    training pipeline needs (rerunning the job on the same table yields
+    the SAME 5% sample; Bernoulli sampling does not): keep rows where
+    md5(l_orderkey|l_linenumber) mod 20 == 0, then profile the sample.
+    The hash is content-derived, so the sample is stable under
+    repartitioning, compaction, and cluster-size changes — none of
+    which is true of rand()-based sampling. (Reference samples by
+    LIMIT after ORDER BY, dags/Queries_dag.py:61 — not stable under
+    insertion.)"""
+    li = _t(spark, sf_dir, "lineitem")
+    key = F.md5(
+        F.concat_ws("|", F.col("l_orderkey").cast("string"),
+                    F.col("l_linenumber").cast("string"))
+    )
+    residue = F.conv(F.substring(key, 1, 6), 16, 10).cast("long") % 20
+    return (
+        li.filter(residue == 0)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_SQL["sample_hash_mod"] = """
+        SELECT l_returnflag,
+               COUNT(*) AS n_rows,
+               ROUND(SUM(l_extendedprice), 2) AS sum_price,
+               ROUND(AVG(l_discount), 6) AS avg_disc
+        FROM lineitem
+        WHERE ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '|' ||
+                                  CAST(l_linenumber AS VARCHAR)), 1, 6))::BIGINT % 20 = 0
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+"""
+
+
+def split_stratified(spark, sf_dir):
+    """Deterministic stratified train/val/test split (80/10/10 by
+    content hash of the primary key, per language stratum) — the
+    split-assignment operator of a training-data pipeline. Hash-based
+    assignment means a document NEVER migrates between splits as the
+    corpus grows (no leakage of val into train across snapshots),
+    unlike randomSplit(). Output: per (lang, split) counts + char
+    volume, proving per-stratum proportions."""
+    d = _t(spark, sf_dir, "documents")
+    residue = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
+    ).cast("long") % 100
+    split = (
+        F.when(residue < 80, F.lit("train"))
+        .when(residue < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.select("lang", split.alias("split"), "n_chars")
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+ORACLE_SQL["split_stratified"] = """
+        WITH assigned AS (
+            SELECT lang, n_chars,
+                   CASE WHEN r < 80 THEN 'train'
+                        WHEN r < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+                SELECT lang, n_chars,
+                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 100 AS r
+                FROM documents
+            )
+        )
+        SELECT lang, split, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM assigned
+        GROUP BY lang, split
+        ORDER BY lang, split
+"""
+
+
 QUERIES = {
     "a_rollup_cube": a_rollup_cube,
     "a_pivot_status": a_pivot_status,
@@ -2145,4 +2295,7 @@ QUERIES = {
     "mor_delete_scan": mor_delete_scan,
     "cdc_changelog_scan": cdc_changelog_scan,
     "bloom_point_lookup": bloom_point_lookup,
+    "dedup_cc_canonical": dedup_cc_canonical,
+    "sample_hash_mod": sample_hash_mod,
+    "split_stratified": split_stratified,
 }

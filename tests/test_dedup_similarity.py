@@ -322,3 +322,31 @@ def test_batch_ann_against_persisted_clustered_table(spark, tmp_path):
             for i, r in enumerate(single.collect())
         ]
         assert sorted(got.get(q["qid"], [])) == want, q["qid"]
+
+
+class TestConnectedComponents:
+    def _cc(self, spark, pairs):
+        edges = spark.createDataFrame(pairs, "ida long, idb long")
+        rows = dedup.connected_components(edges).collect()
+        return {r["id"]: r["component"] for r in rows}
+
+    def test_chain_converges_to_min(self, spark):
+        # 0-1-2-...-9 chain: diameter 9, must converge (pointer jumping
+        # contracts it in ~log rounds) with every node labeled 0
+        got = self._cc(spark, [(i, i + 1) for i in range(9)])
+        assert got == {i: 0 for i in range(10)}
+
+    def test_disjoint_components(self, spark):
+        got = self._cc(spark, [(1, 2), (2, 3), (10, 11), (20, 21), (21, 20)])
+        assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+    def test_edge_direction_irrelevant(self, spark):
+        got = self._cc(spark, [(5, 3), (3, 9), (9, 5)])
+        assert got == {3: 3, 5: 3, 9: 3}
+
+    def test_star_and_bridge(self, spark):
+        # two stars bridged by one edge -> single component
+        pairs = [(100, i) for i in range(5)] + [(200, i + 300) for i in range(5)]
+        pairs.append((4, 303))
+        got = self._cc(spark, pairs)
+        assert set(got.values()) == {0}
