@@ -191,6 +191,9 @@ def main(argv: list[str] | None = None) -> int:
     t(sp)
     sp.add_argument("--col", required=True,
                     help="new partition column, or 'none' to unpartition")
+    sp.add_argument("--transform", default=None,
+                    help="partition transform: identity, bucket[N], "
+                         "truncate[W], year, month, day, hour")
 
     sp = sub.add_parser("migrate-partitions",
                         help="rewrite older-spec files under the current "
@@ -376,8 +379,10 @@ def main(argv: list[str] | None = None) -> int:
             columns=a.columns.split(",") if a.columns else None)}
     elif a.cmd == "evolve-partition":
         tbl = LakehouseTable(a.table)
-        v = tbl.evolve_partition(None if a.col == "none" else a.col)
+        v = tbl.evolve_partition(None if a.col == "none" else a.col,
+                                 transform=a.transform)
         out = {"cmd": "evolve-partition", "partition_col": tbl._partition_col(),
+               "partition_transform": tbl.partition_transform(),
                "specs": tbl.partition_specs(), "metadata_version": v}
     elif a.cmd == "migrate-partitions":
         from .operators import compaction

@@ -215,7 +215,10 @@ def _cluster_chunks(table, spark, part_ids, n_chunks, done, metrics, ph,
         keys_df = keys_df.coalesce(max(spark.sparkContext.defaultParallelism * 2, 8))
         keyed = keys_df.withColumn(_SFC_COL, key_expr())
         probs = [i / _QUANTILES for i in range(1, _QUANTILES)]
-        group_col = F.col(pcol) if pcol else F.lit(0)
+        # group by partition VALUE (transform of the source column
+        # under hidden partitioning) so quantile groups line up with
+        # the manifest partition_ids the plan chunked by
+        group_col = table.partition_value_expr() if pcol else F.lit(0)
         qrows = (
             keyed.groupBy(group_col.alias("_p"))
             .agg(F.percentile_approx(_SFC_COL, probs, 2_500).alias("qs"))

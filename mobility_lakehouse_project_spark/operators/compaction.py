@@ -266,7 +266,8 @@ def compact(
         # partitions salted over their n_out groups (distribute.py)
         if pcol:
             gexpr, total_out, _ = partitioned_group_expr(
-                pcol, key_col, {p["partition_id"]: p["n_out"] for p in chunk}
+                pcol, key_col, {p["partition_id"]: p["n_out"] for p in chunk},
+                partition_expr=table.partition_value_expr(),
             )
         else:
             total_out = sum(p["n_out"] for p in chunk)

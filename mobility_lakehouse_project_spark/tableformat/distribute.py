@@ -119,6 +119,7 @@ def partitioned_group_expr(
     key_col: str,
     n_groups_per_partition: dict[str, int],
     cast_type: str = "int",
+    partition_expr: Column | None = None,
 ) -> tuple[Column, int, dict[str, int]]:
     """Dense group index for a partitioned rewrite: rows of partition p
     spread uniformly over its ``n_groups_per_partition[p]`` slots by
@@ -144,8 +145,11 @@ def partitioned_group_expr(
     # the manifest partition_id records that sentinel, so the lookup key
     # must coalesce to it too (a bare cast-to-string of NULL would miss
     # the map and exact_slot_repartition would fail the assert).
-    pkey = F.coalesce(
-        F.col(partition_col).cast("string"), F.lit(HIVE_DEFAULT_PARTITION)
-    )
+    # the partition VALUE may be a transform of the source column
+    # (hidden partitioning) — the caller passes the table's
+    # partition_value_expr so the lookup key matches manifest
+    # partition_ids under bucket/truncate/day layouts too
+    pv = partition_expr if partition_expr is not None else F.col(partition_col)
+    pkey = F.coalesce(pv.cast("string"), F.lit(HIVE_DEFAULT_PARTITION))
     expr = omap[pkey] + F.pmod(F.xxhash64(F.col(key_col)), nmap[pkey])
     return expr, off, offsets

@@ -45,6 +45,7 @@ import datetime
 import glob as globmod
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -58,6 +59,78 @@ from pyspark.sql import types as T
 
 _PART_DIR = "_p"
 _STAT_TYPES = (T.IntegerType, T.LongType, T.ShortType, T.ByteType, T.DateType)
+
+_INTEGRAL_TYPES = (T.IntegerType, T.LongType, T.ShortType, T.ByteType)
+_TIME_TYPES = (T.DateType, T.TimestampType, T.TimestampNTZType)
+
+
+def parse_transform(transform: str | None) -> tuple[str, int | None]:
+    """Parse a partition transform spec into (kind, param).
+
+    Supported (Iceberg's hidden-partitioning transform set,
+    iceberg spec §Partition Transforms — public spec, re-expressed
+    over Spark expressions):
+
+    * ``identity``            — the column value itself
+    * ``bucket[N]``           — ``pmod(xxhash64(col), N)``
+    * ``truncate[W]``         — string prefix / integer floor-to-W
+    * ``year|month|day|hour`` — calendar truncation of a date/timestamp
+    """
+    if transform is None or transform == "identity":
+        return "identity", None
+    if transform in ("year", "month", "day", "hour"):
+        return transform, None
+    m = re.fullmatch(r"(bucket|truncate)\[(\d+)\]", transform)
+    if m and int(m.group(2)) > 0:
+        return m.group(1), int(m.group(2))
+    raise ValueError(
+        f"unknown partition transform {transform!r} (want identity, "
+        f"bucket[N], truncate[W], year, month, day or hour)"
+    )
+
+
+def validate_transform(transform: str | None, col: str,
+                       schema: T.StructType) -> None:
+    kind, _ = parse_transform(transform)
+    dt = schema[col].dataType
+    if isinstance(dt, T.BinaryType):
+        raise ValueError("cannot partition by a binary column")
+    if kind in ("year", "month", "day") and not isinstance(dt, _TIME_TYPES):
+        raise ValueError(f"{kind} transform needs a date/timestamp column, "
+                         f"got {dt.simpleString()} for {col!r}")
+    if kind == "hour" and not isinstance(
+            dt, (T.TimestampType, T.TimestampNTZType)):
+        raise ValueError(f"hour transform needs a timestamp column, "
+                         f"got {dt.simpleString()} for {col!r}")
+    if kind == "truncate" and not isinstance(
+            dt, (T.StringType,) + _INTEGRAL_TYPES):
+        raise ValueError(f"truncate transform needs a string or integer "
+                         f"column, got {dt.simpleString()} for {col!r}")
+
+
+def transform_expr(col: "F.Column", transform: str | None,
+                   dtype: T.DataType) -> "F.Column":
+    """The partition-VALUE expression for a source column — pure
+    Catalyst (whole-stage codegen), NULL-preserving (null source values
+    land in the Hive default-partition directory under EVERY transform,
+    exactly as identity nulls do).
+
+    ``day``/``month``/... truncate in the SESSION timezone via
+    date_format — the same session that writes also plans, so writer
+    and pruner agree by construction."""
+    kind, p = parse_transform(transform)
+    if kind == "identity":
+        return col
+    if kind == "bucket":
+        return F.when(col.isNull(), F.lit(None).cast("int")).otherwise(
+            F.pmod(F.xxhash64(col), F.lit(p)).cast("int"))
+    if kind == "truncate":
+        if isinstance(dtype, T.StringType):
+            return F.substring(col, 1, p)
+        return (col - F.pmod(col, F.lit(p))).cast(dtype.simpleString())
+    fmt = {"year": "yyyy", "month": "yyyy-MM", "day": "yyyy-MM-dd",
+           "hour": "yyyy-MM-dd-HH"}[kind]
+    return F.date_format(col, fmt)
 
 
 class ConcurrentCommitError(RuntimeError):
@@ -260,6 +333,7 @@ class LakehouseTable:
         schema: T.StructType,
         partition_col: str | None = None,
         properties: dict | None = None,
+        partition_transform: str | None = None,
     ) -> "LakehouseTable":
         """``properties``: free-form table properties (Iceberg's table
         property map). Understood keys:
@@ -274,6 +348,12 @@ class LakehouseTable:
         t = cls(location)
         if t.exists:
             raise FileExistsError(f"table already exists at {location}")
+        if partition_transform is not None and partition_col is None:
+            raise ValueError("partition_transform needs a partition_col")
+        if partition_col is not None:
+            if partition_col not in {f.name for f in schema.fields}:
+                raise ValueError(f"unknown partition column {partition_col!r}")
+            validate_transform(partition_transform, partition_col, schema)
         os.makedirs(t.manifest_dir, exist_ok=True)
         os.makedirs(t.data_dir, exist_ok=True)
         meta = {
@@ -282,6 +362,7 @@ class LakehouseTable:
             "location": t.location,
             "schema_json": schema.json(),
             "partition_col": partition_col,
+            "partition_transform": partition_transform or "identity",
             "properties": dict(properties or {}),
             "current_snapshot_id": None,
             "last_sequence": 0,
@@ -624,6 +705,49 @@ class LakehouseTable:
     def _partition_col(self, meta: dict | None = None) -> str | None:
         return (meta or self.load_metadata())["partition_col"]
 
+    def partition_transform(self, meta: dict | None = None) -> str:
+        return (meta or self.load_metadata()).get(
+            "partition_transform") or "identity"
+
+    def partition_value_expr(self, meta: dict | None = None) -> "F.Column | None":
+        """The partition VALUE as a Catalyst expression over the source
+        column — identity for plain tables, the hidden-partitioning
+        transform (bucket/truncate/year..hour) otherwise. Everything
+        that derives a partition value from row data (write layout,
+        compaction/clustering group keys, evolved-scan re-filters) MUST
+        go through this so writer and planner agree bit-for-bit."""
+        meta = meta or self.load_metadata()
+        pcol = meta["partition_col"]
+        if pcol is None:
+            return None
+        dt = T.StructType.fromJson(json.loads(meta["schema_json"]))[pcol].dataType
+        return transform_expr(F.col(pcol), self.partition_transform(meta), dt)
+
+    def partition_values_of(self, spark: SparkSession, values: list,
+                            meta: dict | None = None) -> list[str]:
+        """Partition values (string domain, as recorded in manifests)
+        for SOURCE-column literals — computed by the SAME Catalyst
+        expression the write path used, in one tiny local job, so a
+        driver-side reimplementation can never drift from the layout
+        (the xxhash64 in bucket[] has no stable Python twin)."""
+        meta = meta or self.load_metadata()
+        pcol = meta["partition_col"]
+        if pcol is None:
+            raise ValueError("unpartitioned table")
+        dt = T.StructType.fromJson(json.loads(meta["schema_json"]))[pcol].dataType
+        lits = F.array(*[F.lit(v).cast(dt.simpleString()) for v in values])
+        expr = transform_expr(F.col(pcol), self.partition_transform(meta), dt)
+        rows = (
+            spark.range(1)
+            .select(F.posexplode(lits).alias("i", pcol))
+            .select("i", expr.cast("string").alias("pv"))
+            .collect()
+        )
+        out: list[str | None] = [None] * len(values)
+        for r in rows:
+            out[r["i"]] = r["pv"]
+        return out  # type: ignore[return-value]
+
     # ---------------- partition evolution ----------------
 
     def partition_specs(self, meta: dict | None = None) -> list[dict]:
@@ -634,9 +758,12 @@ class LakehouseTable:
         specs = meta.get("partition_specs")
         if specs:
             return list(specs)
-        return [{"col": meta.get("partition_col"), "from_seq": 0}]
+        return [{"col": meta.get("partition_col"),
+                 "transform": self.partition_transform(meta),
+                 "from_seq": 0}]
 
-    def evolve_partition(self, new_col: str | None, retries: int = 3) -> int:
+    def evolve_partition(self, new_col: str | None, retries: int = 3,
+                         transform: str | None = None) -> int:
         """Change the partition column for FUTURE writes (Iceberg
         partition evolution): a metadata-only commit — no data moves.
         Existing files keep their old layout; planning stops
@@ -648,23 +775,27 @@ class LakehouseTable:
         partition-KEYED ops — ``overwrite_partitions``, compact,
         cluster — refuse the mixed-spec table loudly rather than
         mis-map old files."""
+        if transform is not None and new_col is None:
+            raise ValueError("partition transform needs a partition column")
         if new_col is not None:
             schema = self.schema()
             names = {f.name for f in schema.fields}
             if new_col not in names:
                 raise ValueError(f"unknown partition column {new_col!r}")
-            if isinstance(schema[new_col].dataType, T.BinaryType):
-                raise ValueError("cannot partition by a binary column")
+            validate_transform(transform, new_col, schema)
+        new_tr = transform or "identity"
         last: Exception | None = None
         for _ in range(max(1, retries + 1)):
             meta = self.load_metadata()
-            if meta.get("partition_col") == new_col:
+            if (meta.get("partition_col") == new_col
+                    and self.partition_transform(meta) == new_tr):
                 return meta["_version"]
             specs = self.partition_specs(meta)
-            specs.append({"col": new_col,
+            specs.append({"col": new_col, "transform": new_tr,
                           "from_seq": meta["last_sequence"] + 1})
             meta["partition_specs"] = specs
             meta["partition_col"] = new_col
+            meta["partition_transform"] = new_tr
             try:
                 return self._commit_metadata(meta)
             except ConcurrentCommitError as e:
@@ -718,6 +849,7 @@ class LakehouseTable:
         """
         meta = self.load_metadata()
         pcol = meta["partition_col"]
+        pexpr = self.partition_value_expr(meta)
         write_id = uuid.uuid4().hex[:12]
         out_dir = os.path.join(self.data_dir, f"snap-{write_id}")
         sort_all = ([pcol] if pcol else []) + [c for c in (sort_cols or []) if c != pcol]
@@ -732,7 +864,7 @@ class LakehouseTable:
                     df.columns[0],
                 )
             salt = F.pmod(F.xxhash64(F.col(salt_col)), F.lit(salts))
-            keys = ([F.col(pcol)] if pcol else []) + [salt]
+            keys = ([pexpr] if pcol else []) + [salt]
             df = df.repartition(n_files, *keys)
             if sort_cols:
                 df = df.sortWithinPartitions(*sort_all)
@@ -745,7 +877,7 @@ class LakehouseTable:
             df = df.sortWithinPartitions(*sort_all)
         writer = df
         if pcol:
-            writer = writer.withColumn(_PART_DIR, F.col(pcol))
+            writer = writer.withColumn(_PART_DIR, pexpr)
             w = writer.write.partitionBy(_PART_DIR).mode("append")
         else:
             w = writer.write.mode("append")
@@ -1564,6 +1696,30 @@ class LakehouseTable:
             df = df.filter(F.col("int_maxs")[col].isNull() | cond)
         for col, val in (point_eq or {}).items():
             df = self._bloom_prune(spark, df, col, val)
+        if point_eq:
+            # hidden partitioning: a point predicate on the partition
+            # SOURCE column also prunes on partition value — the
+            # transform (bucket/truncate/day) is applied to the literal
+            # by the same Catalyst expression the writer used, so e.g.
+            # bucket[32] point lookups touch 1/32 of the partitions
+            # before any stats/bloom check runs
+            meta = self.load_metadata()
+            pcol = meta.get("partition_col")
+            if pcol in point_eq:
+                val = point_eq[pcol]
+                many = isinstance(val, (list, tuple, set, frozenset))
+                vals = list(val) if many else [val]
+                pv = [v for v in
+                      self.partition_values_of(spark, vals, meta)
+                      if v is not None]
+                cur_ids = self._current_spec_snapshot_ids(meta)
+                if cur_ids is None:
+                    df = df.filter(F.col("partition_id").isin(pv))
+                else:
+                    df = df.filter(
+                        ~F.col("added_snapshot_id").isin(cur_ids)
+                        | F.col("partition_id").isin(pv)
+                    )
         return df
 
     def _bloom_prune(
@@ -1734,7 +1890,8 @@ class LakehouseTable:
                         f"{pcol!r} in columns for the row-level re-filter"
                     )
                 pv = [str(v) for v in partition_values]
-                df = df.filter(F.col(pcol).cast("string").isin(pv))
+                df = df.filter(
+                    self.partition_value_expr(meta).cast("string").isin(pv))
         return df
 
     def _file_seqs_for(self, spark: SparkSession, rel_paths: list[str],
