@@ -588,29 +588,107 @@ class LakehouseTable:
         meta["schema_json"] = T.StructType(
             [f for f in schema.fields if f.name != name]
         ).json()
+        if name in meta.get("column_defaults", {}):
+            meta["column_defaults"] = {
+                k: v for k, v in meta["column_defaults"].items() if k != name
+            }
         return self._commit_metadata(meta)
 
     def column_renames(self, meta: dict | None = None) -> dict[str, list[str]]:
         """current column name -> prior physical names (oldest last)."""
         return dict((meta or self.load_metadata()).get("column_renames", {}))
 
-    def add_columns(self, cols: dict[str, str]) -> int:
+    def add_columns(self, cols: dict[str, str],
+                    defaults: dict | None = None) -> int:
         """Additive schema evolution: ``{name: spark_type_ddl}``.
         Metadata-only commit; existing data files are read through the
         new schema with NULLs for the added columns (the Iceberg
         behavior DuckLake gives the reference's inferred-schema tables,
-        src/ingest_bronze.py:86-99). Type changes are not supported."""
+        src/ingest_bronze.py:86-99). Type changes go through
+        ``widen_column``.
+
+        ``defaults={name: value}`` records an INITIAL DEFAULT (Iceberg
+        v3 ``initial-default`` semantics): rows in files written BEFORE
+        the column existed read as the default; files written after
+        carry the physical column, so an explicit NULL stored later
+        stays NULL — this is sequence-scoped, not a blanket coalesce.
+        Values must be JSON-storable scalars."""
         meta = self.load_metadata()
         schema = T.StructType.fromJson(json.loads(meta["schema_json"]))
         taken = {f.name for f in schema.fields} | {
             o for olds in self.column_renames(meta).values() for o in olds
         } | set(meta.get("retired_columns", []))
+        for name in (defaults or {}):
+            if name not in cols:
+                raise ValueError(f"default for {name!r} without adding it")
         for name, ddl in cols.items():
             if name in taken:
                 raise ValueError(f"column {name!r} already exists (or is a prior name)")
             field = T.StructType.fromDDL(f"`{name}` {ddl}").fields[0]
             schema = schema.add(T.StructField(name, field.dataType, True))
         meta["schema_json"] = schema.json()
+        if defaults:
+            dmap = dict(meta.get("column_defaults", {}))
+            for name, value in defaults.items():
+                if value is not None and not isinstance(
+                        value, (str, int, float, bool)):
+                    raise ValueError(
+                        f"default for {name!r} must be a scalar")
+                dmap[name] = {"value": value,
+                              "added_seq": meta["last_sequence"] + 1}
+            meta["column_defaults"] = dmap
+        return self._commit_metadata(meta)
+
+    _WIDENINGS = {
+        "tinyint": {"smallint", "int", "bigint", "double"},
+        "smallint": {"int", "bigint", "double"},
+        "int": {"bigint", "double"},
+        "float": {"double"},
+    }
+
+    def widen_column(self, name: str, new_type_ddl: str) -> int:
+        """Type widening (metadata-only; Iceberg's allowed type
+        promotions): tinyint/smallint/int -> wider integral or double,
+        float -> double, decimal(p,s) -> decimal(p',s) with p' > p.
+        Old data files keep their narrow physical type; Spark's parquet
+        reader promotes at scan time under the explicit read schema
+        (verified natively — no per-file cast pass).
+
+        Refused when the column is the source of a bucket[] partition
+        transform (xxhash64 hashes int and bigint differently — new
+        writes would land in different buckets than old ones). A
+        widened column's per-file BLOOMS are invalidated (same hash-
+        by-type issue): recorded in ``bloom_invalid_cols`` and skipped
+        by the probe; min/max skipping still applies."""
+        meta = self.load_metadata()
+        schema = T.StructType.fromJson(json.loads(meta["schema_json"]))
+        if name not in [f.name for f in schema.fields]:
+            raise ValueError(f"no column {name!r}")
+        cur = schema[name].dataType
+        new_field = T.StructType.fromDDL(f"`{name}` {new_type_ddl}").fields[0]
+        new = new_field.dataType
+        ok = False
+        if isinstance(cur, T.DecimalType) and isinstance(new, T.DecimalType):
+            ok = new.scale == cur.scale and new.precision > cur.precision
+        else:
+            ok = new.simpleString() in self._WIDENINGS.get(
+                cur.simpleString(), set())
+        if not ok:
+            raise ValueError(
+                f"cannot widen {name!r} from {cur.simpleString()} to "
+                f"{new.simpleString()}")
+        if (meta.get("partition_col") == name
+                and parse_transform(
+                    self.partition_transform(meta))[0] == "bucket"):
+            raise ValueError(
+                f"cannot widen {name!r}: it feeds a bucket[] partition "
+                "transform (hash changes with the physical type)")
+        meta["schema_json"] = T.StructType(
+            [T.StructField(name, new, f.nullable) if f.name == name else f
+             for f in schema.fields]
+        ).json()
+        meta["bloom_invalid_cols"] = sorted(
+            set(meta.get("bloom_invalid_cols", [])) | {name})
         return self._commit_metadata(meta)
 
     def rename_column(self, old: str, new: str) -> int:
@@ -640,6 +718,10 @@ class LakehouseTable:
             ]
         ).json()
         meta["column_renames"] = renames
+        if old in meta.get("column_defaults", {}):
+            dmap = dict(meta["column_defaults"])
+            dmap[new] = dmap.pop(old)
+            meta["column_defaults"] = dmap
         if meta.get("partition_col") == old:
             meta["partition_col"] = new  # physical _p=<v> dirs are name-free
         if meta.get("partition_specs"):
@@ -1755,7 +1837,12 @@ class LakehouseTable:
         if not vals:
             return df.filter(F.lit(False))  # IN () matches nothing
         arr = f"blooms['{col}']"
-        if len(vals) <= 128:
+        # a widened column's old blooms hashed the NARROW physical type
+        # — probing them with the wide literal would false-negative
+        # (skip a file that holds the row); min/max still applies
+        bloom_valid = col not in self.load_metadata().get(
+            "bloom_invalid_cols", [])
+        if bloom_valid and len(vals) <= 128:
             per_val = []
             for h1, h2 in self._bloom_point_hashes_many(spark, col, vals):
                 per_val.append("(" + " AND ".join(
@@ -1966,7 +2053,11 @@ class LakehouseTable:
         )
         snap = snapshot if snapshot is not None else self.current_snapshot(meta)
         mor = bool(apply_deletes and snap is not None and snap.delete_manifests)
-        if mor or with_pos:
+        live_defaults = {
+            c: d for c, d in meta.get("column_defaults", {}).items()
+            if c in {f.name for f in schema.fields}
+        }
+        if mor or with_pos or live_defaults:
             df = (
                 df.withColumn("_file", self._rel_path_col())
                 .withColumn("_pos", F.col("_metadata.row_index"))
@@ -1985,6 +2076,40 @@ class LakehouseTable:
                 ],
                 *extra,
             )
+        live_defaults = {
+            c: d for c, d in meta.get("column_defaults", {}).items()
+            if c in {f.name for f in schema.fields}
+        }
+        if live_defaults:
+            # initial-default resolution (sequence-scoped): rows from
+            # files older than the column get the default; later files
+            # carry the physical column (so an explicit NULL survives).
+            # One broadcast (path, seq) map join — metadata-sized.
+            seqs = (file_seqs if file_seqs is not None
+                    else self._file_seqs_for(
+                        spark, rel_paths,
+                        snap.snapshot_id if snap else None))
+            oldest = min(seqs.values(), default=0)
+            apply = {c: d for c, d in live_defaults.items()
+                     if oldest < d["added_seq"]}
+            if apply:
+                fcol = (F.col("_file") if "_file" in df.columns
+                        else self._rel_path_col())
+                seq_df = spark.createDataFrame(
+                    [(p, seqs.get(p, 0)) for p in rel_paths],
+                    "__dfp string, __dseq long",
+                )
+                df = df.join(F.broadcast(seq_df), fcol == F.col("__dfp"),
+                             "left").drop("__dfp")
+                dseq = F.coalesce(F.col("__dseq"), F.lit(0))
+                for c, d in apply.items():
+                    df = df.withColumn(
+                        c,
+                        F.when(dseq < F.lit(d["added_seq"]),
+                               F.lit(d["value"]).cast(schema[c].dataType))
+                        .otherwise(F.col(c)),
+                    )
+                df = df.drop("__dseq")
         if mor:
             ddf, n_del = self.position_deletes_df(
                 spark, snap, (min(rel_paths), max(rel_paths)))
