@@ -79,11 +79,27 @@ def _token_assigner(bounds: dict, offsets: dict, tokens: np.ndarray):
     return assign
 
 
+def resolve_sort_order(
+    table: LakehouseTable, curve: str | None, cols: tuple[str, ...] | None,
+) -> tuple[str, tuple[str, ...]]:
+    """Resolve the layout to cluster by: explicit ``cols`` win; with
+    ``cols=None`` the table's declared ``write.sort-order`` property
+    applies (curve AND columns — declare once, every maintenance pass
+    agrees); a table with neither falls back to the image-payload
+    default ``zorder(phash, w, h)``."""
+    if cols is not None:
+        return curve or "zorder", tuple(cols)
+    declared = table.sort_order()
+    if declared is not None:
+        return declared
+    return curve or "zorder", ("phash", "w", "h")
+
+
 def cluster(
     table: LakehouseTable,
     spark: SparkSession,
     curve: str = "zorder",
-    cols: tuple[str, ...] = ("phash", "w", "h"),
+    cols: tuple[str, ...] | None = None,
     target_file_size: int = DEFAULT_TARGET_FILE_SIZE,
     n_chunks: int = 4,
     op_id: str | None = None,
@@ -93,7 +109,10 @@ def cluster(
     """Rewrite the table clustered by ``curve`` over ``cols``
     (1-3 integer columns; a single column degenerates to a plain sort —
     the right layout when only one column carries selective predicates,
-    see BENCH/BASELINE.md's coarse-granularity reading)."""
+    see BENCH/BASELINE.md's coarse-granularity reading). ``cols=None``
+    adopts the table's ``write.sort-order`` property (see
+    resolve_sort_order)."""
+    curve, cols = resolve_sort_order(table, curve, cols)
     if not 1 <= len(cols) <= 3:
         raise ValueError(f"cluster over 1-3 columns, got {cols!r}")
     from .compaction import require_single_spec
@@ -324,7 +343,7 @@ def cluster_incremental(
     table: LakehouseTable,
     spark: SparkSession,
     curve: str = "zorder",
-    cols: tuple[str, ...] = ("phash", "w", "h"),
+    cols: tuple[str, ...] | None = None,
     target_file_size: int = DEFAULT_TARGET_FILE_SIZE,
     n_chunks: int = 4,
     merge_threshold: float = 0.4,
@@ -367,6 +386,7 @@ def cluster_incremental(
     """
     from .compaction import require_single_spec
 
+    curve, cols = resolve_sort_order(table, curve, cols)
     require_single_spec(table, spark)
     last, prior_bounds = _last_cluster_snapshot(table, curve, cols)
     if last is None:

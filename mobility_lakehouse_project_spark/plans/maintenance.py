@@ -37,7 +37,7 @@ def run_maintenance(
     fold_deletes: bool = True,
     fold_min_delete_ratio: float = 0.0,
     cluster_curve: str | None = None,
-    cluster_cols: tuple[str, ...] = ("phash", "w", "h"),
+    cluster_cols: tuple[str, ...] | None = None,
     cluster_mode: str = "full",
     rewrite_manifests_min: int = 4,
     keep_snapshots: int = 5,
@@ -46,10 +46,23 @@ def run_maintenance(
     recompress_level: int | None = None,
 ) -> dict:
     """Run the full maintenance pass; returns per-step metrics.
-    ``cluster_curve=None`` skips clustering (compaction alone);
-    ``analyze=True`` refreshes column statistics at the end."""
+    ``cluster_curve=None`` skips clustering (compaction alone) UNLESS
+    the table declares ``write.sort-order`` — a declared order means
+    maintenance always restores the layout, the Iceberg contract;
+    ``cluster_curve="table"`` requires the property (errors when
+    unset). ``analyze=True`` refreshes column statistics at the end."""
     from ..operators import analyze as analyze_op
     from ..operators import clustering, compaction, delete
+
+    declared = table.sort_order()
+    if cluster_curve == "table":
+        if declared is None:
+            raise ValueError(
+                'cluster_curve="table" but the table declares no '
+                "write.sort-order property")
+        cluster_curve, cluster_cols = declared
+    elif cluster_curve is None and declared is not None and cluster_cols is None:
+        cluster_curve, cluster_cols = declared
 
     t0 = time.time()
     report: dict = {}

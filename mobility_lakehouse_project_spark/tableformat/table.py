@@ -275,6 +275,7 @@ _MANIFEST_SCHEMA = pa.schema(
 _BLOOM_K = 7
 _BLOOM_BITS_PER_ROW = 10
 BLOOM_COLS_PROP = "write.metadata.bloom-columns"
+SORT_ORDER_PROP = "write.sort-order"
 
 
 def _bloom_m(n_rows: int) -> int:
@@ -565,6 +566,36 @@ class LakehouseTable:
                 last = e
         raise last
 
+    def sort_order(self, meta: dict | None = None) -> tuple[str, tuple[str, ...]] | None:
+        """Parsed ``write.sort-order`` property (Iceberg's table sort
+        order, declared once so every maintenance pass agrees on the
+        layout): ``zorder(a,b,c)`` / ``hilbert(a,b)`` / ``sort(a)``.
+        Returns ``(curve, cols)`` or None when unset; ``sort`` is the
+        single-column plain order (stored as the degenerate curve).
+        Columns are validated against the current schema."""
+        meta = meta or self.load_metadata()
+        v = meta.get("properties", {}).get(SORT_ORDER_PROP)
+        if not v:
+            return None
+        m = re.fullmatch(r"(zorder|hilbert|sort)\(([^()]+)\)", v.strip())
+        if not m:
+            raise ValueError(
+                f"bad {SORT_ORDER_PROP} {v!r}: expected "
+                "zorder(cols)/hilbert(cols)/sort(col)")
+        curve = m.group(1)
+        cols = tuple(c.strip() for c in m.group(2).split(",") if c.strip())
+        if not cols or (curve == "sort" and len(cols) != 1):
+            raise ValueError(f"bad {SORT_ORDER_PROP} {v!r}")
+        schema = T.StructType.fromJson(json.loads(meta["schema_json"]))
+        known = {f.name for f in schema.fields}
+        for c in cols:
+            if c not in known:
+                raise ValueError(
+                    f"{SORT_ORDER_PROP} references unknown column {c!r}")
+        if curve == "sort":
+            curve = "zorder"  # 1-col curve degenerates to a plain sort
+        return curve, cols
+
     def drop_column(self, name: str) -> int:
         """Drop a column (metadata-only; Iceberg's dropColumn). Data
         files keep the physical column — scans simply stop selecting it
@@ -592,6 +623,11 @@ class LakehouseTable:
             meta["column_defaults"] = {
                 k: v for k, v in meta["column_defaults"].items() if k != name
             }
+        so = meta.get("properties", {}).get(SORT_ORDER_PROP, "")
+        if re.search(rf"[(,]\s*{re.escape(name)}\s*[,)]", so):
+            props = dict(meta["properties"])
+            del props[SORT_ORDER_PROP]  # declared order no longer valid
+            meta["properties"] = props
         return self._commit_metadata(meta)
 
     def column_renames(self, meta: dict | None = None) -> dict[str, list[str]]:
@@ -729,6 +765,13 @@ class LakehouseTable:
                 {**s, "col": new} if s.get("col") == old else s
                 for s in meta["partition_specs"]
             ]
+        so = meta.get("properties", {}).get(SORT_ORDER_PROP, "")
+        if re.search(rf"[(,]\s*{re.escape(old)}\s*[,)]", so):
+            props = dict(meta["properties"])
+            props[SORT_ORDER_PROP] = re.sub(
+                rf"([(,]\s*){re.escape(old)}(\s*[,)])", rf"\g<1>{new}\g<2>",
+                so)
+            meta["properties"] = props
         return self._commit_metadata(meta)
 
     # ---------------- snapshots ----------------
