@@ -77,7 +77,9 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("cluster")
     t(sp)
     sp.add_argument("--curve", choices=["zorder", "hilbert"], default="zorder")
-    sp.add_argument("--cols", default="phash,w,h")
+    sp.add_argument("--cols", default=None,
+                    help="comma-separated key columns; omitted = the "
+                         "table's write.sort-order property, else phash,w,h")
     sp.add_argument("--target-mb", type=float, default=128)
     sp.add_argument("--chunks", type=int, default=4)
     sp.add_argument("--recompress", type=int, default=None)
@@ -169,9 +171,11 @@ def main(argv: list[str] | None = None) -> int:
                              "rewrite manifests, expire, GC, analyze")
     t(sp)
     sp.add_argument("--target-mb", type=float, default=128)
-    sp.add_argument("--curve", choices=["zorder", "hilbert", "none"],
-                    default="none")
-    sp.add_argument("--cols", default="phash,w,h")
+    sp.add_argument("--curve", choices=["zorder", "hilbert", "table", "none"],
+                    default="none",
+                    help="'table' = require the write.sort-order property; "
+                         "'none' still clusters when the table declares one")
+    sp.add_argument("--cols", default=None)
     sp.add_argument("--cluster-mode", choices=["full", "incremental"],
                     default="full")
     sp.add_argument("--keep", type=int, default=5)
@@ -184,6 +188,23 @@ def main(argv: list[str] | None = None) -> int:
                              "for the current snapshot")
     t(sp)
     sp.add_argument("--columns", default=None, help="comma-separated subset")
+
+    sp = sub.add_parser("tables",
+                        help="list namespaces and tables of a warehouse "
+                             "catalog")
+    sp.add_argument("--warehouse", required=True)
+    sp.add_argument("--namespace", default=None)
+
+    sp = sub.add_parser("maintain-all",
+                        help="run the maintenance orchestrator over every "
+                             "table in a warehouse; per-table layout policy "
+                             "comes from each table's write.sort-order")
+    sp.add_argument("--warehouse", required=True)
+    sp.add_argument("--target-mb", type=float, default=128)
+    sp.add_argument("--cluster-mode", choices=["full", "incremental"],
+                    default="full")
+    sp.add_argument("--keep", type=int, default=5)
+    sp.add_argument("--analyze", action="store_true")
 
     sp = sub.add_parser("evolve-partition",
                         help="change the partition column for future "
@@ -254,14 +275,14 @@ def main(argv: list[str] | None = None) -> int:
         if a.incremental:
             res = clustering.cluster_incremental(
                 LakehouseTable(a.table), spark, curve=a.curve,
-                cols=tuple(a.cols.split(",")),
+                cols=tuple(a.cols.split(",")) if a.cols else None,
                 target_file_size=_mb(a.target_mb), n_chunks=a.chunks,
                 merge_threshold=a.merge_threshold,
                 recompress_level=a.recompress)
         else:
             res = clustering.cluster(
                 LakehouseTable(a.table), spark, curve=a.curve,
-                cols=tuple(a.cols.split(",")),
+                cols=tuple(a.cols.split(",")) if a.cols else None,
                 target_file_size=_mb(a.target_mb),
                 n_chunks=a.chunks, recompress_level=a.recompress)
         out = {"cmd": "cluster", "curve": a.curve, **res}
@@ -367,7 +388,7 @@ def main(argv: list[str] | None = None) -> int:
         out = {"cmd": "maintain", **run_maintenance(
             LakehouseTable(a.table), spark, target_file_size=_mb(a.target_mb),
             cluster_curve=None if a.curve == "none" else a.curve,
-            cluster_cols=tuple(a.cols.split(",")),
+            cluster_cols=tuple(a.cols.split(",")) if a.cols else None,
             cluster_mode=a.cluster_mode,
             keep_snapshots=a.keep, orphan_grace_s=a.orphan_grace_s,
             analyze=a.analyze, recompress_level=a.recompress)}
@@ -377,6 +398,19 @@ def main(argv: list[str] | None = None) -> int:
         out = {"cmd": "analyze", **analyze_op.analyze_table(
             LakehouseTable(a.table), spark,
             columns=a.columns.split(",") if a.columns else None)}
+    elif a.cmd == "tables":
+        from .tableformat import Catalog
+
+        c = Catalog(a.warehouse)
+        out = {"cmd": "tables", "namespaces": c.list_namespaces(),
+               "tables": c.list_tables(a.namespace)}
+    elif a.cmd == "maintain-all":
+        from .tableformat import Catalog
+
+        out = {"cmd": "maintain-all", "tables": Catalog(a.warehouse)
+               .maintain_all(spark, target_file_size=_mb(a.target_mb),
+                             cluster_mode=a.cluster_mode,
+                             keep_snapshots=a.keep, analyze=a.analyze)}
     elif a.cmd == "evolve-partition":
         tbl = LakehouseTable(a.table)
         v = tbl.evolve_partition(None if a.col == "none" else a.col,

@@ -1,7 +1,8 @@
+from .catalog import Catalog
 from .table import (
     ConcurrentCommitError,
     LakehouseTable,
     Snapshot,
 )
 
-__all__ = ["LakehouseTable", "Snapshot", "ConcurrentCommitError"]
+__all__ = ["Catalog", "LakehouseTable", "Snapshot", "ConcurrentCommitError"]

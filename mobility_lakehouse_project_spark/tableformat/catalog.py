@@ -1,0 +1,156 @@
+"""Filesystem warehouse catalog: namespaced tables under one root.
+
+The reference attaches multiple DuckDB databases and addresses tables
+as ``layer.table`` (src/ingest_bronze.py ATTACH + dags use
+``bronze.x`` / ``silver.y``); the Iceberg analog is a catalog mapping
+``namespace.table`` names to table locations. This is the
+HadoopCatalog flavor: the directory tree IS the catalog —
+``<warehouse>/<namespace>/<table>/`` — so no external service is
+needed, concurrent creates are arbitrated by the table's own
+exclusive-v1-metadata CAS, and the catalog scales to any number of
+tables because listing touches only directory entries, never table
+metadata.
+
+At 100 TB the value is operational: one ``Catalog.maintain_all`` call
+is the whole warehouse's maintenance schedule (each table's policy
+declared on the table itself via properties like ``write.sort-order``),
+and ``register_all`` exposes every table to ad-hoc ``spark.sql``
+under ``ns_table`` view names — the reference's cross-layer
+federation (dags/Queries_dag.py) without an attach step per query.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+
+from .paths import join_path, to_local
+from .table import LakehouseTable
+
+_NAME_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+
+
+def _split(name: str) -> tuple[str, str]:
+    parts = name.split(".")
+    if len(parts) == 1:
+        parts = ["default", parts[0]]
+    if len(parts) != 2 or not all(_NAME_RE.fullmatch(p) for p in parts):
+        raise ValueError(
+            f"bad table name {name!r}: expected [namespace.]table with "
+            "identifier-safe segments")
+    return parts[0], parts[1]
+
+
+class Catalog:
+    """Warehouse of lakehouse tables addressed as ``namespace.table``
+    (bare ``table`` means ``default.table``)."""
+
+    def __init__(self, warehouse: str):
+        self.warehouse = warehouse.rstrip("/")
+        self._local = to_local(self.warehouse)
+
+    def _location(self, name: str) -> str:
+        ns, tbl = _split(name)
+        return join_path(self.warehouse, ns, tbl)
+
+    # ---------------- DDL ----------------
+
+    def create_table(self, name: str, schema: T.StructType,
+                     **kwargs) -> LakehouseTable:
+        """Create ``namespace.table`` (namespace dirs appear on first
+        use, like HadoopCatalog). kwargs pass through to
+        ``LakehouseTable.create`` (partition_col, properties, ...);
+        racing creates lose on the table's exclusive v1 write."""
+        return LakehouseTable.create(self._location(name), schema, **kwargs)
+
+    def load_table(self, name: str) -> LakehouseTable:
+        t = LakehouseTable(self._location(name))
+        if not t.exists:
+            raise ValueError(f"no table {name!r} in {self.warehouse}")
+        return t
+
+    def table_exists(self, name: str) -> bool:
+        return LakehouseTable(self._location(name)).exists
+
+    def drop_table(self, name: str, purge: bool = False) -> None:
+        """Remove the table from the catalog. The directory tree is the
+        catalog, so dropping deletes the tree — refused unless
+        ``purge=True`` when the table still holds data files (the
+        Iceberg dropTable(purge) distinction, kept deliberately loud
+        because there is no metadata-only unlink in a directory
+        catalog)."""
+        t = self.load_table(name)
+        local = to_local(t.location)
+        if not purge:
+            cur = t.current_snapshot()
+            if cur is not None and cur.manifests:
+                raise ValueError(
+                    f"table {name!r} still has data; pass purge=True to "
+                    "delete it")
+        shutil.rmtree(local)
+
+    # ---------------- listing ----------------
+
+    def list_namespaces(self) -> list[str]:
+        root = self._local
+        if not os.path.isdir(root):
+            return []
+        return sorted(
+            d for d in os.listdir(root)
+            if os.path.isdir(os.path.join(root, d)) and _NAME_RE.fullmatch(d)
+        )
+
+    def list_tables(self, namespace: str | None = None) -> list[str]:
+        """``namespace.table`` names, every namespace unless given one.
+        A directory counts as a table only if it has the metadata
+        pointer (half-created junk is invisible, matching load_table)."""
+        spaces = [namespace] if namespace is not None else self.list_namespaces()
+        out = []
+        for ns in spaces:
+            nsdir = os.path.join(self._local, ns)
+            if not os.path.isdir(nsdir):
+                continue
+            for d in sorted(os.listdir(nsdir)):
+                if LakehouseTable(join_path(self.warehouse, ns, d)).exists:
+                    out.append(f"{ns}.{d}")
+        return out
+
+    # ---------------- warehouse-wide operations ----------------
+
+    def register_all(self, spark: SparkSession,
+                     metadata: bool = False) -> list[str]:
+        """Temp views ``<ns>_<table>`` for every table (SQL view names
+        cannot hold dots); ``metadata=True`` also registers the
+        inspection tables as ``<ns>_<table>_files`` etc."""
+        names = []
+        for name in self.list_tables():
+            ns, tbl = _split(name)
+            view = f"{ns}_{tbl}"
+            t = self.load_table(name)
+            t.register(spark, view)
+            if metadata:
+                t.register_metadata(spark, view)
+            names.append(view)
+        return names
+
+    def maintain_all(self, spark: SparkSession, **kwargs) -> dict[str, dict]:
+        """Run the one-call maintenance orchestrator over every table,
+        per-table policy from its own properties (a table declaring
+        ``write.sort-order`` gets re-clustered, others just compacted).
+        One failed table doesn't stop the sweep — its error is reported
+        in its slot, the rest proceed (the Airflow-retry property,
+        without Airflow)."""
+        from ..plans.maintenance import run_maintenance
+
+        report = {}
+        for name in self.list_tables():
+            try:
+                report[name] = run_maintenance(
+                    self.load_table(name), spark, **kwargs)
+            except Exception as e:  # noqa: BLE001 — sweep must finish
+                report[name] = {"error": f"{type(e).__name__}: {e}"}
+        return report

@@ -1,0 +1,107 @@
+"""Warehouse catalog: namespaced tables under one root (HadoopCatalog
+flavor — the directory tree is the catalog). The reference's multi-DB
+ATTACH federation (src/ingest_bronze.py, bronze./silver. addressing)
+maps to Catalog names + register_all SQL views."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mobility_lakehouse_project_spark.tableformat import Catalog
+from mobility_lakehouse_project_spark.tableformat.table import SORT_ORDER_PROP
+
+
+@pytest.fixture()
+def cat(tmp_path):
+    return Catalog(str(tmp_path / "warehouse"))
+
+
+def _df(spark, n=100):
+    return spark.createDataFrame(
+        [(i, (i * 37) % 256, f"cap{i}") for i in range(n)],
+        "image_id long, phash long, caption string",
+    )
+
+
+def test_create_load_list_namespaces(spark, cat):
+    df = _df(spark)
+    cat.create_table("bronze.images", df.schema).append(df, n_files=2)
+    cat.create_table("silver.images", df.schema)
+    cat.create_table("plain", df.schema)  # default namespace
+    assert cat.list_namespaces() == ["bronze", "default", "silver"]
+    assert cat.list_tables() == [
+        "bronze.images", "default.plain", "silver.images"]
+    assert cat.list_tables("bronze") == ["bronze.images"]
+    assert cat.load_table("bronze.images").scan(spark).count() == 100
+    assert cat.table_exists("plain") and not cat.table_exists("nope.x")
+
+
+def test_name_validation_and_missing(spark, cat):
+    for bad in ["a.b.c", "ns.1tbl", "bad-name", ""]:
+        with pytest.raises(ValueError):
+            cat.create_table(bad, _df(spark).schema)
+    with pytest.raises(ValueError, match="no table"):
+        cat.load_table("ghost.tbl")
+    cat.create_table("ns.t", _df(spark).schema)
+    with pytest.raises(FileExistsError):
+        cat.create_table("ns.t", _df(spark).schema)
+
+
+def test_drop_requires_purge_when_data_present(spark, cat):
+    df = _df(spark)
+    cat.create_table("ns.t", df.schema).append(df)
+    with pytest.raises(ValueError, match="purge"):
+        cat.drop_table("ns.t")
+    cat.drop_table("ns.t", purge=True)
+    assert not cat.table_exists("ns.t")
+    cat.create_table("ns.empty", df.schema)
+    cat.drop_table("ns.empty")  # no data -> no purge needed
+    assert cat.list_tables("ns") == []
+
+
+def test_register_all_cross_table_sql(spark, cat):
+    df = _df(spark)
+    cat.create_table("bronze.images", df.schema).append(df)
+    cat.create_table("silver.stats", df.schema).append(df.limit(40))
+    views = cat.register_all(spark, metadata=True)
+    assert views == ["bronze_images", "silver_stats"]
+    got = spark.sql(
+        "SELECT count(*) AS n FROM bronze_images b "
+        "LEFT SEMI JOIN silver_stats s ON b.image_id = s.image_id"
+    ).collect()[0]["n"]
+    assert got == 40
+    assert spark.sql(
+        "SELECT count(*) AS n FROM bronze_images_files").collect()[0]["n"] > 0
+
+
+def test_maintain_all_per_table_policy(spark, cat):
+    df = _df(spark, 2000).withColumn("w", F.col("phash") % 64 + 16) \
+        .withColumn("h", F.col("phash") % 32 + 16)
+    clustered = cat.create_table(
+        "ns.clustered", df.schema,
+        properties={SORT_ORDER_PROP: "zorder(phash,w,h)"})
+    clustered.append(df, n_files=6)
+    plain = cat.create_table("ns.plain", df.schema)
+    plain.append(df, n_files=6)
+    rep = cat.maintain_all(spark, target_file_size=1 << 20, keep_snapshots=5)
+    assert rep["ns.clustered"]["cluster"]["files_out"] > 0
+    assert "cluster" not in rep["ns.plain"]
+    assert rep["ns.plain"]["compact"]["files_in"] > 0
+
+
+def test_maintain_all_isolates_failures(spark, cat, monkeypatch):
+    df = _df(spark)
+    cat.create_table("ns.a", df.schema).append(df)
+    cat.create_table("ns.b", df.schema).append(df)
+    import mobility_lakehouse_project_spark.tableformat.catalog as catmod
+
+    real = catmod.Catalog.load_table
+
+    def boom(self, name):
+        if name == "ns.a":
+            raise RuntimeError("corrupt table")
+        return real(self, name)
+
+    monkeypatch.setattr(catmod.Catalog, "load_table", boom)
+    rep = cat.maintain_all(spark, target_file_size=1 << 20)
+    assert "RuntimeError" in rep["ns.a"]["error"]
+    assert "compact" in rep["ns.b"]
