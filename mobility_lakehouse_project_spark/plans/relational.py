@@ -2236,6 +2236,56 @@ ORACLE_SQL["split_stratified"] = """
 """
 
 
+# GPT-2-ish pre-tokenizer lite: letter runs, SINGLE digits, single
+# punctuation marks — alternation only (no groups/lookaround), so the
+# Java regex (Spark) and RE2 (DuckDB oracle) semantics coincide.
+_BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def txt_token_bpe(spark, sf_dir):
+    """Token counting for training-data accounting, two granularities
+    per (lang, source): whitespace tokens (the cheap estimate) and a
+    BPE-style regex pre-tokenization (letter runs / digits / punct —
+    the subword-tokenizer input count). Pure Catalyst
+    ``regexp_extract_all`` + ``size``; the tokens-per-word expansion
+    ratio is the corpus-quality signal a pipeline thresholds on.
+    (Reference counts rows only, dags/Queries_dag.py:61; token-level
+    accounting is the 100 TB-corpus analog.)"""
+    d = _t(spark, sf_dir, "documents")
+    ws = F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
+    bpe = F.size(F.regexp_extract_all("text", F.lit(_BPE_TOKEN_RE), 0))
+    return (
+        d.select("lang", "source", ws.alias("n_ws"), bpe.alias("n_bpe"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_ws").alias("ws_tokens"),
+            F.sum("n_bpe").alias("bpe_tokens"),
+            F.round(F.sum("n_bpe") / F.nullif(F.sum("n_ws"), F.lit(0)), 4)
+            .alias("expansion"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+ORACLE_SQL["txt_token_bpe"] = r"""
+        WITH tokd AS (
+            SELECT lang, source,
+                   length(text) - length(replace(text, ' ', '')) + 1 AS n_ws,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpe
+            FROM documents
+        )
+        SELECT lang, source, COUNT(*) AS n_docs,
+               CAST(SUM(n_ws) AS BIGINT) AS ws_tokens,
+               CAST(SUM(n_bpe) AS BIGINT) AS bpe_tokens,
+               ROUND(SUM(n_bpe) / NULLIF(SUM(n_ws), 0), 4) AS expansion
+        FROM tokd
+        GROUP BY lang, source
+        ORDER BY lang, source
+"""
+
+
 QUERIES = {
     "a_rollup_cube": a_rollup_cube,
     "a_pivot_status": a_pivot_status,
@@ -2298,4 +2348,5 @@ QUERIES = {
     "dedup_cc_canonical": dedup_cc_canonical,
     "sample_hash_mod": sample_hash_mod,
     "split_stratified": split_stratified,
+    "txt_token_bpe": txt_token_bpe,
 }
