@@ -36,6 +36,9 @@ AUDIT = [
     "mor_delete_scan",       # expect broadcast LEFT-ANTI delete join; data side never shuffles
     "cdc_changelog_scan",    # expect changelog union + broadcast semi for delete rows, NO Python
     "bloom_point_lookup",    # expect tiny pruned file scans (bloom file skipping) + pushed key filter
+    "txt_token_bpe",         # expect NO Python UDF (Catalyst regexp_extract_all), one agg pair
+    "dedup_cc_canonical",    # expect joins over doc ids only (no text in the shuffle)
+    "sample_hash_mod",       # hash residue can't push to parquet; expect column-pruned scan
 ]
 
 CHECKS = {
@@ -62,6 +65,11 @@ CHECKS = {
     "cdc_changelog_scan": ["BroadcastHashJoin", "LeftSemi", "HashAggregate"],
     # the key predicate must reach the (already bloom-pruned) scans
     "bloom_point_lookup": ["Union", "PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey"],
+    "txt_token_bpe": ["HashAggregate"],
+    "dedup_cc_canonical": ["HashAggregate"],
+    # the md5-residue predicate is computed, not pushable — the scan must
+    # still be column-pruned to exactly the 5 referenced columns
+    "sample_hash_mod": ["HashAggregate", "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_extendedprice:double,l_discount:double,l_returnflag:string>"],
 }
 
 # plans that must contain NO row-at-a-time or Arrow Python evaluation
@@ -69,7 +77,8 @@ NO_PYTHON = {"dedup_simhash", "ann_lsh_bucketed", "dedup_embed_cosine",
              "txt_quality_score", "ann_cosine_topk", "ann_ivf_probe",
              "ann_lsh_clustered", "emb_label_profile", "ann_batch_join",
              "ann_batch_clustered", "mor_delete_scan", "cdc_changelog_scan",
-             "bloom_point_lookup"}
+             "bloom_point_lookup", "txt_token_bpe", "dedup_cc_canonical",
+             "sample_hash_mod"}
 
 # plans that must NOT explode arrays into the shuffle (per-row pre-sum)
 NO_GENERATE = {"emb_label_profile"}
