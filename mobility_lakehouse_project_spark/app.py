@@ -170,15 +170,17 @@ def main(argv: list[str] | None = None) -> int:
                              "migrate specs, compact, optional cluster, "
                              "rewrite manifests, expire, GC, analyze")
     t(sp)
-    sp.add_argument("--target-mb", type=float, default=128)
+    sp.add_argument("--target-mb", type=float, default=None,
+                    help="override; omitted = the table's "
+                         "maintenance.target-file-size-mb property, else 128")
     sp.add_argument("--curve", choices=["zorder", "hilbert", "table", "none"],
                     default="none",
                     help="'table' = require the write.sort-order property; "
                          "'none' still clusters when the table declares one")
     sp.add_argument("--cols", default=None)
     sp.add_argument("--cluster-mode", choices=["full", "incremental"],
-                    default="full")
-    sp.add_argument("--keep", type=int, default=5)
+                    default=None)
+    sp.add_argument("--keep", type=int, default=None)
     sp.add_argument("--orphan-grace-s", type=float, default=3 * 86400.0)
     sp.add_argument("--analyze", action="store_true")
     sp.add_argument("--recompress", type=int, default=None)
@@ -200,10 +202,12 @@ def main(argv: list[str] | None = None) -> int:
                              "table in a warehouse; per-table layout policy "
                              "comes from each table's write.sort-order")
     sp.add_argument("--warehouse", required=True)
-    sp.add_argument("--target-mb", type=float, default=128)
+    sp.add_argument("--target-mb", type=float, default=None,
+                    help="override; omitted = each table's "
+                         "maintenance.target-file-size-mb property")
     sp.add_argument("--cluster-mode", choices=["full", "incremental"],
-                    default="full")
-    sp.add_argument("--keep", type=int, default=5)
+                    default=None)
+    sp.add_argument("--keep", type=int, default=None)
     sp.add_argument("--analyze", action="store_true")
 
     sp = sub.add_parser("evolve-partition",
@@ -386,7 +390,8 @@ def main(argv: list[str] | None = None) -> int:
         from .plans.maintenance import run_maintenance
 
         out = {"cmd": "maintain", **run_maintenance(
-            LakehouseTable(a.table), spark, target_file_size=_mb(a.target_mb),
+            LakehouseTable(a.table), spark,
+            target_file_size=_mb(a.target_mb) if a.target_mb else None,
             cluster_curve=None if a.curve == "none" else a.curve,
             cluster_cols=tuple(a.cols.split(",")) if a.cols else None,
             cluster_mode=a.cluster_mode,
@@ -408,9 +413,11 @@ def main(argv: list[str] | None = None) -> int:
         from .tableformat import Catalog
 
         out = {"cmd": "maintain-all", "tables": Catalog(a.warehouse)
-               .maintain_all(spark, target_file_size=_mb(a.target_mb),
-                             cluster_mode=a.cluster_mode,
-                             keep_snapshots=a.keep, analyze=a.analyze)}
+               .maintain_all(
+                   spark,
+                   target_file_size=_mb(a.target_mb) if a.target_mb else None,
+                   cluster_mode=a.cluster_mode,
+                   keep_snapshots=a.keep, analyze=a.analyze)}
     elif a.cmd == "evolve-partition":
         tbl = LakehouseTable(a.table)
         v = tbl.evolve_partition(None if a.col == "none" else a.col,

@@ -30,17 +30,28 @@ from pyspark.sql import SparkSession
 from ..tableformat import LakehouseTable
 
 
+#: table properties read when the matching argument is left at None —
+#: the per-table policy surface ``Catalog.maintain_all`` sweeps over
+#: (one warehouse call, each table declaring its own maintenance).
+POLICY_PROPS = {
+    "target_file_size": "maintenance.target-file-size-mb",
+    "keep_snapshots": "maintenance.keep-snapshots",
+    "cluster_mode": "maintenance.cluster-mode",
+    "fold_min_delete_ratio": "maintenance.min-delete-ratio",
+}
+
+
 def run_maintenance(
     table: LakehouseTable,
     spark: SparkSession,
-    target_file_size: int = 128 * 1024 * 1024,
+    target_file_size: int | None = None,
     fold_deletes: bool = True,
-    fold_min_delete_ratio: float = 0.0,
+    fold_min_delete_ratio: float | None = None,
     cluster_curve: str | None = None,
     cluster_cols: tuple[str, ...] | None = None,
-    cluster_mode: str = "full",
+    cluster_mode: str | None = None,
     rewrite_manifests_min: int = 4,
-    keep_snapshots: int = 5,
+    keep_snapshots: int | None = None,
     orphan_grace_s: float = 3 * 86400.0,
     analyze: bool = False,
     recompress_level: int | None = None,
@@ -50,9 +61,33 @@ def run_maintenance(
     the table declares ``write.sort-order`` — a declared order means
     maintenance always restores the layout, the Iceberg contract;
     ``cluster_curve="table"`` requires the property (errors when
-    unset). ``analyze=True`` refreshes column statistics at the end."""
+    unset). ``analyze=True`` refreshes column statistics at the end.
+
+    Arguments left at None defer to the table's own properties
+    (POLICY_PROPS: ``maintenance.target-file-size-mb`` /
+    ``keep-snapshots`` / ``cluster-mode`` / ``min-delete-ratio``), so
+    a warehouse sweep applies each table's declared policy; an
+    explicit argument always wins over the property."""
     from ..operators import analyze as analyze_op
     from ..operators import clustering, compaction, delete
+
+    props = table.load_metadata().get("properties", {})
+
+    def _prop(arg, key, cast, default):
+        if arg is not None:
+            return arg
+        v = props.get(POLICY_PROPS[key])
+        return cast(v) if v is not None else default
+
+    target_file_size = _prop(target_file_size, "target_file_size",
+                             lambda v: int(float(v) * 1024 * 1024),
+                             128 * 1024 * 1024)
+    keep_snapshots = _prop(keep_snapshots, "keep_snapshots", int, 5)
+    cluster_mode = _prop(cluster_mode, "cluster_mode", str, "full")
+    if cluster_mode not in ("full", "incremental"):
+        raise ValueError(f"bad maintenance.cluster-mode {cluster_mode!r}")
+    fold_min_delete_ratio = _prop(fold_min_delete_ratio,
+                                  "fold_min_delete_ratio", float, 0.0)
 
     declared = table.sort_order()
     if cluster_curve == "table":

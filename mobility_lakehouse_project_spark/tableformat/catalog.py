@@ -67,6 +67,15 @@ class Catalog:
         racing creates lose on the table's exclusive v1 write."""
         return LakehouseTable.create(self._location(name), schema, **kwargs)
 
+    def create_table_as(self, name: str, df, n_files: int | None = None,
+                        **kwargs) -> LakehouseTable:
+        """CTAS: create ``name`` with the DataFrame's schema and load
+        it with the data in one call (the reference's CREATE TABLE AS
+        SELECT layer steps, src/sql/silver.sql)."""
+        t = self.create_table(name, df.schema, **kwargs)
+        t.append(df, n_files=n_files)
+        return t
+
     def load_table(self, name: str) -> LakehouseTable:
         t = LakehouseTable(self._location(name))
         if not t.exists:

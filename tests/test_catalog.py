@@ -105,3 +105,38 @@ def test_maintain_all_isolates_failures(spark, cat, monkeypatch):
     rep = cat.maintain_all(spark, target_file_size=1 << 20)
     assert "RuntimeError" in rep["ns.a"]["error"]
     assert "compact" in rep["ns.b"]
+
+
+def test_create_table_as(spark, cat):
+    df = _df(spark, 30)
+    t = cat.create_table_as("silver.ctas", df, n_files=2)
+    assert t.scan(spark).count() == 30
+    assert cat.list_tables("silver") == ["silver.ctas"]
+
+
+def test_maintenance_policy_from_properties(spark, cat):
+    """Per-table maintenance policy declared as table properties; an
+    explicit argument still wins over the property."""
+    df = _df(spark, 500)
+    t = cat.create_table(
+        "ns.pol", df.schema,
+        properties={"maintenance.keep-snapshots": "2",
+                    "maintenance.target-file-size-mb": "1"})
+    for _ in range(6):
+        t.append(df, n_files=2)
+    from mobility_lakehouse_project_spark.plans.maintenance import (
+        run_maintenance,
+    )
+
+    run_maintenance(t, spark, orphan_grace_s=0.0)
+    assert len(t.snapshots_list()) <= 3  # 2 kept + the compact commit
+    for _ in range(5):
+        t.append(df, n_files=2)
+    run_maintenance(t, spark, keep_snapshots=5, orphan_grace_s=0.0)
+    assert len(t.snapshots_list()) >= 5  # explicit arg beat the property
+
+    t.update_properties({"maintenance.cluster-mode": "bogus"})
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="cluster-mode"):
+        run_maintenance(t, spark)
