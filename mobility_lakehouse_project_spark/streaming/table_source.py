@@ -105,6 +105,14 @@ class LakehouseStreamReader(DataSourceStreamReader):
         if self._on_change not in ("error", "skip"):
             raise ValueError("option 'onchange' must be 'error' or 'skip'")
         self._start = options.get("start", "earliest")
+        mft = options.get("max-files-per-trigger")
+        self._max_files = int(mft) if mft is not None else None
+        if self._max_files is not None and self._max_files < 1:
+            raise ValueError("max-files-per-trigger must be >= 1")
+        # last batch-end sequence this reader planned or committed —
+        # the admission-control cursor (driver-side reader instance
+        # persists across micro-batches)
+        self._pos: int | None = None
         self._schema = schema
 
     def _table(self) -> LakehouseTable:
@@ -117,13 +125,55 @@ class LakehouseStreamReader(DataSourceStreamReader):
 
     def initialOffset(self) -> dict:
         if self._start == "latest":
-            return {"seq": self._max_seq(self._table())}
-        return {"seq": 0}
+            self._pos = self._max_seq(self._table())
+        else:
+            self._pos = 0
+        return {"seq": self._pos}
 
     def latestOffset(self) -> dict:
-        return {"seq": self._max_seq(self._table())}
+        """Next batch end. With ``max-files-per-trigger`` (Iceberg's
+        streaming rate limit) the advance stops before the snapshot
+        that would exceed the file budget — per-snapshot costs come
+        from the commit summary (``added-files``), so throttling is
+        metadata-only. The first snapshot past the cursor is always
+        admitted (an oversized commit must still drain).
+
+        Cursor recovery is total (verified against Spark 4's observed
+        call order): fresh queries may see latestOffset BEFORE
+        initialOffset, so an unset cursor seeds from the ``start``
+        option exactly as initialOffset would; restarted queries
+        re-plan their last checkpointed batch first, whose
+        ``partitions(start, end)`` call reconciles the cursor before
+        any latestOffset."""
+        t = self._table()
+        mx = self._max_seq(t)
+        if self._max_files is None:
+            return {"seq": mx}
+        if self._pos is None:
+            # the engine may ask for the latest offset before
+            # initialOffset (observed) — seed the cursor the way
+            # initialOffset would for a fresh query
+            self._pos = self._max_seq(t) if self._start == "latest" else 0
+        budget = self._max_files
+        end = self._pos
+        for snap in sorted(t.snapshots_list(), key=lambda s: s.sequence):
+            if snap.sequence <= self._pos:
+                continue
+            cost = (int(snap.summary.get("added-files", 0))
+                    if _classify(snap) == "insert" else 0)
+            if end > self._pos and budget - cost < 0:
+                break
+            budget -= cost
+            end = snap.sequence
+        return {"seq": end}
 
     def partitions(self, start: dict, end: dict):
+        # reconcile the admission cursor (covers checkpoint restarts,
+        # where initialOffset is never called)
+        self._pos = max(self._pos or 0, end["seq"])
+        return self._plan(start, end)
+
+    def _plan(self, start: dict, end: dict):
         t = self._table()
         meta = t.load_metadata()
         renames = t.column_renames(meta)
@@ -167,7 +217,7 @@ class LakehouseStreamReader(DataSourceStreamReader):
             yield b
 
     def commit(self, end: dict) -> None:
-        pass
+        self._pos = max(self._pos or 0, end["seq"])
 
 
 class LakehouseStreamDataSource(DataSource):
@@ -178,7 +228,9 @@ class LakehouseStreamDataSource(DataSource):
     Options: ``location`` (table path, required), ``start``
     ('earliest' streams existing rows as the first batch, 'latest'
     only new commits), ``onchange`` ('error' | 'skip' for non-append
-    snapshots)."""
+    snapshots), ``max-files-per-trigger`` (admission control: cap the
+    data files admitted per micro-batch; snapshot boundaries are
+    respected, an oversized single commit still drains)."""
 
     @classmethod
     def name(cls) -> str:

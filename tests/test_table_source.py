@@ -150,3 +150,49 @@ def test_streams_renamed_and_added_columns(spark, tmp_table_dir):
     # old files stream through the rename (physical 'caption' surfaces
     # as 'title') and show NULL for the added column
     assert out["n"] == 140 and out["titles"] == 140 and out["langs"] == 40
+
+
+def test_max_files_per_trigger_throttles_batches(spark, tmp_table_dir, tmp_path):
+    """Admission control: 5 append snapshots x 2 files drain in
+    multiple micro-batches of <= 4 files each (snapshot-aligned)
+    within ONE continuously-running query (the reader instance owns
+    the cursor; availableNow restarts re-create it and are documented
+    as unthrottled for their first batch)."""
+    import time
+
+    df = spark.createDataFrame(
+        [(i, i % 4) for i in range(100)], "image_id long, bucket long")
+    t = LakehouseTable.create(tmp_table_dir, df.schema)
+    for k in range(5):
+        t.append(df.withColumn("image_id", F.col("image_id") + k * 100),
+                 n_files=2)
+    ckpt, out = str(tmp_path / "ck"), str(tmp_path / "out")
+    q = (
+        spark.readStream.format("lakehouse_stream")
+        .option("location", tmp_table_dir)
+        .option("max-files-per-trigger", "4")
+        .load()
+        .select("image_id", "bucket")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        total = 0
+        while time.time() < deadline and total < 500:
+            time.sleep(2)
+            try:
+                total = spark.read.parquet(out).count()
+            except Exception:
+                total = 0
+    finally:
+        q.stop()
+    assert total == 500
+    offsets = [f for f in os.listdir(os.path.join(ckpt, "offsets"))
+               if not f.startswith(".")]
+    # 10 files / 4-file budget -> at least 3 planned batches
+    assert len(offsets) >= 3
