@@ -131,3 +131,57 @@ def test_widened_column_bloom_skipped_but_lookup_correct(spark, tmp_table_dir):
     got = (t.scan(spark, point_eq={"v": [21]})
            .filter(F.col("v") == 21).collect())
     assert [r["id"] for r in got] == [3]
+
+
+def test_defaults_compose_with_mor_delete(spark, defaults_table):
+    """Default resolution and the MOR anti-join share the scan path:
+    deleting rows must not disturb the defaulted column on survivors."""
+    from mobility_lakehouse_project_spark.operators import delete
+
+    t = defaults_table
+    delete.delete_where(t, spark, F.col("id") < 3, mode="mor")
+    rows = {r["id"]: r["tier"] for r in t.scan(spark).collect()}
+    assert set(rows) == set(range(3, 10))
+    assert all(v == "bronze" for v in rows.values())
+
+
+def test_merge_after_widen(spark, tmp_table_dir):
+    from mobility_lakehouse_project_spark.operators import merge
+
+    v1 = spark.createDataFrame([(i, i) for i in range(20)], "id long, v int")
+    t = LakehouseTable.create(tmp_table_dir, v1.schema, partition_col=None)
+    t.append(v1, n_files=2)
+    t.widen_column("v", "bigint")
+    big = 7_000_000_000
+    src = spark.createDataFrame([(5, big), (100, big + 1)],
+                                "id long, v bigint")
+    merge.merge_into(t, spark, src, key="id", target_file_size=1 << 20)
+    rows = {r["id"]: r["v"] for r in t.scan(spark).collect()}
+    assert rows[5] == big and rows[100] == big + 1 and rows[6] == 6
+    assert len(rows) == 21
+
+
+def test_cluster_on_widened_column(spark, tmp_table_dir):
+    """Range-normalized curve keys over a widened column: old narrow
+    files and new wide files cluster together; stats pruning works on
+    the combined value domain."""
+    from mobility_lakehouse_project_spark.operators import clustering
+
+    v1 = spark.createDataFrame(
+        [(i, (i * 2654435761) % (1 << 31)) for i in range(2000)],
+        "id long, v int")
+    t = LakehouseTable.create(tmp_table_dir, v1.schema, partition_col=None)
+    t.append(v1, n_files=4)
+    t.widen_column("v", "bigint")
+    t.append(spark.createDataFrame(
+        [(10_000 + i, (1 << 33) + i) for i in range(500)],
+        "id long, v bigint"), n_files=2)
+    clustering.cluster(t, spark, cols=("v",), target_file_size=1 << 12,
+                       n_chunks=1)
+    hi = 1 << 33
+    kept = t.plan_files(spark, int_ranges={"v": (hi, hi + 10_000)}).count()
+    total = t.plan_files(spark).count()
+    assert 0 < kept < total
+    got = (t.scan(spark, int_ranges={"v": (hi, hi + 10)})
+           .filter((F.col("v") >= hi) & (F.col("v") <= hi + 10)).count())
+    assert got == 11
