@@ -105,6 +105,9 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("expire")
     t(sp)
     sp.add_argument("--keep", type=int, default=2)
+    sp.add_argument("--older-than-ms", type=int, default=None,
+                    help="also retain any snapshot at/after this epoch "
+                         "timestamp (age-based expiry; --keep is the floor)")
 
     sp = sub.add_parser("remove-orphans")
     t(sp)
@@ -303,7 +306,8 @@ def main(argv: list[str] | None = None) -> int:
             when_not_matched=None if a.when_not_matched == "none" else a.when_not_matched,
             mode=a.mode)}
     elif a.cmd == "expire":
-        out = {"cmd": "expire", **LakehouseTable(a.table).expire_snapshots(keep_last=a.keep)}
+        out = {"cmd": "expire", **LakehouseTable(a.table).expire_snapshots(
+            keep_last=a.keep, older_than_ms=a.older_than_ms)}
     elif a.cmd == "remove-orphans":
         out = {"cmd": "remove-orphans",
                **LakehouseTable(a.table).remove_orphan_files(a.older_than_s)}

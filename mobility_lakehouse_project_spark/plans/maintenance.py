@@ -38,6 +38,7 @@ POLICY_PROPS = {
     "keep_snapshots": "maintenance.keep-snapshots",
     "cluster_mode": "maintenance.cluster-mode",
     "fold_min_delete_ratio": "maintenance.min-delete-ratio",
+    "max_snapshot_age_ms": "maintenance.max-snapshot-age-ms",
 }
 
 
@@ -52,6 +53,7 @@ def run_maintenance(
     cluster_mode: str | None = None,
     rewrite_manifests_min: int = 4,
     keep_snapshots: int | None = None,
+    max_snapshot_age_ms: int | None = None,
     orphan_grace_s: float = 3 * 86400.0,
     analyze: bool = False,
     recompress_level: int | None = None,
@@ -88,6 +90,8 @@ def run_maintenance(
         raise ValueError(f"bad maintenance.cluster-mode {cluster_mode!r}")
     fold_min_delete_ratio = _prop(fold_min_delete_ratio,
                                   "fold_min_delete_ratio", float, 0.0)
+    max_snapshot_age_ms = _prop(max_snapshot_age_ms, "max_snapshot_age_ms",
+                                int, None)
 
     declared = table.sort_order()
     if cluster_curve == "table":
@@ -139,7 +143,9 @@ def run_maintenance(
         }
 
     report["expire_snapshots"] = table.expire_snapshots(
-        keep_last=keep_snapshots)
+        keep_last=keep_snapshots,
+        older_than_ms=(int(time.time() * 1000) - max_snapshot_age_ms
+                       if max_snapshot_age_ms is not None else None))
     report["remove_orphans"] = table.remove_orphan_files(orphan_grace_s)
 
     if analyze:

@@ -2511,12 +2511,19 @@ class LakehouseTable:
     # ---------------- expiration / GC ----------------
 
     def expire_snapshots(
-        self, keep_last: int = 2, delete_orphans: bool = True
+        self, keep_last: int = 2, delete_orphans: bool = True,
+        older_than_ms: int | None = None,
     ) -> dict:
         """Drop all but the newest ``keep_last`` snapshots and GC data/
         manifest files no retained snapshot references. Reachability is
         a set computation over manifests — driven by DataFrame-shaped
         metadata (here the same entries the `files` table exposes).
+
+        ``older_than_ms`` is Iceberg's expireSnapshots(olderThan,
+        retainLast) age axis: snapshots at or after the cutoff are
+        retained regardless of count, and ``keep_last`` remains the
+        floor — only snapshots BOTH older than the cutoff AND beyond
+        the newest ``keep_last`` expire.
 
         Ordering follows Iceberg: COMMIT the metadata that drops the
         expired snapshots first, THEN delete files unreachable from the
@@ -2528,6 +2535,11 @@ class LakehouseTable:
         if len(snaps) <= keep_last:
             return {"expired": 0, "deleted_files": 0, "deleted_manifests": 0}
         retained = snaps[-keep_last:]
+        if older_than_ms is not None:
+            kept = {s.snapshot_id for s in retained}
+            retained += [s for s in snaps
+                         if s.timestamp_ms >= older_than_ms
+                         and s.snapshot_id not in kept]
         cur = self.current_snapshot(meta)
         if cur and cur.snapshot_id not in {s.snapshot_id for s in retained}:
             retained.append(cur)
@@ -2539,6 +2551,9 @@ class LakehouseTable:
         retained += [s for s in snaps
                      if s.snapshot_id in tagged and s.snapshot_id not in kept_ids]
         expired = [s for s in snaps if s.snapshot_id not in {r.snapshot_id for r in retained}]
+        if not expired:
+            # nothing to drop — don't burn an expiry commit on a no-op
+            return {"expired": 0, "deleted_files": 0, "deleted_manifests": 0}
 
         # reachability computed while the expired manifests still exist;
         # delete manifests and the position-delete files they list are

@@ -140,3 +140,38 @@ def test_maintenance_policy_from_properties(spark, cat):
 
     with _pytest.raises(ValueError, match="cluster-mode"):
         run_maintenance(t, spark)
+
+
+def test_age_based_expiry(spark, cat):
+    """expire_snapshots(older_than_ms): snapshots newer than the
+    cutoff survive beyond keep_last; keep_last stays the floor when
+    everything is older than the cutoff."""
+    import time as _time
+
+    df = _df(spark, 50)
+    t = cat.create_table("ns.age", df.schema)
+    for _ in range(6):
+        t.append(df)
+    r = t.expire_snapshots(keep_last=2, older_than_ms=0)
+    assert r["expired"] == 0          # nothing is older than epoch 0
+    future = int(_time.time() * 1000) + 10_000
+    r = t.expire_snapshots(keep_last=2, older_than_ms=future)
+    assert r["expired"] == 4          # all older than cutoff -> floor of 2
+    assert len(t.snapshots_list()) == 3  # 2 + expiry commit
+    assert t.scan(spark).count() == 300
+
+
+def test_age_policy_property_in_maintenance(spark, cat):
+    from mobility_lakehouse_project_spark.plans.maintenance import (
+        run_maintenance,
+    )
+
+    df = _df(spark, 50)
+    t = cat.create_table(
+        "ns.agepol", df.schema,
+        properties={"maintenance.max-snapshot-age-ms": "9999999999"})
+    for _ in range(8):
+        t.append(df)
+    rep = run_maintenance(t, spark, keep_snapshots=2, orphan_grace_s=0.0)
+    # ~116-day age window: every snapshot is younger -> none expire
+    assert rep["expire_snapshots"]["expired"] == 0
