@@ -1637,12 +1637,18 @@ class LakehouseTable:
             ]
         )
 
-    def register(self, spark: SparkSession, name: str) -> None:
+    def register(self, spark: SparkSession, name: str,
+                 ref: str | None = None,
+                 snapshot_id: int | None = None) -> None:
         """Expose the table as a temp view for ad-hoc SQL — the
         reference's parameterized-query entry point
         (dags/Queries_dag.py:54-95 `con.execute(query)`) maps to
-        `table.register(spark, 'images'); spark.sql(...)`."""
-        self.scan(spark).createOrReplaceTempView(name)
+        `table.register(spark, 'images'); spark.sql(...)`.
+        ``ref``/``snapshot_id`` register a time-travel view (a tag,
+        branch, or snapshot pinned under its own view name — SQL's
+        VERSION AS OF, as a view)."""
+        self.scan(spark, snapshot_id=snapshot_id,
+                  ref=ref).createOrReplaceTempView(name)
 
     def snapshots_df(self, spark: SparkSession) -> DataFrame:
         rows = [

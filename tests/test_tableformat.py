@@ -557,3 +557,21 @@ def test_register_adhoc_sql_entry_point(spark, small_table):
     zone = 2
     n = spark.sql("SELECT COUNT(*) AS n FROM images WHERE bucket = {z}", z=zone).collect()[0]["n"]
     assert n == small_table.scan(spark).filter(F.col("bucket") == zone).count()
+
+
+def test_register_time_travel_views(spark, small_table):
+    """register(ref=/snapshot_id=): SQL VERSION AS OF as pinned views —
+    current and historical states queryable side by side."""
+    t = small_table
+    pre = t.current_snapshot().snapshot_id
+    t.create_tag("v1")
+    extra = synth.images_df(spark, 1).withColumn(
+        "image_id", F.lit(10_000))
+    t.append(extra)
+    t.register(spark, "img_now")
+    t.register(spark, "img_v1", ref="v1")
+    t.register(spark, "img_pre", snapshot_id=pre)
+    n_now = spark.sql("SELECT COUNT(*) n FROM img_now").collect()[0]["n"]
+    n_v1 = spark.sql("SELECT COUNT(*) n FROM img_v1").collect()[0]["n"]
+    n_pre = spark.sql("SELECT COUNT(*) n FROM img_pre").collect()[0]["n"]
+    assert n_now == n_v1 + 1 == n_pre + 1
