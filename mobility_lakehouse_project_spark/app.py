@@ -76,7 +76,9 @@ def main(argv: list[str] | None = None) -> int:
 
     sp = sub.add_parser("cluster")
     t(sp)
-    sp.add_argument("--curve", choices=["zorder", "hilbert"], default="zorder")
+    sp.add_argument("--curve", choices=["zorder", "hilbert"], default=None,
+                    help="omitted = the table's write.sort-order curve, "
+                         "else zorder")
     sp.add_argument("--cols", default=None,
                     help="comma-separated key columns; omitted = the "
                          "table's write.sort-order property, else phash,w,h")
@@ -292,7 +294,7 @@ def main(argv: list[str] | None = None) -> int:
                 cols=tuple(a.cols.split(",")) if a.cols else None,
                 target_file_size=_mb(a.target_mb),
                 n_chunks=a.chunks, recompress_level=a.recompress)
-        out = {"cmd": "cluster", "curve": a.curve, **res}
+        out = {"cmd": "cluster", **res}
     elif a.cmd == "merge":
         from .operators import merge
 

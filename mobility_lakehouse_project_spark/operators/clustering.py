@@ -82,23 +82,26 @@ def _token_assigner(bounds: dict, offsets: dict, tokens: np.ndarray):
 def resolve_sort_order(
     table: LakehouseTable, curve: str | None, cols: tuple[str, ...] | None,
 ) -> tuple[str, tuple[str, ...]]:
-    """Resolve the layout to cluster by: explicit ``cols`` win; with
-    ``cols=None`` the table's declared ``write.sort-order`` property
-    applies (curve AND columns — declare once, every maintenance pass
-    agrees); a table with neither falls back to the image-payload
-    default ``zorder(phash, w, h)``."""
-    if cols is not None:
-        return curve or "zorder", tuple(cols)
-    declared = table.sort_order()
-    if declared is not None:
-        return declared
-    return curve or "zorder", ("phash", "w", "h")
+    """Resolve the layout to cluster by, PER AXIS: an explicit value
+    always wins; a None axis falls back to the table's declared
+    ``write.sort-order`` property (declare once, every maintenance
+    pass agrees), then to the image-payload default
+    ``zorder(phash, w, h)``. An explicit ``curve`` with ``cols=None``
+    therefore re-sorts the DECLARED columns under the requested curve
+    — it is never silently overridden."""
+    declared = (table.sort_order()
+                if curve is None or cols is None else None)
+    if cols is None:
+        cols = declared[1] if declared else ("phash", "w", "h")
+    if curve is None:
+        curve = declared[0] if declared else "zorder"
+    return curve, tuple(cols)
 
 
 def cluster(
     table: LakehouseTable,
     spark: SparkSession,
-    curve: str = "zorder",
+    curve: str | None = None,
     cols: tuple[str, ...] | None = None,
     target_file_size: int = DEFAULT_TARGET_FILE_SIZE,
     n_chunks: int = 4,
@@ -141,7 +144,8 @@ def cluster(
         .collect()
     )
     if not plan_rows:
-        return {"files_in": 0, "files_out": 0, "rows": 0, "bytes": 0,
+        return {"curve": curve, "cols": ",".join(cols),
+                "files_in": 0, "files_out": 0, "rows": 0, "bytes": 0,
                 "wall_ms": 0, "chunks_skipped": 0, "snapshots": []}
     dim_bounds = None
     bvals = [
@@ -175,7 +179,8 @@ def cluster(
         }
     part_ids = sorted(part_bytes_all)
 
-    metrics = {"files_in": 0, "files_out": 0, "rows": 0, "bytes": 0,
+    metrics = {"curve": curve, "cols": ",".join(cols),
+               "files_in": 0, "files_out": 0, "rows": 0, "bytes": 0,
                "wall_ms": 0, "chunks_skipped": 0, "snapshots": [],
                "phases_ms": {"plan": 0, "pass1_quantiles": 0,
                              "pass2_rewrite": 0, "commit": 0}}
@@ -342,7 +347,7 @@ def _last_cluster_snapshot(table, curve, cols):
 def cluster_incremental(
     table: LakehouseTable,
     spark: SparkSession,
-    curve: str = "zorder",
+    curve: str | None = None,
     cols: tuple[str, ...] | None = None,
     target_file_size: int = DEFAULT_TARGET_FILE_SIZE,
     n_chunks: int = 4,
@@ -445,6 +450,7 @@ def cluster_incremental(
         return {"mode": "noop", "major_partitions": [],
                 "minor_partitions": [], **empty}
     report: dict = {"mode": "incremental",
+                    "curve": curve, "cols": ",".join(cols),
                     "major_partitions": sorted(majors),
                     "minor_partitions": sorted(minor_bytes)}
     if majors:

@@ -73,7 +73,8 @@ def run_maintenance(
     from ..operators import analyze as analyze_op
     from ..operators import clustering, compaction, delete
 
-    props = table.load_metadata().get("properties", {})
+    meta0 = table.load_metadata()
+    props = meta0.get("properties", {})
 
     def _prop(arg, key, cast, default):
         if arg is not None:
@@ -93,15 +94,23 @@ def run_maintenance(
     max_snapshot_age_ms = _prop(max_snapshot_age_ms, "max_snapshot_age_ms",
                                 int, None)
 
-    declared = table.sort_order()
+    declared = table.sort_order(meta0)
     if cluster_curve == "table":
         if declared is None:
             raise ValueError(
                 'cluster_curve="table" but the table declares no '
                 "write.sort-order property")
         cluster_curve, cluster_cols = declared
-    elif cluster_curve is None and declared is not None and cluster_cols is None:
-        cluster_curve, cluster_cols = declared
+    else:
+        # per-axis: an explicit axis wins, an unset one falls back to
+        # the declared order; giving EITHER axis (or declaring one)
+        # turns clustering on
+        if cluster_curve is None and declared is not None:
+            cluster_curve = declared[0]
+        if cluster_cols is None and declared is not None:
+            cluster_cols = declared[1]
+        if cluster_curve is None and cluster_cols is not None:
+            cluster_curve = "zorder"
 
     t0 = time.time()
     report: dict = {}

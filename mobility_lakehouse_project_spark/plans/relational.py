@@ -2237,9 +2237,11 @@ ORACLE_SQL["split_stratified"] = """
 
 
 # GPT-2-ish pre-tokenizer lite: letter runs, SINGLE digits, single
-# punctuation marks — alternation only (no groups/lookaround), so the
-# Java regex (Spark) and RE2 (DuckDB oracle) semantics coincide.
-_BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+# punctuation marks — alternation only (no groups/lookaround), and the
+# whitespace class spelled out explicitly because Java's \s includes
+# \x0B while RE2's does not; with it literal, the Spark and DuckDB
+# oracle semantics coincide exactly.
+_BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\r\f\x0B]"
 
 
 def txt_token_bpe(spark, sf_dir):
@@ -2273,7 +2275,7 @@ ORACLE_SQL["txt_token_bpe"] = r"""
             SELECT lang, source,
                    length(text) - length(replace(text, ' ', '')) + 1 AS n_ws,
                    len(regexp_extract_all(text,
-                       '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpe
+                       '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\r\f\x0B]')) AS n_bpe
             FROM documents
         )
         SELECT lang, source, COUNT(*) AS n_docs,

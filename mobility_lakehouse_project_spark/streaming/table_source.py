@@ -141,22 +141,28 @@ class LakehouseStreamReader(DataSourceStreamReader):
         Cursor recovery is total (verified against Spark 4's observed
         call order): fresh queries may see latestOffset BEFORE
         initialOffset, so an unset cursor seeds from the ``start``
-        option exactly as initialOffset would; restarted queries
-        re-plan their last checkpointed batch first, whose
-        ``partitions(start, end)`` call reconciles the cursor before
-        any latestOffset."""
-        t = self._table()
-        mx = self._max_seq(t)
+        option exactly as initialOffset would; restarted queries —
+        with the last batch committed OR uncommitted — re-plan the
+        checkpointed batch first, whose ``partitions(start, end)``
+        call reconciles the cursor before any latestOffset (traced on
+        pyspark 4.1.2; partitions additionally reconciles from the
+        START offset as defense in depth)."""
+        snaps = sorted(self._table().snapshots_list(),
+                       key=lambda s: s.sequence)
+        mx = snaps[-1].sequence if snaps else 0
         if self._max_files is None:
             return {"seq": mx}
         if self._pos is None:
             # the engine may ask for the latest offset before
-            # initialOffset (observed) — seed the cursor the way
-            # initialOffset would for a fresh query
-            self._pos = self._max_seq(t) if self._start == "latest" else 0
+            # initialOffset (observed on fresh queries) — seed the
+            # cursor the way initialOffset would. Restarts never reach
+            # this branch: Spark 4 re-plans the checkpointed batch
+            # first (verified for BOTH committed and uncommitted last
+            # batches), and partitions() reconciles the cursor.
+            self._pos = mx if self._start == "latest" else 0
         budget = self._max_files
         end = self._pos
-        for snap in sorted(t.snapshots_list(), key=lambda s: s.sequence):
+        for snap in snaps:
             if snap.sequence <= self._pos:
                 continue
             cost = (int(snap.summary.get("added-files", 0))
@@ -168,9 +174,10 @@ class LakehouseStreamReader(DataSourceStreamReader):
         return {"seq": end}
 
     def partitions(self, start: dict, end: dict):
-        # reconcile the admission cursor (covers checkpoint restarts,
-        # where initialOffset is never called)
-        self._pos = max(self._pos or 0, end["seq"])
+        # reconcile the admission cursor from BOTH offsets (checkpoint
+        # restarts re-plan the last batch before any latestOffset —
+        # initialOffset is never called there)
+        self._pos = max(self._pos or 0, start["seq"], end["seq"])
         return self._plan(start, end)
 
     def _plan(self, start: dict, end: dict):

@@ -115,8 +115,12 @@ class Catalog:
 
     def list_tables(self, namespace: str | None = None) -> list[str]:
         """``namespace.table`` names, every namespace unless given one.
-        A directory counts as a table only if it has the metadata
-        pointer (half-created junk is invisible, matching load_table)."""
+        A directory counts as a table only if its name is
+        identifier-safe AND it has the metadata pointer (half-created
+        or foreign junk is invisible, matching load_table — every
+        listed name round-trips through it)."""
+        if namespace is not None and not _NAME_RE.fullmatch(namespace):
+            raise ValueError(f"bad namespace {namespace!r}")
         spaces = [namespace] if namespace is not None else self.list_namespaces()
         out = []
         for ns in spaces:
@@ -124,7 +128,9 @@ class Catalog:
             if not os.path.isdir(nsdir):
                 continue
             for d in sorted(os.listdir(nsdir)):
-                if LakehouseTable(join_path(self.warehouse, ns, d)).exists:
+                if (_NAME_RE.fullmatch(d)
+                        and LakehouseTable(
+                            join_path(self.warehouse, ns, d)).exists):
                     out.append(f"{ns}.{d}")
         return out
 
@@ -135,16 +141,24 @@ class Catalog:
         """Temp views ``<ns>_<table>`` for every table (SQL view names
         cannot hold dots); ``metadata=True`` also registers the
         inspection tables as ``<ns>_<table>_files`` etc."""
-        names = []
-        for name in self.list_tables():
+        tables = self.list_tables()
+        views = {}
+        for name in tables:
             ns, tbl = _split(name)
             view = f"{ns}_{tbl}"
+            if view in views:
+                # 'a_b.c' and 'a.b_c' both flatten to 'a_b_c' —
+                # refuse rather than let the second silently win
+                raise ValueError(
+                    f"view name {view!r} collides: {views[view]!r} "
+                    f"and {name!r}")
+            views[view] = name
+        for view, name in views.items():
             t = self.load_table(name)
             t.register(spark, view)
             if metadata:
                 t.register_metadata(spark, view)
-            names.append(view)
-        return names
+        return list(views)
 
     def maintain_all(self, spark: SparkSession, **kwargs) -> dict[str, dict]:
         """Run the one-call maintenance orchestrator over every table,
