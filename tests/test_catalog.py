@@ -175,3 +175,13 @@ def test_age_policy_property_in_maintenance(spark, cat):
     rep = run_maintenance(t, spark, keep_snapshots=2, orphan_grace_s=0.0)
     # ~116-day age window: every snapshot is younger -> none expire
     assert rep["expire_snapshots"]["expired"] == 0
+
+
+def test_register_all_refuses_view_collisions(spark, cat):
+    df = _df(spark, 5)
+    cat.create_table("a_b.c", df.schema)
+    cat.create_table("a.b_c", df.schema)
+    with pytest.raises(ValueError, match="collides"):
+        cat.register_all(spark)
+    with pytest.raises(ValueError, match="bad namespace"):
+        cat.list_tables("..")
