@@ -98,6 +98,9 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--keys", default="image_id")
     sp.add_argument("--when-matched", choices=["update", "delete", "none"], default="update")
     sp.add_argument("--when-not-matched", choices=["insert", "none"], default="insert")
+    sp.add_argument("--by-source", choices=["delete", "none"], default="none",
+                    help="'delete' = WHEN NOT MATCHED BY SOURCE THEN "
+                         "DELETE (full sync; needs --mode mor)")
     sp.add_argument("--update-cols", default=None)
     sp.add_argument("--target-mb", type=float, default=64)
     sp.add_argument("--mode", choices=["cow", "mor"], default="cow",
@@ -306,6 +309,8 @@ def main(argv: list[str] | None = None) -> int:
             when_matched=None if a.when_matched == "none" else a.when_matched,
             update_cols=a.update_cols.split(",") if a.update_cols else None,
             when_not_matched=None if a.when_not_matched == "none" else a.when_not_matched,
+            when_not_matched_by_source=(None if a.by_source == "none"
+                                        else a.by_source),
             mode=a.mode)}
     elif a.cmd == "expire":
         out = {"cmd": "expire", **LakehouseTable(a.table).expire_snapshots(

@@ -84,6 +84,7 @@ def merge_into(
     when_matched: str | None = "update",
     update_cols: list[str] | None = None,
     when_not_matched: str | None = "insert",
+    when_not_matched_by_source: str | None = None,
     extra_summary: dict | None = None,
     mode: str = "cow",
 ) -> dict:
@@ -92,6 +93,14 @@ def merge_into(
     ``when_matched``: "update" (all columns, or just ``update_cols``),
     "delete", or None (matched rows untouched). ``when_not_matched``:
     "insert" or None. Defaults reproduce the classic full upsert.
+
+    ``when_not_matched_by_source="delete"`` (SQL's WHEN NOT MATCHED BY
+    SOURCE THEN DELETE — the full-sync shape: after the merge the
+    target's key set equals the source's) additionally position-deletes
+    every target row whose key is absent from the source. MOR only:
+    the deletes cost O(target keys) as delete files; under CoW every
+    file holding an unmatched row would rewrite — effectively a full
+    rewrite, which ``overwrite()``/CTAS expresses honestly.
 
     ``mode``:
 
@@ -113,10 +122,21 @@ def merge_into(
         raise ValueError(f"when_matched={when_matched!r}")
     if when_not_matched not in ("insert", None):
         raise ValueError(f"when_not_matched={when_not_matched!r}")
-    if when_matched is None and when_not_matched is None:
-        raise ValueError("no-op MERGE: both clauses are None")
+    if when_not_matched_by_source not in ("delete", None):
+        raise ValueError(
+            f"when_not_matched_by_source={when_not_matched_by_source!r}")
+    if (when_matched is None and when_not_matched is None
+            and when_not_matched_by_source is None):
+        raise ValueError("no-op MERGE: all clauses are None")
     if mode not in ("cow", "mor"):
         raise ValueError(f"unknown merge mode {mode!r} (cow|mor)")
+    if when_not_matched_by_source and mode != "mor":
+        raise ValueError(
+            "when_not_matched_by_source needs mode='mor' (O(target keys) "
+            "position deletes); a CoW by-source delete rewrites every "
+            "file holding an unmatched row — use overwrite() for a "
+            "full replace"
+        )
     if mode == "mor" and update_cols:
         raise ValueError(
             "mode='mor' supports full-row updates only (update_cols=None); "
@@ -157,7 +177,8 @@ def merge_into(
     n_src = src_keys.count()  # keys-only; also materializes the cache
 
     # ---- fast path: insert-only MERGE = anti-join append, no rewrite --
-    if when_matched is None and when_not_matched == "insert":
+    if (when_matched is None and when_not_matched == "insert"
+            and when_not_matched_by_source is None):
         # ONE column-pruned scan of the target's keys: the anti-join
         # result is SOURCE-sized, so persisting it lets the insert
         # count, the sizing, and the write all reuse it — without the
@@ -198,7 +219,8 @@ def merge_into(
 
     if mode == "mor":
         return _merge_mor(table, spark, src, src_keys, n_src, keys,
-                          when_matched, when_not_matched, target_file_size,
+                          when_matched, when_not_matched,
+                          when_not_matched_by_source, target_file_size,
                           cur, op_id, extra_summary, t0)
 
     # ---- 1. touched files: keys+filename scan (bytes pruned away) ----
@@ -341,7 +363,7 @@ def merge_into(
 
 
 def _merge_mor(table, spark, src, src_keys, n_src, keys, when_matched,
-               when_not_matched, target_file_size, cur, op_id,
+               when_not_matched, by_source, target_file_size, cur, op_id,
                extra_summary, t0) -> dict:
     """Merge-on-read MERGE: ONE column-pruned scan of (keys, _file,
     _pos) classifies matched target rows into position-delete files;
@@ -355,14 +377,35 @@ def _merge_mor(table, spark, src, src_keys, n_src, keys, when_matched,
     target_keys = table.scan(spark, columns=None, with_pos=True).select(
         *[F.col(k) for k in keys], F.col("_file"), F.col("_pos")
     )
+    target_keys = target_keys.persist()
     matched = target_keys.join(src_keys, keys, "inner").persist()
     n_matched = matched.count()  # target keys unique => matched rows
 
-    delete_entries: list[dict] = []
+    to_delete = []
+    n_del = 0
     if n_matched and when_matched in ("update", "delete"):
+        to_delete.append(matched)
+        n_del += n_matched
+    unmatched = None
+    n_by_src = 0
+    if by_source == "delete":
+        # WHEN NOT MATCHED BY SOURCE THEN DELETE: target keys absent
+        # from the source — same position-delete currency, one commit
+        unmatched = target_keys.join(src_keys, keys, "left_anti").persist()
+        n_by_src = unmatched.count()
+        if n_by_src:
+            to_delete.append(unmatched)
+            n_del += n_by_src
+    target_keys.unpersist()
+
+    delete_entries: list[dict] = []
+    if to_delete:
+        dels = to_delete[0]
+        for extra in to_delete[1:]:
+            dels = dels.unionByName(extra)
         # resolution assertion, bounded by the touched-file count
         touched = {r["_file"]
-                   for r in matched.select("_file").distinct().collect()}
+                   for r in dels.select("_file").distinct().collect()}
         tdf = spark.createDataFrame(
             [(p,) for p in sorted(touched)], "file_path string")
         resolved = (
@@ -375,9 +418,9 @@ def _merge_mor(table, spark, src, src_keys, n_src, keys, when_matched,
                 "resolve to manifest entries"
             )
         delete_entries = table.write_position_delete_files(
-            matched.select(F.col("_file").alias("file_path"),
-                           F.col("_pos").alias("pos")),
-            max(1, round(n_matched / ROWS_PER_DELETE_FILE)),
+            dels.select(F.col("_file").alias("file_path"),
+                        F.col("_pos").alias("pos")),
+            max(1, round(n_del / ROWS_PER_DELETE_FILE)),
         )
 
     if when_not_matched == "insert":
@@ -406,6 +449,8 @@ def _merge_mor(table, spark, src, src_keys, n_src, keys, when_matched,
             sort_cols=keys, salt_col=keys[0],
         )
     matched.unpersist()
+    if unmatched is not None:
+        unmatched.unpersist()
     src_keys.unpersist()
     if not delete_entries and not entries:
         return {"files_rewritten": 0, "files_written": 0, "rows_out": 0,
@@ -414,6 +459,9 @@ def _merge_mor(table, spark, src, src_keys, n_src, keys, when_matched,
                 "snapshot": cur.snapshot_id}
     summary = {"key": ",".join(keys), "when_matched": str(when_matched),
                "when_not_matched": str(when_not_matched),
+               **({"when_not_matched_by_source": by_source,
+                   "rows_deleted_by_source": n_by_src}
+                  if by_source else {}),
                **(extra_summary or {})}
     if delete_entries:
         snap = table.commit_delete_files(
@@ -442,8 +490,7 @@ def _merge_mor(table, spark, src, src_keys, n_src, keys, when_matched,
         "files_written": len(entries),
         "rows_out": sum(e["record_count"] for e in entries),
         "delete_files_written": len(delete_entries),
-        "rows_deleted_positions": n_matched
-        if when_matched in ("update", "delete") else 0,
+        "rows_deleted_positions": n_del,
         "wall_ms": wall_ms,
         "snapshot": snap.snapshot_id,
     }

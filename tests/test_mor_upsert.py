@@ -151,3 +151,53 @@ def test_changelog_covers_mor_upserts(spark, tmp_table_dir):
     final = {(r["image_id"], r["caption"])
              for r in t.scan(spark).select("image_id", "caption").collect()}
     assert (base - dels) | ins == final
+
+
+def test_merge_not_matched_by_source_delete_full_sync(spark, tmp_table_dir):
+    """WHEN NOT MATCHED BY SOURCE THEN DELETE (full-sync MERGE): after
+    the merge, the target's key set equals the source's — matched rows
+    updated, source-only rows inserted, target-only rows position-
+    deleted, all in ONE snapshot."""
+    df = spark.createDataFrame(
+        [(i, f"old{i}") for i in range(30)], "id long, val string")
+    t = LakehouseTable.create(tmp_table_dir, df.schema)
+    t.append(df, n_files=3)
+    src = spark.createDataFrame(
+        [(i, f"new{i}") for i in range(20, 40)], "id long, val string")
+    pre_snaps = len(t.snapshots_list())
+    res = merge.merge_into(t, spark, src, key="id", mode="mor",
+                           when_not_matched_by_source="delete",
+                           target_file_size=1 << 20)
+    assert len(t.snapshots_list()) == pre_snaps + 1  # atomic
+    assert res["rows_deleted_positions"] == 30  # 10 matched + 20 by-source
+    rows = {r["id"]: r["val"] for r in t.scan(spark).collect()}
+    assert set(rows) == set(range(20, 40))
+    assert rows[25] == "new25" and rows[35] == "new35"
+    sm = t.current_snapshot().summary
+    assert sm["when_not_matched_by_source"] == "delete"
+    assert sm["rows_deleted_by_source"] == 20
+
+
+def test_merge_by_source_requires_mor(spark, tmp_table_dir):
+    df = spark.createDataFrame([(1, "a")], "id long, val string")
+    t = LakehouseTable.create(tmp_table_dir, df.schema)
+    t.append(df)
+    with pytest.raises(ValueError, match="mode='mor'"):
+        merge.merge_into(t, spark, df, key="id",
+                         when_not_matched_by_source="delete")
+
+
+def test_merge_by_source_delete_only(spark, tmp_table_dir):
+    """Pure by-source delete: no matched clause, no insert — trims the
+    target to the source's key set without touching matching rows."""
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "id long, val string")
+    t = LakehouseTable.create(tmp_table_dir, df.schema)
+    t.append(df, n_files=2)
+    src = spark.createDataFrame([(i, "x") for i in range(4)],
+                                "id long, val string")
+    merge.merge_into(t, spark, src, key="id", mode="mor",
+                     when_matched=None, when_not_matched=None,
+                     when_not_matched_by_source="delete")
+    rows = {r["id"]: r["val"] for r in t.scan(spark).collect()}
+    assert rows == {i: f"v{i}" for i in range(4)}  # survivors untouched
