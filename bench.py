@@ -129,7 +129,8 @@ def run(sf_dir: str, cores: int, work_dir: str, rows: int | None = None) -> dict
     # 2. bin-pack compaction
     target = max(16 * 1024 * 1024, data_bytes // (cores * 2))
     t0 = time.time()
-    cm = compaction.compact(table, spark, target_file_size=target, n_chunks=2)
+    cm = compaction.compact(table, spark, target_file_size=target, n_chunks=2,
+                            sort_col="phash", key_col="image_id")
     timings["compact"] = time.time() - t0
 
     # 3. Z-order clustering

@@ -211,12 +211,36 @@ def _chunk(seq: list, n_chunks: int) -> list[list]:
     return [seq[i : i + size] for i in range(0, len(seq), size)]
 
 
+def resolve_layout_cols(
+    table: LakehouseTable,
+    sort_col: str | None,
+    key_col: str | None,
+) -> tuple[str | None, str]:
+    """Resolve the rewrite's (sort_col, key_col) against the table
+    schema. ``"auto"`` means: key = the first schema column (any stable
+    expression works — it only feeds the xxhash64 slot spread), sort =
+    the declared ``write.sort-order``'s leading column, else unsorted.
+    An explicitly-passed unknown column raises ValueError up front
+    instead of an AnalysisException mid-shuffle."""
+    known = [f.name for f in table.schema().fields]
+    if key_col == "auto":
+        key_col = known[0]
+    elif key_col not in known:
+        raise ValueError(f"compact key_col {key_col!r} not in schema {known}")
+    if sort_col == "auto":
+        order = table.sort_order()
+        sort_col = order[1][0] if order else None
+    elif sort_col is not None and sort_col not in known:
+        raise ValueError(f"compact sort_col {sort_col!r} not in schema {known}")
+    return sort_col, key_col
+
+
 def compact(
     table: LakehouseTable,
     spark: SparkSession,
     target_file_size: int = DEFAULT_TARGET_FILE_SIZE,
-    sort_col: str = "phash",
-    key_col: str = "image_id",
+    sort_col: str | None = "auto",
+    key_col: str = "auto",
     n_chunks: int = 4,
     op_id: str | None = None,
     recompress_level: int | None = None,
@@ -229,6 +253,7 @@ def compact(
     only the partitions a recent ingest fragmented, instead of
     re-walking the whole table)."""
     require_single_spec(table, spark)
+    sort_col, key_col = resolve_layout_cols(table, sort_col, key_col)
     plan = plan_compaction(table, spark, target_file_size)
     if only_partitions is not None:
         plan = [p for p in plan if p["partition_id"] in only_partitions]

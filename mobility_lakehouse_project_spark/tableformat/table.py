@@ -276,6 +276,7 @@ _BLOOM_K = 7
 _BLOOM_BITS_PER_ROW = 10
 BLOOM_COLS_PROP = "write.metadata.bloom-columns"
 SORT_ORDER_PROP = "write.sort-order"
+PREV_VERSIONS_PROP = "write.metadata.previous-versions-max"
 
 
 def _bloom_m(n_rows: int) -> int:
@@ -390,7 +391,31 @@ class LakehouseTable:
         new_v = cur_v + 1
         _exclusive_write(self._meta_path(new_v), json.dumps(m, indent=1))
         _atomic_write(self._hint_path, str(new_v))
+        self._prune_metadata_versions(m, new_v)
         return new_v
+
+    def _prune_metadata_versions(self, meta: dict, new_v: int) -> None:
+        """Iceberg's ``write.metadata.previous-versions-max``: after a
+        successful pointer swap, unlink metadata version files older
+        than the newest K. Unbounded version history is a real leak at
+        commit rates that matter (1M commits = 1M JSON files in one
+        directory); snapshots, time travel, refs, and lineage all live
+        INSIDE the current metadata, so old version files serve only
+        forensic replay. Off unless the property is set (keep-all
+        default, matching create()'s behavior); minimum 1 previous
+        version is always kept so a torn pointer write can be recovered
+        by hand. Missing files are fine — racing committers may prune
+        the same range."""
+        v = meta.get("properties", {}).get(PREV_VERSIONS_PROP)
+        if v is None:
+            return
+        keep = max(int(v), 1)
+        floor = new_v - 1 - keep
+        for old in range(max(floor, 1), 0, -1):
+            p = self._meta_path(old)
+            if not os.path.exists(p):
+                break  # older ones were pruned by an earlier pass
+            os.remove(p)
 
     def tags(self, meta: dict | None = None) -> dict[str, int]:
         """name -> snapshot_id (Iceberg's tag refs)."""
@@ -1310,6 +1335,7 @@ class LakehouseTable:
         # overwriting our v<N+1> (lost commit)
         _exclusive_write(self._meta_path(new_v), json.dumps(meta, indent=1))
         _atomic_write(self._hint_path, str(new_v))
+        self._prune_metadata_versions(meta, new_v)
         return new_snapshot
 
     def commit_append(self, entries: list[dict], summary: dict | None = None,

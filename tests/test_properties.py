@@ -121,3 +121,32 @@ def test_codec_roundtrip_psnr_gate(i, wh, fmt):
         # idempotent quantization: second roundtrip is pixel-exact
         assert (ic.decode(ic.encode(dec, "jpeg"), w, h, "jpeg") == dec).all()
     assert ic.regenerate_decoded(i, w, h, fmt).tobytes() == dec.tobytes()
+
+
+def test_metadata_previous_versions_max(spark, tmp_table_dir):
+    """write.metadata.previous-versions-max: version files older than
+    the newest K previous are unlinked at commit; current state, time
+    travel, and refs (all inside the current metadata) survive."""
+    import glob
+    import os
+
+    from mobility_lakehouse_project_spark.tableformat import LakehouseTable
+
+    df = spark.createDataFrame([(i,) for i in range(10)], "id long")
+    t = LakehouseTable.create(
+        tmp_table_dir, df.schema,
+        properties={"write.metadata.previous-versions-max": "2"})
+    first = None
+    for _ in range(8):
+        snap = t.append(df)
+        first = first or snap.snapshot_id
+    files = sorted(glob.glob(os.path.join(t.meta_dir, "v*.metadata.json")))
+    assert len(files) == 3  # current + 2 previous
+    assert t.scan(spark).count() == 80
+    assert t.scan(spark, snapshot_id=first).count() == 10  # time travel OK
+    # unset property -> versions accumulate again
+    t.update_properties({"write.metadata.previous-versions-max": None})
+    t.append(df)
+    t.append(df)
+    files2 = glob.glob(os.path.join(t.meta_dir, "v*.metadata.json"))
+    assert len(files2) >= len(files) + 2
