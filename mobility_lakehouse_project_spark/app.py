@@ -18,6 +18,7 @@ Commands:
     rewrite-manifests --table DIR
     verify   --table DIR --pre-snapshot ID [--sample 1.0]
     scan     --table DIR [--limit 5] [--partition P] [--snapshot ID]
+    add-files --table DIR --source GLOB
     lineage  --table DIR
     snapshots --table DIR
 
@@ -234,6 +235,13 @@ def main(argv: list[str] | None = None) -> int:
     t(sp)
     sp.add_argument("--target-mb", type=float, default=128)
 
+    sp = sub.add_parser("add-files",
+                        help="zero-copy import of existing parquet files "
+                             "(hard-linked; footer stats only, no rewrite)")
+    t(sp)
+    sp.add_argument("--source", required=True,
+                    help="glob of parquet files to import")
+
     sp = sub.add_parser("branch", help="create/drop/list branch refs")
     t(sp)
     g = sp.add_mutually_exclusive_group(required=True)
@@ -441,6 +449,11 @@ def main(argv: list[str] | None = None) -> int:
 
         out = {"cmd": "migrate-partitions", **compaction.migrate_partitions(
             LakehouseTable(a.table), spark, target_file_size=_mb(a.target_mb))}
+    elif a.cmd == "add-files":
+        snap = LakehouseTable(a.table).add_files(spark, a.source)
+        out = {"cmd": "add-files", "snapshot": snap.snapshot_id,
+               "files": snap.summary["added-files"],
+               "rows": snap.summary["added-records"]}
     elif a.cmd == "branch":
         tbl = LakehouseTable(a.table)
         if a.create:

@@ -54,6 +54,40 @@ from ..lineage import LineageLog
 from ..tableformat import LakehouseTable
 
 
+def evolve_schema_for_source(table: LakehouseTable, source: DataFrame) -> dict:
+    """Delta-style ``mergeSchema`` for MERGE: reconcile the target
+    schema with the source's BEFORE planning. Source-only columns are
+    added to the table (metadata-only; pre-existing rows read NULL);
+    a source column whose type is a legal widening of the target's
+    (int->bigint, float->double, decimal precision growth) widens the
+    target. A source type NARROWER than the target needs no schema
+    change — the write-side ANSI cast in ``LakehouseTable.conform``
+    promotes it; an incompatible type surfaces there as a cast error.
+    Returns ``{"added": [...], "widened": [...]}``."""
+    from pyspark.sql import types as T
+
+    tmap = {f.name: f.dataType for f in table.schema().fields}
+    adds: dict[str, str] = {}
+    widens: dict[str, str] = {}
+    for f in source.schema.fields:
+        cur = tmap.get(f.name)
+        new = f.dataType
+        if cur is None:
+            adds[f.name] = new.simpleString()
+        elif new != cur:
+            if isinstance(cur, T.DecimalType) and isinstance(new, T.DecimalType):
+                if new.scale == cur.scale and new.precision > cur.precision:
+                    widens[f.name] = new.simpleString()
+            elif new.simpleString() in LakehouseTable._WIDENINGS.get(
+                    cur.simpleString(), set()):
+                widens[f.name] = new.simpleString()
+    if adds:
+        table.add_columns(adds)
+    for name, ddl in widens.items():
+        table.widen_column(name, ddl)
+    return {"added": sorted(adds), "widened": sorted(widens)}
+
+
 def _dedupe_source(src: DataFrame, keys: list[str], data_cols: list[str]) -> DataFrame:
     """Deterministic source dedupe on the merge keys (last-writer-wins
     is ill-defined for a batch; pick max over a stable tiebreaker)."""
@@ -87,6 +121,7 @@ def merge_into(
     when_not_matched_by_source: str | None = None,
     extra_summary: dict | None = None,
     mode: str = "cow",
+    evolve_schema: bool = False,
 ) -> dict:
     """MERGE INTO table USING source ON keys.
 
@@ -117,6 +152,13 @@ def merge_into(
       the old row read back, which is what CoW already does better.
       Read cost until :func:`~.delete.rewrite_position_deletes` runs:
       one broadcast anti-join per scan.
+
+    ``evolve_schema=True`` reconciles the target schema with the
+    source's first (:func:`evolve_schema_for_source`): source-only
+    columns are added (NULL for pre-existing rows), legally-wider
+    source types widen the target. The source must still carry every
+    target column — the merge rewrites full rows, so a missing column
+    has no well-defined update value.
     """
     if when_matched not in ("update", "delete", None):
         raise ValueError(f"when_matched={when_matched!r}")
@@ -144,13 +186,20 @@ def merge_into(
         )
     t0 = time.time()
     keys = [key] if isinstance(key, str) else list(key)
+    evolved = None
+    if evolve_schema:
+        evolved = evolve_schema_for_source(table, source)
     meta = table.load_metadata()
-    data_cols = [f.name for f in table.schema().fields]
+    schema = table.schema()
+    data_cols = [f.name for f in schema.fields]
     bad = [c for c in (update_cols or []) if c in keys or c not in data_cols]
     if bad:
         raise ValueError(f"update_cols not updatable columns: {bad}")
+    if evolved and (evolved["added"] or evolved["widened"]):
+        extra_summary = {**(extra_summary or {}), "schema-evolved": evolved}
 
-    src = _dedupe_source(source.select(*data_cols), keys, data_cols)
+    src = _dedupe_source(
+        table.conform(source.select(*data_cols), schema), keys, data_cols)
     cur = table.current_snapshot(meta)
     if cur is None or not cur.manifests:
         if when_not_matched != "insert":

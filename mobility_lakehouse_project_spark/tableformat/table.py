@@ -322,6 +322,29 @@ class LakehouseTable:
     def schema(self) -> T.StructType:
         return T.StructType.fromJson(json.loads(self.load_metadata()["schema_json"]))
 
+    def conform(self, df: DataFrame, schema: T.StructType | None = None) -> DataFrame:
+        """Normalize a writer's DataFrame to the table schema: exact
+        column set (any order), each column cast to the declared type.
+        Under ANSI mode a lossy value (bigint overflowing an int
+        column, a non-numeric string into a numeric) fails AT WRITE
+        TIME instead of landing as a file whose physical types disagree
+        with the table schema — the write-side half of schema
+        enforcement (readers already read through the declared schema).
+        Same-type casts are folded away by Catalyst, so conforming an
+        already-correct frame costs nothing."""
+        schema = schema or self.schema()
+        names = [f.name for f in schema.fields]
+        have = set(df.columns)
+        missing = [c for c in names if c not in have]
+        extra = [c for c in df.columns if c not in names]
+        if missing or extra:
+            raise ValueError(
+                f"DataFrame does not match table schema: "
+                f"missing {missing}, unexpected {extra}")
+        return df.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name)
+              for f in schema.fields])
+
     @property
     def exists(self) -> bool:
         return os.path.exists(self._hint_path)
@@ -454,6 +477,9 @@ class LakehouseTable:
                 raise ValueError(f"no tag {name!r}")
             del tags[name]
             meta["tags"] = tags
+            if name in meta.get("ref_retention", {}):
+                meta["ref_retention"] = {
+                    k: v for k, v in meta["ref_retention"].items() if k != name}
             try:
                 return self._commit_metadata(meta)
             except ConcurrentCommitError as e:
@@ -521,6 +547,9 @@ class LakehouseTable:
                 raise ValueError(f"no branch {name!r}")
             del br[name]
             meta["branches"] = br
+            if name in meta.get("ref_retention", {}):
+                meta["ref_retention"] = {
+                    k: v for k, v in meta["ref_retention"].items() if k != name}
             try:
                 return self._commit_metadata(meta)
             except ConcurrentCommitError as e:
@@ -563,6 +592,55 @@ class LakehouseTable:
                 br = dict(meta.get("branches", {}))
                 br[target] = src_head
                 meta["branches"] = br
+            try:
+                return self._commit_metadata(meta)
+            except ConcurrentCommitError as e:
+                last = e
+        raise last
+
+    def set_ref_retention(self, name: str,
+                          min_snapshots_to_keep: int | None = None,
+                          max_snapshot_age_ms: int | None = None,
+                          max_ref_age_ms: int | None = None,
+                          retries: int = 3) -> int:
+        """Per-ref retention (Iceberg's branch/tag ref options):
+
+        * ``min_snapshots_to_keep`` / ``max_snapshot_age_ms`` — branch
+          history depth: :meth:`expire_snapshots` keeps the branch's
+          newest N ancestors and every ancestor younger than the age
+          cutoff, not just its head. Lets an ``audit`` branch keep its
+          own time-travel window while main expires aggressively.
+        * ``max_ref_age_ms`` — a ref whose target snapshot committed
+          longer ago than this is DROPPED by expire_snapshots (auto-GC
+          of stale audit branches / CI tags, Iceberg's maxRefAgeMs).
+
+        All-None clears the ref's config. ``main`` accepts the ancestor
+        options but can never age out."""
+        last: Exception | None = None
+        for _ in range(max(1, retries + 1)):
+            meta = self.load_metadata()
+            known = (set(meta.get("branches", {})) | set(meta.get("tags", {}))
+                     | {"main"})
+            if name not in known:
+                raise ValueError(f"no ref {name!r}")
+            if name == "main" and max_ref_age_ms is not None:
+                raise ValueError("main cannot age out (max_ref_age_ms)")
+            if name in meta.get("tags", {}) and (
+                    min_snapshots_to_keep is not None
+                    or max_snapshot_age_ms is not None):
+                raise ValueError(
+                    "tags pin a single snapshot; ancestor retention "
+                    "(min_snapshots_to_keep/max_snapshot_age_ms) is for branches")
+            cfg = {k: v for k, v in (
+                ("min_snapshots_to_keep", min_snapshots_to_keep),
+                ("max_snapshot_age_ms", max_snapshot_age_ms),
+                ("max_ref_age_ms", max_ref_age_ms)) if v is not None}
+            rr = dict(meta.get("ref_retention", {}))
+            if cfg:
+                rr[name] = cfg
+            else:
+                rr.pop(name, None)
+            meta["ref_retention"] = rr
             try:
                 return self._commit_metadata(meta)
             except ConcurrentCommitError as e:
@@ -1559,7 +1637,8 @@ class LakehouseTable:
                sort_cols: list[str] | None = None,
                branch: str = "main") -> Snapshot:
         return self.commit_append(
-            self.write_data_files(df, n_files, sort_cols), branch=branch)
+            self.write_data_files(self.conform(df), n_files, sort_cols),
+            branch=branch)
 
     def overwrite_partitions(self, df: DataFrame, n_files: int | None = None) -> Snapshot:
         """Dynamic-partition-overwrite: the Spark-native form of the
@@ -2575,15 +2654,56 @@ class LakehouseTable:
         cur = self.current_snapshot(meta)
         if cur and cur.snapshot_id not in {s.snapshot_id for s in retained}:
             retained.append(cur)
+        # per-ref retention (set_ref_retention): first drop refs whose
+        # target aged past max_ref_age_ms — a dropped ref pins nothing
+        now_ms = int(time.time() * 1000)
+        rr = dict(meta.get("ref_retention", {}))
+        by_id = {s.snapshot_id: s for s in snaps}
+        dropped_refs: list[str] = []
+        for kind in ("tags", "branches"):
+            refs = dict(meta.get(kind, {}))
+            for nm in list(refs):
+                age = rr.get(nm, {}).get("max_ref_age_ms")
+                tgt = by_id.get(refs[nm])
+                if age is not None and tgt and now_ms - tgt.timestamp_ms > age:
+                    del refs[nm]
+                    rr.pop(nm, None)
+                    dropped_refs.append(nm)
+            meta[kind] = refs
+        meta["ref_retention"] = rr
+        # branch ancestor retention: keep the newest N ancestors and
+        # every ancestor younger than the cutoff, per surviving ref
+        kept_ids = {s.snapshot_id for s in retained}
+        heads = dict(meta.get("branches", {}))
+        if meta.get("current_snapshot_id") is not None:
+            heads["main"] = meta["current_snapshot_id"]
+        for nm, head in heads.items():
+            cfg = rr.get(nm)
+            if not cfg:
+                continue
+            keep_n = cfg.get("min_snapshots_to_keep", 1)
+            keep_age = cfg.get("max_snapshot_age_ms")
+            sid: int | None = head
+            i = 0
+            while sid is not None and sid in by_id:
+                s = by_id[sid]
+                if not (i < keep_n or (keep_age is not None
+                                       and now_ms - s.timestamp_ms <= keep_age)):
+                    break
+                if sid not in kept_ids:
+                    retained.append(s)
+                    kept_ids.add(sid)
+                i += 1
+                sid = s.parent_id
         # tagged snapshots and branch heads are pinned: expiry never
-        # drops a ref target (Iceberg retains per-ref history; pinning
-        # the head is the minimal sound form)
+        # drops a (surviving) ref target — Iceberg retains per-ref
+        # history; pinning the head is the minimal sound form
         tagged = set(self.tags(meta).values()) | set(self.branches(meta).values())
         kept_ids = {s.snapshot_id for s in retained}
         retained += [s for s in snaps
                      if s.snapshot_id in tagged and s.snapshot_id not in kept_ids]
         expired = [s for s in snaps if s.snapshot_id not in {r.snapshot_id for r in retained}]
-        if not expired:
+        if not expired and not dropped_refs:
             # nothing to drop — don't burn an expiry commit on a no-op
             return {"expired": 0, "deleted_files": 0, "deleted_manifests": 0}
 
@@ -2617,7 +2737,8 @@ class LakehouseTable:
             # deletions happen after the commit and are returned, not
             # recorded in the immutable snapshot history
             {"expired-snapshots": len(expired), "files-to-gc": len(dead_files),
-             "gc-enabled": bool(delete_orphans)},
+             "gc-enabled": bool(delete_orphans),
+             **({"dropped-refs": sorted(dropped_refs)} if dropped_refs else {})},
             dict(cur.manifest_parts) if cur else {},
             list(cur.delete_manifests) if cur else [],
             dict(cur.delete_manifest_meta) if cur else {},
@@ -2646,8 +2767,118 @@ class LakehouseTable:
             "expired": len(expired),
             "deleted_files": n_files,
             "deleted_manifests": len(dead_manifests),
+            "dropped_refs": sorted(dropped_refs),
             "snapshot": committed.snapshot_id,
         }
+
+    def add_files(self, spark: SparkSession, source: str | list[str],
+                  summary: dict | None = None) -> "Snapshot":
+        """Zero-copy import of existing parquet files (Iceberg's
+        ``add_files`` migration): the files are HARD-LINKED into the
+        table's data dir (copy only across filesystems), footer stats
+        become manifest entries, and one append snapshot commits them.
+        No data is read or rewritten — onboarding 100 TB of existing
+        parquet costs O(files) metadata, not O(bytes).
+
+        Validation is read-path driven: every table column must be
+        readable from the files' merged schema — same type, a legal
+        widening (the reader promotes int32->bigint etc. under the
+        explicit read schema), or absent-but-nullable (reads NULL /
+        initial default). Extra physical columns are allowed: scans
+        read through the declared schema and never see them.
+
+        Partitioned tables: each file must map to ONE partition —
+        decided from footer min/max of the source column through the
+        same Catalyst transform the writer uses (monotone transforms
+        accept a range whose endpoints agree; bucket[] requires a
+        single-valued file). A file that straddles partitions must be
+        rewritten instead (``write_data_files``)."""
+        paths = sorted(globmod.glob(source)) if isinstance(source, str) else list(source)
+        if not paths:
+            raise ValueError(f"add_files: no files match {source!r}")
+        root = os.path.realpath(self._local_root)
+        for p in paths:
+            if os.path.realpath(p).startswith(root + os.sep):
+                raise ValueError(
+                    f"add_files: {p} is already inside the table location")
+
+        meta = self.load_metadata()
+        schema = T.StructType.fromJson(json.loads(meta["schema_json"]))
+        src_schema = spark.read.parquet(*paths).schema
+        smap = {f.name: f.dataType for f in src_schema.fields}
+        defaults = meta.get("column_defaults", {})
+        for f in schema.fields:
+            have = smap.get(f.name)
+            if have is None:
+                if not f.nullable and f.name not in defaults:
+                    raise ValueError(
+                        f"add_files: files lack non-nullable column {f.name!r}")
+                continue
+            if have == f.dataType:
+                continue
+            promotable = f.dataType.simpleString() in self._WIDENINGS.get(
+                have.simpleString(), set())
+            if not promotable:
+                raise ValueError(
+                    f"add_files: column {f.name!r} is {have.simpleString()} "
+                    f"in the files but {f.dataType.simpleString()} in the "
+                    "table (only reader-promotable narrowings import)")
+
+        pcol = meta["partition_col"]
+        pids: dict[str, str] = {}
+        if pcol:
+            transform = self.partition_transform(meta)
+            kind = parse_transform(transform)[0]
+            endpoints: list = []
+            spans: list[tuple[str, object, object]] = []
+            for p in paths:
+                md = pq.ParquetFile(p).metadata
+                lo = hi = None
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    for ci in range(g.num_columns):
+                        col = g.column(ci)
+                        if col.path_in_schema != pcol:
+                            continue
+                        st = col.statistics
+                        if st is None or not st.has_min_max:
+                            raise ValueError(
+                                f"add_files: {p} has no {pcol!r} stats; "
+                                "cannot place it in a partition")
+                        lo = st.min if lo is None else min(lo, st.min)
+                        hi = st.max if hi is None else max(hi, st.max)
+                if lo is None:
+                    raise ValueError(f"add_files: {p} lacks column {pcol!r}")
+                if kind == "bucket" and lo != hi:
+                    raise ValueError(
+                        f"add_files: {p} spans {pcol!r} values {lo}..{hi} "
+                        "under a bucket[] transform; rewrite it instead")
+                spans.append((p, lo, hi))
+                endpoints += [lo, hi]
+            vals = self.partition_values_of(spark, endpoints, meta)
+            vmap = dict(zip(endpoints, vals))
+            for p, lo, hi in spans:
+                if vmap[lo] != vmap[hi]:
+                    raise ValueError(
+                        f"add_files: {p} straddles partitions "
+                        f"{vmap[lo]!r} and {vmap[hi]!r}; rewrite it instead")
+                pids[p] = vmap[lo]
+
+        out_dir = os.path.join(self.data_dir, f"snap-import-{uuid.uuid4().hex[:12]}")
+        for p in paths:
+            d = (os.path.join(out_dir, f"{_PART_DIR}={pids[p]}")
+                 if pcol else out_dir)
+            os.makedirs(d, exist_ok=True)
+            dst = os.path.join(d, os.path.basename(p))
+            try:
+                os.link(p, dst)
+            except OSError:
+                shutil.copy2(p, dst)  # cross-device: fall back to copy
+        entries = self._collect_entries(out_dir, meta)
+        return self.commit_append(
+            entries,
+            summary={"op": "add-files", "source-files": len(paths),
+                     **(summary or {})})
 
     def remove_orphan_files(self, older_than_s: float = 3 * 86400.0) -> dict:
         """Delete files in the table directory that NO snapshot

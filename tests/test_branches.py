@@ -143,3 +143,59 @@ def test_branch_ref_errors(spark, table):
         t.drop_branch("nope")
     with pytest.raises(ValueError, match="no branch"):
         t.append(synth.images_df(spark, 5), n_files=1, branch="nope")
+
+
+def test_ref_retention_branch_history(spark, table):
+    """set_ref_retention(min_snapshots_to_keep=N): expiry keeps the
+    branch's newest N ancestors, not just its head — the branch keeps
+    its own time-travel window while main expires aggressively."""
+    t = table
+    t.create_branch("audit")
+    heads = []
+    for i in range(3):
+        s = t.append(synth.images_df(spark, 10, seed=i, id_offset=50_000 + i * 100),
+                     n_files=1, branch="audit")
+        heads.append(s.snapshot_id)
+    t.set_ref_retention("audit", min_snapshots_to_keep=2)
+    res = t.expire_snapshots(keep_last=1)
+    assert res["expired"] > 0 and res["dropped_refs"] == []
+    kept = {s.snapshot_id for s in t.snapshots_list()}
+    assert heads[2] in kept and heads[1] in kept  # newest 2 ancestors
+    assert heads[0] not in kept                   # 3rd expired
+    # the retained ancestor is scannable (its files survived GC)
+    assert t.scan(spark, snapshot_id=heads[1]).count() == N + 20
+    assert t.scan(spark, ref="audit").count() == N + 30
+
+
+def test_ref_retention_max_ref_age_drops_stale_refs(spark, table):
+    """max_ref_age_ms: a ref whose target snapshot is older than the
+    cutoff is dropped by expire_snapshots (and its pin with it)."""
+    import time as _time
+
+    t = table
+    old = t.current_snapshot().snapshot_id
+    t.create_tag("ci-run")
+    t.create_branch("stale")
+    t.set_ref_retention("ci-run", max_ref_age_ms=1)
+    t.set_ref_retention("stale", max_ref_age_ms=1)
+    _time.sleep(0.05)
+    t.append(synth.images_df(spark, 10, seed=9, id_offset=60_000), n_files=1)
+    res = t.expire_snapshots(keep_last=1)
+    assert res["dropped_refs"] == ["ci-run", "stale"]
+    assert "ci-run" not in t.tags() and "stale" not in t.branches()
+    assert old not in {s.snapshot_id for s in t.snapshots_list()}
+    assert t.load_metadata().get("ref_retention", {}) == {}
+
+
+def test_ref_retention_validation(spark, table):
+    t = table
+    with pytest.raises(ValueError, match="no ref"):
+        t.set_ref_retention("nope", min_snapshots_to_keep=2)
+    t.create_tag("v1")
+    with pytest.raises(ValueError, match="branches"):
+        t.set_ref_retention("v1", min_snapshots_to_keep=2)
+    with pytest.raises(ValueError, match="main cannot age out"):
+        t.set_ref_retention("main", max_ref_age_ms=1000)
+    t.set_ref_retention("main", min_snapshots_to_keep=3)  # allowed
+    t.set_ref_retention("main")  # all-None clears
+    assert t.load_metadata().get("ref_retention", {}) == {}

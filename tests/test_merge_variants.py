@@ -286,3 +286,62 @@ def test_merge_bootstrap_race_surfaces(spark, tmp_table_dir):
     got = t.scan(spark)
     assert got.count() == 20
     assert got.select("image_id").distinct().count() == 20  # no dup keys
+
+
+def test_merge_schema_evolution_adds_column(spark, tmp_table_dir):
+    """evolve_schema=True: a source-only column is added to the target;
+    pre-existing untouched rows read NULL, matched rows pick up the
+    source value, inserts carry it."""
+    df = spark.createDataFrame(
+        [(i, f"c{i}") for i in range(20)], "id long, caption string")
+    t = LakehouseTable.create(tmp_table_dir, df.schema, partition_col=None)
+    t.append(df, n_files=2)
+    src = spark.createDataFrame(
+        [(5, "c5-new", "es"), (25, "c25", "en")],
+        "id long, caption string, lang string")
+    merge.merge_into(t, spark, src, key="id")  # no evolution: extra col dropped
+    assert [f.name for f in t.schema().fields] == ["id", "caption"]
+    res = merge.merge_into(t, spark, src, key="id", evolve_schema=True)
+    assert res["snapshot"] is not None
+    assert [f.name for f in t.schema().fields] == ["id", "caption", "lang"]
+    got = {r["id"]: (r["caption"], r["lang"]) for r in t.scan(spark).collect()}
+    assert got[5] == ("c5-new", "es")
+    assert got[25] == ("c25", "en")
+    assert got[3] == ("c3", None)  # untouched old file reads NULL
+    assert len(got) == 21
+    summ = t.current_snapshot().summary
+    assert summ["schema-evolved"]["added"] == ["lang"]
+
+
+def test_merge_schema_evolution_widens(spark, tmp_table_dir):
+    """evolve_schema=True widens int->bigint when the source is wider;
+    a NARROWER source type needs no schema change (write-side cast)."""
+    df = spark.createDataFrame([(i, i * 10) for i in range(10)],
+                               "id long, score int")
+    t = LakehouseTable.create(tmp_table_dir, df.schema, partition_col=None)
+    t.append(df, n_files=1)
+    src = spark.createDataFrame([(3, 5_000_000_000), (11, 7)],
+                                "id long, score bigint")
+    merge.merge_into(t, spark, src, key="id", evolve_schema=True)
+    assert t.schema()["score"].dataType.simpleString() == "bigint"
+    got = {r["id"]: r["score"] for r in t.scan(spark).collect()}
+    assert got[3] == 5_000_000_000 and got[11] == 7 and got[0] == 0
+    # narrower source (int into bigint): cast on write, schema unchanged
+    src2 = spark.createDataFrame([(12, 42)], "id int, score int")
+    merge.merge_into(t, spark, src2, key="id", evolve_schema=True)
+    assert t.schema()["id"].dataType.simpleString() == "bigint"
+    assert t.scan(spark).filter("id = 12").collect()[0]["score"] == 42
+
+
+def test_append_conform_rejects_and_casts(spark, tmp_table_dir):
+    """append() enforces the table schema: missing/extra columns raise;
+    reordered columns and narrower types are normalized via ANSI cast."""
+    df = spark.createDataFrame([(1, "a")], "id long, caption string")
+    t = LakehouseTable.create(tmp_table_dir, df.schema, partition_col=None)
+    with pytest.raises(ValueError, match="missing"):
+        t.append(spark.createDataFrame([(1,)], "id long"))
+    with pytest.raises(ValueError, match="unexpected"):
+        t.append(spark.createDataFrame([(1, "a", 2)],
+                                       "id long, caption string, x int"))
+    t.append(spark.createDataFrame([("b", 2)], "caption string, id int"))
+    assert {(r["id"], r["caption"]) for r in t.scan(spark).collect()} == {(2, "b")}
