@@ -66,21 +66,26 @@ def evolve_schema_for_source(table: LakehouseTable, source: DataFrame) -> dict:
     Returns ``{"added": [...], "widened": [...]}``."""
     from pyspark.sql import types as T
 
-    tmap = {f.name: f.dataType for f in table.schema().fields}
+    # case-INSENSITIVE match: Spark resolves columns case-insensitively
+    # by default, so a source 'Lang' against a target 'lang' is the
+    # SAME column — adding it would poison the schema with a duplicate
+    # the very next select can no longer resolve unambiguously
+    tmap = {f.name.lower(): (f.name, f.dataType)
+            for f in table.schema().fields}
     adds: dict[str, str] = {}
     widens: dict[str, str] = {}
     for f in source.schema.fields:
-        cur = tmap.get(f.name)
+        tname, cur = tmap.get(f.name.lower(), (None, None))
         new = f.dataType
         if cur is None:
             adds[f.name] = new.simpleString()
         elif new != cur:
             if isinstance(cur, T.DecimalType) and isinstance(new, T.DecimalType):
                 if new.scale == cur.scale and new.precision > cur.precision:
-                    widens[f.name] = new.simpleString()
+                    widens[tname] = new.simpleString()
             elif new.simpleString() in LakehouseTable._WIDENINGS.get(
                     cur.simpleString(), set()):
-                widens[f.name] = new.simpleString()
+                widens[tname] = new.simpleString()
     if adds:
         table.add_columns(adds)
     for name, ddl in widens.items():

@@ -59,7 +59,7 @@ def stream_append_sink(table: LakehouseTable, n_files: int = 4,
 
         if batch_id <= last_committed_batch(table, stream_id):
             return  # replay after restart — already committed
-        entries = table.write_data_files(batch_df, n_files=n_files)
+        entries = table.write_data_files(table.conform(batch_df), n_files=n_files)
         # check-then-commit must stay ATOMIC under races: commit with
         # retries=0 and RE-VALIDATE the batch-id precondition before
         # each retry — a blind table-level retry would let a zombie
@@ -146,8 +146,10 @@ def stream_upsert_eq_sink(table: LakehouseTable,
 
         if batch_id <= last_committed_batch(table, stream_id):
             return
-        data_cols = [f.name for f in table.schema().fields]
-        batch = _dedupe_source(batch_df.select(*data_cols), keys, data_cols)
+        schema = table.schema()
+        data_cols = [f.name for f in schema.fields]
+        batch = _dedupe_source(
+            table.conform(batch_df.select(*data_cols), schema), keys, data_cols)
         cur = table.current_snapshot()
         summary = {"streaming-batch-id": int(batch_id),
                    "streaming-id": stream_id}

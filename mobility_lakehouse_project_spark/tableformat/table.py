@@ -434,7 +434,9 @@ class LakehouseTable:
             return
         keep = max(int(v), 1)
         floor = new_v - 1 - keep
-        for old in range(max(floor, 1), 0, -1):
+        if floor < 1:
+            return  # fewer than K previous versions exist — nothing to prune
+        for old in range(floor, 0, -1):
             p = self._meta_path(old)
             if not os.path.exists(p):
                 break  # older ones were pruned by an earlier pass
@@ -1665,7 +1667,7 @@ class LakehouseTable:
                     "older-spec files present; run compaction/clustering "
                     "to migrate them to the current spec first"
                 )
-        entries = self.write_data_files(df, n_files)
+        entries = self.write_data_files(self.conform(df), n_files)
         new_parts = {e["partition_id"] for e in entries}
         removed = {
             r["file_path"]
@@ -2643,19 +2645,11 @@ class LakehouseTable:
         harmless orphan files (re-running the GC pass cleans them)."""
         meta = self.load_metadata()
         snaps = sorted(self.snapshots_list(meta), key=lambda s: s.sequence)
-        if len(snaps) <= keep_last:
-            return {"expired": 0, "deleted_files": 0, "deleted_manifests": 0}
-        retained = snaps[-keep_last:]
-        if older_than_ms is not None:
-            kept = {s.snapshot_id for s in retained}
-            retained += [s for s in snaps
-                         if s.timestamp_ms >= older_than_ms
-                         and s.snapshot_id not in kept]
-        cur = self.current_snapshot(meta)
-        if cur and cur.snapshot_id not in {s.snapshot_id for s in retained}:
-            retained.append(cur)
-        # per-ref retention (set_ref_retention): first drop refs whose
-        # target aged past max_ref_age_ms — a dropped ref pins nothing
+        # per-ref retention (set_ref_retention): drop refs whose target
+        # aged past max_ref_age_ms FIRST — a dropped ref pins nothing,
+        # and ref GC must run even when no snapshot is old enough to
+        # expire (otherwise a stale ref outlives its policy until
+        # unrelated commits push the table past keep_last)
         now_ms = int(time.time() * 1000)
         rr = dict(meta.get("ref_retention", {}))
         by_id = {s.snapshot_id: s for s in snaps}
@@ -2671,6 +2665,18 @@ class LakehouseTable:
                     dropped_refs.append(nm)
             meta[kind] = refs
         meta["ref_retention"] = rr
+        if len(snaps) <= keep_last and not dropped_refs:
+            return {"expired": 0, "deleted_files": 0, "deleted_manifests": 0,
+                    "dropped_refs": []}
+        retained = snaps[-keep_last:]
+        if older_than_ms is not None:
+            kept = {s.snapshot_id for s in retained}
+            retained += [s for s in snaps
+                         if s.timestamp_ms >= older_than_ms
+                         and s.snapshot_id not in kept]
+        cur = self.current_snapshot(meta)
+        if cur and cur.snapshot_id not in {s.snapshot_id for s in retained}:
+            retained.append(cur)
         # branch ancestor retention: keep the newest N ancestors and
         # every ancestor younger than the cutoff, per surviving ref
         kept_ids = {s.snapshot_id for s in retained}
@@ -2705,7 +2711,8 @@ class LakehouseTable:
         expired = [s for s in snaps if s.snapshot_id not in {r.snapshot_id for r in retained}]
         if not expired and not dropped_refs:
             # nothing to drop — don't burn an expiry commit on a no-op
-            return {"expired": 0, "deleted_files": 0, "deleted_manifests": 0}
+            return {"expired": 0, "deleted_files": 0, "deleted_manifests": 0,
+                    "dropped_refs": []}
 
         # reachability computed while the expired manifests still exist;
         # delete manifests and the position-delete files they list are
@@ -2804,13 +2811,25 @@ class LakehouseTable:
 
         meta = self.load_metadata()
         schema = T.StructType.fromJson(json.loads(meta["schema_json"]))
-        src_schema = spark.read.parquet(*paths).schema
+        # mergeSchema reads every footer: a heterogeneous file set must
+        # be validated against its WIDEST member, not whichever single
+        # footer Spark happens to infer from (one incompatible file
+        # would otherwise commit and break every later scan)
+        try:
+            src_schema = spark.read.option(
+                "mergeSchema", "true").parquet(*paths).schema
+        except Exception as e:  # CANNOT_MERGE_SCHEMAS -> a clear refusal
+            raise ValueError(
+                f"add_files: the files' schemas are mutually "
+                f"incompatible and cannot import together: {e}") from e
         smap = {f.name: f.dataType for f in src_schema.fields}
-        defaults = meta.get("column_defaults", {})
         for f in schema.fields:
             have = smap.get(f.name)
             if have is None:
-                if not f.nullable and f.name not in defaults:
+                # initial-defaults are sequence-scoped and these files
+                # get the NEW commit's sequence, so a default can never
+                # cover an imported file — nullability is the only out
+                if not f.nullable:
                     raise ValueError(
                         f"add_files: files lack non-nullable column {f.name!r}")
                 continue
@@ -2865,11 +2884,19 @@ class LakehouseTable:
                 pids[p] = vmap[lo]
 
         out_dir = os.path.join(self.data_dir, f"snap-import-{uuid.uuid4().hex[:12]}")
-        for p in paths:
+        for i, p in enumerate(paths):
             d = (os.path.join(out_dir, f"{_PART_DIR}={pids[p]}")
                  if pcol else out_dir)
             os.makedirs(d, exist_ok=True)
-            dst = os.path.join(d, os.path.basename(p))
+            # index prefix: Hive-partitioned sources reuse basenames
+            # across dirs (part-00000-X in every a=.. dir) — a collision
+            # here would silently drop a file. Forced .parquet suffix:
+            # _collect_entries globs *.parquet, so an extensionless
+            # import (Hive 000000_0) would link but commit zero entries.
+            base = os.path.basename(p)
+            if not base.endswith(".parquet"):
+                base += ".parquet"
+            dst = os.path.join(d, f"{i:05d}-{base}")
             try:
                 os.link(p, dst)
             except OSError:

@@ -97,3 +97,42 @@ def test_add_files_then_maintenance(spark, tmp_path, tmp_table_dir):
     assert m["files_in"] == 8
     assert t.scan(spark).count() == 200
     assert all(os.path.exists(p) for p in files)  # originals untouched
+
+
+def test_add_files_basename_collisions_and_extensions(spark, tmp_path, tmp_table_dir):
+    """Files with identical basenames (Hive-partitioned sources reuse
+    part-00000-X across dirs) must both import; extensionless parquet
+    (Hive 000000_0) must still land in the manifest."""
+    import shutil
+
+    a = _write_parquet(spark, tmp_path, "d1", [(1,)], "id long")[0]
+    b_dir = tmp_path / "d2"
+    os.makedirs(b_dir)
+    b = str(b_dir / os.path.basename(a))  # SAME basename, different rows
+    spark.createDataFrame([(2,)], "id long").coalesce(1).write.parquet(str(tmp_path / "tmp2"))
+    src2 = [os.path.join(r, f) for r, _, fs in os.walk(tmp_path / "tmp2")
+            for f in fs if f.endswith(".parquet")][0]
+    shutil.copy2(src2, b)
+    noext = str(tmp_path / "000000_0")  # extensionless parquet
+    shutil.copy2(src2, noext)
+    t = LakehouseTable.create(
+        tmp_table_dir, spark.createDataFrame([], "id long").schema,
+        partition_col=None)
+    snap = t.add_files(spark, [a, b, noext])
+    assert snap.summary["added-files"] == 3
+    assert sorted(r["id"] for r in t.scan(spark).collect()) == [1, 2, 2]
+
+
+def test_add_files_heterogeneous_schemas_refused(spark, tmp_path, tmp_table_dir):
+    """Validation must see the MERGED schema: one incompatible file in
+    a mixed set is refused up front, not committed to fail at scan."""
+    ok = _write_parquet(spark, tmp_path, "i32", [(1, 5)], "id long, score int")
+    bad = _write_parquet(spark, tmp_path, "f64", [(2, 1.5)], "id long, score double")
+    t = LakehouseTable.create(
+        tmp_table_dir,
+        spark.createDataFrame([], "id long, score bigint").schema,
+        partition_col=None)
+    with pytest.raises(ValueError, match="score"):
+        t.add_files(spark, ok + bad)
+    t.add_files(spark, ok)  # the promotable file alone is fine
+    assert t.scan(spark).collect()[0]["score"] == 5

@@ -199,3 +199,19 @@ def test_ref_retention_validation(spark, table):
     t.set_ref_retention("main", min_snapshots_to_keep=3)  # allowed
     t.set_ref_retention("main")  # all-None clears
     assert t.load_metadata().get("ref_retention", {}) == {}
+
+
+def test_ref_age_gc_runs_below_keep_last(spark, table):
+    """max_ref_age_ms GC must run even when no snapshot is old enough
+    to expire (snapshot count <= keep_last)."""
+    import time as _time
+
+    t = table  # exactly 1 snapshot
+    t.create_tag("stale-tag")
+    t.set_ref_retention("stale-tag", max_ref_age_ms=1)
+    _time.sleep(0.05)
+    res = t.expire_snapshots(keep_last=5)
+    assert res["dropped_refs"] == ["stale-tag"]
+    assert "stale-tag" not in t.tags()
+    # and the no-op path still reports the key
+    assert t.expire_snapshots(keep_last=5)["dropped_refs"] == []

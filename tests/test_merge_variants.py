@@ -345,3 +345,15 @@ def test_append_conform_rejects_and_casts(spark, tmp_table_dir):
                                        "id long, caption string, x int"))
     t.append(spark.createDataFrame([("b", 2)], "caption string, id int"))
     assert {(r["id"], r["caption"]) for r in t.scan(spark).collect()} == {(2, "b")}
+
+
+def test_merge_evolution_case_variant_column_not_duplicated(spark, tmp_table_dir):
+    """Spark resolves columns case-insensitively: a source 'Caption'
+    against a target 'caption' is the same column, never a new one."""
+    df = spark.createDataFrame([(1, "a")], "id long, caption string")
+    t = LakehouseTable.create(tmp_table_dir, df.schema, partition_col=None)
+    t.append(df)
+    src = spark.createDataFrame([(2, "b")], "id long, Caption string")
+    merge.merge_into(t, spark, src, key="id", evolve_schema=True)
+    assert [f.name for f in t.schema().fields] == ["id", "caption"]
+    assert t.scan(spark).count() == 2
