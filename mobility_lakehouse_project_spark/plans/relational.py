@@ -1985,6 +1985,53 @@ ORACLE_SQL["mor_delete_scan"] = """
 """
 
 
+def addfiles_scan(spark, sf_dir):
+    """add_files zero-copy import, oracle-checked end to end: the
+    documents table is pre-staged as plain parquet files (a
+    pre-existing non-lakehouse dataset), imported into a scratch table
+    via hard links + footer stats — NO row is read or rewritten at
+    import time (Iceberg's add_files migration; onboarding existing
+    data at 100 TB costs O(files) metadata) — then aggregated through
+    the table scan. The oracle is the same aggregation over the
+    original parquet: a dropped/double-linked/mis-stated file diverges
+    the counts and integer-exact sums."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..tableformat import LakehouseTable
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    scratch = os.path.join(tempfile.gettempdir(), "mlps-scratch", "add-files")
+    shutil.rmtree(scratch, ignore_errors=True)
+    staged = os.path.join(scratch, "staged")
+    d.repartition(6).write.parquet(staged)
+    t = LakehouseTable.create(
+        os.path.join(scratch, "docs"), d.schema, partition_col=None)
+    t.add_files(spark, os.path.join(staged, "*.parquet"))
+    return (
+        t.scan(spark)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").alias("sum_id"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_SQL["addfiles_scan"] = """
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_id,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang
+"""
+
+
 def cdc_changelog_scan(spark, sf_dir):
     """CDC changelog, oracle-checked: two appends + a merge-on-read
     DELETE on a scratch orders table, then the full changelog feed
@@ -2345,6 +2392,7 @@ QUERIES = {
     "ann_batch_clustered": ann_batch_clustered,
     "emb_label_profile": emb_label_profile,
     "mor_delete_scan": mor_delete_scan,
+    "addfiles_scan": addfiles_scan,
     "cdc_changelog_scan": cdc_changelog_scan,
     "bloom_point_lookup": bloom_point_lookup,
     "dedup_cc_canonical": dedup_cc_canonical,
