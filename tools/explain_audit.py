@@ -39,6 +39,7 @@ AUDIT = [
     "txt_token_bpe",         # expect NO Python UDF (Catalyst regexp_extract_all), one agg pair
     "dedup_cc_canonical",    # expect joins over doc ids only (no text in the shuffle)
     "sample_hash_mod",       # hash residue can't push to parquet; expect column-pruned scan
+    "addfiles_scan",         # imported-by-link table: column-pruned scan, one agg pair, NO Python
 ]
 
 CHECKS = {
@@ -70,6 +71,9 @@ CHECKS = {
     # the md5-residue predicate is computed, not pushable — the scan must
     # still be column-pruned to exactly the 5 referenced columns
     "sample_hash_mod": ["HashAggregate", "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_extendedprice:double,l_discount:double,l_returnflag:string>"],
+    # a zero-copy-imported table must scan exactly like a native one:
+    # pruned to the 3 referenced columns, partial+final aggregation
+    "addfiles_scan": ["HashAggregate", "ReadSchema: struct<doc_id:bigint,lang:string,n_chars:bigint>"],
 }
 
 # plans that must contain NO row-at-a-time or Arrow Python evaluation
@@ -78,7 +82,7 @@ NO_PYTHON = {"dedup_simhash", "ann_lsh_bucketed", "dedup_embed_cosine",
              "ann_lsh_clustered", "emb_label_profile", "ann_batch_join",
              "ann_batch_clustered", "mor_delete_scan", "cdc_changelog_scan",
              "bloom_point_lookup", "txt_token_bpe", "dedup_cc_canonical",
-             "sample_hash_mod"}
+             "sample_hash_mod", "addfiles_scan"}
 
 # plans that must NOT explode arrays into the shuffle (per-row pre-sum)
 NO_GENERATE = {"emb_label_profile"}
