@@ -155,6 +155,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="col=value bloom-pruning hint matching an "
                          "equality predicate (GDPR single-key erase)")
 
+    sp = sub.add_parser("drop-partitions",
+                        help="remove whole partitions metadata-only "
+                             "(retention delete: no data read/written)")
+    t(sp)
+    sp.add_argument("--values", required=True,
+                    help="comma-separated partition values to drop")
+
     sp = sub.add_parser("rewrite-deletes",
                         help="fold pending position deletes into the data "
                              "and clear the delete manifests")
@@ -370,6 +377,11 @@ def main(argv: list[str] | None = None) -> int:
             LakehouseTable(a.table), spark, a.where, int_ranges=rng,
             target_file_size=_mb(a.target_mb), mode=a.mode,
             point_eq=_parse_key(a.key))}
+    elif a.cmd == "drop-partitions":
+        from .operators import delete as delete_op
+
+        out = {"cmd": "drop-partitions", **delete_op.drop_partitions(
+            LakehouseTable(a.table), spark, a.values.split(","))}
     elif a.cmd == "rewrite-deletes":
         from .operators import delete as delete_op
 

@@ -98,25 +98,25 @@ def _plan_touched_chunk(table, spark, cond, int_ranges, partition_ids,
         .agg(F.count("*").alias("n_hit"))
         .collect()
     )
-    touched_rel = {r["_file"] for r in probe}
-    n_matched = sum(r["n_hit"] for r in probe)
-    if not touched_rel:
+    hits = {r["_file"]: r["n_hit"] for r in probe}
+    n_matched = sum(hits.values())
+    if not hits:
         return [], 0
     tdf = spark.createDataFrame(
-        [(p,) for p in sorted(touched_rel)], "file_path string"
+        [(p,) for p in sorted(hits)], "file_path string"
     )
     touched_entries = [
-        r.asDict()
+        {**r.asDict(), "n_hit": hits[r["file_path"]]}
         for r in table.files(spark)
         .join(F.broadcast(tdf), "file_path", "left_semi")
         .select("file_path", "partition_id", "file_size_bytes", "record_count")
         .collect()
     ]
-    if len(touched_entries) != len(touched_rel):
+    if len(touched_entries) != len(hits):
         resolved = {e["file_path"] for e in touched_entries}
         raise RuntimeError(
             "row-op planning: paths did not all resolve to manifest entries; "
-            f"unresolved={sorted(touched_rel - resolved)[:5]}"
+            f"unresolved={sorted(set(hits) - resolved)[:5]}"
         )
     return touched_entries, n_matched
 
@@ -166,32 +166,50 @@ def _rowlevel_op(
         )
         if not touched_entries:
             continue
-        src = table.scan_matched_files(touched_entries, spark)
-        touched_bytes = sum(e["file_size_bytes"] for e in touched_entries)
-        touched_rows = sum(e["record_count"] for e in touched_entries)
         if kind == "delete":
-            # keep rows where the predicate is NOT TRUE: SQL DELETE
-            # removes only predicate-TRUE rows, and a bare ~cond is NULL
-            # (dropped by filter) when cond is NULL — silently deleting
-            # NULL-predicate rows and disagreeing with rows_deleted
-            out = src.filter(~F.coalesce(cond, F.lit(False)))
-            keep_frac = 1.0 - n_matched / max(touched_rows, 1)
-            n_out = max(1, round(touched_bytes * keep_frac / target_file_size))
+            # file-granularity fast path (Iceberg's full-file delete):
+            # a file whose every LIVE row matches is dropped metadata-
+            # only — its blobs are never read. Only boundary files
+            # rewrite. n_hit counts rows through the delete-applying
+            # scan, so a file with pending MOR deletes (live < physical
+            # record_count) conservatively stays on the rewrite path.
+            dead = [e for e in touched_entries
+                    if e["n_hit"] == e["record_count"]]
+            partial = [e for e in touched_entries
+                       if e["n_hit"] != e["record_count"]]
         else:
-            # F.when(cond, ...) falls to otherwise() on NULL — original
-            # value kept, matching UPDATE's TRUE-only semantics
-            out = src.select(
-                *[
-                    (F.when(cond, upd[c]).otherwise(F.col(c)).alias(c)
-                     if c in upd else F.col(c))
-                    for c in data_cols
-                ]
+            dead, partial = [], touched_entries
+        new_entries: list[dict] = []
+        if partial:
+            src = table.scan_matched_files(partial, spark)
+            touched_bytes = sum(e["file_size_bytes"] for e in partial)
+            touched_rows = sum(e["record_count"] for e in partial)
+            if kind == "delete":
+                # keep rows where the predicate is NOT TRUE: SQL DELETE
+                # removes only predicate-TRUE rows, and a bare ~cond is
+                # NULL (dropped by filter) when cond is NULL — silently
+                # deleting NULL-predicate rows and disagreeing with
+                # rows_deleted
+                out = src.filter(~F.coalesce(cond, F.lit(False)))
+                part_hits = sum(e["n_hit"] for e in partial)
+                keep_frac = 1.0 - part_hits / max(touched_rows, 1)
+                n_out = max(1, round(touched_bytes * keep_frac / target_file_size))
+            else:
+                # F.when(cond, ...) falls to otherwise() on NULL —
+                # original value kept, matching UPDATE's TRUE-only
+                # semantics
+                out = src.select(
+                    *[
+                        (F.when(cond, upd[c]).otherwise(F.col(c)).alias(c)
+                         if c in upd else F.col(c))
+                        for c in data_cols
+                    ]
+                )
+                n_out = max(1, round(touched_bytes / target_file_size))
+            n_parts = len({e["partition_id"] for e in partial}) or 1
+            new_entries = table.write_data_files(
+                out, n_files=n_out, n_partitions_hint=n_parts,
             )
-            n_out = max(1, round(touched_bytes / target_file_size))
-        n_parts = len({e["partition_id"] for e in touched_entries}) or 1
-        new_entries = table.write_data_files(
-            out, n_files=n_out, n_partitions_hint=n_parts,
-        )
         affected = {e["partition_id"] for e in touched_entries}
         if kind == "update":
             affected |= {e["partition_id"] for e in new_entries}
@@ -202,6 +220,7 @@ def _rowlevel_op(
             summary={"op": kind, f"rows-{kind}d": n_matched,
                      "predicate": predicate_repr,
                      **({"set": ",".join(sorted(upd))} if upd else {}),
+                     **({"files-dropped": len(dead)} if dead else {}),
                      "chunk": f"{ci + 1}/{len(chunks)}"},
             affected_partitions=affected,
             # content-sensitive: the matched-row classification was
@@ -218,9 +237,65 @@ def _rowlevel_op(
             sum(e["file_size_bytes"] for e in new_entries),
             int((time.time() - tc) * 1000), snap.snapshot_id,
         )
-        metrics["files_rewritten"] += len(touched_entries)
+        metrics["files_rewritten"] += len(partial)
+        metrics["files_dropped"] = metrics.get("files_dropped", 0) + len(dead)
         metrics["files_written"] += len(new_entries)
         metrics[rows_key] += n_matched
+        metrics["snapshot"] = snap.snapshot_id
+    metrics["wall_ms"] = int((time.time() - t0) * 1000)
+    return metrics
+
+
+def drop_partitions(
+    table: LakehouseTable,
+    spark: SparkSession,
+    values,
+    chunk_files: int = DEFAULT_CHUNK_FILES,
+) -> dict:
+    """DROP PARTITION: remove every file of the given partition values
+    METADATA-ONLY — no data is read or written. The reference's
+    DELETE-day (dags/Silver_Transform_Dag.py:188-207) is this plus an
+    insert; at 100 TB a retention delete of a day partition must cost
+    O(files of that day) metadata, never a rewrite.
+
+    Requires a single partition spec: files written under an older spec
+    are not partition-value-pruned, so rows of the target partitions
+    could hide in them (run ``compaction.migrate_partitions`` first).
+    Delete files that referenced only dropped data files become
+    dangling — harmless (the MOR anti-join matches nothing) and folded
+    away by maintenance. Chunked commits bound the driver collect; a
+    concurrent append INTO a dropped partition composes as Iceberg's
+    DROP PARTITION does (the new files survive; re-run to drop them)."""
+    from .compaction import require_single_spec
+
+    if table._partition_col() is None:
+        raise ValueError("drop_partitions on an unpartitioned table")
+    require_single_spec(table, spark)
+    t0 = time.time()
+    values = {str(v) for v in values}
+    metrics: dict = {"files_dropped": 0, "rows_dropped": 0, "chunks": 0,
+                     "snapshot": None}
+    while True:
+        batch = [
+            r.asDict()
+            for r in table.plan_files(spark, partition_values=values)
+            .select("file_path", "partition_id", "record_count")
+            .limit(chunk_files).collect()
+        ]
+        if not batch:
+            break
+        snap = table.commit_replace(
+            {e["file_path"] for e in batch}, [],
+            operation="delete",
+            summary={"op": "drop-partitions",
+                     "partitions": ",".join(
+                         sorted({e["partition_id"] for e in batch})[:20]),
+                     "files-dropped": len(batch)},
+            affected_partitions={e["partition_id"] for e in batch},
+        )
+        metrics["files_dropped"] += len(batch)
+        metrics["rows_dropped"] += sum(e["record_count"] for e in batch)
+        metrics["chunks"] += 1
         metrics["snapshot"] = snap.snapshot_id
     metrics["wall_ms"] = int((time.time() - t0) * 1000)
     return metrics

@@ -197,3 +197,54 @@ def test_delete_everything_then_append(spark, tmp_table_dir):
     assert t.files(spark).count() == 0
     t.append(synth.images_df(spark, 30, seed=3, partitions=1), n_files=1)
     assert t.scan(spark).count() == 30
+
+
+def test_full_file_delete_drops_without_rewrite(spark, tmp_table_dir):
+    """File-granularity DELETE: files whose every row matches are
+    dropped metadata-only (never read); only boundary files rewrite."""
+    df = spark.createDataFrame(
+        [(i, i % 4, f"t{i}") for i in range(400)], "id long, grp int, tag string")
+    t = LakehouseTable.create(tmp_table_dir, df.schema, partition_col="grp")
+    t.append(df, n_files=8)  # partition-dir layout: files never span grps
+    pre = {r["file_path"] for r in t.files(spark).select("file_path").collect()}
+    # grp = 2 matches whole files (partition-aligned): all drops, no rewrite
+    res = delete.delete_where(t, spark, "grp = 2")
+    assert res["files_dropped"] > 0
+    assert res["files_rewritten"] == 0 and res["files_written"] == 0
+    assert res["rows_deleted"] == 100
+    assert t.scan(spark).filter("grp = 2").count() == 0
+    assert t.scan(spark).count() == 300
+    # untouched files survive byte-identical (same paths)
+    post = {r["file_path"] for r in t.files(spark).select("file_path").collect()}
+    assert post < pre
+    # boundary case: id < 150 straddles files -> mixed drop + rewrite
+    res2 = delete.delete_where(t, spark, "id < 150")
+    assert res2["rows_deleted"] == 113  # 150 minus the 37 already-gone grp-2 ids
+    assert res2["files_rewritten"] > 0
+    assert t.scan(spark).count() == 300 - 113
+
+
+def test_drop_partitions_metadata_only(spark, tmp_table_dir):
+    """DROP PARTITION removes a partition's files without reading or
+    writing any data; other partitions are untouched."""
+    df = spark.createDataFrame(
+        [(i, i % 3, f"t{i}") for i in range(300)], "id long, grp int, tag string")
+    t = LakehouseTable.create(tmp_table_dir, df.schema, partition_col="grp")
+    t.append(df, n_files=6)
+    pre = {r["file_path"]: r["partition_id"]
+           for r in t.files(spark).select("file_path", "partition_id").collect()}
+    res = delete.drop_partitions(t, spark, [1])
+    assert res["rows_dropped"] == 100 and res["files_dropped"] > 0
+    assert t.scan(spark).count() == 200
+    assert t.scan(spark).filter("grp = 1").count() == 0
+    post = {r["file_path"] for r in t.files(spark).select("file_path").collect()}
+    assert post == {p for p, pid in pre.items() if pid != "1"}
+    # time travel still sees the dropped partition
+    snaps = sorted(t.snapshots_list(), key=lambda s: s.sequence)
+    assert t.scan(spark, snapshot_id=snaps[0].snapshot_id).count() == 300
+    # unpartitioned table refuses
+    with pytest.raises(ValueError, match="unpartitioned"):
+        d2 = spark.createDataFrame([(1,)], "id long")
+        t2 = LakehouseTable.create(str(tmp_table_dir) + "_u", d2.schema,
+                                   partition_col=None)
+        delete.drop_partitions(t2, spark, ["x"])
