@@ -114,7 +114,10 @@ def run(sf_dir: str, cores: int, work_dir: str, rows: int | None = None) -> dict
     # (measured, tableformat/table.py::create docstring)
     table = LakehouseTable.create(
         table_dir, d1.schema, partition_col="bucket",
-        properties={"write.parquet.compression-codec": "uncompressed"},
+        properties={"write.parquet.compression-codec": "uncompressed",
+                    # blobs never dictionary-hit: ~5-7% faster writes
+                    # for +0.23% size (measured, table.py::create)
+                    "write.parquet.dictionary-enabled": "false"},
     )
     table.append(d1, n_files=n_ingest_files // 2)
     table.append(d2, n_files=n_ingest_files // 2)

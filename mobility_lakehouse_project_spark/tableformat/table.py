@@ -369,6 +369,12 @@ class LakehouseTable:
           should set ``uncompressed``: measured 2.2x faster writes AND
           reads for +0.7% size on the image payload — general-purpose
           codecs cannot shrink high-entropy blobs, only burn CPU.
+        * ``write.parquet.dictionary-enabled`` — ``false`` disables
+          parquet dictionary encoding for THIS table's data files.
+          High-entropy blob columns never dictionary-hit; the encoder
+          builds and abandons the dictionary per page — measured
+          ~5-7% faster warm writes for +0.23% size on the bench image
+          payload (3x interleaved A/B at 130 MB, local[8]).
         """
         t = cls(location)
         if t.exists:
@@ -1114,6 +1120,9 @@ class LakehouseTable:
         codec = meta.get("properties", {}).get("write.parquet.compression-codec")
         if codec:
             w = w.option("compression", codec)
+        dic = meta.get("properties", {}).get("write.parquet.dictionary-enabled")
+        if dic is not None:
+            w = w.option("parquet.enable.dictionary", str(dic).lower())
         tw = time.time()
         w.parquet(out_dir)
         tf = time.time()

@@ -150,3 +150,33 @@ def test_metadata_previous_versions_max(spark, tmp_table_dir):
     t.append(df)
     files2 = glob.glob(os.path.join(t.meta_dir, "v*.metadata.json"))
     assert len(files2) >= len(files) + 2
+
+
+def test_dictionary_property_disables_dictionary(spark, tmp_table_dir):
+    """write.parquet.dictionary-enabled=false: data files carry no
+    dictionary-encoded pages (blob columns never dictionary-hit; the
+    abandoned per-page dictionary build is pure CPU waste), and the
+    scan roundtrip is unchanged."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from mobility_lakehouse_project_spark import synth
+    from mobility_lakehouse_project_spark.tableformat import LakehouseTable
+
+    df = synth.images_df(spark, 60, partitions=1)
+    t = LakehouseTable.create(
+        tmp_table_dir, df.schema,
+        properties={"write.parquet.dictionary-enabled": "false"})
+    t.append(df, n_files=1)
+    files = glob.glob(os.path.join(t.data_dir, "**", "*.parquet"),
+                      recursive=True)
+    assert files
+    for fp in files:
+        md = pq.ParquetFile(fp).metadata
+        for rg in range(md.num_row_groups):
+            for ci in range(md.row_group(rg).num_columns):
+                encs = md.row_group(rg).column(ci).encodings
+                assert not any("DICTIONARY" in e for e in encs), (fp, encs)
+    assert t.scan(spark).count() == 60
