@@ -381,7 +381,8 @@ def main(argv: list[str] | None = None) -> int:
         from .operators import delete as delete_op
 
         out = {"cmd": "drop-partitions", **delete_op.drop_partitions(
-            LakehouseTable(a.table), spark, a.values.split(","))}
+            LakehouseTable(a.table), spark,
+            [v.strip() for v in a.values.split(",") if v.strip()])}
     elif a.cmd == "rewrite-deletes":
         from .operators import delete as delete_op
 

@@ -148,6 +148,7 @@ def _rowlevel_op(
     cur = table.current_snapshot(meta)
     if cur is None or not cur.manifests:
         return {"files_rewritten": 0, "files_written": 0, rows_key: 0,
+                **({"files_dropped": 0} if kind == "delete" else {}),
                 "wall_ms": int((time.time() - t0) * 1000), "snapshot": None}
     data_cols = [f.name for f in table.schema().fields]
     chunks, n_cand = _partition_chunks(table, spark, int_ranges, chunk_files,
@@ -155,6 +156,7 @@ def _rowlevel_op(
     n_total = table.files(spark).count()
     log = LineageLog(table.location)
     metrics = {"files_rewritten": 0, "files_written": 0, rows_key: 0,
+               **({"files_dropped": 0} if kind == "delete" else {}),
                "candidate_files": n_cand, "total_files": n_total,
                "chunks": len(chunks), "snapshot": cur.snapshot_id}
     for ci, part_ids in enumerate(chunks):
@@ -238,7 +240,8 @@ def _rowlevel_op(
             int((time.time() - tc) * 1000), snap.snapshot_id,
         )
         metrics["files_rewritten"] += len(partial)
-        metrics["files_dropped"] = metrics.get("files_dropped", 0) + len(dead)
+        if kind == "delete":
+            metrics["files_dropped"] += len(dead)
         metrics["files_written"] += len(new_entries)
         metrics[rows_key] += n_matched
         metrics["snapshot"] = snap.snapshot_id
@@ -273,6 +276,17 @@ def drop_partitions(
     require_single_spec(table, spark)
     t0 = time.time()
     values = {str(v) for v in values}
+    cur = table.current_snapshot()
+    # rows_dropped must count LIVE rows (the number a retention audit
+    # cares about); manifest record_count is physical and over-counts
+    # when pending MOR deletes cover some of these rows — one
+    # column-pruned count through the delete-applying scan settles it
+    live_rows = (
+        table.scan(spark, partition_values=sorted(values)).count()
+        if cur and cur.delete_manifests else None
+    )
+    log = LineageLog(table.location)
+    seen_parts: set[str] = set()
     metrics: dict = {"files_dropped": 0, "rows_dropped": 0, "chunks": 0,
                      "snapshot": None}
     while True:
@@ -284,19 +298,32 @@ def drop_partitions(
         ]
         if not batch:
             break
+        parts = {e["partition_id"] for e in batch}
         snap = table.commit_replace(
             {e["file_path"] for e in batch}, [],
             operation="delete",
             summary={"op": "drop-partitions",
-                     "partitions": ",".join(
-                         sorted({e["partition_id"] for e in batch})[:20]),
+                     "partitions": ",".join(sorted(parts)[:20]),
                      "files-dropped": len(batch)},
-            affected_partitions={e["partition_id"] for e in batch},
+            affected_partitions=parts,
         )
+        log.record(
+            f"drop-partitions-{snap.snapshot_id}",
+            f"chunk-{metrics['chunks']}", sorted(parts),
+            len(batch), 0, 0, 0,
+            int((time.time() - t0) * 1000), snap.snapshot_id,
+        )
+        seen_parts |= parts
         metrics["files_dropped"] += len(batch)
         metrics["rows_dropped"] += sum(e["record_count"] for e in batch)
         metrics["chunks"] += 1
         metrics["snapshot"] = snap.snapshot_id
+    if live_rows is not None:
+        metrics["rows_dropped"] = live_rows
+    # a value that matched no partition is a silent no-op otherwise —
+    # a typo'd retention job must be visible in the result
+    metrics["partitions_dropped"] = sorted(seen_parts)
+    metrics["unmatched_values"] = sorted(values - seen_parts)
     metrics["wall_ms"] = int((time.time() - t0) * 1000)
     return metrics
 

@@ -1121,7 +1121,7 @@ class LakehouseTable:
         if codec:
             w = w.option("compression", codec)
         dic = meta.get("properties", {}).get("write.parquet.dictionary-enabled")
-        if dic is not None:
+        if dic:  # truthiness like codec: empty/unset means "leave default"
             w = w.option("parquet.enable.dictionary", str(dic).lower())
         tw = time.time()
         w.parquet(out_dir)

@@ -248,3 +248,22 @@ def test_drop_partitions_metadata_only(spark, tmp_table_dir):
         t2 = LakehouseTable.create(str(tmp_table_dir) + "_u", d2.schema,
                                    partition_col=None)
         delete.drop_partitions(t2, spark, ["x"])
+
+
+def test_drop_partitions_live_rows_and_unmatched(spark, tmp_table_dir):
+    """rows_dropped counts LIVE rows (pending MOR deletes excluded) and
+    a typo'd partition value is surfaced, not a silent no-op."""
+    df = spark.createDataFrame(
+        [(i, i % 3, f"t{i}") for i in range(300)], "id long, grp int, tag string")
+    t = LakehouseTable.create(tmp_table_dir, df.schema, partition_col="grp")
+    t.append(df, n_files=6)
+    # MOR-delete 3 rows of grp 1 (ids 1, 4, 7) — physically still there
+    delete.delete_where(t, spark, "id < 10 AND grp = 1", mode="mor")
+    res = delete.drop_partitions(t, spark, [1, 99])
+    assert res["rows_dropped"] == 97  # live rows, not physical 100
+    assert res["partitions_dropped"] == ["1"]
+    assert res["unmatched_values"] == ["99"]
+    assert t.scan(spark).count() == 200
+    # empty-table shape check for CoW delete metrics
+    r2 = delete.delete_where(t, spark, "id < 0")
+    assert r2["files_dropped"] == 0 and r2["files_rewritten"] == 0
