@@ -102,6 +102,22 @@ class Catalog:
                     "delete it")
         shutil.rmtree(local)
 
+    def rename_table(self, src: str, dst: str) -> LakehouseTable:
+        """Rename/move a table within the warehouse (Iceberg's
+        renameTable). Every path a manifest records is RELATIVE to the
+        table root, so the move is one atomic directory rename — no
+        metadata rewrite, O(1) at any table size. The destination
+        namespace directory is created; an existing destination
+        refuses."""
+        t = self.load_table(src)  # validates src exists
+        dst_loc = self._location(dst)
+        dst_local = to_local(dst_loc)
+        if LakehouseTable(dst_loc).exists or os.path.exists(dst_local):
+            raise ValueError(f"destination table {dst!r} already exists")
+        os.makedirs(os.path.dirname(dst_local), exist_ok=True)
+        os.rename(to_local(t.location), dst_local)
+        return LakehouseTable(dst_loc)
+
     # ---------------- listing ----------------
 
     def list_namespaces(self) -> list[str]:

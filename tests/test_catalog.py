@@ -185,3 +185,23 @@ def test_register_all_refuses_view_collisions(spark, cat):
         cat.register_all(spark)
     with pytest.raises(ValueError, match="bad namespace"):
         cat.list_tables("..")
+
+
+def test_rename_table_moves_and_scans(spark, tmp_path):
+    """rename_table is one directory rename (manifest paths are
+    table-relative): the moved table scans identically, the old name is
+    gone, and an occupied destination refuses."""
+    from mobility_lakehouse_project_spark.tableformat.catalog import Catalog
+
+    cat = Catalog(str(tmp_path / "wh"))
+    df = spark.createDataFrame([(i, f"t{i}") for i in range(50)],
+                               "id long, tag string")
+    cat.create_table_as("bronze.src", df)
+    t2 = cat.rename_table("bronze.src", "silver.dst")
+    assert t2.scan(spark).count() == 50
+    assert not cat.table_exists("bronze.src")
+    assert cat.table_exists("silver.dst")
+    assert "dst" in " ".join(cat.list_tables("silver"))
+    with pytest.raises(ValueError, match="already exists"):
+        cat.create_table_as("silver.other", df)
+        cat.rename_table("silver.other", "silver.dst")
