@@ -399,6 +399,7 @@ def _mor_delete(table, spark, cond, int_ranges, op_id, chunk_files,
     cur = table.current_snapshot()
     if cur is None or not cur.manifests:
         return {"delete_files_written": 0, "rows_deleted": 0,
+                "files_dropped": 0,
                 "wall_ms": int((time.time() - t0) * 1000), "snapshot": None}
     schema = table.schema()
     slim_cols = [
@@ -408,6 +409,7 @@ def _mor_delete(table, spark, cond, int_ranges, op_id, chunk_files,
                                        point_eq=point_eq)
     log = LineageLog(table.location)
     metrics = {"delete_files_written": 0, "rows_deleted": 0,
+               "files_dropped": 0,
                "candidate_files": n_cand, "chunks": len(chunks),
                "snapshot": cur.snapshot_id}
     for ci, part_ids in enumerate(chunks):
@@ -422,42 +424,72 @@ def _mor_delete(table, spark, cond, int_ranges, op_id, chunk_files,
         )
         if not cand_paths:
             continue
-        matched = (
+        # ONE counting pass classifies every candidate: a file whose
+        # every LIVE row matches dies WHOLE (metadata-only drop — no
+        # position-delete entries, which would otherwise cost O(rows)
+        # of delete-file writes plus anti-join work on every later
+        # scan); only partially-matched files get position deletes.
+        per_file = (
             table.scan_files(spark, cand_paths, columns=slim_cols,
                              with_pos=True)
-            .filter(cond)
-            .select(F.col("_file").alias("file_path"),
-                    F.col("_pos").alias("pos"))
-            .persist()
+            .groupBy(F.col("_file").alias("file_path"))
+            .agg(F.count("*").alias("live"),
+                 F.count_if(F.coalesce(cond, F.lit(False))).alias("n_hit"))
+            .collect()
         )
-        per_file = matched.groupBy("file_path").count().collect()
-        n_matched = sum(r["count"] for r in per_file)
+        n_matched = sum(r["n_hit"] for r in per_file)
         if not n_matched:
-            matched.unpersist()
             continue
         # resolution assertion: every matched file identity must be a
         # path we planned — a relativize failure (exotic scheme) would
         # otherwise write delete entries no scan can ever match
         unresolved = {r["file_path"] for r in per_file} - set(cand_paths)
         if unresolved:
-            matched.unpersist()
             raise RuntimeError(
                 "MOR delete: scan file identities did not resolve to "
                 f"planned paths; unresolved={sorted(unresolved)[:5]}"
             )
-        n_files = max(1, round(n_matched / ROWS_PER_DELETE_FILE))
-        entries = table.write_position_delete_files(matched, n_files)
-        matched.unpersist()
-        snap = table.commit_delete_files(
-            entries,
-            summary={"predicate": predicate_repr,
-                     "chunk": f"{ci + 1}/{len(chunks)}"},
-            expected_parent=cur.snapshot_id,
-        )
+        dead = sorted(r["file_path"] for r in per_file
+                      if r["n_hit"] and r["n_hit"] == r["live"])
+        partial = sorted(r["file_path"] for r in per_file
+                         if r["n_hit"] and r["n_hit"] != r["live"])
+        n_partial_hits = sum(r["n_hit"] for r in per_file
+                             if r["file_path"] in set(partial))
+        # two pinned commits per chunk (drop, then deletes) — readers
+        # between them see a consistent PREFIX of this delete, the same
+        # contract the chunk loop already gives across chunks
+        pin = cur.snapshot_id
+        if dead:
+            snap = table.commit_replace(
+                set(dead), [], operation="delete",
+                summary={"op": "mor-delete", "predicate": predicate_repr,
+                         "files-dropped": len(dead),
+                         "chunk": f"{ci + 1}/{len(chunks)}"},
+                retries=0, expected_parent=pin,
+            )
+            pin = snap.snapshot_id
+            metrics["files_dropped"] += len(dead)
+        entries: list[dict] = []
+        if partial:
+            matched = (
+                table.scan_files(spark, partial, columns=slim_cols,
+                                 with_pos=True)
+                .filter(cond)
+                .select(F.col("_file").alias("file_path"),
+                        F.col("_pos").alias("pos"))
+            )
+            n_files = max(1, round(n_partial_hits / ROWS_PER_DELETE_FILE))
+            entries = table.write_position_delete_files(matched, n_files)
+            snap = table.commit_delete_files(
+                entries,
+                summary={"predicate": predicate_repr,
+                         "chunk": f"{ci + 1}/{len(chunks)}"},
+                expected_parent=pin,
+            )
         log.record(
             op_id or f"mor-delete-{snap.snapshot_id}", f"chunk-{ci}",
-            sorted(part_ids), len(per_file), len(entries), n_matched,
-            sum(e["file_size_bytes"] for e in entries),
+            sorted(part_ids), len(dead) + len(partial), len(entries),
+            n_matched, sum(e["file_size_bytes"] for e in entries),
             int((time.time() - tc) * 1000), snap.snapshot_id,
         )
         metrics["delete_files_written"] += len(entries)

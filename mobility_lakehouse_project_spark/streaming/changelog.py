@@ -55,7 +55,11 @@ def _classify(snap) -> str:
         or summ_op.startswith("cluster-")
     ):
         return "skip"
-    if snap.operation == "delete" and summ_op == "mor-delete":
+    if snap.operation == "delete" and summ_op in (
+            "mor-delete", "drop-partitions"):
+        # mor-delete covers BOTH its forms: position-delete manifests
+        # (partial files) and pure file removal (fully-matched files
+        # dropped metadata-only); drop-partitions is removal-only
         return "mor-delete"
     # MOR upserts (MERGE mode='mor', UPDATE mode='mor') are exactly
     # attributable: position-delete files name the old row versions,
@@ -177,6 +181,29 @@ def changelog_df(
                 ))
         if kind in ("mor-delete", "mor-upsert"):
             parent = by_id.get(snap.parent_id)
+            # files REMOVED by this commit (full-file MOR delete /
+            # drop-partitions): every LIVE parent row of a removed file
+            # is a deletion — read through the PARENT's delete set so
+            # previously-deleted rows are not re-emitted
+            if parent is not None:
+                cur_files = {
+                    r["file_path"]
+                    for r in table.files(spark, snap.snapshot_id)
+                    .select("file_path").collect()
+                }
+                removed = sorted(
+                    r["file_path"]
+                    for r in table.files(spark, parent.snapshot_id)
+                    .select("file_path").collect()
+                    if r["file_path"] not in cur_files
+                )
+                if removed:
+                    rows = table.scan_files(spark, removed, snapshot=parent)
+                    pieces.append(rows.select(
+                        *data_cols,
+                        F.lit("delete").alias("_change_type"),
+                        F.lit(snap.snapshot_id).alias("_snapshot_id"),
+                    ))
             parent_dm = set(parent.delete_manifests) if parent else set()
             new_dm = [m for m in snap.delete_manifests if m not in parent_dm]
             entries = []

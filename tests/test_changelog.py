@@ -49,8 +49,9 @@ def test_changelog_inserts_and_mor_deletes(spark, table):
     inc = changelog_df(t, spark, from_snapshot_id=s0)
     assert inc.filter("_change_type = 'insert'").count() == 40
     assert _ids(inc, "delete") == deleted_ids
-    # each change is attributed to its commit
-    assert inc.select("_snapshot_id").distinct().count() == 2
+    # each change is attributed to its commit (the MOR delete may
+    # split into a full-file drop commit + a position-delete commit)
+    assert inc.select("_snapshot_id").distinct().count() in (2, 3)
 
 
 def test_changelog_replays_to_final_state(spark, table):
@@ -129,3 +130,32 @@ def test_changelog_cursor_incremental_consumption(spark, table, tmp_path):
     assert head3 == head2 and df2.count() == df.count()
     cur.ack(head2)
     assert cur.poll(spark) is None
+
+
+def test_changelog_full_file_mor_delete_and_drop_partitions(spark, tmp_table_dir):
+    """Removal-only delete commits (MOR full-file fast path,
+    drop_partitions) must emit every removed live row as a delete —
+    previously-deleted rows are not re-emitted."""
+    df = spark.createDataFrame(
+        [(i, i % 3, f"t{i}") for i in range(90)], "id long, grp int, tag string")
+    t = LakehouseTable.create(tmp_table_dir, df.schema, partition_col="grp")
+    t.append(df, n_files=3)
+    # MOR-delete a few grp-1 rows first (classic position deletes)
+    delete.delete_where(t, spark, "id < 6 AND grp = 1", mode="mor")  # ids 1,4
+    # now a MOR delete that kills ALL of grp 1 -> full-file drop path
+    res = delete.delete_where(t, spark, "grp = 1", mode="mor")
+    assert res["files_dropped"] > 0
+    assert res["delete_files_written"] == 0  # pure removal, no new entries
+    full = changelog_df(t, spark)
+    del_ids = {r["id"] for r in full.filter("_change_type = 'delete'")
+               .select("id").collect()}
+    assert del_ids == {i for i in range(90) if i % 3 == 1}
+    # each row deleted exactly once across the two delete commits
+    assert full.filter("_change_type = 'delete'").count() == 30
+    # drop_partitions is changelog-exact too
+    res2 = delete.drop_partitions(t, spark, [2])
+    inc = changelog_df(t, spark, from_snapshot_id=res["snapshot"])
+    assert {r["id"] for r in inc.select("id").collect()} == \
+        {i for i in range(90) if i % 3 == 2}
+    assert inc.filter("_change_type = 'delete'").count() == 30
+    assert res2["rows_dropped"] == 30
