@@ -21,6 +21,8 @@ Commands:
     add-files --table DIR --source GLOB
     lineage  --table DIR
     snapshots --table DIR
+    sql      --warehouse DIR --query 'DELETE FROM ns.t WHERE ...' |
+             --file script.sql [--param k=v ...] [--limit 100]
 
 The session is built by session.get_spark (honors SPARK_GRAFT_CPUS);
 under spark-submit the submitted master/conf win via getOrCreate.
@@ -272,6 +274,20 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--as-of-ms", type=int,
                    help="restore the snapshot current at this epoch-ms")
 
+    sp = sub.add_parser("sql",
+                        help="run a SQL statement or ;-script against a "
+                             "warehouse catalog (reads return rows, "
+                             "writes/DDL dispatch to the engine operators)")
+    sp.add_argument("--warehouse", required=True)
+    g = sp.add_mutually_exclusive_group(required=True)
+    g.add_argument("--query", help="SQL text")
+    g.add_argument("--file", help="path to a ;-separated SQL script")
+    sp.add_argument("--limit", type=int, default=100,
+                    help="max rows printed per SELECT result")
+    sp.add_argument("--param", action="append", default=[],
+                    help="name=value binding for :name placeholders "
+                         "(repeatable; value parsed as JSON, else string)")
+
     a = p.parse_args(argv)
 
     from .session import get_spark
@@ -496,6 +512,29 @@ def main(argv: list[str] | None = None) -> int:
              "summary": s.summary}
             for s in LakehouseTable(a.table).snapshots_list()
         ]}
+    elif a.cmd == "sql":
+        from .sql import execute_sql_script
+        from .tableformat import Catalog
+
+        args = {}
+        for kv in a.param:
+            name, _, raw = kv.partition("=")
+            try:
+                args[name] = json.loads(raw)
+            except json.JSONDecodeError:
+                args[name] = raw
+        script = a.query if a.query else open(a.file).read()
+        results = []
+        for r in execute_sql_script(spark, script,
+                                    catalog=Catalog(a.warehouse),
+                                    args=args):
+            if isinstance(r, dict):
+                results.append(r)
+            else:
+                results.append({"rows": [row.asDict(recursive=True)
+                                         for row in r.limit(a.limit)
+                                         .collect()]})
+        out = {"cmd": "sql", "results": results}
     else:  # pragma: no cover
         raise SystemExit(2)
     print(json.dumps(out, default=str))

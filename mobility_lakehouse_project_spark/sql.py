@@ -1,0 +1,963 @@
+"""SQL front-end: one entry point that runs a SQL string against the
+lakehouse.
+
+The reference drives its entire pipeline through SQL strings executed
+by an embedded engine inside DAG tasks
+(/root/reference/dags/Queries_dag.py:54-95 ``con.execute(query)``,
+/root/reference/src/sql/{silver,gold}.sql). This module is that entry
+point for the Spark engine: :func:`execute_sql` takes a statement and
+
+* delegates **reads** verbatim to ``spark.sql`` over registered table
+  views — the full Spark SQL surface, Catalyst-optimized, untouched;
+* parses the **statement head** of writes / DDL / maintenance and
+  dispatches to the native operators (``merge_into``, ``delete_where``,
+  ``compact``, ...), which own the correctness machinery (stats
+  pruning, pinned commits, MOR position deletes) that a naive rewrite
+  through views could not provide.
+
+Expression and query *fragments* (everything after WHERE / SET = /
+AS / USING) are handed to Spark **unparsed**, so any expression Spark
+SQL accepts works there; only the statement skeleton is parsed here.
+Identifiers must be unquoted (``ns.table``, plain column names).
+
+Supported statements (heads case-insensitive)::
+
+  SELECT / WITH / VALUES / TABLE ...                 -> DataFrame
+  INSERT INTO t [(cols)] <query>                     -> append (positional)
+  INSERT OVERWRITE t [(cols)] <query>                -> dynamic partition overwrite
+  DELETE FROM t [WHERE <expr>] [OPTIONS(...)]        -> delete_where
+  UPDATE t SET c = <expr>, ... [WHERE <expr>] [OPTIONS(...)]
+  MERGE INTO t [AS a] USING <name | (query)> [AS b]
+      ON a.k = b.k [AND ...]
+      [WHEN MATCHED THEN UPDATE SET * | a.c = b.c, ...]
+      [WHEN MATCHED THEN DELETE]
+      [WHEN NOT MATCHED THEN INSERT *]
+      [WHEN NOT MATCHED BY SOURCE THEN DELETE]
+      [OPTIONS(mode='mor', ...)]
+  CREATE TABLE [IF NOT EXISTS] t [PARTITIONED BY (c)] [OPTIONS(...)] AS <query>
+  DROP TABLE [IF EXISTS] t [PURGE]
+  OPTIMIZE t [ZORDER BY (a, b, ...)] [OPTIONS(...)]
+  VACUUM t [RETAIN <n> HOURS]
+  ALTER TABLE t SET TBLPROPERTIES ('k' = 'v', ...)
+  ALTER TABLE t ADD COLUMNS (c type, ...)
+  ALTER TABLE t DROP COLUMN c
+  ALTER TABLE t RENAME COLUMN a TO b
+  ALTER TABLE t ALTER COLUMN c TYPE <type>
+  CALL proc('ns.table' [, key => value, ...])        -> PROCEDURES
+
+``OPTIONS(key = value, ...)`` is this engine's extension carrying
+operator knobs (``mode='mor'``, ``target_file_size=...``,
+``evolve_schema=true``, ...) straight through to the operator call.
+
+**Pruning hints are derived automatically**: a DELETE/UPDATE predicate
+that is a top-level AND of ``col <op> literal`` comparisons is compiled
+into the operators' ``int_ranges`` / ``point_eq`` file-skipping hints
+(each derived conjunct is an over-approximation of the matching file
+set, so partial derivation is always safe — the full predicate still
+decides rows). SQL users get manifest-stats pruning without knowing it
+exists.
+
+Named parameters: ``:name`` placeholders (outside string literals) are
+bound from ``args`` as SQL literals before parsing — the reference's
+parameterized-query idiom (dags/Queries_dag.py:54 f-string dates)
+without the injection surface.
+"""
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F  # noqa: F401  (re-export convenience)
+
+from .operators.clustering import cluster
+from .operators.compaction import compact
+from .operators.delete import (
+    delete_where,
+    drop_partitions,
+    rewrite_position_deletes,
+    update_where,
+)
+from .operators.merge import merge_into
+from .tableformat.catalog import Catalog
+from .tableformat.table import LakehouseTable
+
+
+class LakehouseSqlError(ValueError):
+    """Statement understood well enough to be rejected with a reason."""
+
+
+_IDENT = r"[A-Za-z_][\w]*(?:\.[A-Za-z_][\w]*)*"
+_INTEGRAL = {"byte", "short", "integer", "long"}
+
+
+# --------------------------------------------------------------------------
+# lexing helpers: all keyword/position searches run on a MASKED copy of the
+# statement (string literals, quoted identifiers, and comments blanked out),
+# while every extracted fragment is sliced from the ORIGINAL text.
+# --------------------------------------------------------------------------
+
+def _mask(sql: str) -> str:
+    out = list(sql)
+    i, n = 0, len(sql)
+
+    def blank(a: int, b: int) -> None:
+        for k in range(a, min(b, n)):
+            if out[k] not in ("\n",):
+                out[k] = " "
+
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            blank(i, j + 1)
+            i = j + 1
+        elif c in ('"', "`"):
+            j = sql.find(c, i + 1)
+            j = n - 1 if j < 0 else j
+            blank(i, j + 1)
+            i = j + 1
+        elif c == "-" and sql[i:i + 2] == "--":
+            j = sql.find("\n", i)
+            j = n if j < 0 else j
+            blank(i, j)
+            i = j
+        elif c == "/" and sql[i:i + 2] == "/*":
+            j = sql.find("*/", i)
+            j = n - 2 if j < 0 else j
+            blank(i, j + 2)
+            i = j + 2
+        else:
+            i += 1
+    return "".join(out)
+
+
+def _literal(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, (list, tuple)):
+        return "(" + ", ".join(_literal(x) for x in v) + ")"
+    raise LakehouseSqlError(f"cannot encode parameter value {v!r} as SQL")
+
+
+def _bind(sql: str, args: dict) -> str:
+    masked = _mask(sql)
+    out, last = [], 0
+    for m in re.finditer(r"(?<!:):(\w+)", masked):
+        if m.group(1) not in args:
+            raise LakehouseSqlError(f"unbound SQL parameter :{m.group(1)}")
+        out.append(sql[last:m.start()])
+        out.append(_literal(args[m.group(1)]))
+        last = m.end()
+    out.append(sql[last:])
+    return "".join(out)
+
+
+def _split_top(masked: str, sql: str, sep: str,
+               lo: int, hi: int) -> list[tuple[int, int]]:
+    """(start, end) spans of ``sql[lo:hi]`` split on depth-0 ``sep``."""
+    spans, depth, start = [], 0, lo
+    for i in range(lo, hi):
+        c = masked[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == sep and depth == 0:
+            spans.append((start, i))
+            start = i + 1
+    spans.append((start, hi))
+    return spans
+
+
+def _kw(masked: str, pattern: str, lo: int = 0, hi: int | None = None):
+    """First depth-0 match of ``pattern`` in masked[lo:hi]."""
+    hi = len(masked) if hi is None else hi
+    for m in re.finditer(pattern, masked, re.I):
+        if not lo <= m.start() < hi:
+            continue
+        depth = masked.count("(", lo, m.start()) - masked.count(
+            ")", lo, m.start())
+        if depth == 0:
+            return m
+    return None
+
+
+def _match_paren(masked: str, i: int) -> int:
+    """Index just past the ')' matching the '(' at ``i``."""
+    depth = 0
+    for j in range(i, len(masked)):
+        if masked[j] == "(":
+            depth += 1
+        elif masked[j] == ")":
+            depth -= 1
+            if depth == 0:
+                return j + 1
+    raise LakehouseSqlError("unbalanced parentheses")
+
+
+def _parse_scalar(text: str):
+    t = text.strip()
+    low = t.lower()
+    if low in ("true", "false"):
+        return low == "true"
+    if low in ("null", "none"):
+        return None
+    if re.fullmatch(r"[+-]?\d+", t):
+        return int(t)
+    if re.fullmatch(r"[+-]?\d*\.\d+(e[+-]?\d+)?", low):
+        return float(t)
+    if len(t) >= 2 and t[0] == "'" and t[-1] == "'":
+        return t[1:-1].replace("''", "'")
+    raise LakehouseSqlError(f"expected a literal, got {text!r}")
+
+
+def _parse_value(text: str):
+    t = text.strip()
+    m = re.fullmatch(r"(?is)array\s*\((.*)\)", t)
+    if m:
+        inner = m.group(1)
+        if not inner.strip():
+            return []
+        spans = _split_top(_mask(inner), inner, ",", 0, len(inner))
+        return [_parse_scalar(inner[a:b]) for a, b in spans]
+    return _parse_scalar(t)
+
+
+def _parse_options(masked: str, sql: str) -> tuple[dict, int]:
+    """Trailing ``OPTIONS(k = v, ...)``: (dict, start index) — start is
+    ``len(sql)`` when absent."""
+    m = _kw(masked, r"\bOPTIONS\s*\(")
+    if m is None:
+        return {}, len(sql)
+    close = _match_paren(masked, m.end() - 1)
+    if masked[close:].strip():
+        raise LakehouseSqlError("OPTIONS(...) must be the final clause")
+    opts = {}
+    lo, hi = m.end(), close - 1
+    if sql[lo:hi].strip():
+        for a, b in _split_top(masked, sql, ",", lo, hi):
+            part = sql[a:b]
+            eq = part.find("=")
+            if eq < 0:
+                raise LakehouseSqlError(f"bad OPTIONS entry {part.strip()!r}")
+            key = part[:eq].strip().lower()
+            if not re.fullmatch(r"\w+", key):
+                raise LakehouseSqlError(f"bad OPTIONS key {key!r}")
+            opts[key] = _parse_value(part[eq + 1:])
+    return opts, m.start()
+
+
+def _check_opts(opts: dict, allowed: set[str], stmt: str) -> dict:
+    bad = sorted(set(opts) - allowed)
+    if bad:
+        raise LakehouseSqlError(
+            f"unsupported OPTIONS for {stmt}: {bad} (allowed: "
+            f"{sorted(allowed)})")
+    return opts
+
+
+# --------------------------------------------------------------------------
+# name resolution
+# --------------------------------------------------------------------------
+
+def _resolve(name: str, catalog: Catalog | None,
+             tables: dict[str, LakehouseTable] | None) -> LakehouseTable:
+    if tables and name in tables:
+        return tables[name]
+    if catalog is not None:
+        return catalog.load_table(name)
+    raise LakehouseSqlError(
+        f"cannot resolve table {name!r}: pass catalog= or tables=")
+
+
+def _register_reads(spark: SparkSession, catalog: Catalog | None,
+                    tables: dict[str, LakehouseTable] | None) -> None:
+    for name, t in (tables or {}).items():
+        if not re.fullmatch(r"[A-Za-z_]\w*", name):
+            raise LakehouseSqlError(
+                f"tables= key {name!r} is not a valid SQL view name")
+        t.register(spark, name)
+    if catalog is not None:
+        catalog.register_all(spark)
+
+
+# --------------------------------------------------------------------------
+# pruning-hint derivation from WHERE text
+# --------------------------------------------------------------------------
+
+def _conjuncts(pred: str) -> list[str] | None:
+    """Depth-0 AND conjuncts, or None if the top level is not a pure
+    conjunction (OR present). BETWEEN's interior AND is re-joined."""
+    masked = _mask(pred)
+    if _kw(masked, r"\bOR\b") is not None:
+        return None
+    parts, depth, start, out = [], 0, 0, []
+    for m in re.finditer(r"\bAND\b", masked, re.I):
+        depth = masked.count("(", 0, m.start()) - masked.count(
+            ")", 0, m.start())
+        if depth == 0:
+            parts.append((start, m.start()))
+            start = m.end()
+    parts.append((start, len(pred)))
+    i = 0
+    while i < len(parts):
+        a, b = parts[i]
+        frag = pred[a:b]
+        # a dangling BETWEEN consumed its AND in the split — re-join
+        if re.search(r"(?is)\bBETWEEN\b(?:(?!\bAND\b).)*$", _mask(frag)) \
+                and i + 1 < len(parts):
+            parts[i] = (a, parts[i + 1][1])
+            del parts[i + 1]
+            continue
+        i += 1
+    return [pred[a:b] for a, b in parts]
+
+
+def derive_hints(table: LakehouseTable, pred: str) -> tuple[dict, dict]:
+    """Compile a predicate's derivable conjuncts into ``(int_ranges,
+    point_eq)`` file-skipping hints. Conservative by construction: each
+    hint comes from one AND-conjunct, so the hinted file set is a
+    superset of the matching file set; fragments that do not parse are
+    simply ignored, and a top-level OR disables derivation entirely."""
+    frags = _conjuncts(pred)
+    if frags is None:
+        return {}, {}
+    int_cols = {
+        f.name for f in table.schema().fields
+        if f.dataType.typeName() in _INTEGRAL
+    }
+    int_ranges: dict[str, tuple] = {}
+    point_eq: dict[str, object] = {}
+
+    def narrow(col: str, lo, hi) -> None:
+        plo, phi = int_ranges.get(col, (None, None))
+        lo = plo if lo is None else (lo if plo is None else max(lo, plo))
+        hi = phi if hi is None else (hi if phi is None else min(hi, phi))
+        int_ranges[col] = (lo, hi)
+
+    for frag in frags:
+        t = frag.strip()
+        m = re.fullmatch(
+            rf"(?is)\s*({_IDENT})\s*(=|<=|>=|<|>)\s*(.+?)\s*", t)
+        rev = re.fullmatch(
+            rf"(?is)\s*(.+?)\s*(=|<=|>=|<|>)\s*({_IDENT})\s*", t)
+        col = op = lit_text = None
+        if m and re.fullmatch(_IDENT, m.group(1)):
+            col, op, lit_text = m.group(1), m.group(2), m.group(3)
+        elif rev and re.fullmatch(_IDENT, rev.group(3)):
+            flip = {"<": ">", ">": "<", "<=": ">=", ">=": "<=", "=": "="}
+            col, op, lit_text = rev.group(3), flip[rev.group(2)], rev.group(1)
+        if col is not None and "." not in col:
+            try:
+                val = _parse_scalar(lit_text)
+            except LakehouseSqlError:
+                continue
+            if op == "=" and not isinstance(val, bool) and val is not None:
+                prev = point_eq.get(col)
+                if prev is None or prev == val:
+                    point_eq[col] = val
+            if col in int_cols and isinstance(val, int) \
+                    and not isinstance(val, bool):
+                if op == "=":
+                    narrow(col, val, val)
+                elif op == "<":
+                    narrow(col, None, val - 1)
+                elif op == "<=":
+                    narrow(col, None, val)
+                elif op == ">":
+                    narrow(col, val + 1, None)
+                elif op == ">=":
+                    narrow(col, val, None)
+            continue
+        m = re.fullmatch(
+            rf"(?is)\s*({_IDENT})\s+BETWEEN\s+(.+?)\s+AND\s+(.+?)\s*", t)
+        if m and "." not in m.group(1) and m.group(1) in int_cols:
+            try:
+                lo, hi = _parse_scalar(m.group(2)), _parse_scalar(m.group(3))
+            except LakehouseSqlError:
+                continue
+            if isinstance(lo, int) and isinstance(hi, int):
+                narrow(m.group(1), lo, hi)
+            continue
+        m = re.fullmatch(rf"(?is)\s*({_IDENT})\s+IN\s*\((.*)\)\s*", t)
+        if m and "." not in m.group(1):
+            inner = m.group(2)
+            try:
+                vals = [
+                    _parse_scalar(inner[a:b]) for a, b in
+                    _split_top(_mask(inner), inner, ",", 0, len(inner))
+                ]
+            except LakehouseSqlError:
+                continue
+            if vals and all(v is not None for v in vals):
+                point_eq.setdefault(m.group(1), vals)
+                ints = [v for v in vals
+                        if isinstance(v, int) and not isinstance(v, bool)]
+                if m.group(1) in int_cols and len(ints) == len(vals):
+                    narrow(m.group(1), min(ints), max(ints))
+    return int_ranges, point_eq
+
+
+# --------------------------------------------------------------------------
+# statement handlers
+# --------------------------------------------------------------------------
+
+def _stmt_insert(spark, sql, masked, catalog, tables):
+    m = re.match(rf"(?is)\s*INSERT\s+(INTO|OVERWRITE)\s+({_IDENT})\s*",
+                 masked)
+    if not m:
+        raise LakehouseSqlError("expected INSERT INTO|OVERWRITE <table> ...")
+    overwrite = m.group(1).upper() == "OVERWRITE"
+    table = _resolve(m.group(2), catalog, tables)
+    pos = m.end()
+    collist = None
+    if pos < len(sql) and masked[pos] == "(":
+        close = _match_paren(masked, pos)
+        inner = sql[pos + 1:close - 1]
+        head = re.match(r"\s*(\w+)", _mask(inner))
+        if head and head.group(1).upper() not in (
+                "SELECT", "WITH", "VALUES", "TABLE"):
+            collist = [c.strip() for c in inner.split(",")]
+            if not all(re.fullmatch(r"[A-Za-z_]\w*", c) for c in collist):
+                raise LakehouseSqlError(f"bad INSERT column list {inner!r}")
+            pos = close
+    query = sql[pos:].strip()
+    if not query:
+        raise LakehouseSqlError("INSERT needs a query (SELECT/VALUES/TABLE)")
+    _register_reads(spark, catalog, tables)
+    df = spark.sql(query)
+    tcols = [f.name for f in table.schema().fields]
+    if collist is not None:
+        if len(df.columns) != len(collist):
+            raise LakehouseSqlError(
+                f"INSERT column list has {len(collist)} names but the "
+                f"query produces {len(df.columns)} columns")
+        df = df.toDF(*collist)
+        df = df.select(
+            *collist,
+            *[F.lit(None).alias(c) for c in tcols if c not in collist])
+    else:
+        if len(df.columns) != len(tcols):
+            raise LakehouseSqlError(
+                f"query produces {len(df.columns)} columns, table has "
+                f"{len(tcols)} — SQL INSERT is positional")
+        df = df.toDF(*tcols)  # positional, ANSI INSERT semantics
+    snap = (table.overwrite_partitions(df) if overwrite
+            else table.append(df))
+    return {"operation": "insert_overwrite" if overwrite else "insert",
+            "snapshot_id": snap.snapshot_id}
+
+
+def _where_and_options(sql, masked, lo, stmt):
+    opts, opt_start = _parse_options(masked, sql)
+    w = _kw(masked, r"\bWHERE\b", lo, opt_start)
+    if w is None:
+        return "true", opts, opt_start
+    pred = sql[w.end():opt_start].strip()
+    if not pred:
+        raise LakehouseSqlError(f"{stmt}: empty WHERE clause")
+    return pred, opts, w.start()
+
+
+def _stmt_delete(spark, sql, masked, catalog, tables):
+    m = re.match(rf"(?is)\s*DELETE\s+FROM\s+({_IDENT})\s*", masked)
+    if not m:
+        raise LakehouseSqlError("expected DELETE FROM <table> [WHERE ...]")
+    table = _resolve(m.group(1), catalog, tables)
+    pred, opts, _ = _where_and_options(sql, masked, m.end(), "DELETE")
+    _check_opts(opts, {"mode", "target_file_size", "chunk_files"}, "DELETE")
+    int_ranges, point_eq = derive_hints(table, pred)
+    out = delete_where(table, spark, pred,
+                       int_ranges=int_ranges or None,
+                       point_eq=point_eq or None, **opts)
+    out["operation"] = "delete"
+    return out
+
+
+def _stmt_update(spark, sql, masked, catalog, tables):
+    m = re.match(rf"(?is)\s*UPDATE\s+({_IDENT})\s+SET\b", masked)
+    if not m:
+        raise LakehouseSqlError("expected UPDATE <table> SET ...")
+    table = _resolve(m.group(1), catalog, tables)
+    pred, opts, set_end = _where_and_options(sql, masked, m.end(), "UPDATE")
+    _check_opts(opts, {"mode", "target_file_size", "chunk_files"}, "UPDATE")
+    assignments = {}
+    for a, b in _split_top(masked, sql, ",", m.end(), set_end):
+        part = sql[a:b]
+        am = re.match(r"(?s)\s*([A-Za-z_]\w*)\s*=(.*)", part)
+        if not am or not am.group(2).strip():
+            raise LakehouseSqlError(f"bad SET assignment {part.strip()!r}")
+        if am.group(1) in assignments:
+            raise LakehouseSqlError(
+                f"column {am.group(1)!r} assigned twice")
+        assignments[am.group(1)] = am.group(2).strip()
+    int_ranges, point_eq = derive_hints(table, pred)
+    out = update_where(table, spark, pred, assignments,
+                       int_ranges=int_ranges or None,
+                       point_eq=point_eq or None, **opts)
+    out["operation"] = "update"
+    return out
+
+
+def _strip_alias(side: str) -> str:
+    s = side.strip()
+    if not re.fullmatch(_IDENT, s):
+        raise LakehouseSqlError(
+            f"MERGE ON must be equality of columns, got {s!r}")
+    return s.rsplit(".", 1)[-1]
+
+
+def _merge_alias(masked: str, pos: int) -> tuple[str | None, int]:
+    m = re.match(r"(?is)\s*AS\s+([A-Za-z_]\w*)", masked[pos:])
+    if m:
+        return m.group(1), pos + m.end()
+    m = re.match(r"(?is)\s*([A-Za-z_]\w*)", masked[pos:])
+    if m and m.group(1).upper() not in ("USING", "ON", "WHEN", "OPTIONS"):
+        return m.group(1), pos + m.end()
+    return None, pos
+
+
+def _stmt_merge(spark, sql, masked, catalog, tables):
+    m = re.match(rf"(?is)\s*MERGE\s+INTO\s+({_IDENT})", masked)
+    if not m:
+        raise LakehouseSqlError("expected MERGE INTO <table> USING ...")
+    table = _resolve(m.group(1), catalog, tables)
+    _t_alias, pos = _merge_alias(masked, m.end())
+    um = re.match(r"(?is)\s*USING\s*", masked[pos:])
+    if not um:
+        raise LakehouseSqlError("MERGE: expected USING after the target")
+    pos += um.end()
+    _register_reads(spark, catalog, tables)
+    if pos < len(masked) and masked[pos] == "(":
+        close = _match_paren(masked, pos)
+        source = spark.sql(sql[pos + 1:close - 1])
+        pos = close
+    else:
+        sm = re.match(rf"(?is)({_IDENT})", masked[pos:])
+        if not sm:
+            raise LakehouseSqlError("MERGE: expected a source after USING")
+        name = sm.group(1)
+        pos += sm.end()
+        try:
+            source = _resolve(name, catalog, tables).scan(spark)
+        except (LakehouseSqlError, ValueError):
+            source = spark.table(name)
+    _s_alias, pos = _merge_alias(masked, pos)
+    om = re.match(r"(?is)\s*ON\b", masked[pos:])
+    if not om:
+        raise LakehouseSqlError("MERGE: expected ON <key equality>")
+    on_lo = pos + om.end()
+    opts, opt_start = _parse_options(masked, sql)
+    first_when = _kw(masked, r"\bWHEN\b", on_lo, opt_start)
+    on_hi = first_when.start() if first_when else opt_start
+    keys = []
+    frags = _conjuncts(sql[on_lo:on_hi])
+    if frags is None:
+        raise LakehouseSqlError("MERGE ON must be an AND of key equalities")
+    for frag in frags:
+        fm = re.fullmatch(r"(?s)\s*(.+?)\s*=\s*(.+?)\s*", frag)
+        if not fm:
+            raise LakehouseSqlError(f"MERGE ON conjunct {frag.strip()!r} "
+                                    "is not an equality")
+        a, b = _strip_alias(fm.group(1)), _strip_alias(fm.group(2))
+        if a != b:
+            raise LakehouseSqlError(
+                f"MERGE keys must be the same column on both sides "
+                f"(got {a!r} = {b!r}); alias the source query column")
+        keys.append(a)
+
+    when_matched = None
+    when_not_matched = None
+    by_source = None
+    update_cols = None
+    clause_text = sql[on_hi:opt_start]
+    clause_masked = masked[on_hi:opt_start]
+    if _kw(clause_masked, r"\bWHEN\s+(NOT\s+)?MATCHED\s+AND\b") is not None:
+        raise LakehouseSqlError(
+            "conditional WHEN ... AND <cond> clauses are not supported; "
+            "filter the USING query instead")
+    whens = [w.start() for w in re.finditer(r"(?is)\bWHEN\b", clause_masked)
+             if (clause_masked.count("(", 0, w.start())
+                 - clause_masked.count(")", 0, w.start())) == 0]
+    whens.append(len(clause_text))
+    for i in range(len(whens) - 1):
+        c = clause_text[whens[i]:whens[i + 1]]
+        cm = clause_masked[whens[i]:whens[i + 1]]
+        if re.match(r"(?is)\s*WHEN\s+MATCHED\s+THEN\s+DELETE\s*$", cm):
+            when_matched = "delete"
+        elif re.match(r"(?is)\s*WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s+THEN"
+                      r"\s+DELETE\s*$", cm):
+            by_source = "delete"
+        elif re.match(r"(?is)\s*WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s*"
+                      r"\*\s*$", cm):
+            when_not_matched = "insert"
+        else:
+            um2 = re.match(r"(?is)\s*WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\b",
+                           cm)
+            if um2:
+                when_matched = "update"
+                body = c[um2.end():].strip()
+                if body == "*":
+                    update_cols = None
+                    continue
+                update_cols = []
+                bm = _mask(body)
+                for a, b in _split_top(bm, body, ",", 0, len(body)):
+                    part = body[a:b]
+                    pm = re.fullmatch(r"(?s)\s*(.+?)\s*=\s*(.+?)\s*", part)
+                    if not pm:
+                        raise LakehouseSqlError(
+                            f"bad UPDATE SET entry {part.strip()!r}")
+                    lhs, rhs = (_strip_alias(pm.group(1)),
+                                _strip_alias(pm.group(2)))
+                    if lhs != rhs:
+                        raise LakehouseSqlError(
+                            f"MERGE updates take the source row's value: "
+                            f"{lhs!r} = {rhs!r} is not the identity form "
+                            f"t.{lhs} = s.{lhs}; compute the expression in "
+                            "the USING query")
+                    update_cols.append(lhs)
+                continue
+            if cm.strip():
+                raise LakehouseSqlError(
+                    f"unsupported MERGE clause: {c.strip()!r}")
+    if when_matched is None and when_not_matched is None \
+            and by_source is None:
+        raise LakehouseSqlError("MERGE needs at least one WHEN clause")
+    _check_opts(opts, {"mode", "evolve_schema", "target_file_size"},
+                "MERGE")
+    if when_matched == "delete" and when_not_matched is None:
+        # delete-only merge: the engine conforms the source to the full
+        # schema but only the keys matter — fill the rest with NULLs so
+        # `USING (SELECT <key>) s` works, the natural delete-list shape
+        have = set(source.columns)
+        missing = [f for f in table.schema().fields if f.name not in have]
+        source = source.select(
+            "*", *[F.lit(None).cast(f.dataType).alias(f.name)
+                   for f in missing])
+    out = merge_into(
+        table, spark, source, key=keys,
+        when_matched=when_matched, update_cols=update_cols,
+        when_not_matched=when_not_matched,
+        when_not_matched_by_source=by_source, **opts)
+    out["operation"] = "merge"
+    return out
+
+
+def _stmt_create(spark, sql, masked, catalog, tables):
+    m = re.match(
+        rf"(?is)\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?({_IDENT})\s*",
+        masked)
+    if not m:
+        raise LakehouseSqlError("expected CREATE TABLE [IF NOT EXISTS] "
+                                "<table> AS <query>")
+    if catalog is None:
+        raise LakehouseSqlError("CREATE TABLE needs a catalog")
+    name, pos = m.group(2), m.end()
+    partition_col = None
+    pm = re.match(r"(?is)PARTITIONED\s+BY\s*\(", masked[pos:])
+    if pm:
+        close = _match_paren(masked, pos + pm.end() - 1)
+        partition_col = sql[pos + pm.end():close - 1].strip()
+        if not re.fullmatch(r"[A-Za-z_]\w*", partition_col):
+            raise LakehouseSqlError(
+                f"PARTITIONED BY takes one plain column, got "
+                f"{partition_col!r}; pass partition_transform via OPTIONS")
+        pos = close
+    # OPTIONS here sits between the head and AS, not at the tail
+    opts: dict = {}
+    om = re.match(r"(?is)\s*OPTIONS\s*\(", masked[pos:])
+    if om:
+        close = _match_paren(masked, pos + om.end() - 1)
+        inner_lo, inner_hi = pos + om.end(), close - 1
+        opts = {}
+        if sql[inner_lo:inner_hi].strip():
+            for a, b in _split_top(masked, sql, ",", inner_lo, inner_hi):
+                part = sql[a:b]
+                eq = part.find("=")
+                if eq < 0:
+                    raise LakehouseSqlError(
+                        f"bad OPTIONS entry {part.strip()!r}")
+                opts[part[:eq].strip().lower()] = _parse_value(part[eq + 1:])
+        pos = close
+    am = re.match(r"(?is)\s*AS\b", masked[pos:])
+    if not am:
+        raise LakehouseSqlError("CREATE TABLE requires AS <query> (CTAS)")
+    query = sql[pos + am.end():].strip()
+    if m.group(1) and catalog.table_exists(name):
+        return {"operation": "create_table", "table": name, "skipped": True}
+    _check_opts(opts, {"n_files", "partition_transform"} | {
+        k for k in opts if "." in k}, "CREATE TABLE")
+    props = {k: str(v) for k, v in opts.items() if "." in k}
+    _register_reads(spark, catalog, tables)
+    df = spark.sql(query)
+    t = catalog.create_table_as(
+        name, df, n_files=opts.get("n_files"),
+        partition_col=partition_col,
+        partition_transform=opts.get("partition_transform"),
+        properties=props or None)
+    return {"operation": "create_table", "table": name,
+            "location": t.location}
+
+
+def _stmt_drop(spark, sql, masked, catalog, tables):
+    m = re.fullmatch(
+        rf"(?is)\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?({_IDENT})"
+        r"\s*(PURGE)?\s*", masked)
+    if not m:
+        raise LakehouseSqlError("expected DROP TABLE [IF EXISTS] <table> "
+                                "[PURGE]")
+    if catalog is None:
+        raise LakehouseSqlError("DROP TABLE needs a catalog")
+    name = m.group(2)
+    if m.group(1) and not catalog.table_exists(name):
+        return {"operation": "drop_table", "table": name, "skipped": True}
+    catalog.drop_table(name, purge=bool(m.group(3)))
+    return {"operation": "drop_table", "table": name}
+
+
+def _stmt_optimize(spark, sql, masked, catalog, tables):
+    m = re.match(rf"(?is)\s*OPTIMIZE\s+({_IDENT})\s*", masked)
+    if not m:
+        raise LakehouseSqlError("expected OPTIMIZE <table> [ZORDER BY (...)]")
+    table = _resolve(m.group(1), catalog, tables)
+    opts, opt_start = _parse_options(masked, sql)
+    zm = re.match(r"(?is)ZORDER\s+BY\s*\(", masked[m.end():opt_start])
+    if zm:
+        close = _match_paren(masked, m.end() + zm.end() - 1)
+        cols = tuple(
+            c.strip() for c in sql[m.end() + zm.end():close - 1].split(","))
+        _check_opts(opts, {"curve", "target_file_size", "n_chunks",
+                           "recompress_level"}, "OPTIMIZE ZORDER")
+        curve = opts.pop("curve", "zorder")
+        out = cluster(table, spark, curve=curve, cols=cols, **opts)
+        out["operation"] = "optimize_cluster"
+        return out
+    if masked[m.end():opt_start].strip():
+        raise LakehouseSqlError(
+            f"unsupported OPTIMIZE clause "
+            f"{sql[m.end():opt_start].strip()!r}")
+    _check_opts(opts, {"target_file_size", "n_chunks", "sort_col",
+                       "key_col", "recompress_level"}, "OPTIMIZE")
+    out = compact(table, spark, **opts)
+    out["operation"] = "optimize_compact"
+    return out
+
+
+def _stmt_vacuum(spark, sql, masked, catalog, tables):
+    m = re.fullmatch(
+        rf"(?is)\s*VACUUM\s+({_IDENT})"
+        r"(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*", masked)
+    if not m:
+        raise LakehouseSqlError("expected VACUUM <table> [RETAIN n HOURS]")
+    table = _resolve(m.group(1), catalog, tables)
+    grace = float(m.group(2)) * 3600.0 if m.group(2) else 3 * 86400.0
+    out = table.remove_orphan_files(older_than_s=grace)
+    out["operation"] = "vacuum"
+    return out
+
+
+def _stmt_alter(spark, sql, masked, catalog, tables):
+    m = re.match(rf"(?is)\s*ALTER\s+TABLE\s+({_IDENT})\s+", masked)
+    if not m:
+        raise LakehouseSqlError("expected ALTER TABLE <table> ...")
+    table = _resolve(m.group(1), catalog, tables)
+    rest, mrest = sql[m.end():], masked[m.end():]
+    pm = re.match(r"(?is)SET\s+TBLPROPERTIES\s*\(", mrest)
+    if pm:
+        close = _match_paren(mrest, pm.end() - 1)
+        if mrest[close:].strip():
+            raise LakehouseSqlError("trailing text after TBLPROPERTIES")
+        updates = {}
+        for a, b in _split_top(mrest, rest, ",", pm.end(), close - 1):
+            part = rest[a:b]
+            eq = part.find("=")
+            if eq < 0:
+                raise LakehouseSqlError(f"bad property {part.strip()!r}")
+            key = _parse_scalar(part[:eq])
+            val = _parse_scalar(part[eq + 1:])
+            if not isinstance(key, str):
+                raise LakehouseSqlError("property keys must be 'strings'")
+            updates[key] = None if val is None else str(val)
+        v = table.update_properties(updates)
+        return {"operation": "set_tblproperties", "version": v}
+    am = re.match(r"(?is)ADD\s+COLUMNS?\s*\(", mrest)
+    if am:
+        close = _match_paren(mrest, am.end() - 1)
+        cols = {}
+        for a, b in _split_top(mrest, rest, ",", am.end(), close - 1):
+            cm = re.fullmatch(r"(?s)\s*([A-Za-z_]\w*)\s+(.+?)\s*", rest[a:b])
+            if not cm:
+                raise LakehouseSqlError(
+                    f"bad column spec {rest[a:b].strip()!r}")
+            cols[cm.group(1)] = cm.group(2)
+        v = table.add_columns(cols)
+        return {"operation": "add_columns", "version": v}
+    dm = re.fullmatch(r"(?is)DROP\s+COLUMN\s+([A-Za-z_]\w*)\s*", mrest)
+    if dm:
+        v = table.drop_column(dm.group(1))
+        return {"operation": "drop_column", "version": v}
+    rm = re.fullmatch(
+        r"(?is)RENAME\s+COLUMN\s+([A-Za-z_]\w*)\s+TO\s+([A-Za-z_]\w*)\s*",
+        mrest)
+    if rm:
+        v = table.rename_column(rm.group(1), rm.group(2))
+        return {"operation": "rename_column", "version": v}
+    tm = re.fullmatch(
+        r"(?is)ALTER\s+COLUMN\s+([A-Za-z_]\w*)\s+TYPE\s+(.+?)\s*", mrest)
+    if tm:
+        v = table.widen_column(tm.group(1), rest[tm.start(2):tm.end(2)])
+        return {"operation": "widen_column", "version": v}
+    raise LakehouseSqlError(
+        f"unsupported ALTER TABLE clause {rest.strip()[:60]!r}")
+
+
+PROCEDURES = {
+    "expire_snapshots": lambda t, s, **kw: t.expire_snapshots(**kw),
+    "remove_orphan_files": lambda t, s, **kw: t.remove_orphan_files(**kw),
+    "rewrite_manifests": lambda t, s, **kw: {
+        "snapshot_id": t.rewrite_manifests(s).snapshot_id},
+    "rewrite_position_deletes":
+        lambda t, s, **kw: rewrite_position_deletes(t, s, **kw),
+    "compact": lambda t, s, **kw: compact(t, s, **kw),
+    "cluster": lambda t, s, **kw: cluster(
+        t, s, **({**kw, "cols": tuple(kw["cols"])} if "cols" in kw else kw)),
+    "rollback_to": lambda t, s, **kw: {"version": t.rollback_to(**kw)},
+    "create_tag": lambda t, s, **kw: {"version": t.create_tag(**kw)},
+    "drop_tag": lambda t, s, **kw: {"version": t.drop_tag(**kw)},
+    "create_branch": lambda t, s, **kw: {"version": t.create_branch(**kw)},
+    "drop_branch": lambda t, s, **kw: {"version": t.drop_branch(**kw)},
+    "fast_forward": lambda t, s, **kw: {"version": t.fast_forward(**kw)},
+    "set_ref_retention":
+        lambda t, s, **kw: {"version": t.set_ref_retention(**kw)},
+    "add_files": lambda t, s, **kw: t.add_files(s, **kw),
+    "drop_partitions": lambda t, s, **kw: drop_partitions(t, s, **kw),
+    "run_maintenance": None,  # resolved lazily (import cycle)
+}
+
+
+def _stmt_call(spark, sql, masked, catalog, tables):
+    m = re.match(r"(?is)\s*CALL\s+([A-Za-z_]\w*)\s*\(", masked)
+    if not m:
+        raise LakehouseSqlError("expected CALL <procedure>(...)")
+    proc = m.group(1).lower()
+    if proc not in PROCEDURES:
+        raise LakehouseSqlError(
+            f"unknown procedure {proc!r} (available: "
+            f"{sorted(PROCEDURES)})")
+    close = _match_paren(masked, m.end() - 1)
+    if masked[close:].strip():
+        raise LakehouseSqlError("trailing text after CALL(...)")
+    lo, hi = m.end(), close - 1
+    if not sql[lo:hi].strip():
+        raise LakehouseSqlError("CALL needs the table name as its first "
+                                "argument: CALL proc('ns.table', ...)")
+    spans = _split_top(masked, sql, ",", lo, hi)
+    first = sql[spans[0][0]:spans[0][1]]
+    tname = _parse_scalar(first)
+    if not isinstance(tname, str):
+        raise LakehouseSqlError(
+            "CALL's first argument must be the 'table name' string")
+    table = _resolve(tname, catalog, tables)
+    kwargs = {}
+    for a, b in spans[1:]:
+        part = sql[a:b]
+        km = re.match(r"(?s)\s*([A-Za-z_]\w*)\s*=>\s*(.+?)\s*$", part)
+        if not km:
+            raise LakehouseSqlError(
+                f"CALL arguments after the table are named: key => value "
+                f"(got {part.strip()!r})")
+        kwargs[km.group(1)] = _parse_value(km.group(2))
+    fn = PROCEDURES[proc]
+    if fn is None:  # run_maintenance: lazy import (cycle via plans)
+        from .plans.maintenance import run_maintenance
+        if "cluster_cols" in kwargs:
+            kwargs["cluster_cols"] = tuple(kwargs["cluster_cols"])
+        out = run_maintenance(table, spark, **kwargs)
+    else:
+        out = fn(table, spark, **kwargs)
+    if not isinstance(out, dict):
+        out = {"result": out}
+    out["operation"] = f"call:{proc}"
+    return out
+
+
+_DISPATCH = {
+    "INSERT": _stmt_insert,
+    "DELETE": _stmt_delete,
+    "UPDATE": _stmt_update,
+    "MERGE": _stmt_merge,
+    "CREATE": _stmt_create,
+    "DROP": _stmt_drop,
+    "OPTIMIZE": _stmt_optimize,
+    "VACUUM": _stmt_vacuum,
+    "ALTER": _stmt_alter,
+    "CALL": _stmt_call,
+}
+
+
+def execute_sql(
+    spark: SparkSession,
+    sql: str,
+    catalog: Catalog | None = None,
+    tables: dict[str, LakehouseTable] | None = None,
+    args: dict | None = None,
+):
+    """Run one SQL statement against the lakehouse.
+
+    Reads (SELECT/WITH/VALUES/TABLE) return a DataFrame computed by
+    ``spark.sql`` after registering every catalog table (views named
+    ``<ns>_<table>``) and every entry of ``tables`` (view name = dict
+    key). Writes, DDL, and maintenance statements dispatch to the
+    native operators and return their metrics dict with an added
+    ``operation`` key. ``args`` binds ``:name`` placeholders as SQL
+    literals (str/int/float/bool/None/list).
+    """
+    sql = _bind(sql, args or {})
+    masked = _mask(sql)
+    hm = re.match(r"\s*(\w+)", masked)
+    if not hm:
+        raise LakehouseSqlError("empty SQL statement")
+    head = hm.group(1).upper()
+    if head in ("SELECT", "WITH", "VALUES", "TABLE"):
+        _register_reads(spark, catalog, tables)
+        return spark.sql(sql)
+    fn = _DISPATCH.get(head)
+    if fn is None:
+        raise LakehouseSqlError(
+            f"unsupported statement head {head!r} (reads: SELECT/WITH/"
+            f"VALUES/TABLE; writes: {sorted(_DISPATCH)})")
+    return fn(spark, sql, masked, catalog, tables)
+
+
+def execute_sql_script(
+    spark: SparkSession,
+    script: str,
+    catalog: Catalog | None = None,
+    tables: dict[str, LakehouseTable] | None = None,
+    args: dict | None = None,
+) -> list:
+    """Run a ;-separated script (the reference's per-task SQL files,
+    src/sql/*.sql run statement-by-statement); returns one result per
+    non-empty statement, in order."""
+    masked = _mask(script)
+    results = []
+    for a, b in _split_top(masked, script, ";", 0, len(script)):
+        stmt = script[a:b]
+        if stmt.strip():
+            results.append(execute_sql(spark, stmt, catalog=catalog,
+                                       tables=tables, args=args))
+    return results

@@ -1,0 +1,295 @@
+"""SQL front-end: the reference's SQL-string entry point
+(dags/Queries_dag.py:54-95, src/sql/*.sql) over the Spark engine —
+reads delegate to spark.sql, writes/DDL/maintenance dispatch to the
+native operators with auto-derived pruning hints."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mobility_lakehouse_project_spark.sql import (
+    LakehouseSqlError,
+    derive_hints,
+    execute_sql,
+    execute_sql_script,
+)
+from mobility_lakehouse_project_spark.tableformat import Catalog
+
+
+@pytest.fixture()
+def cat(tmp_path):
+    return Catalog(str(tmp_path / "wh"))
+
+
+def _seed(spark, cat, n=50):
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 97, f"cap{i}") for i in range(n)],
+        "image_id long, phash long, caption string",
+    )
+    cat.create_table("silver.images", df.schema).append(df, n_files=4)
+    return cat.load_table("silver.images")
+
+
+def test_select_over_catalog_views_with_args(spark, cat):
+    _seed(spark, cat)
+    df = execute_sql(
+        spark,
+        "SELECT count(*) AS n FROM silver_images WHERE image_id < :k",
+        catalog=cat, args={"k": 10})
+    assert df.collect()[0]["n"] == 10
+
+
+def test_select_over_tables_mapping(spark, cat):
+    t = _seed(spark, cat)
+    df = execute_sql(
+        spark, "SELECT max(image_id) AS m FROM img", tables={"img": t})
+    assert df.collect()[0]["m"] == 49
+
+
+def test_string_literal_masking_keeps_keywords_inert(spark, cat):
+    t = _seed(spark, cat)
+    df = execute_sql(
+        spark,
+        "SELECT count(*) AS n FROM img WHERE caption != 'WHERE -- DELETE'",
+        tables={"img": t})
+    assert df.collect()[0]["n"] == 50
+
+
+def test_insert_values_positional_and_column_list(spark, cat):
+    t = _seed(spark, cat)
+    out = execute_sql(
+        spark, "INSERT INTO silver.images VALUES (100, 5, 'x')",
+        catalog=cat)
+    assert out["operation"] == "insert"
+    out = execute_sql(
+        spark,
+        "INSERT INTO silver.images (image_id, caption) SELECT 200, 'y'",
+        catalog=cat)
+    rows = {r["image_id"]: r for r in t.scan(spark).collect()}
+    assert len(rows) == 52 and rows[100]["phash"] == 5
+    assert rows[200]["phash"] is None and rows[200]["caption"] == "y"
+
+
+def test_insert_wrong_arity_rejected(spark, cat):
+    _seed(spark, cat)
+    with pytest.raises(LakehouseSqlError, match="positional"):
+        execute_sql(spark, "INSERT INTO silver.images SELECT 1, 2",
+                    catalog=cat)
+
+
+def test_insert_overwrite_replaces_partition(spark, cat):
+    df = spark.createDataFrame(
+        [(i, i % 2, f"c{i}") for i in range(20)],
+        "id long, p long, c string")
+    cat.create_table("g.t", df.schema, partition_col="p").append(df)
+    execute_sql(
+        spark,
+        "INSERT OVERWRITE g.t SELECT 999 AS id, 1 AS p, 'new' AS c",
+        catalog=cat)
+    got = cat.load_table("g.t").scan(spark)
+    assert got.filter("p = 1").count() == 1
+    assert got.filter("p = 0").count() == 10
+
+
+def test_delete_where_and_derived_hints(spark, cat):
+    t = _seed(spark, cat)
+    out = execute_sql(
+        spark, "DELETE FROM silver.images WHERE image_id < :k",
+        catalog=cat, args={"k": 5})
+    assert out["operation"] == "delete" and out["rows_deleted"] == 5
+    assert t.scan(spark).count() == 45
+    # hint derivation: conjuncts compile to int_ranges / point_eq
+    ranges, eq = derive_hints(
+        t, "phash = 5 AND image_id BETWEEN 3 AND 9 AND caption = 'a''b'")
+    assert ranges == {"phash": (5, 5), "image_id": (3, 9)}
+    assert eq == {"phash": 5, "caption": "a'b"}
+    ranges, eq = derive_hints(t, "image_id IN (4, 8, 15)")
+    assert ranges == {"image_id": (4, 15)}
+    assert eq == {"image_id": [4, 8, 15]}
+    # OR is not a conjunction: derivation disabled (over-approx rule)
+    assert derive_hints(t, "phash = 5 OR image_id = 1") == ({}, {})
+    # non-literal comparisons are ignored, literal flips are handled
+    ranges, _ = derive_hints(t, "10 >= image_id AND phash = caption")
+    assert ranges == {"image_id": (None, 10)}
+
+
+def test_delete_mor_option(spark, cat):
+    t = _seed(spark, cat)
+    out = execute_sql(
+        spark,
+        "DELETE FROM silver.images WHERE phash > 50 OPTIONS(mode = 'mor')",
+        catalog=cat)
+    assert out["operation"] == "delete"
+    assert t.scan(spark).filter("phash > 50").count() == 0
+
+
+def test_update_with_expression(spark, cat):
+    t = _seed(spark, cat)
+    out = execute_sql(
+        spark,
+        "UPDATE silver.images SET caption = upper(caption), "
+        "phash = phash + 1000 WHERE image_id < 3",
+        catalog=cat)
+    assert out["operation"] == "update"
+    rows = {r["image_id"]: r for r in t.scan(spark).collect()}
+    assert rows[0]["caption"] == "CAP0" and rows[0]["phash"] == 1000
+    assert rows[3]["caption"] == "cap3"
+
+
+def test_merge_upsert_cow_and_mor(spark, cat):
+    t = _seed(spark, cat)
+    sql = """
+      MERGE INTO silver.images AS t
+      USING (SELECT 1 AS image_id, 777 AS phash, 'upd' AS caption
+             UNION ALL
+             SELECT 1000, 1, 'new') AS s
+      ON t.image_id = s.image_id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *
+    """
+    out = execute_sql(spark, sql, catalog=cat)
+    assert out["operation"] == "merge"
+    rows = {r["image_id"]: r for r in t.scan(spark).collect()}
+    assert len(rows) == 51
+    assert rows[1]["caption"] == "upd" and rows[1000]["caption"] == "new"
+    out = execute_sql(spark, sql + " OPTIONS(mode = 'mor')", catalog=cat)
+    assert t.scan(spark).count() == 51  # idempotent upsert
+
+
+def test_merge_matched_delete_and_subset_update(spark, cat):
+    t = _seed(spark, cat)
+    execute_sql(
+        spark,
+        "MERGE INTO silver.images USING "
+        "(SELECT 5 AS image_id) s ON silver.images.image_id = s.image_id "
+        "WHEN MATCHED THEN DELETE",
+        catalog=cat)
+    assert t.scan(spark).filter("image_id = 5").count() == 0
+    execute_sql(
+        spark,
+        "MERGE INTO silver.images t USING "
+        "(SELECT 6 AS image_id, 0 AS phash, 'z' AS caption) s "
+        "ON t.image_id = s.image_id "
+        "WHEN MATCHED THEN UPDATE SET t.caption = s.caption",
+        catalog=cat)
+    rows = {r["image_id"]: r for r in t.scan(spark).collect()}
+    assert rows[6]["caption"] == "z"
+    assert rows[6]["phash"] == (6 * 37) % 97  # subset update kept phash
+
+
+def test_merge_rejects_conditional_when_and_theta_on(spark, cat):
+    _seed(spark, cat)
+    with pytest.raises(LakehouseSqlError, match="conditional WHEN"):
+        execute_sql(
+            spark,
+            "MERGE INTO silver.images t USING (SELECT 1 AS image_id) s "
+            "ON t.image_id = s.image_id "
+            "WHEN MATCHED AND t.phash > 3 THEN DELETE",
+            catalog=cat)
+    with pytest.raises(LakehouseSqlError, match="equality"):
+        execute_sql(
+            spark,
+            "MERGE INTO silver.images t USING (SELECT 1 AS image_id) s "
+            "ON t.image_id < s.image_id WHEN MATCHED THEN DELETE",
+            catalog=cat)
+
+
+def test_ctas_partitioned_then_drop(spark, cat):
+    _seed(spark, cat)
+    out = execute_sql(
+        spark,
+        "CREATE TABLE silver.small PARTITIONED BY (phash) AS "
+        "SELECT image_id, phash % 2 AS phash, caption "
+        "FROM silver_images WHERE image_id < 10",
+        catalog=cat)
+    assert out["operation"] == "create_table"
+    t = cat.load_table("silver.small")
+    assert t.scan(spark).count() == 10
+    out = execute_sql(
+        spark, "CREATE TABLE IF NOT EXISTS silver.small AS SELECT 1 AS a",
+        catalog=cat)
+    assert out["skipped"] is True
+    out = execute_sql(spark, "DROP TABLE silver.small PURGE", catalog=cat)
+    assert out["operation"] == "drop_table"
+    assert not cat.table_exists("silver.small")
+    out = execute_sql(spark, "DROP TABLE IF EXISTS silver.small",
+                      catalog=cat)
+    assert out["skipped"] is True
+
+
+def test_optimize_compact_and_zorder(spark, cat):
+    t = _seed(spark, cat, n=200)
+    out = execute_sql(spark, "OPTIMIZE silver.images", catalog=cat)
+    assert out["operation"] == "optimize_compact"
+    out = execute_sql(
+        spark,
+        "OPTIMIZE silver.images ZORDER BY (phash, image_id)",
+        catalog=cat)
+    assert out["operation"] == "optimize_cluster"
+    assert t.scan(spark).count() == 200
+
+
+def test_vacuum_and_call_procedures(spark, cat):
+    t = _seed(spark, cat)
+    execute_sql(spark, "OPTIMIZE silver.images", catalog=cat)
+    out = execute_sql(
+        spark, "CALL create_tag('silver.images', name => 'v1')",
+        catalog=cat)
+    assert out["operation"] == "call:create_tag"
+    out = execute_sql(
+        spark, "CALL expire_snapshots('silver.images', keep_last => 1)",
+        catalog=cat)
+    assert out["operation"] == "call:expire_snapshots"
+    out = execute_sql(spark, "VACUUM silver.images RETAIN 0 HOURS",
+                      catalog=cat)
+    assert out["operation"] == "vacuum"
+    assert t.scan(spark, ref="v1").count() == 50  # tag survives expiry
+    with pytest.raises(LakehouseSqlError, match="unknown procedure"):
+        execute_sql(spark, "CALL nuke('silver.images')", catalog=cat)
+
+
+def test_alter_table_statements(spark, cat):
+    t = _seed(spark, cat)
+    out = execute_sql(
+        spark,
+        "ALTER TABLE silver.images SET TBLPROPERTIES "
+        "('write.sort-order' = 'zorder(phash, image_id)')",
+        catalog=cat)
+    assert out["operation"] == "set_tblproperties"
+    assert t.properties()["write.sort-order"] == "zorder(phash, image_id)"
+    execute_sql(spark, "ALTER TABLE silver.images ADD COLUMNS (w int)",
+                catalog=cat)
+    execute_sql(spark,
+                "ALTER TABLE silver.images ALTER COLUMN w TYPE bigint",
+                catalog=cat)
+    execute_sql(spark,
+                "ALTER TABLE silver.images RENAME COLUMN w TO width",
+                catalog=cat)
+    assert dict(
+        (f.name, f.dataType.typeName()) for f in t.schema().fields
+    )["width"] == "long"
+    execute_sql(spark, "ALTER TABLE silver.images DROP COLUMN width",
+                catalog=cat)
+    assert "width" not in [f.name for f in t.schema().fields]
+
+
+def test_script_and_errors(spark, cat):
+    _seed(spark, cat)
+    results = execute_sql_script(
+        spark,
+        """
+        DELETE FROM silver.images WHERE image_id = 0;
+        -- a comment between statements; the next one is a read
+        SELECT count(*) AS n FROM silver_images;
+        """,
+        catalog=cat)
+    assert len(results) == 2
+    assert results[0]["operation"] == "delete"
+    assert results[1].collect()[0]["n"] == 49
+    with pytest.raises(LakehouseSqlError, match="unbound SQL parameter"):
+        execute_sql(spark, "SELECT :missing", catalog=cat)
+    with pytest.raises(LakehouseSqlError, match="unsupported statement"):
+        execute_sql(spark, "GRANT ALL TO me", catalog=cat)
+    with pytest.raises(LakehouseSqlError, match="unsupported OPTIONS"):
+        execute_sql(
+            spark, "DELETE FROM silver.images WHERE true OPTIONS(bogus=1)",
+            catalog=cat)
