@@ -2086,6 +2086,67 @@ ORACLE_SQL["cdc_changelog_scan"] = """
 """
 
 
+def sql_dml_roundtrip(spark, sf_dir):
+    """The SQL front-end (sql.py), oracle-checked end to end: a
+    scratch lakehouse table of orders keys is driven entirely through
+    SQL strings — a parameterized DELETE (whose WHERE compiles to a
+    point_eq pruning hint automatically), an UPDATE with an arithmetic
+    assignment, then an aggregate SELECT over the registered view.
+    The oracle composes the same two mutations in pure SQL, so a
+    front-end that mis-parses a clause, binds a parameter wrong, or
+    routes to the wrong operator diverges on integer-exact sums. This
+    is the reference's actual UX — every pipeline step is a SQL string
+    run by an embedded engine (dags/Queries_dag.py:54-95,
+    src/sql/silver.sql) — over this engine's native DML."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..sql import execute_sql, execute_sql_script
+
+    from ..tableformat import LakehouseTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"
+    )
+    scratch = os.path.join(tempfile.gettempdir(), "mlps-scratch", "sql-dml")
+    shutil.rmtree(scratch, ignore_errors=True)
+    t = LakehouseTable.create(
+        scratch + "/orders", o.schema, partition_col="o_orderpriority"
+    )
+    t.append(o, n_files=8)
+    execute_sql_script(
+        spark,
+        """
+        DELETE FROM t WHERE o_orderstatus = :st;
+        UPDATE t SET o_custkey = o_custkey + :bump
+            WHERE o_orderpriority = '1-URGENT';
+        """,
+        tables={"t": t},
+        args={"st": "F", "bump": 1000000},
+    )
+    return execute_sql(
+        spark,
+        "SELECT o_orderpriority, COUNT(*) AS n_orders, "
+        "SUM(o_custkey) AS sum_ck FROM t "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority",
+        tables={"t": t},
+    )
+
+
+ORACLE_SQL["sql_dml_roundtrip"] = """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                             THEN o_custkey + 1000000
+                             ELSE o_custkey END) AS BIGINT) AS sum_ck
+        FROM orders
+        WHERE NOT (o_orderstatus = 'F')
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+"""
+
+
 def bloom_point_lookup(spark, sf_dir):
     """Point lookup through manifest bloom filters, oracle-checked: a
     scratch lakehouse table of the orders keys is written with
@@ -2399,4 +2460,5 @@ QUERIES = {
     "sample_hash_mod": sample_hash_mod,
     "split_stratified": split_stratified,
     "txt_token_bpe": txt_token_bpe,
+    "sql_dml_roundtrip": sql_dml_roundtrip,
 }
