@@ -19,12 +19,18 @@ Expression and query *fragments* (everything after WHERE / SET = /
 AS / USING) are handed to Spark **unparsed**, so any expression Spark
 SQL accepts works there; only the statement skeleton is parsed here.
 Identifiers must be unquoted (``ns.table``, plain column names).
+One scoping caveat: DELETE/UPDATE predicates are evaluated as
+DataFrame filters over the target scan, so they must be scalar
+expressions of the target's columns — ``IN (SELECT ...)`` subqueries
+are not available there (pre-compute the key list into the statement
+via ``:param`` binding, or express the operation as a MERGE whose
+USING query does the subquery work).
 
 Supported statements (heads case-insensitive)::
 
   SELECT / WITH / VALUES / TABLE ...                 -> DataFrame
-  INSERT INTO t [(cols)] <query>                     -> append (positional)
-  INSERT OVERWRITE t [(cols)] <query>                -> dynamic partition overwrite
+  INSERT INTO [TABLE] t [(cols)] <query>             -> append (positional)
+  INSERT OVERWRITE [TABLE] t [(cols)] <query>        -> dynamic partition overwrite
   DELETE FROM t [WHERE <expr>] [OPTIONS(...)]        -> delete_where
   UPDATE t SET c = <expr>, ... [WHERE <expr>] [OPTIONS(...)]
   MERGE INTO t [AS a] USING <name | (query)> [AS b]
@@ -107,18 +113,23 @@ def _mask(sql: str) -> str:
 
     while i < n:
         c = sql[i]
-        if c == "'":
+        if c in ("'", '"'):
+            # Spark string literals: both quote chars, ''-doubling AND
+            # backslash escapes (escapedStringLiterals=false default)
             j = i + 1
             while j < n:
-                if sql[j] == "'":
-                    if j + 1 < n and sql[j + 1] == "'":
+                if sql[j] == "\\" and j + 1 < n:
+                    j += 2
+                    continue
+                if sql[j] == c:
+                    if j + 1 < n and sql[j + 1] == c:
                         j += 2
                         continue
                     break
                 j += 1
             blank(i, j + 1)
             i = j + 1
-        elif c in ('"', "`"):
+        elif c == "`":
             j = sql.find(c, i + 1)
             j = n - 1 if j < 0 else j
             blank(i, j + 1)
@@ -219,8 +230,23 @@ def _parse_scalar(text: str):
         return int(t)
     if re.fullmatch(r"[+-]?\d*\.\d+(e[+-]?\d+)?", low):
         return float(t)
-    if len(t) >= 2 and t[0] == "'" and t[-1] == "'":
-        return t[1:-1].replace("''", "'")
+    # a SINGLE complete quoted literal only — "'a' || 'b'" must NOT
+    # parse as the string "a' || 'b" (it would poison pruning hints)
+    if re.fullmatch(r"'(?:[^'\\]|\\.|'')*'", t, re.S):
+        body = t[1:-1].replace("''", "'")
+        # decode ONLY the escapes whose Spark semantics are certain; any
+        # other backslash sequence must not become a (wrong) hint value
+        esc = {"\\\\": "\\", "\\'": "'", '\\"': '"',
+               "\\n": "\n", "\\t": "\t", "\\r": "\r"}
+
+        def _unesc(m: re.Match) -> str:
+            seq = m.group(0)
+            if seq not in esc:
+                raise LakehouseSqlError(
+                    f"unsupported escape {seq!r} in literal {text!r}")
+            return esc[seq]
+
+        return re.sub(r"\\.", _unesc, body)
     raise LakehouseSqlError(f"expected a literal, got {text!r}")
 
 
@@ -236,6 +262,37 @@ def _parse_value(text: str):
     return _parse_scalar(t)
 
 
+def _parse_kv_pairs(masked: str, sql: str, lo: int, hi: int,
+                    what: str, string_keys: bool = False,
+                    key_re: str = r"\w+") -> dict:
+    """``k = v`` pairs split on depth-0 commas in ``sql[lo:hi]``.
+    Keys are bare words lowercased (``string_keys=True``: quoted
+    literals, case kept — the TBLPROPERTIES form); values are parsed
+    literals. Shared by OPTIONS / CTAS OPTIONS / TBLPROPERTIES so the
+    three can't drift."""
+    out: dict = {}
+    if not sql[lo:hi].strip():
+        return out
+    for a, b in _split_top(masked, sql, ",", lo, hi):
+        part = sql[a:b]
+        eq = masked[a:b].find("=")
+        if eq < 0:
+            raise LakehouseSqlError(f"bad {what} entry {part.strip()!r}")
+        if string_keys:
+            key = _parse_scalar(part[:eq])
+            if not isinstance(key, str):
+                raise LakehouseSqlError(
+                    f"{what} keys must be 'strings', got {part[:eq].strip()!r}")
+        else:
+            key = part[:eq].strip().lower()
+            if not re.fullmatch(key_re, key):
+                raise LakehouseSqlError(f"bad {what} key {key!r}")
+        if key in out:
+            raise LakehouseSqlError(f"{what} key {key!r} given twice")
+        out[key] = _parse_value(part[eq + 1:])
+    return out
+
+
 def _parse_options(masked: str, sql: str) -> tuple[dict, int]:
     """Trailing ``OPTIONS(k = v, ...)``: (dict, start index) — start is
     ``len(sql)`` when absent."""
@@ -245,19 +302,8 @@ def _parse_options(masked: str, sql: str) -> tuple[dict, int]:
     close = _match_paren(masked, m.end() - 1)
     if masked[close:].strip():
         raise LakehouseSqlError("OPTIONS(...) must be the final clause")
-    opts = {}
-    lo, hi = m.end(), close - 1
-    if sql[lo:hi].strip():
-        for a, b in _split_top(masked, sql, ",", lo, hi):
-            part = sql[a:b]
-            eq = part.find("=")
-            if eq < 0:
-                raise LakehouseSqlError(f"bad OPTIONS entry {part.strip()!r}")
-            key = part[:eq].strip().lower()
-            if not re.fullmatch(r"\w+", key):
-                raise LakehouseSqlError(f"bad OPTIONS key {key!r}")
-            opts[key] = _parse_value(part[eq + 1:])
-    return opts, m.start()
+    return (_parse_kv_pairs(masked, sql, m.end(), close - 1, "OPTIONS"),
+            m.start())
 
 
 def _check_opts(opts: dict, allowed: set[str], stmt: str) -> dict:
@@ -284,14 +330,40 @@ def _resolve(name: str, catalog: Catalog | None,
 
 
 def _register_reads(spark: SparkSession, catalog: Catalog | None,
-                    tables: dict[str, LakehouseTable] | None) -> None:
+                    tables: dict[str, LakehouseTable] | None,
+                    masked: str | None = None) -> None:
+    """Register lakehouse tables as temp views for a read. When the
+    statement's ``masked`` text is given, only views whose name appears
+    as a word in it are registered — a script over a wide warehouse
+    must not pay one scan-plan job per table per statement. The filter
+    is an over-approximation (a name inside a comment/literal is
+    masked out; a mentioned-but-unused view costs one registration),
+    never an under-approximation — the view name must appear verbatim
+    for spark.sql to reference it."""
+
+    def wanted(view: str) -> bool:
+        return masked is None or re.search(
+            rf"\b{re.escape(view)}\b", masked, re.I) is not None
+
     for name, t in (tables or {}).items():
         if not re.fullmatch(r"[A-Za-z_]\w*", name):
             raise LakehouseSqlError(
                 f"tables= key {name!r} is not a valid SQL view name")
-        t.register(spark, name)
+        if wanted(name):
+            t.register(spark, name)
     if catalog is not None:
-        catalog.register_all(spark)
+        views: dict[str, str] = {}
+        for full in catalog.list_tables():
+            ns, _, tbl = full.rpartition(".")
+            view = f"{ns}_{tbl}" if ns else f"default_{tbl}"
+            if view in views:
+                raise ValueError(
+                    f"view name {view!r} collides: {views[view]!r} "
+                    f"and {full!r}")
+            views[view] = full
+        for view, full in views.items():
+            if wanted(view):
+                catalog.load_table(full).register(spark, view)
 
 
 # --------------------------------------------------------------------------
@@ -335,12 +407,23 @@ def derive_hints(table: LakehouseTable, pred: str) -> tuple[dict, dict]:
     frags = _conjuncts(pred)
     if frags is None:
         return {}, {}
-    int_cols = {
-        f.name for f in table.schema().fields
-        if f.dataType.typeName() in _INTEGRAL
-    }
+    types = {f.name: f.dataType.typeName() for f in table.schema().fields}
+    int_cols = {c for c, t in types.items() if t in _INTEGRAL}
     int_ranges: dict[str, tuple] = {}
     point_eq: dict[str, object] = {}
+
+    def hintable(col: str, val) -> bool:
+        """point_eq hashing/partition transforms use the literal's
+        PYTHON value verbatim — a hint is only sound when the literal's
+        type agrees with the column's (Spark's ``=`` coerces, e.g.
+        string '012345' = 12345 is TRUE, but a pruned str(12345) hash
+        would skip that file)."""
+        t = types.get(col)
+        if t in _INTEGRAL:
+            return isinstance(val, int) and not isinstance(val, bool)
+        if t == "string":
+            return isinstance(val, str)
+        return False
 
     def narrow(col: str, lo, hi) -> None:
         plo, phi = int_ranges.get(col, (None, None))
@@ -365,7 +448,7 @@ def derive_hints(table: LakehouseTable, pred: str) -> tuple[dict, dict]:
                 val = _parse_scalar(lit_text)
             except LakehouseSqlError:
                 continue
-            if op == "=" and not isinstance(val, bool) and val is not None:
+            if op == "=" and val is not None and hintable(col, val):
                 prev = point_eq.get(col)
                 if prev is None or prev == val:
                     point_eq[col] = val
@@ -402,7 +485,8 @@ def derive_hints(table: LakehouseTable, pred: str) -> tuple[dict, dict]:
                 ]
             except LakehouseSqlError:
                 continue
-            if vals and all(v is not None for v in vals):
+            if vals and all(v is not None and hintable(m.group(1), v)
+                            for v in vals):
                 point_eq.setdefault(m.group(1), vals)
                 ints = [v for v in vals
                         if isinstance(v, int) and not isinstance(v, bool)]
@@ -416,8 +500,9 @@ def derive_hints(table: LakehouseTable, pred: str) -> tuple[dict, dict]:
 # --------------------------------------------------------------------------
 
 def _stmt_insert(spark, sql, masked, catalog, tables):
-    m = re.match(rf"(?is)\s*INSERT\s+(INTO|OVERWRITE)\s+({_IDENT})\s*",
-                 masked)
+    m = re.match(
+        rf"(?is)\s*INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?({_IDENT})\s*",
+        masked)
     if not m:
         raise LakehouseSqlError("expected INSERT INTO|OVERWRITE <table> ...")
     overwrite = m.group(1).upper() == "OVERWRITE"
@@ -437,7 +522,7 @@ def _stmt_insert(spark, sql, masked, catalog, tables):
     query = sql[pos:].strip()
     if not query:
         raise LakehouseSqlError("INSERT needs a query (SELECT/VALUES/TABLE)")
-    _register_reads(spark, catalog, tables)
+    _register_reads(spark, catalog, tables, masked)
     df = spark.sql(query)
     tcols = [f.name for f in table.schema().fields]
     if collist is not None:
@@ -540,7 +625,7 @@ def _stmt_merge(spark, sql, masked, catalog, tables):
     if not um:
         raise LakehouseSqlError("MERGE: expected USING after the target")
     pos += um.end()
-    _register_reads(spark, catalog, tables)
+    _register_reads(spark, catalog, tables, masked)
     if pos < len(masked) and masked[pos] == "(":
         close = _match_paren(masked, pos)
         source = spark.sql(sql[pos + 1:close - 1])
@@ -593,21 +678,32 @@ def _stmt_merge(spark, sql, masked, catalog, tables):
              if (clause_masked.count("(", 0, w.start())
                  - clause_masked.count(")", 0, w.start())) == 0]
     whens.append(len(clause_text))
+    def once(current, kind):
+        # SQL MERGE rejects duplicate unconditional clauses of one kind
+        # — silent last-one-wins would invert UPDATE into DELETE
+        if current is not None:
+            raise LakehouseSqlError(
+                f"duplicate WHEN {kind} clause")
+
     for i in range(len(whens) - 1):
         c = clause_text[whens[i]:whens[i + 1]]
         cm = clause_masked[whens[i]:whens[i + 1]]
         if re.match(r"(?is)\s*WHEN\s+MATCHED\s+THEN\s+DELETE\s*$", cm):
+            once(when_matched, "MATCHED")
             when_matched = "delete"
         elif re.match(r"(?is)\s*WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s+THEN"
                       r"\s+DELETE\s*$", cm):
+            once(by_source, "NOT MATCHED BY SOURCE")
             by_source = "delete"
         elif re.match(r"(?is)\s*WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s*"
                       r"\*\s*$", cm):
+            once(when_not_matched, "NOT MATCHED")
             when_not_matched = "insert"
         else:
             um2 = re.match(r"(?is)\s*WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\b",
                            cm)
             if um2:
+                once(when_matched, "MATCHED")
                 when_matched = "update"
                 body = c[um2.end():].strip()
                 if body == "*":
@@ -639,9 +735,10 @@ def _stmt_merge(spark, sql, masked, catalog, tables):
         raise LakehouseSqlError("MERGE needs at least one WHEN clause")
     _check_opts(opts, {"mode", "evolve_schema", "target_file_size"},
                 "MERGE")
-    if when_matched == "delete" and when_not_matched is None:
-        # delete-only merge: the engine conforms the source to the full
-        # schema but only the keys matter — fill the rest with NULLs so
+    if when_matched in (None, "delete") and when_not_matched is None:
+        # delete-shaped merge (matched-delete and/or by-source-delete):
+        # the engine conforms the source to the full schema but only
+        # the keys matter — fill the rest with NULLs so
         # `USING (SELECT <key>) s` works, the natural delete-list shape
         have = set(source.columns)
         missing = [f for f in table.schema().fields if f.name not in have]
@@ -682,16 +779,10 @@ def _stmt_create(spark, sql, masked, catalog, tables):
     om = re.match(r"(?is)\s*OPTIONS\s*\(", masked[pos:])
     if om:
         close = _match_paren(masked, pos + om.end() - 1)
-        inner_lo, inner_hi = pos + om.end(), close - 1
-        opts = {}
-        if sql[inner_lo:inner_hi].strip():
-            for a, b in _split_top(masked, sql, ",", inner_lo, inner_hi):
-                part = sql[a:b]
-                eq = part.find("=")
-                if eq < 0:
-                    raise LakehouseSqlError(
-                        f"bad OPTIONS entry {part.strip()!r}")
-                opts[part[:eq].strip().lower()] = _parse_value(part[eq + 1:])
+        # dotted/dashed keys are table properties; bare keys are knobs
+        opts = _parse_kv_pairs(
+            masked, sql, pos + om.end(), close - 1, "OPTIONS",
+            key_re=r"[\w.-]+")
         pos = close
     am = re.match(r"(?is)\s*AS\b", masked[pos:])
     if not am:
@@ -702,7 +793,7 @@ def _stmt_create(spark, sql, masked, catalog, tables):
     _check_opts(opts, {"n_files", "partition_transform"} | {
         k for k in opts if "." in k}, "CREATE TABLE")
     props = {k: str(v) for k, v in opts.items() if "." in k}
-    _register_reads(spark, catalog, tables)
+    _register_reads(spark, catalog, tables, masked)
     df = spark.sql(query)
     t = catalog.create_table_as(
         name, df, n_files=opts.get("n_files"),
@@ -738,8 +829,14 @@ def _stmt_optimize(spark, sql, masked, catalog, tables):
     zm = re.match(r"(?is)ZORDER\s+BY\s*\(", masked[m.end():opt_start])
     if zm:
         close = _match_paren(masked, m.end() + zm.end() - 1)
+        if masked[close:opt_start].strip():
+            raise LakehouseSqlError(
+                f"trailing text after ZORDER BY (...): "
+                f"{sql[close:opt_start].strip()!r}")
         cols = tuple(
             c.strip() for c in sql[m.end() + zm.end():close - 1].split(","))
+        if not all(re.fullmatch(r"[A-Za-z_]\w*", c) for c in cols):
+            raise LakehouseSqlError(f"bad ZORDER BY column list {cols!r}")
         _check_opts(opts, {"curve", "target_file_size", "n_chunks",
                            "recompress_level"}, "OPTIMIZE ZORDER")
         curve = opts.pop("curve", "zorder")
@@ -781,22 +878,16 @@ def _stmt_alter(spark, sql, masked, catalog, tables):
         close = _match_paren(mrest, pm.end() - 1)
         if mrest[close:].strip():
             raise LakehouseSqlError("trailing text after TBLPROPERTIES")
-        updates = {}
-        for a, b in _split_top(mrest, rest, ",", pm.end(), close - 1):
-            part = rest[a:b]
-            eq = part.find("=")
-            if eq < 0:
-                raise LakehouseSqlError(f"bad property {part.strip()!r}")
-            key = _parse_scalar(part[:eq])
-            val = _parse_scalar(part[eq + 1:])
-            if not isinstance(key, str):
-                raise LakehouseSqlError("property keys must be 'strings'")
-            updates[key] = None if val is None else str(val)
+        kv = _parse_kv_pairs(mrest, rest, pm.end(), close - 1,
+                             "TBLPROPERTIES", string_keys=True)
+        updates = {k: (None if v is None else str(v)) for k, v in kv.items()}
         v = table.update_properties(updates)
         return {"operation": "set_tblproperties", "version": v}
     am = re.match(r"(?is)ADD\s+COLUMNS?\s*\(", mrest)
     if am:
         close = _match_paren(mrest, am.end() - 1)
+        if mrest[close:].strip():
+            raise LakehouseSqlError("trailing text after ADD COLUMNS (...)")
         cols = {}
         for a, b in _split_top(mrest, rest, ",", am.end(), close - 1):
             cm = re.fullmatch(r"(?s)\s*([A-Za-z_]\w*)\s+(.+?)\s*", rest[a:b])
@@ -933,7 +1024,7 @@ def execute_sql(
         raise LakehouseSqlError("empty SQL statement")
     head = hm.group(1).upper()
     if head in ("SELECT", "WITH", "VALUES", "TABLE"):
-        _register_reads(spark, catalog, tables)
+        _register_reads(spark, catalog, tables, masked)
         return spark.sql(sql)
     fn = _DISPATCH.get(head)
     if fn is None:

@@ -272,6 +272,95 @@ def test_alter_table_statements(spark, cat):
     assert "width" not in [f.name for f in t.schema().fields]
 
 
+def test_hints_reject_compound_and_mistyped_literals(spark, cat):
+    """Review regressions: hint derivation must refuse anything whose
+    pruning semantics could diverge from Spark's predicate — compound
+    string expressions ('a' || 'b' is NOT the literal \"a' || 'b\"),
+    numeric literals against string columns (Spark's = coerces,
+    '012345' = 12345 is TRUE, but str-hash pruning would skip it),
+    and unknown backslash escapes."""
+    t = _seed(spark, cat)
+    ranges, eq = derive_hints(t, "caption = 'a' || 'b'")
+    assert eq == {} and ranges == {}
+    ranges, eq = derive_hints(t, "caption = 12345")
+    assert eq == {} and ranges == {}
+    ranges, eq = derive_hints(t, "image_id = '7'")
+    assert eq == {} and ranges == {}
+    ranges, eq = derive_hints(t, r"caption = 'don\'t'")
+    assert eq == {"caption": "don't"}
+    ranges, eq = derive_hints(t, r"caption = '\x41'")  # unknown escape
+    assert eq == {}
+    # a backslash-escaped quote must not invert masking for the rest
+    # of the statement (the OPTIONS clause would silently vanish)
+    out = execute_sql(
+        spark,
+        r"DELETE FROM silver.images WHERE caption = 'don\'t' "
+        "OPTIONS(mode = 'mor')",
+        catalog=cat)
+    assert out["operation"] == "delete" and out["rows_deleted"] == 0
+
+
+def test_merge_duplicate_clause_rejected(spark, cat):
+    _seed(spark, cat)
+    with pytest.raises(LakehouseSqlError, match="duplicate WHEN MATCHED"):
+        execute_sql(
+            spark,
+            "MERGE INTO silver.images t USING (SELECT 1 AS image_id) s "
+            "ON t.image_id = s.image_id "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN MATCHED THEN DELETE",
+            catalog=cat)
+
+
+def test_merge_by_source_only_with_keys_only_source(spark, cat):
+    t = _seed(spark, cat)
+    execute_sql(
+        spark,
+        "MERGE INTO silver.images t USING "
+        "(SELECT image_id FROM silver_images WHERE image_id < 10) s "
+        "ON t.image_id = s.image_id "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE OPTIONS(mode = 'mor')",
+        catalog=cat)
+    assert t.scan(spark).count() == 10  # full-sync prune to the keep-list
+
+
+def test_insert_overwrite_table_keyword(spark, cat):
+    t = _seed(spark, cat)
+    execute_sql(
+        spark,
+        "INSERT INTO TABLE silver.images VALUES (500, 1, 'kw')",
+        catalog=cat)
+    assert t.scan(spark).filter("image_id = 500").count() == 1
+
+
+def test_trailing_text_rejected(spark, cat):
+    _seed(spark, cat)
+    with pytest.raises(LakehouseSqlError, match="trailing text after ADD"):
+        execute_sql(
+            spark,
+            "ALTER TABLE silver.images ADD COLUMNS (w int) COMMENT 'x'",
+            catalog=cat)
+    with pytest.raises(LakehouseSqlError, match="trailing text after Z"):
+        execute_sql(
+            spark,
+            "OPTIMIZE silver.images ZORDER BY (phash) WHERE phash = 1",
+            catalog=cat)
+
+
+def test_reads_register_only_referenced_views(spark, cat):
+    """A statement over a wide warehouse must not pay one scan-plan job
+    per table: only views whose name appears in the statement text are
+    registered."""
+    df = spark.createDataFrame([(1, 2, "a")],
+                               "image_id long, phash long, caption string")
+    cat.create_table("regsel.used", df.schema).append(df)
+    cat.create_table("regsel.unused", df.schema).append(df)
+    n = execute_sql(spark, "SELECT count(*) AS n FROM regsel_used",
+                    catalog=cat).collect()[0]["n"]
+    assert n == 1
+    assert not spark.catalog.tableExists("regsel_unused")
+
+
 def test_script_and_errors(spark, cat):
     _seed(spark, cat)
     results = execute_sql_script(
