@@ -50,6 +50,12 @@ Supported statements (heads case-insensitive)::
   ALTER TABLE t RENAME COLUMN a TO b
   ALTER TABLE t ALTER COLUMN c TYPE <type>
   CALL proc('ns.table' [, key => value, ...])        -> PROCEDURES
+  SHOW TABLES [IN ns] / SHOW TBLPROPERTIES t / SHOW PARTITIONS t
+  DESCRIBE [TABLE] [EXTENDED] t                      -> DataFrame
+
+Reads may also query a table's inspection views — mentioning
+``<view>_files`` / ``_snapshots`` / ``_manifests`` / ``_partitions`` /
+``_history`` / ``_refs`` in the statement registers them on demand.
 
 ``OPTIONS(key = value, ...)`` is this engine's extension carrying
 operator knobs (``mode='mor'``, ``target_file_size=...``,
@@ -94,6 +100,8 @@ class LakehouseSqlError(ValueError):
 
 _IDENT = r"[A-Za-z_][\w]*(?:\.[A-Za-z_][\w]*)*"
 _INTEGRAL = {"byte", "short", "integer", "long"}
+_META_SUFFIXES = ("files", "snapshots", "manifests", "partitions",
+                  "history", "refs")
 
 
 # --------------------------------------------------------------------------
@@ -345,12 +353,18 @@ def _register_reads(spark: SparkSession, catalog: Catalog | None,
         return masked is None or re.search(
             rf"\b{re.escape(view)}\b", masked, re.I) is not None
 
+    def wanted_meta(view: str) -> bool:
+        return masked is not None and any(
+            wanted(f"{view}_{sfx}") for sfx in _META_SUFFIXES)
+
     for name, t in (tables or {}).items():
         if not re.fullmatch(r"[A-Za-z_]\w*", name):
             raise LakehouseSqlError(
                 f"tables= key {name!r} is not a valid SQL view name")
         if wanted(name):
             t.register(spark, name)
+        if wanted_meta(name):
+            t.register_metadata(spark, name)
     if catalog is not None:
         views: dict[str, str] = {}
         for full in catalog.list_tables():
@@ -362,8 +376,13 @@ def _register_reads(spark: SparkSession, catalog: Catalog | None,
                     f"and {full!r}")
             views[view] = full
         for view, full in views.items():
-            if wanted(view):
-                catalog.load_table(full).register(spark, view)
+            w, wm = wanted(view), wanted_meta(view)
+            if w or wm:
+                t = catalog.load_table(full)
+                if w:
+                    t.register(spark, view)
+                if wm:
+                    t.register_metadata(spark, view)
 
 
 # --------------------------------------------------------------------------
@@ -916,6 +935,56 @@ def _stmt_alter(spark, sql, masked, catalog, tables):
         f"unsupported ALTER TABLE clause {rest.strip()[:60]!r}")
 
 
+def _stmt_show(spark, sql, masked, catalog, tables):
+    tm = re.fullmatch(
+        r"(?is)\s*SHOW\s+TABLES(?:\s+(?:IN|FROM)\s+([A-Za-z_]\w*))?\s*",
+        masked)
+    if tm:
+        if catalog is None:
+            raise LakehouseSqlError("SHOW TABLES needs a catalog")
+        rows = [tuple(n.split(".", 1))
+                for n in catalog.list_tables(tm.group(1))]
+        return spark.createDataFrame(
+            rows, "namespace string, tableName string")
+    pm = re.fullmatch(rf"(?is)\s*SHOW\s+TBLPROPERTIES\s+({_IDENT})\s*",
+                      masked)
+    if pm:
+        t = _resolve(pm.group(1), catalog, tables)
+        props = [(k, str(v)) for k, v in sorted(t.properties().items())]
+        return spark.createDataFrame(props, "key string, value string")
+    qm = re.fullmatch(rf"(?is)\s*SHOW\s+PARTITIONS\s+({_IDENT})\s*", masked)
+    if qm:
+        return _resolve(qm.group(1), catalog, tables).partitions_df(spark)
+    raise LakehouseSqlError(
+        "expected SHOW TABLES [IN ns] | SHOW TBLPROPERTIES t | "
+        "SHOW PARTITIONS t")
+
+
+def _stmt_describe(spark, sql, masked, catalog, tables):
+    m = re.fullmatch(
+        rf"(?is)\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?(EXTENDED\s+)?({_IDENT})\s*",
+        masked)
+    if not m:
+        raise LakehouseSqlError("expected DESCRIBE [TABLE] [EXTENDED] <t>")
+    t = _resolve(m.group(2), catalog, tables)
+    meta = t.load_metadata()
+    rows = [(f.name, f.dataType.simpleString(), "") for f in
+            t.schema().fields]
+    pcol = meta.get("partition_col")
+    if pcol:
+        tf = meta.get("partition_transform")
+        rows.append(("# partition", pcol, tf or "identity"))
+    if m.group(1):
+        cur = t.current_snapshot(meta)
+        rows += [("# location", t.location, ""),
+                 ("# current-snapshot",
+                  str(cur.snapshot_id) if cur else "", "")]
+        rows += [(f"# property:{k}", v, "")
+                 for k, v in sorted(t.properties(meta).items())]
+    return spark.createDataFrame(
+        rows, "col_name string, data_type string, comment string")
+
+
 PROCEDURES = {
     "expire_snapshots": lambda t, s, **kw: t.expire_snapshots(**kw),
     "remove_orphan_files": lambda t, s, **kw: t.remove_orphan_files(**kw),
@@ -997,6 +1066,9 @@ _DISPATCH = {
     "VACUUM": _stmt_vacuum,
     "ALTER": _stmt_alter,
     "CALL": _stmt_call,
+    "SHOW": _stmt_show,
+    "DESCRIBE": _stmt_describe,
+    "DESC": _stmt_describe,
 }
 
 

@@ -361,6 +361,39 @@ def test_reads_register_only_referenced_views(spark, cat):
     assert not spark.catalog.tableExists("regsel_unused")
 
 
+def test_show_describe_and_metadata_views(spark, cat):
+    t = _seed(spark, cat)
+    execute_sql(
+        spark,
+        "ALTER TABLE silver.images SET TBLPROPERTIES ('owner' = 'me')",
+        catalog=cat)
+    rows = execute_sql(spark, "SHOW TABLES", catalog=cat).collect()
+    assert [(r["namespace"], r["tableName"]) for r in rows] == [
+        ("silver", "images")]
+    props = {r["key"]: r["value"] for r in execute_sql(
+        spark, "SHOW TBLPROPERTIES silver.images", catalog=cat).collect()}
+    assert props["owner"] == "me"
+    parts = execute_sql(spark, "SHOW PARTITIONS silver.images",
+                        catalog=cat)
+    assert parts.count() >= 1
+    desc = execute_sql(spark, "DESCRIBE EXTENDED silver.images",
+                       catalog=cat).collect()
+    names = [r["col_name"] for r in desc]
+    assert names[:3] == ["image_id", "phash", "caption"]
+    assert "# location" in names and "# property:owner" in names
+    # inspection views register on demand when the statement names them
+    n_snaps = execute_sql(
+        spark,
+        "SELECT count(*) AS n FROM silver_images_snapshots",
+        catalog=cat).collect()[0]["n"]
+    assert n_snaps >= 1  # the seed append's snapshot
+    n = execute_sql(
+        spark,
+        "SELECT count(*) AS n FROM img_files",
+        tables={"img": t}).collect()[0]["n"]
+    assert n >= 1
+
+
 def test_script_and_errors(spark, cat):
     _seed(spark, cat)
     results = execute_sql_script(
