@@ -428,6 +428,7 @@ def derive_hints(table: LakehouseTable, pred: str) -> tuple[dict, dict]:
         return {}, {}
     types = {f.name: f.dataType.typeName() for f in table.schema().fields}
     int_cols = {c for c, t in types.items() if t in _INTEGRAL}
+    str_cols = {c for c, t in types.items() if t == "string"}
     int_ranges: dict[str, tuple] = {}
     point_eq: dict[str, object] = {}
 
@@ -483,16 +484,31 @@ def derive_hints(table: LakehouseTable, pred: str) -> tuple[dict, dict]:
                     narrow(col, val + 1, None)
                 elif op == ">=":
                     narrow(col, val, None)
+            elif col in str_cols and isinstance(val, str):
+                # string stats ranges: strict ops keep the bound
+                # inclusive — an over-approximation of the file set,
+                # which is the safe direction for pruning
+                if op == "=":
+                    narrow(col, val, val)
+                elif op in ("<", "<="):
+                    narrow(col, None, val)
+                elif op in (">", ">="):
+                    narrow(col, val, None)
             continue
         m = re.fullmatch(
             rf"(?is)\s*({_IDENT})\s+BETWEEN\s+(.+?)\s+AND\s+(.+?)\s*", t)
-        if m and "." not in m.group(1) and m.group(1) in int_cols:
+        if m and "." not in m.group(1):
+            col = m.group(1)
             try:
                 lo, hi = _parse_scalar(m.group(2)), _parse_scalar(m.group(3))
             except LakehouseSqlError:
                 continue
-            if isinstance(lo, int) and isinstance(hi, int):
-                narrow(m.group(1), lo, hi)
+            if col in int_cols and isinstance(lo, int) \
+                    and isinstance(hi, int):
+                narrow(col, lo, hi)
+            elif col in str_cols and isinstance(lo, str) \
+                    and isinstance(hi, str):
+                narrow(col, lo, hi)
             continue
         m = re.fullmatch(rf"(?is)\s*({_IDENT})\s+IN\s*\((.*)\)\s*", t)
         if m and "." not in m.group(1):
@@ -511,6 +527,9 @@ def derive_hints(table: LakehouseTable, pred: str) -> tuple[dict, dict]:
                         if isinstance(v, int) and not isinstance(v, bool)]
                 if m.group(1) in int_cols and len(ints) == len(vals):
                     narrow(m.group(1), min(ints), max(ints))
+                strs = [v for v in vals if isinstance(v, str)]
+                if m.group(1) in str_cols and len(strs) == len(vals):
+                    narrow(m.group(1), min(strs), max(strs))
     return int_ranges, point_eq
 
 

@@ -1934,13 +1934,28 @@ class LakehouseTable:
                     | F.col("partition_id").isin(pv)
                 )
         for col, (lo, hi) in (int_ranges or {}).items():
+            # string bounds route to the str_mins/str_maxs stats — the
+            # same inclusive-overlap test, so `dt BETWEEN '2024-01-01'
+            # AND '2024-01-31'` prunes exactly like an integer range
+            # (parquet/Iceberg string stats order = Spark's binary
+            # collation). Mixed-type bounds are a caller bug.
+            is_str = isinstance(lo, str) or isinstance(hi, str)
+            if is_str and not all(
+                    isinstance(v, str) for v in (lo, hi) if v is not None):
+                raise ValueError(
+                    f"range for {col!r} mixes string and non-string "
+                    f"bounds: {(lo, hi)!r}")
+            mins, maxs = (("str_mins", "str_maxs") if is_str
+                          else ("int_mins", "int_maxs"))
             cond = F.lit(True)
             if lo is not None:
-                cond = cond & (F.col("int_maxs")[col] >= F.lit(int(lo)))
+                cond = cond & (
+                    F.col(maxs)[col] >= F.lit(lo if is_str else int(lo)))
             if hi is not None:
-                cond = cond & (F.col("int_mins")[col] <= F.lit(int(hi)))
+                cond = cond & (
+                    F.col(mins)[col] <= F.lit(hi if is_str else int(hi)))
             # files with no stats for the column can never be pruned
-            df = df.filter(F.col("int_maxs")[col].isNull() | cond)
+            df = df.filter(F.col(maxs)[col].isNull() | cond)
         for col, val in (point_eq or {}).items():
             df = self._bloom_prune(spark, df, col, val)
         if point_eq:
@@ -2086,7 +2101,9 @@ class LakehouseTable:
 
         ``int_ranges={'phash': (lo, hi)}`` keeps only files whose
         [min,max] overlaps [lo,hi] — the stats-pruning path that Z-order
-        clustering makes effective. The residual predicate is re-applied
+        clustering makes effective. String bounds route to the string
+        stats (``{'dt': ('2024-01-01', '2024-01-31')}`` — the retention
+        window shape). The residual predicate is re-applied
         row-level by the caller; this method only narrows the file set.
         Pruning runs distributed over the manifest scan (plan_files);
         only surviving paths are collected (the list spark.read needs).

@@ -100,7 +100,8 @@ def test_delete_where_and_derived_hints(spark, cat):
     # hint derivation: conjuncts compile to int_ranges / point_eq
     ranges, eq = derive_hints(
         t, "phash = 5 AND image_id BETWEEN 3 AND 9 AND caption = 'a''b'")
-    assert ranges == {"phash": (5, 5), "image_id": (3, 9)}
+    assert ranges == {"phash": (5, 5), "image_id": (3, 9),
+                      "caption": ("a'b", "a'b")}
     assert eq == {"phash": 5, "caption": "a'b"}
     ranges, eq = derive_hints(t, "image_id IN (4, 8, 15)")
     assert ranges == {"image_id": (4, 15)}
@@ -392,6 +393,35 @@ def test_show_describe_and_metadata_views(spark, cat):
         "SELECT count(*) AS n FROM img_files",
         tables={"img": t}).collect()[0]["n"]
     assert n >= 1
+
+
+def test_string_range_hints_prune_files(spark, cat):
+    """String-stats range pruning end to end: a date-string retention
+    DELETE through the SQL front-end must touch only the files whose
+    [str_min, str_max] window overlaps the predicate's BETWEEN range —
+    the reference's `fecha = ds` day-wise idiom, generalized."""
+    df = spark.createDataFrame(
+        [(i, f"2024-01-{1 + i // 25:02d}", f"c{i}") for i in range(250)],
+        "id long, dt string, c string",
+    )
+    t = cat.create_table("ret.events", df.schema)
+    # dt-sorted across 10 files: every file carries a tight dt window
+    for day in range(10):
+        t.append(df.filter(F.col("dt") == f"2024-01-{1 + day:02d}"),
+                 n_files=1)
+    ranges, eq = derive_hints(t, "dt BETWEEN '2024-01-03' AND '2024-01-04'")
+    assert ranges == {"dt": ("2024-01-03", "2024-01-04")}
+    ranges, _ = derive_hints(t, "dt >= '2024-01-08' AND dt < '2024-01-09'")
+    assert ranges == {"dt": ("2024-01-08", "2024-01-09")}
+    out = execute_sql(
+        spark,
+        "DELETE FROM ret.events "
+        "WHERE dt BETWEEN '2024-01-03' AND '2024-01-04'",
+        catalog=cat)
+    assert out["rows_deleted"] == 50
+    assert out["candidate_files"] < out["total_files"]
+    assert t.scan(spark).count() == 200
+    assert t.scan(spark).filter("dt = '2024-01-03'").count() == 0
 
 
 def test_script_and_errors(spark, cat):
