@@ -55,7 +55,10 @@ Supported statements (heads case-insensitive)::
 
 Reads may also query a table's inspection views — mentioning
 ``<view>_files`` / ``_snapshots`` / ``_manifests`` / ``_partitions`` /
-``_history`` / ``_refs`` in the statement registers them on demand.
+``_history`` / ``_refs`` in the statement registers them on demand —
+and time travel with the Delta/Iceberg idiom: ``FROM <view> VERSION AS
+OF <snapshot_id | 'tag-or-branch'>`` or ``FROM <view> TIMESTAMP AS OF
+'<iso-ts | epoch-ms>'`` (rewritten into pinned views on the spot).
 
 ``OPTIONS(key = value, ...)`` is this engine's extension carrying
 operator knobs (``mode='mor'``, ``target_file_size=...``,
@@ -383,6 +386,83 @@ def _register_reads(spark: SparkSession, catalog: Catalog | None,
                     t.register(spark, view)
                 if wm:
                     t.register_metadata(spark, view)
+
+
+def _resolve_view(view: str, catalog: Catalog | None,
+                  tables: dict[str, LakehouseTable] | None
+                  ) -> LakehouseTable | None:
+    """The lakehouse table behind a VIEW name (``tables`` key or the
+    catalog's ``<ns>_<table>`` flattening), or None."""
+    if tables and view in tables:
+        return tables[view]
+    if catalog is not None:
+        for full in catalog.list_tables():
+            ns, _, tbl = full.rpartition(".")
+            if f"{ns}_{tbl}" == view:
+                return catalog.load_table(full)
+    return None
+
+
+def _rewrite_time_travel(spark, sql: str, catalog, tables) -> str:
+    """Rewrite ``<view> VERSION AS OF <id|'ref'>`` and ``<view>
+    TIMESTAMP AS OF '<ts>'`` (the Delta/Iceberg read idiom) into
+    synthetic pinned views registered on the spot, so plain spark.sql
+    can run the rest of the statement. Returns the rewritten text."""
+    masked = _mask(sql)
+    pat = re.compile(
+        rf"\b({_IDENT})\s+(VERSION|TIMESTAMP)\s+AS\s+OF\b", re.I)
+    out = sql
+    for m in reversed(list(pat.finditer(masked))):
+        view = m.group(1)
+        kind = m.group(2).upper()
+        # the operand may be a string literal (masked to spaces), so
+        # scan the ORIGINAL text from the end of the OF keyword
+        om = re.match(r"\s*(?:(\d+)|([A-Za-z_]\w*))", sql[m.end():])
+        lm = re.match(r"\s*('(?:[^'\\]|\\.|'')*')", sql[m.end():])
+        if lm:
+            operand = _parse_scalar(lm.group(1))
+            op_end = m.end() + lm.end()
+        elif om and om.group(1):
+            operand = int(om.group(1))
+            op_end = m.end() + om.end()
+        elif om and om.group(2):
+            operand = om.group(2)
+            op_end = m.end() + om.end()
+        else:
+            raise LakehouseSqlError(
+                f"{kind} AS OF needs a snapshot id, 'ref', or timestamp")
+        t = _resolve_view(view, catalog, tables)
+        if t is None:
+            raise LakehouseSqlError(
+                f"time travel on unknown table/view {view!r}")
+        ref = None
+        snapshot_id = None
+        if kind == "VERSION":
+            if isinstance(operand, int):
+                snapshot_id = operand
+            else:
+                ref = operand
+        else:
+            if isinstance(operand, int):
+                ts_ms = operand
+            else:
+                import datetime
+
+                try:
+                    dt = datetime.datetime.fromisoformat(str(operand))
+                except ValueError as e:
+                    raise LakehouseSqlError(
+                        f"bad TIMESTAMP AS OF value {operand!r}: {e}"
+                    ) from None
+                if dt.tzinfo is None:
+                    dt = dt.replace(tzinfo=datetime.timezone.utc)
+                ts_ms = int(dt.timestamp() * 1000)
+            snapshot_id = t.snapshot_as_of(ts_ms).snapshot_id
+        synth = f"{view}__asof_" + re.sub(
+            r"\W", "_", str(ref if ref is not None else snapshot_id))
+        t.register(spark, synth, ref=ref, snapshot_id=snapshot_id)
+        out = out[:m.start(1)] + synth + out[op_end:]
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -1115,6 +1195,9 @@ def execute_sql(
         raise LakehouseSqlError("empty SQL statement")
     head = hm.group(1).upper()
     if head in ("SELECT", "WITH", "VALUES", "TABLE"):
+        if re.search(r"\bAS\s+OF\b", masked, re.I):
+            sql = _rewrite_time_travel(spark, sql, catalog, tables)
+            masked = _mask(sql)
         _register_reads(spark, catalog, tables, masked)
         return spark.sql(sql)
     fn = _DISPATCH.get(head)

@@ -424,6 +424,36 @@ def test_string_range_hints_prune_files(spark, cat):
     assert t.scan(spark).filter("dt = '2024-01-03'").count() == 0
 
 
+def test_time_travel_read_syntax(spark, cat):
+    t = _seed(spark, cat)  # 50 rows
+    v1 = t.current_snapshot().snapshot_id
+    t.create_tag("before_more")
+    execute_sql(spark,
+                "INSERT INTO silver.images VALUES (900, 1, 'late')",
+                catalog=cat)
+    ts_ms = t.current_snapshot().timestamp_ms
+    q = "SELECT count(*) AS n FROM silver_images VERSION AS OF {}"
+    assert execute_sql(spark, q.format(v1),
+                       catalog=cat).collect()[0]["n"] == 50
+    assert execute_sql(spark, q.format("'before_more'"),
+                       catalog=cat).collect()[0]["n"] == 50
+    n_now = execute_sql(
+        spark,
+        f"SELECT count(*) AS n FROM silver_images TIMESTAMP AS OF {ts_ms}",
+        catalog=cat).collect()[0]["n"]
+    assert n_now == 51
+    # pinned and current views compose in one statement
+    both = execute_sql(
+        spark,
+        f"SELECT (SELECT count(*) FROM silver_images) - "
+        f"(SELECT count(*) FROM silver_images VERSION AS OF {v1}) AS d",
+        catalog=cat).collect()[0]["d"]
+    assert both == 1
+    with pytest.raises(LakehouseSqlError, match="unknown table"):
+        execute_sql(spark, "SELECT * FROM nope VERSION AS OF 1",
+                    catalog=cat)
+
+
 def test_script_and_errors(spark, cat):
     _seed(spark, cat)
     results = execute_sql_script(
