@@ -40,8 +40,10 @@ Supported statements (heads case-insensitive)::
       [WHEN NOT MATCHED THEN INSERT *]
       [WHEN NOT MATCHED BY SOURCE THEN DELETE]
       [OPTIONS(mode='mor', ...)]
-  CREATE TABLE [IF NOT EXISTS] t [PARTITIONED BY (c)] [OPTIONS(...)] AS <query>
+  CREATE TABLE [IF NOT EXISTS] t [(col type, ...)] [PARTITIONED BY (c)]
+      [OPTIONS(...)] [AS <query>]
   DROP TABLE [IF EXISTS] t [PURGE]
+  TRUNCATE TABLE t                                   -> metadata-only full delete
   OPTIMIZE t [ZORDER BY (a, b, ...)] [OPTIONS(...)]
   VACUUM t [RETAIN <n> HOURS]
   ALTER TABLE t SET TBLPROPERTIES ('k' = 'v', ...)
@@ -294,6 +296,9 @@ def _parse_kv_pairs(masked: str, sql: str, lo: int, hi: int,
             if not isinstance(key, str):
                 raise LakehouseSqlError(
                     f"{what} keys must be 'strings', got {part[:eq].strip()!r}")
+        elif part[:eq].strip().startswith("'"):
+            # quoted keys: table-property style, case preserved
+            key = _parse_scalar(part[:eq])
         else:
             key = part[:eq].strip().lower()
             if not re.fullmatch(key_re, key):
@@ -882,6 +887,22 @@ def _stmt_create(spark, sql, masked, catalog, tables):
     if catalog is None:
         raise LakehouseSqlError("CREATE TABLE needs a catalog")
     name, pos = m.group(2), m.end()
+    schema = None
+    if pos < len(masked) and masked[pos] == "(":
+        close = _match_paren(masked, pos)
+        inner = sql[pos + 1:close - 1]
+        head = re.match(r"\s*(\w+)", _mask(inner))
+        if head and head.group(1).upper() not in (
+                "SELECT", "WITH", "VALUES", "TABLE"):
+            from pyspark.sql.types import _parse_datatype_string
+
+            try:
+                schema = _parse_datatype_string(inner)
+            except Exception as e:
+                raise LakehouseSqlError(
+                    f"bad CREATE TABLE column list: {e}") from None
+            pos = close + (len(masked[close:])
+                           - len(masked[close:].lstrip()))
     partition_col = None
     pm = re.match(r"(?is)PARTITIONED\s+BY\s*\(", masked[pos:])
     if pm:
@@ -903,14 +924,29 @@ def _stmt_create(spark, sql, masked, catalog, tables):
             key_re=r"[\w.-]+")
         pos = close
     am = re.match(r"(?is)\s*AS\b", masked[pos:])
-    if not am:
-        raise LakehouseSqlError("CREATE TABLE requires AS <query> (CTAS)")
-    query = sql[pos + am.end():].strip()
+    if not am and schema is None:
+        raise LakehouseSqlError(
+            "CREATE TABLE requires (col type, ...) or AS <query>")
+    if am and schema is not None:
+        raise LakehouseSqlError(
+            "CREATE TABLE takes a column list OR AS <query>, not both")
     if m.group(1) and catalog.table_exists(name):
         return {"operation": "create_table", "table": name, "skipped": True}
     _check_opts(opts, {"n_files", "partition_transform"} | {
         k for k in opts if "." in k}, "CREATE TABLE")
     props = {k: str(v) for k, v in opts.items() if "." in k}
+    if schema is not None:
+        if masked[pos:].strip():
+            raise LakehouseSqlError(
+                f"trailing text after CREATE TABLE: "
+                f"{sql[pos:].strip()[:60]!r}")
+        t = catalog.create_table(
+            name, schema, partition_col=partition_col,
+            partition_transform=opts.get("partition_transform"),
+            properties=props or None)
+        return {"operation": "create_table", "table": name,
+                "location": t.location}
+    query = sql[pos + am.end():].strip()
     _register_reads(spark, catalog, tables, masked)
     df = spark.sql(query)
     t = catalog.create_table_as(
@@ -936,6 +972,18 @@ def _stmt_drop(spark, sql, masked, catalog, tables):
         return {"operation": "drop_table", "table": name, "skipped": True}
     catalog.drop_table(name, purge=bool(m.group(3)))
     return {"operation": "drop_table", "table": name}
+
+
+def _stmt_truncate(spark, sql, masked, catalog, tables):
+    m = re.fullmatch(rf"(?is)\s*TRUNCATE\s+TABLE\s+({_IDENT})\s*", masked)
+    if not m:
+        raise LakehouseSqlError("expected TRUNCATE TABLE <table>")
+    table = _resolve(m.group(1), catalog, tables)
+    # DELETE WHERE true rides the full-file fast path: every file is
+    # fully matched, so the commit is metadata-only (no data rewrite)
+    out = delete_where(table, spark, "true")
+    out["operation"] = "truncate"
+    return out
 
 
 def _stmt_optimize(spark, sql, masked, catalog, tables):
@@ -1161,6 +1209,7 @@ _DISPATCH = {
     "MERGE": _stmt_merge,
     "CREATE": _stmt_create,
     "DROP": _stmt_drop,
+    "TRUNCATE": _stmt_truncate,
     "OPTIMIZE": _stmt_optimize,
     "VACUUM": _stmt_vacuum,
     "ALTER": _stmt_alter,

@@ -454,6 +454,33 @@ def test_time_travel_read_syntax(spark, cat):
                     catalog=cat)
 
 
+def test_create_table_schema_and_truncate(spark, cat):
+    out = execute_sql(
+        spark,
+        "CREATE TABLE feeds.raw (id BIGINT, dt STRING, payload BINARY) "
+        "PARTITIONED BY (dt) OPTIONS('write.parquet.compression-codec' "
+        "= 'uncompressed')",
+        catalog=cat)
+    assert out["operation"] == "create_table"
+    t = cat.load_table("feeds.raw")
+    assert [f.name for f in t.schema().fields] == ["id", "dt", "payload"]
+    assert t.properties()["write.parquet.compression-codec"] == \
+        "uncompressed"
+    execute_sql(spark,
+                "INSERT INTO feeds.raw SELECT 1, '2024-01-01', CAST(NULL "
+                "AS BINARY)", catalog=cat)
+    assert t.scan(spark).count() == 1
+    out = execute_sql(spark, "TRUNCATE TABLE feeds.raw", catalog=cat)
+    assert out["operation"] == "truncate"
+    assert t.scan(spark).count() == 0
+    # metadata-only: the full-file fast path rewrites nothing
+    assert out.get("files_rewritten", 0) == 0
+    with pytest.raises(LakehouseSqlError, match="not both"):
+        execute_sql(spark,
+                    "CREATE TABLE feeds.x (a INT) AS SELECT 1 AS a",
+                    catalog=cat)
+
+
 def test_script_and_errors(spark, cat):
     _seed(spark, cat)
     results = execute_sql_script(
