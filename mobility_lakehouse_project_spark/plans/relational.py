@@ -2147,6 +2147,59 @@ ORACLE_SQL["sql_dml_roundtrip"] = """
 """
 
 
+def sql_retention_delete(spark, sf_dir):
+    """String-stats range pruning through the SQL front-end, oracle-
+    checked end to end: a scratch orders table laid out date-sorted is
+    retention-deleted with ``dt BETWEEN :lo AND :hi`` — derive_hints
+    compiles the predicate into a str_mins/str_maxs file range, so only
+    the window's files are candidates (the reference's day-wise
+    ``DELETE FROM t WHERE fecha = ds``,
+    dags/Silver_Transform_Dag.py:188-207, generalized to stats-pruned
+    windows). Survivors are aggregated per year; a mis-derived bound or
+    a wrongly-pruned file diverges the integer-exact key sums."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..sql import execute_sql
+    from ..tableformat import LakehouseTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("dt"),
+    )
+    scratch = os.path.join(tempfile.gettempdir(), "mlps-scratch",
+                           "sql-retention")
+    shutil.rmtree(scratch, ignore_errors=True)
+    t = LakehouseTable.create(scratch + "/orders", o.schema)
+    t.append(o, n_files=12, sort_cols=["dt"])
+    execute_sql(
+        spark, "DELETE FROM t WHERE dt BETWEEN :lo AND :hi",
+        tables={"t": t},
+        args={"lo": "1995-01-01", "hi": "1995-12-31"},
+    )
+    return execute_sql(
+        spark,
+        "SELECT substring(dt, 1, 4) AS yr, COUNT(*) AS n_orders, "
+        "SUM(o_orderkey) AS sum_key FROM t GROUP BY yr ORDER BY yr",
+        tables={"t": t},
+    )
+
+
+ORACLE_SQL["sql_retention_delete"] = """
+        WITH s AS (SELECT o_orderkey,
+                          strftime(o_orderdate, '%Y-%m-%d') AS dt
+                   FROM orders)
+        SELECT SUBSTRING(dt, 1, 4) AS yr,
+               COUNT(*) AS n_orders,
+               CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+        FROM s
+        WHERE NOT (dt BETWEEN '1995-01-01' AND '1995-12-31')
+        GROUP BY yr
+        ORDER BY yr
+"""
+
+
 def bloom_point_lookup(spark, sf_dir):
     """Point lookup through manifest bloom filters, oracle-checked: a
     scratch lakehouse table of the orders keys is written with
@@ -2461,4 +2514,5 @@ QUERIES = {
     "split_stratified": split_stratified,
     "txt_token_bpe": txt_token_bpe,
     "sql_dml_roundtrip": sql_dml_roundtrip,
+    "sql_retention_delete": sql_retention_delete,
 }
