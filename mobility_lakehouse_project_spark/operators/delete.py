@@ -328,6 +328,60 @@ def drop_partitions(
     return metrics
 
 
+def truncate(
+    table: LakehouseTable,
+    spark: SparkSession,
+    chunk_files: int = DEFAULT_CHUNK_FILES,
+) -> dict:
+    """TRUNCATE TABLE: remove every data file METADATA-ONLY — the
+    result is known a priori, so no row is ever read or written (a
+    `DELETE WHERE true` would scan the whole table just to learn that
+    every file is fully matched). Works on any partition spec mix
+    (everything goes, so old-spec files cannot hide rows). Chunked
+    commits bound the driver collect; rows_dropped counts LIVE rows
+    (one count through the delete-applying scan when MOR deletes are
+    pending, else the manifest record_count sum)."""
+    t0 = time.time()
+    cur = table.current_snapshot()
+    live_rows = (
+        table.scan(spark).count() if cur and cur.delete_manifests else None
+    )
+    log = LineageLog(table.location)
+    metrics: dict = {"files_dropped": 0, "rows_dropped": 0, "chunks": 0,
+                     "files_rewritten": 0, "snapshot": None}
+    while True:
+        batch = [
+            r.asDict()
+            for r in table.plan_files(spark)
+            .select("file_path", "partition_id", "record_count")
+            .limit(chunk_files).collect()
+        ]
+        if not batch:
+            break
+        parts = {e["partition_id"] for e in batch}
+        snap = table.commit_replace(
+            {e["file_path"] for e in batch}, [],
+            operation="delete",
+            summary={"op": "truncate", "files-dropped": len(batch)},
+            affected_partitions=parts,
+        )
+        log.record(
+            f"truncate-{snap.snapshot_id}",
+            f"chunk-{metrics['chunks']}", sorted(parts),
+            len(batch), 0, 0, 0,
+            int((time.time() - t0) * 1000), snap.snapshot_id,
+        )
+        metrics["files_dropped"] += len(batch)
+        metrics["rows_dropped"] += sum(e["record_count"] for e in batch)
+        metrics["chunks"] += 1
+        metrics["snapshot"] = snap.snapshot_id
+    if live_rows is not None:
+        metrics["rows_dropped"] = live_rows
+    metrics["rows_deleted"] = metrics["rows_dropped"]
+    metrics["wall_ms"] = int((time.time() - t0) * 1000)
+    return metrics
+
+
 def delete_where(
     table: LakehouseTable,
     spark: SparkSession,

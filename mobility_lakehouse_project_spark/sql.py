@@ -92,6 +92,7 @@ from .operators.delete import (
     delete_where,
     drop_partitions,
     rewrite_position_deletes,
+    truncate,
     update_where,
 )
 from .operators.merge import merge_into
@@ -448,6 +449,8 @@ def _rewrite_time_travel(spark, sql: str, catalog, tables) -> str:
             else:
                 ref = operand
         else:
+            if isinstance(operand, str) and operand.isdigit():
+                operand = int(operand)  # quoted epoch-ms
             if isinstance(operand, int):
                 ts_ms = operand
             else:
@@ -460,11 +463,26 @@ def _rewrite_time_travel(spark, sql: str, catalog, tables) -> str:
                         f"bad TIMESTAMP AS OF value {operand!r}: {e}"
                     ) from None
                 if dt.tzinfo is None:
-                    dt = dt.replace(tzinfo=datetime.timezone.utc)
+                    # naive timestamps resolve in the SESSION timezone,
+                    # the Spark/Delta idiom
+                    import zoneinfo
+
+                    tz = spark.conf.get("spark.sql.session.timeZone")
+                    try:
+                        dt = dt.replace(tzinfo=zoneinfo.ZoneInfo(tz))
+                    except (KeyError, zoneinfo.ZoneInfoNotFoundError):
+                        dt = dt.replace(tzinfo=datetime.timezone.utc)
                 ts_ms = int(dt.timestamp() * 1000)
             snapshot_id = t.snapshot_as_of(ts_ms).snapshot_id
-        synth = f"{view}__asof_" + re.sub(
+        # distinct refs must get distinct views even when the readable
+        # sanitization collides ('v-1' vs 'v_1', tag '123' vs id 123)
+        import hashlib
+
+        tok = hashlib.md5(
+            repr((kind, ref, snapshot_id)).encode()).hexdigest()[:8]
+        synth = (f"{view}__asof_" + re.sub(
             r"\W", "_", str(ref if ref is not None else snapshot_id))
+            + "_" + tok)
         t.register(spark, synth, ref=ref, snapshot_id=snapshot_id)
         out = out[:m.start(1)] + synth + out[op_end:]
     return out
@@ -930,16 +948,18 @@ def _stmt_create(spark, sql, masked, catalog, tables):
     if am and schema is not None:
         raise LakehouseSqlError(
             "CREATE TABLE takes a column list OR AS <query>, not both")
-    if m.group(1) and catalog.table_exists(name):
-        return {"operation": "create_table", "table": name, "skipped": True}
+    # validate the statement BEFORE the exists short-circuit — whether
+    # a malformed statement errors must not depend on catalog state
     _check_opts(opts, {"n_files", "partition_transform"} | {
         k for k in opts if "." in k}, "CREATE TABLE")
+    if schema is not None and masked[pos:].strip():
+        raise LakehouseSqlError(
+            f"trailing text after CREATE TABLE: "
+            f"{sql[pos:].strip()[:60]!r}")
+    if m.group(1) and catalog.table_exists(name):
+        return {"operation": "create_table", "table": name, "skipped": True}
     props = {k: str(v) for k, v in opts.items() if "." in k}
     if schema is not None:
-        if masked[pos:].strip():
-            raise LakehouseSqlError(
-                f"trailing text after CREATE TABLE: "
-                f"{sql[pos:].strip()[:60]!r}")
         t = catalog.create_table(
             name, schema, partition_col=partition_col,
             partition_transform=opts.get("partition_transform"),
@@ -979,9 +999,7 @@ def _stmt_truncate(spark, sql, masked, catalog, tables):
     if not m:
         raise LakehouseSqlError("expected TRUNCATE TABLE <table>")
     table = _resolve(m.group(1), catalog, tables)
-    # DELETE WHERE true rides the full-file fast path: every file is
-    # fully matched, so the commit is metadata-only (no data rewrite)
-    out = delete_where(table, spark, "true")
+    out = truncate(table, spark)
     out["operation"] = "truncate"
     return out
 
@@ -1243,10 +1261,12 @@ def execute_sql(
     if not hm:
         raise LakehouseSqlError("empty SQL statement")
     head = hm.group(1).upper()
+    if re.search(r"\bAS\s+OF\b", masked, re.I):
+        # VERSION/TIMESTAMP AS OF works anywhere a query fragment does
+        # (bare reads, CTAS, INSERT ... SELECT, MERGE USING)
+        sql = _rewrite_time_travel(spark, sql, catalog, tables)
+        masked = _mask(sql)
     if head in ("SELECT", "WITH", "VALUES", "TABLE"):
-        if re.search(r"\bAS\s+OF\b", masked, re.I):
-            sql = _rewrite_time_travel(spark, sql, catalog, tables)
-            masked = _mask(sql)
         _register_reads(spark, catalog, tables, masked)
         return spark.sql(sql)
     fn = _DISPATCH.get(head)

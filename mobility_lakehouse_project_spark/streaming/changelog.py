@@ -56,10 +56,11 @@ def _classify(snap) -> str:
     ):
         return "skip"
     if snap.operation == "delete" and summ_op in (
-            "mor-delete", "drop-partitions"):
+            "mor-delete", "drop-partitions", "truncate"):
         # mor-delete covers BOTH its forms: position-delete manifests
         # (partial files) and pure file removal (fully-matched files
-        # dropped metadata-only); drop-partitions is removal-only
+        # dropped metadata-only); drop-partitions/truncate are
+        # removal-only
         return "mor-delete"
     # MOR upserts (MERGE mode='mor', UPDATE mode='mor') are exactly
     # attributable: position-delete files name the old row versions,

@@ -1286,13 +1286,27 @@ class LakehouseTable:
             imaxs: dict[str, int] = {}
             smins: dict[str, str] = {}
             smaxs: dict[str, str] = {}
+            # A row group whose stats are OMITTED (parquet drops
+            # BYTE_ARRAY min/max over max_statistics_size, ~4KB) makes
+            # the file-level bounds from the OTHER groups an
+            # UNDERSTATEMENT — pruning on them would skip live rows.
+            # Poison such columns (no stats -> never pruned, fail-safe).
+            # An all-NULL group contributes no values, so skipping it
+            # keeps the file bounds exact — the only safe skip.
+            poisoned: set[str] = set()
             for rg in range(md.num_row_groups):
                 g = md.row_group(rg)
                 for ci in range(g.num_columns):
                     col = g.column(ci)
                     name = col.path_in_schema
+                    if name not in int_cols and name not in str_cols:
+                        continue
                     st = col.statistics
                     if st is None or not st.has_min_max:
+                        if not (st is not None
+                                and st.null_count is not None
+                                and st.null_count == g.num_rows):
+                            poisoned.add(name)
                         continue
                     if name in int_cols:
                         lo, hi = st.min, st.max
@@ -1305,8 +1319,20 @@ class LakehouseTable:
                         imaxs[name] = max(imaxs.get(name, hi), hi)
                     elif name in str_cols:
                         lo, hi = str(st.min), str(st.max)
+                        # parquet-cpp drops an OVERSIZED (>4KB) max but
+                        # still reports has_min_max=True with max="" —
+                        # an understated bound that would mis-prune.
+                        # max=="" carries no pruning value even when
+                        # legit (an all-empty column), so poison it;
+                        # min>max is impossible for real data.
+                        if hi == "" or lo > hi:
+                            poisoned.add(name)
+                            continue
                         smins[name] = min(smins.get(name, lo), lo)
                         smaxs[name] = max(smaxs.get(name, hi), hi)
+            for name in poisoned:
+                for d in (imins, imaxs, smins, smaxs):
+                    d.pop(name, None)
             return {
                 "file_path": rel,
                 "partition_id": partition_id,

@@ -452,6 +452,29 @@ def test_time_travel_read_syntax(spark, cat):
     with pytest.raises(LakehouseSqlError, match="unknown table"):
         execute_sql(spark, "SELECT * FROM nope VERSION AS OF 1",
                     catalog=cat)
+    # quoted epoch-ms (the documented form) resolves like the bare int
+    assert execute_sql(
+        spark,
+        f"SELECT count(*) AS n FROM silver_images TIMESTAMP AS OF "
+        f"'{ts_ms}'", catalog=cat).collect()[0]["n"] == 51
+    # refs that sanitize identically must not collide in one statement
+    t.create_tag("v-1")
+    execute_sql(spark,
+                "INSERT INTO silver.images VALUES (901, 1, 'x')",
+                catalog=cat)
+    t.create_tag("v_1")
+    d = execute_sql(
+        spark,
+        "SELECT (SELECT count(*) FROM silver_images VERSION AS OF 'v_1')"
+        " - (SELECT count(*) FROM silver_images VERSION AS OF 'v-1') "
+        "AS d", catalog=cat).collect()[0]["d"]
+    assert d == 1
+    # time travel composes inside CTAS query fragments too
+    execute_sql(
+        spark,
+        f"CREATE TABLE silver.backup AS SELECT * FROM silver_images "
+        f"VERSION AS OF {v1}", catalog=cat)
+    assert cat.load_table("silver.backup").scan(spark).count() == 50
 
 
 def test_create_table_schema_and_truncate(spark, cat):
@@ -479,6 +502,31 @@ def test_create_table_schema_and_truncate(spark, cat):
         execute_sql(spark,
                     "CREATE TABLE feeds.x (a INT) AS SELECT 1 AS a",
                     catalog=cat)
+
+
+def test_oversized_string_stats_never_misprune(spark, cat, tmp_path):
+    """parquet-cpp writes max=\"\" for a >4KB string value (an
+    understated bound) and omits stats entirely when all values are
+    oversized; a file imported via add_files must not let either shape
+    into the manifest where a string-range DELETE would prune the file
+    and silently keep the matching row."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    big = "z" * 5000
+    src = str(tmp_path / "foreign.parquet")
+    pq.write_table(
+        pa.table({"id": [1, 2, 3], "s": ["a", "b", big]}), src)
+    t = cat.create_table(
+        "imp.docs",
+        spark.createDataFrame([], "id long, s string").schema)
+    t.add_files(spark, src)
+    entry = t.files(spark).collect()[0]
+    assert entry["str_mins"].get("s") is None  # poisoned, not "b"
+    out = execute_sql(
+        spark, "DELETE FROM imp.docs WHERE s >= 'x'", catalog=cat)
+    assert out["rows_deleted"] == 1  # the oversized row IS found
+    assert t.scan(spark).count() == 2
 
 
 def test_script_and_errors(spark, cat):
