@@ -388,7 +388,16 @@ def main(argv: list[str] | None = None) -> int:
         rng = None
         if a.range:
             col, lo, hi = a.range.split(":")
-            rng = {col: (int(lo) if lo else None, int(hi) if hi else None)}
+
+            def _bound(v):
+                if not v:
+                    return None
+                try:
+                    return int(v)
+                except ValueError:
+                    return v  # string-stats range (e.g. a date window)
+
+            rng = {col: (_bound(lo), _bound(hi))}
         out = {"cmd": "delete", **delete_op.delete_where(
             LakehouseTable(a.table), spark, a.where, int_ranges=rng,
             target_file_size=_mb(a.target_mb), mode=a.mode,
@@ -411,7 +420,16 @@ def main(argv: list[str] | None = None) -> int:
         rng = None
         if a.range:
             col, lo, hi = a.range.split(":")
-            rng = {col: (int(lo) if lo else None, int(hi) if hi else None)}
+
+            def _bound(v):
+                if not v:
+                    return None
+                try:
+                    return int(v)
+                except ValueError:
+                    return v  # string-stats range (e.g. a date window)
+
+            rng = {col: (_bound(lo), _bound(hi))}
         # split assignments on top-level commas only (expressions may
         # contain commas inside parens/quotes)
         parts, depth, q, buf = [], 0, None, ""

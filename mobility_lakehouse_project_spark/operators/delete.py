@@ -386,7 +386,7 @@ def delete_where(
     table: LakehouseTable,
     spark: SparkSession,
     predicate: Column | str,
-    int_ranges: dict[str, tuple[int | None, int | None]] | None = None,
+    int_ranges: dict[str, tuple[int | str | None, int | str | None]] | None = None,
     target_file_size: int = 64 * 1024 * 1024,
     op_id: str | None = None,
     chunk_files: int = DEFAULT_CHUNK_FILES,
@@ -816,7 +816,7 @@ def update_where(
     spark: SparkSession,
     predicate: Column | str,
     assignments: dict[str, Column | str],
-    int_ranges: dict[str, tuple[int | None, int | None]] | None = None,
+    int_ranges: dict[str, tuple[int | str | None, int | str | None]] | None = None,
     target_file_size: int = 64 * 1024 * 1024,
     op_id: str | None = None,
     chunk_files: int = DEFAULT_CHUNK_FILES,

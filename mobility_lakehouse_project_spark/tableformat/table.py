@@ -1929,7 +1929,7 @@ class LakehouseTable:
         spark: SparkSession,
         snapshot_id: int | None = None,
         partition_values: set | None = None,
-        int_ranges: dict[str, tuple[int | None, int | None]] | None = None,
+        int_ranges: dict[str, tuple[int | str | None, int | str | None]] | None = None,
         point_eq: dict[str, object] | None = None,
     ) -> DataFrame:
         """Pruned `files` metadata DataFrame — the planning surface.
@@ -2113,7 +2113,7 @@ class LakehouseTable:
         spark: SparkSession,
         snapshot_id: int | None = None,
         partition_values: set | None = None,
-        int_ranges: dict[str, tuple[int | None, int | None]] | None = None,
+        int_ranges: dict[str, tuple[int | str | None, int | str | None]] | None = None,
         columns: list[str] | None = None,
         ref: str | None = None,
         with_pos: bool = False,
