@@ -1170,6 +1170,11 @@ PROCEDURES = {
         lambda t, s, **kw: {"version": t.set_ref_retention(**kw)},
     "add_files": lambda t, s, **kw: t.add_files(s, **kw),
     "drop_partitions": lambda t, s, **kw: drop_partitions(t, s, **kw),
+    "truncate": lambda t, s, **kw: truncate(t, s, **kw),
+    "evolve_partition": lambda t, s, **kw: {
+        "version": t.evolve_partition(kw.pop("new_col", None), **kw)},
+    "analyze": None,  # lazy (operators.analyze)
+    "migrate_partitions": None,  # lazy (operators.compaction)
     "run_maintenance": None,  # resolved lazily (import cycle)
 }
 
@@ -1207,13 +1212,21 @@ def _stmt_call(spark, sql, masked, catalog, tables):
                 f"(got {part.strip()!r})")
         kwargs[km.group(1)] = _parse_value(km.group(2))
     fn = PROCEDURES[proc]
-    if fn is None:  # run_maintenance: lazy import (cycle via plans)
+    if fn is not None:
+        out = fn(table, spark, **kwargs)
+    elif proc == "analyze":
+        from .operators.analyze import analyze_table
+
+        out = analyze_table(table, spark, **kwargs)
+    elif proc == "migrate_partitions":
+        from .operators.compaction import migrate_partitions
+
+        out = migrate_partitions(table, spark, **kwargs)
+    else:  # run_maintenance: lazy import (cycle via plans)
         from .plans.maintenance import run_maintenance
         if "cluster_cols" in kwargs:
             kwargs["cluster_cols"] = tuple(kwargs["cluster_cols"])
         out = run_maintenance(table, spark, **kwargs)
-    else:
-        out = fn(table, spark, **kwargs)
     if not isinstance(out, dict):
         out = {"result": out}
     out["operation"] = f"call:{proc}"

@@ -246,6 +246,14 @@ def test_vacuum_and_call_procedures(spark, cat):
     assert t.scan(spark, ref="v1").count() == 50  # tag survives expiry
     with pytest.raises(LakehouseSqlError, match="unknown procedure"):
         execute_sql(spark, "CALL nuke('silver.images')", catalog=cat)
+    out = execute_sql(
+        spark,
+        "CALL analyze('silver.images', columns => array('phash'))",
+        catalog=cat)
+    assert out["operation"] == "call:analyze"
+    out = execute_sql(spark, "CALL truncate('silver.images')", catalog=cat)
+    assert out["operation"] == "call:truncate"
+    assert t.scan(spark).count() == 0
 
 
 def test_alter_table_statements(spark, cat):
