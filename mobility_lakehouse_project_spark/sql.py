@@ -85,6 +85,7 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F  # noqa: F401  (re-export convenience)
+from pyspark.sql.types import StructType
 
 from .operators.clustering import cluster
 from .operators.compaction import compact
@@ -698,6 +699,65 @@ def _where_and_options(sql, masked, lo, stmt):
     return pred, opts, w.start()
 
 
+def _eq_delete_keys(table, pred: str) -> tuple[list[str], list[tuple]]:
+    """EXACT key-equality parse for mode='eq' — unlike the pruning
+    hints (safe over-approximations), an equality delete must encode
+    the predicate precisely: an AND of `col = lit` / `col IN (...)`
+    over distinct columns, nothing else. Returns (cols, key tuples =
+    the cross product of the per-column value lists)."""
+    frags = _conjuncts(pred)
+    if frags is None:
+        raise LakehouseSqlError(
+            "mode='eq' needs a pure key-equality predicate "
+            "(no OR at the top level)")
+    names = {f.name for f in table.schema().fields}
+    per_col: dict[str, list] = {}
+
+    def add(col, vals):
+        if col not in names:
+            raise LakehouseSqlError(f"unknown column {col!r}")
+        if col in per_col:
+            raise LakehouseSqlError(
+                f"mode='eq': column {col!r} constrained twice")
+        if any(v is None for v in vals):
+            raise LakehouseSqlError(
+                "mode='eq' cannot delete by NULL key (equality deletes "
+                "match values; use a CoW/MOR DELETE for NULL predicates)")
+        per_col[col] = vals
+
+    for frag in frags:
+        t = frag.strip()
+        m = re.fullmatch(rf"(?is)\s*({_IDENT})\s*=\s*(.+?)\s*", t)
+        rev = re.fullmatch(rf"(?is)\s*(.+?)\s*=\s*({_IDENT})\s*", t)
+        im = re.fullmatch(rf"(?is)\s*({_IDENT})\s+IN\s*\((.*)\)\s*", t)
+        try:
+            if m and re.fullmatch(_IDENT, m.group(1)) and "." not in m.group(1):
+                add(m.group(1), [_parse_scalar(m.group(2))])
+            elif rev and "." not in rev.group(2):
+                add(rev.group(2), [_parse_scalar(rev.group(1))])
+            elif im and "." not in im.group(1):
+                inner = im.group(2)
+                add(im.group(1), [
+                    _parse_scalar(inner[a:b]) for a, b in
+                    _split_top(_mask(inner), inner, ",", 0, len(inner))])
+            else:
+                raise LakehouseSqlError(
+                    f"mode='eq': conjunct {t!r} is not col = literal "
+                    "or col IN (literals)")
+        except LakehouseSqlError as e:
+            raise LakehouseSqlError(
+                f"mode='eq' needs an exact key-equality predicate: {e}"
+            ) from None
+    cols = sorted(per_col)
+    keys: list[tuple] = [()]
+    for c in cols:
+        keys = [k + (v,) for k in keys for v in per_col[c]]
+        if len(keys) > 100_000:
+            raise LakehouseSqlError(
+                "mode='eq': key cross-product exceeds 100k tuples")
+    return cols, keys
+
+
 def _stmt_delete(spark, sql, masked, catalog, tables):
     m = re.match(rf"(?is)\s*DELETE\s+FROM\s+({_IDENT})\s*", masked)
     if not m:
@@ -705,6 +765,21 @@ def _stmt_delete(spark, sql, masked, catalog, tables):
     table = _resolve(m.group(1), catalog, tables)
     pred, opts, _ = _where_and_options(sql, masked, m.end(), "DELETE")
     _check_opts(opts, {"mode", "target_file_size", "chunk_files"}, "DELETE")
+    if opts.get("mode") == "eq":
+        # blind equality delete: O(keys) write, ZERO table read — the
+        # GDPR single-key erasure shape (Iceberg v2 equality deletes,
+        # sequence-scoped so later re-inserts of the key survive)
+        cols, keys = _eq_delete_keys(table, pred)
+        schema = table.schema()
+        sub = StructType([schema[c] for c in cols])
+        keys_df = table.conform(
+            spark.createDataFrame(keys, schema=cols), schema=sub)
+        entries = table.write_equality_delete_files(keys_df, cols)
+        snap = table.commit_equality_deletes(
+            entries, cols, summary={"predicate": pred})
+        return {"operation": "delete", "mode": "eq",
+                "delete_keys": len(keys), "cols": cols,
+                "snapshot": snap.snapshot_id}
     int_ranges, point_eq = derive_hints(table, pred)
     out = delete_where(table, spark, pred,
                        int_ranges=int_ranges or None,

@@ -123,6 +123,41 @@ def test_delete_mor_option(spark, cat):
     assert t.scan(spark).filter("phash > 50").count() == 0
 
 
+def test_delete_eq_mode_blind_key_erasure(spark, cat):
+    """mode='eq': the key predicate becomes equality-delete files with
+    ZERO table read; sequence scoping means a later re-insert of the
+    same key survives (only prior versions die)."""
+    t = _seed(spark, cat)
+    out = execute_sql(
+        spark,
+        "DELETE FROM silver.images WHERE image_id IN (3, 5) "
+        "OPTIONS(mode = 'eq')",
+        catalog=cat)
+    assert out["mode"] == "eq" and out["delete_keys"] == 2
+    assert t.scan(spark).filter("image_id IN (3, 5)").count() == 0
+    assert t.scan(spark).count() == 48
+    execute_sql(spark,
+                "INSERT INTO silver.images VALUES (3, 9, 'reborn')",
+                catalog=cat)
+    rows = t.scan(spark).filter("image_id = 3").collect()
+    assert len(rows) == 1 and rows[0]["caption"] == "reborn"
+    # cross-product of AND-ed equalities
+    out = execute_sql(
+        spark,
+        "DELETE FROM silver.images WHERE image_id = 3 AND caption = "
+        "'reborn' OPTIONS(mode='eq')",
+        catalog=cat)
+    assert out["delete_keys"] == 1 and out["cols"] == ["caption",
+                                                       "image_id"]
+    assert t.scan(spark).filter("image_id = 3").count() == 0
+    with pytest.raises(LakehouseSqlError, match="key-equality"):
+        execute_sql(
+            spark,
+            "DELETE FROM silver.images WHERE image_id < 5 "
+            "OPTIONS(mode='eq')",
+            catalog=cat)
+
+
 def test_update_with_expression(spark, cat):
     t = _seed(spark, cat)
     out = execute_sql(
