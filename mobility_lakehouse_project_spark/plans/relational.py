@@ -2200,6 +2200,55 @@ ORACLE_SQL["sql_retention_delete"] = """
 """
 
 
+def sql_eq_delete_scan(spark, sf_dir):
+    """Blind equality DELETE through the SQL front-end, oracle-checked:
+    a scratch orders table is key-erased with ``o_orderkey IN (...)
+    OPTIONS(mode='eq')`` — the statement writes equality-delete files
+    WITHOUT reading the table (Iceberg v2; the GDPR erase-by-key shape
+    at 10^12 rows costs O(keys)), and the survivors are aggregated
+    through the delete-applying scan. The oracle is NOT IN over the
+    same parquet; a key that survives or a non-key row that disappears
+    diverges the integer-exact sums."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..sql import execute_sql
+    from ..tableformat import LakehouseTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    scratch = os.path.join(tempfile.gettempdir(), "mlps-scratch", "sql-eq")
+    shutil.rmtree(scratch, ignore_errors=True)
+    t = LakehouseTable.create(scratch + "/orders", o.schema)
+    t.append(o, n_files=6)
+    execute_sql(
+        spark,
+        "DELETE FROM t WHERE o_orderkey IN (1, 7, 32, 33, 34, 38, 39) "
+        "OPTIONS(mode = 'eq')",
+        tables={"t": t},
+    )
+    return execute_sql(
+        spark,
+        "SELECT o_orderstatus, COUNT(*) AS n_orders, "
+        "SUM(o_orderkey) AS sum_key FROM t "
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus",
+        tables={"t": t},
+    )
+
+
+ORACLE_SQL["sql_eq_delete_scan"] = """
+        SELECT o_orderstatus,
+               COUNT(*) AS n_orders,
+               CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+        FROM orders
+        WHERE o_orderkey NOT IN (1, 7, 32, 33, 34, 38, 39)
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+"""
+
+
 def bloom_point_lookup(spark, sf_dir):
     """Point lookup through manifest bloom filters, oracle-checked: a
     scratch lakehouse table of the orders keys is written with
@@ -2515,4 +2564,5 @@ QUERIES = {
     "txt_token_bpe": txt_token_bpe,
     "sql_dml_roundtrip": sql_dml_roundtrip,
     "sql_retention_delete": sql_retention_delete,
+    "sql_eq_delete_scan": sql_eq_delete_scan,
 }

@@ -32,6 +32,8 @@ Supported statements (heads case-insensitive)::
   INSERT INTO [TABLE] t [(cols)] <query>             -> append (positional)
   INSERT OVERWRITE [TABLE] t [(cols)] <query>        -> dynamic partition overwrite
   DELETE FROM t [WHERE <expr>] [OPTIONS(...)]        -> delete_where
+      OPTIONS(mode='eq') + exact key-equality WHERE   -> blind equality
+      delete (zero table read, sequence-scoped)
   UPDATE t SET c = <expr>, ... [WHERE <expr>] [OPTIONS(...)]
   MERGE INTO t [AS a] USING <name | (query)> [AS b]
       ON a.k = b.k [AND ...]
