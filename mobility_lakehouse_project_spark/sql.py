@@ -701,23 +701,68 @@ def _where_and_options(sql, masked, lo, stmt):
     return pred, opts, w.start()
 
 
+def _strip_comments(text: str) -> str:
+    """Blank comment spans only (string literals kept) — fragment
+    parsers slice the ORIGINAL text, so a comment inside a predicate
+    must not reach them. Scans with the same literal rules as _mask."""
+    out = list(text)
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if c in ("'", '"'):
+            j = i + 1
+            while j < n:
+                if text[j] == "\\" and j + 1 < n:
+                    j += 2
+                    continue
+                if text[j] == c:
+                    if j + 1 < n and text[j + 1] == c:
+                        j += 2
+                        continue
+                    break
+                j += 1
+            i = j + 1
+        elif c == "`":
+            j = text.find(c, i + 1)
+            i = (n if j < 0 else j) + 1
+        elif text[i:i + 2] == "--":
+            j = text.find("\n", i)
+            j = n if j < 0 else j
+            for k in range(i, j):
+                out[k] = " "
+            i = j
+        elif text[i:i + 2] == "/*":
+            j = text.find("*/", i)
+            j = (n - 2) if j < 0 else j
+            for k in range(i, min(j + 2, n)):
+                out[k] = " "
+            i = j + 2
+        else:
+            i += 1
+    return "".join(out)
+
+
 def _eq_delete_keys(table, pred: str) -> tuple[list[str], list[tuple]]:
     """EXACT key-equality parse for mode='eq' — unlike the pruning
     hints (safe over-approximations), an equality delete must encode
     the predicate precisely: an AND of `col = lit` / `col IN (...)`
-    over distinct columns, nothing else. Returns (cols, key tuples =
-    the cross product of the per-column value lists)."""
-    frags = _conjuncts(pred)
+    over distinct columns, nothing else, with each literal's type
+    agreeing with its column (a silently-cast 2.5 would delete id=2 —
+    a row the SQL predicate does NOT match). Returns (cols, key tuples
+    = the cross product of the deduplicated per-column value lists)."""
+    frags = _conjuncts(_strip_comments(pred))
     if frags is None:
         raise LakehouseSqlError(
             "mode='eq' needs a pure key-equality predicate "
             "(no OR at the top level)")
-    names = {f.name for f in table.schema().fields}
+    fields = {f.name.lower(): f for f in table.schema().fields}
     per_col: dict[str, list] = {}
 
     def add(col, vals):
-        if col not in names:
+        f = fields.get(col.lower())
+        if f is None:
             raise LakehouseSqlError(f"unknown column {col!r}")
+        col = f.name
         if col in per_col:
             raise LakehouseSqlError(
                 f"mode='eq': column {col!r} constrained twice")
@@ -725,7 +770,28 @@ def _eq_delete_keys(table, pred: str) -> tuple[list[str], list[tuple]]:
             raise LakehouseSqlError(
                 "mode='eq' cannot delete by NULL key (equality deletes "
                 "match values; use a CoW/MOR DELETE for NULL predicates)")
-        per_col[col] = vals
+        t = f.dataType.typeName()
+        for v in vals:
+            ok = (
+                (t in _INTEGRAL and isinstance(v, int)
+                 and not isinstance(v, bool))
+                or (t == "string" and isinstance(v, str))
+                or (t in ("float", "double")
+                    and isinstance(v, (int, float))
+                    and not isinstance(v, bool))
+                or (t == "boolean" and isinstance(v, bool))
+            )
+            if not ok:
+                raise LakehouseSqlError(
+                    f"mode='eq': literal {v!r} does not match column "
+                    f"{col!r} type {t} — an implicit cast could delete "
+                    "rows the predicate does not match")
+        seen, dedup = set(), []
+        for v in vals:
+            if v not in seen:
+                seen.add(v)
+                dedup.append(v)
+        per_col[col] = dedup
 
     for frag in frags:
         t = frag.strip()
@@ -771,6 +837,11 @@ def _stmt_delete(spark, sql, masked, catalog, tables):
         # blind equality delete: O(keys) write, ZERO table read — the
         # GDPR single-key erasure shape (Iceberg v2 equality deletes,
         # sequence-scoped so later re-inserts of the key survive)
+        ignored = sorted(set(opts) - {"mode"})
+        if ignored:
+            raise LakehouseSqlError(
+                f"OPTIONS {ignored} have no effect with mode='eq' "
+                "(no files are rewritten)")
         cols, keys = _eq_delete_keys(table, pred)
         schema = table.schema()
         sub = StructType([schema[c] for c in cols])

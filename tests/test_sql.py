@@ -156,6 +156,36 @@ def test_delete_eq_mode_blind_key_erasure(spark, cat):
             "DELETE FROM silver.images WHERE image_id < 5 "
             "OPTIONS(mode='eq')",
             catalog=cat)
+    # a mistyped literal must NOT silently cast and delete a row the
+    # SQL predicate does not match (2.5 -> 2 would erase image_id=2)
+    with pytest.raises(LakehouseSqlError, match="does not match column"):
+        execute_sql(
+            spark,
+            "DELETE FROM silver.images WHERE image_id = 2.5 "
+            "OPTIONS(mode='eq')",
+            catalog=cat)
+    with pytest.raises(LakehouseSqlError, match="does not match column"):
+        execute_sql(
+            spark,
+            "DELETE FROM silver.images WHERE image_id = 'abc' "
+            "OPTIONS(mode='eq')",
+            catalog=cat)
+    assert t.scan(spark).filter("image_id = 2").count() == 1
+    # duplicate IN values dedup; comments are inert; names fold case
+    out = execute_sql(
+        spark,
+        "DELETE FROM silver.images WHERE Image_ID IN (10, 10) "
+        "-- erase user\n OPTIONS(mode='eq')",
+        catalog=cat)
+    assert out["delete_keys"] == 1
+    assert t.scan(spark).filter("image_id = 10").count() == 0
+    # options that cannot apply to the blind path are rejected loudly
+    with pytest.raises(LakehouseSqlError, match="no effect"):
+        execute_sql(
+            spark,
+            "DELETE FROM silver.images WHERE image_id = 4 "
+            "OPTIONS(mode='eq', chunk_files=10)",
+            catalog=cat)
 
 
 def test_update_with_expression(spark, cat):
