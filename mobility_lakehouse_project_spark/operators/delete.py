@@ -418,6 +418,13 @@ def delete_where(
       deletes (GDPR erasure of single image_ids) on blob-heavy tables
       at 10^12-image scale, where rewriting a 500 MB file to drop one
       row is the scale-killer.
+    * ``"dv"`` — deletion vectors (Iceberg v3 / Delta DV form; see
+      :mod:`..tableformat.dv`): like ``"mor"`` but the positions are
+      packed into ONE compressed bitmap blob per touched data file,
+      and each new DV merges the file's previously pending deletes so
+      at most one vector applies per file. Repeated small deletes
+      never stack scan-side anti-join work — the steady-state erasure
+      mode for hot tables between maintenance folds.
 
     ``point_eq={'image_id': v}`` (or a list of values) prunes the
     candidate files through the manifest bloom filters before any data
@@ -425,11 +432,12 @@ def delete_where(
     probes ~1 file instead of row-scanning every candidate.
     """
     cond = F.expr(predicate) if isinstance(predicate, str) else predicate
-    if mode == "mor":
+    if mode in ("mor", "dv"):
         return _mor_delete(table, spark, cond, int_ranges, op_id,
-                           chunk_files, str(predicate), point_eq=point_eq)
+                           chunk_files, str(predicate), point_eq=point_eq,
+                           dv=(mode == "dv"))
     if mode != "cow":
-        raise ValueError(f"unknown delete mode {mode!r} (cow|mor)")
+        raise ValueError(f"unknown delete mode {mode!r} (cow|mor|dv)")
     return _rowlevel_op(table, spark, cond, "delete", {}, int_ranges,
                         target_file_size, op_id, chunk_files, str(predicate),
                         point_eq=point_eq)
@@ -441,7 +449,7 @@ ROWS_PER_DELETE_FILE = 2_000_000
 
 
 def _mor_delete(table, spark, cond, int_ranges, op_id, chunk_files,
-                predicate_repr, point_eq=None) -> dict:
+                predicate_repr, point_eq=None, dv=False) -> dict:
     """Merge-on-read DELETE: per partition chunk, one slim-column scan
     finds (file, row-position) of predicate-TRUE rows; those pairs are
     written as sorted position-delete files and committed pinned to
@@ -532,14 +540,34 @@ def _mor_delete(table, spark, cond, int_ranges, op_id, chunk_files,
                 .select(F.col("_file").alias("file_path"),
                         F.col("_pos").alias("pos"))
             )
-            n_files = max(1, round(n_partial_hits / ROWS_PER_DELETE_FILE))
-            entries = table.write_position_delete_files(matched, n_files)
-            snap = table.commit_delete_files(
-                entries,
-                summary={"predicate": predicate_repr,
-                         "chunk": f"{ci + 1}/{len(chunks)}"},
-                expected_parent=pin,
-            )
+            if dv:
+                # deletion vectors supersede: the new DV must carry the
+                # file's FULL pending delete set, so merge any prior
+                # pending positions of the touched files (the matched
+                # scan applied them, so they are not in `matched`)
+                prior, _ = table.position_deletes_df(
+                    spark, None, (min(partial), max(partial)))
+                if prior is not None:
+                    matched = matched.unionByName(
+                        prior.filter(F.col("file_path").isin(partial)))
+                entries, n_pos = table.write_deletion_vector_files(matched)
+                snap = table.commit_delete_files(
+                    entries,
+                    summary={"predicate": predicate_repr, "dv": True,
+                             "pending-positions": n_pos,
+                             "chunk": f"{ci + 1}/{len(chunks)}"},
+                    expected_parent=pin,
+                    manifest_meta={"kind": "dv", "positions": n_pos},
+                )
+            else:
+                n_files = max(1, round(n_partial_hits / ROWS_PER_DELETE_FILE))
+                entries = table.write_position_delete_files(matched, n_files)
+                snap = table.commit_delete_files(
+                    entries,
+                    summary={"predicate": predicate_repr,
+                             "chunk": f"{ci + 1}/{len(chunks)}"},
+                    expected_parent=pin,
+                )
         log.record(
             op_id or f"mor-delete-{snap.snapshot_id}", f"chunk-{ci}",
             sorted(part_ids), len(dead) + len(partial), len(entries),

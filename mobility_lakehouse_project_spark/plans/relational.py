@@ -1985,6 +1985,57 @@ ORACLE_SQL["mor_delete_scan"] = """
 """
 
 
+def dv_delete_scan(spark, sf_dir):
+    """Deletion-vector DELETE (Iceberg v3 DV form), oracle-checked end
+    to end — and specifically the SUPERSEDE semantics: two successive
+    DV deletes hit overlapping files, so the second commit's vectors
+    must merge the first's positions (one applied vector per file,
+    never a stack) while the changelog-visible delta stays exact. The
+    oracle is the plain conjunction of the two predicates' negations
+    over the same parquet: a dropped survivor, a resurrected row, or a
+    double-applied position diverges the integer-exact sums. See
+    tableformat/dv.py; the reference's only row removal is
+    partition-wise delete+insert (dags/Silver_Transform_Dag.py:188-207)."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.delete import delete_where
+    from ..tableformat import LakehouseTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    scratch = os.path.join(tempfile.gettempdir(), "mlps-scratch", "dv-delete")
+    shutil.rmtree(scratch, ignore_errors=True)
+    t = LakehouseTable.create(
+        scratch + "/orders", o.schema, partition_col="o_orderpriority"
+    )
+    t.append(o, n_files=8)
+    delete_where(t, spark, "o_orderstatus = 'F'", mode="dv")
+    delete_where(t, spark, "o_orderkey % 10 = 3", mode="dv")
+    return (
+        t.scan(spark)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("o_orderkey").alias("sum_key"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_SQL["dv_delete_scan"] = """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+        FROM orders
+        WHERE NOT (o_orderstatus = 'F') AND NOT (o_orderkey % 10 = 3)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+"""
+
+
 def addfiles_scan(spark, sf_dir):
     """add_files zero-copy import, oracle-checked end to end: the
     documents table is pre-staged as plain parquet files (a
@@ -2555,6 +2606,7 @@ QUERIES = {
     "ann_batch_clustered": ann_batch_clustered,
     "emb_label_profile": emb_label_profile,
     "mor_delete_scan": mor_delete_scan,
+    "dv_delete_scan": dv_delete_scan,
     "addfiles_scan": addfiles_scan,
     "cdc_changelog_scan": cdc_changelog_scan,
     "bloom_point_lookup": bloom_point_lookup,

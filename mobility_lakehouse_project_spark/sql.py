@@ -34,6 +34,9 @@ Supported statements (heads case-insensitive)::
   DELETE FROM t [WHERE <expr>] [OPTIONS(...)]        -> delete_where
       OPTIONS(mode='eq') + exact key-equality WHERE   -> blind equality
       delete (zero table read, sequence-scoped)
+      OPTIONS(mode='mor' | 'dv')                      -> merge-on-read
+      position deletes / deletion vectors (one merged bitmap per
+      touched file, Iceberg v3 form — tableformat/dv.py)
   UPDATE t SET c = <expr>, ... [WHERE <expr>] [OPTIONS(...)]
   MERGE INTO t [AS a] USING <name | (query)> [AS b]
       ON a.k = b.k [AND ...]

@@ -208,16 +208,37 @@ def changelog_df(
             parent_dm = set(parent.delete_manifests) if parent else set()
             new_dm = [m for m in snap.delete_manifests if m not in parent_dm]
             entries = []
+            dv_infos = []
             for m in new_dm:
-                entries.extend(table.read_manifest_entries(m))
-            if not entries:
-                continue
+                info = snap.delete_manifest_meta.get(m, {})
+                if info.get("kind") == "dv":
+                    dv_infos.append(
+                        (m, int(info["seq"]), int(info.get("positions", 0))))
+                else:
+                    entries.extend(table.read_manifest_entries(m))
             import os as _os
 
-            dd = spark.read.schema("file_path string, pos long").parquet(
-                *[_os.path.join(table._local_root, e["file_path"])
-                  for e in entries]
-            )
+            dd = None
+            if entries:
+                dd = spark.read.schema("file_path string, pos long").parquet(
+                    *[_os.path.join(table._local_root, e["file_path"])
+                      for e in entries]
+                )
+            if dv_infos:
+                # a deletion vector is the file's FULL pending set
+                # (merge-on-write superset); the rows deleted BY THIS
+                # COMMIT are its positions minus the parent's pending
+                # deletes for the same files
+                dv_new, _n = table._dv_positions_df(spark, dv_infos)
+                if dv_new is not None:
+                    if parent is not None:
+                        prior, _np = table.position_deletes_df(spark, parent)
+                        if prior is not None:
+                            dv_new = dv_new.join(
+                                prior, ["file_path", "pos"], "left_anti")
+                    dd = dv_new if dd is None else dd.unionByName(dv_new)
+            if dd is None:
+                continue
             ref_files = sorted(
                 r["file_path"] for r in dd.select("file_path").distinct().collect()
             )
@@ -229,8 +250,9 @@ def changelog_df(
                                     apply_deletes=False)
             dd2 = dd.select(F.col("file_path").alias("__cf"),
                             F.col("pos").alias("__cp"))
-            if sum(e["record_count"] for e in entries) \
-                    <= LakehouseTable.MOR_BROADCAST_ROWS:
+            n_pairs = (sum(e["record_count"] for e in entries)
+                       + sum(npos for _m, _s, npos in dv_infos))
+            if n_pairs <= LakehouseTable.MOR_BROADCAST_ROWS:
                 dd2 = F.broadcast(dd2)
             deleted = rows.join(
                 dd2,

@@ -192,7 +192,20 @@ class Snapshot:
 
     def position_delete_manifests(self) -> list[str]:
         return [m for m in self.delete_manifests
-                if self.delete_manifest_meta.get(m, {}).get("kind") != "equality"]
+                if self.delete_manifest_meta.get(m, {}).get("kind")
+                not in ("equality", "dv")]
+
+    def dv_manifests(self) -> list[tuple[str, int, int]]:
+        """(manifest, commit_sequence, pending_positions) triples for
+        deletion-vector manifests. Sequence orders supersede: a newer
+        DV for a data file is a superset of every older one (merged at
+        write time), so readers apply only the newest per file."""
+        out = []
+        for m in self.delete_manifests:
+            info = self.delete_manifest_meta.get(m, {})
+            if info.get("kind") == "dv":
+                out.append((m, int(info["seq"]), int(info.get("positions", 0))))
+        return out
 
     def equality_delete_manifests(self) -> list[tuple[str, list[str], int]]:
         """(manifest, key_cols, apply_sequence) triples."""
@@ -2431,6 +2444,133 @@ class LakehouseTable:
         }
         return self._collect_entries(out_dir, fake_meta)
 
+    # schema of a deletion-vector delete file: one row PER DATA FILE
+    _DV_SCHEMA_DDL = "file_path string, dv binary, cardinality long"
+
+    def write_deletion_vector_files(
+        self, positions: DataFrame, n_files: int = 1
+    ) -> tuple[list[dict], int]:
+        """Pack a ``(file_path, pos)`` DataFrame into deletion-vector
+        delete files: one ``(file_path, dv binary, cardinality)`` row
+        per data file (Iceberg v3 DV form — see
+        :mod:`.dv`). The caller must pass the file's FULL pending
+        delete set (new matches merged with any prior pending deletes
+        for that file): a committed DV supersedes every older DV of
+        the same file, so it has to be a superset. Rows are
+        sorted by file_path so the delete file carries tight
+        referenced-data-file bounds for scan pruning, exactly like
+        position-delete files. Returns (manifest entries for
+        :meth:`commit_delete_files`, total packed positions)."""
+        import pandas as pd
+
+        from .dv import pack_positions
+
+        write_id = uuid.uuid4().hex[:12]
+        out_dir = os.path.join(self.data_dir, f"deletes-{write_id}")
+
+        def _pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            fp = pdf["file_path"].iloc[0]
+            blob = pack_positions(pdf["pos"].to_numpy())
+            from .dv import cardinality as _card
+            return pd.DataFrame(
+                {"file_path": [fp], "dv": [blob],
+                 "cardinality": [_card(blob)]}
+            )
+
+        packed = (
+            positions.select(
+                F.col("file_path").cast("string"), F.col("pos").cast("long")
+            )
+            .groupBy("file_path")
+            .applyInPandas(_pack, self._DV_SCHEMA_DDL)
+        )
+        if n_files > 1:
+            packed = packed.repartitionByRange(n_files, "file_path")
+        else:
+            packed = packed.coalesce(1)
+        packed.sortWithinPartitions("file_path").write.mode("append").parquet(
+            out_dir
+        )
+        fake_meta = {
+            "schema_json": T.StructType([
+                T.StructField("file_path", T.StringType()),
+                T.StructField("dv", T.BinaryType()),
+                T.StructField("cardinality", T.LongType()),
+            ]).json()
+        }
+        entries = self._collect_entries(out_dir, fake_meta)
+        # exact pending-position total from the written footers' column
+        # chunks would need a data read; the cardinality column is tiny
+        # (one row per touched file), so read just it
+        n_pos = 0
+        for e in entries:
+            t = pq.read_table(
+                os.path.join(self._local_root, e["file_path"]),
+                columns=["cardinality"],
+            )
+            n_pos += int(sum(t.column("cardinality").to_pylist()))
+        return entries, n_pos
+
+    def _dv_positions_df(
+        self,
+        spark: SparkSession,
+        dv_infos: list[tuple[str, int, int]],
+        rel_path_bounds: tuple[str, str] | None = None,
+    ) -> tuple[DataFrame | None, int]:
+        """Expand deletion-vector manifests into a ``(file_path, pos)``
+        DataFrame. Newest-wins per data file: among DV rows for the
+        same file only the highest-sequence one applies (it is a
+        superset of the others by the merge-on-write contract), so
+        repeated DV deletes never stack scan work. Returns
+        (None, 0) when nothing survives pruning; the count is the
+        manifest-stats upper bound (superseded rows included), which
+        only errs toward skipping the broadcast fast path."""
+        import pandas as pd
+
+        from .dv import unpack_positions
+
+        parts: list[DataFrame] = []
+        n_upper = 0
+        for m, seq, npos in dv_infos:
+            entries = self.read_manifest_entries(m)
+            if rel_path_bounds is not None:
+                lo, hi = rel_path_bounds
+                entries = [
+                    e for e in entries
+                    if e["str_mins"].get("file_path") is None
+                    or (e["str_maxs"]["file_path"] >= lo
+                        and e["str_mins"]["file_path"] <= hi)
+                ]
+            if not entries:
+                continue
+            n_upper += npos
+            df = spark.read.schema(self._DV_SCHEMA_DDL).parquet(
+                *[os.path.join(self._local_root, e["file_path"])
+                  for e in entries]
+            ).withColumn("__dvseq", F.lit(seq))
+            parts.append(df)
+        if not parts:
+            return None, 0
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("file_path").orderBy(F.col("__dvseq").desc())
+        latest = (
+            u.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("file_path", "dv")
+        )
+
+        def _expand(it):
+            for pdf in it:
+                for fp, blob in zip(pdf["file_path"], pdf["dv"]):
+                    pos = unpack_positions(blob)
+                    yield pd.DataFrame({"file_path": fp, "pos": pos})
+
+        return latest.mapInPandas(_expand, "file_path string, pos long"), n_upper
+
     def commit_delete_files(
         self,
         delete_entries: list[dict],
@@ -2439,6 +2579,7 @@ class LakehouseTable:
         data_entries: list[dict] | None = None,
         operation: str = "delete",
         op_name: str = "mor-delete",
+        manifest_meta: dict | None = None,
     ) -> Snapshot:
         """Commit position-delete files as a merge-on-read DELETE
         snapshot: data manifests carry over untouched (no rewrite —
@@ -2463,6 +2604,11 @@ class LakehouseTable:
             raise ValueError("cannot position-delete from an empty table")
         snap_id, seq = self._next_ids(meta)
         dm, _ = self._write_manifest(delete_entries, snap_id)
+        dmm = dict(prev.delete_manifest_meta)
+        if manifest_meta:
+            # deletion-vector (or future kinds): stamp the commit
+            # sequence so readers can order supersedes
+            dmm[dm] = {**manifest_meta, "seq": seq}
         manifests = list(prev.manifests)
         mparts = dict(prev.manifest_parts)
         added = list(data_entries or [])
@@ -2482,7 +2628,7 @@ class LakehouseTable:
              **(summary or {})},
             mparts,
             list(prev.delete_manifests) + [dm],
-            dict(prev.delete_manifest_meta),
+            dmm,
         )
         return self._commit(meta, snap, parent)
 
@@ -2545,12 +2691,21 @@ class LakehouseTable:
                 or (e["str_maxs"]["file_path"] >= lo
                     and e["str_mins"]["file_path"] <= hi)
             ]
-        if not entries:
+        df = None
+        n = 0
+        if entries:
+            n = sum(e["record_count"] for e in entries)
+            df = spark.read.schema("file_path string, pos long").parquet(
+                *[os.path.join(self._local_root, e["file_path"])
+                  for e in entries]
+            )
+        dv_df, dv_n = self._dv_positions_df(
+            spark, snap.dv_manifests(), rel_path_bounds)
+        if dv_df is not None:
+            df = dv_df if df is None else df.unionByName(dv_df)
+            n += dv_n
+        if df is None:
             return None, 0
-        n = sum(e["record_count"] for e in entries)
-        df = spark.read.schema("file_path string, pos long").parquet(
-            *[os.path.join(self._local_root, e["file_path"]) for e in entries]
-        )
         return df, n
 
     # broadcast the delete set into the anti-join below this many rows:
