@@ -262,9 +262,14 @@ def main(argv: list[str] | None = None) -> int:
 
     sp = sub.add_parser("publish",
                         help="fast-forward a target ref to a branch head "
-                             "(the write-audit-publish publish step)")
+                             "(the write-audit-publish publish step); "
+                             "--cherrypick republishes a staged append "
+                             "snapshot even when main has advanced")
     t(sp)
-    sp.add_argument("--source", required=True, dest="source", metavar="BRANCH")
+    g = sp.add_mutually_exclusive_group(required=True)
+    g.add_argument("--source", dest="source", metavar="BRANCH")
+    g.add_argument("--cherrypick", type=int, default=None,
+                   metavar="SNAPSHOT_ID")
     sp.add_argument("--target", default="main")
 
     sp = sub.add_parser("rollback")
@@ -515,9 +520,16 @@ def main(argv: list[str] | None = None) -> int:
                    "tags": tbl.tags()}
     elif a.cmd == "publish":
         tbl = LakehouseTable(a.table)
-        v = tbl.fast_forward(a.source, target=a.target)
-        out = {"cmd": "publish", "source": a.source, "target": a.target,
-               "head": tbl.branch_head(a.target), "metadata_version": v}
+        if a.cherrypick is not None:
+            if a.target != "main":
+                raise SystemExit("--cherrypick publishes onto main only")
+            snap = tbl.cherrypick_snapshot(a.cherrypick)
+            out = {"cmd": "publish", "cherrypick": a.cherrypick,
+                   "target": "main", "head": snap.snapshot_id}
+        else:
+            v = tbl.fast_forward(a.source, target=a.target)
+            out = {"cmd": "publish", "source": a.source, "target": a.target,
+                   "head": tbl.branch_head(a.target), "metadata_version": v}
     elif a.cmd == "rollback":
         tbl = LakehouseTable(a.table)
         sid = (a.snapshot if a.snapshot is not None

@@ -1317,6 +1317,8 @@ PROCEDURES = {
     "create_branch": lambda t, s, **kw: {"version": t.create_branch(**kw)},
     "drop_branch": lambda t, s, **kw: {"version": t.drop_branch(**kw)},
     "fast_forward": lambda t, s, **kw: {"version": t.fast_forward(**kw)},
+    "cherrypick_snapshot": lambda t, s, **kw: {
+        "snapshot_id": t.cherrypick_snapshot(**kw).snapshot_id},
     "set_ref_retention":
         lambda t, s, **kw: {"version": t.set_ref_retention(**kw)},
     "add_files": lambda t, s, **kw: t.add_files(s, **kw),

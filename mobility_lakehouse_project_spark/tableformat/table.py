@@ -1685,10 +1685,101 @@ class LakehouseTable:
 
     def append(self, df: DataFrame, n_files: int | None = None,
                sort_cols: list[str] | None = None,
-               branch: str = "main") -> Snapshot:
+               branch: str = "main", wap_id: str | None = None) -> Snapshot:
+        """``wap_id`` stamps the commit with a write-audit-publish id
+        (Iceberg's ``wap.id`` summary property): the job's unique id
+        rides the staged snapshot, and :meth:`cherrypick_snapshot`
+        refuses to publish the same id twice — replay protection for
+        at-least-once orchestrators re-running a publish step."""
+        summary = {"wap.id": wap_id} if wap_id else None
         return self.commit_append(
             self.write_data_files(self.conform(df), n_files, sort_cols),
-            branch=branch)
+            summary=summary, branch=branch)
+
+    def cherrypick_snapshot(self, snapshot_id: int, retries: int = 3) -> Snapshot:
+        """Publish a staged APPEND snapshot onto current main even when
+        main has advanced since the snapshot was cut — Iceberg's
+        cherrypick_snapshot, the write-audit-publish publish path that
+        :meth:`fast_forward` cannot serve once main moved. An append
+        is pure addition, so replaying it on a newer base is always
+        content-safe: the staged snapshot's added files are re-committed
+        as a NEW snapshot (new sequence — so equality deletes committed
+        on main in between do NOT apply to the republished rows,
+        matching Iceberg's data-sequence-at-publish semantics).
+
+        Guards:
+
+        * only ``operation == "append"`` snapshots (a rewrite's removals
+          cannot be replayed onto a diverged base);
+        * a snapshot already in main's ancestry is a no-op (returns the
+          current head);
+        * a ``wap.id`` already published to main (as ``wap.id`` or
+          ``published-wap-id`` on any ancestor) raises ValueError —
+          Iceberg's duplicate-WAP-commit protection;
+        * refused if the partition spec evolved after the snapshot was
+          staged (its files' partition values belong to the older spec;
+          re-stamping them into the current era would mis-prune).
+
+        The dedup check is re-validated on every commit attempt (the
+        commit pins the head the ancestry walk saw), so two racing
+        publishes of the same wap.id serialize: one wins, the other
+        re-walks the new ancestry and refuses.
+        """
+        last: Exception | None = None
+        for _ in range(max(1, retries + 1)):
+            meta = self.load_metadata()
+            snaps = {s.snapshot_id: s for s in self.snapshots_list(meta)}
+            if snapshot_id not in snaps:
+                raise ValueError(f"unknown snapshot {snapshot_id}")
+            src = snaps[snapshot_id]
+            head = meta["current_snapshot_id"]
+            # already an ancestor of main? publishing again must be a no-op
+            wap_id = src.summary.get("wap.id")
+            sid = head
+            while sid is not None:
+                s = snaps.get(sid)
+                if s is None:
+                    break
+                if sid == snapshot_id:
+                    return self.current_snapshot(meta)
+                if wap_id and wap_id in (s.summary.get("wap.id"),
+                                         s.summary.get("published-wap-id")):
+                    raise ValueError(
+                        f"wap.id {wap_id!r} was already published to main "
+                        f"(snapshot {sid}); duplicate publish refused")
+                sid = s.parent_id
+            if src.operation != "append":
+                raise ValueError(
+                    f"cherrypick supports append snapshots only; "
+                    f"{snapshot_id} is {src.operation!r} (publish rewrites "
+                    "via fast_forward on an unchanged target, or re-run "
+                    "them against main)")
+            cur_spec_from = self.partition_specs(meta)[-1]["from_seq"]
+            if src.sequence < cur_spec_from:
+                raise ValueError(
+                    "partition spec evolved after the staged snapshot; its "
+                    "files belong to the older spec — re-stage against the "
+                    "current spec instead of cherry-picking")
+            parent = (snaps.get(src.parent_id)
+                      if src.parent_id is not None else None)
+            parent_manifests = set(parent.manifests) if parent else set()
+            entries: list[dict] = []
+            for m in src.manifests:
+                if m not in parent_manifests:
+                    entries.extend(self.read_manifest_entries(m))
+            entries = [dict(e, added_snapshot_id=-1) for e in entries
+                       if e["added_snapshot_id"] == snapshot_id]
+            if not entries:
+                return self.current_snapshot(meta)
+            summary = {"op": "cherrypick", "source-snapshot-id": snapshot_id}
+            if wap_id:
+                summary["published-wap-id"] = wap_id
+            try:
+                return self.commit_append(entries, summary=summary,
+                                          retries=0, expected_parent=head)
+            except ConcurrentCommitError as e:
+                last = e  # head moved: re-walk ancestry, re-check dedup
+        raise last
 
     def overwrite_partitions(self, df: DataFrame, n_files: int | None = None) -> Snapshot:
         """Dynamic-partition-overwrite: the Spark-native form of the

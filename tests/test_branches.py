@@ -215,3 +215,98 @@ def test_ref_age_gc_runs_below_keep_last(spark, table):
     assert "stale-tag" not in t.tags()
     # and the no-op path still reports the key
     assert t.expire_snapshots(keep_last=5)["dropped_refs"] == []
+
+
+# ---------------- cherry-pick publish (main advanced) ----------------
+
+
+def test_cherrypick_publishes_staged_append_onto_advanced_main(spark, table):
+    t = table
+    t.create_branch("audit")
+    staged = t.append(
+        synth.images_df(spark, 50, seed=7, id_offset=10_000),
+        n_files=2, branch="audit", wap_id="job-42",
+    )
+    # main advances divergently -> fast_forward refuses, cherrypick works
+    t.append(synth.images_df(spark, 10, seed=10, id_offset=40_000), n_files=1)
+    with pytest.raises(ValueError, match="not a fast-forward"):
+        t.fast_forward("audit")
+    pub = t.cherrypick_snapshot(staged.snapshot_id)
+    assert pub.summary["op"] == "cherrypick"
+    assert pub.summary["published-wap-id"] == "job-42"
+    assert pub.summary["source-snapshot-id"] == staged.snapshot_id
+    assert t.scan(spark).count() == N + 10 + 50
+    # the staged rows and main's divergent rows both survive
+    ids = {r["image_id"] for r in
+           t.scan(spark, columns=["image_id"]).collect()}
+    assert len(ids) == N + 60
+
+
+def test_cherrypick_duplicate_wap_id_refused(spark, table):
+    t = table
+    t.create_branch("audit")
+    s1 = t.append(synth.images_df(spark, 20, seed=7, id_offset=10_000),
+                  n_files=1, branch="audit", wap_id="job-7")
+    t.append(synth.images_df(spark, 5, seed=11, id_offset=50_000), n_files=1)
+    t.cherrypick_snapshot(s1.snapshot_id)
+    head = t.current_snapshot().snapshot_id
+    # re-publishing the SAME snapshot id is a no-op (already applied
+    # via its published-wap-id marker)
+    with pytest.raises(ValueError, match="already published"):
+        t.cherrypick_snapshot(s1.snapshot_id)
+    assert t.current_snapshot().snapshot_id == head
+    # a DIFFERENT staged snapshot carrying the same wap.id is refused
+    s2 = t.append(synth.images_df(spark, 8, seed=12, id_offset=60_000),
+                  n_files=1, branch="audit", wap_id="job-7")
+    with pytest.raises(ValueError, match="already published"):
+        t.cherrypick_snapshot(s2.snapshot_id)
+
+
+def test_cherrypick_same_snapshot_in_ancestry_is_noop(spark, table):
+    t = table
+    t.create_branch("audit")
+    s1 = t.append(synth.images_df(spark, 20, seed=7, id_offset=10_000),
+                  n_files=1, branch="audit")
+    t.fast_forward("audit")  # s1 is now main's head
+    head = t.current_snapshot().snapshot_id
+    assert head == s1.snapshot_id
+    out = t.cherrypick_snapshot(s1.snapshot_id)
+    assert out.snapshot_id == head
+    assert t.scan(spark).count() == N + 20
+
+
+def test_cherrypick_rejects_non_append_snapshot(spark, table):
+    from mobility_lakehouse_project_spark.operators import delete
+
+    t = table
+    pre = t.current_snapshot().snapshot_id
+    delete.delete_where(t, spark, "w = 16", mode="cow")
+    snap = t.current_snapshot()
+    assert snap.operation != "append"
+    # strand the rewrite outside main's ancestry (else cherry-pick is
+    # the already-published no-op), then try to republish it
+    t.rollback_to(pre)
+    with pytest.raises(ValueError, match="append snapshots only"):
+        t.cherrypick_snapshot(snap.snapshot_id)
+
+
+def test_cherrypick_resequences_past_equality_deletes(spark, table):
+    """Iceberg data-sequence-at-publish: an equality delete committed
+    on main BETWEEN staging and publish must not erase the
+    republished rows (they get the publish commit's sequence, later
+    than the delete's)."""
+    t = table
+    t.create_branch("audit")
+    staged_df = synth.images_df(spark, 30, seed=7, id_offset=10_000)
+    staged = t.append(staged_df, n_files=1, branch="audit", wap_id="w1")
+    # main: equality-delete ONE staged key while the work is in audit
+    victim = staged_df.select("image_id").limit(1).collect()[0]["image_id"]
+    keys = spark.createDataFrame([(victim,)], "image_id string")
+    entries = t.write_equality_delete_files(keys, ["image_id"])
+    t.commit_equality_deletes(entries, ["image_id"])
+    pub = t.cherrypick_snapshot(staged.snapshot_id)
+    assert pub is not None
+    # the republished row SURVIVES: its file sequence postdates the delete
+    assert t.scan(spark).filter(
+        F.col("image_id") == victim).count() == 1
+    assert t.scan(spark).count() == N + 30
