@@ -48,6 +48,10 @@ Supported statements (heads case-insensitive)::
   CREATE TABLE [IF NOT EXISTS] t [(col type, ...)] [PARTITIONED BY (c)]
       [OPTIONS(...)] [AS <query>]
   DROP TABLE [IF EXISTS] t [PURGE]
+  CREATE [OR REPLACE] VIEW v AS <query>              -> catalog view
+      (versioned SQL stored in the catalog; body analyzed at
+      definition time; reads re-plan it against current table state)
+  DROP VIEW [IF EXISTS] v / SHOW VIEWS [IN ns]
   TRUNCATE TABLE t                                   -> metadata-only full delete
   OPTIMIZE t [ZORDER BY (a, b, ...)] [OPTIONS(...)]
   VACUUM t [RETAIN <n> HOURS]
@@ -354,7 +358,8 @@ def _resolve(name: str, catalog: Catalog | None,
 
 def _register_reads(spark: SparkSession, catalog: Catalog | None,
                     tables: dict[str, LakehouseTable] | None,
-                    masked: str | None = None) -> None:
+                    masked: str | None = None,
+                    _seen: frozenset = frozenset()) -> None:
     """Register lakehouse tables as temp views for a read. When the
     statement's ``masked`` text is given, only views whose name appears
     as a word in it are registered — a script over a wide warehouse
@@ -398,6 +403,20 @@ def _register_reads(spark: SparkSession, catalog: Catalog | None,
                     t.register(spark, view)
                 if wm:
                     t.register_metadata(spark, view)
+        # catalog VIEWS mentioned in the statement: register the
+        # tables (and views) the view body references first, then the
+        # view itself — recursion handles view-over-view; a cycle is
+        # cut by _seen and surfaces as spark's unresolved-relation
+        # error on the inner body
+        for full in catalog.list_views():
+            ns, _, v = full.rpartition(".")
+            flat = f"{ns}_{v}" if ns else f"default_{v}"
+            if flat in _seen or not wanted(flat):
+                continue
+            body = catalog.load_view(full)
+            _register_reads(spark, catalog, tables, _mask(body),
+                            _seen | {flat})
+            spark.sql(f"CREATE OR REPLACE TEMP VIEW {flat} AS {body}")
 
 
 def _resolve_view(view: str, catalog: Catalog | None,
@@ -1047,12 +1066,33 @@ def _stmt_merge(spark, sql, masked, catalog, tables):
 
 
 def _stmt_create(spark, sql, masked, catalog, tables):
+    vm = re.match(
+        rf"(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+({_IDENT})\s+AS\b",
+        masked)
+    if vm:
+        if catalog is None:
+            raise LakehouseSqlError("CREATE VIEW needs a catalog")
+        name, body = vm.group(2), sql[vm.end():].strip()
+        if not body:
+            raise LakehouseSqlError("CREATE VIEW needs a body query")
+        # the body must ANALYZE against current catalog state before
+        # it is stored — a typo'd column fails at definition time,
+        # like every SQL engine's CREATE VIEW
+        _register_reads(spark, catalog, tables, _mask(body))
+        try:
+            spark.sql(body).schema
+        except Exception as e:
+            raise LakehouseSqlError(
+                f"CREATE VIEW body does not analyze: {e}") from None
+        catalog.create_view(name, body, replace=bool(vm.group(1)))
+        return {"operation": "create_view", "view": name}
     m = re.match(
         rf"(?is)\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?({_IDENT})\s*",
         masked)
     if not m:
         raise LakehouseSqlError("expected CREATE TABLE [IF NOT EXISTS] "
-                                "<table> AS <query>")
+                                "<table> ... or CREATE [OR REPLACE] VIEW "
+                                "<view> AS <query>")
     if catalog is None:
         raise LakehouseSqlError("CREATE TABLE needs a catalog")
     name, pos = m.group(2), m.end()
@@ -1130,12 +1170,22 @@ def _stmt_create(spark, sql, masked, catalog, tables):
 
 
 def _stmt_drop(spark, sql, masked, catalog, tables):
+    vm = re.fullmatch(
+        rf"(?is)\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?({_IDENT})\s*", masked)
+    if vm:
+        if catalog is None:
+            raise LakehouseSqlError("DROP VIEW needs a catalog")
+        name = vm.group(2)
+        if vm.group(1) and not catalog.view_exists(name):
+            return {"operation": "drop_view", "view": name, "skipped": True}
+        catalog.drop_view(name)
+        return {"operation": "drop_view", "view": name}
     m = re.fullmatch(
         rf"(?is)\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?({_IDENT})"
         r"\s*(PURGE)?\s*", masked)
     if not m:
         raise LakehouseSqlError("expected DROP TABLE [IF EXISTS] <table> "
-                                "[PURGE]")
+                                "[PURGE] or DROP VIEW [IF EXISTS] <view>")
     if catalog is None:
         raise LakehouseSqlError("DROP TABLE needs a catalog")
     name = m.group(2)
@@ -1262,6 +1312,16 @@ def _stmt_show(spark, sql, masked, catalog, tables):
                 for n in catalog.list_tables(tm.group(1))]
         return spark.createDataFrame(
             rows, "namespace string, tableName string")
+    vm = re.fullmatch(
+        r"(?is)\s*SHOW\s+VIEWS(?:\s+(?:IN|FROM)\s+([A-Za-z_]\w*))?\s*",
+        masked)
+    if vm:
+        if catalog is None:
+            raise LakehouseSqlError("SHOW VIEWS needs a catalog")
+        rows = [tuple(n.split(".", 1))
+                for n in catalog.list_views(vm.group(1))]
+        return spark.createDataFrame(
+            rows, "namespace string, viewName string")
     pm = re.fullmatch(rf"(?is)\s*SHOW\s+TBLPROPERTIES\s+({_IDENT})\s*",
                       masked)
     if pm:

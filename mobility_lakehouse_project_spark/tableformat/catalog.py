@@ -29,7 +29,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import types as T
 
 from .paths import join_path, to_local
-from .table import LakehouseTable
+from .table import LakehouseTable, _atomic_write
 
 _NAME_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
 
@@ -65,6 +65,8 @@ class Catalog:
         use, like HadoopCatalog). kwargs pass through to
         ``LakehouseTable.create`` (partition_col, properties, ...);
         racing creates lose on the table's exclusive v1 write."""
+        if self.view_exists(name):
+            raise ValueError(f"{name!r} is a view, not a table")
         return LakehouseTable.create(self._location(name), schema, **kwargs)
 
     def create_table_as(self, name: str, df, n_files: int | None = None,
@@ -117,6 +119,87 @@ class Catalog:
         os.makedirs(os.path.dirname(dst_local), exist_ok=True)
         os.rename(to_local(t.location), dst_local)
         return LakehouseTable(dst_loc)
+
+    # ---------------- views ----------------
+    #
+    # Iceberg-view analog: a named, versioned SQL definition stored in
+    # the catalog (view.json in the view's directory — no data, no
+    # metadata pointer, so table listings never see it). The reference
+    # keeps derived layers as materialized CTAS tables refreshed by
+    # DAG runs (src/sql/gold.sql); a catalog view is the lazy form —
+    # the query re-plans against current table state on every read,
+    # which at 100 TB is the difference between storing a derived copy
+    # and storing ~1 KB of SQL. View SQL references tables (and other
+    # views) by their flattened ``ns_name`` SQL identifiers.
+
+    def _view_local(self, name: str) -> str:
+        ns, v = _split(name)
+        return os.path.join(self._local, ns, v, "view.json")
+
+    def create_view(self, name: str, sql: str,
+                    replace: bool = False) -> dict:
+        """CREATE [OR REPLACE] VIEW: store the SQL text under
+        ``namespace.view``. Replacing keeps the version history
+        (Iceberg views are versioned; the current version is last).
+        A name already holding a TABLE refuses — one name, one kind."""
+        import json
+        import time
+
+        if self.table_exists(name):
+            raise ValueError(f"{name!r} is a table, not a view")
+        path = self._view_local(name)
+        doc = {"versions": []}
+        if os.path.exists(path):
+            if not replace:
+                raise ValueError(f"view {name!r} already exists "
+                                 "(use replace=True)")
+            with open(path, encoding="utf-8") as f:
+                doc = json.load(f)
+        doc["versions"] = (doc["versions"]
+                           + [{"sql": sql,
+                               "created_ms": int(time.time() * 1000)}])[-10:]
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        _atomic_write(path, json.dumps(doc, indent=1))
+        return doc
+
+    def view_exists(self, name: str) -> bool:
+        return os.path.exists(self._view_local(name))
+
+    def load_view(self, name: str) -> str:
+        """The view's current SQL text."""
+        return self.view_meta(name)["versions"][-1]["sql"]
+
+    def view_meta(self, name: str) -> dict:
+        import json
+
+        path = self._view_local(name)
+        if not os.path.exists(path):
+            raise ValueError(f"no view {name!r} in {self.warehouse}")
+        with open(path, encoding="utf-8") as f:
+            return json.load(f)
+
+    def drop_view(self, name: str) -> None:
+        path = self._view_local(name)
+        if not os.path.exists(path):
+            raise ValueError(f"no view {name!r} in {self.warehouse}")
+        shutil.rmtree(os.path.dirname(path))
+
+    def list_views(self, namespace: str | None = None) -> list[str]:
+        if namespace is not None and not _NAME_RE.fullmatch(namespace):
+            raise ValueError(f"bad namespace {namespace!r}")
+        spaces = ([namespace] if namespace is not None
+                  else self.list_namespaces())
+        out = []
+        for ns in spaces:
+            nsdir = os.path.join(self._local, ns)
+            if not os.path.isdir(nsdir):
+                continue
+            for d in sorted(os.listdir(nsdir)):
+                if (_NAME_RE.fullmatch(d)
+                        and os.path.exists(
+                            os.path.join(nsdir, d, "view.json"))):
+                    out.append(f"{ns}.{d}")
+        return out
 
     # ---------------- listing ----------------
 
@@ -174,7 +257,35 @@ class Catalog:
             t.register(spark, view)
             if metadata:
                 t.register_metadata(spark, view)
-        return list(views)
+        # catalog views register AFTER tables; views may reference
+        # other views, so iterate to a fixpoint (dependency order is
+        # whatever succeeds — a view registers once its references do)
+        pending = {}
+        for name in self.list_views():
+            ns, v = _split(name)
+            flat = f"{ns}_{v}"
+            if flat in views:
+                raise ValueError(
+                    f"view name {flat!r} collides with table "
+                    f"{views[flat]!r}")
+            pending[flat] = self.load_view(name)
+        registered = list(views)
+        while pending:
+            progressed = False
+            last_err: Exception | None = None
+            for flat, sql in list(pending.items()):
+                try:
+                    spark.sql(f"CREATE OR REPLACE TEMP VIEW {flat} AS {sql}")
+                    del pending[flat]
+                    registered.append(flat)
+                    progressed = True
+                except Exception as e:  # noqa: BLE001 — retried below
+                    last_err = e
+            if not progressed:
+                flat = next(iter(pending))
+                raise ValueError(
+                    f"view {flat!r} failed to register: {last_err}")
+        return registered
 
     def maintain_all(self, spark: SparkSession, **kwargs) -> dict[str, dict]:
         """Run the one-call maintenance orchestrator over every table,

@@ -205,3 +205,85 @@ def test_rename_table_moves_and_scans(spark, tmp_path):
     with pytest.raises(ValueError, match="already exists"):
         cat.create_table_as("silver.other", df)
         cat.rename_table("silver.other", "silver.dst")
+
+
+# ---------------- catalog views (Iceberg view analog) ----------------
+
+
+def test_view_lifecycle_and_lazy_replan(spark, cat):
+    from mobility_lakehouse_project_spark.sql import execute_sql
+
+    df = _df(spark)
+    cat.create_table("gold.imgs", df.schema).append(df, n_files=2)
+    execute_sql(spark,
+                "CREATE VIEW gold.big AS "
+                "SELECT image_id, phash FROM gold_imgs WHERE phash >= 128",
+                catalog=cat)
+    assert cat.list_views() == ["gold.big"]
+    n1 = execute_sql(spark, "SELECT COUNT(*) AS n FROM gold_big",
+                     catalog=cat).collect()[0]["n"]
+    assert n1 == df.filter("phash >= 128").count()
+    # LAZY: new rows appended after view creation are visible —
+    # the stored SQL re-plans against current table state
+    extra = spark.createDataFrame([(1000, 200, "x"), (1001, 10, "y")],
+                                  df.schema)
+    cat.load_table("gold.imgs").append(extra, n_files=1)
+    n2 = execute_sql(spark, "SELECT COUNT(*) AS n FROM gold_big",
+                     catalog=cat).collect()[0]["n"]
+    assert n2 == n1 + 1
+    # SHOW / DROP
+    rows = execute_sql(spark, "SHOW VIEWS", catalog=cat).collect()
+    assert [(r["namespace"], r["viewName"]) for r in rows] == [
+        ("gold", "big")]
+    execute_sql(spark, "DROP VIEW gold.big", catalog=cat)
+    assert cat.list_views() == []
+    out = execute_sql(spark, "DROP VIEW IF EXISTS gold.big", catalog=cat)
+    assert out["skipped"] is True
+
+
+def test_view_over_view_and_replace_versions(spark, cat):
+    from mobility_lakehouse_project_spark.sql import execute_sql
+
+    df = _df(spark)
+    cat.create_table("b.t", df.schema).append(df, n_files=1)
+    cat.create_view("b.v1", "SELECT image_id, phash FROM b_t")
+    cat.create_view("b.v2",
+                    "SELECT COUNT(*) AS n FROM b_v1 WHERE phash < 50")
+    # a read over the OUTER view transitively registers the inner one
+    n = execute_sql(spark, "SELECT n FROM b_v2",
+                    catalog=cat).collect()[0]["n"]
+    assert n == df.filter("phash < 50").count()
+    # replace keeps version history, current = last
+    with pytest.raises(ValueError, match="already exists"):
+        cat.create_view("b.v1", "SELECT image_id FROM b_t")
+    cat.create_view("b.v1", "SELECT image_id, phash, caption FROM b_t",
+                    replace=True)
+    meta = cat.view_meta("b.v1")
+    assert len(meta["versions"]) == 2
+    assert cat.load_view("b.v1") == "SELECT image_id, phash, caption FROM b_t"
+    # register_all registers tables then views (dependency fixpoint)
+    names = cat.register_all(spark)
+    assert set(names) >= {"b_t", "b_v1", "b_v2"}
+    assert spark.sql("SELECT COUNT(*) AS n FROM b_v1").collect()[0]["n"] == 100
+
+
+def test_view_name_kind_guards_and_bad_body(spark, cat):
+    from mobility_lakehouse_project_spark.sql import (
+        LakehouseSqlError,
+        execute_sql,
+    )
+
+    df = _df(spark)
+    cat.create_table("ns.t", df.schema).append(df, n_files=1)
+    # a view cannot shadow a table, nor a table a view
+    with pytest.raises(ValueError, match="is a table"):
+        cat.create_view("ns.t", "SELECT 1")
+    cat.create_view("ns.v", "SELECT image_id FROM ns_t")
+    with pytest.raises(ValueError, match="is a view"):
+        cat.create_table("ns.v", df.schema)
+    # CREATE VIEW validates the body at definition time
+    with pytest.raises(LakehouseSqlError, match="does not analyze"):
+        execute_sql(spark,
+                    "CREATE VIEW ns.bad AS SELECT nope FROM ns_t",
+                    catalog=cat)
+    assert not cat.view_exists("ns.bad")
