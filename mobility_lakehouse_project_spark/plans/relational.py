@@ -2137,6 +2137,105 @@ ORACLE_SQL["cdc_changelog_scan"] = """
 """
 
 
+def wap_cherrypick_scan(spark, sf_dir):
+    """Write-audit-publish with a cherry-pick publish, oracle-checked
+    end to end: high-priority orders land on main, low-priority orders
+    are staged on an ``audit`` branch with a wap.id, main then advances
+    divergently (medium-priority append), and the staged snapshot is
+    published via cherrypick_snapshot — fast_forward would refuse. The
+    oracle is the union of all three slices over the same parquet: a
+    dropped staged file, a double-publish, or lost main-side rows
+    diverge the counts and integer-exact key sums. Mirrors the
+    reference's gate-then-promote ladder
+    (dags/Silver_Transform_Dag.py:139-186) in lakehouse-native form."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..tableformat import LakehouseTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    scratch = os.path.join(tempfile.gettempdir(), "mlps-scratch", "wap-cp")
+    shutil.rmtree(scratch, ignore_errors=True)
+    t = LakehouseTable.create(
+        scratch + "/orders", o.schema, partition_col="o_orderstatus"
+    )
+    t.append(o.filter(F.col("o_orderpriority") < "3"), n_files=4)
+    t.create_branch("audit")
+    staged = t.append(o.filter(F.col("o_orderpriority") >= "4"),
+                      n_files=2, branch="audit", wap_id="wap-1")
+    t.append(o.filter((F.col("o_orderpriority") >= "3")
+                      & (F.col("o_orderpriority") < "4")), n_files=2)
+    t.cherrypick_snapshot(staged.snapshot_id)
+    return (
+        t.scan(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_orderkey")).alias("sum_key"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+ORACLE_SQL["wap_cherrypick_scan"] = """
+        SELECT o_orderstatus,
+               COUNT(*) AS n_orders,
+               CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+"""
+
+
+def sql_view_scan(spark, sf_dir):
+    """Catalog views, oracle-checked end to end: the documents table is
+    loaded into a warehouse catalog, a per-language quality view is
+    CREATEd (stored SQL, not materialized), MORE documents are appended
+    AFTER the view exists, and the view is then queried — proving the
+    stored SQL re-plans lazily against current table state (the
+    reference materializes its gold layers as CTAS tables refreshed by
+    DAG runs, src/sql/gold.sql; a view is the zero-copy form). The
+    oracle runs the equivalent aggregate over the full parquet."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..sql import execute_sql
+    from ..tableformat.catalog import Catalog
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    scratch = os.path.join(tempfile.gettempdir(), "mlps-scratch", "views")
+    shutil.rmtree(scratch, ignore_errors=True)
+    cat = Catalog(scratch)
+    cat.create_table_as("g.docs", d.filter(F.col("doc_id") % 2 == 0),
+                        n_files=4)
+    execute_sql(
+        spark,
+        "CREATE VIEW g.lang_profile AS "
+        "SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars "
+        "FROM g_docs GROUP BY lang",
+        catalog=cat,
+    )
+    # rows appended AFTER the view definition must be visible
+    cat.load_table("g.docs").append(d.filter(F.col("doc_id") % 2 == 1),
+                                    n_files=4)
+    return execute_sql(
+        spark, "SELECT * FROM g_lang_profile ORDER BY lang", catalog=cat)
+
+
+ORACLE_SQL["sql_view_scan"] = """
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang
+"""
+
+
 def sql_dml_roundtrip(spark, sf_dir):
     """The SQL front-end (sql.py), oracle-checked end to end: a
     scratch lakehouse table of orders keys is driven entirely through
@@ -2617,4 +2716,6 @@ QUERIES = {
     "sql_dml_roundtrip": sql_dml_roundtrip,
     "sql_retention_delete": sql_retention_delete,
     "sql_eq_delete_scan": sql_eq_delete_scan,
+    "wap_cherrypick_scan": wap_cherrypick_scan,
+    "sql_view_scan": sql_view_scan,
 }
