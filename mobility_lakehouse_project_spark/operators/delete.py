@@ -448,6 +448,29 @@ def delete_where(
 ROWS_PER_DELETE_FILE = 2_000_000
 
 
+def _delete_entries_and_meta(table, spark, positions, n_hits, touched_paths,
+                             dv: bool) -> tuple[list[dict], dict]:
+    """Write the delete files for a ``(file_path, pos)`` set in the
+    requested representation; returns (manifest entries, extra kwargs
+    for ``commit_delete_files``). The DV form merges each touched
+    file's PRIOR pending deletes into its new vector (merge-on-write
+    supersede — the planning scan applied them, so they are absent
+    from ``positions``) and stamps the manifest kind so readers apply
+    only the newest vector per file."""
+    if not dv:
+        entries = table.write_position_delete_files(
+            positions, max(1, round(n_hits / ROWS_PER_DELETE_FILE)))
+        return entries, {}
+    touched = sorted(touched_paths)
+    prior, _ = table.position_deletes_df(
+        spark, None, (touched[0], touched[-1]))
+    if prior is not None:
+        positions = positions.unionByName(
+            prior.filter(F.col("file_path").isin(touched)))
+    entries, n_pos = table.write_deletion_vector_files(positions)
+    return entries, {"manifest_meta": {"kind": "dv", "positions": n_pos}}
+
+
 def _mor_delete(table, spark, cond, int_ranges, op_id, chunk_files,
                 predicate_repr, point_eq=None, dv=False) -> dict:
     """Merge-on-read DELETE: per partition chunk, one slim-column scan
@@ -540,34 +563,16 @@ def _mor_delete(table, spark, cond, int_ranges, op_id, chunk_files,
                 .select(F.col("_file").alias("file_path"),
                         F.col("_pos").alias("pos"))
             )
-            if dv:
-                # deletion vectors supersede: the new DV must carry the
-                # file's FULL pending delete set, so merge any prior
-                # pending positions of the touched files (the matched
-                # scan applied them, so they are not in `matched`)
-                prior, _ = table.position_deletes_df(
-                    spark, None, (min(partial), max(partial)))
-                if prior is not None:
-                    matched = matched.unionByName(
-                        prior.filter(F.col("file_path").isin(partial)))
-                entries, n_pos = table.write_deletion_vector_files(matched)
-                snap = table.commit_delete_files(
-                    entries,
-                    summary={"predicate": predicate_repr, "dv": True,
-                             "pending-positions": n_pos,
-                             "chunk": f"{ci + 1}/{len(chunks)}"},
-                    expected_parent=pin,
-                    manifest_meta={"kind": "dv", "positions": n_pos},
-                )
-            else:
-                n_files = max(1, round(n_partial_hits / ROWS_PER_DELETE_FILE))
-                entries = table.write_position_delete_files(matched, n_files)
-                snap = table.commit_delete_files(
-                    entries,
-                    summary={"predicate": predicate_repr,
-                             "chunk": f"{ci + 1}/{len(chunks)}"},
-                    expected_parent=pin,
-                )
+            entries, extra = _delete_entries_and_meta(
+                table, spark, matched, n_partial_hits, partial, dv)
+            snap = table.commit_delete_files(
+                entries,
+                summary={"predicate": predicate_repr,
+                         **({"dv": True} if dv else {}),
+                         "chunk": f"{ci + 1}/{len(chunks)}"},
+                expected_parent=pin,
+                **extra,
+            )
         log.record(
             op_id or f"mor-delete-{snap.snapshot_id}", f"chunk-{ci}",
             sorted(part_ids), len(dead) + len(partial), len(entries),
@@ -868,7 +873,9 @@ def update_where(
     are never rewritten (the write is O(matched rows), the MOR upsert
     shape). Matched rows ARE read (assignments transform the old
     row), so the read-side saving over CoW is the row filter, and the
-    write-side saving is total."""
+    write-side saving is total. ``mode="dv"`` is the same plan with
+    the old positions packed as deletion vectors (one merged bitmap
+    per touched file — see :mod:`..tableformat.dv`)."""
     cond = F.expr(predicate) if isinstance(predicate, str) else predicate
     data_cols = [f.name for f in table.schema().fields]
     bad = [c for c in assignments if c not in data_cols]
@@ -878,19 +885,21 @@ def update_where(
         c: (F.expr(e) if isinstance(e, str) else e)
         for c, e in assignments.items()
     }
-    if mode == "mor":
+    if mode in ("mor", "dv"):
         return _mor_update(table, spark, cond, upd, int_ranges,
                            target_file_size, op_id, chunk_files,
-                           str(predicate), point_eq=point_eq)
+                           str(predicate), point_eq=point_eq,
+                           dv=(mode == "dv"))
     if mode != "cow":
-        raise ValueError(f"unknown update mode {mode!r} (cow|mor)")
+        raise ValueError(f"unknown update mode {mode!r} (cow|mor|dv)")
     return _rowlevel_op(table, spark, cond, "update", upd, int_ranges,
                         target_file_size, op_id, chunk_files, str(predicate),
                         point_eq=point_eq)
 
 
 def _mor_update(table, spark, cond, upd, int_ranges, target_file_size,
-                op_id, chunk_files, predicate_repr, point_eq=None) -> dict:
+                op_id, chunk_files, predicate_repr, point_eq=None,
+                dv=False) -> dict:
     """Merge-on-read UPDATE: per partition chunk, matched rows (read
     once, blobs included — the assignments need the old row) become
     (a) position-delete entries for their old locations and (b) an
@@ -942,10 +951,11 @@ def _mor_update(table, spark, cond, upd, int_ranges, target_file_size,
                 "MOR update: scan file identities did not resolve to "
                 f"planned paths; unresolved={sorted(unresolved)[:5]}"
             )
-        delete_entries = table.write_position_delete_files(
+        delete_entries, extra = _delete_entries_and_meta(
+            table, spark,
             matched.select(F.col("_file").alias("file_path"),
                            F.col("_pos").alias("pos")),
-            max(1, round(n_matched / ROWS_PER_DELETE_FILE)),
+            n_matched, [r["_file"] for r in per_file], dv,
         )
         updated = matched.select(
             *[(upd[c].alias(c) if c in upd else F.col(c)) for c in data_cols]
@@ -968,8 +978,10 @@ def _mor_update(table, spark, cond, upd, int_ranges, target_file_size,
             operation="overwrite", op_name="mor-update",
             summary={"predicate": predicate_repr,
                      "set": ",".join(sorted(upd)),
+                     **({"dv": True} if dv else {}),
                      "chunk": f"{ci + 1}/{len(chunks)}"},
             expected_parent=cur.snapshot_id,
+            **extra,
         )
         log.record(
             op_id or f"mor-update-{snap.snapshot_id}", f"chunk-{ci}",

@@ -157,6 +157,10 @@ def merge_into(
       the old row read back, which is what CoW already does better.
       Read cost until :func:`~.delete.rewrite_position_deletes` runs:
       one broadcast anti-join per scan.
+    * ``"dv"`` — the MOR plan with the matched positions packed as
+      deletion vectors (one merged bitmap per touched file; see
+      :mod:`..tableformat.dv`): repeated upserts never stack delete
+      files per data file.
 
     ``evolve_schema=True`` reconciles the target schema with the
     source's first (:func:`evolve_schema_for_source`): source-only
@@ -175,19 +179,20 @@ def merge_into(
     if (when_matched is None and when_not_matched is None
             and when_not_matched_by_source is None):
         raise ValueError("no-op MERGE: all clauses are None")
-    if mode not in ("cow", "mor"):
-        raise ValueError(f"unknown merge mode {mode!r} (cow|mor)")
-    if when_not_matched_by_source and mode != "mor":
+    if mode not in ("cow", "mor", "dv"):
+        raise ValueError(f"unknown merge mode {mode!r} (cow|mor|dv)")
+    if when_not_matched_by_source and mode == "cow":
         raise ValueError(
-            "when_not_matched_by_source needs mode='mor' (O(target keys) "
-            "position deletes); a CoW by-source delete rewrites every "
-            "file holding an unmatched row — use overwrite() for a "
-            "full replace"
+            "when_not_matched_by_source needs mode='mor' or 'dv' "
+            "(O(target keys) position deletes); a CoW by-source delete "
+            "rewrites every file holding an unmatched row — use "
+            "overwrite() for a full replace"
         )
-    if mode == "mor" and update_cols:
+    if mode in ("mor", "dv") and update_cols:
         raise ValueError(
-            "mode='mor' supports full-row updates only (update_cols=None); "
-            "column-subset updates need the old row read back — use cow"
+            f"mode={mode!r} supports full-row updates only "
+            "(update_cols=None); column-subset updates need the old row "
+            "read back — use cow"
         )
     t0 = time.time()
     keys = [key] if isinstance(key, str) else list(key)
@@ -271,11 +276,12 @@ def merge_into(
                 "wall_ms": int((time.time() - t0) * 1000),
                 "snapshot": snap.snapshot_id}
 
-    if mode == "mor":
+    if mode in ("mor", "dv"):
         return _merge_mor(table, spark, src, src_keys, n_src, keys,
                           when_matched, when_not_matched,
                           when_not_matched_by_source, target_file_size,
-                          cur, op_id, extra_summary, t0)
+                          cur, op_id, extra_summary, t0,
+                          dv=(mode == "dv"))
 
     # ---- 1. touched files: keys+filename scan (bytes pruned away) ----
     # ONE pass over the target's keys serves BOTH planning questions:
@@ -418,15 +424,17 @@ def merge_into(
 
 def _merge_mor(table, spark, src, src_keys, n_src, keys, when_matched,
                when_not_matched, by_source, target_file_size, cur, op_id,
-               extra_summary, t0) -> dict:
+               extra_summary, t0, dv=False) -> dict:
     """Merge-on-read MERGE: ONE column-pruned scan of (keys, _file,
     _pos) classifies matched target rows into position-delete files;
     the new row versions (full source rows) are appended. Both land in
     a single atomic snapshot via ``commit_delete_files(data_entries=)``
     pinned to the plan snapshot. The touched files' blobs are never
     read — the cost is O(source + target keys), not O(touched files):
-    the scale shape for frequent small upserts on blob tables."""
-    from .delete import ROWS_PER_DELETE_FILE
+    the scale shape for frequent small upserts on blob tables.
+    ``dv=True`` writes the matched positions as deletion vectors (one
+    merged bitmap per touched file) instead of position rows."""
+    from .delete import _delete_entries_and_meta
 
     target_keys = table.scan(spark, columns=None, with_pos=True).select(
         *[F.col(k) for k in keys], F.col("_file"), F.col("_pos")
@@ -453,6 +461,7 @@ def _merge_mor(table, spark, src, src_keys, n_src, keys, when_matched,
     target_keys.unpersist()
 
     delete_entries: list[dict] = []
+    commit_extra: dict = {}
     if to_delete:
         dels = to_delete[0]
         for extra in to_delete[1:]:
@@ -471,10 +480,11 @@ def _merge_mor(table, spark, src, src_keys, n_src, keys, when_matched,
                 "MOR MERGE planning: scan file identities did not all "
                 "resolve to manifest entries"
             )
-        delete_entries = table.write_position_delete_files(
+        delete_entries, commit_extra = _delete_entries_and_meta(
+            table, spark,
             dels.select(F.col("_file").alias("file_path"),
                         F.col("_pos").alias("pos")),
-            max(1, round(n_del / ROWS_PER_DELETE_FILE)),
+            n_del, touched, dv,
         )
 
     if when_not_matched == "insert":
@@ -520,8 +530,10 @@ def _merge_mor(table, spark, src, src_keys, n_src, keys, when_matched,
     if delete_entries:
         snap = table.commit_delete_files(
             delete_entries, data_entries=entries, operation="merge-mor",
-            op_name="merge-mor", summary=summary,
+            op_name="merge-mor",
+            summary={**summary, **({"dv": True} if dv else {})},
             expected_parent=cur.snapshot_id,
+            **commit_extra,
         )
     else:
         # nothing matched: a pure insert — same pinned append the

@@ -232,3 +232,75 @@ def test_dv_via_sql_frontend(spark, table):
     assert out["rows_deleted"] == n
     assert len(t.current_snapshot().dv_manifests()) >= 1
     assert t.scan(spark).filter("h >= 64").count() == 0
+
+
+# ---------------- DV-form upserts (UPDATE / MERGE mode='dv') ----------------
+
+
+def test_dv_update_matches_cow_semantics(spark, tmp_table_dir):
+    from mobility_lakehouse_project_spark.operators.delete import update_where
+
+    df = synth.images_df(spark, 400, partitions=2)
+    a = LakehouseTable.create(tmp_table_dir + "-ucow", df.schema,
+                              partition_col="bucket")
+    a.append(df, n_files=6)
+    b = LakehouseTable.create(tmp_table_dir + "-udv", df.schema,
+                              partition_col="bucket")
+    b.append(df, n_files=6)
+    ra = update_where(a, spark, "w = 16", {"caption": "'seen'"}, mode="cow")
+    rb = update_where(b, spark, "w = 16", {"caption": "'seen'"}, mode="dv")
+    assert ra["rows_updated"] == rb["rows_updated"] > 0
+    assert len(b.current_snapshot().dv_manifests()) == 1
+    rows_a = sorted((r["image_id"], r["caption"]) for r in
+                    a.scan(spark, columns=["image_id", "caption"]).collect())
+    rows_b = sorted((r["image_id"], r["caption"]) for r in
+                    b.scan(spark, columns=["image_id", "caption"]).collect())
+    assert rows_a == rows_b
+
+
+def test_dv_merge_upsert_and_repeat_keeps_single_vector(spark, tmp_table_dir):
+    from mobility_lakehouse_project_spark.operators.merge import merge_into
+
+    df = synth.images_df(spark, 400, partitions=2)
+    t = LakehouseTable.create(tmp_table_dir + "-mdv", df.schema,
+                              partition_col="bucket")
+    t.append(df, n_files=6)
+    # upsert 1: replace 60 rows, insert 20 new
+    up1 = synth.images_df(spark, 80, seed=3, id_offset=340)
+    r1 = merge_into(t, spark, up1, "image_id", mode="dv")
+    assert r1["rows_deleted_positions"] == 60
+    assert t.scan(spark).count() == 420
+    assert len(t.current_snapshot().dv_manifests()) == 1
+    # upsert 2 overlaps upsert 1's rows AND original rows
+    up2 = synth.images_df(spark, 80, seed=4, id_offset=300)
+    merge_into(t, spark, up2, "image_id", mode="dv")
+    assert t.scan(spark).count() == 420
+    # exactly one row version per key survives
+    dup = (t.scan(spark).groupBy("image_id").count()
+           .filter("count > 1").count())
+    assert dup == 0
+    # pending delete set has no duplicate pairs (newest vector per file)
+    ddf, _ = t.position_deletes_df(spark)
+    assert ddf.count() == ddf.distinct().count()
+    # the upserted captions are the latest versions
+    want = {r["image_id"]: r["caption"] for r in up2.collect()}
+    got = {r["image_id"]: r["caption"] for r in
+           t.scan(spark).filter(F.col("image_id").isin(list(want))).collect()}
+    assert got == want
+
+
+def test_dv_merge_by_source_delete_full_sync(spark, tmp_table_dir):
+    from mobility_lakehouse_project_spark.operators.merge import merge_into
+
+    df = synth.images_df(spark, 300, partitions=2)
+    t = LakehouseTable.create(tmp_table_dir + "-msync", df.schema,
+                              partition_col="bucket")
+    t.append(df, n_files=4)
+    src = synth.images_df(spark, 150, seed=6, id_offset=100)
+    merge_into(t, spark, src, "image_id", mode="dv",
+               when_not_matched_by_source="delete")
+    # full sync: target key set == source key set
+    got = sorted(r["image_id"] for r in
+                 t.scan(spark, columns=["image_id"]).collect())
+    want = sorted(r["image_id"] for r in src.select("image_id").collect())
+    assert got == want
