@@ -111,12 +111,18 @@ def regenerate_decoded(i: int, w: int, h: int, fmt: str) -> np.ndarray:
 
 
 def luma_milli(pixels: np.ndarray) -> int:
-    """Per-image mean luma in integer milli-units (np.rint) — the
-    integerized form both the Spark kernel and the Spark-free golden
-    path (tools/golden_mm.py) aggregate, so sums are exact and
-    order-independent."""
-    m = pixels.reshape(-1, 3).mean(axis=0)
-    return int(np.rint(float(m @ np.array([0.299, 0.587, 0.114])) * 1000.0))
+    """Per-image mean luma in integer milli-units — the integerized
+    form both the Spark kernel and the Spark-free golden path
+    (tools/golden_mm.py) aggregate, so sums are exact and
+    order-independent. Computed from EXACT integer channel sums with
+    one IEEE double division at the end: a float `.mean()` here once
+    landed within epsilon of a .5 rounding boundary and flapped the
+    golden constant by 1 between runs — integer accumulation makes the
+    rounding input bit-identical on every host."""
+    s = pixels.reshape(-1, 3).astype(np.int64).sum(axis=0)
+    n = pixels.size // 3
+    num = 299 * int(s[0]) + 587 * int(s[1]) + 114 * int(s[2])
+    return int(np.rint(num / n))
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:

@@ -586,6 +586,60 @@ def _mor_delete(table, spark, cond, int_ranges, op_id, chunk_files,
     return metrics
 
 
+def compact_deletion_vectors(
+    table: LakehouseTable,
+    spark: SparkSession,
+    op_id: str | None = None,
+) -> dict:
+    """Consolidate the table's pending position-delete state — stacked
+    position-delete files AND superseded deletion vectors — into ONE
+    newest vector per still-live data file, in one metadata commit
+    plus a tiny DV blob write. NO data file is read or rewritten:
+    this is the cheap sibling of :func:`rewrite_position_deletes` for
+    when the data itself is not worth rewriting yet but the delete
+    metadata has grown (many small GDPR erasures between maintenance
+    windows at 10^12 scale). Entries referencing since-removed files
+    are dropped; equality deletes keep their key/sequence semantics
+    untouched. After the commit every scan applies exactly one delete
+    manifest for position state."""
+    t0 = time.time()
+    cur = table.current_snapshot()
+    noop = {"delete_manifests_before": 0, "positions": 0,
+            "wall_ms": 0, "snapshot": cur.snapshot_id if cur else None}
+    if cur is None:
+        return noop
+    pos_dms = cur.position_delete_manifests()
+    dv_dms = cur.dv_manifests()
+    if not pos_dms and not dv_dms:
+        noop["wall_ms"] = int((time.time() - t0) * 1000)
+        return noop
+    ddf, _n = table.position_deletes_df(spark)
+    live = table.files(spark).select("file_path")
+    pending = ddf.join(live, "file_path", "left_semi").persist()
+    n_pos = pending.count()
+    entries: list[dict] = []
+    if n_pos:
+        entries, n_pos = table.write_deletion_vector_files(pending)
+    pending.unpersist()
+    snap = table.commit_rewrite_deletes(
+        entries,
+        manifest_meta={"kind": "dv", "positions": n_pos},
+        summary={"pending-positions": n_pos},
+        expected_parent=cur.snapshot_id,
+    )
+    LineageLog(table.location).record(
+        op_id or f"compact-dvs-{snap.snapshot_id}", "all", [],
+        len(pos_dms) + len(dv_dms), len(entries), n_pos,
+        sum(e["file_size_bytes"] for e in entries),
+        int((time.time() - t0) * 1000), snap.snapshot_id,
+    )
+    return {"delete_manifests_before": len(pos_dms) + len(dv_dms),
+            "delete_manifests_after": 1 if entries else 0,
+            "positions": n_pos,
+            "wall_ms": int((time.time() - t0) * 1000),
+            "snapshot": snap.snapshot_id}
+
+
 def rewrite_position_deletes(
     table: LakehouseTable,
     spark: SparkSession,

@@ -1503,7 +1503,7 @@ ORACLE_SQL["txt_rolling_fingerprint"] = """
 #   python tools/golden_mm.py 500
 ORACLE_SQL["mm_image_features"] = """
         SELECT * FROM (VALUES
-            ('jpeg', 397::BIGINT, 49894160::BIGINT, 0::BIGINT, 0::BIGINT),
+            ('jpeg', 397::BIGINT, 49894161::BIGINT, 0::BIGINT, 0::BIGINT),
             ('png', 39::BIGINT, 4962985::BIGINT, 0::BIGINT, 0::BIGINT),
             ('raw', 64::BIGINT, 8163213::BIGINT, 0::BIGINT, 0::BIGINT)
         ) AS t(fmt, n_images, luma_milli_sum, n_ahash_mismatch, n_psnr_violations)

@@ -99,6 +99,7 @@ from pyspark.sql.types import StructType
 from .operators.clustering import cluster
 from .operators.compaction import compact
 from .operators.delete import (
+    compact_deletion_vectors,
     delete_where,
     drop_partitions,
     rewrite_position_deletes,
@@ -1368,6 +1369,8 @@ PROCEDURES = {
         "snapshot_id": t.rewrite_manifests(s).snapshot_id},
     "rewrite_position_deletes":
         lambda t, s, **kw: rewrite_position_deletes(t, s, **kw),
+    "compact_deletion_vectors":
+        lambda t, s, **kw: compact_deletion_vectors(t, s, **kw),
     "compact": lambda t, s, **kw: compact(t, s, **kw),
     "cluster": lambda t, s, **kw: cluster(
         t, s, **({**kw, "cols": tuple(kw["cols"])} if "cols" in kw else kw)),

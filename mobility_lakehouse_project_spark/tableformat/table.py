@@ -2723,6 +2723,58 @@ class LakehouseTable:
         )
         return self._commit(meta, snap, parent)
 
+    def commit_rewrite_deletes(
+        self,
+        delete_entries: list[dict],
+        manifest_meta: dict | None = None,
+        summary: dict | None = None,
+        expected_parent: "int | None | object" = UNPINNED,
+    ) -> Snapshot:
+        """Replace the snapshot's position-delete state (position-row
+        manifests AND deletion-vector manifests) with ONE new delete
+        manifest — the delete-compaction commit shape. Equality-delete
+        manifests are carried over untouched (their key + sequence
+        scoping cannot be folded into positions without a data probe).
+        Data manifests are untouched; ``operation`` is
+        ``rewrite-deletes`` so the changelog treats it as a no-op (no
+        logical row change). Pass empty ``delete_entries`` to just
+        drop the position-delete state (every pending delete
+        referenced a since-removed file)."""
+        meta = self.load_metadata()
+        parent = meta["current_snapshot_id"]
+        if expected_parent is not UNPINNED and parent != expected_parent:
+            raise ConcurrentCommitError(
+                f"table advanced past plan snapshot {expected_parent} "
+                f"(now {parent}); delete-compaction plan must be re-derived"
+            )
+        prev = self.current_snapshot(meta)
+        if prev is None:
+            raise ValueError("empty table has no deletes to rewrite")
+        snap_id, seq = self._next_ids(meta)
+        dms = []
+        dmm: dict = {}
+        for m in prev.delete_manifests:
+            info = prev.delete_manifest_meta.get(m, {})
+            if info.get("kind") == "equality":
+                dms.append(m)
+                dmm[m] = info
+        if delete_entries:
+            dm, _ = self._write_manifest(delete_entries, snap_id)
+            dms.append(dm)
+            dmm[dm] = {**(manifest_meta or {}), "seq": seq}
+        snap = Snapshot(
+            snap_id, parent, seq, int(time.time() * 1000),
+            "rewrite-deletes", list(prev.manifests),
+            {"op": "compact-deletion-vectors",
+             "removed-delete-manifests":
+                 len(prev.delete_manifests) - (len(dms) - bool(delete_entries)),
+             **(summary or {})},
+            dict(prev.manifest_parts),
+            dms,
+            dmm,
+        )
+        return self._commit(meta, snap, parent)
+
     def clear_delete_manifests(
         self, expected_parent: "int | None | object" = UNPINNED
     ) -> Snapshot:

@@ -304,3 +304,77 @@ def test_dv_merge_by_source_delete_full_sync(spark, tmp_table_dir):
                  t.scan(spark, columns=["image_id"]).collect())
     want = sorted(r["image_id"] for r in src.select("image_id").collect())
     assert got == want
+
+
+# ---------------- delete-metadata compaction ----------------
+
+
+def test_compact_deletion_vectors_consolidates_without_data_rewrite(
+        spark, table):
+    t = table
+    # predicates overlap (an h=64 row may also have w=16/32): the
+    # pending-position union is the OR-count, not the sum
+    n_del = t.scan(spark).filter("w IN (16, 32) OR h = 64").count()
+    # stack heterogeneous delete state: position rows + two vectors
+    delete.delete_where(t, spark, "w = 16", mode="mor")
+    delete.delete_where(t, spark, "w = 32", mode="dv")
+    delete.delete_where(t, spark, "h = 64", mode="dv")
+    pre_files = _file_set(t, spark)
+    snap = t.current_snapshot()
+    assert len(snap.delete_manifests) == 3
+    expect = N - n_del
+
+    res = delete.compact_deletion_vectors(t, spark)
+
+    assert res["delete_manifests_before"] == 3
+    assert res["delete_manifests_after"] == 1
+    assert res["positions"] == n_del
+    snap = t.current_snapshot()
+    assert snap.operation == "rewrite-deletes"
+    assert len(snap.delete_manifests) == 1
+    assert len(snap.dv_manifests()) == 1
+    # NO data file was touched
+    assert _file_set(t, spark) == pre_files
+    assert t.scan(spark).count() == expect
+    ddf, _ = t.position_deletes_df(spark)
+    assert ddf.count() == n_del
+    # idempotent: a second compaction keeps one manifest, same rows
+    delete.compact_deletion_vectors(t, spark)
+    assert len(t.current_snapshot().delete_manifests) == 1
+    assert t.scan(spark).count() == expect
+
+
+def test_compact_deletion_vectors_drops_dead_refs_keeps_equality(
+        spark, table):
+    from mobility_lakehouse_project_spark.streaming.changelog import (
+        changelog_df,
+    )
+
+    t = table
+    n16 = t.scan(spark).filter("w = 16").count()
+    delete.delete_where(t, spark, "w = 16", mode="dv")
+    # an equality delete must survive compaction untouched
+    keys = spark.createDataFrame([("img-nonexistent",)], "image_id string")
+    t.commit_equality_deletes(
+        t.write_equality_delete_files(keys, ["image_id"]), ["image_id"])
+    # drop a whole partition: its DV entries now reference dead files
+    n_b0 = t.scan(spark).filter("bucket = 0").count()
+    delete.drop_partitions(t, spark, [0])
+    s0 = t.current_snapshot().snapshot_id
+    res = delete.compact_deletion_vectors(t, spark)
+    assert res["positions"] < n16  # dead-file refs dropped
+    snap = t.current_snapshot()
+    assert len(snap.equality_delete_manifests()) == 1
+    assert t.scan(spark).count() == N - n16 - n_b0
+    # the compaction is changelog-invisible (no logical change)
+    ch = changelog_df(t, spark, from_snapshot_id=s0)
+    assert ch.count() == 0
+
+
+def test_compact_deletion_vectors_via_sql_call(spark, table):
+    t = table
+    delete.delete_where(t, spark, "w = 16", mode="mor")
+    out = execute_sql(
+        spark, "CALL compact_deletion_vectors('t')", tables={"t": t})
+    assert out["delete_manifests_after"] == 1
+    assert len(t.current_snapshot().dv_manifests()) == 1
