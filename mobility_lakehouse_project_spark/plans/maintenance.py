@@ -122,6 +122,14 @@ def run_maintenance(
         report["fold_deletes"] = delete.rewrite_position_deletes(
             table, spark, target_file_size=target_file_size,
             min_delete_ratio=fold_min_delete_ratio)
+        remaining = table.current_snapshot()
+        if (len(remaining.position_delete_manifests())
+                + len(remaining.dv_manifests())) > 1:
+            # a targeted fold (min_delete_ratio) left below-threshold
+            # delete state applied: consolidate it to ONE vector per
+            # file so the skipped rewrites don't keep a manifest stack
+            report["compact_deletion_vectors"] = \
+                delete.compact_deletion_vectors(table, spark)
 
     if table._current_spec_snapshot_ids(table.load_metadata()) is not None:
         report["migrate_partitions"] = compaction.migrate_partitions(

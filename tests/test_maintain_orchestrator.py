@@ -58,3 +58,35 @@ def test_full_maintenance_pass(spark, tmp_table_dir):
         ).count() == 0
     assert t.files(spark).count() < files_before
     assert len(t.snapshots_list()) <= 4  # keep_last + pinned current
+
+
+def test_targeted_fold_remainder_consolidates_to_one_vector(spark, tmp_path):
+    """A min-delete-ratio fold that skips below-threshold files must
+    leave ONE consolidated deletion vector applied, not the stacked
+    per-commit delete manifests."""
+    from mobility_lakehouse_project_spark import synth
+    from mobility_lakehouse_project_spark.operators import delete
+    from mobility_lakehouse_project_spark.plans.maintenance import (
+        run_maintenance,
+    )
+    from mobility_lakehouse_project_spark.tableformat import LakehouseTable
+
+    df = synth.images_df(spark, 600, partitions=2)
+    t = LakehouseTable.create(str(tmp_path / "t"), df.schema,
+                              partition_col="bucket")
+    t.append(df, n_files=8)
+    expect = t.scan(spark).filter(
+        "w = 16 OR w = 32 OR h = 64").count()
+    # three tiny deletes: each touches a small fraction of every file
+    delete.delete_where(t, spark, "w = 16", mode="mor")
+    delete.delete_where(t, spark, "w = 32", mode="dv")
+    delete.delete_where(t, spark, "h = 64", mode="mor")
+    assert len(t.current_snapshot().delete_manifests) == 3
+    rep = run_maintenance(t, spark, fold_min_delete_ratio=0.9,
+                          keep_snapshots=50)
+    assert rep["fold_deletes"]["cleared"] is False
+    assert "compact_deletion_vectors" in rep
+    snap = t.current_snapshot()
+    assert len(snap.position_delete_manifests()) == 0
+    assert len(snap.dv_manifests()) == 1
+    assert t.scan(spark).count() == 600 - expect
