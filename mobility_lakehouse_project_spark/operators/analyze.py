@@ -113,3 +113,45 @@ def read_statistics(table: LakehouseTable,
         name = st[str(max(candidates, key=lambda s: seqs.get(s, -1)))]
     with open(os.path.join(table.meta_dir, name)) as f:
         return json.load(f)
+
+
+def compute_partition_stats(table: LakehouseTable,
+                            spark: SparkSession) -> dict:
+    """Partition statistics file (Iceberg's partition stats spec /
+    ``compute_partition_stats`` procedure): the ``partitions_df``
+    aggregate for the CURRENT snapshot — file/row/byte counts and
+    MOR-aware live counts per partition — persisted as one parquet
+    under ``metadata/`` and registered snapshot-addressed in the table
+    metadata. A monitoring dashboard or planner asking "how big is
+    each partition" on a 10^12-row table then reads one tiny parquet
+    instead of re-aggregating millions of manifest entries; the file
+    is immutable per snapshot, so exact-match reads are always
+    consistent. One row per partition = metadata-scale, safe to
+    collect."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t0 = time.time()
+    snap = table.current_snapshot()
+    if snap is None:
+        raise ValueError("empty table has no partitions to profile")
+    pan = table.partitions_df(spark, use_cached=False).toPandas()
+    name = f"partition-stats-{snap.snapshot_id}.parquet"
+    pq.write_table(pa.Table.from_pandas(pan, preserve_index=False),
+                   os.path.join(table.meta_dir, name))
+    from ..tableformat.table import ConcurrentCommitError
+
+    last = None
+    for _ in range(4):
+        meta = table.load_metadata()
+        st = dict(meta.get("partition_statistics", {}))
+        st[str(snap.snapshot_id)] = name
+        meta["partition_statistics"] = st
+        try:
+            table._commit_metadata(meta)
+            return {"snapshot": snap.snapshot_id, "file": name,
+                    "partitions": int(len(pan)),
+                    "wall_ms": int((time.time() - t0) * 1000)}
+        except ConcurrentCommitError as e:
+            last = e
+    raise last

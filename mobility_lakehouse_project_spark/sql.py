@@ -1390,6 +1390,7 @@ PROCEDURES = {
     "evolve_partition": lambda t, s, **kw: {
         "version": t.evolve_partition(kw.pop("new_col", None), **kw)},
     "analyze": None,  # lazy (operators.analyze)
+    "compute_partition_stats": None,  # lazy (operators.analyze)
     "migrate_partitions": None,  # lazy (operators.compaction)
     "run_maintenance": None,  # resolved lazily (import cycle)
 }
@@ -1434,6 +1435,10 @@ def _stmt_call(spark, sql, masked, catalog, tables):
         from .operators.analyze import analyze_table
 
         out = analyze_table(table, spark, **kwargs)
+    elif proc == "compute_partition_stats":
+        from .operators.analyze import compute_partition_stats
+
+        out = compute_partition_stats(table, spark, **kwargs)
     elif proc == "migrate_partitions":
         from .operators.compaction import migrate_partitions
 

@@ -1919,7 +1919,8 @@ class LakehouseTable:
         )
 
     def partitions_df(
-        self, spark: SparkSession, snapshot_id: int | None = None
+        self, spark: SparkSession, snapshot_id: int | None = None,
+        use_cached: bool = True,
     ) -> DataFrame:
         """The `partitions` inspection table (Iceberg `table$partitions`,
         reference dashboard rollup shape): per-partition file/row/byte
@@ -1930,12 +1931,27 @@ class LakehouseTable:
         pending delete rows are attributed to partitions by joining the
         delete (file_path, pos) set against the file->partition map, so
         the ``live_record_count`` column reports post-MOR visibility.
+
+        When a partition statistics file exists for EXACTLY the
+        requested snapshot (``operators.analyze.compute_partition_stats``
+        — Iceberg's partition stats files), it is read instead of
+        re-aggregating the manifests; the file is snapshot-addressed
+        and immutable, so the exact-match cache is always consistent.
+        ``use_cached=False`` forces the live aggregation.
         """
         snap = (
             self.snapshot_by_id(snapshot_id)
             if snapshot_id is not None
             else self.current_snapshot()
         )
+        if use_cached and snap is not None:
+            meta = self.load_metadata()
+            name = meta.get("partition_statistics", {}).get(
+                str(snap.snapshot_id))
+            if name is not None:
+                path = os.path.join(self.meta_dir, name)
+                if os.path.exists(path):
+                    return spark.read.parquet(path)
         files = self.files(spark, snapshot_id)
         agg = files.groupBy("partition_id").agg(
             F.count("*").alias("file_count"),

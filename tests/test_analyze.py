@@ -53,3 +53,62 @@ def test_analyze_errors(spark, tmp_table_dir):
     with pytest.raises(ValueError, match="unknown columns"):
         analyze.analyze_table(t, spark, columns=["nope"])
     assert analyze.read_statistics(t) is None
+
+
+# ------------- partition statistics files (Iceberg partition stats) -------------
+
+
+def test_compute_partition_stats_caches_exact_snapshot(spark, tmp_path):
+    from mobility_lakehouse_project_spark import synth
+    from mobility_lakehouse_project_spark.operators import delete
+    from mobility_lakehouse_project_spark.operators.analyze import (
+        compute_partition_stats,
+    )
+    from mobility_lakehouse_project_spark.tableformat import LakehouseTable
+
+    df = synth.images_df(spark, 400, partitions=3)
+    t = LakehouseTable.create(str(tmp_path / "ps"), df.schema,
+                              partition_col="bucket")
+    t.append(df, n_files=6)
+    # MOR deletes make live_record_count differ from record_count —
+    # the stats file must capture the MOR-aware rollup
+    n16 = t.scan(spark).filter("w = 16").count()
+    delete.delete_where(t, spark, "w = 16", mode="dv")
+    live = t.partitions_df(spark, use_cached=False).collect()
+
+    n_parts = len({r["partition_id"] for r in live})
+    out = compute_partition_stats(t, spark)
+    assert out["partitions"] == n_parts
+    # the cached read returns the identical rollup
+    cached = t.partitions_df(spark).collect()
+    key = lambda rows: sorted(  # noqa: E731
+        (r["partition_id"], r["file_count"], r["record_count"],
+         r["position_delete_count"], r["live_record_count"]) for r in rows)
+    assert key(cached) == key(live)
+    assert sum(r["record_count"] - r["live_record_count"]
+               for r in cached) == n16
+    # a NEW snapshot invalidates the exact-match cache: the live path
+    # must run (and see the appended rows)
+    t.append(synth.images_df(spark, 40, seed=9, id_offset=5000), n_files=1)
+    fresh = t.partitions_df(spark).collect()
+    assert sum(r["record_count"] for r in fresh) == 440
+    # the old snapshot's stats stay addressable
+    old_rows = t.partitions_df(
+        spark, snapshot_id=out["snapshot"]).collect()
+    assert key(old_rows) == key(live)
+
+
+def test_partition_stats_via_sql_call_and_show(spark, tmp_path):
+    from mobility_lakehouse_project_spark import synth
+    from mobility_lakehouse_project_spark.sql import execute_sql
+    from mobility_lakehouse_project_spark.tableformat import LakehouseTable
+
+    df = synth.images_df(spark, 200, partitions=2)
+    t = LakehouseTable.create(str(tmp_path / "ps2"), df.schema,
+                              partition_col="bucket")
+    t.append(df, n_files=4)
+    out = execute_sql(spark, "CALL compute_partition_stats('t')",
+                      tables={"t": t})
+    assert out["partitions"] >= 2
+    rows = execute_sql(spark, "SHOW PARTITIONS t", tables={"t": t}).collect()
+    assert sum(r["record_count"] for r in rows) == 200
