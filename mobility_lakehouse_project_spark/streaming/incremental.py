@@ -85,7 +85,8 @@ def stream_append_sink(table: LakehouseTable, n_files: int = 4,
 
 def stream_merge_sink(table: LakehouseTable, key: str | list[str] = "image_id",
                       stream_id: str = "default",
-                      target_file_size: int = 64 * 1024 * 1024):
+                      target_file_size: int = 64 * 1024 * 1024,
+                      mode: str = "cow"):
     """foreachBatch function running each micro-batch as a MERGE INTO
     (CDC-style streaming upsert: late corrections UPDATE, new keys
     INSERT) with the same exactly-once upgrade as stream_append_sink —
@@ -94,7 +95,13 @@ def stream_merge_sink(table: LakehouseTable, key: str | list[str] = "image_id",
     (merge_into re-derives its touched files against the new snapshot)
     after re-validating the batch-id precondition. The reference's
     closest idiom is re-running a day with MERGE
-    (dags/Bronze_Ingest_Dag.py:124-130); this is its continuous form."""
+    (dags/Bronze_Ingest_Dag.py:124-130); this is its continuous form.
+
+    ``mode`` passes through to :func:`~..operators.merge.merge_into`:
+    ``"mor"``/``"dv"`` make each micro-batch O(batch + target keys)
+    with no blob rewrite — the steady-state streaming-upsert shape on
+    a blob table; ``"dv"`` additionally keeps one applied vector per
+    touched file no matter how many batches land between folds."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         from ..operators.merge import merge_into
@@ -107,7 +114,7 @@ def stream_merge_sink(table: LakehouseTable, key: str | list[str] = "image_id",
             try:
                 merge_into(
                     table, batch_df.sparkSession, batch_df, key=key,
-                    target_file_size=target_file_size,
+                    target_file_size=target_file_size, mode=mode,
                     extra_summary={"streaming-batch-id": int(batch_id),
                                    "streaming-id": stream_id},
                 )

@@ -243,3 +243,39 @@ def test_stream_merge_sink_exactly_once_upsert(spark, tmp_path):
         .filter(F.col("count") > 1).count()
     )
     assert dups == 0
+
+
+def test_stream_merge_sink_dv_mode_no_blob_rewrite(spark, tmp_path):
+    """Streaming MERGE with mode='dv': every micro-batch upserts via
+    deletion vectors — data files are never rewritten, repeated
+    batches keep exactly one applied vector per touched file, and
+    exactly-once replay protection still holds."""
+    base = synth.images_df(spark, 120, partitions=2)
+    t = LakehouseTable.create(str(tmp_path / "dvtable"), base.schema,
+                              partition_col="bucket")
+    t.append(base, n_files=2)
+    base_files = {r["file_path"] for r in
+                  t.files(spark).select("file_path").collect()
+                  }
+    sink = incremental.stream_merge_sink(t, stream_id="s1", mode="dv")
+    for bid in range(3):  # overlapping upserts across 3 micro-batches
+        b = synth.images_df(spark, 30, seed=bid, id_offset=90 + 10 * bid
+                            ).withColumn("caption", F.lit(f"v{bid}"))
+        sink(b, bid)
+    # replay of the last batch is a no-op
+    sink(synth.images_df(spark, 30, seed=7, id_offset=110)
+         .withColumn("caption", F.lit("ghost")), 2)
+    assert t.scan(spark).filter(F.col("caption") == "ghost").count() == 0
+    # the ORIGINAL data files were never rewritten (still present)
+    now_files = {r["file_path"] for r in
+                 t.files(spark).select("file_path").collect()}
+    assert base_files <= now_files
+    # no duplicate keys; latest version wins per key
+    dups = (t.scan(spark).groupBy("image_id").count()
+            .filter(F.col("count") > 1).count())
+    assert dups == 0
+    # base ids 0-119; batches cover 90-139 -> 20 net-new keys
+    assert t.scan(spark).count() == 140
+    # pending delete pairs are unique (one newest vector per file)
+    ddf, _ = t.position_deletes_df(spark)
+    assert ddf.count() == ddf.distinct().count()
