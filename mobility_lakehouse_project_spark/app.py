@@ -55,6 +55,22 @@ def _parse_key(s: str | None) -> dict | None:
         return {col: raw}
 
 
+def _parse_range(spec: str) -> dict:
+    """``col:lo:hi`` -> int_ranges dict; empty bounds open the side,
+    non-numeric bounds route to string-stats pruning (a date window)."""
+    col, lo, hi = spec.split(":")
+
+    def _bound(v):
+        if not v:
+            return None
+        try:
+            return int(v)
+        except ValueError:
+            return v
+
+    return {col: (_bound(lo), _bound(hi))}
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="mobility_lakehouse_project_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -390,19 +406,7 @@ def main(argv: list[str] | None = None) -> int:
     elif a.cmd == "delete":
         from .operators import delete as delete_op
 
-        rng = None
-        if a.range:
-            col, lo, hi = a.range.split(":")
-
-            def _bound(v):
-                if not v:
-                    return None
-                try:
-                    return int(v)
-                except ValueError:
-                    return v  # string-stats range (e.g. a date window)
-
-            rng = {col: (_bound(lo), _bound(hi))}
+        rng = _parse_range(a.range) if a.range else None
         out = {"cmd": "delete", **delete_op.delete_where(
             LakehouseTable(a.table), spark, a.where, int_ranges=rng,
             target_file_size=_mb(a.target_mb), mode=a.mode,
@@ -422,19 +426,7 @@ def main(argv: list[str] | None = None) -> int:
     elif a.cmd == "update":
         from .operators import delete as delete_op
 
-        rng = None
-        if a.range:
-            col, lo, hi = a.range.split(":")
-
-            def _bound(v):
-                if not v:
-                    return None
-                try:
-                    return int(v)
-                except ValueError:
-                    return v  # string-stats range (e.g. a date window)
-
-            rng = {col: (_bound(lo), _bound(hi))}
+        rng = _parse_range(a.range) if a.range else None
         # split assignments on top-level commas only (expressions may
         # contain commas inside parens/quotes)
         parts, depth, q, buf = [], 0, None, ""
@@ -453,7 +445,8 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 buf += ch
         parts.append(buf)
-        assigns = dict(kv.split("=", 1) for kv in parts if kv.strip())
+        assigns = {k.strip(): v for kv in parts if kv.strip()
+                   for k, v in [kv.split("=", 1)]}
         out = {"cmd": "update", **delete_op.update_where(
             LakehouseTable(a.table), spark, a.where, assigns, int_ranges=rng,
             target_file_size=_mb(a.target_mb), mode=a.mode)}

@@ -412,6 +412,13 @@ def _register_reads(spark: SparkSession, catalog: Catalog | None,
         for full in catalog.list_views():
             ns, _, v = full.rpartition(".")
             flat = f"{ns}_{v}" if ns else f"default_{v}"
+            if flat in views or flat in (tables or {}):
+                # same loud failure register_all gives for table-table
+                # collisions — silently shadowing the already-registered
+                # table view would resolve the name inconsistently
+                raise ValueError(
+                    f"view name {flat!r} collides: table "
+                    f"{views.get(flat) or flat!r} and view {full!r}")
             if flat in _seen or not wanted(flat):
                 continue
             body = catalog.load_view(full)
@@ -809,6 +816,10 @@ def _eq_delete_keys(table, pred: str) -> tuple[list[str], list[tuple]]:
                     f"mode='eq': literal {v!r} does not match column "
                     f"{col!r} type {t} — an implicit cast could delete "
                     "rows the predicate does not match")
+        if t in ("float", "double"):
+            # uniform Python type, or createDataFrame refuses to merge
+            # LongType/DoubleType rows for a mixed IN (1, 2.5) list
+            vals = [float(v) for v in vals]
         seen, dedup = set(), []
         for v in vals:
             if v not in seen:

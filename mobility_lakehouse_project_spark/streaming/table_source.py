@@ -261,6 +261,84 @@ class LakehouseStreamDataSource(DataSource):
 CDC_FORMAT_NAME = "lakehouse_cdc"
 
 
+def _parent_delete_specs(t: LakehouseTable, parent) -> list[tuple]:
+    """The parent snapshot's pending-delete files as picklable specs
+    ``(delete_file_path, seq, kind, fp_lo, fp_hi)`` (kind 'pos' | 'dv';
+    bounds = the delete file's referenced-data-file range from manifest
+    stats). Metadata-only: reads manifests, never delete-file rows."""
+    specs: list[tuple] = []
+    if parent is None:
+        return specs
+    for m in parent.delete_manifests:
+        info = parent.delete_manifest_meta.get(m, {})
+        mkind = info.get("kind")
+        if mkind == "equality":
+            continue
+        seq = int(info.get("seq", 0))
+        for e in t.read_manifest_entries(m):
+            specs.append((
+                e["file_path"], seq, "dv" if mkind == "dv" else "pos",
+                (e.get("str_mins") or {}).get("file_path"),
+                (e.get("str_maxs") or {}).get("file_path"),
+            ))
+    return specs
+
+
+def _prune_specs(specs: list[tuple], lo: str | None,
+                 hi: str | None) -> list[tuple]:
+    """Keep only delete files whose referenced-data-file bounds can
+    overlap [lo, hi] (unknown bounds are kept)."""
+    if lo is None or hi is None:
+        return specs
+    return [s for s in specs
+            if s[3] is None or s[4] is None or (s[4] >= lo and s[3] <= hi)]
+
+
+def _removed_files(t: LakehouseTable, snap, parent) -> list[str]:
+    """Data files present in the parent but absent from ``snap``,
+    diffing only the manifests the commit swapped out/in."""
+    if parent is None:
+        return []
+    old_ms = [m for m in parent.manifests if m not in set(snap.manifests)]
+    if not old_ms:
+        return []
+    new_ms = [m for m in snap.manifests if m not in set(parent.manifests)]
+    present = {e["file_path"] for m in new_ms
+               for e in t.read_manifest_entries(m)}
+    return sorted({e["file_path"] for m in old_ms
+                   for e in t.read_manifest_entries(m)}
+                  - present)
+
+
+def _pending_positions(data_fp: str, specs: list[tuple], root: str) -> set:
+    """Executor-side: the parent's pending deleted positions of one
+    data file. The newest DV for the file is a superset of everything
+    pending when it was written; later position rows union on top, so
+    newest-DV ∪ all-position-rows is exact in every commit order."""
+    from ..tableformat.dv import unpack_positions
+
+    dv_blob, dv_seq = None, -1
+    pending: set = set()
+    for path, seq, kind, lo, hi in specs:
+        if lo is not None and hi is not None and not (lo <= data_fp <= hi):
+            continue
+        full = os.path.join(root, path)
+        if kind == "dv":
+            tbl = pq.read_table(full, columns=["file_path", "dv"])
+            for fp, blob in zip(tbl.column("file_path").to_pylist(),
+                                tbl.column("dv").to_pylist()):
+                if fp == data_fp and seq > dv_seq:
+                    dv_blob, dv_seq = blob, seq
+        else:
+            tbl = pq.read_table(
+                full, columns=["file_path", "pos"],
+                filters=[("file_path", "==", data_fp)])
+            pending.update(tbl.column("pos").to_pylist())
+    if dv_blob is not None:
+        pending.update(unpack_positions(dv_blob).tolist())
+    return pending
+
+
 class _CDCPartition(InputPartition):
     """One unit of changelog work, planned metadata-only:
 
@@ -272,15 +350,28 @@ class _CDCPartition(InputPartition):
       rows from the referenced data files as _change_type='delete'. A
       pair appears in exactly one delete manifest (MOR planning scans
       with prior deletes applied), so no already-deleted row re-emits.
+    * kind='dv' — one DELETION-VECTOR file the snapshot added. A DV is
+      the touched data file's FULL pending set (merge-on-write
+      superset), so the rows deleted BY THIS COMMIT are its positions
+      minus the parent's pending deletes; ``specs`` carries the
+      parent's delete-file list (path, seq, kind, file_path bounds),
+      pruned driver-side against the DV file's referenced-data-file
+      bounds, and the executor computes the per-file delta.
+    * kind='removed' — one data file this commit dropped metadata-only
+      (full-file MOR delete / drop-partitions / truncate); every LIVE
+      parent row (all positions minus the parent pending set from
+      ``specs``) emits as a delete.
     """
 
     def __init__(self, kind: str, path: str, root: str,
-                 snapshot_id: int, renames: dict):
+                 snapshot_id: int, renames: dict,
+                 specs: list | None = None):
         self.kind = kind
         self.path = path
         self.root = root
         self.snapshot_id = snapshot_id
         self.renames = renames
+        self.specs = specs or []
 
 
 class LakehouseCDCStreamReader(DataSourceStreamReader):
@@ -359,15 +450,54 @@ class LakehouseCDCStreamReader(DataSourceStreamReader):
             if kind in ("mor-delete", "mor-upsert"):
                 parent_dm = (set(parent.delete_manifests)
                              if parent is not None else set())
+                parent_specs = _parent_delete_specs(t, parent)
                 for m in snap.delete_manifests:
                     if m in parent_dm:
                         continue
+                    info = snap.delete_manifest_meta.get(m, {})
+                    if info.get("kind") == "equality":
+                        continue
+                    is_dv = info.get("kind") == "dv"
                     for e in t.read_manifest_entries(m):
-                        if e.get("content") == "equality-deletes":
-                            continue
-                        parts.append(_CDCPartition(
-                            "delete", e["file_path"], t._local_root,
-                            snap.snapshot_id, renames))
+                        if is_dv:
+                            lo = (e.get("str_mins") or {}).get("file_path")
+                            hi = (e.get("str_maxs") or {}).get("file_path")
+                            parts.append(_CDCPartition(
+                                "dv", e["file_path"], t._local_root,
+                                snap.snapshot_id, renames,
+                                _prune_specs(parent_specs, lo, hi)))
+                        else:
+                            parts.append(_CDCPartition(
+                                "delete", e["file_path"], t._local_root,
+                                snap.snapshot_id, renames))
+                # files this commit REMOVED metadata-only (full-file MOR
+                # delete / drop-partitions / truncate): diff only the
+                # CHANGED manifests — O(changed entries), never O(table)
+                removed = _removed_files(t, snap, parent)
+                if removed and parent is not None and any(
+                    parent.delete_manifest_meta.get(m, {}).get("kind")
+                    == "equality" for m in parent.delete_manifests
+                ):
+                    # a removed file's live set depends on the parent's
+                    # equality deletes, which are key- not position-
+                    # scoped — refuse rather than fabricate (same stance
+                    # as changelog_df's eq handling, which resolves them
+                    # driver-side with a full scan plan)
+                    if self._on_change == "skip":
+                        removed = []
+                    else:
+                        raise ValueError(
+                            f"snapshot {snap.snapshot_id} removes whole "
+                            "files while the parent has pending equality "
+                            "deletes; the CDC source cannot attribute "
+                            "live rows executor-side (set .option("
+                            "'onchange','skip') or use changelog_df)"
+                        )
+                for fp in removed:
+                    parts.append(_CDCPartition(
+                        "removed", fp, t._local_root,
+                        snap.snapshot_id, renames,
+                        _prune_specs(parent_specs, fp, fp)))
         return parts
 
     def read(self, partition: _CDCPartition) -> Iterator[pa.RecordBatch]:
@@ -385,11 +515,33 @@ class LakehouseCDCStreamReader(DataSourceStreamReader):
                                          type=pa.int64()))
             yield from tagged.to_batches()
             return
-        dd = pq.read_table(os.path.join(partition.root, partition.path))
         pairs: dict[str, list[int]] = collections.defaultdict(list)
-        for fp, pos in zip(dd.column("file_path").to_pylist(),
-                           dd.column("pos").to_pylist()):
-            pairs[fp].append(pos)
+        if partition.kind == "dv":
+            from ..tableformat.dv import unpack_positions
+
+            dd = pq.read_table(os.path.join(partition.root, partition.path),
+                               columns=["file_path", "dv"])
+            for fp, blob in zip(dd.column("file_path").to_pylist(),
+                                dd.column("dv").to_pylist()):
+                delta = (set(unpack_positions(blob).tolist())
+                         - _pending_positions(fp, partition.specs,
+                                              partition.root))
+                if delta:
+                    pairs[fp] = sorted(delta)
+        elif partition.kind == "removed":
+            fp = partition.path
+            n = pq.read_metadata(
+                os.path.join(partition.root, fp)).num_rows
+            live = (set(range(n))
+                    - _pending_positions(fp, partition.specs,
+                                         partition.root))
+            if live:
+                pairs[fp] = sorted(live)
+        else:
+            dd = pq.read_table(os.path.join(partition.root, partition.path))
+            for fp, pos in zip(dd.column("file_path").to_pylist(),
+                               dd.column("pos").to_pylist()):
+                pairs[fp].append(pos)
         for fp in sorted(pairs):
             data = pq.read_table(os.path.join(partition.root, fp))
             take = data.take(sorted(pairs[fp]))

@@ -268,6 +268,10 @@ class Catalog:
                 raise ValueError(
                     f"view name {flat!r} collides with table "
                     f"{views[flat]!r}")
+            if flat in pending:
+                raise ValueError(
+                    f"view name {flat!r} collides: two catalog views "
+                    "flatten to the same SQL name")
             pending[flat] = self.load_view(name)
         registered = list(views)
         while pending:

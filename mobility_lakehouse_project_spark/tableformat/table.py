@@ -1740,7 +1740,13 @@ class LakehouseTable:
                 s = snaps.get(sid)
                 if s is None:
                     break
-                if sid == snapshot_id:
+                if sid == snapshot_id or str(
+                    s.summary.get("source-snapshot-id")
+                ) == str(snapshot_id):
+                    # staged id in ancestry, OR an ancestor IS a prior
+                    # cherry-pick of it (publish commits a NEW id, so
+                    # an at-least-once replay without wap.id would
+                    # otherwise re-append the same files)
                     return self.current_snapshot(meta)
                 if wap_id and wap_id in (s.summary.get("wap.id"),
                                          s.summary.get("published-wap-id")):
@@ -2861,7 +2867,16 @@ class LakehouseTable:
         dv_df, dv_n = self._dv_positions_df(
             spark, snap.dv_manifests(), rel_path_bounds)
         if dv_df is not None:
-            df = dv_df if df is None else df.unionByName(dv_df)
+            if df is None:
+                df = dv_df
+            else:
+                # mixed v2 + DV pending sets can overlap: a DV merged
+                # the prior position rows of its file, but those rows'
+                # manifests still list. Dedup so counting consumers
+                # (partitions_df live counts, fold's min_delete_ratio)
+                # are exact; the shuffle is paid only in this mixed case
+                df = df.unionByName(dv_df).dropDuplicates(
+                    ["file_path", "pos"])
             n += dv_n
         if df is None:
             return None, 0
@@ -3116,11 +3131,31 @@ class LakehouseTable:
             list(cur.delete_manifests) if cur else [],
             dict(cur.delete_manifest_meta) if cur else {},
         )
+        # statistics / partition-statistics files are snapshot-
+        # addressed: entries for expired snapshots are unreachable via
+        # any time-travel read, so prune the registry (and GC the
+        # files below) — otherwise a stats-per-commit table leaks one
+        # metadata entry + one file per snapshot forever
+        retained_ids = {r.snapshot_id for r in retained}
+        dead_stats: list[str] = []
+        for key in ("statistics", "partition_statistics"):
+            reg = dict(meta.get(key, {}))
+            for sid_str in list(reg):
+                if int(sid_str) not in retained_ids:
+                    dead_stats.append(reg.pop(sid_str))
+            if reg:
+                meta[key] = reg
+            else:
+                meta.pop(key, None)
         committed = self._commit(meta, exp, parent)
 
         # 2) GC: delete files no committed snapshot can reach
         n_files = 0
         if delete_orphans:
+            for name in dead_stats:
+                fp = os.path.join(self.meta_dir, name)
+                if os.path.exists(fp):
+                    os.remove(fp)
             for rel in dead_files:
                 fp = os.path.join(self._local_root, rel)
                 if os.path.exists(fp):

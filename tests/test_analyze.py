@@ -112,3 +112,35 @@ def test_partition_stats_via_sql_call_and_show(spark, tmp_path):
     assert out["partitions"] >= 2
     rows = execute_sql(spark, "SHOW PARTITIONS t", tables={"t": t}).collect()
     assert sum(r["record_count"] for r in rows) == 200
+
+
+def test_expiry_prunes_snapshot_addressed_stats(spark, tmp_path):
+    """Statistics and partition-statistics registries are snapshot-
+    addressed; expiring the snapshot must prune the registry entry and
+    GC the stats file (a stats-per-commit table would otherwise leak
+    one metadata entry + one file per snapshot forever)."""
+    import os
+
+    df = synth.images_df(spark, 120, partitions=2)
+    t = LakehouseTable.create(str(tmp_path / "gc"), df.schema,
+                              partition_col="bucket")
+    t.append(df, n_files=2)
+    s1 = analyze.analyze_table(t, spark)
+    p1 = analyze.compute_partition_stats(t, spark)
+    t.append(synth.images_df(spark, 30, seed=5, id_offset=9000), n_files=1)
+    s2 = analyze.analyze_table(t, spark)
+    p2 = analyze.compute_partition_stats(t, spark)
+
+    old_files = [f"stats-{s1['snapshot_id']}.json", p1["file"]]
+    for f in old_files:
+        assert os.path.exists(os.path.join(t.meta_dir, f))
+    out = t.expire_snapshots(keep_last=1)
+    assert out["expired"] >= 1
+    meta = t.load_metadata()
+    assert list(meta.get("statistics", {})) == [str(s2["snapshot_id"])]
+    assert list(meta.get("partition_statistics", {})) == [str(p2["snapshot"])]
+    for f in old_files:
+        assert not os.path.exists(os.path.join(t.meta_dir, f))
+    # the surviving snapshot's stats files remain readable
+    assert analyze.read_statistics(t)["snapshot_id"] == s2["snapshot_id"]
+    assert t.partitions_df(spark).count() >= 1

@@ -250,16 +250,40 @@ def test_cherrypick_duplicate_wap_id_refused(spark, table):
     t.append(synth.images_df(spark, 5, seed=11, id_offset=50_000), n_files=1)
     t.cherrypick_snapshot(s1.snapshot_id)
     head = t.current_snapshot().snapshot_id
-    # re-publishing the SAME snapshot id is a no-op (already applied
-    # via its published-wap-id marker)
-    with pytest.raises(ValueError, match="already published"):
-        t.cherrypick_snapshot(s1.snapshot_id)
+    n_after = t.scan(spark).count()
+    # re-publishing the SAME snapshot id is an idempotent no-op: the
+    # prior publish's source-snapshot-id marker matches (at-least-once
+    # orchestrator replay must not duplicate rows)
+    out = t.cherrypick_snapshot(s1.snapshot_id)
+    assert out.snapshot_id == head
     assert t.current_snapshot().snapshot_id == head
+    assert t.scan(spark).count() == n_after
     # a DIFFERENT staged snapshot carrying the same wap.id is refused
     s2 = t.append(synth.images_df(spark, 8, seed=12, id_offset=60_000),
                   n_files=1, branch="audit", wap_id="job-7")
     with pytest.raises(ValueError, match="already published"):
         t.cherrypick_snapshot(s2.snapshot_id)
+
+
+def test_cherrypick_replay_without_wap_id_is_noop(spark, table):
+    """An at-least-once publisher re-running `publish --cherrypick <id>`
+    WITHOUT a wap.id must not append the staged files twice: the prior
+    publish is found via its source-snapshot-id summary marker."""
+    t = table
+    t.create_branch("audit")
+    staged = t.append(synth.images_df(spark, 25, seed=7, id_offset=10_000),
+                      n_files=1, branch="audit")
+    t.append(synth.images_df(spark, 5, seed=9, id_offset=70_000), n_files=1)
+    t.cherrypick_snapshot(staged.snapshot_id)
+    head = t.current_snapshot().snapshot_id
+    assert t.scan(spark).count() == N + 30
+    out = t.cherrypick_snapshot(staged.snapshot_id)
+    assert out.snapshot_id == head
+    assert t.scan(spark).count() == N + 30
+    # and it stays a no-op even after main advances further
+    t.append(synth.images_df(spark, 3, seed=13, id_offset=80_000), n_files=1)
+    t.cherrypick_snapshot(staged.snapshot_id)
+    assert t.scan(spark).count() == N + 33
 
 
 def test_cherrypick_same_snapshot_in_ancestry_is_noop(spark, table):

@@ -155,6 +155,14 @@ def test_dv_merges_prior_position_deletes(spark, table):
                  t.scan(spark, columns=["image_id", "w"])
                  .filter("w NOT IN (16, 32)").collect()}
     assert len(survivors) == N - n16 - n32
+    # counting consumers must dedup the overlap: the DV superseded the
+    # v2 position rows of its files, but their manifests still list —
+    # live_record_count would otherwise double-subtract those pairs
+    pdf = t.partitions_df(spark).agg(
+        F.sum("live_record_count").alias("live"),
+        F.sum("position_delete_count").alias("dels")).collect()[0]
+    assert pdf["live"] == N - n16 - n32
+    assert pdf["dels"] == n16 + n32
 
 
 def test_dv_matches_cow_delete_results(spark, tmp_table_dir):

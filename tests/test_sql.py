@@ -188,6 +188,25 @@ def test_delete_eq_mode_blind_key_erasure(spark, cat):
             catalog=cat)
 
 
+def test_delete_eq_mixed_numeric_in_list_on_double(spark, cat):
+    """A mixed int/float IN list on a double column must execute (both
+    are exact literals for a double key), not crash on DataFrame type
+    inference merging LongType with DoubleType."""
+    df = spark.createDataFrame(
+        [(i, float(i) / 2) for i in range(10)],
+        "image_id long, score double")
+    cat.create_table("silver.scored", df.schema).append(df, n_files=1)
+    t = cat.load_table("silver.scored")
+    out = execute_sql(
+        spark,
+        "DELETE FROM silver.scored WHERE score IN (1, 2.5) "
+        "OPTIONS(mode='eq')",
+        catalog=cat)
+    assert out["delete_keys"] == 2
+    assert t.scan(spark).filter("score IN (1.0, 2.5)").count() == 0
+    assert t.scan(spark).count() == 8
+
+
 def test_update_with_expression(spark, cat):
     t = _seed(spark, cat)
     out = execute_sql(
