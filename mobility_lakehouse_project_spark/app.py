@@ -154,6 +154,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="col=value point lookup: prunes the file set "
                          "via manifest bloom filters + min/max stats "
                          "and filters rows to the exact match")
+    sp.add_argument("--row-ids", action="store_true",
+                    help="append the stable _row_id lineage column "
+                         "(Iceberg v3 row lineage)")
 
     sp = sub.add_parser("lineage")
     t(sp)
@@ -387,7 +390,7 @@ def main(argv: list[str] | None = None) -> int:
         df = tbl.scan(
             spark, snapshot_id=a.snapshot,
             partition_values={a.partition} if a.partition is not None else None,
-            point_eq=key,
+            point_eq=key, with_row_id=a.row_ids,
         )
         if key:
             for c, v in key.items():

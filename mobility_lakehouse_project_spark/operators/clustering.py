@@ -275,7 +275,9 @@ def _cluster_chunks(table, spark, part_ids, n_chunks, done, metrics, ph,
         # (group membership does), so sort by (partition, phash) — the
         # curve key itself need not ride the shuffle.
         tokens = np.array(_slot_tokens(spark, total_out), dtype=np.int64)
-        df = table.scan_files(spark, sorted(removed))
+        # with_row_id: row lineage rides the one blob shuffle as an
+        # 8-byte column and materializes into the rewritten files
+        df = table.scan_files(spark, sorted(removed), with_row_id=True)
         if recompress_level is not None:
             from .multimodal import recompress_images
 

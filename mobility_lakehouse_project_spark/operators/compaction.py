@@ -103,11 +103,11 @@ def migrate_partitions(
             .filter(~F.col("added_snapshot_id").isin(cur_ids)
                     & F.col("partition_id").isin(list(part_ids)))
             .select("file_path", "partition_id", "file_size_bytes",
-                    "record_count").collect()
+                    "record_count", "first_row_id").collect()
         ]
         if not entries:
             continue
-        src = table.scan_matched_files(entries, spark)
+        src = table.scan_matched_files(entries, spark, with_row_id=True)
         nbytes = sum(e["file_size_bytes"] for e in entries)
         new_entries = table.write_data_files(
             src, n_files=max(1, round(nbytes / target_file_size)))
@@ -279,7 +279,10 @@ def compact(
                 max_file_size=int(target_file_size * 0.75),
             )
         )
-        df = table.scan_files(spark, sorted(removed))
+        # with_row_id: carry row lineage through the rewrite (scan
+        # computes each row's stable id; write_data_files materializes
+        # it as the _lh_row_id physical column — Iceberg v3 semantics)
+        df = table.scan_files(spark, sorted(removed), with_row_id=True)
         if recompress_level is not None:
             # storage-optimization rewrite: re-encode payloads in the
             # scan stage (CPU spreads over input splits, before the

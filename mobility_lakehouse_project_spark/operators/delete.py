@@ -109,7 +109,8 @@ def _plan_touched_chunk(table, spark, cond, int_ranges, partition_ids,
         {**r.asDict(), "n_hit": hits[r["file_path"]]}
         for r in table.files(spark)
         .join(F.broadcast(tdf), "file_path", "left_semi")
-        .select("file_path", "partition_id", "file_size_bytes", "record_count")
+        .select("file_path", "partition_id", "file_size_bytes",
+                "record_count", "first_row_id")
         .collect()
     ]
     if len(touched_entries) != len(hits):
@@ -183,7 +184,9 @@ def _rowlevel_op(
             dead, partial = [], touched_entries
         new_entries: list[dict] = []
         if partial:
-            src = table.scan_matched_files(partial, spark)
+            # with_row_id: survivors keep their lineage ids through the
+            # CoW rewrite (materialized as _lh_row_id)
+            src = table.scan_matched_files(partial, spark, with_row_id=True)
             touched_bytes = sum(e["file_size_bytes"] for e in partial)
             touched_rows = sum(e["record_count"] for e in partial)
             if kind == "delete":
@@ -205,7 +208,9 @@ def _rowlevel_op(
                         (F.when(cond, upd[c]).otherwise(F.col(c)).alias(c)
                          if c in upd else F.col(c))
                         for c in data_cols
-                    ]
+                    ],
+                    # an UPDATEd row keeps its lineage id (Iceberg v3)
+                    F.col("_row_id"),
                 )
                 n_out = max(1, round(touched_bytes / target_file_size))
             n_parts = len({e["partition_id"] for e in partial}) or 1
@@ -801,7 +806,7 @@ def rewrite_position_deletes(
         plan_rows = (
             table.plan_files(spark, partition_values=set(part_ids))
             .select("file_path", "partition_id", "file_size_bytes",
-                    "record_count", "added_snapshot_id")
+                    "record_count", "added_snapshot_id", "first_row_id")
             .collect()
         )
         by_path = {r["file_path"]: r.asDict() for r in plan_rows}
@@ -822,7 +827,10 @@ def rewrite_position_deletes(
         touched_entries = [by_path[p] for p in sorted(touched_set)]
         if not touched_entries:
             continue
-        src = table.scan_matched_files(touched_entries, spark)
+        # with_row_id: folding MOR deletes into data must not reset the
+        # surviving rows' lineage ids
+        src = table.scan_matched_files(touched_entries, spark,
+                                       with_row_id=True)
         touched_bytes = sum(e["file_size_bytes"] for e in touched_entries)
         n_out = max(1, round(touched_bytes / target_file_size))
         n_parts = len({e["partition_id"] for e in touched_entries}) or 1

@@ -310,7 +310,8 @@ def merge_into(
             r.asDict()
             for r in table.files(spark)
             .join(F.broadcast(tdf), "file_path", "left_semi")
-            .select("file_path", "partition_id", "file_size_bytes", "record_count")
+            .select("file_path", "partition_id", "file_size_bytes",
+                    "record_count", "first_row_id")
             .collect()
         ]
     else:
@@ -331,7 +332,7 @@ def merge_into(
     # classifying sides by key nullity would rewrite it from the all-
     # NULL source side (silent corruption)
     tgt = (
-        table.scan_matched_files(touched_entries, spark)
+        table.scan_matched_files(touched_entries, spark, with_row_id=True)
         .withColumn("_t_present", F.lit(True)).alias("t")
     )
     s = src.withColumn("_s_present", F.lit(True)).alias("s")
@@ -355,7 +356,12 @@ def merge_into(
             .otherwise(F.col(f"t.{c}"))
             .alias(c)
             for c in data_cols
-        ]
+        ],
+        # row lineage: carried/updated rows keep the target row's id;
+        # inserted rows get NULL and resolve at read time to the new
+        # file's first_row_id + position (Iceberg v3)
+        F.when(src_only, F.lit(None).cast("long"))
+        .otherwise(F.col("t._row_id")).alias("_row_id"),
     )
 
     # ---- sizing: touched bytes + estimated insert volume -------------
@@ -436,8 +442,12 @@ def _merge_mor(table, spark, src, src_keys, n_src, keys, when_matched,
     merged bitmap per touched file) instead of position rows."""
     from .delete import _delete_entries_and_meta
 
-    target_keys = table.scan(spark, columns=None, with_pos=True).select(
-        *[F.col(k) for k in keys], F.col("_file"), F.col("_pos")
+    # _row_id rides the same column-pruned key scan so an UPDATEd row's
+    # new version can inherit the old row's lineage id (Iceberg v3)
+    target_keys = table.scan(spark, columns=None, with_pos=True,
+                             with_row_id=True).select(
+        *[F.col(k) for k in keys], F.col("_file"), F.col("_pos"),
+        F.col("_row_id")
     )
     target_keys = target_keys.persist()
     matched = target_keys.join(src_keys, keys, "inner").persist()
@@ -487,15 +497,20 @@ def _merge_mor(table, spark, src, src_keys, n_src, keys, when_matched,
             n_del, touched, dv,
         )
 
+    # old-id carry for updates: (key -> _row_id) of matched target rows;
+    # a left join tags replacement rows with their predecessor's lineage
+    # id (inserts stay NULL -> fresh id at read time)
+    old_ids = matched.select(*keys, "_row_id")
     if when_not_matched == "insert":
         if when_matched == "update":
-            out_rows, n_out = src, n_src  # replacements + inserts
+            out_rows = src.join(old_ids, keys, "left")  # replacements + inserts
+            n_out = n_src
         else:  # matched rows deleted; insert the rest
             out_rows = src.join(matched.select(*keys), keys, "left_anti")
             n_out = n_src - n_matched
     else:
         if when_matched == "update":
-            out_rows = src.join(matched.select(*keys), keys, "left_semi")
+            out_rows = src.join(old_ids, keys, "inner")
             n_out = n_matched
         else:
             out_rows, n_out = None, 0

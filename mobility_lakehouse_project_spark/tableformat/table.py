@@ -58,6 +58,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _PART_DIR = "_p"
+# physical row-lineage column materialized into rewritten data files
+# (compaction/clustering/CoW): carries each surviving row's original
+# _row_id through the rewrite. Never part of the logical schema.
+_LH_ROW_ID = "_lh_row_id"
 _STAT_TYPES = (T.IntegerType, T.LongType, T.ShortType, T.ByteType, T.DateType)
 
 _INTEGRAL_TYPES = (T.IntegerType, T.LongType, T.ShortType, T.ByteType)
@@ -279,6 +283,11 @@ _MANIFEST_SCHEMA = pa.schema(
         # analog: point-lookup file skipping on high-cardinality columns
         # where min/max stats cannot prune (every file spans the range)
         ("blooms", pa.map_(pa.string(), pa.list_(pa.int64()))),
+        # row lineage (Iceberg v3): the file's first assigned row id —
+        # a row's stable id is first_row_id + its position in the file,
+        # unless the file materializes a _lh_row_id column (rewrites).
+        # Null = file committed before row lineage (ids unknown).
+        ("first_row_id", pa.int64()),
     ]
 )
 
@@ -410,6 +419,7 @@ class LakehouseTable:
             "properties": dict(properties or {}),
             "current_snapshot_id": None,
             "last_sequence": 0,
+            "next_row_id": 0,
             "snapshots": [],
         }
         # exclusive v1 write: two racing create() calls can both pass
@@ -1099,6 +1109,13 @@ class LakehouseTable:
         meta = self.load_metadata()
         pcol = meta["partition_col"]
         pexpr = self.partition_value_expr(meta)
+        if "_row_id" in df.columns:
+            # rewrite carrying row lineage: materialize each surviving
+            # row's id as the physical _lh_row_id column (Iceberg v3 —
+            # rewritten rows keep their ids; null rows, e.g. MERGE
+            # inserts mixed into a CoW rewrite, resolve at read time to
+            # the new file's first_row_id + position)
+            df = df.withColumnRenamed("_row_id", _LH_ROW_ID)
         write_id = uuid.uuid4().hex[:12]
         out_dir = os.path.join(self.data_dir, f"snap-{write_id}")
         sort_all = ([pcol] if pcol else []) + [c for c in (sort_cols or []) if c != pcol]
@@ -1385,6 +1402,8 @@ class LakehouseTable:
                 e["added_snapshot_id"] = snapshot_id
             # survivor entries read from pre-bloom manifests
             e.setdefault("blooms", {})
+            # entries predating row lineage carry no first_row_id
+            e.setdefault("first_row_id", None)
         name = f"manifest-{snapshot_id}-{uuid.uuid4().hex[:8]}.parquet"
         cols = {
             k: [
@@ -1403,6 +1422,7 @@ class LakehouseTable:
         for r in rows:
             for k in ("int_mins", "int_maxs", "str_mins", "str_maxs", "blooms"):
                 r[k] = dict(r.get(k) or [])
+            r.setdefault("first_row_id", None)
         return rows
 
     # ---------------- commits ----------------
@@ -1416,12 +1436,32 @@ class LakehouseTable:
             snap_id += 1
         return snap_id, seq
 
+    def _assign_row_ids(self, entries: list[dict], meta: dict) -> int:
+        """Row lineage (Iceberg v3): allocate each FRESH data-file
+        entry's ``first_row_id`` range from the table-level
+        ``next_row_id`` counter; return the advanced counter for the
+        commit to persist. A row's stable id is
+        ``coalesce(materialized _lh_row_id, first_row_id + position)``.
+        Fresh = ``added_snapshot_id == -1`` (the writer sentinel);
+        survivor/cherry-picked entries keep their original allocation —
+        the counter is table-level (shared across branches), so ids
+        allocated on a branch stay globally unique after publish.
+        Assignment OVERWRITES on commit retry: the counter may have
+        advanced, and the retry re-reads ``meta`` anyway."""
+        cursor = int(meta.get("next_row_id", 0))
+        for e in entries:
+            if e.get("added_snapshot_id", -1) == -1:
+                e["first_row_id"] = cursor
+                cursor += int(e["record_count"])
+        return cursor
+
     def _commit(
         self,
         base_meta: dict,
         new_snapshot: Snapshot,
         expected_parent: int | None,
         branch: str = "main",
+        next_row_id: int | None = None,
     ) -> Snapshot:
         """Atomic commit: validate parent, write v<N+1>, swap pointer.
         ``branch`` selects which ref the commit advances; the parent
@@ -1457,6 +1497,12 @@ class LakehouseTable:
             br[branch] = new_snapshot.snapshot_id
             meta["branches"] = br
         meta["last_sequence"] = new_snapshot.sequence
+        if next_row_id is not None:
+            # never regress: a caller that assigned nothing passes the
+            # base counter back; a concurrent branch commit cannot have
+            # advanced it (version CAS above already failed that case)
+            meta["next_row_id"] = max(
+                int(meta.get("next_row_id", 0)), next_row_id)
         new_v = cur_v + 1
         # exclusive create = the CAS: a concurrent committer who also
         # passed the checks above loses here instead of silently
@@ -1487,8 +1533,17 @@ class LakehouseTable:
         must exist; only appends support branches, rewrites stay
         main-only)."""
         last: Exception | None = None
+        # entries fresh on ENTRY (writer's -1 sentinel): a losing
+        # attempt's _write_manifest stamp must not stick — the retry's
+        # manifest would otherwise carry the uncommitted attempt's
+        # snapshot id (breaking sequence scoping) and a stale
+        # first_row_id range (breaking row-id uniqueness)
+        fresh = [e for e in entries if e.get("added_snapshot_id", -1) == -1]
         for _ in range(max(1, retries + 1)):
+            for e in fresh:
+                e["added_snapshot_id"] = -1
             meta = self.load_metadata()
+            next_row_id = self._assign_row_ids(entries, meta)
             if branch == "main":
                 parent = meta["current_snapshot_id"]
             else:
@@ -1520,7 +1575,8 @@ class LakehouseTable:
                 dict(prev.delete_manifest_meta) if prev else {},
             )
             try:
-                return self._commit(meta, snap, parent, branch=branch)
+                return self._commit(meta, snap, parent, branch=branch,
+                                    next_row_id=next_row_id)
             except ConcurrentCommitError as e:
                 last = e
                 # drop the attempt's manifest rather than leave litter
@@ -1602,6 +1658,13 @@ class LakehouseTable:
                 f"table advanced past plan snapshot {expected_parent} "
                 f"(now {parent}); content-sensitive rewrite must replan"
             )
+        # ``entries`` are always freshly-written files (every caller
+        # pairs this with write_data_files); re-arm the writer sentinel
+        # so a retry after a losing attempt re-stamps snapshot id and
+        # re-allocates the first_row_id range against the reloaded meta
+        for e in entries:
+            e["added_snapshot_id"] = -1
+        next_row_id = self._assign_row_ids(entries, meta)
         prev = self.current_snapshot(meta)
         snap_id, seq = self._next_ids(meta)
         prev_manifests = prev.manifests if prev else []
@@ -1681,7 +1744,7 @@ class LakehouseTable:
             list(prev.delete_manifests) if prev else [],
             dict(prev.delete_manifest_meta) if prev else {},
         )
-        return self._commit(meta, snap, parent)
+        return self._commit(meta, snap, parent, next_row_id=next_row_id)
 
     def append(self, df: DataFrame, n_files: int | None = None,
                sort_cols: list[str] | None = None,
@@ -1886,6 +1949,7 @@ class LakehouseTable:
                     "blooms",
                     T.MapType(T.StringType(), T.ArrayType(T.LongType())),
                 ),
+                T.StructField("first_row_id", T.LongType()),
             ]
         )
 
@@ -2243,6 +2307,7 @@ class LakehouseTable:
         columns: list[str] | None = None,
         ref: str | None = None,
         with_pos: bool = False,
+        with_row_id: bool = False,
         point_eq: dict[str, object] | None = None,
     ) -> DataFrame:
         """Read the table at a snapshot, pruning files via manifest stats.
@@ -2281,19 +2346,28 @@ class LakehouseTable:
                                  point_eq=point_eq)
         snap = (self.snapshot_by_id(snapshot_id) if snapshot_id is not None
                 else self.current_snapshot())
-        if snap is not None and snap.equality_delete_manifests():
-            # one collect serves both the path list and the per-file
-            # sequence map the equality-delete scoping needs
-            rows = pruned.select("file_path", "added_snapshot_id").collect()
-            paths = [r["file_path"] for r in rows]
+        need_seqs = snap is not None and snap.equality_delete_manifests()
+        # one collect serves the path list plus whatever per-file maps
+        # the read needs (eq-delete sequence scoping, row-id bases)
+        want = ["file_path"]
+        if need_seqs:
+            want.append("added_snapshot_id")
+        if with_row_id:
+            want.append("first_row_id")
+        rows = pruned.select(*want).collect()
+        paths = [r["file_path"] for r in rows]
+        if need_seqs:
             snap_seqs = self._snapshot_seqs()
             file_seqs = {r["file_path"]: snap_seqs.get(r["added_snapshot_id"], 0)
                          for r in rows}
         else:
-            paths = [r["file_path"] for r in pruned.select("file_path").collect()]
             file_seqs = None
+        first_row_ids = ({r["file_path"]: r["first_row_id"] for r in rows}
+                         if with_row_id else None)
         df = self.scan_files(spark, paths, columns, snapshot=snap,
-                             with_pos=with_pos, file_seqs=file_seqs)
+                             with_pos=with_pos, file_seqs=file_seqs,
+                             with_row_id=with_row_id,
+                             first_row_ids=first_row_ids)
         if partition_values is not None:
             meta = self.load_metadata()
             if self._current_spec_snapshot_ids(meta) is not None:
@@ -2334,12 +2408,30 @@ class LakehouseTable:
         return {r["file_path"]: snap_seqs.get(r["added_snapshot_id"], 0)
                 for r in rows}
 
+    def _first_row_ids_for(self, spark: SparkSession, rel_paths: list[str],
+                           snapshot_id: int | None = None
+                           ) -> dict[str, "int | None"]:
+        """rel path -> manifest ``first_row_id`` (row-lineage base) for
+        an explicit file list, resolved like `_file_seqs_for`: one
+        semi-joined manifest scan, metadata-sized collect."""
+        tdf = spark.createDataFrame([(p,) for p in rel_paths],
+                                    "file_path string")
+        rows = (
+            self.files(spark, snapshot_id)
+            .join(F.broadcast(tdf), "file_path", "left_semi")
+            .select("file_path", "first_row_id").collect()
+        )
+        return {r["file_path"]: r["first_row_id"] for r in rows}
+
     def scan_files(self, spark: SparkSession, rel_paths: list[str],
                    columns: list[str] | None = None, *,
                    snapshot: "Snapshot | None" = None,
                    apply_deletes: bool = True,
                    with_pos: bool = False,
-                   file_seqs: dict[str, int] | None = None) -> DataFrame:
+                   file_seqs: dict[str, int] | None = None,
+                   with_row_id: bool = False,
+                   first_row_ids: dict[str, "int | None"] | None = None,
+                   ) -> DataFrame:
         """Read an explicit (already-planned) set of table-relative data
         files through the CURRENT schema, resolving schema evolution:
         columns added later are NULL in old files (explicit read
@@ -2361,10 +2453,20 @@ class LakehouseTable:
         ``_pos`` (row position in that file) columns, computed BEFORE
         any anti-join — the file-identity surface MERGE/DELETE
         planning needs (``input_file_name()`` would be unreliable
-        after the MOR join)."""
+        after the MOR join).
+
+        ``with_row_id=True`` appends ``_row_id`` — the row's STABLE
+        lineage id (Iceberg v3 row lineage):
+        ``coalesce(materialized _lh_row_id, first_row_id + _pos)``.
+        Fresh files resolve through their manifest ``first_row_id``
+        (one broadcast metadata-sized map); rewritten files carry ids
+        physically in ``_lh_row_id``. Null for rows of files committed
+        before row lineage. Stable under MOR deletes (positions don't
+        shift) and — once materialized — under compaction/clustering."""
         meta = self.load_metadata()
         schema = T.StructType.fromJson(json.loads(meta["schema_json"]))
-        pos_cols = ["_file", "_pos"] if with_pos else []
+        pos_cols = ((["_file", "_pos"] if with_pos else [])
+                    + (["_row_id"] if with_row_id else []))
         if not rel_paths:
             # JVM-only empty relation (createDataFrame([]) plans an
             # applySchemaToPythonRDD node — a Python scan in every
@@ -2382,6 +2484,10 @@ class LakehouseTable:
         for new, olds in renames.items():
             dt = schema[new].dataType
             phys_fields += [T.StructField(o, dt, True) for o in olds]
+        if with_row_id:
+            # physical lineage column: present in rewritten files,
+            # null-filled by the explicit read schema everywhere else
+            phys_fields.append(T.StructField(_LH_ROW_ID, T.LongType(), True))
         df = spark.read.schema(T.StructType(phys_fields)).parquet(
             *[os.path.join(self._local_root, p) for p in rel_paths]
         )
@@ -2391,12 +2497,31 @@ class LakehouseTable:
             c: d for c, d in meta.get("column_defaults", {}).items()
             if c in {f.name for f in schema.fields}
         }
-        if mor or with_pos or live_defaults:
+        if mor or with_pos or live_defaults or with_row_id:
             df = (
                 df.withColumn("_file", self._rel_path_col())
                 .withColumn("_pos", F.col("_metadata.row_index"))
             )
-        extra = [c for c in ("_file", "_pos") if c in df.columns]
+        if with_row_id:
+            frids = (first_row_ids if first_row_ids is not None
+                     else self._first_row_ids_for(
+                         spark, rel_paths,
+                         snap.snapshot_id if snap else None))
+            frid_df = spark.createDataFrame(
+                [(p, frids.get(p)) for p in rel_paths],
+                "__rfp string, __rfr long",
+            )
+            df = (
+                df.join(F.broadcast(frid_df),
+                        df["_file"] == F.col("__rfp"), "left")
+                .drop("__rfp")
+                .withColumn(
+                    "_row_id",
+                    F.coalesce(F.col(_LH_ROW_ID),
+                               F.col("__rfr") + F.col("_pos")))
+                .drop("__rfr", _LH_ROW_ID)
+            )
+        extra = [c for c in ("_file", "_pos", "_row_id") if c in df.columns]
         if renames:
             # resolve schema evolution BEFORE applying deletes: equality
             # deletes reference CURRENT column names, and a pre-rename
@@ -2487,15 +2612,23 @@ class LakehouseTable:
                         cond = cond & (df[c] == eq[f"__eq_{c}"])
                     df = df.join(eq, cond, "left_anti")
                 df = df.drop("__fseq")
-        if extra and not with_pos:
-            df = df.drop(*extra)
+        drop_extra = [c for c in extra
+                      if (c in ("_file", "_pos") and not with_pos)
+                      or (c == "_row_id" and not with_row_id)]
+        if drop_extra:
+            df = df.drop(*drop_extra)
         return df.select(*(columns + pos_cols)) if columns else df
 
     def scan_matched_files(self, entries: list[dict], spark: SparkSession,
                            columns: list[str] | None = None,
-                           with_pos: bool = False) -> DataFrame:
+                           with_pos: bool = False,
+                           with_row_id: bool = False) -> DataFrame:
         return self.scan_files(spark, [e["file_path"] for e in entries], columns,
-                               with_pos=with_pos)
+                               with_pos=with_pos, with_row_id=with_row_id,
+                               first_row_ids=(
+                                   {e["file_path"]: e.get("first_row_id")
+                                    for e in entries}
+                                   if with_row_id else None))
 
     # -------- merge-on-read position deletes (Iceberg v2 model) --------
 
@@ -2725,6 +2858,7 @@ class LakehouseTable:
         manifests = list(prev.manifests)
         mparts = dict(prev.manifest_parts)
         added = list(data_entries or [])
+        next_row_id = self._assign_row_ids(added, meta) if added else None
         if added:
             m, parts = self._write_manifest(added, snap_id)
             manifests.append(m)
@@ -2743,7 +2877,7 @@ class LakehouseTable:
             list(prev.delete_manifests) + [dm],
             dmm,
         )
-        return self._commit(meta, snap, parent)
+        return self._commit(meta, snap, parent, next_row_id=next_row_id)
 
     def commit_rewrite_deletes(
         self,

@@ -208,7 +208,8 @@ def test_optimistic_commit_retry(spark, tmp_table_dir, monkeypatch):
     racer_entries = t.write_data_files(synth.images_df(spark, 50, partitions=1,
                                                        id_offset=10_000))
 
-    def racing_commit(self, base_meta, new_snapshot, expected_parent, branch="main"):
+    def racing_commit(self, base_meta, new_snapshot, expected_parent,
+                      branch="main", **kw):
         if not state["raced"]:
             state["raced"] = True
             # concurrent writer lands first (uses the real commit path)
@@ -216,7 +217,8 @@ def test_optimistic_commit_retry(spark, tmp_table_dir, monkeypatch):
                 self, self.load_metadata(),
                 *_mk_snap(self, racer_entries),
             )
-        return orig_commit(self, base_meta, new_snapshot, expected_parent, branch)
+        return orig_commit(self, base_meta, new_snapshot, expected_parent,
+                           branch, **kw)
 
     def _mk_snap(tbl, entries):
         meta = tbl.load_metadata()
