@@ -114,12 +114,12 @@ def test_branch_append_composes_with_main_commits(spark, table):
     orig = t._commit
     fired = {"done": False}
 
-    def racing(meta, snap, parent, branch="main"):
+    def racing(meta, snap, parent, branch="main", **kw):
         if not fired["done"] and branch != "main":
             fired["done"] = True
             t.append(synth.images_df(spark, 5, seed=30, id_offset=90_000),
                      n_files=1)
-        return orig(meta, snap, parent, branch=branch)
+        return orig(meta, snap, parent, branch=branch, **kw)
 
     t._commit = racing
     t.append(synth.images_df(spark, 15, seed=31, id_offset=91_000),
