@@ -277,7 +277,8 @@ def _cluster_chunks(table, spark, part_ids, n_chunks, done, metrics, ph,
         tokens = np.array(_slot_tokens(spark, total_out), dtype=np.int64)
         # with_row_id: row lineage rides the one blob shuffle as an
         # 8-byte column and materializes into the rewritten files
-        df = table.scan_files(spark, sorted(removed), with_row_id=True)
+        df = table.scan_files(spark, sorted(removed), with_row_id=True,
+                              with_last_seq=True)
         if recompress_level is not None:
             from .multimodal import recompress_images
 

@@ -107,7 +107,8 @@ def migrate_partitions(
         ]
         if not entries:
             continue
-        src = table.scan_matched_files(entries, spark, with_row_id=True)
+        src = table.scan_matched_files(entries, spark, with_row_id=True,
+                                       with_last_seq=True)
         nbytes = sum(e["file_size_bytes"] for e in entries)
         new_entries = table.write_data_files(
             src, n_files=max(1, round(nbytes / target_file_size)))
@@ -282,7 +283,8 @@ def compact(
         # with_row_id: carry row lineage through the rewrite (scan
         # computes each row's stable id; write_data_files materializes
         # it as the _lh_row_id physical column — Iceberg v3 semantics)
-        df = table.scan_files(spark, sorted(removed), with_row_id=True)
+        df = table.scan_files(spark, sorted(removed), with_row_id=True,
+                              with_last_seq=True)
         if recompress_level is not None:
             # storage-optimization rewrite: re-encode payloads in the
             # scan stage (CPU spreads over input splits, before the

@@ -184,9 +184,11 @@ def _rowlevel_op(
             dead, partial = [], touched_entries
         new_entries: list[dict] = []
         if partial:
-            # with_row_id: survivors keep their lineage ids through the
-            # CoW rewrite (materialized as _lh_row_id)
-            src = table.scan_matched_files(partial, spark, with_row_id=True)
+            # with_row_id/with_last_seq: survivors keep their lineage
+            # ids AND last-updated sequences through the CoW rewrite
+            # (materialized as _lh_row_id/_lh_last_seq)
+            src = table.scan_matched_files(partial, spark, with_row_id=True,
+                                           with_last_seq=True)
             touched_bytes = sum(e["file_size_bytes"] for e in partial)
             touched_rows = sum(e["record_count"] for e in partial)
             if kind == "delete":
@@ -211,6 +213,13 @@ def _rowlevel_op(
                     ],
                     # an UPDATEd row keeps its lineage id (Iceberg v3)
                     F.col("_row_id"),
+                    # ... but its last-updated sequence bumps to this
+                    # commit's: NULL inherits the new file's sequence.
+                    # Survivors (cond not TRUE) carry theirs forward.
+                    F.when(F.coalesce(cond, F.lit(False)),
+                           F.lit(None).cast("long"))
+                    .otherwise(F.col("_last_updated_seq"))
+                    .alias("_last_updated_seq"),
                 )
                 n_out = max(1, round(touched_bytes / target_file_size))
             n_parts = len({e["partition_id"] for e in partial}) or 1
@@ -827,10 +836,11 @@ def rewrite_position_deletes(
         touched_entries = [by_path[p] for p in sorted(touched_set)]
         if not touched_entries:
             continue
-        # with_row_id: folding MOR deletes into data must not reset the
-        # surviving rows' lineage ids
+        # with_row_id/with_last_seq: folding MOR deletes into data must
+        # not reset the surviving rows' lineage ids or sequences
         src = table.scan_matched_files(touched_entries, spark,
-                                       with_row_id=True)
+                                       with_row_id=True,
+                                       with_last_seq=True)
         touched_bytes = sum(e["file_size_bytes"] for e in touched_entries)
         n_out = max(1, round(touched_bytes / target_file_size))
         n_parts = len({e["partition_id"] for e in touched_entries}) or 1

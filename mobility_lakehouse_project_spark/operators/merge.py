@@ -332,7 +332,8 @@ def merge_into(
     # classifying sides by key nullity would rewrite it from the all-
     # NULL source side (silent corruption)
     tgt = (
-        table.scan_matched_files(touched_entries, spark, with_row_id=True)
+        table.scan_matched_files(touched_entries, spark, with_row_id=True,
+                                 with_last_seq=True)
         .withColumn("_t_present", F.lit(True)).alias("t")
     )
     s = src.withColumn("_s_present", F.lit(True)).alias("s")
@@ -362,6 +363,12 @@ def merge_into(
         # file's first_row_id + position (Iceberg v3)
         F.when(src_only, F.lit(None).cast("long"))
         .otherwise(F.col("t._row_id")).alias("_row_id"),
+        # last-updated sequence: rows this MERGE writes (inserts) or
+        # modifies (matched updates) go NULL and inherit the commit's
+        # sequence; rows merely carried through the rewrite keep theirs
+        F.when(src_only | (matched & F.lit(take_src_on_match)),
+               F.lit(None).cast("long"))
+        .otherwise(F.col("t._last_updated_seq")).alias("_last_updated_seq"),
     )
 
     # ---- sizing: touched bytes + estimated insert volume -------------

@@ -62,6 +62,13 @@ _PART_DIR = "_p"
 # (compaction/clustering/CoW): carries each surviving row's original
 # _row_id through the rewrite. Never part of the logical schema.
 _LH_ROW_ID = "_lh_row_id"
+# physical twin for the second row-lineage field: the commit sequence
+# that last UPDATED the row. Rewrites that merely carry a row forward
+# (compaction, clustering, CoW survivors, delete fold) materialize it
+# so the new file's own sequence doesn't masquerade as an update;
+# rows genuinely written/updated by a commit leave it null and inherit
+# the file's sequence at read time (Iceberg v3 inheritance).
+_LH_LAST_SEQ = "_lh_last_seq"
 _STAT_TYPES = (T.IntegerType, T.LongType, T.ShortType, T.ByteType, T.DateType)
 
 _INTEGRAL_TYPES = (T.IntegerType, T.LongType, T.ShortType, T.ByteType)
@@ -1116,6 +1123,11 @@ class LakehouseTable:
             # inserts mixed into a CoW rewrite, resolve at read time to
             # the new file's first_row_id + position)
             df = df.withColumnRenamed("_row_id", _LH_ROW_ID)
+        if "_last_updated_seq" in df.columns:
+            # same contract for the last-updated sequence: carried rows
+            # keep their value; rows the committing op modified should
+            # arrive as NULL here and inherit the new file's sequence
+            df = df.withColumnRenamed("_last_updated_seq", _LH_LAST_SEQ)
         write_id = uuid.uuid4().hex[:12]
         out_dir = os.path.join(self.data_dir, f"snap-{write_id}")
         sort_all = ([pcol] if pcol else []) + [c for c in (sort_cols or []) if c != pcol]
@@ -2308,6 +2320,7 @@ class LakehouseTable:
         ref: str | None = None,
         with_pos: bool = False,
         with_row_id: bool = False,
+        with_last_seq: bool = False,
         point_eq: dict[str, object] | None = None,
     ) -> DataFrame:
         """Read the table at a snapshot, pruning files via manifest stats.
@@ -2346,9 +2359,12 @@ class LakehouseTable:
                                  point_eq=point_eq)
         snap = (self.snapshot_by_id(snapshot_id) if snapshot_id is not None
                 else self.current_snapshot())
-        need_seqs = snap is not None and snap.equality_delete_manifests()
+        need_seqs = bool(
+            (snap is not None and snap.equality_delete_manifests())
+            or with_last_seq)
         # one collect serves the path list plus whatever per-file maps
-        # the read needs (eq-delete sequence scoping, row-id bases)
+        # the read needs (eq-delete sequence scoping, row-id bases,
+        # last-updated sequences)
         want = ["file_path"]
         if need_seqs:
             want.append("added_snapshot_id")
@@ -2367,7 +2383,8 @@ class LakehouseTable:
         df = self.scan_files(spark, paths, columns, snapshot=snap,
                              with_pos=with_pos, file_seqs=file_seqs,
                              with_row_id=with_row_id,
-                             first_row_ids=first_row_ids)
+                             first_row_ids=first_row_ids,
+                             with_last_seq=with_last_seq)
         if partition_values is not None:
             meta = self.load_metadata()
             if self._current_spec_snapshot_ids(meta) is not None:
@@ -2431,6 +2448,7 @@ class LakehouseTable:
                    file_seqs: dict[str, int] | None = None,
                    with_row_id: bool = False,
                    first_row_ids: dict[str, "int | None"] | None = None,
+                   with_last_seq: bool = False,
                    ) -> DataFrame:
         """Read an explicit (already-planned) set of table-relative data
         files through the CURRENT schema, resolving schema evolution:
@@ -2462,11 +2480,25 @@ class LakehouseTable:
         (one broadcast metadata-sized map); rewritten files carry ids
         physically in ``_lh_row_id``. Null for rows of files committed
         before row lineage. Stable under MOR deletes (positions don't
-        shift) and — once materialized — under compaction/clustering."""
+        shift) and — once materialized — under compaction/clustering.
+
+        ``with_last_seq=True`` appends ``_last_updated_seq`` — the
+        second Iceberg v3 row-lineage field
+        (``_last_updated_sequence_number``): the commit sequence that
+        last wrote or updated the row, resolved as
+        ``coalesce(materialized _lh_last_seq, file's own sequence)``.
+        Fresh/updated rows inherit their file's sequence; rewrites
+        that only carry rows (compaction, clustering, CoW survivors,
+        delete fold) materialize the old value so the carry isn't
+        mistaken for an update. Rows predating the feature resolve to
+        the sequence of the commit that added (or last carried) their
+        file — the same inheritance a v2->v3 Iceberg upgrade
+        exhibits."""
         meta = self.load_metadata()
         schema = T.StructType.fromJson(json.loads(meta["schema_json"]))
         pos_cols = ((["_file", "_pos"] if with_pos else [])
-                    + (["_row_id"] if with_row_id else []))
+                    + (["_row_id"] if with_row_id else [])
+                    + (["_last_updated_seq"] if with_last_seq else []))
         if not rel_paths:
             # JVM-only empty relation (createDataFrame([]) plans an
             # applySchemaToPythonRDD node — a Python scan in every
@@ -2488,6 +2520,8 @@ class LakehouseTable:
             # physical lineage column: present in rewritten files,
             # null-filled by the explicit read schema everywhere else
             phys_fields.append(T.StructField(_LH_ROW_ID, T.LongType(), True))
+        if with_last_seq:
+            phys_fields.append(T.StructField(_LH_LAST_SEQ, T.LongType(), True))
         df = spark.read.schema(T.StructType(phys_fields)).parquet(
             *[os.path.join(self._local_root, p) for p in rel_paths]
         )
@@ -2497,10 +2531,34 @@ class LakehouseTable:
             c: d for c, d in meta.get("column_defaults", {}).items()
             if c in {f.name for f in schema.fields}
         }
-        if mor or with_pos or live_defaults or with_row_id:
+        if mor or with_pos or live_defaults or with_row_id or with_last_seq:
             df = (
                 df.withColumn("_file", self._rel_path_col())
                 .withColumn("_pos", F.col("_metadata.row_index"))
+            )
+        # one file->sequence resolution shared by last-seq lineage,
+        # initial-default scoping, and equality-delete scoping
+        _seqs_memo = [file_seqs]
+
+        def _seqs() -> dict[str, int]:
+            if _seqs_memo[0] is None:
+                _seqs_memo[0] = self._file_seqs_for(
+                    spark, rel_paths, snap.snapshot_id if snap else None)
+            return _seqs_memo[0]
+
+        if with_last_seq:
+            ls_df = spark.createDataFrame(
+                [(p, _seqs().get(p, 0)) for p in rel_paths],
+                "__lsp string, __lsq long",
+            )
+            df = (
+                df.join(F.broadcast(ls_df),
+                        df["_file"] == F.col("__lsp"), "left")
+                .drop("__lsp")
+                .withColumn(
+                    "_last_updated_seq",
+                    F.coalesce(F.col(_LH_LAST_SEQ), F.col("__lsq")))
+                .drop("__lsq", _LH_LAST_SEQ)
             )
         if with_row_id:
             frids = (first_row_ids if first_row_ids is not None
@@ -2521,7 +2579,8 @@ class LakehouseTable:
                                F.col("__rfr") + F.col("_pos")))
                 .drop("__rfr", _LH_ROW_ID)
             )
-        extra = [c for c in ("_file", "_pos", "_row_id") if c in df.columns]
+        extra = [c for c in ("_file", "_pos", "_row_id", "_last_updated_seq")
+                 if c in df.columns]
         if renames:
             # resolve schema evolution BEFORE applying deletes: equality
             # deletes reference CURRENT column names, and a pre-rename
@@ -2544,10 +2603,7 @@ class LakehouseTable:
             # files older than the column get the default; later files
             # carry the physical column (so an explicit NULL survives).
             # One broadcast (path, seq) map join — metadata-sized.
-            seqs = (file_seqs if file_seqs is not None
-                    else self._file_seqs_for(
-                        spark, rel_paths,
-                        snap.snapshot_id if snap else None))
+            seqs = _seqs()
             oldest = min(seqs.values(), default=0)
             apply = {c: d for c, d in live_defaults.items()
                      if oldest < d["added_seq"]}
@@ -2588,10 +2644,7 @@ class LakehouseTable:
                 # per-row file sequence via a broadcast (path, seq) map
                 # — equality deletes apply only to earlier-sequenced
                 # files (a later re-insert of the key survives)
-                seqs = (file_seqs if file_seqs is not None
-                        else self._file_seqs_for(
-                            spark, rel_paths,
-                            snap.snapshot_id if snap else None))
+                seqs = _seqs()
                 seq_df = spark.createDataFrame(
                     [(p, seqs.get(p, 0)) for p in rel_paths],
                     "__fsp string, __fseq long",
@@ -2614,7 +2667,8 @@ class LakehouseTable:
                 df = df.drop("__fseq")
         drop_extra = [c for c in extra
                       if (c in ("_file", "_pos") and not with_pos)
-                      or (c == "_row_id" and not with_row_id)]
+                      or (c == "_row_id" and not with_row_id)
+                      or (c == "_last_updated_seq" and not with_last_seq)]
         if drop_extra:
             df = df.drop(*drop_extra)
         return df.select(*(columns + pos_cols)) if columns else df
@@ -2622,13 +2676,15 @@ class LakehouseTable:
     def scan_matched_files(self, entries: list[dict], spark: SparkSession,
                            columns: list[str] | None = None,
                            with_pos: bool = False,
-                           with_row_id: bool = False) -> DataFrame:
+                           with_row_id: bool = False,
+                           with_last_seq: bool = False) -> DataFrame:
         return self.scan_files(spark, [e["file_path"] for e in entries], columns,
                                with_pos=with_pos, with_row_id=with_row_id,
                                first_row_ids=(
                                    {e["file_path"]: e.get("first_row_id")
                                     for e in entries}
-                                   if with_row_id else None))
+                                   if with_row_id else None),
+                               with_last_seq=with_last_seq)
 
     # -------- merge-on-read position deletes (Iceberg v2 model) --------
 
