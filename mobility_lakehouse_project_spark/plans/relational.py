@@ -2190,6 +2190,56 @@ ORACLE_SQL["wap_cherrypick_scan"] = """
 """
 
 
+def inc_scan_updated_since(spark, sf_dir):
+    """Incremental consumption via the v3 ``_last_updated_seq`` row-
+    lineage field, oracle-checked end to end: a documents lakehouse
+    table takes a bulk load (checkpoint sequence s1), then a MERGE
+    upsert (half updates, half inserts), then a COMPACTION that
+    rewrites every file — and ``scan(updated_since=s1)`` still returns
+    exactly the MERGE's rows, because the rewrite materializes carried
+    rows' old sequences instead of re-stamping them. A snapshot-diff
+    changelog cannot attribute rows through the CoW rewrite
+    (streaming/changelog.py raises ChangelogUnsupportedError); the
+    lineage field is the form that survives it, and file-level
+    sequence pruning keeps the read proportional to the change volume
+    at 10^12-row scale. Reference analog: the incremental daily loads
+    the reference resumes by load_ts watermark
+    (dags/Silver_Transform_Dag.py)."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.compaction import compact
+    from ..operators.merge import merge_into
+    from ..tableformat import LakehouseTable
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars")
+    scratch = os.path.join(tempfile.gettempdir(), "mlps-scratch", "inc-scan")
+    shutil.rmtree(scratch, ignore_errors=True)
+    t = LakehouseTable.create(
+        scratch + "/docs", d.schema, partition_col="source")
+    t.append(d.filter(F.col("doc_id") % 3 != 0), n_files=4)
+    s1 = t.current_snapshot().sequence
+    src = (d.filter(F.col("doc_id") % 5 == 0)
+           .withColumn("lang", F.lit("xx")))
+    merge_into(t, spark, src, key="doc_id")
+    compact(t, spark, target_file_size=1 << 30)
+    return (
+        t.scan(spark, updated_since=s1)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_SQL["inc_scan_updated_since"] = """
+        SELECT doc_id, 'xx' AS lang, n_chars
+        FROM documents
+        WHERE doc_id % 5 = 0
+        ORDER BY doc_id
+"""
+
+
 def sql_view_scan(spark, sf_dir):
     """Catalog views, oracle-checked end to end: the documents table is
     loaded into a warehouse catalog, a per-language quality view is
@@ -2717,5 +2767,6 @@ QUERIES = {
     "sql_retention_delete": sql_retention_delete,
     "sql_eq_delete_scan": sql_eq_delete_scan,
     "wap_cherrypick_scan": wap_cherrypick_scan,
+    "inc_scan_updated_since": inc_scan_updated_since,
     "sql_view_scan": sql_view_scan,
 }

@@ -2321,9 +2321,24 @@ class LakehouseTable:
         with_pos: bool = False,
         with_row_id: bool = False,
         with_last_seq: bool = False,
+        updated_since: int | None = None,
         point_eq: dict[str, object] | None = None,
     ) -> DataFrame:
         """Read the table at a snapshot, pruning files via manifest stats.
+
+        ``updated_since=N`` returns only rows whose
+        ``_last_updated_seq`` > N — the incremental-consumption read
+        the v3 lineage field exists for. File-level pruning theorem: a
+        file added at sequence S holds only rows with last-updated
+        sequence <= S (fresh/updated rows inherit S, carried rows keep
+        older), so every file with S <= N is skipped WITHOUT reading it
+        — the read stays proportional to the change volume even after
+        compaction/clustering/CoW rewrites have rewritten every file
+        (where snapshot-diff changelogs give up, see
+        streaming/changelog.py ChangelogUnsupportedError). Semantics
+        are the net upsert feed (current live version of each row
+        created or updated after N); rows deleted since N do not
+        appear — use changelog_df / the CDC source for delete events.
 
         ``point_eq={'image_id': v}`` narrows the FILE set via bloom +
         min/max skipping (see plan_files); like int_ranges, the
@@ -2361,7 +2376,7 @@ class LakehouseTable:
                 else self.current_snapshot())
         need_seqs = bool(
             (snap is not None and snap.equality_delete_manifests())
-            or with_last_seq)
+            or with_last_seq or updated_since is not None)
         # one collect serves the path list plus whatever per-file maps
         # the read needs (eq-delete sequence scoping, row-id bases,
         # last-updated sequences)
@@ -2378,13 +2393,22 @@ class LakehouseTable:
                          for r in rows}
         else:
             file_seqs = None
+        if updated_since is not None:
+            # file-seq prune: files at sequence <= N cannot hold any
+            # row updated after N (see docstring theorem)
+            paths = [p for p in paths if file_seqs[p] > updated_since]
         first_row_ids = ({r["file_path"]: r["first_row_id"] for r in rows}
                          if with_row_id else None)
         df = self.scan_files(spark, paths, columns, snapshot=snap,
                              with_pos=with_pos, file_seqs=file_seqs,
                              with_row_id=with_row_id,
                              first_row_ids=first_row_ids,
-                             with_last_seq=with_last_seq)
+                             with_last_seq=(with_last_seq
+                                            or updated_since is not None))
+        if updated_since is not None:
+            df = df.filter(F.col("_last_updated_seq") > updated_since)
+            if not with_last_seq:
+                df = df.drop("_last_updated_seq")
         if partition_values is not None:
             meta = self.load_metadata()
             if self._current_spec_snapshot_ids(meta) is not None:

@@ -118,3 +118,52 @@ def test_delete_survivors_keep_sequences(spark, seq_table):
     assert set(after) == set(before) - set(dead)
     assert all(after[k] == before[k] for k in after), \
         "CoW DELETE survivors are carried, not updated"
+
+
+def test_scan_updated_since_survives_cow_and_compaction(spark, seq_table):
+    t = seq_table
+    s1 = t.current_snapshot().sequence
+    keys = [r["image_id"] for r in t.scan(spark).select("image_id").collect()]
+    hit = sorted(k for k in keys if int(k[3:]) % 5 == 0)
+    update_where(t, spark, F.col("image_id").isin(hit),
+                 {"caption": F.lit("inc upd")})
+    # the rewrite-everything ops a snapshot-diff changelog chokes on
+    compaction.compact(t, spark, target_file_size=1 << 30)
+    clustering.cluster(t, spark, target_file_size=1 << 30)
+    got = {r["image_id"]: r["caption"]
+           for r in t.scan(spark, updated_since=s1)
+           .select("image_id", "caption").collect()}
+    assert sorted(got) == hit
+    assert set(got.values()) == {"inc upd"}
+    # empty increment at the head sequence
+    head = t.current_snapshot().sequence
+    assert t.scan(spark, updated_since=head).count() == 0
+
+
+def test_scan_updated_since_prunes_old_files(spark, seq_table, monkeypatch):
+    t = seq_table
+    s1 = t.current_snapshot().sequence
+    d2 = synth.images_df(spark, 10, dims=(8, 16), partitions=2, id_offset=40)
+    t.append(d2, n_files=1)
+    read_paths: list[list[str]] = []
+    orig = type(t).scan_files
+
+    def spy(self, spark_, rel_paths, *a, **kw):
+        read_paths.append(list(rel_paths))
+        return orig(self, spark_, rel_paths, *a, **kw)
+
+    monkeypatch.setattr(type(t), "scan_files", spy)
+    got = {r["image_id"] for r in
+           t.scan(spark, updated_since=s1).select("image_id").collect()}
+    assert got == {r["image_id"] for r in d2.select("image_id").collect()}
+    # exactly the second append's files are read; every file of the
+    # first append is sequence-pruned without being opened
+    snap2 = t.current_snapshot().snapshot_id
+    added2 = {r["file_path"] for r in
+              t.files(spark)
+              .filter(F.col("added_snapshot_id") == snap2)
+              .select("file_path").collect()}
+    total = t.files(spark).count()
+    assert len(read_paths) == 1
+    assert set(read_paths[0]) == added2
+    assert len(added2) < total
