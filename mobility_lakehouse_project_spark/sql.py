@@ -70,6 +70,9 @@ Reads may also query a table's inspection views — mentioning
 and time travel with the Delta/Iceberg idiom: ``FROM <view> VERSION AS
 OF <snapshot_id | 'tag-or-branch'>`` or ``FROM <view> TIMESTAMP AS OF
 '<iso-ts | epoch-ms>'`` (rewritten into pinned views on the spot).
+``FROM <view> UPDATED SINCE <seq>`` reads the incremental net-upsert
+feed (rows created/updated after that commit sequence, file-pruned via
+the v3 ``_last_updated_seq`` lineage field).
 
 ``OPTIONS(key = value, ...)`` is this engine's extension carrying
 operator knobs (``mode='mor'``, ``target_file_size=...``,
@@ -440,6 +443,28 @@ def _resolve_view(view: str, catalog: Catalog | None,
             if f"{ns}_{tbl}" == view:
                 return catalog.load_table(full)
     return None
+
+
+def _rewrite_updated_since(spark, sql: str, catalog, tables) -> str:
+    """Rewrite ``<view> UPDATED SINCE <seq>`` into a synthetic
+    incremental view (scan(updated_since=seq): the net-upsert feed of
+    rows created/updated after that commit sequence, file-seq-pruned —
+    see tableformat/table.py::scan). Sequence numbers come from the
+    ``<view>_snapshots`` inspection view or a prior read's bookkeeping,
+    the same way Iceberg incremental consumers track them."""
+    masked = _mask(sql)
+    pat = re.compile(rf"\b({_IDENT})\s+UPDATED\s+SINCE\s+(\d+)\b", re.I)
+    out = sql
+    for m in reversed(list(pat.finditer(masked))):
+        view, seq = m.group(1), int(m.group(2))
+        t = _resolve_view(view, catalog, tables)
+        if t is None:
+            raise LakehouseSqlError(
+                f"UPDATED SINCE on unknown table/view {view!r}")
+        synth = f"{view}__upd_since_{seq}"
+        t.register(spark, synth, updated_since=seq)
+        out = out[:m.start(1)] + synth + out[m.end():]
+    return out
 
 
 def _rewrite_time_travel(spark, sql: str, catalog, tables) -> str:
@@ -1510,6 +1535,9 @@ def execute_sql(
         # VERSION/TIMESTAMP AS OF works anywhere a query fragment does
         # (bare reads, CTAS, INSERT ... SELECT, MERGE USING)
         sql = _rewrite_time_travel(spark, sql, catalog, tables)
+        masked = _mask(sql)
+    if re.search(r"\bUPDATED\s+SINCE\b", masked, re.I):
+        sql = _rewrite_updated_since(spark, sql, catalog, tables)
         masked = _mask(sql)
     if head in ("SELECT", "WITH", "VALUES", "TABLE"):
         _register_reads(spark, catalog, tables, masked)

@@ -1967,16 +1967,19 @@ class LakehouseTable:
 
     def register(self, spark: SparkSession, name: str,
                  ref: str | None = None,
-                 snapshot_id: int | None = None) -> None:
+                 snapshot_id: int | None = None,
+                 updated_since: int | None = None) -> None:
         """Expose the table as a temp view for ad-hoc SQL — the
         reference's parameterized-query entry point
         (dags/Queries_dag.py:54-95 `con.execute(query)`) maps to
         `table.register(spark, 'images'); spark.sql(...)`.
         ``ref``/``snapshot_id`` register a time-travel view (a tag,
         branch, or snapshot pinned under its own view name — SQL's
-        VERSION AS OF, as a view)."""
-        self.scan(spark, snapshot_id=snapshot_id,
-                  ref=ref).createOrReplaceTempView(name)
+        VERSION AS OF, as a view); ``updated_since`` registers the
+        incremental net-upsert view (rows created/updated after that
+        commit sequence — SQL's UPDATED SINCE, see scan)."""
+        self.scan(spark, snapshot_id=snapshot_id, ref=ref,
+                  updated_since=updated_since).createOrReplaceTempView(name)
 
     def snapshots_df(self, spark: SparkSession) -> DataFrame:
         rows = [

@@ -642,3 +642,30 @@ def test_script_and_errors(spark, cat):
         execute_sql(
             spark, "DELETE FROM silver.images WHERE true OPTIONS(bogus=1)",
             catalog=cat)
+
+
+def test_updated_since_read_syntax(spark, cat):
+    t = _seed(spark, cat)  # 50 rows at seq s1
+    s1 = t.current_snapshot().sequence
+    execute_sql(spark,
+                "UPDATE silver.images SET caption = 'v2' "
+                "WHERE image_id % 10 = 0", catalog=cat)
+    execute_sql(spark,
+                "INSERT INTO silver.images VALUES (900, 1, 'late')",
+                catalog=cat)
+    rows = execute_sql(
+        spark,
+        f"SELECT image_id, caption FROM silver_images UPDATED SINCE {s1} "
+        "ORDER BY image_id", catalog=cat).collect()
+    got = {r["image_id"]: r["caption"] for r in rows}
+    assert got == {**{i: "v2" for i in range(0, 50, 10)}, 900: "late"}
+    # head-sequence increment is empty; composes with aggregates
+    head = t.current_snapshot().sequence
+    n = execute_sql(
+        spark,
+        f"SELECT count(*) AS n FROM silver_images UPDATED SINCE {head}",
+        catalog=cat).collect()[0]["n"]
+    assert n == 0
+    with pytest.raises(LakehouseSqlError, match="unknown table"):
+        execute_sql(spark, "SELECT * FROM nope UPDATED SINCE 1",
+                    catalog=cat)
