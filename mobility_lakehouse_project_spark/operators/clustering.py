@@ -291,7 +291,8 @@ def _cluster_chunks(table, spark, part_ids, n_chunks, done, metrics, ph,
             .sortWithinPartitions(*(([pcol] if pcol else []) + [cols[0]]))
             .drop(_TOK_COL, _SFC_COL)
         )
-        new_entries = table.write_data_files(shaped, distribution="none")
+        new_entries = table.write_data_files(shaped, distribution="none",
+                                             enforce_constraints=False)
         ph["pass2_rewrite"] += int((time.time() - t2) * 1000)
         for k, v in getattr(table, "last_write_phases", {}).items():
             ph[k] = ph.get(k, 0) + v

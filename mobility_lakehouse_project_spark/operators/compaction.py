@@ -111,7 +111,8 @@ def migrate_partitions(
                                        with_last_seq=True)
         nbytes = sum(e["file_size_bytes"] for e in entries)
         new_entries = table.write_data_files(
-            src, n_files=max(1, round(nbytes / target_file_size)))
+            src, n_files=max(1, round(nbytes / target_file_size)),
+            enforce_constraints=False)
         snap = table.commit_replace(
             {e["file_path"] for e in entries}, new_entries,
             operation="replace",
@@ -304,7 +305,8 @@ def compact(
             gexpr = F.pmod(F.xxhash64(F.col(key_col)), F.lit(total_out))
         sort_all = ([pcol] if pcol else []) + ([sort_col] if sort_col else [])
         shaped = exact_slot_repartition(spark, df, gexpr, total_out, sort_cols=sort_all)
-        new_entries = table.write_data_files(shaped, distribution="none")
+        new_entries = table.write_data_files(shaped, distribution="none",
+                                             enforce_constraints=False)
         snap = table.commit_replace(
             removed, new_entries, operation="replace",
             summary={"op": "compact", "op_id": op_id, "chunk": ck},

@@ -845,7 +845,8 @@ def rewrite_position_deletes(
         n_out = max(1, round(touched_bytes / target_file_size))
         n_parts = len({e["partition_id"] for e in touched_entries}) or 1
         new_entries = table.write_data_files(
-            src, n_files=n_out, n_partitions_hint=n_parts)
+            src, n_files=n_out, n_partitions_hint=n_parts,
+            enforce_constraints=False)
         affected = {e["partition_id"] for e in touched_entries}
         snap = table.commit_replace(
             {e["file_path"] for e in touched_entries},

@@ -60,6 +60,8 @@ Supported statements (heads case-insensitive)::
   ALTER TABLE t DROP COLUMN c
   ALTER TABLE t RENAME COLUMN a TO b
   ALTER TABLE t ALTER COLUMN c TYPE <type>
+  ALTER TABLE t ADD CONSTRAINT name CHECK (expr)     -> write-time gate
+  ALTER TABLE t DROP CONSTRAINT name
   CALL proc('ns.table' [, key => value, ...])        -> PROCEDURES
   SHOW TABLES [IN ns] / SHOW TBLPROPERTIES t / SHOW PARTITIONS t
   DESCRIBE [TABLE] [EXTENDED] t                      -> DataFrame
@@ -1334,6 +1336,29 @@ def _stmt_alter(spark, sql, masked, catalog, tables):
     if tm:
         v = table.widen_column(tm.group(1), rest[tm.start(2):tm.end(2)])
         return {"operation": "widen_column", "version": v}
+    am = re.match(
+        r"(?is)ADD\s+CONSTRAINT\s+([A-Za-z_]\w*)\s+CHECK\s*\(", mrest)
+    if am:
+        close = _match_paren(mrest, am.end() - 1)
+        if mrest[close:].strip():
+            raise LakehouseSqlError("trailing text after CHECK (...)")
+        expr = rest[am.end():close - 1].strip()
+        if not expr:
+            raise LakehouseSqlError("empty CHECK expression")
+        try:
+            v = table.add_constraint(am.group(1), expr, spark)
+        except ValueError as e:
+            raise LakehouseSqlError(str(e)) from None
+        return {"operation": "add_constraint", "name": am.group(1),
+                "version": v}
+    dm = re.fullmatch(r"(?is)DROP\s+CONSTRAINT\s+([A-Za-z_]\w*)\s*", mrest)
+    if dm:
+        try:
+            v = table.drop_constraint(dm.group(1))
+        except ValueError as e:
+            raise LakehouseSqlError(str(e)) from None
+        return {"operation": "drop_constraint", "name": dm.group(1),
+                "version": v}
     raise LakehouseSqlError(
         f"unsupported ALTER TABLE clause {rest.strip()[:60]!r}")
 

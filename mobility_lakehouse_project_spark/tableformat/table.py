@@ -306,6 +306,7 @@ _BLOOM_BITS_PER_ROW = 10
 BLOOM_COLS_PROP = "write.metadata.bloom-columns"
 SORT_ORDER_PROP = "write.sort-order"
 PREV_VERSIONS_PROP = "write.metadata.previous-versions-max"
+CONSTRAINTS_PREFIX = "constraints."
 
 
 def _bloom_m(n_rows: int) -> int:
@@ -737,6 +738,85 @@ class LakehouseTable:
             curve = "zorder"  # 1-col curve degenerates to a plain sort
         return curve, cols
 
+    def constraints(self, meta: dict | None = None) -> dict[str, str]:
+        """Declared CHECK constraints: ``{name: sql_expression}``,
+        stored as ``constraints.<name>`` table properties (the Delta
+        ``delta.constraints.*`` idiom — metadata-only, versioned with
+        the table, visible in DESCRIBE EXTENDED)."""
+        props = self.properties(meta)
+        n = len(CONSTRAINTS_PREFIX)
+        return {k[n:]: v for k, v in props.items()
+                if k.startswith(CONSTRAINTS_PREFIX)}
+
+    def constraint_guard(self, df: DataFrame) -> DataFrame:
+        """Wrap a to-be-written DataFrame so every declared CHECK
+        constraint is enforced DURING the write pass itself: each row
+        evaluates ``coalesce(expr, true)`` (ANSI CHECK semantics — a
+        NULL predicate passes) and the first violating row aborts the
+        job with the constraint name and the offending row's non-binary
+        columns as JSON. Zero extra scans — the guard is a Catalyst
+        filter whose error branch only evaluates on violation, the
+        single-pass invariant-operator shape Delta uses; with no
+        constraints declared the frame is returned untouched."""
+        cons = self.constraints()
+        if not cons:
+            return df
+        binary = {f.name for f in df.schema.fields
+                  if isinstance(f.dataType, T.BinaryType)}
+        shown = [c for c in df.columns if c not in binary]
+        cond = None
+        for name in sorted(cons):
+            expr = cons[name]
+            ok = F.coalesce(F.expr(expr).cast("boolean"), F.lit(True))
+            msg = F.concat(
+                F.lit(f"CHECK constraint {name} ({expr}) "
+                      "violated by row: "),
+                F.to_json(F.struct(*[F.col(c) for c in shown])),
+            )
+            guard = F.when(~ok, F.raise_error(msg)).otherwise(F.lit(True))
+            cond = guard if cond is None else cond & guard
+        return df.filter(cond)
+
+    def add_constraint(self, name: str, expr: str, spark: SparkSession,
+                       validate: bool = True) -> int:
+        """Declare a CHECK constraint (``ALTER TABLE ... ADD CONSTRAINT
+        name CHECK (expr)``). The expression must analyze against the
+        table schema, and — like Delta — the EXISTING data must already
+        satisfy it (one column-pruned scan that stops at the first
+        violation; blobs are never read unless the expression touches
+        them). Enforcement of future writes happens inside
+        :meth:`write_data_files` via :meth:`constraint_guard`."""
+        if not re.fullmatch(r"[A-Za-z_]\w*", name):
+            raise ValueError(f"bad constraint name {name!r}")
+        if name in self.constraints():
+            raise ValueError(f"constraint {name!r} already exists")
+        probe = spark.createDataFrame([], self.schema())
+        try:
+            probe.filter(F.expr(expr)).schema
+        except Exception as e:
+            raise ValueError(
+                f"constraint expression {expr!r} does not analyze "
+                f"against the table schema: {e}") from None
+        if validate and self.current_snapshot() is not None:
+            bad = (
+                self.scan(spark)
+                .filter(~F.coalesce(F.expr(expr).cast("boolean"),
+                                    F.lit(True)))
+                .limit(1)
+                .count()
+            )
+            if bad:
+                raise ValueError(
+                    f"cannot add constraint {name!r}: existing rows "
+                    f"violate CHECK ({expr})")
+        return self.update_properties({CONSTRAINTS_PREFIX + name: expr})
+
+    def drop_constraint(self, name: str) -> int:
+        """Remove a CHECK constraint (metadata-only commit)."""
+        if name not in self.constraints():
+            raise ValueError(f"no constraint {name!r}")
+        return self.update_properties({CONSTRAINTS_PREFIX + name: None})
+
     def drop_column(self, name: str) -> int:
         """Drop a column (metadata-only; Iceberg's dropColumn). Data
         files keep the physical column — scans simply stop selecting it
@@ -1090,6 +1170,7 @@ class LakehouseTable:
         distribution: str = "hash",
         salt_col: str = "image_id",
         n_partitions_hint: int | None = None,
+        enforce_constraints: bool = True,
     ) -> list[dict]:
         """Write a DataFrame as new data files; return manifest entries
         (NOT yet committed — callers pair this with a commit_* call).
@@ -1116,6 +1197,12 @@ class LakehouseTable:
         meta = self.load_metadata()
         pcol = meta["partition_col"]
         pexpr = self.partition_value_expr(meta)
+        if enforce_constraints:
+            # every write of NEW or MODIFIED rows passes the CHECK
+            # guard in the same pass; pure-carry rewrites (compaction /
+            # clustering) opt out — their rows were checked when first
+            # written, and add_constraint validates history
+            df = self.constraint_guard(df)
         if "_row_id" in df.columns:
             # rewrite carrying row lineage: materialize each surviving
             # row's id as the physical _lh_row_id column (Iceberg v3 —
