@@ -92,6 +92,59 @@ def normalize_scaled(x: np.ndarray, lo_f: float, scale: float) -> np.ndarray:
     return np.floor(np.clip(v, 0.0, _M_F)).astype(np.uint64)
 
 
+# ---------------- string dims ----------------
+#
+# A string column participates in the curve through an ORDER-PRESERVING
+# int64 image: the first 7 UTF-8 bytes, right-padded with 0x00, read
+# big-endian (Iceberg's truncate-transform idiom applied to Z-order —
+# UTF8String comparison is bytewise, so prefix order == string order,
+# and 7 bytes stay inside a signed int64). The image is computed as a
+# pure Catalyst expression so the numpy/Arrow kernels only ever see
+# int64 dims; the driver mirrors it exactly for manifest str_mins/
+# str_maxs bounds.
+
+STR_PREFIX_BYTES = 7
+
+
+def str_common_skip(lo: str, hi: str) -> int:
+    """Length (bytes) of the common UTF-8 prefix of the observed
+    column range. Id-like columns share a long constant prefix
+    (``img0000...``) that carries zero entropy — skipping it puts the
+    7-byte window on the bytes that actually distinguish rows. Safe:
+    within [lo, hi] every value shares that prefix, so order on the
+    suffix == order on the string."""
+    a, b = lo.encode("utf-8"), hi.encode("utf-8")
+    n = 0
+    for x, y in zip(a, b):
+        if x != y:
+            break
+        n += 1
+    return n
+
+
+def str_prefix_int(s: str, skip: int = 0) -> int:
+    """Driver-side twin of :func:`str_prefix_expr` (exact)."""
+    b = s.encode("utf-8")[skip:skip + STR_PREFIX_BYTES]
+    return int.from_bytes(b.ljust(STR_PREFIX_BYTES, b"\x00"), "big")
+
+
+def str_prefix_expr(name: str, skip: int = 0):
+    """Catalyst expression: order-preserving int64 image of a string
+    column — bytes [skip, skip+7) of the UTF-8 encoding, right-padded
+    with 0x00, big-endian (NULL -> 0, same as the empty string — NULLs
+    sort first either way). Whole-stage-codegen'd, no Python worker."""
+    from pyspark.sql import functions as F  # keep module import-light
+
+    k = STR_PREFIX_BYTES
+    return F.coalesce(
+        F.expr(
+            f"cast(conv(hex(rpad(substring(encode(`{name}`, 'UTF-8'),"
+            f" {skip + 1}, {k}), {k}, x'00')), 16, 10) as bigint)"
+        ),
+        F.lit(0).cast("long"),
+    )
+
+
 def morton3(d0: np.ndarray, d1: np.ndarray, d2: np.ndarray) -> np.ndarray:
     """Morton/Z-order index of three 21-bit dims -> int64 (always >= 0)."""
     return interleave3(d0, d1, d2).astype(np.int64)

@@ -39,7 +39,13 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.sfc import curve_key_udf, zorder_col
+from ..functions.sfc import (
+    curve_key_udf,
+    str_common_skip,
+    str_prefix_expr,
+    str_prefix_int,
+    zorder_col,
+)
 from ..lineage import LineageLog
 from ..tableformat import LakehouseTable
 from .compaction import (
@@ -98,6 +104,54 @@ def resolve_sort_order(
     return curve, tuple(cols)
 
 
+def _string_dims(table: LakehouseTable, cols: tuple[str, ...]) -> dict[str, bool]:
+    """Which cluster dims are STRING columns (they participate through
+    the order-preserving int64 prefix image, sfc.str_prefix_expr; their
+    bounds come from manifest str_mins/str_maxs)."""
+    schema = {f.name: f.dataType for f in table.schema().fields}
+    for c in cols:
+        if c not in schema:
+            raise ValueError(f"cluster column {c!r} not in table schema")
+    return {c: isinstance(schema[c], T.StringType) for c in cols}
+
+
+def _stat_aggs(cols, is_str):
+    """Per-dim manifest-stats extrema aggregates (int or string maps)."""
+    return [
+        *[F.min(F.col("str_mins" if is_str[c] else "int_mins")[c]).alias(f"lo_{c}")
+          for c in cols],
+        *[F.max(F.col("str_maxs" if is_str[c] else "int_maxs")[c]).alias(f"hi_{c}")
+          for c in cols],
+    ]
+
+
+def _dim_spec(lo, hi, is_str: bool) -> tuple[int, int, int]:
+    """(skip_bytes, lo_int, hi_int) for one dim. String dims strip the
+    common prefix of the observed range first (id-like columns share a
+    constant head — ``img0000...`` — that would otherwise swallow the
+    whole 7-byte window), then map to the order-preserving int64
+    image."""
+    if is_str:
+        skip = str_common_skip(str(lo), str(hi))
+        return (skip, str_prefix_int(str(lo), skip),
+                str_prefix_int(str(hi), skip))
+    return 0, int(lo), int(hi)
+
+
+def _dim_exprs(cols, is_str, skips=None):
+    skips = skips or {}
+    return [str_prefix_expr(c, skips.get(c, 0)) if is_str[c] else F.col(c)
+            for c in cols]
+
+
+def _make_key_expr(curve, cols, is_str, dim_bounds, skips=None):
+    if curve == "zorder":
+        return lambda: zorder_col(*_dim_exprs(cols, is_str, skips),
+                                  bounds=dim_bounds)
+    _udf = curve_key_udf(curve, dim_bounds)
+    return lambda: _udf(*_dim_exprs(cols, is_str, skips))
+
+
 def cluster(
     table: LakehouseTable,
     spark: SparkSession,
@@ -110,11 +164,15 @@ def cluster(
     only_partitions: set[str] | None = None,
 ) -> dict:
     """Rewrite the table clustered by ``curve`` over ``cols``
-    (1-3 integer columns; a single column degenerates to a plain sort —
-    the right layout when only one column carries selective predicates,
-    see BENCH/BASELINE.md's coarse-granularity reading). ``cols=None``
-    adopts the table's ``write.sort-order`` property (see
-    resolve_sort_order)."""
+    (1-3 integer OR string columns; a single column degenerates to a
+    plain sort — the right layout when only one column carries
+    selective predicates, see BENCH/BASELINE.md's coarse-granularity
+    reading). A string dim participates through its order-preserving
+    7-byte-prefix int64 image (``sfc.str_prefix_expr``) with bounds
+    from manifest ``str_mins``/``str_maxs`` — the layout that makes
+    string-range pruning (``image_id`` point lookups, ``dt`` retention
+    windows) effective. ``cols=None`` adopts the table's
+    ``write.sort-order`` property (see resolve_sort_order)."""
     curve, cols = resolve_sort_order(table, curve, cols)
     if not 1 <= len(cols) <= 3:
         raise ValueError(f"cluster over 1-3 columns, got {cols!r}")
@@ -132,14 +190,14 @@ def cluster(
     # (w, h in {16..128}) contributes no high bits to the interleaved
     # key and its file stats never prune (measured 0.000 pruned
     # pre-fix — tools/run_pruning.py).
+    is_str = _string_dims(table, cols)
     plan_rows = (
         table.files(spark)
         .groupBy("partition_id")
         .agg(
             F.sum("file_size_bytes").alias("bytes"),
             F.count("*").alias("n_files"),
-            *[F.min(F.col("int_mins")[c]).alias(f"lo_{c}") for c in cols],
-            *[F.max(F.col("int_maxs")[c]).alias(f"hi_{c}") for c in cols],
+            *_stat_aggs(cols, is_str),
         )
         .collect()
     )
@@ -157,13 +215,13 @@ def cluster(
         )
         for c in cols
     ]
+    skips = {c: 0 for c in cols}
     if all(lo is not None and hi is not None for lo, hi in bvals):
-        dim_bounds = tuple((int(lo), int(hi)) for lo, hi in bvals)
-    if curve == "zorder":
-        key_expr = lambda: zorder_col(*[F.col(c) for c in cols], bounds=dim_bounds)  # noqa: E731
-    else:
-        _udf = curve_key_udf(curve, dim_bounds)
-        key_expr = lambda: _udf(*[F.col(c) for c in cols])  # noqa: E731
+        specs = [_dim_spec(lo, hi, is_str[c])
+                 for (lo, hi), c in zip(bvals, cols)]
+        skips = {c: sp[0] for sp, c in zip(specs, cols)}
+        dim_bounds = tuple((sp[1], sp[2]) for sp in specs)
+    key_expr = _make_key_expr(curve, cols, is_str, dim_bounds, skips)
     op_id = op_id or _op_fingerprint("cluster-" + curve, table, ",".join(cols))
     log = LineageLog(table.location)
     done = log.completed_chunks(op_id)
@@ -198,7 +256,7 @@ def cluster(
         _cluster_chunks(
             table, spark, part_ids, n_chunks, done, metrics, ph, pcol,
             part_bytes_all, target_file_size, key_expr, recompress_level,
-            log, op_id, curve, cols, dim_bounds=dim_bounds,
+            log, op_id, curve, cols, dim_bounds=dim_bounds, skips=skips,
         )
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
@@ -208,7 +266,8 @@ def cluster(
 def _cluster_chunks(table, spark, part_ids, n_chunks, done, metrics, ph,
                     pcol, part_bytes_all, target_file_size, key_expr,
                     recompress_level, log, op_id, curve, cols,
-                    paths_fn=None, dim_bounds=None, minor=False):
+                    paths_fn=None, dim_bounds=None, minor=False,
+                    skips=None):
     for chunk_parts in _chunk(part_ids, n_chunks):
         ck = chunk_key(list(chunk_parts))
         if ck in done:
@@ -308,7 +367,12 @@ def _cluster_chunks(table, spark, part_ids, n_chunks, done, metrics, ph,
                      "cluster_cols": ",".join(cols),
                      "cluster_minor": "1" if minor else "0",
                      "cluster_bounds": json.dumps(list(dim_bounds))
-                     if dim_bounds else ""},
+                     if dim_bounds else "",
+                     # byte-skips of string dims (common-prefix strip);
+                     # persisted so minor runs rebuild the SAME key
+                     "cluster_skips": json.dumps(
+                         [(skips or {}).get(c, 0) for c in cols])
+                     if skips and any(skips.values()) else ""},
             affected_partitions=set(chunk_parts),
         )
         ph["commit"] += int((time.time() - t3) * 1000)
@@ -330,7 +394,8 @@ def _last_cluster_snapshot(table, curve, cols):
     signature (minor commits don't reset the incremental baseline — a
     sequence of minor runs still measures newness against the last
     major layout, so un-merged minor files keep being candidates for
-    the eventual major merge). Returns (snapshot|None, bounds|None)."""
+    the eventual major merge). Returns (snapshot|None, bounds|None,
+    skips|None)."""
     want_op = f"cluster-{curve}"
     want_cols = ",".join(cols)
     for s in reversed(table.snapshots_list()):
@@ -344,8 +409,11 @@ def _last_cluster_snapshot(table, curve, cols):
                     (int(lo), int(hi))
                     for lo, hi in json.loads(sm["cluster_bounds"])
                 )
-            return s, bounds
-    return None, None
+            skips = None
+            if sm.get("cluster_skips"):
+                skips = dict(zip(cols, json.loads(sm["cluster_skips"])))
+            return s, bounds, skips
+    return None, None, None
 
 
 def cluster_incremental(
@@ -397,7 +465,7 @@ def cluster_incremental(
 
     curve, cols = resolve_sort_order(table, curve, cols)
     require_single_spec(table, spark)
-    last, prior_bounds = _last_cluster_snapshot(table, curve, cols)
+    last, prior_bounds, prior_skips = _last_cluster_snapshot(table, curve, cols)
     if last is None:
         return {"mode": "full",
                 **cluster(table, spark, curve=curve, cols=cols,
@@ -467,27 +535,24 @@ def cluster_incremental(
         report.setdefault("minor", dict(empty))
         return report
 
-    dim_bounds = prior_bounds
+    is_str = _string_dims(table, cols)
+    dim_bounds, skips = prior_bounds, prior_skips or {c: 0 for c in cols}
     if dim_bounds is None:
         # legacy baseline without persisted bounds: derive from the
         # minor candidates alone (clamping still keeps stats exact)
         brows = (
             table.files(spark)
             .filter(newf & F.col("partition_id").isin(sorted(minor_bytes)))
-            .agg(*[F.min(F.col("int_mins")[c]).alias(f"lo_{c}") for c in cols],
-                 *[F.max(F.col("int_maxs")[c]).alias(f"hi_{c}") for c in cols])
+            .agg(*_stat_aggs(cols, is_str))
             .collect()[0]
         )
         if all(brows[f"lo_{c}"] is not None and brows[f"hi_{c}"] is not None
                for c in cols):
-            dim_bounds = tuple(
-                (int(brows[f"lo_{c}"]), int(brows[f"hi_{c}"])) for c in cols
-            )
-    if curve == "zorder":
-        key_expr = lambda: zorder_col(*[F.col(c) for c in cols], bounds=dim_bounds)  # noqa: E731
-    else:
-        _udf = curve_key_udf(curve, dim_bounds)
-        key_expr = lambda: _udf(*[F.col(c) for c in cols])  # noqa: E731
+            specs = [_dim_spec(brows[f"lo_{c}"], brows[f"hi_{c}"], is_str[c])
+                     for c in cols]
+            skips = {c: sp[0] for sp, c in zip(specs, cols)}
+            dim_bounds = tuple((sp[1], sp[2]) for sp in specs)
+    key_expr = _make_key_expr(curve, cols, is_str, dim_bounds, skips)
 
     def paths_fn(parts: list[str]) -> list[str]:
         return sorted(
@@ -514,6 +579,7 @@ def cluster_incremental(
             metrics["phases_ms"], pcol, minor_bytes, target_file_size,
             key_expr, recompress_level, log, op_id, curve, cols,
             paths_fn=paths_fn, dim_bounds=dim_bounds, minor=True,
+            skips=skips,
         )
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
