@@ -53,7 +53,9 @@ Supported statements (heads case-insensitive)::
       definition time; reads re-plan it against current table state)
   DROP VIEW [IF EXISTS] v / SHOW VIEWS [IN ns]
   TRUNCATE TABLE t                                   -> metadata-only full delete
-  OPTIMIZE t [ZORDER BY (a, b, ...)] [OPTIONS(...)]
+  OPTIMIZE t [ZORDER BY (a, b, ...)] [WHERE pred] [OPTIONS(...)]
+      (WHERE scopes maintenance to the partitions whose files can
+      match — Delta's partition-scoped OPTIMIZE)
   VACUUM t [RETAIN <n> HOURS]
   ALTER TABLE t SET TBLPROPERTIES ('k' = 'v', ...)
   ALTER TABLE t ADD COLUMNS (c type, ...)
@@ -1244,12 +1246,45 @@ def _stmt_truncate(spark, sql, masked, catalog, tables):
     return out
 
 
+def _optimize_scope(spark, table, pred: str) -> set[str]:
+    """Resolve an ``OPTIMIZE ... WHERE`` predicate to the partition set
+    whose files can match (Delta's partition-scoped OPTIMIZE, widened
+    to any stats-derivable conjunction): derive file-skipping hints
+    from the predicate, prune the manifest DataFrame, and collect the
+    DISTINCT partition ids — a metadata-sized driver list bounded by
+    the partition count, never the file count. Maintenance then
+    rewrites only those partitions; whole-partition rewrites preserve
+    rows, so scoping is always semantics-safe."""
+    int_ranges, point_eq = derive_hints(table, pred)
+    if not int_ranges and not point_eq:
+        raise LakehouseSqlError(
+            f"OPTIMIZE WHERE predicate {pred!r} has no derivable "
+            "column range/equality — scope by partition/stat columns")
+    return {
+        r["partition_id"]
+        for r in table.plan_files(
+            spark, int_ranges=int_ranges or None, point_eq=point_eq or None
+        ).select("partition_id").distinct().collect()
+    }
+
+
 def _stmt_optimize(spark, sql, masked, catalog, tables):
     m = re.match(rf"(?is)\s*OPTIMIZE\s+({_IDENT})\s*", masked)
     if not m:
         raise LakehouseSqlError("expected OPTIMIZE <table> [ZORDER BY (...)]")
     table = _resolve(m.group(1), catalog, tables)
     opts, opt_start = _parse_options(masked, sql)
+    only_partitions = None
+    wm = re.search(r"(?is)\bWHERE\b", masked[:opt_start])
+    if wm:
+        pred = sql[wm.end():opt_start].strip()
+        if not pred:
+            raise LakehouseSqlError("empty OPTIMIZE WHERE predicate")
+        only_partitions = _optimize_scope(spark, table, pred)
+        if not only_partitions:
+            return {"operation": "optimize_noop", "files_in": 0,
+                    "files_out": 0, "partitions": []}
+        opt_start = wm.start()
     zm = re.match(r"(?is)ZORDER\s+BY\s*\(", masked[m.end():opt_start])
     if zm:
         close = _match_paren(masked, m.end() + zm.end() - 1)
@@ -1264,8 +1299,11 @@ def _stmt_optimize(spark, sql, masked, catalog, tables):
         _check_opts(opts, {"curve", "target_file_size", "n_chunks",
                            "recompress_level"}, "OPTIMIZE ZORDER")
         curve = opts.pop("curve", "zorder")
-        out = cluster(table, spark, curve=curve, cols=cols, **opts)
+        out = cluster(table, spark, curve=curve, cols=cols,
+                      only_partitions=only_partitions, **opts)
         out["operation"] = "optimize_cluster"
+        if only_partitions is not None:
+            out["partitions"] = sorted(only_partitions)
         return out
     if masked[m.end():opt_start].strip():
         raise LakehouseSqlError(
@@ -1273,8 +1311,10 @@ def _stmt_optimize(spark, sql, masked, catalog, tables):
             f"{sql[m.end():opt_start].strip()!r}")
     _check_opts(opts, {"target_file_size", "n_chunks", "sort_col",
                        "key_col", "recompress_level"}, "OPTIMIZE")
-    out = compact(table, spark, **opts)
+    out = compact(table, spark, only_partitions=only_partitions, **opts)
     out["operation"] = "optimize_compact"
+    if only_partitions is not None:
+        out["partitions"] = sorted(only_partitions)
     return out
 
 

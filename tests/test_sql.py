@@ -436,7 +436,7 @@ def test_trailing_text_rejected(spark, cat):
     with pytest.raises(LakehouseSqlError, match="trailing text after Z"):
         execute_sql(
             spark,
-            "OPTIMIZE silver.images ZORDER BY (phash) WHERE phash = 1",
+            "OPTIMIZE silver.images ZORDER BY (phash) SHUFFLE",
             catalog=cat)
 
 
