@@ -1463,7 +1463,14 @@ def _stmt_describe(spark, sql, masked, catalog, tables):
         rows, "col_name string, data_type string, comment string")
 
 
+def _call_scan_report(t, s, **kw):
+    from .operators.analyze import scan_report  # lazy (module cycle)
+
+    return scan_report(t, s, **kw)
+
+
 PROCEDURES = {
+    "scan_report": _call_scan_report,
     "expire_snapshots": lambda t, s, **kw: t.expire_snapshots(**kw),
     "remove_orphan_files": lambda t, s, **kw: t.remove_orphan_files(**kw),
     "rewrite_manifests": lambda t, s, **kw: {
