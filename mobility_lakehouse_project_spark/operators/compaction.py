@@ -184,6 +184,7 @@ def chunk_file_paths(
     spark: SparkSession,
     partition_ids: list[str],
     max_file_size: int | None = None,
+    min_file_size: int | None = None,
 ) -> list[str]:
     """Collect the data-file paths of ONE chunk of partitions from the
     manifest scan — the only point where planning materializes paths,
@@ -191,6 +192,8 @@ def chunk_file_paths(
     df = table.plan_files(spark, partition_values=set(partition_ids))
     if max_file_size is not None:
         df = df.filter(F.col("file_size_bytes") < int(max_file_size))
+    if min_file_size is not None:
+        df = df.filter(F.col("file_size_bytes") >= int(min_file_size))
     return sorted(r["file_path"] for r in df.select("file_path").collect())
 
 
@@ -310,6 +313,111 @@ def compact(
         snap = table.commit_replace(
             removed, new_entries, operation="replace",
             summary={"op": "compact", "op_id": op_id, "chunk": ck},
+            affected_partitions={p["partition_id"] for p in chunk},
+        )
+        wall_ms = int((time.time() - t0) * 1000)
+        rows = sum(e["record_count"] for e in new_entries)
+        nbytes = sum(e["file_size_bytes"] for e in new_entries)
+        log.record(
+            op_id, ck, [p["partition_id"] for p in chunk],
+            len(removed), len(new_entries), rows, nbytes, wall_ms,
+            snap.snapshot_id,
+        )
+        metrics["files_in"] += len(removed)
+        metrics["files_out"] += len(new_entries)
+        metrics["rows"] += rows
+        metrics["bytes"] += nbytes
+        metrics["wall_ms"] += wall_ms
+        metrics["snapshots"].append(snap.snapshot_id)
+    return metrics
+
+
+def split_oversized(
+    table: LakehouseTable,
+    spark: SparkSession,
+    target_file_size: int = DEFAULT_TARGET_FILE_SIZE,
+    max_file_size: int | None = None,
+    sort_col: str | None = "auto",
+    key_col: str = "auto",
+    n_chunks: int = 4,
+    op_id: str | None = None,
+    only_partitions: set[str] | None = None,
+) -> dict:
+    """Split files LARGER than ``max_file_size`` (default 2x target)
+    back to target-sized files — the other half of Iceberg's
+    rewriteDataFiles contract (bin-pack merges the small tail; this
+    handles the skewed-writer tail: one hot partition landing a 20 GB
+    file makes that file the unit of every future CoW rewrite,
+    DELETE/UPDATE touch, and manifest stats range, regardless of how
+    well scans split it by row group).
+
+    Planning mirrors compaction: ONE metadata aggregation row per
+    partition, per-chunk bounded path collects, row lineage carried,
+    resumable via the lineage log, commit per chunk."""
+    require_single_spec(table, spark)
+    sort_col, key_col = resolve_layout_cols(table, sort_col, key_col)
+    max_file_size = int(max_file_size or 2 * target_file_size)
+    if max_file_size <= target_file_size:
+        raise ValueError("max_file_size must exceed target_file_size")
+    plan_rows = (
+        table.files(spark)
+        .filter(F.col("file_size_bytes") > max_file_size)
+        .groupBy("partition_id")
+        .agg(F.sum("file_size_bytes").alias("bytes"),
+             F.count("*").alias("n_files"))
+        .collect()
+    )
+    plan = [
+        {"partition_id": r["partition_id"], "bytes": int(r["bytes"]),
+         "n_files": int(r["n_files"]),
+         "n_out": max(int(r["n_files"]) + 1,
+                      round(int(r["bytes"]) / target_file_size))}
+        for r in plan_rows
+    ]
+    if only_partitions is not None:
+        plan = [p for p in plan if p["partition_id"] in only_partitions]
+    metrics = {"files_in": 0, "files_out": 0, "rows": 0, "bytes": 0,
+               "wall_ms": 0, "chunks_skipped": 0, "snapshots": []}
+    if not plan:
+        return metrics
+    op_id = op_id or _op_fingerprint(
+        "split-oversized", table, str(target_file_size))
+    log = LineageLog(table.location)
+    done = log.completed_chunks(op_id)
+    pcol = table._partition_col()
+    for chunk in _chunk(sorted(plan, key=lambda p: p["partition_id"]),
+                        n_chunks):
+        ck = chunk_key([p["partition_id"] for p in chunk])
+        if ck in done:
+            metrics["chunks_skipped"] += 1
+            continue
+        t0 = time.time()
+        removed = set(
+            chunk_file_paths(
+                table, spark, [p["partition_id"] for p in chunk],
+                min_file_size=max_file_size + 1,
+            )
+        )
+        if not removed:
+            continue
+        df = table.scan_files(spark, sorted(removed), with_row_id=True,
+                              with_last_seq=True)
+        if pcol:
+            gexpr, total_out, _ = partitioned_group_expr(
+                pcol, key_col, {p["partition_id"]: p["n_out"] for p in chunk},
+                partition_expr=table.partition_value_expr(),
+            )
+        else:
+            total_out = sum(p["n_out"] for p in chunk)
+            gexpr = F.pmod(F.xxhash64(F.col(key_col)), F.lit(total_out))
+        sort_all = ([pcol] if pcol else []) + ([sort_col] if sort_col else [])
+        shaped = exact_slot_repartition(spark, df, gexpr, total_out,
+                                        sort_cols=sort_all)
+        new_entries = table.write_data_files(shaped, distribution="none",
+                                             enforce_constraints=False)
+        snap = table.commit_replace(
+            removed, new_entries, operation="replace",
+            summary={"op": "split-oversized", "op_id": op_id, "chunk": ck},
             affected_partitions={p["partition_id"] for p in chunk},
         )
         wall_ms = int((time.time() - t0) * 1000)

@@ -35,6 +35,7 @@ from ..tableformat import LakehouseTable
 #: (one warehouse call, each table declaring its own maintenance).
 POLICY_PROPS = {
     "target_file_size": "maintenance.target-file-size-mb",
+    "max_file_size": "maintenance.max-file-size-mb",
     "keep_snapshots": "maintenance.keep-snapshots",
     "cluster_mode": "maintenance.cluster-mode",
     "fold_min_delete_ratio": "maintenance.min-delete-ratio",
@@ -51,6 +52,7 @@ def run_maintenance(
     cluster_curve: str | None = None,
     cluster_cols: tuple[str, ...] | None = None,
     cluster_mode: str | None = None,
+    max_file_size: int | None = None,
     rewrite_manifests_min: int = 4,
     keep_snapshots: int | None = None,
     max_snapshot_age_ms: int | None = None,
@@ -93,6 +95,8 @@ def run_maintenance(
                                   "fold_min_delete_ratio", float, 0.0)
     max_snapshot_age_ms = _prop(max_snapshot_age_ms, "max_snapshot_age_ms",
                                 int, None)
+    max_file_size = _prop(max_file_size, "max_file_size",
+                          lambda v: int(float(v) * 1024 * 1024), None)
 
     declared = table.sort_order(meta0)
     if cluster_curve == "table":
@@ -138,6 +142,15 @@ def run_maintenance(
     report["compact"] = compaction.compact(
         table, spark, target_file_size=target_file_size,
         recompress_level=recompress_level)
+
+    if max_file_size is not None and not (
+            cluster_curve is not None and cluster_mode == "full"):
+        # split the skewed-writer tail back to target size; skipped
+        # when a FULL cluster pass follows — that rewrite re-sizes
+        # every file anyway, so splitting first would read blobs twice
+        report["split_oversized"] = compaction.split_oversized(
+            table, spark, target_file_size=target_file_size,
+            max_file_size=max_file_size)
 
     if cluster_curve is not None:
         # incremental = the steady-state shape at scale: re-sort only

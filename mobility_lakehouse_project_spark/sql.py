@@ -104,7 +104,7 @@ from pyspark.sql import functions as F  # noqa: F401  (re-export convenience)
 from pyspark.sql.types import StructType
 
 from .operators.clustering import cluster
-from .operators.compaction import compact
+from .operators.compaction import compact, split_oversized
 from .operators.delete import (
     compact_deletion_vectors,
     delete_where,
@@ -1480,6 +1480,7 @@ PROCEDURES = {
     "compact_deletion_vectors":
         lambda t, s, **kw: compact_deletion_vectors(t, s, **kw),
     "compact": lambda t, s, **kw: compact(t, s, **kw),
+    "split_oversized": lambda t, s, **kw: split_oversized(t, s, **kw),
     "cluster": lambda t, s, **kw: cluster(
         t, s, **({**kw, "cols": tuple(kw["cols"])} if "cols" in kw else kw)),
     "rollback_to": lambda t, s, **kw: {"version": t.rollback_to(**kw)},
