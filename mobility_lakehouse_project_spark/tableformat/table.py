@@ -1217,6 +1217,27 @@ class LakehouseTable:
             df = df.withColumnRenamed("_last_updated_seq", _LH_LAST_SEQ)
         write_id = uuid.uuid4().hex[:12]
         out_dir = os.path.join(self.data_dir, f"snap-{write_id}")
+        if sort_cols is None and distribution != "none":
+            # Iceberg write contract: a declared write.sort-order means
+            # engines sort ON WRITE, so files carry tight stats from
+            # ingest instead of waiting for the first maintenance pass.
+            # Lexicographic by the declared columns (the write-side
+            # approximation of a zorder/hilbert REWRITE order — same
+            # leading-column stats, no quantile pass in the write path).
+            # distribution="none" writers (clustering/compaction) pre-
+            # shaped their own order and must not be re-sorted.
+            order = self.sort_order(meta)
+            if order:
+                sort_cols = [c for c in order[1] if c in df.columns]
+        if distribution == "hash" and sort_cols:
+            # write.distribution-mode=range (Iceberg): cluster the
+            # WRITE itself on the sort columns so new files carry
+            # near-disjoint stat ranges from ingest — pruning without
+            # waiting for maintenance. Opt-in by property: the range
+            # sampler executes the child plan twice, the documented
+            # blob-read tradeoff hash avoids by default.
+            if self.properties(meta).get("write.distribution-mode") == "range":
+                distribution = "range"
         sort_all = ([pcol] if pcol else []) + [c for c in (sort_cols or []) if c != pcol]
         if n_files and distribution == "hash":
             n_parts = n_partitions_hint or 16
