@@ -1498,6 +1498,7 @@ PROCEDURES = {
     "truncate": lambda t, s, **kw: truncate(t, s, **kw),
     "evolve_partition": lambda t, s, **kw: {
         "version": t.evolve_partition(kw.pop("new_col", None), **kw)},
+    "clone": None,  # needs catalog context (destination name/path)
     "analyze": None,  # lazy (operators.analyze)
     "compute_partition_stats": None,  # lazy (operators.analyze)
     "migrate_partitions": None,  # lazy (operators.compaction)
@@ -1540,6 +1541,22 @@ def _stmt_call(spark, sql, masked, catalog, tables):
     fn = PROCEDURES[proc]
     if fn is not None:
         out = fn(table, spark, **kwargs)
+    elif proc == "clone":
+        dstv = kwargs.pop("dst", None)
+        if not isinstance(dstv, str) or not dstv:
+            raise LakehouseSqlError(
+                "CALL clone needs dst => 'ns.table' (or a path)")
+        snapid = kwargs.pop("snapshot_id", None)
+        if kwargs:
+            raise LakehouseSqlError(
+                f"unknown clone arguments {sorted(kwargs)}")
+        if catalog is not None and "/" not in dstv:
+            cloned = catalog.clone_table(spark, tname, dstv,
+                                         snapshot_id=snapid)
+        else:
+            cloned = table.clone_to(spark, dstv, snapshot_id=snapid)
+        out = {"location": cloned.location,
+               **cloned.current_snapshot().summary}
     elif proc == "analyze":
         from .operators.analyze import analyze_table
 

@@ -120,6 +120,17 @@ class Catalog:
         os.rename(to_local(t.location), dst_local)
         return LakehouseTable(dst_loc)
 
+    def clone_table(self, spark, src: str, dst: str,
+                    snapshot_id: int | None = None) -> LakehouseTable:
+        """Zero-copy clone within the warehouse (Delta SHALLOW CLONE
+        shape): see :meth:`LakehouseTable.clone_to`. The destination
+        must not exist; it becomes an ordinary, independent table."""
+        t = self.load_table(src)
+        dst_loc = self._location(dst)
+        if self.view_exists(dst) or LakehouseTable(dst_loc).exists:
+            raise ValueError(f"destination {dst!r} already exists")
+        return t.clone_to(spark, dst_loc, snapshot_id=snapshot_id)
+
     # ---------------- views ----------------
     #
     # Iceberg-view analog: a named, versioned SQL definition stored in

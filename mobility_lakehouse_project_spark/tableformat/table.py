@@ -3691,6 +3691,106 @@ class LakehouseTable:
         return {"deleted_data_files": deleted_data,
                 "deleted_manifests": deleted_manifests}
 
+    def clone_to(self, spark: SparkSession, dst_location: str,
+                 snapshot_id: int | None = None) -> "LakehouseTable":
+        """Zero-copy clone (Delta ``SHALLOW CLONE`` semantics made
+        durable with hard links; Iceberg snapshot-export parity): the
+        chosen snapshot's live data files are HARD-LINKED into the
+        destination at their table-relative paths, their manifest
+        entries — stats, blooms, ``first_row_id`` lineage — are carried
+        into ONE consolidated manifest written distributed (same
+        scratch-write + driver-rename as rewrite_manifests), and the
+        destination starts life with a single ``clone`` snapshot.
+        Cost: O(files) metadata + O(files) link syscalls, zero data
+        bytes moved; the clones then evolve fully independently (a
+        rewrite in either table unlinks, never mutates, shared blobs).
+
+        Guards: pending delete files must be folded first
+        (``rewrite_position_deletes``) — a clone that silently dropped
+        MOR deletes would resurrect rows; mixed partition-spec tables
+        need ``migrate_partitions`` first (the copied partition ids
+        must share one value domain). ``next_row_id`` is carried so
+        row-lineage ids never collide with future destination writes.
+        """
+        meta = self.load_metadata()
+        snaps = {s.snapshot_id: s for s in self.snapshots_list(meta)}
+        snap = (snaps.get(snapshot_id) if snapshot_id is not None
+                else self.current_snapshot(meta))
+        if snapshot_id is not None and snap is None:
+            raise ValueError(f"unknown snapshot {snapshot_id}")
+        if snap is None:
+            raise ValueError("cannot clone an empty table")
+        if snap.delete_manifests:
+            raise ValueError(
+                "clone requires folded deletes: run "
+                "rewrite_position_deletes first (pending MOR/DV deletes "
+                "would be silently dropped)")
+        if self._current_spec_snapshot_ids(meta) is not None:
+            raise ValueError(
+                "clone of a mixed partition-spec table: run "
+                "compaction.migrate_partitions first")
+        dst = LakehouseTable.create(
+            dst_location,
+            T.StructType.fromJson(json.loads(meta["schema_json"])),
+            partition_col=meta.get("partition_col"),
+            properties=self.properties(meta),
+            partition_transform=(None if meta.get("partition_col") is None
+                                 else self.partition_transform(meta)),
+        )
+        from .paths import to_local
+
+        files_df = self.files(spark, snap.snapshot_id)
+        # hard links, streamed in bounded batches (toLocalIterator
+        # holds one partition of paths, never the full file list)
+        dst_root = to_local(dst.location)
+        n_linked = 0
+        for row in files_df.select("file_path").toLocalIterator():
+            rel = row["file_path"]
+            s = os.path.join(self._local_root, rel)
+            d = os.path.join(dst_root, rel)
+            os.makedirs(os.path.dirname(d), exist_ok=True)
+            try:
+                os.link(s, d)
+            except OSError:
+                shutil.copy2(s, d)  # cross-device fallback
+            n_linked += 1
+        dmeta = dst.load_metadata()
+        snap_id, seq = dst._next_ids(dmeta)
+        parts = sorted(
+            r["partition_id"]
+            for r in files_df.select("partition_id").distinct().collect()
+        )
+        name = f"manifest-{snap_id}-{uuid.uuid4().hex[:8]}.parquet"
+        scratch = os.path.join(dst.manifest_dir,
+                               f".clone-{uuid.uuid4().hex[:8]}")
+        (
+            files_df
+            # entries re-attributed to the clone snapshot: the source's
+            # snapshot ids don't exist in the destination's history
+            .withColumn("added_snapshot_id", F.lit(snap_id))
+            .repartition(1)
+            .sortWithinPartitions("partition_id", "file_path")
+            .write.mode("overwrite").parquet(scratch)
+        )
+        part_files = [f for f in os.listdir(scratch) if f.endswith(".parquet")]
+        if len(part_files) != 1:
+            raise RuntimeError(f"expected 1 manifest part, got {part_files}")
+        os.replace(os.path.join(scratch, part_files[0]),
+                   os.path.join(dst.manifest_dir, name))
+        shutil.rmtree(scratch, ignore_errors=True)
+        manifest_rel = os.path.join("manifests", name)
+        new_snap = Snapshot(
+            snap_id, None, seq, int(time.time() * 1000), "clone",
+            [manifest_rel],
+            {"source-location": self.location,
+             "source-snapshot-id": str(snap.snapshot_id),
+             "files-linked": str(n_linked)},
+            {manifest_rel: parts}, [], {},
+        )
+        dst._commit(dmeta, new_snap, None,
+                    next_row_id=int(meta.get("next_row_id", 0)))
+        return dst
+
     def rewrite_manifests(self, spark: SparkSession) -> Snapshot:
         """Consolidate the current snapshot's manifests into one —
         metadata compaction, keeping planning scans O(1) files.
