@@ -369,10 +369,11 @@ def main(argv: list[str] | None = None) -> int:
             mode=a.mode)}
     elif a.cmd == "expire":
         out = {"cmd": "expire", **LakehouseTable(a.table).expire_snapshots(
-            keep_last=a.keep, older_than_ms=a.older_than_ms)}
+            keep_last=a.keep, older_than_ms=a.older_than_ms, spark=spark)}
     elif a.cmd == "remove-orphans":
         out = {"cmd": "remove-orphans",
-               **LakehouseTable(a.table).remove_orphan_files(a.older_than_s)}
+               **LakehouseTable(a.table).remove_orphan_files(
+                   a.older_than_s, spark=spark)}
     elif a.cmd == "rewrite-manifests":
         snap = LakehouseTable(a.table).rewrite_manifests(spark)
         out = {"cmd": "rewrite-manifests",

@@ -175,8 +175,10 @@ def run_maintenance(
     report["expire_snapshots"] = table.expire_snapshots(
         keep_last=keep_snapshots,
         older_than_ms=(int(time.time() * 1000) - max_snapshot_age_ms
-                       if max_snapshot_age_ms is not None else None))
-    report["remove_orphans"] = table.remove_orphan_files(orphan_grace_s)
+                       if max_snapshot_age_ms is not None else None),
+        spark=spark)
+    report["remove_orphans"] = table.remove_orphan_files(
+        orphan_grace_s, spark=spark)
 
     if analyze:
         report["analyze"] = analyze_op.analyze_table(table, spark)

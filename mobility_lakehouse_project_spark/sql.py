@@ -1326,7 +1326,7 @@ def _stmt_vacuum(spark, sql, masked, catalog, tables):
         raise LakehouseSqlError("expected VACUUM <table> [RETAIN n HOURS]")
     table = _resolve(m.group(1), catalog, tables)
     grace = float(m.group(2)) * 3600.0 if m.group(2) else 3 * 86400.0
-    out = table.remove_orphan_files(older_than_s=grace)
+    out = table.remove_orphan_files(older_than_s=grace, spark=spark)
     out["operation"] = "vacuum"
     return out
 
@@ -1471,8 +1471,8 @@ def _call_scan_report(t, s, **kw):
 
 PROCEDURES = {
     "scan_report": _call_scan_report,
-    "expire_snapshots": lambda t, s, **kw: t.expire_snapshots(**kw),
-    "remove_orphan_files": lambda t, s, **kw: t.remove_orphan_files(**kw),
+    "expire_snapshots": lambda t, s, **kw: t.expire_snapshots(spark=s, **kw),
+    "remove_orphan_files": lambda t, s, **kw: t.remove_orphan_files(spark=s, **kw),
     "rewrite_manifests": lambda t, s, **kw: {
         "snapshot_id": t.rewrite_manifests(s).snapshot_id},
     "rewrite_position_deletes":

@@ -2039,6 +2039,18 @@ class LakehouseTable:
         # (e.g. the blooms column) read the missing column as null
         return spark.read.schema(self._files_spark_schema()).parquet(*paths)
 
+    def _manifest_paths_df(self, spark: SparkSession,
+                           manifests: set[str] | list[str]) -> DataFrame:
+        """DISTINCT ``file_path`` across a set of manifests as a
+        DataFrame — the GC planning primitive. Reads only the path
+        column (works for data AND delete manifests, whose stats
+        columns differ); the driver handles manifest NAMES only."""
+        paths = [os.path.join(self.meta_dir, m) for m in manifests]
+        schema = T.StructType([T.StructField("file_path", T.StringType())])
+        if not paths:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(*paths).distinct()
+
     def size_stats(self, spark: SparkSession) -> dict:
         """Table-level (files, bytes, rows) as ONE aggregation of the
         files metadata DataFrame — the planning-safe substitute for
@@ -3332,11 +3344,23 @@ class LakehouseTable:
     def expire_snapshots(
         self, keep_last: int = 2, delete_orphans: bool = True,
         older_than_ms: int | None = None,
+        spark: SparkSession | None = None,
     ) -> dict:
         """Drop all but the newest ``keep_last`` snapshots and GC data/
         manifest files no retained snapshot references. Reachability is
         a set computation over manifests — driven by DataFrame-shaped
         metadata (here the same entries the `files` table exposes).
+
+        With ``spark``, the live/dead file classification runs as a
+        manifest-parquet scan + anti-join (Iceberg's expireSnapshots
+        "determine unreachable files with a metadata-table job" shape):
+        the driver sees only manifest NAMES (O(snapshots), from the
+        metadata JSON) and a bounded iterator of paths-to-delete —
+        never a full entry list. This is the same never-collect
+        contract the data ops obey (``files`` docstring), extended to
+        GC; at 10^12-image scale the entry list is millions of rows.
+        Without ``spark`` the original driver-side set computation runs
+        (small tables, CLI contexts without a session).
 
         ``older_than_ms`` is Iceberg's expireSnapshots(olderThan,
         retainLast) age axis: snapshots at or after the cutoff are
@@ -3429,13 +3453,28 @@ class LakehouseTable:
             {m for s in expired for m in s.manifests}
             | {m for s in expired for m in s.delete_manifests}
         ) - live_manifests
-        live_files: set[str] = set()
-        for m in live_manifests:
-            live_files |= {e["file_path"] for e in self.read_manifest_entries(m)}
-        dead_files: set[str] = set()
-        for m in dead_manifests:
-            dead_files |= {e["file_path"] for e in self.read_manifest_entries(m)}
-        dead_files -= live_files
+        dead_df = None
+        if spark is not None:
+            # distributed reachability: dead = (paths in expired-only
+            # manifests) ANTI-JOIN (paths in any retained manifest).
+            # Planned BEFORE the commit while every manifest still
+            # exists; re-evaluated lazily for the delete walk below
+            # (manifest files are removed only after the data files).
+            dead_df = self._manifest_paths_df(spark, dead_manifests).join(
+                self._manifest_paths_df(spark, live_manifests),
+                "file_path", "left_anti",
+            )
+            n_dead = dead_df.count()
+            dead_files: set[str] = set()  # unused on this path
+        else:
+            live_files: set[str] = set()
+            for m in live_manifests:
+                live_files |= {e["file_path"] for e in self.read_manifest_entries(m)}
+            dead_files = set()
+            for m in dead_manifests:
+                dead_files |= {e["file_path"] for e in self.read_manifest_entries(m)}
+            dead_files -= live_files
+            n_dead = len(dead_files)
 
         # 1) commit: expired snapshots become unreachable atomically
         parent = meta["current_snapshot_id"]
@@ -3449,7 +3488,7 @@ class LakehouseTable:
             # files-to-gc is the PLANNED set (known pre-commit); actual
             # deletions happen after the commit and are returned, not
             # recorded in the immutable snapshot history
-            {"expired-snapshots": len(expired), "files-to-gc": len(dead_files),
+            {"expired-snapshots": len(expired), "files-to-gc": n_dead,
              "gc-enabled": bool(delete_orphans),
              **({"dropped-refs": sorted(dropped_refs)} if dropped_refs else {})},
             dict(cur.manifest_parts) if cur else {},
@@ -3481,7 +3520,11 @@ class LakehouseTable:
                 fp = os.path.join(self.meta_dir, name)
                 if os.path.exists(fp):
                     os.remove(fp)
-            for rel in dead_files:
+            dead_iter = (
+                (r["file_path"] for r in dead_df.toLocalIterator())
+                if dead_df is not None else iter(dead_files)
+            )
+            for rel in dead_iter:
                 fp = os.path.join(self._local_root, rel)
                 if os.path.exists(fp):
                     os.remove(fp)
@@ -3633,7 +3676,8 @@ class LakehouseTable:
             summary={"op": "add-files", "source-files": len(paths),
                      **(summary or {})})
 
-    def remove_orphan_files(self, older_than_s: float = 3 * 86400.0) -> dict:
+    def remove_orphan_files(self, older_than_s: float = 3 * 86400.0,
+                            spark: SparkSession | None = None) -> dict:
         """Delete files in the table directory that NO snapshot
         references — Iceberg's remove_orphan_files. Orphans come from
         crashed writers (write_data_files outputs whose commit never
@@ -3649,27 +3693,76 @@ class LakehouseTable:
         Reachability = every file_path in every manifest of EVERY
         retained snapshot, plus every referenced manifest. Tolerates
         concurrent GC/expire deleting files between the listing and the
-        stat/remove (TOCTOU -> skip)."""
+        stat/remove (TOCTOU -> skip).
+
+        With ``spark``, BOTH sides of the reachability check are
+        distributed (Iceberg's remove_orphan_files actual-files job):
+        the table-directory listing is a ``binaryFile`` scan (path +
+        mtime only — content is pruned away, no bytes read) and the
+        live set is a manifest-parquet scan; orphans = listing
+        ANTI-JOIN live, age-filtered executor-side. The join key is
+        the path tail ``snap-dir/filename`` — both components carry
+        writer UUIDs (write_data_files / Spark part files), so the
+        tail is globally unique and immune to the URI-vs-local and
+        percent-encoding representational differences between the two
+        sides. The driver materializes only the orphan list (bounded
+        iterator), never the live set."""
         live_manifests: set[str] = set()
         for s in self.snapshots_list():
             live_manifests |= set(s.manifests)
             live_manifests |= set(s.delete_manifests)
-        live_files: set[str] = set()
-        for m in live_manifests:
-            live_files |= {e["file_path"] for e in self.read_manifest_entries(m)}
 
         now = time.time()
         deleted_data = deleted_manifests = 0
-        for fp in globmod.glob(os.path.join(self.data_dir, "**", "*.parquet"),
-                               recursive=True):
-            rel = os.path.relpath(fp, self._local_root)
-            if rel in live_files:
-                continue
-            with contextlib.suppress(FileNotFoundError):
-                if now - os.path.getmtime(fp) < older_than_s:
-                    continue  # possibly an in-flight write
-                os.remove(fp)
-                deleted_data += 1
+        if spark is not None:
+            tail = lambda c: F.substring_index(c, "/", -2)  # noqa: E731
+            listing = (
+                spark.read.format("binaryFile")
+                .option("pathGlobFilter", "*.parquet")
+                .option("recursiveFileLookup", "true")
+                .load(self.data_dir)
+                .select(F.col("path"),
+                        F.col("modificationTime").cast("double").alias("mtime"))
+            )
+            orphans = (
+                listing
+                .filter(F.lit(now) - F.col("mtime") >= F.lit(float(older_than_s)))
+                .join(self._manifest_paths_df(spark, live_manifests)
+                      .select(tail(F.col("file_path")).alias("live_tail")),
+                      tail(F.col("path")) == F.col("live_tail"), "left_anti")
+            )
+            from .paths import relativize_reported
+
+            for r in orphans.toLocalIterator():
+                # path is a Spark-reported file URI (single-slash
+                # file:/..., possibly percent-encoded): relativize it
+                # the same way MERGE resolves input_file_name, then
+                # re-root under the decoded local root
+                rel = relativize_reported(r["path"], self.location)
+                local = os.path.join(self._local_root, rel)
+                with contextlib.suppress(FileNotFoundError):
+                    # re-stat before removing: the file may have been
+                    # GC'd concurrently, or touched since the listing
+                    if now - os.path.getmtime(local) < older_than_s:
+                        continue
+                    os.remove(local)
+                    deleted_data += 1
+        else:
+            live_files: set[str] = set()
+            for m in live_manifests:
+                live_files |= {e["file_path"]
+                               for e in self.read_manifest_entries(m)}
+            for fp in globmod.glob(
+                    os.path.join(self.data_dir, "**", "*.parquet"),
+                    recursive=True):
+                rel = os.path.relpath(fp, self._local_root)
+                if rel in live_files:
+                    continue
+                with contextlib.suppress(FileNotFoundError):
+                    if now - os.path.getmtime(fp) < older_than_s:
+                        continue  # possibly an in-flight write
+                    os.remove(fp)
+                    deleted_data += 1
         for fp in globmod.glob(os.path.join(self.manifest_dir, "manifest-*.parquet")):
             rel = os.path.join("manifests", os.path.basename(fp))
             if rel in live_manifests:
