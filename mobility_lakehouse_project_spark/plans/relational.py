@@ -2698,6 +2698,148 @@ ORACLE_SQL["txt_token_bpe"] = r"""
 """
 
 
+def txt_decontaminate(spark, sf_dir):
+    """Benchmark DECONTAMINATION — the eval-leakage gate every LLM
+    training pipeline runs before a corpus ships: flag training
+    documents sharing any 8-gram with the (deterministically held-out)
+    benchmark set. The held-out set is the same content-hash residue
+    rule as split_stratified (5% of doc_ids), so membership is stable
+    across snapshots. Candidate generation is a gram EQUI-(semi)-join —
+    the benchmark grams are the small side (broadcastable at any corpus
+    scale: eval sets are fixed-size while training corpora grow), so at
+    100 TB this is a map-side semi-join, never an all-pairs compare.
+    Reports per-source training-doc counts and contamination ratio.
+    (Reference has no decontamination analog; reference quality gates
+    are row-count checks, src/sql/silver.sql.)"""
+    d = _t(spark, sf_dir, "documents")
+    residue = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
+    ).cast("long") % 20
+    base = d.select(
+        "doc_id", "source", (residue == 0).alias("is_bench"),
+        F.split(F.col("text"), " ").alias("toks"),
+    )
+    grams = (
+        base.filter(F.size("toks") >= 8)
+        .select(
+            "doc_id", "source", "is_bench",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("toks") - F.lit(7)),
+                        lambda i: F.concat_ws(" ", F.slice("toks", i, 8)),
+                    )
+                )
+            ).alias("gram"),
+        )
+    )
+    bench_grams = grams.filter(F.col("is_bench")).select("gram").distinct()
+    flagged = (
+        grams.filter(~F.col("is_bench"))
+        .join(F.broadcast(bench_grams), "gram", "left_semi")
+        .select("doc_id", "source")
+        .distinct()
+        .groupBy("source")
+        .agg(F.count("*").alias("n_flagged"))
+    )
+    train = (
+        base.filter(~F.col("is_bench"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_train"))
+    )
+    return (
+        train.join(flagged, "source", "left")
+        .select(
+            "source",
+            "n_train",
+            F.coalesce(F.col("n_flagged"), F.lit(0)).alias("n_flagged"),
+            F.round(F.coalesce(F.col("n_flagged"), F.lit(0)) / F.col("n_train"), 4)
+            .alias("contamination"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_SQL["txt_decontaminate"] = """
+        WITH base AS (
+            SELECT doc_id, source,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+                       % 20 = 0 AS is_bench,
+                   string_split(text, ' ') AS toks
+            FROM documents
+        ),
+        grams AS (
+            SELECT DISTINCT doc_id, source, is_bench,
+                   array_to_string(toks[i:i+7], ' ') AS gram
+            FROM base, UNNEST(range(1, len(toks) - 6)) AS t(i)
+            WHERE len(toks) >= 8
+        ),
+        flagged AS (
+            SELECT source, COUNT(DISTINCT doc_id) AS n_flagged
+            FROM grams
+            WHERE NOT is_bench
+              AND gram IN (SELECT gram FROM grams WHERE is_bench)
+            GROUP BY source
+        ),
+        train AS (
+            SELECT source, COUNT(*) AS n_train
+            FROM base WHERE NOT is_bench GROUP BY source
+        )
+        SELECT t.source, t.n_train,
+               COALESCE(f.n_flagged, 0) AS n_flagged,
+               ROUND(COALESCE(f.n_flagged, 0) / t.n_train, 4) AS contamination
+        FROM train t LEFT JOIN flagged f ON t.source = f.source
+        ORDER BY t.source
+"""
+
+
+def txt_dedup_keep_best(spark, sf_dir):
+    """Exact-dedup MATERIALIZATION policy — not just detecting
+    duplicate groups (txt_fingerprint_dedup) but choosing the canonical
+    survivor per group the way a curation pipeline does: within each
+    content fingerprint keep the LONGEST document, ties broken by
+    smallest doc_id (deterministic across reruns). One window rank over
+    the fingerprint hash-partition — at 100 TB this is a single shuffle
+    on the fingerprint key, no self-join. Reports per-source survivors
+    vs dropped and char volume retained."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5(F.col("text"))).orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    ranked = d.select(
+        "source", "n_chars", F.row_number().over(w).alias("rk")
+    )
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_if(F.col("rk") == 1).alias("n_kept"),
+            F.sum(F.when(F.col("rk") == 1, F.col("n_chars")).otherwise(0))
+            .alias("chars_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_SQL["txt_dedup_keep_best"] = """
+        WITH ranked AS (
+            SELECT source, n_chars,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY md5(text)
+                       ORDER BY n_chars DESC, doc_id ASC
+                   ) AS rk
+            FROM documents
+        )
+        SELECT source, COUNT(*) AS n_docs,
+               COUNT(*) FILTER (WHERE rk = 1) AS n_kept,
+               CAST(SUM(CASE WHEN rk = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+                   AS chars_kept
+        FROM ranked
+        GROUP BY source
+        ORDER BY source
+"""
+
+
 QUERIES = {
     "a_rollup_cube": a_rollup_cube,
     "a_pivot_status": a_pivot_status,
@@ -2763,6 +2905,8 @@ QUERIES = {
     "sample_hash_mod": sample_hash_mod,
     "split_stratified": split_stratified,
     "txt_token_bpe": txt_token_bpe,
+    "txt_decontaminate": txt_decontaminate,
+    "txt_dedup_keep_best": txt_dedup_keep_best,
     "sql_dml_roundtrip": sql_dml_roundtrip,
     "sql_retention_delete": sql_retention_delete,
     "sql_eq_delete_scan": sql_eq_delete_scan,
