@@ -213,9 +213,22 @@ def scan_report(
     }
     tot = stages["total"]
     cand = stages["candidates"]
+    # manifest-list stage: how many manifests the candidate plan even
+    # opens (manifest_parts / manifest_bounds summaries, no I/O)
+    plan_snap = (table.snapshot_by_id(snapshot_id)
+                 if snapshot_id is not None else snap)
+    manifests = {"total": 0, "read": 0, "skipped": 0}
+    if plan_snap is not None:
+        subset, skipped = table._prune_manifests(
+            plan_snap, table.load_metadata(),
+            partition_values=partition_values,
+            int_ranges=int_ranges or None)
+        manifests = {"total": len(plan_snap.manifests),
+                     "read": len(subset), "skipped": skipped}
     return {
         "snapshot_id": snapshot_id if snapshot_id is not None
         else (snap.snapshot_id if snap else None),
+        "manifests": manifests,
         **stages,
         "candidate_fraction_files":
             round(cand["files"] / max(tot["files"], 1), 4),

@@ -176,6 +176,18 @@ class Snapshot:
     # upsert blindly (delete-by-key + append) without reading the
     # table: later inserts of the same key are untouched.
     delete_manifest_meta: dict = field(default_factory=dict)
+    # manifest-list column summaries (Iceberg's manifest-list
+    # lower/upper bounds): manifest path -> {"int": {col: [lo, hi]},
+    # "str": {col: [lo, hi]}} — recorded at manifest-write time ONLY
+    # when every entry in the manifest carries stats for the column
+    # (a stats-less file must keep its manifest readable). Lets
+    # plan_files skip whole manifests whose bound range is disjoint
+    # from a predicate before opening them: at 10^12 scale planning
+    # cost drops from O(all manifest entries) to O(surviving
+    # manifests). Missing entry (legacy snapshot / carried manifest)
+    # = must read. Declared LAST so the positional Snapshot(...)
+    # constructions throughout this file keep their meaning.
+    manifest_bounds: dict = field(default_factory=dict)
 
     def to_json(self) -> dict:
         return {
@@ -189,6 +201,7 @@ class Snapshot:
             "manifest_parts": self.manifest_parts,
             "delete_manifests": self.delete_manifests,
             "delete_manifest_meta": self.delete_manifest_meta,
+            "manifest_bounds": self.manifest_bounds,
         }
 
     @staticmethod
@@ -199,6 +212,7 @@ class Snapshot:
             dict(d.get("manifest_parts", {})),
             list(d.get("delete_manifests", [])),
             dict(d.get("delete_manifest_meta", {})),
+            dict(d.get("manifest_bounds", {})),
         )
 
     def position_delete_manifests(self) -> list[str]:
@@ -1505,9 +1519,36 @@ class LakehouseTable:
         with ThreadPoolExecutor(max_workers=min(16, len(paths))) as ex:
             return list(ex.map(one, paths))
 
-    def _write_manifest(self, entries: list[dict], snapshot_id: int) -> tuple[str, list[str]]:
+    @staticmethod
+    def _manifest_column_bounds(entries: list[dict]) -> dict:
+        """Manifest-level column summaries for the manifest list:
+        {"int"|"str": {col: [lo, hi]}} over the entries' per-file
+        stats. A column is summarized ONLY when every entry carries
+        both its min and max — one stats-less file and the manifest
+        must stay un-skippable for that column."""
+        out: dict = {}
+        for kind, mins_k, maxs_k in (("int", "int_mins", "int_maxs"),
+                                     ("str", "str_mins", "str_maxs")):
+            cols = set()
+            for e in entries:
+                cols |= set(e.get(mins_k) or {})
+            summ = {}
+            for col in cols:
+                if all(col in (e.get(mins_k) or {})
+                       and col in (e.get(maxs_k) or {}) for e in entries):
+                    summ[col] = [min(e[mins_k][col] for e in entries),
+                                 max(e[maxs_k][col] for e in entries)]
+            if summ:
+                out[kind] = summ
+        return out
+
+    def _write_manifest(
+        self, entries: list[dict], snapshot_id: int,
+    ) -> tuple[str, list[str], dict]:
         """Write a manifest file; returns (relative path, sorted
-        partition ids it covers — the manifest-list summary).
+        partition ids it covers, column bounds) — the manifest-list
+        summary pair that lets planners skip this manifest without
+        opening it.
 
         ``added_snapshot_id`` is stamped only on FRESH entries (the -1
         sentinel from the writer); survivor entries carried through a
@@ -1534,7 +1575,9 @@ class LakehouseTable:
         }
         tbl = pa.table(cols, schema=_MANIFEST_SCHEMA)
         pq.write_table(tbl, os.path.join(self.manifest_dir, name))
-        return os.path.join("manifests", name), sorted({e["partition_id"] for e in entries})
+        return (os.path.join("manifests", name),
+                sorted({e["partition_id"] for e in entries}),
+                self._manifest_column_bounds(entries))
 
     def read_manifest_entries(self, manifest_rel: str) -> list[dict]:
         tbl = pq.read_table(os.path.join(self.meta_dir, manifest_rel))
@@ -1677,13 +1720,15 @@ class LakehouseTable:
                     f"(now {parent}); precondition must be re-validated"
                 )
             snap_id, seq = self._next_ids(meta)
-            manifest, parts = self._write_manifest(entries, snap_id)
+            manifest, parts, mb = self._write_manifest(entries, snap_id)
             prev = (self.current_snapshot(meta) if branch == "main"
                     else next(s for s in self.snapshots_list(meta)
                               if s.snapshot_id == parent))
             manifests = (prev.manifests if prev else []) + [manifest]
             mparts = dict(prev.manifest_parts if prev else {})
             mparts[manifest] = parts
+            mbounds = dict(prev.manifest_bounds if prev else {})
+            mbounds[manifest] = mb
             snap = Snapshot(
                 snap_id, parent, seq, int(time.time() * 1000), "append", manifests,
                 {"added-files": len(entries),
@@ -1693,6 +1738,7 @@ class LakehouseTable:
                 mparts,
                 list(prev.delete_manifests) if prev else [],
                 dict(prev.delete_manifest_meta) if prev else {},
+                manifest_bounds=mbounds,
             )
             try:
                 return self._commit(meta, snap, parent, branch=branch,
@@ -1789,8 +1835,10 @@ class LakehouseTable:
         snap_id, seq = self._next_ids(meta)
         prev_manifests = prev.manifests if prev else []
         prev_parts = prev.manifest_parts if prev else {}
+        prev_bounds = prev.manifest_bounds if prev else {}
         kept_manifests: list[str] = []
         mparts: dict[str, list[str]] = {}
+        mbounds: dict[str, dict] = {}
         to_read: list[str] = []
         for m in prev_manifests:
             parts = prev_parts.get(m)
@@ -1798,6 +1846,8 @@ class LakehouseTable:
                     and not (set(parts) & affected_partitions)):
                 kept_manifests.append(m)  # disjoint: keep without opening
                 mparts[m] = parts
+                if m in prev_bounds:
+                    mbounds[m] = prev_bounds[m]
             else:
                 to_read.append(m)
         if len(to_read) > 1:  # thread-pooled manifest reads (I/O)
@@ -1843,13 +1893,15 @@ class LakehouseTable:
             )
         new_manifests = list(kept_manifests)
         if survivors:
-            m, parts = self._write_manifest(survivors, snap_id)
+            m, parts, mb = self._write_manifest(survivors, snap_id)
             new_manifests.append(m)
             mparts[m] = parts
+            mbounds[m] = mb
         if entries:
-            m, parts = self._write_manifest(entries, snap_id)
+            m, parts, mb = self._write_manifest(entries, snap_id)
             new_manifests.append(m)
             mparts[m] = parts
+            mbounds[m] = mb
         snap = Snapshot(
             snap_id, parent, seq, int(time.time() * 1000), operation, new_manifests,
             {"removed-files": len(removed_paths), "added-files": len(entries),
@@ -1863,6 +1915,7 @@ class LakehouseTable:
             # rewrite_position_deletes' explicit final commit.
             list(prev.delete_manifests) if prev else [],
             dict(prev.delete_manifest_meta) if prev else {},
+            manifest_bounds=mbounds,
         )
         return self._commit(meta, snap, parent, next_row_id=next_row_id)
 
@@ -2020,13 +2073,18 @@ class LakehouseTable:
             out.extend(self.read_manifest_entries(m))
         return out
 
-    def files(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
+    def files(self, spark: SparkSession, snapshot_id: int | None = None,
+              manifest_subset: list[str] | None = None) -> DataFrame:
         """The `files` metadata table as a Spark DataFrame (manifest scan).
 
         This is the planning surface for every maintenance op: at
         10^12-image scale this DataFrame has ~millions of rows and is
         aggregated distributed, never collected whole.
-        """
+
+        ``manifest_subset`` restricts the scan to the named manifests
+        (the manifest-list pruning hook — plan_files passes the
+        `_prune_manifests` survivors so a partition/range-scoped plan
+        opens only the manifests that can contain matches)."""
         snap = (
             self.snapshot_by_id(snapshot_id)
             if snapshot_id is not None
@@ -2034,10 +2092,94 @@ class LakehouseTable:
         )
         if snap is None or not snap.manifests:
             return spark.createDataFrame([], self._files_spark_schema())
-        paths = [os.path.join(self.meta_dir, m) for m in snap.manifests]
+        manifests = snap.manifests
+        if manifest_subset is not None:
+            unknown = set(manifest_subset) - set(manifests)
+            if unknown:
+                raise ValueError(
+                    f"manifest_subset names manifests outside the "
+                    f"snapshot: {sorted(unknown)[:3]}")
+            manifests = list(manifest_subset)
+            if not manifests:
+                return spark.createDataFrame([], self._files_spark_schema())
+        paths = [os.path.join(self.meta_dir, m) for m in manifests]
         # explicit schema: manifests written before a schema addition
         # (e.g. the blooms column) read the missing column as null
         return spark.read.schema(self._files_spark_schema()).parquet(*paths)
+
+    def _bounds_from_files_df(self, files_df: DataFrame) -> dict:
+        """Manifest column bounds computed DISTRIBUTED from a files
+        metadata DataFrame (for manifests written by Spark —
+        rewrite_manifests / clone — where no driver-side entry list
+        exists). Same all-entries-must-have-stats rule as
+        `_manifest_column_bounds`; the driver receives O(columns)
+        rows."""
+        total = files_df.count()
+        if total == 0:
+            return {}
+        out: dict = {}
+        for kind, mins_c, maxs_c in (("int", "int_mins", "int_maxs"),
+                                     ("str", "str_mins", "str_maxs")):
+            lo = (files_df.select(F.explode(mins_c).alias("col", "v"))
+                  .groupBy("col")
+                  .agg(F.count("*").alias("n"), F.min("v").alias("lo")))
+            hi = (files_df.select(F.explode(maxs_c).alias("col", "v"))
+                  .groupBy("col")
+                  .agg(F.count("*").alias("n"), F.max("v").alias("hi")))
+            rows = (lo.filter(F.col("n") == total).drop("n")
+                    .join(hi.filter(F.col("n") == total).drop("n"), "col")
+                    .collect())
+            if rows:
+                out[kind] = {r["col"]: [r["lo"], r["hi"]] for r in rows}
+        return out
+
+    def _prune_manifests(
+        self,
+        snap: "Snapshot",
+        meta: dict,
+        partition_values: set | None = None,
+        int_ranges: dict | None = None,
+    ) -> tuple[list[str], int]:
+        """Manifest-list pruning: the subset of ``snap.manifests`` a
+        scan with these predicates must open, plus how many were
+        skipped. Pure driver-side set logic over the snapshot's
+        manifest_parts / manifest_bounds summaries — O(#manifests),
+        no manifest file is opened. Conservative everywhere: a
+        manifest with no summary for a dimension is kept, and
+        partition-based skipping is disabled on spec-evolved tables
+        (old-spec partition ids live in a different value domain —
+        same guard as the row-level branch in plan_files)."""
+        cands = list(snap.manifests)
+        skipped = 0
+        if (partition_values is not None
+                and self._current_spec_snapshot_ids(meta) is None):
+            pv = {str(v) for v in partition_values}
+            keep = []
+            for m in cands:
+                parts = snap.manifest_parts.get(m)
+                if parts is not None and not (set(parts) & pv):
+                    skipped += 1
+                else:
+                    keep.append(m)
+            cands = keep
+        for col, (lo, hi) in (int_ranges or {}).items():
+            is_str = isinstance(lo, str) or isinstance(hi, str)
+            kind = "str" if is_str else "int"
+            keep = []
+            for m in cands:
+                b = (snap.manifest_bounds.get(m) or {}).get(kind, {}).get(col)
+                if b is None:
+                    keep.append(m)
+                    continue
+                bmin, bmax = b
+                ok = ((lo is None or bmax >= (lo if is_str else int(lo)))
+                      and (hi is None or bmin <= (hi if is_str else int(hi))))
+                if ok:
+                    keep.append(m)
+                else:
+                    skipped += 1
+            cands = keep
+        return cands, skipped
 
     def _manifest_paths_df(self, spark: SparkSession,
                            manifests: set[str] | list[str]) -> DataFrame:
@@ -2268,11 +2410,24 @@ class LakehouseTable:
         the manifest scan, never by materializing entries on the
         driver: at 10^12-image scale the manifest set is millions of
         rows, and only the (already-pruned) file list a job actually
-        reads is ever collected."""
-        df = self.files(spark, snapshot_id)
+        reads is ever collected. Before the row-level filters, the
+        MANIFEST LIST is pruned (`_prune_manifests`): whole manifests
+        whose partition/bound summaries are disjoint from the
+        predicates are never opened — the row-level filters below then
+        re-apply the same tests exactly, so skipping is purely an I/O
+        optimization, never a semantics change."""
+        meta = self.load_metadata()
+        snap = (self.snapshot_by_id(snapshot_id) if snapshot_id is not None
+                else self.current_snapshot(meta))
+        subset = None
+        if snap is not None and (partition_values is not None or int_ranges):
+            subset, _ = self._prune_manifests(
+                snap, meta, partition_values=partition_values,
+                int_ranges=int_ranges)
+        df = self.files(spark, snapshot_id, manifest_subset=subset)
         if partition_values is not None:
             pv = [str(v) for v in partition_values]
-            cur_ids = self._current_spec_snapshot_ids(self.load_metadata())
+            cur_ids = self._current_spec_snapshot_ids(meta)
             if cur_ids is None:
                 df = df.filter(F.col("partition_id").isin(pv))
             else:
@@ -3052,7 +3207,7 @@ class LakehouseTable:
         if prev is None:
             raise ValueError("cannot position-delete from an empty table")
         snap_id, seq = self._next_ids(meta)
-        dm, _ = self._write_manifest(delete_entries, snap_id)
+        dm, _, _ = self._write_manifest(delete_entries, snap_id)
         dmm = dict(prev.delete_manifest_meta)
         if manifest_meta:
             # deletion-vector (or future kinds): stamp the commit
@@ -3060,12 +3215,14 @@ class LakehouseTable:
             dmm[dm] = {**manifest_meta, "seq": seq}
         manifests = list(prev.manifests)
         mparts = dict(prev.manifest_parts)
+        mbounds = dict(prev.manifest_bounds)
         added = list(data_entries or [])
         next_row_id = self._assign_row_ids(added, meta) if added else None
         if added:
-            m, parts = self._write_manifest(added, snap_id)
+            m, parts, mb = self._write_manifest(added, snap_id)
             manifests.append(m)
             mparts[m] = parts
+            mbounds[m] = mb
         snap = Snapshot(
             snap_id, parent, seq, int(time.time() * 1000), operation,
             manifests,
@@ -3079,6 +3236,7 @@ class LakehouseTable:
             mparts,
             list(prev.delete_manifests) + [dm],
             dmm,
+            manifest_bounds=mbounds,
         )
         return self._commit(meta, snap, parent, next_row_id=next_row_id)
 
@@ -3118,7 +3276,7 @@ class LakehouseTable:
                 dms.append(m)
                 dmm[m] = info
         if delete_entries:
-            dm, _ = self._write_manifest(delete_entries, snap_id)
+            dm, _, _ = self._write_manifest(delete_entries, snap_id)
             dms.append(dm)
             dmm[dm] = {**(manifest_meta or {}), "seq": seq}
         snap = Snapshot(
@@ -3131,6 +3289,7 @@ class LakehouseTable:
             dict(prev.manifest_parts),
             dms,
             dmm,
+            manifest_bounds=dict(prev.manifest_bounds),
         )
         return self._commit(meta, snap, parent)
 
@@ -3163,6 +3322,7 @@ class LakehouseTable:
             dict(prev.manifest_parts),
             [],
             {},
+            manifest_bounds=dict(prev.manifest_bounds),
         )
         return self._commit(meta, snap, parent)
 
@@ -3271,14 +3431,16 @@ class LakehouseTable:
             if prev is None:
                 raise ValueError("cannot equality-delete from an empty table")
             snap_id, seq = self._next_ids(meta)
-            dm, _ = self._write_manifest(delete_entries, snap_id)
+            dm, _, _ = self._write_manifest(delete_entries, snap_id)
             manifests = list(prev.manifests)
             mparts = dict(prev.manifest_parts)
+            mbounds = dict(prev.manifest_bounds)
             added = list(data_entries or [])
             if added:
-                m, parts = self._write_manifest(added, snap_id)
+                m, parts, mb = self._write_manifest(added, snap_id)
                 manifests.append(m)
                 mparts[m] = parts
+                mbounds[m] = mb
             dmeta = dict(prev.delete_manifest_meta)
             dmeta[dm] = {"kind": "equality", "cols": list(cols), "seq": seq}
             snap = Snapshot(
@@ -3296,6 +3458,7 @@ class LakehouseTable:
                 mparts,
                 list(prev.delete_manifests) + [dm],
                 dmeta,
+                manifest_bounds=mbounds,
             )
             try:
                 return self._commit(meta, snap, parent)
@@ -3494,6 +3657,7 @@ class LakehouseTable:
             dict(cur.manifest_parts) if cur else {},
             list(cur.delete_manifests) if cur else [],
             dict(cur.delete_manifest_meta) if cur else {},
+            manifest_bounds=dict(cur.manifest_bounds) if cur else {},
         )
         # statistics / partition-statistics files are snapshot-
         # addressed: entries for expired snapshots are unreachable via
@@ -3879,6 +4043,7 @@ class LakehouseTable:
              "source-snapshot-id": str(snap.snapshot_id),
              "files-linked": str(n_linked)},
             {manifest_rel: parts}, [], {},
+            manifest_bounds={manifest_rel: self._bounds_from_files_df(files_df)},
         )
         dst._commit(dmeta, new_snap, None,
                     next_row_id=int(meta.get("next_row_id", 0)))
@@ -3933,5 +4098,6 @@ class LakehouseTable:
             {manifest_rel: parts},
             list(cur.delete_manifests),
             dict(cur.delete_manifest_meta),
+            manifest_bounds={manifest_rel: self._bounds_from_files_df(files_df)},
         )
         return self._commit(meta, snap, parent)

@@ -224,7 +224,7 @@ def test_optimistic_commit_retry(spark, tmp_table_dir, monkeypatch):
         meta = tbl.load_metadata()
         parent = meta["current_snapshot_id"]
         snap_id, seq = tbl._next_ids(meta)
-        manifest, parts = tbl._write_manifest(entries, snap_id)
+        manifest, parts, _mb = tbl._write_manifest(entries, snap_id)
         prev = tbl.current_snapshot(meta)
         from mobility_lakehouse_project_spark.tableformat.table import Snapshot
         import time as _time
@@ -489,7 +489,7 @@ entry = {"file_path": f"data/fake-{tag}.parquet", "partition_id": "0",
          "int_mins": {}, "int_maxs": {}, "str_mins": {}, "str_maxs": {}}
 meta = t.load_metadata()           # SAME base version in both racers
 snap_id, seq = t._next_ids(meta)
-manifest, parts = t._write_manifest([entry], snap_id)
+manifest, parts, _mb = t._write_manifest([entry], snap_id)
 prev = t.current_snapshot(meta)
 manifests = (prev.manifests if prev else []) + [manifest]
 mparts = dict(prev.manifest_parts if prev else {}); mparts[manifest] = parts
