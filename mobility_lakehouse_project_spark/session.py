@@ -39,6 +39,9 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python Data Source (sources/lakehouse_source.py): let Catalyst
+        # push WHERE conjuncts into the source's manifest/stats pruning
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # Image rows carry a binary `bytes` column; cap Arrow batches so a
         # vectorized UDF batch of large rows stays well under executor memory.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
