@@ -2840,6 +2840,50 @@ ORACLE_SQL["txt_dedup_keep_best"] = """
 """
 
 
+def ds_source_roundtrip(spark, sf_dir):
+    """The `lakehouse` Python Data Source end to end, oracle-checked:
+    documents are written into a fresh lakehouse table through
+    ``df.write.format("lakehouse")`` (per-task Arrow parquet writes +
+    one atomic commit) and read back through
+    ``spark.read.format("lakehouse")`` with a WHERE that Catalyst
+    pushes into the source's manifest/stats pruning. Any dropped or
+    duplicated file, mis-stamped partition id, or over-pruned scan
+    diverges the per-source counts and char sums from the plain-SQL
+    oracle over the same parquet."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from ..sources.lakehouse_source import register_lakehouse_source
+    from ..tableformat import LakehouseTable
+
+    d = _t(spark, sf_dir, "documents")
+    scratch = _os.path.join(_tempfile.gettempdir(), "mlps-scratch", "ds-rt")
+    _shutil.rmtree(scratch, ignore_errors=True)
+    loc = scratch + "/docs"
+    LakehouseTable.create(loc, d.schema, partition_col="lang")
+    register_lakehouse_source(spark)
+    d.write.format("lakehouse").mode("append").option("location", loc).save()
+    return (
+        spark.read.format("lakehouse").load(loc)
+        .filter(F.col("n_chars") >= 200)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_chars").alias("sum_chars"))
+        .orderBy("source")
+    )
+
+
+ORACLE_SQL["ds_source_roundtrip"] = """
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM documents
+        WHERE n_chars >= 200
+        GROUP BY source
+        ORDER BY source
+"""
+
+
 QUERIES = {
     "a_rollup_cube": a_rollup_cube,
     "a_pivot_status": a_pivot_status,
@@ -2907,6 +2951,7 @@ QUERIES = {
     "txt_token_bpe": txt_token_bpe,
     "txt_decontaminate": txt_decontaminate,
     "txt_dedup_keep_best": txt_dedup_keep_best,
+    "ds_source_roundtrip": ds_source_roundtrip,
     "sql_dml_roundtrip": sql_dml_roundtrip,
     "sql_retention_delete": sql_retention_delete,
     "sql_eq_delete_scan": sql_eq_delete_scan,
