@@ -40,6 +40,9 @@ AUDIT = [
     "dedup_cc_canonical",    # expect joins over doc ids only (no text in the shuffle)
     "sample_hash_mod",       # hash residue can't push to parquet; expect column-pruned scan
     "addfiles_scan",         # imported-by-link table: column-pruned scan, one agg pair, NO Python
+    "txt_decontaminate",     # gram semi-join: expect BROADCAST left-semi (bench side small), NO Python
+    "txt_dedup_keep_best",   # expect ONE Window over the fingerprint shuffle, no self-join
+    "ds_source_roundtrip",   # python data source scan: BatchScan of pruned file splits
 ]
 
 CHECKS = {
@@ -58,6 +61,9 @@ CHECKS = {
     "ann_lsh_clustered": ["TakeOrderedAndProject"],
     "emb_label_profile": ["HashAggregate"],
     "ann_batch_join": ["BroadcastHashJoin", "Window"],
+    "txt_decontaminate": ["BroadcastHashJoin"],
+    "txt_dedup_keep_best": ["Window", "HashAggregate"],
+    "ds_source_roundtrip": ["HashAggregate"],
     "ann_batch_clustered": ["BroadcastHashJoin", "Window"],
     # LeftAnti over a BROADCAST of the delete set: the data side (the
     # blob-carrying scan) must not shuffle to apply MOR deletes, and
