@@ -232,3 +232,25 @@ def test_stream_sink_exactly_once(spark, tmp_table_dir, tmp_path):
     pump()
     assert dst.scan(spark).count() == 75
     assert dst.scan(spark).select("image_id").distinct().count() == 75
+
+
+def test_batch_read_time_travel_options(spark, tmp_table_dir):
+    df = synth.images_df(spark, 30, partitions=1)
+    t = LakehouseTable.create(tmp_table_dir, df.schema, partition_col="bucket")
+    s1 = t.append(df, n_files=1)
+    t.create_tag("v1")
+    t.append(synth.images_df(spark, 20, partitions=1, id_offset=3000),
+             n_files=1)
+    register_lakehouse_source(spark)
+    assert (spark.read.format("lakehouse")
+            .load(t.location).count() == 50)
+    assert (spark.read.format("lakehouse")
+            .option("location", t.location)
+            .option("snapshot_id", str(s1.snapshot_id)).load().count() == 30)
+    assert (spark.read.format("lakehouse")
+            .option("location", t.location)
+            .option("ref", "v1").load().count() == 30)
+    with pytest.raises(Exception, match="no tag or branch"):
+        (spark.read.format("lakehouse")
+         .option("location", t.location)
+         .option("ref", "nope").load().count())
