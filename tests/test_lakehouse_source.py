@@ -254,3 +254,83 @@ def test_batch_read_time_travel_options(spark, tmp_table_dir):
         (spark.read.format("lakehouse")
          .option("location", t.location)
          .option("ref", "nope").load().count())
+
+
+def test_stream_model_random_append_maintenance(spark, tmp_table_dir, tmp_path):
+    """Model-based differential check: under a random interleaving of
+    appends and maintenance (compaction = a replace commit, manifest
+    rewrite, snapshot expiry), a stream with skip_change_snapshots=true
+    must deliver exactly every appended row exactly once — maintenance
+    commits between appends may be skipped but must never duplicate or
+    drop streamed data."""
+    import random
+
+    from mobility_lakehouse_project_spark.operators import compaction
+
+    rng = random.Random(7)
+    df0 = synth.images_df(spark, 30, partitions=1)
+    t = LakehouseTable.create(tmp_table_dir, df0.schema,
+                              partition_col="bucket")
+    expected_ids = set()
+    offset = 0
+
+    def do_append():
+        nonlocal offset
+        n = rng.randint(5, 25)
+        d = synth.images_df(spark, n, partitions=1, id_offset=offset)
+        expected_ids.update(r[0] for r in d.select("image_id").collect())
+        t.append(d, n_files=rng.randint(1, 2))
+        offset += 10_000
+
+    do_append()
+    for _ in range(8):
+        op = rng.choice(["append", "append", "compact", "rewrite", "expire"])
+        if op == "append":
+            do_append()
+        elif op == "compact":
+            compaction.compact(t, spark, target_file_size=1 << 30, n_chunks=1)
+        elif op == "rewrite":
+            t.rewrite_manifests(spark)
+        else:
+            t.expire_snapshots(keep_last=50)  # keep history streamable
+
+    register_lakehouse_source(spark)
+    out = str(tmp_path / "out")
+    q = (spark.readStream.format("lakehouse")
+         .option("location", t.location)
+         .option("starting_sequence", "0")
+         .option("skip_change_snapshots", "true").load()
+         .writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = spark.read.parquet(out).select("image_id").collect()
+    got_ids = [r[0] for r in got]
+    assert len(got_ids) == len(set(got_ids))  # exactly once
+    assert set(got_ids) == expected_ids       # exactly every appended row
+
+
+def test_batch_write_string_partition_column(spark, tmp_table_dir):
+    """Datasource writer with a STRING identity partition column: the
+    recorded partition ids must live in the same value domain the
+    native planner uses (partition_values pruning agrees)."""
+    import pyspark.sql.types as T
+
+    rows = [("a", "en", 3), ("b", "en", 4), ("c", "de", 5), ("d", "fr", 6)]
+    schema = T.StructType([
+        T.StructField("id", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("n", T.LongType()),
+    ])
+    df = spark.createDataFrame(rows, schema)
+    t = LakehouseTable.create(tmp_table_dir, schema, partition_col="lang")
+    register_lakehouse_source(spark)
+    (df.write.format("lakehouse").mode("append")
+       .option("location", t.location).save())
+    assert t.scan(spark).count() == 4
+    planned = t.plan_files(spark, partition_values={"en"})
+    assert planned.count() >= 1
+    assert planned.agg({"record_count": "sum"}).first()[0] == 2
+    assert (t.scan(spark, partition_values={"en"})
+            .filter("lang = 'en'").count() == 2)
