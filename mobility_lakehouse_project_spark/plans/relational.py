@@ -2884,6 +2884,117 @@ ORACLE_SQL["ds_source_roundtrip"] = """
 """
 
 
+_BM25_TERMS = ("table", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def txt_bm25_rank(spark, sf_dir):
+    """Keyword relevance ranking — BM25 over the documents table for a
+    fixed two-term query, top-10 by score. The full-text-search face
+    of the text stack (dedup/lang-id/quality already exist): TF from
+    an explode+count, DF/IDF from distinct doc counts, doc length
+    normalization with (k1=1.2, b=0.75). Pure Catalyst string/agg
+    algebra — one explode shuffle keyed by doc, one tiny DF aggregate
+    broadcast back; at corpus scale the postings never leave the
+    executors (the persisted-index form is
+    operators/textsearch.py::build_postings_table, probed via
+    token-bucket partition pruning). Scores rounded to 4dp so the
+    DuckDB twin is hash-exact despite double math."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    dlen = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    n_docs = d.count()  # scalar: corpus size (metadata-cheap)
+    avgdl = dlen.agg(F.avg("dl")).first()[0]
+    tf = (
+        toks.filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    idf = df_.select(
+        "tok",
+        F.log((F.lit(float(n_docs)) - F.col("df") + 0.5)
+              / (F.col("df") + 0.5) + 1.0).alias("idf"),
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "tok")
+        .join(dlen, "doc_id")
+        .withColumn(
+            "contrib",
+            F.col("idf") * F.col("tf") * (_BM25_K1 + 1.0)
+            / (F.col("tf") + _BM25_K1
+               * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.lit(float(avgdl)))),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("contrib"), 4).alias("score"),
+             F.count("*").alias("n_terms"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+    return scored
+
+
+ORACLE_SQL["txt_bm25_rank"] = f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ), toks_ne AS (
+            SELECT doc_id, tok FROM toks WHERE tok <> ''
+        ), dlen AS (
+            SELECT doc_id, COUNT(*) AS dl FROM toks_ne GROUP BY doc_id
+        ), corpus AS (
+            SELECT COUNT(*) AS n, (SELECT AVG(dl) FROM dlen) AS avgdl
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, tok, COUNT(*) AS tf FROM toks_ne
+            WHERE tok IN ('{_BM25_TERMS[0]}', '{_BM25_TERMS[1]}')
+            GROUP BY doc_id, tok
+        ), idf AS (
+            SELECT tok, ln((corpus.n - df + 0.5) / (df + 0.5) + 1.0) AS idf
+            FROM (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok), corpus
+        )
+        SELECT tf.doc_id,
+               ROUND(SUM(idf.idf * tf.tf * ({_BM25_K1} + 1.0)
+                   / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B}
+                      * dlen.dl / corpus.avgdl))), 4) AS score,
+               COUNT(*) AS n_terms
+        FROM tf
+        JOIN idf USING (tok)
+        JOIN dlen USING (doc_id), corpus
+        GROUP BY tf.doc_id
+        ORDER BY score DESC, tf.doc_id ASC
+        LIMIT 10
+"""
+
+
+def txt_bm25_clustered(spark, sf_dir):
+    """PERSISTED-index twin of txt_bm25_rank: the documents are built
+    into a token-bucket-partitioned postings table
+    (operators/textsearch.py) and the SAME two-term query runs as a
+    partition-pruned probe — scores must be hash-identical to the
+    computed form, so it shares txt_bm25_rank's SQL oracle. The scale
+    difference is the plan: the probe opens ~2/32 of the index's
+    partitions (measured pruned_fraction in pytest) instead of
+    exploding the corpus per query."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from ..operators.textsearch import build_postings_table, keyword_topk
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    scratch = _os.path.join(_tempfile.gettempdir(), "mlps-scratch", "bm25")
+    _shutil.rmtree(scratch, ignore_errors=True)
+    t = build_postings_table(spark, d, scratch + "/postings", n_buckets=32)
+    topk, _stats = keyword_topk(spark, t, list(_BM25_TERMS), k=10)
+    return topk
+
+
+ORACLE_SQL["txt_bm25_clustered"] = ORACLE_SQL["txt_bm25_rank"]
+
+
 QUERIES = {
     "a_rollup_cube": a_rollup_cube,
     "a_pivot_status": a_pivot_status,
@@ -2952,6 +3063,8 @@ QUERIES = {
     "txt_decontaminate": txt_decontaminate,
     "txt_dedup_keep_best": txt_dedup_keep_best,
     "ds_source_roundtrip": ds_source_roundtrip,
+    "txt_bm25_rank": txt_bm25_rank,
+    "txt_bm25_clustered": txt_bm25_clustered,
     "sql_dml_roundtrip": sql_dml_roundtrip,
     "sql_retention_delete": sql_retention_delete,
     "sql_eq_delete_scan": sql_eq_delete_scan,
