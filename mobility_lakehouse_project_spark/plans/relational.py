@@ -2995,9 +2995,44 @@ def txt_bm25_clustered(spark, sf_dir):
 ORACLE_SQL["txt_bm25_clustered"] = ORACLE_SQL["txt_bm25_rank"]
 
 
+def a_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (median / p95 of extended price
+    per return flag) — the distribution-profiling aggregate a curation
+    pipeline thresholds on. Spark `percentile` and DuckDB
+    `quantile_cont` both implement the linear-interpolation definition,
+    so the twin is exact; rounded to 4dp to absorb double summation
+    order. Exact percentiles need a per-group sort — at 100 TB you'd
+    switch to `approx_percentile` (t-digest, one pass, mergeable);
+    the exact form is the oracle-checkable baseline."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4)
+            .alias("p50"),
+            F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4)
+            .alias("p95"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_SQL["a_percentiles"] = """
+        SELECT l_returnflag,
+               ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+               ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
     "a_rollup_cube": a_rollup_cube,
     "a_pivot_status": a_pivot_status,
+    "a_percentiles": a_percentiles,
     "u3_intersect_except": u3_intersect_except,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
