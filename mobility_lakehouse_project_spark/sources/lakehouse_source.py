@@ -72,9 +72,18 @@ class _FileSplit(InputPartition):
 def _location(options) -> str:
     loc = options.get("location") or options.get("path")
     if not loc:
+        # catalog addressing: .option("warehouse", ...) + .option("table",
+        # "ns.name") resolves through the same Catalog the SQL front-end
+        # uses (refusing views — a source reads tables, not definitions)
+        wh, tbl = options.get("warehouse"), options.get("table")
+        if wh and tbl:
+            from ..tableformat.catalog import Catalog
+
+            return Catalog(wh).load_table(tbl).location
         raise ValueError(
-            "lakehouse source needs a table location: "
-            ".load(<location>) or .option('location', ...)")
+            "lakehouse source needs a table location: .load(<location>), "
+            ".option('location', ...), or .option('warehouse', ...) + "
+            ".option('table', 'ns.name')")
     return loc
 
 

@@ -334,3 +334,19 @@ def test_batch_write_string_partition_column(spark, tmp_table_dir):
     assert planned.agg({"record_count": "sum"}).first()[0] == 2
     assert (t.scan(spark, partition_values={"en"})
             .filter("lang = 'en'").count() == 2)
+
+
+def test_catalog_addressing(spark, tmp_path):
+    from mobility_lakehouse_project_spark.tableformat import Catalog
+
+    cat = Catalog(str(tmp_path / "wh"))
+    df = synth.images_df(spark, 25, partitions=1)
+    cat.create_table("bronze.imgs", df.schema,
+                     partition_col="bucket").append(df, n_files=1)
+    register_lakehouse_source(spark)
+    got = (spark.read.format("lakehouse")
+           .option("warehouse", str(tmp_path / "wh"))
+           .option("table", "bronze.imgs").load())
+    assert got.count() == 25
+    with pytest.raises(Exception, match="location"):
+        spark.read.format("lakehouse").load()
