@@ -2424,7 +2424,12 @@ class LakehouseTable:
             subset, _ = self._prune_manifests(
                 snap, meta, partition_values=partition_values,
                 int_ranges=int_ranges)
-        df = self.files(spark, snapshot_id, manifest_subset=subset)
+        # read at the RESOLVED snapshot: a commit landing between this
+        # plan and the manifest scan must not shift the file set under
+        # the already-computed manifest subset
+        df = self.files(
+            spark, snap.snapshot_id if snap is not None else snapshot_id,
+            manifest_subset=subset)
         if partition_values is not None:
             pv = [str(v) for v in partition_values]
             cur_ids = self._current_spec_snapshot_ids(meta)
