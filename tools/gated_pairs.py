@@ -232,9 +232,17 @@ def main() -> None:
             # degraded windows are still measured — the strict tier
             # labels (A < 1.12, B < 1.20 + stability) are applied
             # afterward, and the in-between pairs document the
-            # degradation effect itself
+            # degradation effect itself. Threshold 1.75x: round-4's
+            # host floor sat at 0.036-0.044 s (37-67% off the 0.0263
+            # calibration) for the WHOLE session, and the 1->4
+            # certification admits stable-but-slow hosts by design
+            # (the ratio cancels a uniform slowdown; stability <8%
+            # between legs is the admission test, applied at summary
+            # time) — a 1.45x gate would simply never fire while
+            # stable 0.040-floor windows measurably produce clean
+            # pairs (e.g. pairs 48/53/56/58: eff 0.81-0.92).
             host_ok = (best is not None and recent
-                       and statistics.median(recent) < 1.45 * best)
+                       and statistics.median(recent) < 1.75 * best)
             if ext < EXT_GATE and host_ok:
                 break
             if waited % 300 < 16:
