@@ -76,7 +76,8 @@ def main() -> None:
         and (max(l["probe_median"] for l in p["legs"])
              / min(l["probe_median"] for l in p["legs"])) < 1.08
     ]
-    cert_med = statistics.median(p["eff"] for p in cert) if cert else None
+    cert_med = (round(statistics.median(p["eff"] for p in cert), 3)
+                if cert else None)
     cert_rng = (
         f"{min(p['eff'] for p in cert):.3f}-{max(p['eff'] for p in cert):.3f}"
         if cert else "n/a"
