@@ -216,19 +216,43 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance <= max_hamming.
+    """Near-dup pairs by SimHash hamming distance <= max_hamming:
+    compute the signatures (one Arrow UDF), then block/verify via
+    :func:`hamming_pairs`."""
+    sigs = docs.select(F.col(id_col).alias("id"), simhash_udf()(F.col(text_col)).alias("sig"))
+    return hamming_pairs(sigs, id_col="id", sig_col="sig", max_hamming=max_hamming)
+
+
+def hamming_pairs(
+    sigs: DataFrame,
+    id_col: str = "id",
+    sig_col: str = "sig",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs among PRECOMPUTED 64-bit signatures — SimHash,
+    image perceptual hash (the input table's ``phash`` column,
+    BASELINE.json input_hint), any 64-bit sketch — by hamming distance
+    <= ``max_hamming``. Returns ``(ida, idb, hamming)`` with
+    ``ida < idb``.
 
     Blocking: split the 64-bit signature into ``max_hamming + 1`` bands
     (pigeonhole: a pair with <= max_hamming differing bits must match on
     at least one full band) -> candidate join per band, verify with
     bit_count(xor). Band count is DERIVED from max_hamming so recall is
     guaranteed for any threshold (a fixed 4-band split would silently
-    miss pairs at max_hamming >= 4)."""
+    miss pairs at max_hamming >= 4).
+
+    Scale: the only join key is (band, band_hash) — work is
+    proportional to colliding candidates, never O(n^2) — and the
+    banded relation carries just (id, sig, band, hash), so at 10^12
+    rows the shuffle moves ~32 B/row x (max_hamming+1), never payload
+    columns. The band expressions are pure Catalyst (shift/mask), no
+    Python."""
     n_bands = max_hamming + 1
     if n_bands > 64:
         raise ValueError(f"max_hamming={max_hamming} needs >64 bands of a 64-bit sig")
     width = 64 // n_bands  # first bands get `width` bits, last gets the rest
-    sigs = docs.select(F.col(id_col).alias("id"), simhash_udf()(F.col(text_col)).alias("sig"))
+    sigs = sigs.select(F.col(id_col).alias("id"), F.col(sig_col).alias("sig"))
     band_exprs = []
     for b in range(n_bands):
         off = b * width

@@ -1933,6 +1933,56 @@ def mm_image_features(spark, sf_dir):
     return validation_summary(imgs)
 
 
+def img_phash_neardup(spark, sf_dir):
+    """Image near-duplicate detection by perceptual-hash hamming
+    distance — the image-payload analog of dedup_simhash, run on the
+    phash column the input table already carries (BASELINE.json
+    input_hint): a 600-image deterministic corpus plus 60 planted
+    variants whose phash differs by 1-3 bit flips, paired via
+    pigeonhole band blocking (operators/dedup.hamming_pairs, pure
+    Catalyst shift/mask + bit_count verify) and aggregated per hamming
+    distance. Oracle = golden constants from the Spark-free numpy
+    ALL-PAIRS twin (tools/golden_phash.py): the banding join must
+    reproduce exhaustive truth exactly — a lost band, a wrong mask
+    width, or an Arrow plumbing fault flips the counts. At 10^12
+    images banding is the only non-O(n^2) path; the join shuffles only
+    (band, band-hash) keys, never blobs. Reference analog: the
+    phash hot-spot handling the north star names for MERGE skew
+    (BASELINE.json north_star)."""
+    from .. import synth
+    from ..operators.dedup import hamming_pairs
+
+    base = synth.images_df(spark, 600, partitions=4).select("image_id", "phash")
+    var = synth.phash_variants_df(spark, 600, step=10).select("image_id", "phash")
+    pairs = hamming_pairs(
+        base.unionByName(var), id_col="image_id", sig_col="phash", max_hamming=3
+    )
+    return (
+        pairs.groupBy("hamming")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("ida").alias("n_left"),
+            F.min("ida").alias("min_ida"),
+            F.max("idb").alias("max_idb"),
+        )
+        .orderBy("hamming")
+    )
+
+
+# Golden constants from the Spark-free numpy all-pairs path
+# (tools/golden_phash.py, n=600 step=10 seed=42). Regenerate with:
+#   python tools/golden_phash.py 600 10
+ORACLE_SQL["img_phash_neardup"] = """
+        SELECT * FROM (VALUES
+            (0::BIGINT, 73::BIGINT, 20::BIGINT, 'img000000000000', 'var000000000490'),
+            (1::BIGINT, 29::BIGINT, 29::BIGINT, 'img000000000000', 'var000000000570'),
+            (2::BIGINT, 19::BIGINT, 19::BIGINT, 'img000000000010', 'var000000000580'),
+            (3::BIGINT, 19::BIGINT, 19::BIGINT, 'img000000000050', 'var000000000590')
+        ) AS t(hamming, n_pairs, n_left, min_ida, max_idb)
+        ORDER BY hamming
+"""
+
+
 def mor_delete_scan(spark, sf_dir):
     """Merge-on-read DELETE, oracle-checked end to end: a scratch
     lakehouse table of the orders keys is MOR-deleted ('F' status rows
@@ -3038,6 +3088,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "mm_image_features": mm_image_features,
+    "img_phash_neardup": img_phash_neardup,
     "p_filter_project": p_filter_project,
     "p_case_daytype": p_case_daytype,
     "s_string_funcs": s_string_funcs,

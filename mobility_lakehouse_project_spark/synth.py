@@ -114,6 +114,54 @@ def images_df(
     )
 
 
+def phash_variant_batch(
+    idx: np.ndarray, seed: int, dims: tuple[int, ...]
+) -> pd.DataFrame:
+    """Near-duplicate variants of base rows for phash-hamming dedup
+    tests: the SAME synthesis as ``synth_batch`` but with 1-3
+    deterministically chosen bits of the phash flipped and a fresh
+    ``var...`` image_id namespace. Flip positions may collide (two
+    flips of one bit cancel), so the resulting hamming distance is
+    whatever the flips produce — ground truth is established by
+    all-pairs popcount (tools/golden_phash.py), never assumed."""
+    out = synth_batch(idx, seed, dims)
+    u = _splitmix64(
+        idx.astype(np.uint64) ^ np.uint64((seed * 1315423911 + 7) % (1 << 64))
+    )
+    n_flips = (idx.astype(np.uint64) % np.uint64(3)) + np.uint64(1)
+    mask = np.zeros(len(idx), dtype=np.uint64)
+    for j in range(3):
+        bit = np.uint64(1) << ((u >> np.uint64(6 * j + 1)) % np.uint64(64))
+        mask = np.where(n_flips > np.uint64(j), mask ^ bit, mask)
+    phash = (out["phash"].to_numpy().astype(np.int64).view(np.uint64) ^ mask).view(
+        np.int64
+    )
+    out["phash"] = phash
+    out["image_id"] = [f"var{int(i):012d}" for i in idx]
+    out["bucket"] = ((phash % N_BUCKETS + N_BUCKETS) % N_BUCKETS).astype("int32")
+    return out
+
+
+def phash_variants_df(
+    spark: SparkSession,
+    n_rows: int,
+    step: int = 10,
+    seed: int = 42,
+    dims: tuple[int, ...] = (8, 16, 32, 64),
+    partitions: int | None = None,
+) -> DataFrame:
+    """Distributed near-dup variants of every ``step``-th base row."""
+    parts = partitions or max(4, spark.sparkContext.defaultParallelism)
+
+    def gen(batches):
+        for pdf in batches:
+            yield phash_variant_batch(pdf["id"].to_numpy(), seed, dims)
+
+    return spark.range(0, n_rows, step, numPartitions=parts).mapInPandas(
+        gen, schema=SCHEMA_DDL
+    )
+
+
 def merge_source_df(
     spark: SparkSession,
     base_rows: int,

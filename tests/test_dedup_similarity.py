@@ -68,6 +68,54 @@ def test_simhash_finds_exact_dups(spark, docs_with_dups):
         assert ham[(i, i + 100000)] == 0
 
 
+def test_hamming_pairs_matches_allpairs_bruteforce(spark):
+    """Band blocking over precomputed 64-bit sigs (the image phash
+    path) must reproduce EXHAUSTIVE all-pairs truth at every
+    max_hamming: pigeonhole recall + bit_count verify precision."""
+    rng = np.random.default_rng(7)
+    sigs = rng.integers(-(2**63), 2**63, size=40, dtype=np.int64)
+    # plant near pairs at known distances
+    su = sigs.view(np.uint64)
+    su[1] = su[0] ^ np.uint64(0b1)  # d=1
+    su[3] = su[2] ^ np.uint64((1 << 40) | (1 << 3))  # d=2
+    su[5] = su[4] ^ np.uint64((1 << 63) | (1 << 21) | 0b100)  # d=3
+    su[7] = su[6]  # d=0
+    df = spark.createDataFrame(
+        [(i, int(s)) for i, s in enumerate(sigs)], "id int, sig long"
+    )
+    for maxh in (0, 3, 5):
+        got = {
+            (r["ida"], r["idb"], r["hamming"])
+            for r in dedup.hamming_pairs(df, max_hamming=maxh).collect()
+        }
+        u = sigs.view(np.uint64)
+        want = set()
+        for i in range(len(sigs)):
+            for j in range(i + 1, len(sigs)):
+                d = int(bin(int(u[i] ^ u[j])).count("1"))
+                if d <= maxh:
+                    want.add((i, j, d))
+        assert got == want, f"max_hamming={maxh}"
+
+
+def test_phash_variants_deterministic_and_near(spark):
+    from mobility_lakehouse_project_spark import synth
+
+    a = synth.phash_variants_df(spark, 100, step=10).select("image_id", "phash")
+    b = synth.phash_variants_df(spark, 100, step=10).select("image_id", "phash")
+    ra = {r["image_id"]: r["phash"] for r in a.collect()}
+    rb = {r["image_id"]: r["phash"] for r in b.collect()}
+    assert ra == rb and len(ra) == 10
+    base = {
+        r["image_id"]: r["phash"]
+        for r in synth.images_df(spark, 100, partitions=2).collect()
+    }
+    for vid, vph in ra.items():
+        bph = base["img" + vid[3:]]
+        d = bin((vph ^ bph) & 0xFFFFFFFFFFFFFFFF).count("1")
+        assert 1 <= d <= 3, f"{vid}: distance {d}"
+
+
 def test_ann_lsh_recall_vs_bruteforce(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
