@@ -29,9 +29,22 @@ from pyspark.sql import SparkSession
 from pyspark.sql import types as T
 
 from .paths import join_path, to_local
-from .table import LakehouseTable, _atomic_write
+from .table import (
+    ConcurrentCommitError,
+    LakehouseTable,
+    _atomic_write,
+    _exclusive_write,
+)
 
 _NAME_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+
+TXN_SUMMARY_KEY = "txn-id"
+
+
+class TransactionConflict(RuntimeError):
+    """A multi-table transaction lost to a concurrent commit: nothing
+    it staged was published (or everything it had published was rolled
+    back). Re-run the transaction against current state."""
 
 
 def _split(name: str) -> tuple[str, str]:
@@ -302,6 +315,64 @@ class Catalog:
                     f"view {flat!r} failed to register: {last_err}")
         return registered
 
+    # ---------------- multi-table transactions ----------------
+
+    @property
+    def _txn_dir(self) -> str:
+        return os.path.join(self._local, "_txns")
+
+    def transaction(self) -> "CatalogTransaction":
+        """Begin a multi-table ATOMIC transaction (the Nessie /
+        Iceberg-REST multi-table-commit shape the reference's
+        cross-database DAG steps approximate with ordered DuckDB
+        writes, dags/Silver_Transform_Dag.py): stage appends to any
+        number of catalog tables, then publish ALL of them or NONE.
+        See :class:`CatalogTransaction` for the protocol and its
+        guarantees."""
+        return CatalogTransaction(self)
+
+    def pending_transactions(self) -> list[str]:
+        """Intent journals of transactions that crashed mid-publish
+        (committed-but-unfinished; :meth:`recover_transactions` rolls
+        them forward)."""
+        d = self._txn_dir
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            f[: -len(".json")] for f in os.listdir(d)
+            if f.endswith(".json") and not f.endswith(".failed.json")
+        )
+
+    def recover_transactions(self) -> dict[str, dict]:
+        """Roll forward every pending transaction journal: a journal
+        exists only for transactions that passed validation and MUST
+        complete (write-ahead intent). Per table: already published by
+        this txn -> done; head still at the pinned parent -> publish
+        now; head moved otherwise -> the txn can no longer complete,
+        so published tables are rolled back (all-or-nothing) and the
+        journal is marked ``.failed`` for operator inspection."""
+        import json
+
+        report: dict[str, dict] = {}
+        for txn_id in self.pending_transactions():
+            path = os.path.join(self._txn_dir, f"{txn_id}.json")
+            with open(path, encoding="utf-8") as f:
+                journal = json.load(f)
+            try:
+                for tbl in journal["tables"]:
+                    _publish_one(LakehouseTable(tbl["location"]), tbl, txn_id)
+                os.remove(path)
+                report[txn_id] = {"status": "completed"}
+            except ConcurrentCommitError as e:
+                undone = _undo_published(journal, txn_id)
+                os.replace(path, path[: -len(".json")] + ".failed.json")
+                report[txn_id] = {
+                    "status": "rolled_back",
+                    "reason": str(e),
+                    "rolled_back": undone,
+                }
+        return report
+
     def maintain_all(self, spark: SparkSession, **kwargs) -> dict[str, dict]:
         """Run the one-call maintenance orchestrator over every table,
         per-table policy from its own properties (a table declaring
@@ -319,3 +390,243 @@ class Catalog:
             except Exception as e:  # noqa: BLE001 — sweep must finish
                 report[name] = {"error": f"{type(e).__name__}: {e}"}
         return report
+
+
+def _publish_one(t: LakehouseTable, tbl: dict, txn_id: str) -> None:
+    """Idempotently publish one journal table entry: skip if a snapshot
+    stamped with this txn id already exists on the main history, else
+    commit with the pinned parent (retries=0: any divergence surfaces
+    as ConcurrentCommitError for the caller's all-or-nothing policy)."""
+    meta = t.load_metadata()
+    for s in t.snapshots_list(meta):
+        if s.summary.get(TXN_SUMMARY_KEY) == txn_id:
+            return  # this txn's commit already landed
+    entries = [dict(e) for e in tbl["entries"]]
+    for e in entries:
+        e["added_snapshot_id"] = -1  # journal copies are pre-commit
+    t.commit_append(
+        entries,
+        summary={TXN_SUMMARY_KEY: txn_id, **tbl.get("summary", {})},
+        retries=0,
+        expected_parent=tbl["expected_parent"],
+    )
+
+
+def _undo_published(journal: dict, txn_id: str) -> list[str]:
+    """Roll back the journal's tables that THIS txn already published
+    and that nobody has committed on top of (head snapshot still
+    stamped with the txn id). A table someone already built on cannot
+    be safely unwound — it is reported, not touched (the journal's
+    ``.failed`` marker keeps the evidence)."""
+    undone: list[str] = []
+    for tbl in journal["tables"]:
+        t = LakehouseTable(tbl["location"])
+        meta = t.load_metadata()
+        head = t.current_snapshot(meta)
+        if head is None or head.summary.get(TXN_SUMMARY_KEY) != txn_id:
+            continue
+        parent = head.parent_id
+        if parent is not None:
+            t.rollback_to(parent)
+        else:
+            # bootstrap commit: unwind to the empty table
+            for _ in range(4):
+                meta = t.load_metadata()
+                cur = t.current_snapshot(meta)
+                if cur is None or cur.summary.get(TXN_SUMMARY_KEY) != txn_id:
+                    break
+                meta["current_snapshot_id"] = None
+                try:
+                    t._commit_metadata(meta)
+                    break
+                except ConcurrentCommitError:
+                    continue
+        undone.append(tbl["name"])
+    return undone
+
+
+class CatalogTransaction:
+    """Atomic append transaction across MULTIPLE catalog tables.
+
+    Protocol (two-phase with a write-ahead intent journal):
+
+    1. ``stage_append(name, df)`` — the table's main head is pinned on
+       first touch, and the data files are written NOW (the heavy,
+       distributed work) but NOT committed: invisible to every reader,
+       and plain orphans (``remove_orphan_files``) if the txn dies
+       here. Multiple stages to one table coalesce into one commit.
+    2. ``commit()`` — under the catalog publish lock (an ``os.link``
+       CAS on ``_txns/LOCK``, so catalog transactions serialize):
+       a. validate every touched table's head still equals its pin —
+          any concurrent commit aborts with TransactionConflict and
+          publishes NOTHING;
+       b. write the intent journal ``_txns/<id>.json`` (table
+          locations, pinned parents, manifest entries). From this
+          instant the txn is COMMITTED: a crash at any later point is
+          rolled FORWARD by ``Catalog.recover_transactions()``;
+       c. publish per table via ``commit_append(retries=0,
+          expected_parent=pin)`` stamped with the txn id — idempotent
+          under recovery replay;
+       d. remove the journal, release the lock.
+
+    Isolation honesty at 10^12 scale: commits are per-table atomic
+    swaps, so a reader scanning table A then table B DURING publish
+    can see A's new snapshot and B's old one for the microseconds
+    between the two swaps — same contract as Nessie's non-transactional
+    readers. Writers are fully serialized: concurrent transactions
+    queue on the lock, and a direct-to-table writer racing the
+    publish window is detected by the pinned-parent CAS, triggering
+    all-or-nothing rollback of anything this txn already swapped
+    (see ``_undo_published``; the one unwindable case — someone
+    committed ON TOP of this txn's snapshot mid-publish — is left
+    intact and reported via the ``.failed`` journal).
+
+    Reference analog: the DAG-ordered cross-database writes the
+    reference performs with no atomicity at all
+    (dags/Silver_Transform_Dag.py writes silver then gold; a crash
+    between them leaves the warehouse inconsistent until the next
+    run). This class closes exactly that gap."""
+
+    def __init__(self, catalog: Catalog):
+        import uuid
+
+        self.catalog = catalog
+        self.txn_id = uuid.uuid4().hex[:16]
+        self._staged: dict[str, dict] = {}  # name -> journal table entry
+        self._done = False
+
+    # -- staging --------------------------------------------------
+
+    def stage_append(self, name: str, df, n_files: int | None = None,
+                     sort_cols: list[str] | None = None) -> None:
+        if self._done:
+            raise RuntimeError("transaction already finished")
+        name = ".".join(_split(name))  # canonical namespace.table
+        t = self.catalog.load_table(name)
+        slot = self._staged.get(name)
+        if slot is None:
+            slot = {
+                "name": name,
+                "location": t.location,
+                "expected_parent": t.load_metadata()["current_snapshot_id"],
+                "entries": [],
+                "summary": {},
+            }
+            self._staged[name] = slot
+        entries = t.write_data_files(t.conform(df), n_files, sort_cols)
+        slot["entries"].extend(entries)
+
+    # -- finish ---------------------------------------------------
+
+    def commit(self) -> dict[str, int]:
+        """Publish everything staged; returns name -> snapshot_id."""
+        import json
+
+        if self._done:
+            raise RuntimeError("transaction already finished")
+        self._done = True
+        if not self._staged:
+            return {}
+        cat = self.catalog
+        os.makedirs(cat._txn_dir, exist_ok=True)
+        journal = {"txn_id": self.txn_id,
+                   "tables": list(self._staged.values())}
+        path = os.path.join(cat._txn_dir, f"{self.txn_id}.json")
+        with _publish_lock(cat._txn_dir):
+            # phase 1: validate every pin while holding the lock
+            for tbl in journal["tables"]:
+                head = LakehouseTable(
+                    tbl["location"]).load_metadata()["current_snapshot_id"]
+                if head != tbl["expected_parent"]:
+                    self._drop_staged_files()
+                    raise TransactionConflict(
+                        f"{tbl['name']}: head {head} != pinned "
+                        f"{tbl['expected_parent']}; nothing published")
+            # phase 2: write-ahead intent — the commit point
+            _exclusive_write(path, json.dumps(journal, indent=1))
+            # phase 3: publish (idempotent; recovery replays this loop)
+            try:
+                for tbl in journal["tables"]:
+                    _publish_one(LakehouseTable(tbl["location"]), tbl,
+                                 self.txn_id)
+            except ConcurrentCommitError as e:
+                undone = _undo_published(journal, self.txn_id)
+                os.replace(path, path[: -len(".json")] + ".failed.json")
+                raise TransactionConflict(
+                    f"direct write raced the publish window: {e}; "
+                    f"rolled back {undone}") from e
+            os.remove(path)
+        out = {}
+        for tbl in journal["tables"]:
+            t = LakehouseTable(tbl["location"])
+            out[tbl["name"]] = t.current_snapshot().snapshot_id
+        return out
+
+    def abort(self) -> None:
+        """Discard the staged (uncommitted) files; nothing was ever
+        visible."""
+        if not self._done:
+            self._done = True
+            self._drop_staged_files()
+
+    def _drop_staged_files(self) -> None:
+        import contextlib
+
+        for tbl in self._staged.values():
+            root = to_local(tbl["location"])
+            for e in tbl["entries"]:
+                with contextlib.suppress(OSError):
+                    os.remove(os.path.join(root, e["file_path"]))
+
+    def __enter__(self) -> "CatalogTransaction":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        if exc_type is not None:
+            self.abort()
+        elif not self._done:
+            self.commit()
+
+
+class _publish_lock:
+    """Exclusive catalog publish lock: os.link CAS on ``_txns/LOCK``
+    (the same no-overwrite primitive as table commits — works on any
+    POSIX filesystem, no server). Stale locks (holder died mid-publish;
+    its journal, if any, is recovery's job) are stolen after
+    ``ttl_s``."""
+
+    def __init__(self, txn_dir: str, ttl_s: float = 120.0,
+                 timeout_s: float = 30.0):
+        self.path = os.path.join(txn_dir, "LOCK")
+        self.ttl_s = ttl_s
+        self.timeout_s = timeout_s
+
+    def __enter__(self) -> None:
+        import contextlib
+        import time
+
+        deadline = time.monotonic() + self.timeout_s
+        while True:
+            try:
+                _exclusive_write(self.path, str(os.getpid()))
+                return
+            except ConcurrentCommitError:
+                try:
+                    age = time.time() - os.stat(self.path).st_mtime
+                except FileNotFoundError:
+                    continue  # released between link and stat — retry
+                if age > self.ttl_s:
+                    with contextlib.suppress(OSError):
+                        os.remove(self.path)
+                    continue
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"catalog publish lock busy for {self.timeout_s}s "
+                        f"({self.path})") from None
+                time.sleep(0.05)
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        import contextlib
+
+        with contextlib.suppress(OSError):
+            os.remove(self.path)
