@@ -702,14 +702,29 @@ def derive_hints(table: LakehouseTable, pred: str) -> tuple[dict, dict]:
 # statement handlers
 # --------------------------------------------------------------------------
 
-def _stmt_insert(spark, sql, masked, catalog, tables):
+def _stmt_insert(spark, sql, masked, catalog, tables, txn=None):
     m = re.match(
         rf"(?is)\s*INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?({_IDENT})\s*",
         masked)
     if not m:
         raise LakehouseSqlError("expected INSERT INTO|OVERWRITE <table> ...")
     overwrite = m.group(1).upper() == "OVERWRITE"
-    table = _resolve(m.group(2), catalog, tables)
+    if txn is not None and overwrite:
+        raise LakehouseSqlError(
+            "INSERT OVERWRITE is not transactional — only INSERT INTO "
+            "appends can be staged inside BEGIN TRANSACTION")
+    name = m.group(2)
+    if txn is not None:
+        # transactional staging goes through the CATALOG (the txn's
+        # intent journal records catalog names); a tables= view is a
+        # bare location with no catalog identity to journal
+        if catalog is None or (tables and name in tables):
+            raise LakehouseSqlError(
+                f"BEGIN TRANSACTION stages catalog tables only; "
+                f"{name!r} is not a catalog table")
+        table = catalog.load_table(name)
+    else:
+        table = _resolve(name, catalog, tables)
     pos = m.end()
     collist = None
     if pos < len(sql) and masked[pos] == "(":
@@ -743,6 +758,10 @@ def _stmt_insert(spark, sql, masked, catalog, tables):
                 f"query produces {len(df.columns)} columns, table has "
                 f"{len(tcols)} — SQL INSERT is positional")
         df = df.toDF(*tcols)  # positional, ANSI INSERT semantics
+    if txn is not None:
+        txn.stage_append(name, df)
+        return {"operation": "insert_staged", "table": name,
+                "txn_id": txn.txn_id}
     snap = (table.overwrite_partitions(df) if overwrite
             else table.append(df))
     return {"operation": "insert_overwrite" if overwrite else "insert",
@@ -1604,6 +1623,7 @@ def execute_sql(
     catalog: Catalog | None = None,
     tables: dict[str, LakehouseTable] | None = None,
     args: dict | None = None,
+    txn=None,
 ):
     """Run one SQL statement against the lakehouse.
 
@@ -1632,11 +1652,22 @@ def execute_sql(
     if head in ("SELECT", "WITH", "VALUES", "TABLE"):
         _register_reads(spark, catalog, tables, masked)
         return spark.sql(sql)
+    if head in ("BEGIN", "START", "COMMIT", "ROLLBACK", "ABORT"):
+        raise LakehouseSqlError(
+            f"{head} is a script-level statement — run it through "
+            "execute_sql_script, which scopes the transaction across "
+            "the statements between BEGIN and COMMIT")
     fn = _DISPATCH.get(head)
     if fn is None:
         raise LakehouseSqlError(
             f"unsupported statement head {head!r} (reads: SELECT/WITH/"
             f"VALUES/TABLE; writes: {sorted(_DISPATCH)})")
+    if txn is not None:
+        if head != "INSERT":
+            raise LakehouseSqlError(
+                f"only INSERT INTO appends (and reads) may run inside "
+                f"BEGIN TRANSACTION — got {head}")
+        return fn(spark, sql, masked, catalog, tables, txn=txn)
     return fn(spark, sql, masked, catalog, tables)
 
 
@@ -1649,12 +1680,66 @@ def execute_sql_script(
 ) -> list:
     """Run a ;-separated script (the reference's per-task SQL files,
     src/sql/*.sql run statement-by-statement); returns one result per
-    non-empty statement, in order."""
+    non-empty statement, in order.
+
+    ``BEGIN TRANSACTION; INSERT INTO a ...; INSERT INTO b ...;
+    COMMIT;`` stages the enclosed appends on ONE
+    :class:`~..tableformat.catalog.CatalogTransaction` and publishes
+    them atomically at COMMIT (all tables or none — the write-ahead
+    intent journal + pinned-parent CAS documented on the class).
+    ``ROLLBACK``/``ABORT`` discards the staged files. Reads inside the
+    transaction see the pre-transaction snapshots (staged files are
+    uncommitted). Any statement failure inside the transaction aborts
+    it before the error propagates; a script that ends without
+    COMMIT/ROLLBACK is aborted and rejected."""
     masked = _mask(script)
     results = []
-    for a, b in _split_top(masked, script, ";", 0, len(script)):
-        stmt = script[a:b]
-        if stmt.strip():
+    txn = None
+    try:
+        for a, b in _split_top(masked, script, ";", 0, len(script)):
+            stmt = script[a:b]
+            if not stmt.strip():
+                continue
+            head_m = re.match(r"\s*(\w+)", masked[a:b])
+            head = head_m.group(1).upper() if head_m else ""
+            if head in ("BEGIN", "START"):
+                if not re.fullmatch(
+                        r"(?is)\s*(BEGIN|START)(\s+(TRANSACTION|WORK))?\s*",
+                        masked[a:b]):
+                    raise LakehouseSqlError(
+                        f"bad transaction statement {stmt.strip()!r}")
+                if txn is not None:
+                    raise LakehouseSqlError(
+                        "nested BEGIN TRANSACTION is not supported")
+                if catalog is None:
+                    raise LakehouseSqlError(
+                        "BEGIN TRANSACTION needs catalog= (transactions "
+                        "publish through the catalog's intent journal)")
+                txn = catalog.transaction()
+                results.append({"operation": "begin", "txn_id": txn.txn_id})
+                continue
+            if head in ("COMMIT", "ROLLBACK", "ABORT"):
+                if txn is None:
+                    raise LakehouseSqlError(
+                        f"{head} outside BEGIN TRANSACTION")
+                if head == "COMMIT":
+                    sids = txn.commit()
+                    results.append({"operation": "commit",
+                                    "txn_id": txn.txn_id,
+                                    "snapshot_ids": sids})
+                else:
+                    txn.abort()
+                    results.append({"operation": "rollback",
+                                    "txn_id": txn.txn_id})
+                txn = None
+                continue
             results.append(execute_sql(spark, stmt, catalog=catalog,
-                                       tables=tables, args=args))
+                                       tables=tables, args=args, txn=txn))
+        if txn is not None:
+            raise LakehouseSqlError(
+                "script ended inside BEGIN TRANSACTION with no "
+                "COMMIT/ROLLBACK — staged appends were discarded")
+    finally:
+        if txn is not None:
+            txn.abort()
     return results

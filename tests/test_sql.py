@@ -669,3 +669,92 @@ def test_updated_since_read_syntax(spark, cat):
     with pytest.raises(LakehouseSqlError, match="unknown table"):
         execute_sql(spark, "SELECT * FROM nope UPDATED SINCE 1",
                     catalog=cat)
+
+
+# ---------------------------------------------------------------------------
+# BEGIN TRANSACTION ... COMMIT (script-level multi-table atomicity)
+# ---------------------------------------------------------------------------
+
+def _mk_gold(spark, cat):
+    df = spark.createDataFrame(
+        [(0, 0)], "phash long, n long")
+    cat.create_table("gold.stats", df.schema)
+
+
+def test_sql_txn_commit_publishes_all(spark, cat):
+    _seed(spark, cat)
+    _mk_gold(spark, cat)
+    results = execute_sql_script(
+        spark,
+        """
+        BEGIN TRANSACTION;
+        INSERT INTO silver.images VALUES (1000, 1, 'a'), (1001, 2, 'b');
+        INSERT INTO gold.stats
+            SELECT phash, count(*) AS n FROM silver_images GROUP BY phash;
+        COMMIT;
+        """,
+        catalog=cat)
+    ops = [r["operation"] for r in results]
+    assert ops == ["begin", "insert_staged", "insert_staged", "commit"]
+    assert set(results[-1]["snapshot_ids"]) == {
+        "silver.images", "gold.stats"}
+    assert cat.load_table("silver.images").scan(spark).count() == 52
+    # the SELECT inside the txn read the PRE-txn snapshot (50 rows)
+    assert cat.load_table("gold.stats").scan(spark).agg(
+        F.sum("n")).collect()[0][0] == 50
+
+
+def test_sql_txn_rollback_discards(spark, cat):
+    _seed(spark, cat)
+    results = execute_sql_script(
+        spark,
+        """
+        BEGIN;
+        INSERT INTO silver.images VALUES (1000, 1, 'a');
+        ROLLBACK;
+        """,
+        catalog=cat)
+    assert results[-1]["operation"] == "rollback"
+    assert cat.load_table("silver.images").scan(spark).count() == 50
+
+
+def test_sql_txn_failed_statement_aborts(spark, cat):
+    _seed(spark, cat)
+    with pytest.raises(LakehouseSqlError, match="only INSERT INTO"):
+        execute_sql_script(
+            spark,
+            """
+            BEGIN TRANSACTION;
+            INSERT INTO silver.images VALUES (1000, 1, 'a');
+            DELETE FROM silver.images WHERE image_id = 0;
+            COMMIT;
+            """,
+            catalog=cat)
+    assert cat.load_table("silver.images").scan(spark).count() == 50
+
+
+def test_sql_txn_guards(spark, cat):
+    t = _seed(spark, cat)
+    with pytest.raises(LakehouseSqlError, match="no COMMIT"):
+        execute_sql_script(
+            spark,
+            "BEGIN; INSERT INTO silver.images VALUES (1, 1, 'x');",
+            catalog=cat)
+    assert t.scan(spark).count() == 50
+    with pytest.raises(LakehouseSqlError, match="nested"):
+        execute_sql_script(spark, "BEGIN; BEGIN; COMMIT;", catalog=cat)
+    with pytest.raises(LakehouseSqlError, match="outside BEGIN"):
+        execute_sql_script(spark, "COMMIT;", catalog=cat)
+    with pytest.raises(LakehouseSqlError, match="script-level"):
+        execute_sql(spark, "BEGIN TRANSACTION", catalog=cat)
+    with pytest.raises(LakehouseSqlError, match="not transactional"):
+        execute_sql_script(
+            spark,
+            "BEGIN; INSERT OVERWRITE silver.images "
+            "SELECT * FROM silver_images; COMMIT;",
+            catalog=cat)
+    with pytest.raises(LakehouseSqlError, match="catalog tables only"):
+        execute_sql_script(
+            spark,
+            "BEGIN; INSERT INTO img VALUES (1, 1, 'x'); COMMIT;",
+            catalog=cat, tables={"img": t})
