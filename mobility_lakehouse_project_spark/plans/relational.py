@@ -3079,6 +3079,64 @@ ORACLE_SQL["a_percentiles"] = """
 """
 
 
+def mv_incremental_refresh(spark, sf_dir):
+    """Materialized view maintained INCREMENTALLY, oracle-checked end
+    to end against a from-scratch GROUP BY over the final source state.
+    A scratch lakehouse source is seeded with 90% of orders; an MV
+    (count / integer-exact key sum / count-distinct per priority) is
+    created over it; the remaining 10% is appended and the 'F'-status
+    rows MOR-deleted; ONE incremental refresh (affected-group
+    recompute + MERGE, operators/matview.py) must then reproduce
+    exactly what DuckDB computes from scratch over the equivalent final
+    relation. If the changelog misses a row, the semi-join drops a
+    group, or the vanish-delete misfires, the hashes diverge. The
+    reference rebuilds its gold tables per DAG run
+    (/root/reference/dags/Queries_dag.py, src/sql/gold.sql CREATE OR
+    REPLACE); this is the change-proportional form of the same tables."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.delete import delete_where
+    from ..operators.matview import (
+        create_materialized_view, refresh_materialized_view)
+    from ..tableformat import Catalog
+
+    scratch = os.path.join(tempfile.gettempdir(), "mlps-scratch", "matview")
+    shutil.rmtree(scratch, ignore_errors=True)
+    cat = Catalog(scratch)
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    cat.create_table_as(
+        "silver.orders", o.filter("o_orderkey % 10 != 0"), n_files=8)
+    create_materialized_view(
+        spark, cat, "gold.by_priority", "silver.orders",
+        group_by=["o_orderpriority"],
+        aggs={"n": "count(*)",
+              "sum_key": "sum(o_orderkey)",
+              "nd_cust": "count(distinct o_custkey)"})
+    src = cat.load_table("silver.orders")
+    src.append(o.filter("o_orderkey % 10 = 0"))
+    delete_where(src, spark, "o_orderstatus = 'F'", mode="mor")
+    res = refresh_materialized_view(spark, cat, "gold.by_priority",
+                                    mode="incremental")
+    assert res["mode"] == "incremental-merge", res
+    return (cat.load_table("gold.by_priority").scan(spark)
+            .orderBy("o_orderpriority"))
+
+
+ORACLE_SQL["mv_incremental_refresh"] = """
+        SELECT o_orderpriority,
+               COUNT(*) AS n,
+               CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+               COUNT(DISTINCT o_custkey) AS nd_cust
+        FROM orders
+        WHERE NOT (o_orderstatus = 'F')
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+"""
+
+
 QUERIES = {
     "a_rollup_cube": a_rollup_cube,
     "a_pivot_status": a_pivot_status,
@@ -3138,6 +3196,7 @@ QUERIES = {
     "ann_batch_clustered": ann_batch_clustered,
     "emb_label_profile": emb_label_profile,
     "mor_delete_scan": mor_delete_scan,
+    "mv_incremental_refresh": mv_incremental_refresh,
     "dv_delete_scan": dv_delete_scan,
     "addfiles_scan": addfiles_scan,
     "cdc_changelog_scan": cdc_changelog_scan,
