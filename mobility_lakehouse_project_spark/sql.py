@@ -1125,7 +1125,109 @@ def _stmt_merge(spark, sql, masked, catalog, tables):
     return out
 
 
+def _parse_mv_body(sql: str, masked: str, lo: int):
+    """Parse the CREATE MATERIALIZED VIEW body — exactly one
+    ``SELECT <items> FROM <table> [WHERE <pred>] GROUP BY <keys>``
+    block, the shape incremental refresh is defined for
+    (operators/matview.py). Returns (source, where, group_by, aggs)."""
+    hi = len(sql)
+    sm = _kw(masked, r"\bSELECT\b", lo, hi)
+    fm = _kw(masked, r"\bFROM\b", lo, hi)
+    gm = _kw(masked, r"\bGROUP\s+BY\b", lo, hi)
+    if not (sm and fm and gm) or sql[lo:sm.start()].strip():
+        raise LakehouseSqlError(
+            "CREATE MATERIALIZED VIEW body must be a single "
+            "SELECT ... FROM <table> [WHERE ...] GROUP BY ... block")
+    for pat, label in ((r"\bHAVING\b", "HAVING"),
+                       (r"\bORDER\s+BY\b", "ORDER BY"),
+                       (r"\bLIMIT\b", "LIMIT"),
+                       (r"\bJOIN\b", "JOIN"),
+                       (r"\bUNION\b", "UNION"),
+                       (r"\bDISTINCT\b", "DISTINCT")):
+        if _kw(masked, pat, lo, hi):
+            raise LakehouseSqlError(
+                f"{label} is not supported in a materialized view "
+                "definition — define a plain VIEW over the MV for "
+                "presentation logic")
+    wm = _kw(masked, r"\bWHERE\b", fm.end(), gm.start())
+    source = sql[fm.end():(wm.start() if wm else gm.start())].strip()
+    if not re.fullmatch(_IDENT, source):
+        raise LakehouseSqlError(
+            f"materialized view source must be ONE catalog table, got "
+            f"{source!r}")
+    where = sql[wm.end():gm.start()].strip() if wm else None
+
+    def norm(s: str) -> str:
+        return re.sub(r"\s+", " ", s.strip()).lower()
+
+    keys = [sql[a:b].strip()
+            for a, b in _split_top(masked, sql, ",", gm.end(), hi)]
+    if any(not k or k.isdigit() for k in keys):
+        raise LakehouseSqlError(
+            "GROUP BY needs column/expression keys (positional "
+            "references are not supported)")
+    key_norms = {norm(k) for k in keys}
+    group_by: dict[str, str] = {}
+    aggs: dict[str, str] = {}
+    for a, b in _split_top(masked, sql, ",", sm.end(), fm.start()):
+        item = sql[a:b].strip()
+        am = re.fullmatch(r"(?is)(.*\S)\s+AS\s+([A-Za-z_]\w*)\s*",
+                          masked[a:b])
+        if am:
+            expr = sql[a + am.start(1):a + am.end(1)].strip()
+            alias = am.group(2)
+        else:
+            if not re.fullmatch(r"[A-Za-z_]\w*", item):
+                raise LakehouseSqlError(
+                    f"materialized view select item {item!r} needs an "
+                    "AS alias (only plain columns may omit it)")
+            expr = alias = item
+        if norm(expr) in key_norms or norm(alias) in key_norms:
+            group_by[alias] = expr
+        else:
+            aggs[alias] = expr
+    covered = {norm(e) for e in group_by.values()} | {
+        norm(a) for a in group_by}
+    missing = [k for k in keys if norm(k) not in covered]
+    if missing:
+        raise LakehouseSqlError(
+            f"every GROUP BY key must appear in the select list "
+            f"(missing: {missing})")
+    return source, where, group_by, aggs
+
+
+def _stmt_refresh(spark, sql, masked, catalog, tables):
+    m = re.fullmatch(
+        rf"(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+({_IDENT})"
+        r"(?:\s+(FULL|INCREMENTAL))?\s*", masked)
+    if not m:
+        raise LakehouseSqlError(
+            "expected REFRESH MATERIALIZED VIEW <name> "
+            "[FULL|INCREMENTAL]")
+    if catalog is None:
+        raise LakehouseSqlError("REFRESH MATERIALIZED VIEW needs a catalog")
+    from .operators.matview import refresh_materialized_view
+
+    return refresh_materialized_view(
+        spark, catalog, m.group(1),
+        mode=(m.group(2) or "auto").lower())
+
+
 def _stmt_create(spark, sql, masked, catalog, tables):
+    mv = re.match(
+        rf"(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?MATERIALIZED\s+VIEW\s+"
+        rf"({_IDENT})\s+AS\b", masked)
+    if mv:
+        if catalog is None:
+            raise LakehouseSqlError(
+                "CREATE MATERIALIZED VIEW needs a catalog")
+        from .operators.matview import create_materialized_view
+
+        source, where, group_by, aggs = _parse_mv_body(
+            sql, masked, mv.end())
+        return create_materialized_view(
+            spark, catalog, mv.group(2), source, group_by=group_by,
+            aggs=aggs, where=where, replace=bool(mv.group(1)))
     vm = re.match(
         rf"(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+({_IDENT})\s+AS\b",
         masked)
@@ -1230,6 +1332,26 @@ def _stmt_create(spark, sql, masked, catalog, tables):
 
 
 def _stmt_drop(spark, sql, masked, catalog, tables):
+    mv = re.fullmatch(
+        rf"(?is)\s*DROP\s+MATERIALIZED\s+VIEW\s+(IF\s+EXISTS\s+)?"
+        rf"({_IDENT})\s*", masked)
+    if mv:
+        if catalog is None:
+            raise LakehouseSqlError("DROP MATERIALIZED VIEW needs a catalog")
+        from .operators.matview import PROP_SOURCE
+
+        name = mv.group(2)
+        if not catalog.table_exists(name):
+            if mv.group(1):
+                return {"operation": "drop_materialized_view",
+                        "view": name, "skipped": True}
+            raise LakehouseSqlError(f"no materialized view {name!r}")
+        if PROP_SOURCE not in catalog.load_table(name).properties():
+            raise LakehouseSqlError(
+                f"{name!r} is a plain table, not a materialized view — "
+                "use DROP TABLE")
+        catalog.drop_table(name, purge=True)
+        return {"operation": "drop_materialized_view", "view": name}
     vm = re.fullmatch(
         rf"(?is)\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?({_IDENT})\s*", masked)
     if vm:
@@ -1611,6 +1733,7 @@ _DISPATCH = {
     "VACUUM": _stmt_vacuum,
     "ALTER": _stmt_alter,
     "CALL": _stmt_call,
+    "REFRESH": _stmt_refresh,
     "SHOW": _stmt_show,
     "DESCRIBE": _stmt_describe,
     "DESC": _stmt_describe,

@@ -758,3 +758,107 @@ def test_sql_txn_guards(spark, cat):
             spark,
             "BEGIN; INSERT INTO img VALUES (1, 1, 'x'); COMMIT;",
             catalog=cat, tables={"img": t})
+
+
+def test_create_materialized_view_sql_lifecycle(spark, cat):
+    _seed(spark, cat)
+    out = execute_sql(
+        spark,
+        "CREATE MATERIALIZED VIEW gold.by_bucket AS "
+        "SELECT phash % 10 AS bucket, count(*) AS n, "
+        "       sum(image_id) AS sum_id, count(DISTINCT caption) AS nd "
+        "FROM silver.images WHERE image_id < 40 GROUP BY phash % 10",
+        catalog=cat)
+    assert out["operation"] == "create_materialized_view"
+    df = execute_sql(spark, "SELECT * FROM gold_by_bucket ORDER BY bucket",
+                     catalog=cat)
+    exp = execute_sql(
+        spark,
+        "SELECT phash % 10 AS bucket, count(*) AS n, sum(image_id) AS "
+        "sum_id, count(DISTINCT caption) AS nd FROM silver_images "
+        "WHERE image_id < 40 GROUP BY bucket ORDER BY bucket",
+        catalog=cat)
+    assert df.collect() == exp.collect()
+
+    # source change + incremental refresh through SQL
+    execute_sql(spark, "INSERT INTO silver.images VALUES (1000, 3, 'z')",
+                catalog=cat)
+    res = execute_sql(
+        spark, "REFRESH MATERIALIZED VIEW gold.by_bucket INCREMENTAL",
+        catalog=cat)
+    assert res["mode"] == "incremental-merge"
+    assert res["affected_groups"] == 1
+    # 1000 is filtered by the WHERE — the group recomputes unchanged
+    assert execute_sql(
+        spark, "SELECT sum(n) AS tot FROM gold_by_bucket",
+        catalog=cat).collect()[0]["tot"] == 40
+
+    res = execute_sql(spark, "REFRESH MATERIALIZED VIEW gold.by_bucket",
+                      catalog=cat)
+    assert res["mode"] == "noop"
+
+    # OR REPLACE swaps the definition
+    execute_sql(
+        spark,
+        "CREATE OR REPLACE MATERIALIZED VIEW gold.by_bucket AS "
+        "SELECT caption, count(*) AS n FROM silver.images GROUP BY caption",
+        catalog=cat)
+    assert "caption" in execute_sql(
+        spark, "SELECT * FROM gold_by_bucket", catalog=cat).columns
+
+    out = execute_sql(spark, "DROP MATERIALIZED VIEW gold.by_bucket",
+                      catalog=cat)
+    assert out["operation"] == "drop_materialized_view"
+    assert not cat.table_exists("gold.by_bucket")
+    out = execute_sql(
+        spark, "DROP MATERIALIZED VIEW IF EXISTS gold.by_bucket",
+        catalog=cat)
+    assert out["skipped"] is True
+
+
+def test_materialized_view_sql_guards(spark, cat):
+    _seed(spark, cat)
+    with pytest.raises(LakehouseSqlError, match="ONE catalog table"):
+        execute_sql(
+            spark,
+            "CREATE MATERIALIZED VIEW g.x AS SELECT caption, count(*) AS n "
+            "FROM (SELECT * FROM silver.images) GROUP BY caption",
+            catalog=cat)
+    with pytest.raises(LakehouseSqlError, match="JOIN is not supported"):
+        execute_sql(
+            spark,
+            "CREATE MATERIALIZED VIEW g.x AS SELECT a.caption, count(*) AS n"
+            " FROM silver.images a JOIN silver.images b GROUP BY a.caption",
+            catalog=cat)
+    with pytest.raises(LakehouseSqlError, match="needs an\n?.*AS alias"):
+        execute_sql(
+            spark,
+            "CREATE MATERIALIZED VIEW g.x AS SELECT caption, count(*) "
+            "FROM silver.images GROUP BY caption",
+            catalog=cat)
+    with pytest.raises(LakehouseSqlError, match="GROUP BY key"):
+        execute_sql(
+            spark,
+            "CREATE MATERIALIZED VIEW g.x AS SELECT count(*) AS n "
+            "FROM silver.images GROUP BY caption",
+            catalog=cat)
+    with pytest.raises(LakehouseSqlError, match="GROUP BY .* block"):
+        execute_sql(
+            spark,
+            "CREATE MATERIALIZED VIEW g.x AS SELECT caption, count(*) AS n "
+            "FROM silver.images",
+            catalog=cat)
+    # string literal containing keywords must stay inert in the parse
+    execute_sql(
+        spark,
+        "CREATE MATERIALIZED VIEW g.ok AS SELECT caption, "
+        "count_if(caption != 'JOIN GROUP BY') AS n "
+        "FROM silver.images GROUP BY caption",
+        catalog=cat)
+    assert cat.table_exists("g.ok")
+    # DROP MATERIALIZED VIEW refuses plain tables; DROP VIEW refuses MVs
+    with pytest.raises(LakehouseSqlError, match="plain table"):
+        execute_sql(spark, "DROP MATERIALIZED VIEW silver.images",
+                    catalog=cat)
+    with pytest.raises(LakehouseSqlError, match="no materialized view"):
+        execute_sql(spark, "DROP MATERIALIZED VIEW g.ghost", catalog=cat)
