@@ -229,3 +229,35 @@ def run_file_stream_into_table(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_mv_maintenance_sink(catalog, source: str, views: list[str],
+                               n_files: int = 4,
+                               stream_id: str = "default"):
+    """foreachBatch function: exactly-once append into ``source``, then
+    change-proportional refresh of every materialized view in
+    ``views`` (operators/matview.py) — the continuous form of the
+    reference's ingest-then-rebuild-gold DAG chain
+    (dags/Bronze_Ingest_Dag.py -> dags/Queries_dag.py), with the gold
+    rebuild cost proportional to the BATCH, not the table.
+
+    Exactly-once composition: the append sink dedups replayed batch
+    ids; the refresh needs no batch-id bookkeeping of its own because
+    it is idempotent BY CONSTRUCTION — it covers the source changelog
+    from the MV's recorded snapshot to current, so a crash between the
+    append commit and the refresh (or a refresh racing a concurrent
+    batch) is simply caught up by the next batch's refresh. The gold
+    layer trails the stream by at most one in-flight batch and never
+    diverges or double-counts."""
+
+    table = catalog.load_table(source)
+    base = stream_append_sink(table, n_files=n_files, stream_id=stream_id)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.matview import refresh_materialized_view
+
+        base(batch_df, batch_id)
+        for v in views:
+            refresh_materialized_view(batch_df.sparkSession, catalog, v)
+
+    return sink

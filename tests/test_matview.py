@@ -218,3 +218,63 @@ def test_definition_validation(spark, cat):
         spark, cat, "gold.ok", "silver.images",
         group_by=["fmt"], aggs={"n2": "count(*)"}, replace=True)
     assert cat.load_table("gold.ok").scan(spark).columns == ["fmt", "n2"]
+
+
+def test_streaming_mv_maintenance(spark, cat, tmp_path):
+    """File stream -> exactly-once append + per-batch incremental MV
+    refresh (streaming/incremental.py::stream_mv_maintenance_sink).
+    After the stream drains, the MV equals a from-scratch recompute;
+    a checkpoint-replayed restart changes nothing; and a refresh
+    skipped by a crash is self-healed by the next batch because the
+    refresh covers the full changelog since the MV's recorded
+    snapshot."""
+    import hashlib
+
+    from mobility_lakehouse_project_spark.streaming import incremental
+
+    seed = _src_df(spark, 0, 40)
+    cat.create_table_as("silver.images", seed, n_files=2)
+    create_materialized_view(
+        spark, cat, "gold.by_fmt", "silver.images",
+        group_by=["fmt"], aggs=AGGS)
+
+    src_dir = str(tmp_path / "stream-src")
+    _src_df(spark, 40, 120).repartition(4).write.parquet(src_dir)
+    ckpt = str(tmp_path / "ckpt")
+    sid = hashlib.sha256(ckpt.encode()).hexdigest()[:12]
+    sink = incremental.stream_mv_maintenance_sink(
+        cat, "silver.images", ["gold.by_fmt"], stream_id=sid)
+
+    def drain():
+        q = (spark.readStream.schema(seed.schema)
+             .option("maxFilesPerTrigger", 2).parquet(src_dir)
+             .writeStream.foreachBatch(sink)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    drain()
+    src = cat.load_table("silver.images")
+    assert src.scan(spark).count() == 120
+    _assert_matches(spark, cat)
+    # every refresh in the drain was change-proportional, never full
+    mv_ops = [s.summary.get("op2") or s.summary.get("op")
+              for s in cat.load_table("gold.by_fmt").snapshots_list()]
+    assert "mv-refresh" in mv_ops
+    assert "mv-refresh-full" not in mv_ops
+
+    # restart over the same checkpoint: replayed ids are dropped by the
+    # append sink, the refresh is a noop — nothing moves
+    n_src_snaps = len(src.snapshots_list())
+    n_mv_snaps = len(cat.load_table("gold.by_fmt").snapshots_list())
+    drain()
+    assert len(cat.load_table("silver.images").snapshots_list()) == n_src_snaps
+    assert len(cat.load_table("gold.by_fmt").snapshots_list()) == n_mv_snaps
+
+    # crash between append and refresh: simulate by appending straight
+    # to the source (no refresh ran) — the NEXT sink invocation heals
+    # the gap because refresh covers the whole changelog range
+    cat.load_table("silver.images").append(_src_df(spark, 200, 220))
+    sink(_src_df(spark, 300, 310), 10_000)
+    assert cat.load_table("silver.images").scan(spark).count() == 150
+    _assert_matches(spark, cat)
