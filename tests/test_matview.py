@@ -278,3 +278,22 @@ def test_streaming_mv_maintenance(spark, cat, tmp_path):
     sink(_src_df(spark, 300, 310), 10_000)
     assert cat.load_table("silver.images").scan(spark).count() == 150
     _assert_matches(spark, cat)
+
+
+def test_incremental_survives_source_compaction_and_clustering(spark, cat):
+    """Compaction and clustering between refreshes only CARRY rows
+    (changelog classifies them as skip), so the refresh after them must
+    still be incremental and attribute exactly the appended rows."""
+    from mobility_lakehouse_project_spark.operators import clustering, compaction
+
+    _mk(spark, cat)
+    src = cat.load_table("silver.images")
+    src.append(_src_df(spark, 200, 210))
+    compaction.compact(src, spark, target_file_size=64 * 1024 * 1024)
+    clustering.cluster(src, spark, curve="zorder",
+                       cols=("image_id", "phash"))
+    src.append(_src_df(spark, 210, 214))
+    res = refresh_materialized_view(spark, cat, "gold.by_fmt",
+                                    mode="incremental")
+    assert res["mode"] == "incremental-merge"
+    _assert_matches(spark, cat)

@@ -116,6 +116,53 @@ def main() -> int:
             failures.append((name, missing))
         out.append(f"\n## {name} — {status}\n\n```\n{plan[:4000]}\n```\n")
         print(f"{name}: {status}")
+    # MV incremental recompute (operators/matview.py::_compute with an
+    # affected-key set): the plan MERGE consumes. Must broadcast the
+    # affected keys into a LeftSemi against the source scan, push the
+    # view WHERE to parquet, and contain no Python.
+    import shutil
+    import tempfile
+    import os as _os
+
+    from mobility_lakehouse_project_spark.operators.matview import (
+        _compute, _definition, create_materialized_view)
+    from mobility_lakehouse_project_spark.tableformat import Catalog
+
+    scratch = _os.path.join(tempfile.gettempdir(), "mlps-scratch", "audit-mv")
+    shutil.rmtree(scratch, ignore_errors=True)
+    cat = Catalog(scratch)
+    orders = spark.read.parquet(f"{sf}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_orderstatus")
+    cat.create_table_as("silver.orders", orders, n_files=8)
+    create_materialized_view(
+        spark, cat, "gold.by_priority", "silver.orders",
+        group_by=["o_orderpriority"],
+        aggs={"n": "count(*)", "sum_key": "sum(o_orderkey)"},
+        where="o_orderstatus = 'O'")
+    mv = cat.load_table("gold.by_priority")
+    src = cat.load_table("silver.orders")
+    affected = spark.createDataFrame(
+        [("1-URGENT",), ("3-MEDIUM",)], "o_orderpriority string")
+    df = _compute(spark, src, _definition(mv),
+                  snapshot_id=src.current_snapshot().snapshot_id,
+                  affected=affected, n_affected=2)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    missing = [m for m in
+               ("BroadcastHashJoin", "LeftSemi", "HashAggregate",
+                "PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,O)")
+               if m not in plan]
+    if "Python" in plan or "ArrowEval" in plan:
+        missing.append("NO-PYTHON violated")
+    status = "OK" if not missing else f"MISSING {missing}"
+    if missing:
+        failures.append(("mv_recompute_affected", missing))
+    out.append(f"\n## mv_recompute_affected — {status}\n\n```\n{plan[:4000]}\n```\n")
+    print(f"mv_recompute_affected: {status}")
+    shutil.rmtree(scratch, ignore_errors=True)
+
     with open("BENCH/EXPLAIN.md", "w") as f:
         f.write("".join(out))
     spark.stop()
