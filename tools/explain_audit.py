@@ -141,8 +141,13 @@ def main() -> int:
         where="o_orderstatus = 'O'")
     mv = cat.load_table("gold.by_priority")
     src = cat.load_table("silver.orders")
-    affected = spark.createDataFrame(
-        [("1-URGENT",), ("3-MEDIUM",)], "o_orderpriority string")
+    # JVM-side VALUES relation: production derives `affected` from the
+    # changelog parquet scan, so the audit input must not inject a
+    # Python-RDD scan (spark.createDataFrame would) into the plan the
+    # NO-PYTHON gate reads.
+    affected = spark.sql(
+        "SELECT * FROM VALUES ('1-URGENT'), ('3-MEDIUM') "
+        "AS t(o_orderpriority)")
     df = _compute(spark, src, _definition(mv),
                   snapshot_id=src.current_snapshot().snapshot_id,
                   affected=affected, n_affected=2)
