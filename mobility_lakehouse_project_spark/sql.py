@@ -1126,10 +1126,11 @@ def _stmt_merge(spark, sql, masked, catalog, tables):
 
 
 def _parse_mv_body(sql: str, masked: str, lo: int):
-    """Parse the CREATE MATERIALIZED VIEW body — exactly one
-    ``SELECT <items> FROM <table> [WHERE <pred>] GROUP BY <keys>``
-    block, the shape incremental refresh is defined for
-    (operators/matview.py). Returns (source, where, group_by, aggs)."""
+    """Parse the CREATE MATERIALIZED VIEW body — one
+    ``SELECT <items> FROM <fact> [[LEFT] JOIN <dim> ON <a> = <b>]...
+    [WHERE <pred>] GROUP BY <keys>`` block, the shapes incremental
+    refresh is defined for (operators/matview.py: single-source and
+    star-join). Returns (source, where, group_by, aggs, joins)."""
     hi = len(sql)
     sm = _kw(masked, r"\bSELECT\b", lo, hi)
     fm = _kw(masked, r"\bFROM\b", lo, hi)
@@ -1141,7 +1142,8 @@ def _parse_mv_body(sql: str, masked: str, lo: int):
     for pat, label in ((r"\bHAVING\b", "HAVING"),
                        (r"\bORDER\s+BY\b", "ORDER BY"),
                        (r"\bLIMIT\b", "LIMIT"),
-                       (r"\bJOIN\b", "JOIN"),
+                       (r"\b(?:RIGHT|FULL|CROSS)\s+(?:OUTER\s+)?JOIN\b",
+                        "RIGHT/FULL/CROSS JOIN"),
                        (r"\bUNION\b", "UNION"),
                        (r"\bDISTINCT\b", "DISTINCT")):
         if _kw(masked, pat, lo, hi):
@@ -1150,11 +1152,33 @@ def _parse_mv_body(sql: str, masked: str, lo: int):
                 "definition — define a plain VIEW over the MV for "
                 "presentation logic")
     wm = _kw(masked, r"\bWHERE\b", fm.end(), gm.start())
-    source = sql[fm.end():(wm.start() if wm else gm.start())].strip()
-    if not re.fullmatch(_IDENT, source):
+    from_end = wm.start() if wm else gm.start()
+    fseg = sql[fm.end():from_end]
+    srcm = re.match(rf"(?is)\s*({_IDENT})\s*", fseg)
+    if not srcm:
         raise LakehouseSqlError(
-            f"materialized view source must be ONE catalog table, got "
-            f"{source!r}")
+            f"materialized view FROM must start with ONE catalog "
+            f"table, got {fseg.strip()!r}")
+    source = srcm.group(1)
+    joins = []
+    jpat = re.compile(
+        rf"(?is)(LEFT(?:\s+OUTER)?\s+|INNER\s+)?JOIN\s+({_IDENT})\s+"
+        rf"ON\s+([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*)\s*")
+    pos = srcm.end()
+    while pos < len(fseg):
+        jm = jpat.match(fseg, pos)
+        if not jm:
+            raise LakehouseSqlError(
+                "materialized view FROM clause must be <fact> "
+                "([INNER|LEFT] JOIN <dim> ON <col> = <col>)* — "
+                f"cannot parse at {fseg[pos:].strip()!r} (ON sides "
+                "are bare column names; the engine resolves which "
+                "side is the fact's)")
+        how = "left" if (jm.group(1) or "").strip().lower().startswith(
+            "left") else "inner"
+        joins.append({"table": jm.group(2),
+                      "on": [jm.group(3), jm.group(4)], "how": how})
+        pos = jm.end()
     where = sql[wm.end():gm.start()].strip() if wm else None
 
     def norm(s: str) -> str:
@@ -1193,7 +1217,7 @@ def _parse_mv_body(sql: str, masked: str, lo: int):
         raise LakehouseSqlError(
             f"every GROUP BY key must appear in the select list "
             f"(missing: {missing})")
-    return source, where, group_by, aggs
+    return source, where, group_by, aggs, joins
 
 
 def _stmt_refresh(spark, sql, masked, catalog, tables):
@@ -1223,11 +1247,12 @@ def _stmt_create(spark, sql, masked, catalog, tables):
                 "CREATE MATERIALIZED VIEW needs a catalog")
         from .operators.matview import create_materialized_view
 
-        source, where, group_by, aggs = _parse_mv_body(
+        source, where, group_by, aggs, joins = _parse_mv_body(
             sql, masked, mv.end())
         return create_materialized_view(
             spark, catalog, mv.group(2), source, group_by=group_by,
-            aggs=aggs, where=where, replace=bool(mv.group(1)))
+            aggs=aggs, where=where, joins=joins,
+            replace=bool(mv.group(1)))
     vm = re.match(
         rf"(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+({_IDENT})\s+AS\b",
         masked)

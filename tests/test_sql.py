@@ -824,7 +824,7 @@ def test_materialized_view_sql_guards(spark, cat):
             "CREATE MATERIALIZED VIEW g.x AS SELECT caption, count(*) AS n "
             "FROM (SELECT * FROM silver.images) GROUP BY caption",
             catalog=cat)
-    with pytest.raises(LakehouseSqlError, match="JOIN is not supported"):
+    with pytest.raises(LakehouseSqlError, match="cannot parse at"):
         execute_sql(
             spark,
             "CREATE MATERIALIZED VIEW g.x AS SELECT a.caption, count(*) AS n"
