@@ -97,10 +97,12 @@ without the injection surface.
 """
 from __future__ import annotations
 
+import datetime
 import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F  # noqa: F401  (re-export convenience)
+from pyspark.sql import types as T
 from pyspark.sql.types import StructType
 
 from .operators.clustering import cluster
@@ -362,6 +364,70 @@ def _resolve(name: str, catalog: Catalog | None,
         return catalog.load_table(name)
     raise LakehouseSqlError(
         f"cannot resolve table {name!r}: pass catalog= or tables=")
+
+
+_STATS_ITEM = re.compile(
+    r"(?is)\s*(?:(count)\s*\(\s*\*\s*\)|(min|max)\s*\(\s*([A-Za-z_]\w*)\s*\))"
+    r"(?:\s+AS\s+([A-Za-z_]\w*))?\s*")
+
+
+def _try_stats_read(spark: SparkSession, sql: str, masked: str,
+                    catalog: Catalog | None,
+                    tables: "dict[str, LakehouseTable] | None"):
+    """Metadata-only aggregate fast path — Iceberg's aggregate
+    pushdown: a bare ``SELECT count(*) / min(c) / max(c) FROM <one
+    lakehouse table>`` (no WHERE/GROUP BY/JOIN) is answered from
+    manifest stats via ``LakehouseTable.stats_aggregate`` — an
+    O(files) metadata aggregation instead of a 100 TB data scan.
+    Returns None (fall through to the spark.sql read path) whenever
+    the statement has any other shape, the name is not a catalog
+    table, or metadata cannot answer exactly (delete files, missing
+    stats, unsupported column type) — so this is never a semantics
+    change, only a plan change."""
+    m = re.fullmatch(
+        r"(?is)\s*SELECT\s+(.*\S)\s+FROM\s+([A-Za-z_][\w.]*)\s*;?\s*",
+        masked)
+    if not m:
+        return None
+    name = m.group(2)
+    table = None
+    if tables and name in tables:
+        table = tables[name]
+    elif catalog is not None:
+        for full in catalog.list_tables():
+            ns, _, tbl = full.rpartition(".")
+            view = f"{ns}_{tbl}" if ns else f"default_{tbl}"
+            if view.lower() == name.lower() or full.lower() == name.lower():
+                table = catalog.load_table(full)
+                break
+    if table is None:
+        return None
+    items = []
+    for a, b in _split_top(masked, sql, ",", m.start(1), m.end(1)):
+        im = _STATS_ITEM.fullmatch(masked, a, b)
+        if not im:
+            return None
+        func = (im.group(1) or im.group(2)).lower()
+        col = im.group(3)
+        alias = im.group(4) or ("count(1)" if func == "count"
+                                else f"{func}({col})")
+        items.append((func, col, alias))
+    cols = sorted({c for _, c, _ in items if c})
+    stats = table.stats_aggregate(spark, cols)
+    if stats is None:
+        return None
+    schema = table.schema()
+    exprs = []
+    for func, col, alias in items:
+        if func == "count":
+            exprs.append(F.lit(stats["row_count"]).cast("long").alias(alias))
+            continue
+        v = stats["mins"][col] if func == "min" else stats["maxs"][col]
+        dt = next(f.dataType for f in schema.fields if f.name == col)
+        if isinstance(dt, T.DateType) and v is not None:
+            v = datetime.date(1970, 1, 1) + datetime.timedelta(days=int(v))
+        exprs.append(F.lit(v).cast(dt).alias(alias))
+    return spark.range(1).select(*exprs)
 
 
 def _register_reads(spark: SparkSession, catalog: Catalog | None,
@@ -1798,6 +1864,9 @@ def execute_sql(
         sql = _rewrite_updated_since(spark, sql, catalog, tables)
         masked = _mask(sql)
     if head in ("SELECT", "WITH", "VALUES", "TABLE"):
+        fast = _try_stats_read(spark, sql, masked, catalog, tables)
+        if fast is not None:
+            return fast
         _register_reads(spark, catalog, tables, masked)
         return spark.sql(sql)
     if head in ("BEGIN", "START", "COMMIT", "ROLLBACK", "ABORT"):

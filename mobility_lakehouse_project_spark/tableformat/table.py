@@ -2206,6 +2206,74 @@ class LakehouseTable:
         return {"files": int(row["files"] or 0), "bytes": int(row["bytes"] or 0),
                 "rows": int(row["rows"] or 0)}
 
+    def stats_aggregate(
+        self, spark: SparkSession, cols: "list[str] | tuple[str, ...]" = (),
+        snapshot_id: int | None = None,
+    ) -> dict | None:
+        """COUNT(*)/MIN/MAX answered from manifest stats alone — the
+        Iceberg aggregate-pushdown analog (reference dashboards run
+        these as full-table DuckDB scans,
+        /root/reference/src/sql/gold.sql): at 10^12-image scale this
+        turns a 100 TB data scan into ONE O(files) aggregation of the
+        manifest DataFrame, never touching a data file.
+
+        Returns ``{"row_count": n, "mins": {col: v}, "maxs": {col: v}}``
+        or **None when metadata cannot answer exactly**, and the caller
+        must fall back to a data scan:
+
+        - the snapshot carries delete files (position/DV/equality
+          deletes make ``record_count`` and file bounds overstatements);
+        - a requested column is not an int-stat or string type;
+        - a live file lacks min/max stats for a requested column — an
+          absent entry is either all-NULL rows (skippable: SQL MIN/MAX
+          ignore NULLs) or poisoned oversized stats (NOT skippable),
+          and the manifest cannot distinguish them, so the same
+          every-entry-must-have-stats rule as manifest-list bounds
+          applies (`_manifest_column_bounds`).
+
+        MIN/MAX over an EMPTY table is NULL (``mins[col] is None``).
+        Date columns come back as days-since-epoch ints (the manifest
+        encoding); callers convert.
+        """
+        snap = (self.snapshot_by_id(snapshot_id) if snapshot_id is not None
+                else self.current_snapshot())
+        if snap is not None and snap.delete_manifests:
+            return None
+        schema = self.schema()
+        kinds: dict[str, str] = {}
+        for c in cols:
+            field = next((f for f in schema.fields if f.name == c), None)
+            if field is None:
+                raise ValueError(f"no column {c!r} in table schema")
+            if isinstance(field.dataType, _STAT_TYPES):
+                kinds[c] = "int"
+            elif isinstance(field.dataType, T.StringType):
+                kinds[c] = "str"
+            else:
+                return None
+        files = self.files(spark, snapshot_id)
+        nonempty = F.col("record_count") > 0  # zero-row files: exact skips
+        aggs = [F.sum("record_count").alias("__rows"),
+                F.count(F.when(nonempty, F.lit(1))).alias("__files")]
+        for i, c in enumerate(cols):
+            mins_c, maxs_c = ((f"{kinds[c]}_mins", f"{kinds[c]}_maxs"))
+            lo = F.when(nonempty, F.element_at(F.col(mins_c), F.lit(c)))
+            hi = F.when(nonempty, F.element_at(F.col(maxs_c), F.lit(c)))
+            aggs += [F.min(lo).alias(f"__lo{i}"), F.max(hi).alias(f"__hi{i}"),
+                     F.count(lo).alias(f"__nlo{i}"),
+                     F.count(hi).alias(f"__nhi{i}")]
+        row = files.agg(*aggs).collect()[0]
+        n_files = int(row["__files"] or 0)
+        mins: dict = {}
+        maxs: dict = {}
+        for i, c in enumerate(cols):
+            if int(row[f"__nlo{i}"]) != n_files or \
+                    int(row[f"__nhi{i}"]) != n_files:
+                return None
+            mins[c], maxs[c] = row[f"__lo{i}"], row[f"__hi{i}"]
+        return {"row_count": int(row["__rows"] or 0),
+                "mins": mins, "maxs": maxs}
+
     @staticmethod
     def _files_spark_schema() -> T.StructType:
         return T.StructType(
