@@ -3137,6 +3137,138 @@ ORACLE_SQL["mv_incremental_refresh"] = """
 """
 
 
+def stats_agg_pushdown(spark, sf_dir):
+    """Metadata-only aggregate pushdown, oracle-checked end to end: the
+    orders keys land in a scratch lakehouse table and ``SELECT
+    count(*)/min/max`` over it is answered from manifest stats alone
+    (``LakehouseTable.stats_aggregate`` via the SQL layer's fast path
+    — tests/test_stats_agg.py proves the plan never opens a data
+    file). At 10^12 rows this is a metadata read instead of a 100 TB
+    scan; the reference's dashboard rollups run the same aggregates as
+    full-table DuckDB scans (/root/reference/src/sql/gold.sql). The
+    oracle is the identical aggregate over the raw parquet."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..sql import execute_sql
+    from ..tableformat import LakehouseTable
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    scratch = os.path.join(tempfile.gettempdir(), "mlps-scratch", "stats-agg")
+    shutil.rmtree(scratch, ignore_errors=True)
+    t = LakehouseTable.create(scratch + "/orders", o.schema)
+    t.append(o, n_files=8)
+    if t.stats_aggregate(spark, ["o_orderkey", "o_orderstatus"]) is None:
+        raise RuntimeError(
+            "metadata aggregate must answer on a freshly-written table")
+    return execute_sql(
+        spark,
+        "SELECT count(*) AS n, min(o_orderkey) AS k_lo, "
+        "max(o_orderkey) AS k_hi, min(o_orderstatus) AS s_lo, "
+        "max(o_orderstatus) AS s_hi FROM o",
+        tables={"o": t})
+
+
+ORACLE_SQL["stats_agg_pushdown"] = """
+        SELECT count(*) AS n, min(o_orderkey) AS k_lo,
+               max(o_orderkey) AS k_hi, min(o_orderstatus) AS s_lo,
+               max(o_orderstatus) AS s_hi
+        FROM orders
+"""
+
+
+def txt_pii_scrub(spark, sf_dir):
+    """PII detection + redaction over the documents corpus — the
+    scrubbing pass every training-data pipeline runs before tokenizing.
+    The corpus itself is synthetic and PII-free, so deterministic
+    contact strings are appended per doc (a second email on every
+    third doc makes the counts non-constant); emails and phone numbers
+    are then counted and redacted with pure-Catalyst regexp kernels
+    (regexp_count / regexp_replace — JVM-side, zero Python in the hot
+    path) and profiled per language."""
+    d = _t(spark, sf_dir, "documents")
+    email, phone = r"[a-z0-9]+@[a-z]+\.com", r"555-[0-9]{4}"
+    t = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.lit(" cc admin@example.com")).otherwise(F.lit("")),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(t, email, "<EMAIL>"), phone, "<PHONE>")
+    return (
+        d.select(
+            "lang",
+            F.regexp_count(t, F.lit(email)).alias("ne"),
+            F.regexp_count(t, F.lit(phone)).alias("np"),
+            F.length(red).alias("lr"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("docs"),
+             F.sum("ne").alias("emails"),
+             F.sum("np").alias("phones"),
+             F.sum("lr").alias("redacted_chars"))
+        .orderBy("lang"))
+
+
+ORACLE_SQL["txt_pii_scrub"] = r"""
+        WITH e AS (
+            SELECT lang,
+                   text || ' contact user' || doc_id
+                        || '@example.com or 555-'
+                        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                        || CASE WHEN doc_id % 3 = 0
+                                THEN ' cc admin@example.com' ELSE '' END
+                       AS t
+            FROM documents)
+        SELECT lang, count(*) AS docs,
+               CAST(SUM(len(regexp_extract_all(
+                   t, '[a-z0-9]+@[a-z]+\.com'))) AS BIGINT) AS emails,
+               CAST(SUM(len(regexp_extract_all(
+                   t, '555-[0-9]{4}'))) AS BIGINT) AS phones,
+               CAST(SUM(length(regexp_replace(regexp_replace(
+                   t, '[a-z0-9]+@[a-z]+\.com', '<EMAIL>', 'g'),
+                   '555-[0-9]{4}', '<PHONE>', 'g'))) AS BIGINT)
+                   AS redacted_chars
+        FROM e GROUP BY lang ORDER BY lang
+"""
+
+
+def txt_vocab_bigrams(spark, sf_dir):
+    """Global vocabulary statistics: top-25 bigrams by corpus frequency
+    — the vocabulary-building pass of tokenizer training. Per-doc
+    bigram lists come from ONE pure-Catalyst array kernel
+    (slice + zip_with over the split words: no explode-self-join, no
+    Python), then a single explode + groupBy count; frequency ties
+    break lexically so top-k is deterministic. At 100 TB the per-doc
+    kernel is map-side and the only shuffle is the final
+    count-by-bigram with map-side partial aggregation."""
+    d = _t(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    bg = F.zip_with(
+        F.slice(w, 1, F.size(w) - 1),
+        F.slice(w, 2, F.size(w) - 1),
+        lambda x, y: F.concat_ws(" ", x, y))
+    return (
+        d.select(F.explode(bg).alias("bigram"))
+        .groupBy("bigram").agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(25))
+
+
+ORACLE_SQL["txt_vocab_bigrams"] = """
+        WITH w AS (SELECT string_split(text, ' ') AS l FROM documents),
+        b AS (SELECT unnest(list_transform(
+                  range(1, len(l)),
+                  i -> l[i] || ' ' || l[i + 1])) AS bigram
+              FROM w)
+        SELECT bigram, count(*) AS n
+        FROM b GROUP BY bigram ORDER BY n DESC, bigram LIMIT 25
+"""
+
+
 QUERIES = {
     "a_rollup_cube": a_rollup_cube,
     "a_pivot_status": a_pivot_status,
@@ -3216,4 +3348,7 @@ QUERIES = {
     "wap_cherrypick_scan": wap_cherrypick_scan,
     "inc_scan_updated_since": inc_scan_updated_since,
     "sql_view_scan": sql_view_scan,
+    "stats_agg_pushdown": stats_agg_pushdown,
+    "txt_pii_scrub": txt_pii_scrub,
+    "txt_vocab_bigrams": txt_vocab_bigrams,
 }
