@@ -19,6 +19,7 @@ Commands:
     verify   --table DIR --pre-snapshot ID [--sample 1.0]
     scan     --table DIR [--limit 5] [--partition P] [--snapshot ID]
     add-files --table DIR --source GLOB
+    copy-into --table DIR --source GLOB [--format parquet] [--max-files N]
     lineage  --table DIR
     snapshots --table DIR
     sql      --warehouse DIR --query 'DELETE FROM ns.t WHERE ...' |
@@ -270,6 +271,16 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--source", required=True,
                     help="glob of parquet files to import")
 
+    sp = sub.add_parser("copy-into",
+                        help="idempotent exactly-once landing-zone ingest "
+                             "(per-file copy ledger; Delta COPY INTO)")
+    t(sp)
+    sp.add_argument("--source", required=True,
+                    help="glob of landing files to ingest")
+    sp.add_argument("--format", default="parquet")
+    sp.add_argument("--max-files", type=int, default=None,
+                    help="cap files per call (trickle ingest)")
+
     sp = sub.add_parser("branch", help="create/drop/list branch refs")
     t(sp)
     g = sp.add_mutually_exclusive_group(required=True)
@@ -503,6 +514,12 @@ def main(argv: list[str] | None = None) -> int:
         out = {"cmd": "add-files", "snapshot": snap.snapshot_id,
                "files": snap.summary["added-files"],
                "rows": snap.summary["added-records"]}
+    elif a.cmd == "copy-into":
+        from .operators.copy_into import copy_into
+
+        out = {"cmd": "copy-into", **copy_into(
+            LakehouseTable(a.table), spark, a.source, format=a.format,
+            max_files_per_batch=a.max_files)}
     elif a.cmd == "branch":
         tbl = LakehouseTable(a.table)
         if a.create:

@@ -1812,8 +1812,54 @@ def _stmt_call(spark, sql, masked, catalog, tables):
     return out
 
 
+def _stmt_copy(spark, sql, masked, catalog, tables):
+    """``COPY INTO <table> FROM '<glob>' [FORMAT <fmt>]
+    [OPTIONS(...)]`` — idempotent exactly-once file ingest from a
+    landing zone (operators/copy_into.py; Delta's COPY INTO).
+    ``n_files`` / ``max_files_per_batch`` OPTIONS are engine knobs;
+    every other option passes to the Spark reader (e.g. header for
+    csv)."""
+    m = re.match(rf"(?is)\s*COPY\s+INTO\s+({_IDENT})\s+FROM\b", masked)
+    if not m:
+        raise LakehouseSqlError(
+            "expected COPY INTO <table> FROM '<glob>' [FORMAT <fmt>] "
+            "[OPTIONS(...)]")
+    table = _resolve(m.group(1), catalog, tables)
+    sm = re.match(r"\s*'([^']+)'", sql[m.end():])
+    if not sm:
+        raise LakehouseSqlError(
+            "COPY INTO FROM takes one quoted landing glob")
+    source = sm.group(1)
+    pos = m.end() + sm.end()
+    fmt = "parquet"
+    fm = re.match(r"(?is)\s*FORMAT\s+(\w+)", masked[pos:])
+    if fm:
+        fmt = fm.group(1).lower()
+        pos += fm.end()
+    opts: dict = {}
+    om = re.match(r"(?is)\s*OPTIONS\s*\(", masked[pos:])
+    if om:
+        close = _match_paren(masked, pos + om.end() - 1)
+        opts = _parse_kv_pairs(masked, sql, pos + om.end(), close - 1,
+                               "OPTIONS")
+        pos = close
+    if masked[pos:].strip():
+        raise LakehouseSqlError(
+            f"trailing text after COPY INTO: {sql[pos:].strip()!r}")
+    from .operators.copy_into import copy_into
+
+    knobs = {}
+    for k in ("n_files", "max_files_per_batch"):
+        if k in opts:
+            knobs[k] = int(opts.pop(k))
+    return copy_into(
+        table, spark, source, format=fmt,
+        options={k: str(v) for k, v in opts.items()}, **knobs)
+
+
 _DISPATCH = {
     "INSERT": _stmt_insert,
+    "COPY": _stmt_copy,
     "DELETE": _stmt_delete,
     "UPDATE": _stmt_update,
     "MERGE": _stmt_merge,
