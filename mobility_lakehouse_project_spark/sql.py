@@ -384,10 +384,32 @@ def _try_stats_read(spark: SparkSession, sql: str, masked: str,
     table, or metadata cannot answer exactly (delete files, missing
     stats, unsupported column type) — so this is never a semantics
     change, only a plan change."""
+    partition_eq = None
     m = re.fullmatch(
         r"(?is)\s*SELECT\s+(.*\S)\s+FROM\s+([A-Za-z_][\w.]*)\s*;?\s*",
         masked)
     if not m:
+        # one more metadata-answerable shape: a single equality on the
+        # table's identity partition column (partition-pruned count —
+        # the per-partition dashboard query)
+        wm = re.match(
+            r"(?is)\s*SELECT\s+(.*\S)\s+FROM\s+([A-Za-z_][\w.]*)\s+"
+            r"WHERE\s+([A-Za-z_]\w*)\s*=", masked)
+        if not wm:
+            return None
+        # the literal must come from SQL, not MASKED (string literals
+        # are blanked there) — skip the real whitespace by hand
+        pos = wm.end()
+        while pos < len(sql) and sql[pos] in " \t\n":
+            pos += 1
+        lm = re.match(r"(-?\d+)|'([^']*)'", sql[pos:])
+        if not lm or sql[pos + lm.end():].strip(" ;\t\n"):
+            return None
+        value = (int(lm.group(1)) if lm.group(1) is not None
+                 else lm.group(2))
+        partition_eq = (wm.group(3), value)
+        m = wm
+    if partition_eq is not None and tables is None and catalog is None:
         return None
     name = m.group(2)
     table = None
@@ -402,6 +424,21 @@ def _try_stats_read(spark: SparkSession, sql: str, masked: str,
                 break
     if table is None:
         return None
+    if partition_eq is not None:
+        # the literal's TYPE must match the partition column's family:
+        # ANSI coercion of a mismatched pair (`s = 5` casting a string
+        # column to bigint — '05' matches 5) has no partition-value
+        # analog, so anything else takes the generic scan path
+        pf = next((f for f in table.schema().fields
+                   if f.name == partition_eq[0]), None)
+        if pf is None or not (
+                (isinstance(pf.dataType, T.StringType)
+                 and isinstance(partition_eq[1], str))
+                or (isinstance(pf.dataType,
+                               (T.ByteType, T.ShortType, T.IntegerType,
+                                T.LongType))
+                    and isinstance(partition_eq[1], int))):
+            return None
     items = []
     for a, b in _split_top(masked, sql, ",", m.start(1), m.end(1)):
         im = _STATS_ITEM.fullmatch(masked, a, b)
@@ -413,7 +450,7 @@ def _try_stats_read(spark: SparkSession, sql: str, masked: str,
                                 else f"{func}({col})")
         items.append((func, col, alias))
     cols = sorted({c for _, c, _ in items if c})
-    stats = table.stats_aggregate(spark, cols)
+    stats = table.stats_aggregate(spark, cols, partition_eq=partition_eq)
     if stats is None:
         return None
     schema = table.schema()

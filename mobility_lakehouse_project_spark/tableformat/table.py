@@ -2209,6 +2209,7 @@ class LakehouseTable:
     def stats_aggregate(
         self, spark: SparkSession, cols: "list[str] | tuple[str, ...]" = (),
         snapshot_id: int | None = None,
+        partition_eq: "tuple[str, object] | None" = None,
     ) -> dict | None:
         """COUNT(*)/MIN/MAX answered from manifest stats alone — the
         Iceberg aggregate-pushdown analog (reference dashboards run
@@ -2234,11 +2235,27 @@ class LakehouseTable:
         MIN/MAX over an EMPTY table is NULL (``mins[col] is None``).
         Date columns come back as days-since-epoch ints (the manifest
         encoding); callers convert.
+
+        ``partition_eq=(col, value)`` scopes the aggregate to one
+        partition — exact ONLY when the partition transform is
+        identity on that column and the spec never evolved (an
+        identity partition's files contain exactly the rows with that
+        value; a bucket/truncate partition or an old-spec file does
+        not), else None.
         """
         snap = (self.snapshot_by_id(snapshot_id) if snapshot_id is not None
                 else self.current_snapshot())
         if snap is not None and snap.delete_manifests:
             return None
+        part_pv = None
+        if partition_eq is not None:
+            meta = self.load_metadata()
+            pcol, pval = partition_eq
+            if (pval is None or pcol != meta.get("partition_col")
+                    or self.partition_transform(meta) != "identity"
+                    or len(self.partition_specs(meta)) != 1):
+                return None
+            part_pv = self.partition_values_of(spark, [pval], meta)[0]
         schema = self.schema()
         kinds: dict[str, str] = {}
         for c in cols:
@@ -2252,6 +2269,8 @@ class LakehouseTable:
             else:
                 return None
         files = self.files(spark, snapshot_id)
+        if part_pv is not None:
+            files = files.filter(F.col("partition_id") == part_pv)
         nonempty = F.col("record_count") > 0  # zero-row files: exact skips
         aggs = [F.sum("record_count").alias("__rows"),
                 F.count(F.when(nonempty, F.lit(1))).alias("__files")]

@@ -148,6 +148,50 @@ def test_sql_fast_path_tables_dict_and_date(spark, tmp_table_dir):
     assert got["d0"].__class__ is datetime.date
 
 
+def test_partition_scoped_fast_path(spark, cat, monkeypatch):
+    df = synth.images_df(spark, 400)
+    cat.create_table_as("silver.images", df, n_files=4,
+                        partition_col="fmt")
+    t = cat.load_table("silver.images")
+    expect = (df.filter(F.col("fmt") == "png")
+              .agg(F.count("*").alias("n"), F.min("phash").alias("lo"))
+              .collect()[0])
+    direct = t.stats_aggregate(spark, ["phash"],
+                               partition_eq=("fmt", "png"))
+    assert direct["row_count"] == expect["n"]
+    assert direct["mins"]["phash"] == expect["lo"]
+    monkeypatch.setattr(
+        LakehouseTable, "scan",
+        lambda *a, **k: (_ for _ in ()).throw(AssertionError("data scan")))
+    got = execute_sql(
+        spark, "SELECT count(*) AS n, min(phash) AS lo FROM silver_images "
+        "WHERE fmt = 'png'", catalog=cat).collect()[0]
+    assert tuple(got) == tuple(expect)
+
+
+def test_partition_scoped_guards(spark, cat):
+    df = synth.images_df(spark, 200)
+    cat.create_table_as("silver.images", df, n_files=2,
+                        partition_col="fmt")
+    t = cat.load_table("silver.images")
+    # non-partition column / NULL / unpartitioned -> None, and the SQL
+    # layer answers through the generic scan instead
+    assert t.stats_aggregate(spark, [], partition_eq=("w", 16)) is None
+    assert t.stats_aggregate(spark, [], partition_eq=("fmt", None)) is None
+    got = execute_sql(spark, "SELECT count(*) AS n FROM silver_images "
+                      "WHERE w = 16", catalog=cat).collect()[0]
+    want = df.filter("w = 16").count()
+    assert got["n"] == want
+    # hidden-partitioning transform: value-domain mismatch -> fallback
+    cat.create_table_as("silver.byw", df, n_files=2, partition_col="w",
+                        partition_transform="bucket[4]")
+    tb = cat.load_table("silver.byw")
+    assert tb.stats_aggregate(spark, [], partition_eq=("w", 16)) is None
+    got = execute_sql(spark, "SELECT count(*) AS n FROM silver_byw "
+                      "WHERE w = 16", catalog=cat).collect()[0]
+    assert got["n"] == want
+
+
 def test_sql_fast_path_shape_guards(spark, cat):
     cat.create_table_as("silver.images", synth.images_df(spark, 100),
                         n_files=1)
