@@ -43,6 +43,9 @@ AUDIT = [
     "txt_decontaminate",     # gram semi-join: expect BROADCAST left-semi (bench side small), NO Python
     "txt_dedup_keep_best",   # expect ONE Window over the fingerprint shuffle, no self-join
     "ds_source_roundtrip",   # python data source scan: BatchScan of pruned file splits
+    "stats_agg_pushdown",    # expect NO FileScan at all — answered from manifest stats
+    "txt_pii_scrub",         # expect NO Python UDF (Catalyst regexp kernels), one agg pair
+    "txt_vocab_bigrams",     # expect NO Python (slice+zip_with bigrams), top-k via TakeOrdered
 ]
 
 CHECKS = {
@@ -80,7 +83,14 @@ CHECKS = {
     # a zero-copy-imported table must scan exactly like a native one:
     # pruned to the 3 referenced columns, partial+final aggregation
     "addfiles_scan": ["HashAggregate", "ReadSchema: struct<doc_id:bigint,lang:string,n_chars:bigint>"],
+    "stats_agg_pushdown": ["Range"],  # a 1-row Range, nothing else
+    "txt_pii_scrub": ["HashAggregate",
+                      "ReadSchema: struct<doc_id:bigint,text:string,lang:string>"],
+    "txt_vocab_bigrams": ["TakeOrderedAndProject", "HashAggregate"],
 }
+
+# plans that must read NO data file at all (metadata-only answers)
+NO_FILESCAN = {"stats_agg_pushdown"}
 
 # plans that must contain NO row-at-a-time or Arrow Python evaluation
 NO_PYTHON = {"dedup_simhash", "ann_lsh_bucketed", "dedup_embed_cosine",
@@ -88,7 +98,8 @@ NO_PYTHON = {"dedup_simhash", "ann_lsh_bucketed", "dedup_embed_cosine",
              "ann_lsh_clustered", "emb_label_profile", "ann_batch_join",
              "ann_batch_clustered", "mor_delete_scan", "cdc_changelog_scan",
              "bloom_point_lookup", "txt_token_bpe", "dedup_cc_canonical",
-             "sample_hash_mod", "addfiles_scan"}
+             "sample_hash_mod", "addfiles_scan", "stats_agg_pushdown",
+             "txt_pii_scrub", "txt_vocab_bigrams"}
 
 # plans that must NOT explode arrays into the shuffle (per-row pre-sum)
 NO_GENERATE = {"emb_label_profile"}
@@ -111,6 +122,8 @@ def main() -> int:
             missing.append("NO-PYTHON violated")
         if name in NO_GENERATE and "Generate" in plan:
             missing.append("NO-GENERATE violated (array exploded into shuffle)")
+        if name in NO_FILESCAN and ("Scan parquet" in plan or "FileScan" in plan):
+            missing.append("NO-FILESCAN violated (metadata-only answer read data)")
         status = "OK" if not missing else f"MISSING {missing}"
         if missing:
             failures.append((name, missing))
