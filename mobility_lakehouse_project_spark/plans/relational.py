@@ -3269,6 +3269,128 @@ ORACLE_SQL["txt_vocab_bigrams"] = """
 """
 
 
+def txt_gopher_repetition(spark, sf_dir):
+    """Repetition quality signals (the Gopher/MassiveText filter family
+    — Rae et al. 2021 §A1.1, public paper): per-doc duplicate-word
+    fraction (1 - distinct/total) and top-word fraction (most frequent
+    word's share), aggregated per language with a flagged-doc count at
+    the published-style thresholds. Complements txt_quality_score's
+    length/punct/stopword signals with the repetition axis. The word
+    histogram shuffles (doc_id, word) with map-side partial counts —
+    the flag itself is computed per row BEFORE aggregation, so the
+    final rollup is one small per-lang aggregate."""
+    d = _t(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    base = d.select(
+        "doc_id", "lang",
+        F.size(w).alias("n_words"),
+        (F.lit(1.0) - F.size(F.array_distinct(w)) / F.size(w)).alias("rep"),
+        F.explode(w).alias("word"))
+    per_doc = (
+        base.groupBy("doc_id", "lang", "n_words", "rep", "word")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id", "lang", "n_words", "rep")
+        .agg(F.max("c").alias("top_c"))
+        .withColumn("top_frac", F.col("top_c") / F.col("n_words")))
+    return (
+        per_doc.groupBy("lang")
+        .agg(F.count("*").alias("docs"),
+             F.round(F.avg("rep"), 4).alias("avg_rep"),
+             F.round(F.avg("top_frac"), 4).alias("avg_top_frac"),
+             F.sum(F.when((F.col("rep") > 0.2) | (F.col("top_frac") > 0.1),
+                          1).otherwise(0)).alias("flagged"))
+        .orderBy("lang"))
+
+
+ORACLE_SQL["txt_gopher_repetition"] = """
+        WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS l
+                   FROM documents),
+        per AS (SELECT doc_id, lang, len(l) AS n_words,
+                       1.0 - len(list_distinct(l)) / len(l) AS rep
+                FROM w),
+        words AS (SELECT doc_id, unnest(l) AS word FROM w),
+        wc AS (SELECT doc_id, word, count(*) AS c
+               FROM words GROUP BY doc_id, word),
+        tc AS (SELECT doc_id, max(c) AS top_c FROM wc GROUP BY doc_id),
+        pd AS (SELECT per.lang, per.rep,
+                      tc.top_c * 1.0 / per.n_words AS top_frac
+               FROM per JOIN tc USING (doc_id))
+        SELECT lang, count(*) AS docs,
+               ROUND(avg(rep), 4) AS avg_rep,
+               ROUND(avg(top_frac), 4) AS avg_top_frac,
+               CAST(SUM(CASE WHEN rep > 0.2 OR top_frac > 0.1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS flagged
+        FROM pd GROUP BY lang ORDER BY lang
+"""
+
+
+def emb_quantize_recall(spark, sf_dir):
+    """Int8 embedding quantization quality — the check run before
+    shipping a compressed ANN index: top-10 by inner product under
+    symmetric int8 quantization (floor(x*127+0.5), clamped) vs a
+    near-exact 20-bit reference quantization, reporting the overlap
+    (recall@10). Both rankings are INTEGER dot products, so the
+    cross-engine comparison is bit-exact by construction — no
+    float-summation-order hazard at the rank boundary; ties break by
+    vec_id. All kernels are JVM higher-order functions (transform /
+    zip_with / aggregate), zero Python."""
+    e = _t(spark, sf_dir, "embeddings")
+
+    def quant(col, scale):
+        return F.transform(
+            col, lambda x: F.least(
+                F.greatest(F.floor(x.cast("double") * scale + F.lit(0.5)),
+                           F.lit(-scale)), F.lit(scale)).cast("long"))
+
+    def dot(a, b):
+        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                           F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+    q = F.broadcast(
+        e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv")))
+    scored = (
+        e.filter(F.col("vec_id") != 0).crossJoin(q)
+        .select(
+            "vec_id",
+            dot(quant(F.col("embedding"), 1048576),
+                quant(F.col("qv"), 1048576)).alias("fdot"),
+            dot(quant(F.col("embedding"), 127),
+                quant(F.col("qv"), 127)).alias("qdot")))
+    exact10 = (scored.orderBy(F.desc("fdot"), "vec_id").limit(10)
+               .select("vec_id"))
+    quant10 = (scored.orderBy(F.desc("qdot"), "vec_id").limit(10)
+               .select("vec_id"))
+    return exact10.join(quant10, "vec_id").agg(
+        F.lit(10).alias("k"),
+        F.count("*").alias("hits"),
+        F.round(F.count("*") / F.lit(10.0), 4).alias("recall"))
+
+
+ORACLE_SQL["emb_quantize_recall"] = """
+        WITH q AS (SELECT embedding AS qv FROM embeddings
+                   WHERE vec_id = 0),
+        pairs AS (SELECT e.vec_id,
+                         unnest(e.embedding) AS ev,
+                         unnest(q.qv) AS qe
+                  FROM embeddings e, q WHERE e.vec_id <> 0),
+        s AS (SELECT vec_id,
+                     SUM(CAST(floor(ev * 1048576.0 + 0.5) AS BIGINT)
+                         * CAST(floor(qe * 1048576.0 + 0.5) AS BIGINT))
+                         AS fdot,
+                     SUM(GREATEST(LEAST(CAST(floor(ev * 127.0 + 0.5)
+                                             AS BIGINT), 127), -127)
+                         * GREATEST(LEAST(CAST(floor(qe * 127.0 + 0.5)
+                                               AS BIGINT), 127), -127))
+                         AS qdot
+              FROM pairs GROUP BY vec_id),
+        e10 AS (SELECT vec_id FROM s ORDER BY fdot DESC, vec_id LIMIT 10),
+        q10 AS (SELECT vec_id FROM s ORDER BY qdot DESC, vec_id LIMIT 10)
+        SELECT 10 AS k, CAST(count(*) AS BIGINT) AS hits,
+               ROUND(count(*) / 10.0, 4) AS recall
+        FROM e10 JOIN q10 USING (vec_id)
+"""
+
+
 QUERIES = {
     "a_rollup_cube": a_rollup_cube,
     "a_pivot_status": a_pivot_status,
@@ -3351,4 +3473,6 @@ QUERIES = {
     "stats_agg_pushdown": stats_agg_pushdown,
     "txt_pii_scrub": txt_pii_scrub,
     "txt_vocab_bigrams": txt_vocab_bigrams,
+    "txt_gopher_repetition": txt_gopher_repetition,
+    "emb_quantize_recall": emb_quantize_recall,
 }
