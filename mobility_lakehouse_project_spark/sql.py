@@ -1377,15 +1377,20 @@ def _stmt_create(spark, sql, masked, catalog, tables):
         catalog.create_view(name, body, replace=bool(vm.group(1)))
         return {"operation": "create_view", "view": name}
     m = re.match(
-        rf"(?is)\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?({_IDENT})\s*",
+        rf"(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+"
+        rf"(IF\s+NOT\s+EXISTS\s+)?({_IDENT})\s*",
         masked)
     if not m:
-        raise LakehouseSqlError("expected CREATE TABLE [IF NOT EXISTS] "
-                                "<table> ... or CREATE [OR REPLACE] VIEW "
-                                "<view> AS <query>")
+        raise LakehouseSqlError("expected CREATE [OR REPLACE] TABLE "
+                                "[IF NOT EXISTS] <table> ... or CREATE "
+                                "[OR REPLACE] VIEW <view> AS <query>")
     if catalog is None:
         raise LakehouseSqlError("CREATE TABLE needs a catalog")
-    name, pos = m.group(2), m.end()
+    or_replace = bool(m.group(1))
+    if or_replace and m.group(2):
+        raise LakehouseSqlError(
+            "OR REPLACE and IF NOT EXISTS are mutually exclusive")
+    name, pos = m.group(3), m.end()
     schema = None
     if pos < len(masked) and masked[pos] == "(":
         close = _match_paren(masked, pos)
@@ -1437,9 +1442,40 @@ def _stmt_create(spark, sql, masked, catalog, tables):
         raise LakehouseSqlError(
             f"trailing text after CREATE TABLE: "
             f"{sql[pos:].strip()[:60]!r}")
-    if m.group(1) and catalog.table_exists(name):
+    if m.group(2) and catalog.table_exists(name):
         return {"operation": "create_table", "table": name, "skipped": True}
     props = {k: str(v) for k, v in opts.items() if "." in k}
+    if or_replace and catalog.table_exists(name):
+        # replace-in-place (the reference's per-run CREATE OR REPLACE
+        # gold rebuild): ONE metadata-only replace commit, snapshot
+        # history preserved — never drop+create, which would erase
+        # time travel. Schema/layout stay declared: conform casts the
+        # query result, a different shape needs explicit DROP TABLE.
+        if schema is not None:
+            raise LakehouseSqlError(
+                "CREATE OR REPLACE TABLE of an existing table takes "
+                "AS <query> (content replace); to change the column "
+                "list, DROP TABLE first")
+        t = catalog.load_table(name)
+        if partition_col and partition_col != t._partition_col():
+            raise LakehouseSqlError(
+                f"OR REPLACE cannot change PARTITIONED BY (table has "
+                f"{t._partition_col()!r}); DROP TABLE first")
+        query = sql[pos + am.end():].strip()
+        _register_reads(spark, catalog, tables, masked)
+        df = spark.sql(query)
+        try:
+            df = t.conform(df)  # column-set/type check, fails fast
+        except Exception as e:
+            raise LakehouseSqlError(
+                f"OR REPLACE content does not conform to the table "
+                f"schema: {e}") from None
+        snap = t.overwrite(df, n_files=opts.get("n_files"))
+        if props:
+            t.update_properties(props)
+        return {"operation": "replace_table", "table": name,
+                "snapshot_id": snap.snapshot_id, "rows":
+                snap.summary["added-records"]}
     if schema is not None:
         t = catalog.create_table(
             name, schema, partition_col=partition_col,

@@ -1932,6 +1932,53 @@ class LakehouseTable:
             self.write_data_files(self.conform(df), n_files, sort_cols),
             summary=summary, branch=branch)
 
+    def overwrite(self, df: DataFrame, n_files: int | None = None,
+                  summary: dict | None = None, retries: int = 3) -> Snapshot:
+        """Full-content replace in ONE commit — the reference's
+        CREATE OR REPLACE / INSERT-after-truncate gold rebuild
+        (src/sql/gold.sql runs it per DAG pass), with snapshot history
+        preserved: the new snapshot simply carries NO previous
+        manifests (and no delete manifests — replaced rows' pending
+        deletes die with them), so the removal is metadata-only and
+        O(new data) regardless of how many files the table held.
+        Time travel to pre-replace snapshots keeps working; prior
+        files are reclaimed by ``expire_snapshots`` + GC like any
+        rewrite. Schema stays the declared one (``conform`` casts the
+        frame); use drop+create for a schema-changing replace.
+
+        Concurrency: a replace supersedes EVERYTHING, including any
+        commit that lands mid-write, so it composes with concurrent
+        appends by retrying onto the advanced head — last write wins,
+        the Iceberg dynamic-overwrite semantic."""
+        entries = self.write_data_files(self.conform(df), n_files)
+        last: Exception | None = None
+        for _ in range(max(1, retries + 1)):
+            for e in entries:
+                e["added_snapshot_id"] = -1  # fresh per attempt
+            meta = self.load_metadata()
+            next_row_id = self._assign_row_ids(entries, meta)
+            parent = meta["current_snapshot_id"]
+            snap_id, seq = self._next_ids(meta)
+            manifest, parts, mb = self._write_manifest(entries, snap_id)
+            snap = Snapshot(
+                snap_id, parent, seq, int(time.time() * 1000), "replace",
+                [manifest],
+                {"added-files": len(entries),
+                 "added-records": sum(e["record_count"] for e in entries),
+                 "added-bytes": sum(e["file_size_bytes"] for e in entries),
+                 "replaced-all": True, **(summary or {})},
+                {manifest: parts},
+                [], {}, manifest_bounds={manifest: mb},
+            )
+            try:
+                return self._commit(meta, snap, parent,
+                                    next_row_id=next_row_id)
+            except ConcurrentCommitError as e:
+                last = e
+                with contextlib.suppress(OSError):
+                    os.remove(os.path.join(self.meta_dir, manifest))
+        raise last
+
     def cherrypick_snapshot(self, snapshot_id: int, retries: int = 3) -> Snapshot:
         """Publish a staged APPEND snapshot onto current main even when
         main has advanced since the snapshot was cut — Iceberg's
