@@ -48,6 +48,7 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from ..lineage import LineageLog
@@ -127,6 +128,7 @@ def merge_into(
     extra_summary: dict | None = None,
     mode: str = "cow",
     evolve_schema: bool = False,
+    source_delete_condition: str | None = None,
 ) -> dict:
     """MERGE INTO table USING source ON keys.
 
@@ -161,6 +163,18 @@ def merge_into(
       deletion vectors (one merged bitmap per touched file; see
       :mod:`..tableformat.dv`): repeated upserts never stack delete
       files per data file.
+
+    ``source_delete_condition`` is the one-commit CDC apply
+    (Delta's ``WHEN MATCHED AND <cond> THEN DELETE`` with a
+    source-side condition): source rows satisfying the predicate —
+    which may reference columns NOT in the table schema, e.g. the
+    feed's op code — are DELETE commands. Matched commands delete the
+    target row, unmatched commands are no-ops (a tombstone for a
+    never-seen key), and every other source row follows
+    when_matched/when_not_matched as usual, all in ONE atomic commit.
+    Requires ``when_matched="update"``. A key should carry one op per
+    batch (the standard CDC contract); the dedupe tiebreak otherwise
+    picks by data columns, not by op.
 
     ``evolve_schema=True`` reconciles the target schema with the
     source's first (:func:`evolve_schema_for_source`): source-only
@@ -208,8 +222,27 @@ def merge_into(
     if evolved and (evolved["added"] or evolved["widened"]):
         extra_summary = {**(extra_summary or {}), "schema-evolved": evolved}
 
-    src = _dedupe_source(
-        table.conform(source.select(*data_cols), schema), keys, data_cols)
+    src_all = None
+    n_delcmd = 0
+    if source_delete_condition is not None:
+        if when_matched != "update":
+            raise ValueError(
+                "source_delete_condition requires when_matched='update' "
+                "(the CDC apply shape: flagged rows delete, others upsert)")
+        del_flag = F.coalesce(
+            F.expr(source_delete_condition).cast("boolean"), F.lit(False))
+        ext = T.StructType(
+            list(schema.fields) + [T.StructField("_s_del", T.BooleanType())])
+        src_all = _dedupe_source(
+            table.conform(
+                source.withColumn("_s_del", del_flag)
+                .select(*data_cols, "_s_del"), ext),
+            keys, data_cols).persist()
+        n_delcmd = src_all.filter(F.col("_s_del")).count()
+        src = src_all.filter(~F.col("_s_del")).drop("_s_del")
+    else:
+        src = _dedupe_source(
+            table.conform(source.select(*data_cols), schema), keys, data_cols)
     cur = table.current_snapshot(meta)
     if cur is None or not cur.manifests:
         if when_not_matched != "insert":
@@ -221,8 +254,13 @@ def merge_into(
         # replan as a real upsert), not compose via the append retry
         # into duplicate keys. cur may be an empty snapshot (manifests
         # == []) whose id is still the correct pin.
+        boot_entries = table.write_data_files(src)
+        if not boot_entries:  # e.g. a batch of only delete commands
+            return {"files_rewritten": 0, "files_written": 0, "rows_out": 0,
+                    "wall_ms": int((time.time() - t0) * 1000),
+                    "snapshot": cur.snapshot_id if cur is not None else None}
         snap = table.commit_append(
-            table.write_data_files(src),
+            boot_entries,
             summary={"op": "merge-bootstrap", **(extra_summary or {})},
             retries=0,
             expected_parent=cur.snapshot_id if cur is not None else None,
@@ -232,7 +270,8 @@ def merge_into(
                 "wall_ms": int((time.time() - t0) * 1000),
                 "snapshot": snap.snapshot_id}
 
-    src_keys = src.select(*keys).persist()
+    src_keys = (src_all.select(*keys) if src_all is not None
+                else src.select(*keys)).persist()
     n_src = src_keys.count()  # keys-only; also materializes the cache
 
     # ---- fast path: insert-only MERGE = anti-join append, no rewrite --
@@ -277,8 +316,11 @@ def merge_into(
                 "snapshot": snap.snapshot_id}
 
     if mode in ("mor", "dv"):
-        return _merge_mor(table, spark, src, src_keys, n_src, keys,
-                          when_matched, when_not_matched,
+        if n_delcmd:
+            extra_summary = {**(extra_summary or {}),
+                             "rows_delete_commands": n_delcmd}
+        return _merge_mor(table, spark, src, src_keys, n_src - n_delcmd,
+                          keys, when_matched, when_not_matched,
                           when_not_matched_by_source, target_file_size,
                           cur, op_id, extra_summary, t0,
                           dv=(mode == "dv"))
@@ -336,7 +378,8 @@ def merge_into(
                                  with_last_seq=True)
         .withColumn("_t_present", F.lit(True)).alias("t")
     )
-    s = src.withColumn("_s_present", F.lit(True)).alias("s")
+    s = (src_all if src_all is not None else src).withColumn(
+        "_s_present", F.lit(True)).alias("s")
     join_type = "full_outer" if when_not_matched == "insert" else "left_outer"
     cond = None
     for k in keys:
@@ -347,6 +390,9 @@ def merge_into(
     src_only = F.col("t._t_present").isNull()
     if when_matched == "delete":
         joined = joined.filter(~matched)
+    if src_all is not None:
+        sdel = F.coalesce(F.col("s._s_del"), F.lit(False))
+        joined = joined.filter(~(matched & sdel) & ~(src_only & sdel))
     upd = set(update_cols) if update_cols else set(c for c in data_cols if c not in keys)
     take_src_on_match = when_matched == "update"
     out = joined.select(
@@ -378,7 +424,15 @@ def merge_into(
         # actual insert count = source keys minus matched keys — both
         # already materialized; NO second pass over the target
         # (n_src alone would over-fragment match-heavy upserts)
-        n_new = n_src - matched_keys.select(*keys).distinct().count()
+        n_matched_all = matched_keys.select(*keys).distinct().count()
+        if src_all is not None:
+            n_matched_del = (
+                matched_keys.select(*keys).distinct()
+                .join(src_all.filter(F.col("_s_del")).select(*keys),
+                      keys, "left_semi").count())
+            n_new = (n_src - n_delcmd) - (n_matched_all - n_matched_del)
+        else:
+            n_new = n_src - n_matched_all
         stats = table.files(spark).agg(
             F.sum("file_size_bytes").alias("b"), F.sum("record_count").alias("r")
         ).collect()[0]
@@ -391,6 +445,8 @@ def merge_into(
         salt_col=keys[0],
     )
     src_keys.unpersist()
+    if src_all is not None:
+        src_all.unpersist()
     snap = table.commit_replace(
         {e["file_path"] for e in touched_entries},
         new_entries,
@@ -398,6 +454,7 @@ def merge_into(
         summary={"op": "merge", "key": ",".join(keys),
                  "when_matched": str(when_matched),
                  "when_not_matched": str(when_not_matched),
+                 **({"rows_delete_commands": n_delcmd} if n_delcmd else {}),
                  **(extra_summary or {})},
         # touched partitions + insert-target partitions bound the commit
         affected_partitions={e["partition_id"] for e in touched_entries}

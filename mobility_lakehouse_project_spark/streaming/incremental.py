@@ -86,7 +86,8 @@ def stream_append_sink(table: LakehouseTable, n_files: int = 4,
 def stream_merge_sink(table: LakehouseTable, key: str | list[str] = "image_id",
                       stream_id: str = "default",
                       target_file_size: int = 64 * 1024 * 1024,
-                      mode: str = "cow"):
+                      mode: str = "cow",
+                      delete_condition: str | None = None):
     """foreachBatch function running each micro-batch as a MERGE INTO
     (CDC-style streaming upsert: late corrections UPDATE, new keys
     INSERT) with the same exactly-once upgrade as stream_append_sink —
@@ -101,7 +102,12 @@ def stream_merge_sink(table: LakehouseTable, key: str | list[str] = "image_id",
     ``"mor"``/``"dv"`` make each micro-batch O(batch + target keys)
     with no blob rewrite — the steady-state streaming-upsert shape on
     a blob table; ``"dv"`` additionally keeps one applied vector per
-    touched file no matter how many batches land between folds."""
+    touched file no matter how many batches land between folds.
+
+    ``delete_condition`` makes the sink a full CDC APPLY: batch rows
+    satisfying the (source-side, e.g. op-code) predicate delete their
+    target rows, the rest upsert — one atomic commit per micro-batch
+    (merge_into's ``source_delete_condition``)."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         from ..operators.merge import merge_into
@@ -115,6 +121,7 @@ def stream_merge_sink(table: LakehouseTable, key: str | list[str] = "image_id",
                 merge_into(
                     table, batch_df.sparkSession, batch_df, key=key,
                     target_file_size=target_file_size, mode=mode,
+                    source_delete_condition=delete_condition,
                     extra_summary={"streaming-batch-id": int(batch_id),
                                    "streaming-id": stream_id},
                 )
