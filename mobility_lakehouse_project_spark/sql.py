@@ -1144,10 +1144,7 @@ def _stmt_merge(spark, sql, masked, catalog, tables):
     update_cols = None
     clause_text = sql[on_hi:opt_start]
     clause_masked = masked[on_hi:opt_start]
-    if _kw(clause_masked, r"\bWHEN\s+(NOT\s+)?MATCHED\s+AND\b") is not None:
-        raise LakehouseSqlError(
-            "conditional WHEN ... AND <cond> clauses are not supported; "
-            "filter the USING query instead")
+    delete_cond = None
     whens = [w.start() for w in re.finditer(r"(?is)\bWHEN\b", clause_masked)
              if (clause_masked.count("(", 0, w.start())
                  - clause_masked.count(")", 0, w.start())) == 0]
@@ -1162,7 +1159,25 @@ def _stmt_merge(spark, sql, masked, catalog, tables):
     for i in range(len(whens) - 1):
         c = clause_text[whens[i]:whens[i + 1]]
         cm = clause_masked[whens[i]:whens[i + 1]]
-        if re.match(r"(?is)\s*WHEN\s+MATCHED\s+THEN\s+DELETE\s*$", cm):
+        dm = re.match(r"(?is)\s*WHEN\s+MATCHED\s+AND\s", cm)
+        dt = re.search(r"(?is)\sTHEN\s+DELETE\s*$", cm) if dm else None
+        if dm and dt and dt.start() > dm.end():
+            # the one supported conditional clause — the CDC apply
+            # (engine: merge_into's source_delete_condition). The
+            # condition is source-side only; spans come from masked
+            # keyword positions, the text from the raw SQL (string
+            # literals are blanked in the masked form).
+            once(delete_cond, "MATCHED AND ... DELETE")
+            cond = c[dm.end():dt.start()].strip()
+            if _t_alias and re.search(
+                    rf"\b{re.escape(_t_alias)}\.", cm[dm.end():dt.start()]):
+                raise LakehouseSqlError(
+                    "WHEN MATCHED AND ... THEN DELETE takes a SOURCE-side "
+                    f"condition; {_t_alias!r} references the target")
+            if _s_alias:
+                cond = re.sub(rf"\b{re.escape(_s_alias)}\.", "", cond)
+            delete_cond = cond
+        elif re.match(r"(?is)\s*WHEN\s+MATCHED\s+THEN\s+DELETE\s*$", cm):
             once(when_matched, "MATCHED")
             when_matched = "delete"
         elif re.match(r"(?is)\s*WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s+THEN"
@@ -1203,10 +1218,16 @@ def _stmt_merge(spark, sql, masked, catalog, tables):
                 continue
             if cm.strip():
                 raise LakehouseSqlError(
-                    f"unsupported MERGE clause: {c.strip()!r}")
+                    f"unsupported MERGE clause: {c.strip()!r} (the only "
+                    "conditional clause is WHEN MATCHED AND <source cond> "
+                    "THEN DELETE; otherwise filter the USING query)")
     if when_matched is None and when_not_matched is None \
-            and by_source is None:
+            and by_source is None and delete_cond is None:
         raise LakehouseSqlError("MERGE needs at least one WHEN clause")
+    if delete_cond is not None and when_matched != "update":
+        raise LakehouseSqlError(
+            "WHEN MATCHED AND ... THEN DELETE needs a WHEN MATCHED THEN "
+            "UPDATE SET * clause alongside (the CDC apply shape)")
     _check_opts(opts, {"mode", "evolve_schema", "target_file_size"},
                 "MERGE")
     if when_matched in (None, "delete") and when_not_matched is None:
@@ -1223,7 +1244,8 @@ def _stmt_merge(spark, sql, masked, catalog, tables):
         table, spark, source, key=keys,
         when_matched=when_matched, update_cols=update_cols,
         when_not_matched=when_not_matched,
-        when_not_matched_by_source=by_source, **opts)
+        when_not_matched_by_source=by_source,
+        source_delete_condition=delete_cond, **opts)
     out["operation"] = "merge"
     return out
 

@@ -91,6 +91,39 @@ def test_cdc_apply_guards_and_bootstrap(spark, tmp_path):
     assert empty.scan(spark).count() == 0
 
 
+def test_cdc_apply_sql_merge(spark, tmp_path):
+    from mobility_lakehouse_project_spark.sql import (
+        LakehouseSqlError, execute_sql)
+
+    t, _ = _base(spark, tmp_path)
+    _cdc_batch(spark).createOrReplaceTempView("cdc_feed")
+    out = execute_sql(
+        spark,
+        "MERGE INTO tbl t USING (SELECT * FROM cdc_feed) s "
+        "ON t.image_id = s.image_id "
+        "WHEN MATCHED AND s.op = 'D' THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT * OPTIONS(mode='mor')",
+        tables={"tbl": t})
+    assert out["operation"] == "merge"
+    _check(spark, t)
+    with pytest.raises(LakehouseSqlError, match="UPDATE SET"):
+        execute_sql(
+            spark,
+            "MERGE INTO tbl t USING (SELECT * FROM cdc_feed) s "
+            "ON t.image_id = s.image_id "
+            "WHEN MATCHED AND s.op = 'D' THEN DELETE",
+            tables={"tbl": t})
+    with pytest.raises(LakehouseSqlError, match="references the target"):
+        execute_sql(
+            spark,
+            "MERGE INTO tbl t USING (SELECT * FROM cdc_feed) s "
+            "ON t.image_id = s.image_id "
+            "WHEN MATCHED AND t.w > 5 THEN DELETE "
+            "WHEN MATCHED THEN UPDATE SET *",
+            tables={"tbl": t})
+
+
 def test_cdc_apply_delete_only_batch(spark, tmp_path):
     t, _ = _base(spark, tmp_path, rows=20)
     src = spark.createDataFrame(

@@ -263,12 +263,19 @@ def test_merge_matched_delete_and_subset_update(spark, cat):
 
 def test_merge_rejects_conditional_when_and_theta_on(spark, cat):
     _seed(spark, cat)
-    with pytest.raises(LakehouseSqlError, match="conditional WHEN"):
+    with pytest.raises(LakehouseSqlError, match="references the target"):
         execute_sql(
             spark,
             "MERGE INTO silver.images t USING (SELECT 1 AS image_id) s "
             "ON t.image_id = s.image_id "
             "WHEN MATCHED AND t.phash > 3 THEN DELETE",
+            catalog=cat)
+    with pytest.raises(LakehouseSqlError, match="conditional clause"):
+        execute_sql(
+            spark,
+            "MERGE INTO silver.images t USING (SELECT 1 AS image_id) s "
+            "ON t.image_id = s.image_id "
+            "WHEN NOT MATCHED AND s.image_id > 3 THEN INSERT *",
             catalog=cat)
     with pytest.raises(LakehouseSqlError, match="equality"):
         execute_sql(
