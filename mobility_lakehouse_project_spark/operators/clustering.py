@@ -112,6 +112,14 @@ def _string_dims(table: LakehouseTable, cols: tuple[str, ...]) -> dict[str, bool
     for c in cols:
         if c not in schema:
             raise ValueError(f"cluster column {c!r} not in table schema")
+        if isinstance(schema[c], (T.DoubleType, T.FloatType)):
+            # double manifest stats live in the order-key encoded
+            # domain (tableformat.table.double_order_key); the Catalyst
+            # curve key would read the RAW value — mismatched scales.
+            raise ValueError(
+                f"cluster column {c!r} is double/float — cluster by an "
+                "integer image (e.g. a scaled/rounded derived column) "
+                "instead")
     return {c: isinstance(schema[c], T.StringType) for c in cols}
 
 

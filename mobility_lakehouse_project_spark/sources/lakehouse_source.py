@@ -146,16 +146,20 @@ def _ranges_from_filters(filters, schema: T.StructType) -> dict:
     return {c: b for c, b in ranges.items() if b != (None, None)}
 
 
-def _entry_overlaps(entry: dict, int_ranges: dict) -> bool:
+def _entry_overlaps(entry: dict, int_ranges: dict,
+                    skip_lower: frozenset = frozenset()) -> bool:
     """Per-file stats test — same semantics as plan_files' row-level
-    filter (files missing the stat are kept)."""
+    filter (files missing the stat are kept). ``int_ranges`` must be
+    NORMALIZED (double bounds in the encoded domain,
+    ``LakehouseTable._normalize_ranges``); ``skip_lower`` names
+    columns whose lower test is NaN-unsafe and disabled."""
     for col, (lo, hi) in int_ranges.items():
         is_str = isinstance(lo, str) or isinstance(hi, str)
         mins = entry.get("str_mins" if is_str else "int_mins") or {}
         maxs = entry.get("str_maxs" if is_str else "int_maxs") or {}
         if col not in mins or col not in maxs:
             continue
-        if lo is not None and maxs[col] < lo:
+        if lo is not None and col not in skip_lower and maxs[col] < lo:
             return False
         if hi is not None and mins[col] > hi:
             return False
@@ -239,10 +243,15 @@ class LakehouseBatchReader(DataSourceReader):
         subset, _ = self._table._prune_manifests(
             self._snap, self._meta,
             int_ranges=self._int_ranges or None)
+        # entry-level test runs in the NORMALIZED domain (doubles are
+        # stored encoded; their lower test is NaN-unsafe and disabled)
+        norm, skip_lower = self._table._normalize_ranges(
+            self._int_ranges or None)
         entries = []
         for m in subset:
             for e in self._table.read_manifest_entries(m):
-                if not self._int_ranges or _entry_overlaps(e, self._int_ranges):
+                if not norm or _entry_overlaps(e, norm,
+                                               frozenset(skip_lower)):
                     entries.append(e)
         split_bytes = int(self._options.get("split_bytes",
                                             _DEFAULT_SPLIT_BYTES))

@@ -697,6 +697,7 @@ def derive_hints(table: LakehouseTable, pred: str) -> tuple[dict, dict]:
     types = {f.name: f.dataType.typeName() for f in table.schema().fields}
     int_cols = {c for c, t in types.items() if t in _INTEGRAL}
     str_cols = {c for c, t in types.items() if t == "string"}
+    dbl_cols = {c for c, t in types.items() if t in ("double", "float")}
     int_ranges: dict[str, tuple] = {}
     point_eq: dict[str, object] = {}
 
@@ -762,6 +763,17 @@ def derive_hints(table: LakehouseTable, pred: str) -> tuple[dict, dict]:
                     narrow(col, None, val)
                 elif op in (">", ">="):
                     narrow(col, val, None)
+            elif (col in dbl_cols and isinstance(val, (int, float))
+                  and not isinstance(val, bool)):
+                # double stats (encoded-domain manifests): inclusive
+                # bounds, strict ops over-approximate like strings;
+                # plan_files applies only the NaN-safe prune side
+                if op == "=":
+                    narrow(col, float(val), float(val))
+                elif op in ("<", "<="):
+                    narrow(col, None, float(val))
+                elif op in (">", ">="):
+                    narrow(col, float(val), None)
             continue
         m = re.fullmatch(
             rf"(?is)\s*({_IDENT})\s+BETWEEN\s+(.+?)\s+AND\s+(.+?)\s*", t)
@@ -777,6 +789,12 @@ def derive_hints(table: LakehouseTable, pred: str) -> tuple[dict, dict]:
             elif col in str_cols and isinstance(lo, str) \
                     and isinstance(hi, str):
                 narrow(col, lo, hi)
+            elif (col in dbl_cols
+                  and isinstance(lo, (int, float))
+                  and isinstance(hi, (int, float))
+                  and not isinstance(lo, bool)
+                  and not isinstance(hi, bool)):
+                narrow(col, float(lo), float(hi))
             continue
         m = re.fullmatch(rf"(?is)\s*({_IDENT})\s+IN\s*\((.*)\)\s*", t)
         if m and "." not in m.group(1):

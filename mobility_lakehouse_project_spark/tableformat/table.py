@@ -44,9 +44,11 @@ import contextlib
 import datetime
 import glob as globmod
 import json
+import math
 import os
 import re
 import shutil
+import struct
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -70,6 +72,20 @@ _LH_ROW_ID = "_lh_row_id"
 # the file's sequence at read time (Iceberg v3 inheritance).
 _LH_LAST_SEQ = "_lh_last_seq"
 _STAT_TYPES = (T.IntegerType, T.LongType, T.ShortType, T.ByteType, T.DateType)
+_DOUBLE_STAT_TYPES = (T.DoubleType, T.FloatType)
+
+
+def double_order_key(x: float) -> int:
+    """Order-preserving int64 image of an IEEE-754 double (the Lucene/
+    ORC sortable-bits idiom, public): non-negative doubles map to their
+    raw bits, negatives to ``2^63 - bits`` — total order over all
+    non-NaN doubles incl. infinities matches ``<`` (monotonicity is
+    property-tested). Double/float column stats live in the manifest
+    int_mins/int_maxs maps in THIS domain; NaN has no image (a file
+    whose footer min/max is NaN is poisoned, and range pruning keeps
+    the NaN-safe test only — see ``_normalize_ranges``)."""
+    u = struct.unpack("<Q", struct.pack("<d", float(x)))[0]
+    return u if u < (1 << 63) else (1 << 63) - u
 
 _INTEGRAL_TYPES = (T.IntegerType, T.LongType, T.ShortType, T.ByteType)
 _TIME_TYPES = (T.DateType, T.TimestampType, T.TimestampNTZType)
@@ -1438,6 +1454,8 @@ class LakehouseTable:
         schema = T.StructType.fromJson(json.loads(meta["schema_json"]))
         int_cols = {f.name for f in schema.fields if isinstance(f.dataType, _STAT_TYPES)}
         str_cols = {f.name for f in schema.fields if isinstance(f.dataType, T.StringType)}
+        dbl_cols = {f.name for f in schema.fields
+                    if isinstance(f.dataType, _DOUBLE_STAT_TYPES)}
 
         def one(fp: str) -> dict:
             rel = os.path.relpath(fp, self._local_root)
@@ -1463,7 +1481,8 @@ class LakehouseTable:
                 for ci in range(g.num_columns):
                     col = g.column(ci)
                     name = col.path_in_schema
-                    if name not in int_cols and name not in str_cols:
+                    if (name not in int_cols and name not in str_cols
+                            and name not in dbl_cols):
                         continue
                     st = col.statistics
                     if st is None or not st.has_min_max:
@@ -1472,7 +1491,19 @@ class LakehouseTable:
                                 and st.null_count == g.num_rows):
                             poisoned.add(name)
                         continue
-                    if name in int_cols:
+                    if name in dbl_cols:
+                        lo, hi = float(st.min), float(st.max)
+                        # a NaN min/max carries no order information
+                        # (and parquet SILENTLY EXCLUDES NaN from
+                        # finite min/max, which _normalize_ranges
+                        # compensates for at prune time)
+                        if math.isnan(lo) or math.isnan(hi):
+                            poisoned.add(name)
+                            continue
+                        k_lo, k_hi = double_order_key(lo), double_order_key(hi)
+                        imins[name] = min(imins.get(name, k_lo), k_lo)
+                        imaxs[name] = max(imaxs.get(name, k_hi), k_hi)
+                    elif name in int_cols:
                         lo, hi = st.min, st.max
                         if isinstance(lo, datetime.date):
                             # dates as days-since-epoch (Iceberg's encoding)
@@ -2180,6 +2211,40 @@ class LakehouseTable:
                 out[kind] = {r["col"]: [r["lo"], r["hi"]] for r in rows}
         return out
 
+    def _normalize_ranges(
+        self, int_ranges: dict | None,
+    ) -> "tuple[dict | None, set[str]]":
+        """Canonicalize stats-prune ranges: double/float columns' bounds
+        map through ``double_order_key`` into the encoded int-stats
+        domain, and their LOWER-bound prune test is disabled unless the
+        range is a point. Why: parquet writes finite min/max even when
+        the file holds NaN rows (NaN silently excluded), and Spark
+        orders NaN ABOVE every value — so skipping a file on
+        ``max < lo`` could drop NaN rows that satisfy ``col > lo``.
+        The ``min > hi`` test stays safe (NaN satisfies no upper
+        bound), and point ranges keep both (NaN equals nothing).
+        Returns (normalized ranges, columns whose lower test is off).
+        A NaN bound disables stats pruning for that column entirely."""
+        if not int_ranges:
+            return int_ranges, set()
+        fields = {f.name: f.dataType for f in self.schema().fields}
+        out: dict = {}
+        skip_lower: set[str] = set()
+        for col, (lo, hi) in int_ranges.items():
+            if not isinstance(fields.get(col), _DOUBLE_STAT_TYPES):
+                out[col] = (lo, hi)
+                continue
+            if ((lo is not None and math.isnan(float(lo)))
+                    or (hi is not None and math.isnan(float(hi)))):
+                continue
+            point = (lo is not None and hi is not None
+                     and float(lo) == float(hi))
+            out[col] = (double_order_key(lo) if lo is not None else None,
+                        double_order_key(hi) if hi is not None else None)
+            if not point:
+                skip_lower.add(col)
+        return out, skip_lower
+
     def _prune_manifests(
         self,
         snap: "Snapshot",
@@ -2198,6 +2263,7 @@ class LakehouseTable:
         same guard as the row-level branch in plan_files)."""
         cands = list(snap.manifests)
         skipped = 0
+        int_ranges, skip_lower = self._normalize_ranges(int_ranges)
         if (partition_values is not None
                 and self._current_spec_snapshot_ids(meta) is None):
             pv = {str(v) for v in partition_values}
@@ -2219,7 +2285,8 @@ class LakehouseTable:
                     keep.append(m)
                     continue
                 bmin, bmax = b
-                ok = ((lo is None or bmax >= (lo if is_str else int(lo)))
+                ok = ((lo is None or col in skip_lower
+                       or bmax >= (lo if is_str else int(lo)))
                       and (hi is None or bmin <= (hi if is_str else int(hi))))
                 if ok:
                     keep.append(m)
@@ -2564,6 +2631,7 @@ class LakehouseTable:
         df = self.files(
             spark, snap.snapshot_id if snap is not None else snapshot_id,
             manifest_subset=subset)
+        int_ranges, _skip_lower = self._normalize_ranges(int_ranges)
         if partition_values is not None:
             pv = [str(v) for v in partition_values]
             cur_ids = self._current_spec_snapshot_ids(meta)
@@ -2593,7 +2661,7 @@ class LakehouseTable:
             mins, maxs = (("str_mins", "str_maxs") if is_str
                           else ("int_mins", "int_maxs"))
             cond = F.lit(True)
-            if lo is not None:
+            if lo is not None and col not in _skip_lower:
                 cond = cond & (
                     F.col(maxs)[col] >= F.lit(lo if is_str else int(lo)))
             if hi is not None:
