@@ -1749,6 +1749,29 @@ def _stmt_alter(spark, sql, masked, catalog, tables):
 
 
 def _stmt_show(spark, sql, masked, catalog, tables):
+    cm = re.fullmatch(rf"(?is)\s*SHOW\s+CREATE\s+TABLE\s+({_IDENT})\s*",
+                      masked)
+    if cm:
+        # reconstructed DDL ROUND-TRIPS: running the emitted statement
+        # against a fresh catalog reproduces schema/partitioning/
+        # properties (pinned by test_sql)
+        name = cm.group(1)
+        t = _resolve(name, catalog, tables)
+        meta = t.load_metadata()
+        cols = ",\n  ".join(f"{f.name} {f.dataType.simpleString()}"
+                            for f in t.schema().fields)
+        stmt = f"CREATE TABLE {name} (\n  {cols}\n)"
+        pcol = meta.get("partition_col")
+        if pcol:
+            stmt += f"\nPARTITIONED BY ({pcol})"
+        opts = {k: v for k, v in sorted(t.properties().items())}
+        tr = t.partition_transform(meta)
+        if tr != "identity":
+            opts = {"partition_transform": tr, **opts}
+        if opts:
+            kv = ", ".join(f"{k}='{v}'" for k, v in opts.items())
+            stmt += f"\nOPTIONS({kv})"
+        return spark.createDataFrame([(stmt,)], "createtab_stmt string")
     tm = re.fullmatch(
         r"(?is)\s*SHOW\s+TABLES(?:\s+(?:IN|FROM)\s+([A-Za-z_]\w*))?\s*",
         masked)
@@ -1779,8 +1802,8 @@ def _stmt_show(spark, sql, masked, catalog, tables):
     if qm:
         return _resolve(qm.group(1), catalog, tables).partitions_df(spark)
     raise LakehouseSqlError(
-        "expected SHOW TABLES [IN ns] | SHOW TBLPROPERTIES t | "
-        "SHOW PARTITIONS t")
+        "expected SHOW TABLES [IN ns] | SHOW VIEWS [IN ns] | "
+        "SHOW TBLPROPERTIES t | SHOW PARTITIONS t | SHOW CREATE TABLE t")
 
 
 def _stmt_describe(spark, sql, masked, catalog, tables):

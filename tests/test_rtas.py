@@ -75,3 +75,28 @@ def test_rtas_guards(spark, cat):
                     "SELECT image_id FROM g_t", catalog=cat)
     # content untouched by the failed replaces
     assert cat.load_table("g.t").scan(spark).count() == 50
+
+
+def test_show_create_table_round_trips(spark, cat, tmp_path):
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("image_id", T.StringType()),
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("phash", T.LongType()),
+    ])
+    cat.create_table("b.img", schema, partition_col="w",
+                     partition_transform="bucket[8]",
+                     properties={"write.metadata.bloom-columns": "image_id"})
+    stmt = execute_sql(spark, "SHOW CREATE TABLE b.img",
+                       catalog=cat).collect()[0]["createtab_stmt"]
+    assert "PARTITIONED BY (w)" in stmt and "bucket[8]" in stmt
+    # the emitted DDL reproduces the table in a fresh catalog
+    cat2 = Catalog(str(tmp_path / "wh2"))
+    execute_sql(spark, stmt, catalog=cat2)
+    t2 = cat2.load_table("b.img")
+    assert t2.schema() == schema
+    assert t2.load_metadata()["partition_col"] == "w"
+    assert t2.partition_transform() == "bucket[8]"
+    assert t2.properties()["write.metadata.bloom-columns"] == "image_id"
