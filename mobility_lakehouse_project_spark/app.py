@@ -20,6 +20,7 @@ Commands:
     scan     --table DIR [--limit 5] [--partition P] [--snapshot ID]
     add-files --table DIR --source GLOB
     copy-into --table DIR --source GLOB [--format parquet] [--max-files N]
+    stats    --table DIR [--cols a,b]   (metadata-only count/min/max)
     lineage  --table DIR
     snapshots --table DIR
     sql      --warehouse DIR --query 'DELETE FROM ns.t WHERE ...' |
@@ -271,6 +272,13 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--source", required=True,
                     help="glob of parquet files to import")
 
+    sp = sub.add_parser("stats",
+                        help="metadata-only count/min/max from manifest "
+                             "stats (no data read); falls back flagged")
+    t(sp)
+    sp.add_argument("--cols", default="",
+                    help="comma-separated columns for min/max")
+
     sp = sub.add_parser("copy-into",
                         help="idempotent exactly-once landing-zone ingest "
                              "(per-file copy ledger; Delta COPY INTO)")
@@ -514,6 +522,22 @@ def main(argv: list[str] | None = None) -> int:
         out = {"cmd": "add-files", "snapshot": snap.snapshot_id,
                "files": snap.summary["added-files"],
                "rows": snap.summary["added-records"]}
+    elif a.cmd == "stats":
+        tbl = LakehouseTable(a.table)
+        cols = [c for c in a.cols.split(",") if c]
+        res = tbl.stats_aggregate(spark, cols)
+        out = {"cmd": "stats", "metadata_only": res is not None}
+        if res is not None:
+            out.update(res)
+        else:
+            agg = tbl.scan(spark).agg(
+                F.count("*").alias("n"),
+                *[f for c in cols for f in
+                  (F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}"))]
+            ).collect()[0]
+            out["row_count"] = agg["n"]
+            out["mins"] = {c: agg[f"min_{c}"] for c in cols}
+            out["maxs"] = {c: agg[f"max_{c}"] for c in cols}
     elif a.cmd == "copy-into":
         from .operators.copy_into import copy_into
 
