@@ -307,7 +307,9 @@ def connected_components(
     Convergence detection is a single scalar aggregate per round:
     labels only ever DECREASE under min-propagation, so
     ``sum(component)`` strictly decreases until the fixpoint — no
-    join-based change diff needed.
+    join-based change diff needed. The sum runs in decimal(38,0):
+    node ids may be full-range 64-bit values (e.g. phash sigs), whose
+    long sum overflows under ANSI mode.
     """
     sym = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).union(
         edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
@@ -318,7 +320,9 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .persist()
     )
-    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+    prev_sum = labels.agg(
+        F.sum(F.col("component").cast("decimal(38,0)"))
+    ).collect()[0][0]
     for _ in range(max_iter):
         # 1-hop propagation: every neighbour offers its current label
         prop = (
@@ -344,7 +348,9 @@ def connected_components(
             )
             .persist()
         )
-        new_sum = jumped.agg(F.sum("component")).collect()[0][0]
+        new_sum = jumped.agg(
+            F.sum(F.col("component").cast("decimal(38,0)"))
+        ).collect()[0][0]
         labels.unpersist()
         labels = jumped
         if new_sum == prev_sum:

@@ -1,0 +1,180 @@
+"""Image-corpus preparation pipeline — the multimodal twin of the
+document chain (plans/datapipe.py) over the input_hint table shape
+(image_id, bytes, w, h, fmt, caption, phash). Reference analog: the
+bronze->silver quality/dedup gates the mobility DAGs run per day
+(/root/reference/dags/Silver_Transform_Dag.py), re-expressed as the
+standard image-training-corpus prep stages:
+
+    imagepipe.bronze   raw image+caption rows (bootstrap CTAS)
+    imagepipe.clean    structural gates (dims/fmt/caption) + decode gate
+    imagepipe.dedup    exact byte dedup + phash-hamming near-dup
+                       components (keep the canonical image)
+    imagepipe.train/valid/test  deterministic hash splits
+
+Stage-level resume is shared with datapipe (``_stage``): each output
+table records its input's ``table@snapshot`` signature and is rebuilt
+only when that signature moves, as one overwrite commit.
+
+Scale notes (100 TB of blobs):
+  * Structural gates are pure Catalyst over metadata columns — the
+    parquet scan never materializes ``bytes`` for a row that fails a
+    cheap gate first (filter order matters; Spark short-circuits
+    conjuncts left to right within a codegen stage).
+  * The decode gate streams blobs through one Arrow-batched
+    mapInPandas pass and emits ONLY failing ids; survivors are kept
+    by a broadcast-able left_anti join, so blobs are read once and
+    never shuffled.
+  * Exact dedup groups by md5(bytes) — computed JVM-side in the scan
+    projection; only (fingerprint, id) pairs shuffle, never payload.
+  * Near-dup blocking is the pigeonhole hamming-band self-join
+    (operators/dedup.hamming_pairs): candidate volume is bounded by
+    band collisions, not O(n^2); component labeling converges in
+    O(log diameter) shuffle rounds (operators/dedup.
+    connected_components).
+  * Splits are hash-deterministic on image_id, so backfills land rows
+    in the same split across runs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions import imagecodec as ic
+from ..operators.dedup import connected_components, hamming_pairs
+from ..tableformat.catalog import Catalog
+from .datapipe import _sig, _stage
+
+SUPPORTED_FMTS = ("jpeg", "png", "raw")
+
+
+def _decode_reject_ids(images: DataFrame) -> DataFrame:
+    """One streaming decode pass over the blobs; emits ONLY the ids
+    whose payload fails to decode (bad magic, truncation, header/dims
+    disagreement). The tiny reject set anti-joins against the full
+    table, so the expensive column is read exactly once."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            bad = []
+            for i in range(len(pdf)):
+                try:
+                    ic.decode(
+                        pdf["bytes"].iloc[i],
+                        int(pdf["w"].iloc[i]),
+                        int(pdf["h"].iloc[i]),
+                        pdf["fmt"].iloc[i],
+                    )
+                except Exception:
+                    bad.append(pdf["image_id"].iloc[i])
+            yield pd.DataFrame({"image_id": pd.Series(bad, dtype="object")})
+
+    cols = ["image_id", "bytes", "w", "h", "fmt"]
+    return images.select(*cols).mapInPandas(run, schema="image_id string")
+
+
+def run_image_pipeline(
+    spark: SparkSession,
+    catalog: Catalog,
+    images: DataFrame | None = None,
+    *,
+    min_dim: int = 8,
+    min_caption_words: int = 2,
+    max_hamming: int = 3,
+    decode_gate: bool = True,
+    splits: tuple[float, float] = (0.9, 0.05),
+) -> dict:
+    """Run (or resume) the image corpus-prep chain. ``images``
+    bootstraps the bronze table on first call; later calls resume from
+    whatever state the stage signatures record. ``splits`` = (train,
+    valid) fractions; test takes the rest. Returns per-stage metrics
+    with ``skipped`` flags."""
+    out: dict = {}
+    if not catalog.table_exists("imagepipe.bronze"):
+        if images is None:
+            raise ValueError("first run needs images= to bootstrap bronze")
+        bronze = catalog.create_table_as("imagepipe.bronze", images, n_files=4)
+    else:
+        bronze = catalog.load_table("imagepipe.bronze")
+    out["bronze"] = {"rows": bronze.size_stats(spark)["rows"]}
+
+    # ---- clean: structural gates, then the decode gate ----------------
+    def build_clean() -> DataFrame:
+        d = bronze.scan(spark)
+        words = F.size(F.filter(F.split("caption", " "), lambda x: x != ""))
+        structural = (
+            F.col("bytes").isNotNull()
+            & (F.length("bytes") > 0)
+            & (F.col("w") >= min_dim)
+            & (F.col("h") >= min_dim)
+            & F.col("fmt").isin(*SUPPORTED_FMTS)
+            & F.col("caption").isNotNull()
+            & (words >= min_caption_words)
+        )
+        d = d.filter(structural)
+        if decode_gate:
+            d = d.join(_decode_reject_ids(d), "image_id", "left_anti")
+        return d
+
+    clean, out["clean"] = _stage(
+        spark, catalog, "imagepipe.clean", _sig(bronze), build_clean
+    )
+
+    # ---- dedup: exact bytes, then phash-hamming components ------------
+    def build_dedup() -> DataFrame:
+        d = clean.scan(spark)
+        keep = (
+            d.groupBy(F.md5("bytes").alias("__fp"))
+            .agg(F.min("image_id").alias("image_id"))
+        )
+        d = d.join(keep.select("image_id"), "image_id", "left_semi")
+        # Hot-key safety (the input's ~5%-hot phash skew,
+        # FIXTURES.md): the component graph's nodes are the DISTINCT
+        # phash values, not the images — an identical-phash group of
+        # size g contributes 1 node, not g^2 band pairs, and the
+        # numeric sig doubles as the component label
+        # (connected_components' monotone-sum convergence check needs
+        # numeric ids). Survivor per near-dup cluster = its global
+        # min image_id.
+        sigs = d.select("phash").distinct()
+        pairs = hamming_pairs(
+            sigs.select(F.col("phash").alias("id"), F.col("phash").alias("sig")),
+            max_hamming=max_hamming,
+        )
+        labels = connected_components(pairs, src="ida", dst="idb")
+        canon = sigs.join(
+            labels, sigs["phash"] == labels["id"], "left"
+        ).select("phash", F.coalesce("component", "phash").alias("__comp"))
+        winners = (
+            d.select("image_id", "phash")  # blob column pruned here
+            .join(canon, "phash")
+            .groupBy("__comp").agg(F.min("image_id").alias("image_id"))
+        )
+        return d.join(winners.select("image_id"), "image_id", "left_semi")
+
+    dedup, out["dedup"] = _stage(
+        spark, catalog, "imagepipe.dedup",
+        _sig(clean) + f"#ham{max_hamming}", build_dedup
+    )
+
+    # ---- splits: deterministic hash buckets ---------------------------
+    t_frac, v_frac = splits
+    bucket = F.pmod(
+        F.xxhash64(F.col("image_id"), F.lit("imagepipe-split")), F.lit(10_000)
+    )
+    cuts = (int(t_frac * 10_000), int((t_frac + v_frac) * 10_000))
+    for name, cond in (
+        ("train", bucket < cuts[0]),
+        ("valid", (bucket >= cuts[0]) & (bucket < cuts[1])),
+        ("test", bucket >= cuts[1]),
+    ):
+        def build_split(cond=cond):
+            return dedup.scan(spark).filter(cond)
+
+        _, out[name] = _stage(
+            spark, catalog, f"imagepipe.{name}",
+            _sig(dedup) + f"#{cuts}", build_split
+        )
+    return out

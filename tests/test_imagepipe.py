@@ -1,0 +1,99 @@
+"""Image corpus-prep pipeline (plans/imagepipe.py): structural+decode
+quality gates -> exact byte dedup -> phash-hamming near-dup components
+-> splits, with stage-level skip/resume. Near-dup ground truth is an
+all-pairs popcount union-find oracle (the tools/golden_phash.py
+idiom), never assumed from the synthesis."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mobility_lakehouse_project_spark.operators.multimodal import resize_images
+from mobility_lakehouse_project_spark.plans.imagepipe import run_image_pipeline
+from mobility_lakehouse_project_spark.synth import images_df, phash_variants_df
+from mobility_lakehouse_project_spark.tableformat import Catalog
+
+
+@pytest.fixture()
+def cat(tmp_path):
+    return Catalog(str(tmp_path / "wh"))
+
+
+def _corpus(spark):
+    base = images_df(spark, 40)
+    # near-dups: base phash with 1-3 bits flipped, re-encoded at 16x16
+    # png so the BYTES differ -- only phash proximity links them
+    var = resize_images(phash_variants_df(spark, 40, step=10), 16, 16, "png")
+    # exact dups: identical bytes under a lexically-later id
+    dup = (base.filter(F.col("image_id").isin(
+               "img000000000001", "img000000000002", "img000000000003"))
+           .withColumn("image_id", F.concat(F.lit("zz"), "image_id")))
+    bad_trunc = (base.filter("image_id = 'img000000000004'")
+                 .withColumn("image_id", F.lit("bad_trunc"))
+                 .withColumn("bytes", F.expr("substring(bytes, 1, 2)")))
+    bad_caption = (base.filter("image_id = 'img000000000005'")
+                   .withColumn("image_id", F.lit("bad_caption"))
+                   .withColumn("caption", F.lit("x")))
+    bad_dim = (base.filter("image_id = 'img000000000006'")
+               .withColumn("image_id", F.lit("bad_dim"))
+               .withColumn("w", F.lit(2)))
+    return (base.unionByName(var).unionByName(dup).unionByName(bad_trunc)
+            .unionByName(bad_caption).unionByName(bad_dim))
+
+
+def _expected_survivors(rows, max_hamming=3):
+    """All-pairs union-find oracle: survivor = min image_id per
+    hamming<=k component over (image_id, phash)."""
+    ids = [r["image_id"] for r in rows]
+    sigs = [r["phash"] & 0xFFFFFFFFFFFFFFFF for r in rows]
+    parent = list(range(len(ids)))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if bin(sigs[i] ^ sigs[j]).count("1") <= max_hamming:
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[rj] = ri
+    comp: dict[int, str] = {}
+    for i in range(len(ids)):
+        r = find(i)
+        comp[r] = min(comp.get(r, ids[i]), ids[i])
+    return {comp[find(i)] for i in range(len(ids))}
+
+
+def test_image_pipeline_end_to_end_and_resume(spark, cat):
+    out = run_image_pipeline(spark, cat, images=_corpus(spark))
+    assert out["bronze"]["rows"] == 50  # 40 base + 4 var + 3 dup + 3 bad
+    # clean: bad_caption (1 word) and bad_dim (w=2) fail structural
+    # gates; bad_trunc decodes as bad magic and fails the decode gate
+    clean = cat.load_table("imagepipe.clean").scan(spark)
+    clean_ids = {r["image_id"] for r in clean.select("image_id").collect()}
+    assert out["clean"]["rows"] == 47
+    assert not {"bad_trunc", "bad_caption", "bad_dim"} & clean_ids
+    # exact dedup: the zz copies lose to their base ids by byte md5
+    dd = cat.load_table("imagepipe.dedup").scan(spark)
+    dd_ids = {r["image_id"] for r in dd.select("image_id").collect()}
+    assert not any(i.startswith("zz") for i in dd_ids)
+    # near-dup: survivors == the all-pairs popcount oracle over the
+    # post-exact-dedup population (var rows have distinct bytes, so
+    # only the hamming stage can remove them)
+    pop = clean.filter(~F.col("image_id").startswith("zz")) \
+        .select("image_id", "phash").collect()
+    assert dd_ids == _expected_survivors(pop)
+    # every var row sits within hamming<=3 of its base -> all removed
+    assert not any(i.startswith("var") for i in dd_ids)
+    # splits partition the dedup set exactly and deterministically
+    n = sum(out[k]["rows"] for k in ("train", "valid", "test"))
+    assert n == out["dedup"]["rows"] == len(dd_ids)
+    # resume: nothing moved -> every stage skipped
+    out2 = run_image_pipeline(spark, cat)
+    for k in ("clean", "dedup", "train", "valid", "test"):
+        assert out2[k]["skipped"] is True, k
+    t1 = {r["image_id"] for r in
+          cat.load_table("imagepipe.train").scan(spark).collect()}
+    assert t1 <= dd_ids
