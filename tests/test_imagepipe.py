@@ -8,7 +8,10 @@ import pytest
 from pyspark.sql import functions as F
 
 from mobility_lakehouse_project_spark.operators.multimodal import resize_images
-from mobility_lakehouse_project_spark.plans.imagepipe import run_image_pipeline
+from mobility_lakehouse_project_spark.plans.imagepipe import (
+    incremental_image_update,
+    run_image_pipeline,
+)
 from mobility_lakehouse_project_spark.synth import images_df, phash_variants_df
 from mobility_lakehouse_project_spark.tableformat import Catalog
 
@@ -97,3 +100,76 @@ def test_image_pipeline_end_to_end_and_resume(spark, cat):
     t1 = {r["image_id"] for r in
           cat.load_table("imagepipe.train").scan(spark).collect()}
     assert t1 <= dd_ids
+
+
+def _ham(a, b):
+    return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+
+def test_image_pipeline_incremental(spark, cat):
+    run_image_pipeline(spark, cat, images=images_df(spark, 40))
+    dedup = cat.load_table("imagepipe.dedup")
+    base_ids = {r["image_id"] for r in
+                dedup.scan(spark).select("image_id").collect()}
+    cursor0 = dedup.properties()["imagepipe.cursor.seq"]
+
+    # batch: 5 fresh rows (id namespace AFTER the base so first-seen ==
+    # global-min), 1 exact byte dup, 1 phash near-dup, 1 bad caption
+    base = images_df(spark, 40)
+    fresh = images_df(spark, 5, id_offset=900_000)
+    dup = (base.filter("image_id = 'img000000000001'")
+           .withColumn("image_id", F.lit("zzdup")))
+    near = resize_images(phash_variants_df(spark, 40, step=40), 16, 16, "png")
+    bad = (base.filter("image_id = 'img000000000002'")
+           .withColumn("image_id", F.lit("bad2"))
+           .withColumn("caption", F.lit("x")))
+    batch = fresh.unionByName(dup).unionByName(near).unionByName(bad)
+    cat.load_table("imagepipe.bronze").append(batch)
+
+    out = incremental_image_update(spark, cat)
+    assert out["new_rows"] == 8
+    assert out["admitted"] == 7  # bad caption rejected at the gate
+
+    # oracle: among admitted batch rows, drop exact-fp dups of the
+    # corpus, then anything within hamming<=3 of an existing survivor
+    # or losing min-id within its batch cluster
+    idx = cat.load_table("imagepipe.dedup_index").scan(spark)
+    cand = sorted(
+        [(r["image_id"], r["phash"]) for r in fresh.select(
+            "image_id", "phash").collect()]
+        + [(r["image_id"], r["phash"]) for r in near.select(
+            "image_id", "phash").collect()]
+    )
+    cand_ids = {cid for cid, _ in cand}
+    # the pre-batch survivor sigs (the index was collected AFTER the
+    # increment, so exclude everything the batch itself added)
+    existing = [r["phash"] for r in idx.select("image_id", "phash").collect()
+                if r["image_id"] not in cand_ids and r["image_id"] != "zzdup"]
+    expect = set()
+    for cid, ph in cand:
+        if any(_ham(ph, e) <= 3 for e in existing):
+            continue
+        if any(_ham(ph, ph2) <= 3 and cid2 < cid for cid2, ph2 in cand):
+            continue
+        expect.add(cid)
+    assert out["appended"] == len(expect)
+    now_ids = {r["image_id"] for r in
+               dedup.scan(spark).select("image_id").collect()}
+    assert now_ids == base_ids | expect
+    assert sum(out["splits"].values()) == out["appended"]
+    # index stays in lockstep with the dedup table
+    idx_ids = {r["image_id"] for r in idx.select("image_id").collect()}
+    assert idx_ids == now_ids
+    # cursor advanced; a second increment is a no-op
+    assert int(dedup.properties()["imagepipe.cursor.seq"]) > int(cursor0)
+    out2 = incremental_image_update(spark, cat)
+    assert out2 == {"new_rows": 0, "admitted": 0, "appended": 0, "splits": {}}
+
+    # a full rebuild (global-min canonical) lands on the SAME survivor
+    # set because every batch id sorts after its near-dup's base id
+    out3 = run_image_pipeline(spark, cat)
+    assert out3["clean"]["skipped"] is False
+    rebuilt = {r["image_id"] for r in
+               cat.load_table("imagepipe.dedup").scan(spark)
+               .select("image_id").collect()}
+    assert rebuilt == now_ids
