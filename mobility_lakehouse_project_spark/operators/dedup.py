@@ -248,6 +248,23 @@ def hamming_pairs(
     rows the shuffle moves ~32 B/row x (max_hamming+1), never payload
     columns. The band expressions are pure Catalyst (shift/mask), no
     Python."""
+    banded = _banded(sigs, id_col, sig_col, max_hamming)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    ham = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("ida"), F.col("b.id").alias("idb"), ham.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def _banded(sigs: DataFrame, id_col: str, sig_col: str,
+            max_hamming: int) -> DataFrame:
+    """Explode each 64-bit signature into its (band, band_hash) keys —
+    the pigeonhole blocking relation both hamming joins build on."""
     n_bands = max_hamming + 1
     if n_bands > 64:
         raise ValueError(f"max_hamming={max_hamming} needs >64 bands of a 64-bit sig")
@@ -264,16 +281,34 @@ def hamming_pairs(
         band_exprs.append(
             F.struct(F.lit(b).alias("band"), F.expr(bh).alias("bh"))
         )
-    banded = sigs.select(
+    return sigs.select(
         "id", "sig", F.explode(F.array(*band_exprs)).alias("bb")
     ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
-    a = banded.alias("a")
-    b = banded.alias("b")
+
+
+def hamming_join(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str = "id",
+    sig_col: str = "sig",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Two-sided hamming band join: pairs (ida from ``left``, idb from
+    ``right``) with hamming(sig_a, sig_b) <= ``max_hamming`` — the
+    cross-corpus form of :func:`hamming_pairs` (e.g. training images
+    vs a held-out eval set's phashes for decontamination). Same
+    pigeonhole banding and guarantees; no ``ida < idb`` constraint
+    since the sides are distinct relations. When one side is an
+    eval-sized set its banded relation stays broadcast-able, so the
+    corpus side never shuffles."""
+    a = _banded(left, id_col, sig_col, max_hamming).alias("a")
+    b = _banded(right, id_col, sig_col, max_hamming).alias("b")
     ham = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
     return (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))
-               & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("ida"), F.col("b.id").alias("idb"), ham.alias("hamming"))
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bh") == F.col("b.bh")))
+        .select(F.col("a.id").alias("ida"), F.col("b.id").alias("idb"),
+                ham.alias("hamming"))
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )

@@ -9,6 +9,8 @@ standard image-training-corpus prep stages:
     imagepipe.clean    structural gates (dims/fmt/caption) + decode gate
     imagepipe.dedup    exact byte dedup + phash-hamming near-dup
                        components (keep the canonical image)
+    imagepipe.decontaminated  eval-set phash-proximity removal
+                       (hamming_join vs the held-out benchmark)
     imagepipe.train/valid/test  deterministic hash splits
 
 Stage-level resume is shared with datapipe (``_stage``): each output
@@ -43,7 +45,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions import imagecodec as ic
-from ..operators.dedup import connected_components, hamming_pairs
+from ..operators.dedup import connected_components, hamming_join, hamming_pairs
 from ..tableformat.catalog import Catalog
 from .datapipe import _sig, _stage
 
@@ -109,13 +111,18 @@ def run_image_pipeline(
     min_caption_words: int = 2,
     max_hamming: int = 3,
     decode_gate: bool = True,
+    benchmark: DataFrame | None = None,
+    decon_hamming: int = 3,
     splits: tuple[float, float] = (0.9, 0.05),
 ) -> dict:
     """Run (or resume) the image corpus-prep chain. ``images``
     bootstraps the bronze table on first call; later calls resume from
-    whatever state the stage signatures record. ``splits`` = (train,
-    valid) fractions; test takes the rest. Returns per-stage metrics
-    with ``skipped`` flags."""
+    whatever state the stage signatures record. ``benchmark`` is a
+    frame with a ``phash`` column — the held-out eval set; training
+    images within hamming <= ``decon_hamming`` of any eval phash are
+    dropped (the image analog of n-gram decontamination; skipped when
+    None). ``splits`` = (train, valid) fractions; test takes the
+    rest. Returns per-stage metrics with ``skipped`` flags."""
     out: dict = {}
     if not catalog.table_exists("imagepipe.bronze"):
         if images is None:
@@ -172,6 +179,26 @@ def run_image_pipeline(
         _sig(clean) + f"#ham{max_hamming}", build_dedup
     )
 
+    # ---- decontaminate: eval-set phash proximity -----------------------
+    src = dedup
+    if benchmark is not None:
+        def build_decon() -> DataFrame:
+            d = dedup.scan(spark)
+            bench = benchmark.select(
+                F.col("phash").alias("sig")
+            ).distinct().withColumn("id", F.lit(0))
+            dirty = hamming_join(
+                d.select(F.col("image_id").alias("id"),
+                         F.col("phash").alias("sig")),
+                bench, max_hamming=decon_hamming,
+            ).select(F.col("ida").alias("image_id")).distinct()
+            return d.join(dirty, "image_id", "left_anti")
+
+        src, out["decontaminated"] = _stage(
+            spark, catalog, "imagepipe.decontaminated",
+            _sig(dedup) + f"#dh{decon_hamming}", build_decon
+        )
+
     # ---- splits: deterministic hash buckets ---------------------------
     t_frac, v_frac = splits
     bucket = F.pmod(
@@ -184,11 +211,11 @@ def run_image_pipeline(
         ("test", bucket >= cuts[1]),
     ):
         def build_split(cond=cond):
-            return dedup.scan(spark).filter(cond)
+            return src.scan(spark).filter(cond)
 
         _, out[name] = _stage(
             spark, catalog, f"imagepipe.{name}",
-            _sig(dedup) + f"#{cuts}", build_split
+            _sig(src) + f"#{cuts}", build_split
         )
 
     # ---- dedup index + incremental cursor ------------------------------
@@ -221,6 +248,8 @@ def incremental_image_update(
     min_caption_words: int = 2,
     max_hamming: int = 3,
     decode_gate: bool = True,
+    benchmark: DataFrame | None = None,
+    decon_hamming: int = 3,
     splits: tuple[float, float] = (0.9, 0.05),
 ) -> dict:
     """Fold rows appended to ``imagepipe.bronze`` since the last run
@@ -240,14 +269,26 @@ def incremental_image_update(
         survivor always loses, survivors are never retracted
         (increments are append-only; a full ``run_image_pipeline``
         rebuild restores global-min-id canonicalization);
-      * survivors append to ``imagepipe.dedup``, the index, and their
-        hash split; the cursor property advances atomically with the
-        dedup commit's table metadata.
+      * every downstream append (clean, dedup, index, decontaminated,
+        splits) publishes as ONE multi-table transaction — all visible
+        together or none; the cursor property advances after the
+        commit;
+      * when the full build created a ``imagepipe.decontaminated``
+        stage, ``benchmark`` must be passed again: survivors are
+        decon-filtered before landing there and in the splits (dedup
+        and the index still see every survivor).
 
     Returns ``{"new_rows", "admitted", "appended", "splits": {...}}``.
     """
     bronze = catalog.load_table("imagepipe.bronze")
     dedup = catalog.load_table("imagepipe.dedup")
+    has_decon = catalog.table_exists("imagepipe.decontaminated")
+    if has_decon and benchmark is None:
+        # fail BEFORE any read or write — a mid-flow failure here would
+        # otherwise leave dedup fed but splits starved
+        raise ValueError(
+            "the pipeline has a decontaminated stage — pass benchmark="
+        )
     cur = dedup.properties().get(CURSOR_PROP)
     if cur is None:
         raise ValueError("no cursor — run run_image_pipeline() first")
@@ -264,8 +305,6 @@ def incremental_image_update(
         gated.unpersist()
         dedup.update_properties({CURSOR_PROP: str(last)})
         return {"new_rows": n_new, "admitted": 0, "appended": 0, "splits": {}}
-    clean = catalog.load_table("imagepipe.clean")
-    clean.append(gated)
 
     index = catalog.load_table("imagepipe.dedup_index")
     idx = index.scan(spark)
@@ -297,7 +336,19 @@ def incremental_image_update(
         winners.select("image_id"), "image_id", "left_semi"
     ).persist()
     appended = kept.count()
+    # ---- one atomic multi-table publish --------------------------------
+    # All downstream appends ride a single write-ahead-journaled
+    # transaction (tableformat/catalog.py CatalogTransaction): clean,
+    # dedup, the index, decontaminated and the splits become visible
+    # together or not at all — a crash mid-increment can never leave
+    # dedup fed but splits starved. The cursor property advances only
+    # after the commit; a crash in that window re-processes the batch,
+    # where every row is an index fingerprint dup (appended=0), so the
+    # only at-least-once table is `clean`.
+    txn = catalog.transaction()
+    txn.stage_append("imagepipe.clean", gated)
     if appended == 0:
+        txn.commit()
         kept.unpersist()
         gated.unpersist()
         dedup.update_properties({CURSOR_PROP: str(last)})
@@ -305,8 +356,23 @@ def incremental_image_update(
                 "splits": {}}
 
     cols = [c for c in kept.columns if c not in ("fp", "__comp")]
-    dedup.append(kept.select(*cols))
-    index.append(kept.select("image_id", "fp", "phash"))
+    txn.stage_append("imagepipe.dedup", kept.select(*cols))
+    txn.stage_append("imagepipe.dedup_index",
+                     kept.select("image_id", "fp", "phash"))
+
+    downstream = kept.select(*cols)
+    if has_decon:
+        bench = benchmark.select(
+            F.col("phash").alias("sig")
+        ).distinct().withColumn("id", F.lit(0))
+        dirty = hamming_join(
+            downstream.select(F.col("image_id").alias("id"),
+                              F.col("phash").alias("sig")),
+            bench, max_hamming=decon_hamming,
+        ).select(F.col("ida").alias("image_id")).distinct()
+        downstream = downstream.join(dirty, "image_id", "left_anti").persist()
+        if downstream.count():
+            txn.stage_append("imagepipe.decontaminated", downstream)
 
     t_frac, v_frac = splits
     bucket = F.pmod(
@@ -319,10 +385,11 @@ def incremental_image_update(
         ("valid", (bucket >= cuts[0]) & (bucket < cuts[1])),
         ("test", bucket >= cuts[1]),
     ):
-        part = kept.select(*cols).filter(cond)
+        part = downstream.filter(cond)
         out_splits[name] = part.count()
         if out_splits[name]:
-            catalog.load_table(f"imagepipe.{name}").append(part)
+            txn.stage_append(f"imagepipe.{name}", part)
+    txn.commit()
     kept.unpersist()
     gated.unpersist()
     dedup.update_properties({CURSOR_PROP: str(last)})

@@ -173,3 +173,60 @@ def test_image_pipeline_incremental(spark, cat):
                cat.load_table("imagepipe.dedup").scan(spark)
                .select("image_id").collect()}
     assert rebuilt == now_ids
+
+
+def test_image_pipeline_decontamination_full_and_incremental(spark, cat):
+    base = images_df(spark, 30)
+    # eval set: one phash FROM the corpus (row 7) + one off-corpus
+    # phash that a future increment will collide with
+    bench = (base.filter("image_id = 'img000000000007'").select("phash")
+             .unionByName(images_df(spark, 1, id_offset=500_000)
+                          .select("phash")))
+    out = run_image_pipeline(spark, cat, images=base, benchmark=bench)
+    bench_ph = [r["phash"] for r in bench.collect()]
+    dd = cat.load_table("imagepipe.dedup").scan(spark) \
+        .select("image_id", "phash").collect()
+    dc_ids = {r["image_id"] for r in
+              cat.load_table("imagepipe.decontaminated").scan(spark)
+              .select("image_id").collect()}
+    expect_dc = {r["image_id"] for r in dd
+                 if all(_ham(r["phash"], b) > 3 for b in bench_ph)}
+    assert dc_ids == expect_dc
+    assert "img000000000007" not in dc_ids
+    n = sum(out[k]["rows"] for k in ("train", "valid", "test"))
+    assert n == out["decontaminated"]["rows"] == len(dc_ids)
+
+    # increment: 3 clean freshes + 1 row whose phash IS an eval phash
+    pre = cat.load_table("imagepipe.dedup_index").scan(spark) \
+        .select("image_id", "phash").collect()
+    batch = images_df(spark, 3, id_offset=600_000).unionByName(
+        images_df(spark, 1, id_offset=500_000))
+    cat.load_table("imagepipe.bronze").append(batch)
+    # decontaminated stage exists -> benchmark is required
+    with pytest.raises(ValueError, match="benchmark"):
+        incremental_image_update(spark, cat)
+    out2 = incremental_image_update(spark, cat, benchmark=bench)
+    # oracle: first-seen dedup vs the pre-batch index, then decon
+    cand = sorted((r["image_id"], r["phash"]) for r in batch.select(
+        "image_id", "phash").collect())
+    exp_app = set()
+    for cid, ph in cand:
+        if any(_ham(ph, r["phash"]) <= 3 for r in pre):
+            continue
+        if any(_ham(ph, p2) <= 3 and c2 < cid for c2, p2 in cand):
+            continue
+        exp_app.add(cid)
+    assert out2["appended"] == len(exp_app)
+    exp_dc_new = {cid for cid in exp_app
+                  if all(_ham(dict(cand)[cid], b) > 3 for b in bench_ph)}
+    dc2_ids = {r["image_id"] for r in
+               cat.load_table("imagepipe.decontaminated").scan(spark)
+               .select("image_id").collect()}
+    assert dc2_ids == dc_ids | exp_dc_new
+    assert sum(out2["splits"].values()) == len(exp_dc_new)
+    # the contaminated row still lives in dedup + the index (dedup is
+    # the canonical survivor set; decontamination is downstream)
+    dd2_ids = {r["image_id"] for r in
+               cat.load_table("imagepipe.dedup").scan(spark)
+               .select("image_id").collect()}
+    assert exp_app <= dd2_ids
