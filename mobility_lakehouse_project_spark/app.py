@@ -317,6 +317,20 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--as-of-ms", type=int,
                    help="restore the snapshot current at this epoch-ms")
 
+    sp = sub.add_parser("export-shards",
+                        help="export the table as deterministic byte-"
+                             "balanced training shards (one sorted parquet "
+                             "file per shard + _manifest; re-runs resume by "
+                             "skipping complete shards)")
+    t(sp)
+    sp.add_argument("--out", required=True, help="shard output directory")
+    sp.add_argument("--target-mb", type=float, default=512)
+    sp.add_argument("--id-col", default="image_id")
+    sp.add_argument("--weight-col", default=None,
+                    help="byte-weight column; default: octet_length of the "
+                         "first binary column")
+    sp.add_argument("--seed", type=int, default=42)
+
     sp = sub.add_parser("sql",
                         help="run a SQL statement or ;-script against a "
                              "warehouse catalog (reads return rows, "
@@ -580,6 +594,24 @@ def main(argv: list[str] | None = None) -> int:
              "summary": s.summary}
             for s in LakehouseTable(a.table).snapshots_list()
         ]}
+    elif a.cmd == "export-shards":
+        from pyspark.sql import types as T
+
+        from .operators.training_export import write_shards
+
+        tbl = LakehouseTable(a.table)
+        df = tbl.scan(spark)
+        wcol = a.weight_col
+        if wcol is None:
+            bins = [f.name for f in tbl.schema().fields
+                    if isinstance(f.dataType, T.BinaryType)]
+            if not bins:
+                raise SystemExit("no binary column; pass --weight-col")
+            wcol = "_nbytes"
+            df = df.withColumn(wcol, F.octet_length(F.col(bins[0])))
+        out = {"cmd": "export-shards", **write_shards(
+            spark, df, a.id_col, wcol, a.out,
+            target_bytes=_mb(a.target_mb), seed=a.seed)}
     elif a.cmd == "sql":
         from .sql import execute_sql_script
         from .tableformat import Catalog

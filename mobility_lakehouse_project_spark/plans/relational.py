@@ -3391,7 +3391,135 @@ ORACLE_SQL["emb_quantize_recall"] = """
 """
 
 
+def train_shard_plan(spark, sf_dir):
+    """Deterministic training-shard packing over the document corpus
+    (operators/training_export.assign_shards): rows in md5-shuffled
+    order fill ~12 KB shards by greedy byte cumsum — the export layout
+    a data loader streams at 10^12 scale (webdataset/tfrecord shard
+    idiom; the reference's exports are whole-table dumps,
+    dags/Queries_dag.py:96-118). The engine computes the global byte
+    prefix sum with the TWO-PHASE distributed form (order-preserving
+    key-prefix buckets -> exclusive bucket offsets -> within-bucket
+    windows; no single-partition Exchange over data rows — gated by
+    test_training_export); the oracle is the naive single-window SQL.
+    Hash-exact agreement proves phase-split == global cumsum, key
+    parity (md5 both sides), and integer-division shard arithmetic."""
+    from ..operators.training_export import KEY_COL, assign_shards
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    asg = assign_shards(docs, "doc_id", "n_chars", target_bytes=12_000, seed=7)
+    return (
+        asg.groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("shard_bytes"),
+            F.min(KEY_COL).alias("min_k"),
+            F.max(KEY_COL).alias("max_k"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+ORACLE_SQL["train_shard_plan"] = """
+        WITH k AS (
+          SELECT doc_id, n_chars,
+                 md5('shard7|' || CAST(doc_id AS VARCHAR)) AS k
+          FROM documents
+        ), c AS (
+          SELECT *,
+                 COALESCE(SUM(n_chars) OVER (
+                     ORDER BY k, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS cumb
+          FROM k
+        )
+        SELECT CAST(cumb // 12000 AS BIGINT) AS shard_id,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS shard_bytes,
+               MIN(k) AS min_k, MAX(k) AS max_k
+        FROM c GROUP BY 1 ORDER BY 1
+"""
+
+
+def train_aspect_batches(spark, sf_dir):
+    """Aspect-ratio-bucketed fixed-size batch assembly
+    (operators/training_export.pack_batches + aspect_bucket): images
+    (w, h derived deterministically from the part table so the oracle
+    can reproduce them) snap to the nearest of five canonical aspect
+    buckets IN INTEGER ARITHMETIC (log-space midpoints squared:
+    w^2*denom < h^2*num — no float log/sqrt crosses the engine
+    boundary), then each bucket's rows are numbered in md5-shuffled
+    order via the two-phase prefix sum and grouped into full batches
+    of 16 (partials dropped). The checksum columns are membership- AND
+    slot-sensitive (sum of key, slot-weighted key sum, min/max shuffle
+    key per batch), so a single row in the wrong batch or slot flips
+    the hash. This is the padding-free batch layout image-generation
+    training uses; at corpus scale the hot ~1:1 bucket spreads over
+    its key-prefix groups instead of serializing into one task."""
+    from ..operators.training_export import (
+        KEY_COL, aspect_bucket, pack_batches)
+
+    imgs = (
+        _t(spark, sf_dir, "part")
+        .select(
+            "p_partkey",
+            (F.lit(64) + F.pmod(F.col("p_size"), F.lit(8)) * 32).alias("w"),
+            (F.lit(64) + F.pmod(F.col("p_partkey"), F.lit(8)) * 32).alias("h"),
+        )
+        .withColumn("bucket", aspect_bucket("w", "h"))
+    )
+    b = pack_batches(imgs, "p_partkey", "bucket", batch_size=16, seed=11)
+    return (
+        b.groupBy("bucket", "batch_id")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("p_partkey").alias("sum_key"),
+            F.sum(F.col("slot_in_batch") * F.col("p_partkey"))
+            .alias("slot_weighted_sum"),
+            F.min(KEY_COL).alias("min_k"),
+            F.max(KEY_COL).alias("max_k"),
+        )
+        .orderBy("bucket", "batch_id")
+    )
+
+
+ORACLE_SQL["train_aspect_batches"] = """
+        WITH base AS (
+          SELECT p_partkey,
+                 64 + (p_size % 8) * 32 AS w,
+                 64 + (p_partkey % 8) * 32 AS h
+          FROM part
+        ), b AS (
+          SELECT p_partkey,
+                 CASE WHEN w*w*8 < h*h*3 THEN '1:2'
+                      WHEN w*w*4 < h*h*3 THEN '3:4'
+                      WHEN w*w*3 < h*h*4 THEN '1:1'
+                      WHEN w*w*3 < h*h*8 THEN '4:3'
+                      ELSE '2:1' END AS bucket,
+                 md5('batch11|' || CAST(p_partkey AS VARCHAR)) AS k
+          FROM base
+        ), rn AS (
+          SELECT *,
+                 ROW_NUMBER() OVER (PARTITION BY bucket
+                                    ORDER BY k, p_partkey) - 1 AS slot,
+                 COUNT(*) OVER (PARTITION BY bucket) AS tot
+          FROM b
+        ), fullb AS (
+          SELECT *, slot // 16 AS batch_id, slot % 16 AS slot_in_batch
+          FROM rn WHERE slot < (tot // 16) * 16
+        )
+        SELECT bucket, batch_id, COUNT(*) AS n_rows,
+               CAST(SUM(p_partkey) AS BIGINT) AS sum_key,
+               CAST(SUM(slot_in_batch * p_partkey) AS BIGINT)
+                   AS slot_weighted_sum,
+               MIN(k) AS min_k, MAX(k) AS max_k
+        FROM fullb GROUP BY bucket, batch_id ORDER BY bucket, batch_id
+"""
+
+
 QUERIES = {
+    "train_shard_plan": train_shard_plan,
+    "train_aspect_batches": train_aspect_batches,
     "a_rollup_cube": a_rollup_cube,
     "a_pivot_status": a_pivot_status,
     "a_percentiles": a_percentiles,

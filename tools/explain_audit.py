@@ -46,6 +46,8 @@ AUDIT = [
     "stats_agg_pushdown",    # expect NO FileScan at all — answered from manifest stats
     "txt_pii_scrub",         # expect NO Python UDF (Catalyst regexp kernels), one agg pair
     "txt_vocab_bigrams",     # expect NO Python (slice+zip_with bigrams), top-k via TakeOrdered
+    "train_shard_plan",      # two-phase prefix sum: bucketed Window, pruned scan, NO Python
+    "train_aspect_batches",  # two-phase per-bucket numbering: bucketed Window, pruned scan, NO Python
 ]
 
 CHECKS = {
@@ -87,6 +89,14 @@ CHECKS = {
     "txt_pii_scrub": ["HashAggregate",
                       "ReadSchema: struct<doc_id:bigint,text:string,lang:string>"],
     "txt_vocab_bigrams": ["TakeOrderedAndProject", "HashAggregate"],
+    # two-phase prefix sums: scans pruned to exactly the id+weight
+    # columns; the data-row window partitions by the key-prefix bucket
+    # (the test suite separately forbids single-partition exchanges
+    # over data rows — test_training_export)
+    "train_shard_plan": ["Window", "HashAggregate",
+                         "ReadSchema: struct<doc_id:bigint,n_chars:bigint>"],
+    "train_aspect_batches": ["Window", "HashAggregate",
+                             "ReadSchema: struct<p_partkey:bigint,p_size:int>"],
 }
 
 # plans that must read NO data file at all (metadata-only answers)
@@ -99,7 +109,8 @@ NO_PYTHON = {"dedup_simhash", "ann_lsh_bucketed", "dedup_embed_cosine",
              "ann_batch_clustered", "mor_delete_scan", "cdc_changelog_scan",
              "bloom_point_lookup", "txt_token_bpe", "dedup_cc_canonical",
              "sample_hash_mod", "addfiles_scan", "stats_agg_pushdown",
-             "txt_pii_scrub", "txt_vocab_bigrams"}
+             "txt_pii_scrub", "txt_vocab_bigrams", "train_shard_plan",
+             "train_aspect_batches"}
 
 # plans that must NOT explode arrays into the shuffle (per-row pre-sum)
 NO_GENERATE = {"emb_label_profile"}
