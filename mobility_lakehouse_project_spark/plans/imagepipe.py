@@ -399,3 +399,37 @@ def incremental_image_update(
         "appended": appended,
         "splits": out_splits,
     }
+
+
+def export_train_shards(
+    spark: SparkSession,
+    catalog: Catalog,
+    out_dir: str,
+    target_bytes: int = 512 << 20,
+    seed: int = 42,
+    snapshot_id: int | None = None,
+) -> dict:
+    """Ship ``imagepipe.train`` as deterministic byte-balanced shards
+    (operators/training_export.write_shards): one sorted parquet file
+    per ~``target_bytes`` of payload in md5-shuffled order, with a
+    shard manifest and per-shard resume. The weight is the encoded
+    blob size (``octet_length(bytes)``), so shards balance actual I/O,
+    not row counts — at 10^12 scale a row-count split would skew 5x
+    between thumbnail- and panorama-heavy shards.
+
+    Pinning ``snapshot_id`` exports a reproducible corpus version even
+    while incremental updates keep appending to the split (time-travel
+    read of the same lakehouse table); the assignment is a pure
+    function of (ids, blob sizes, seed), so a resumed or repeated
+    export of the same snapshot is byte-identical."""
+    from ..operators.training_export import write_shards
+
+    train = catalog.load_table("imagepipe.train")
+    df = train.scan(spark, snapshot_id=snapshot_id).withColumn(
+        "_nbytes", F.octet_length(F.col("bytes"))
+    )
+    res = write_shards(spark, df, "image_id", "_nbytes", out_dir,
+                       target_bytes=target_bytes, seed=seed)
+    res["snapshot"] = (snapshot_id if snapshot_id is not None
+                       else train.current_snapshot().snapshot_id)
+    return res

@@ -230,3 +230,38 @@ def test_image_pipeline_decontamination_full_and_incremental(spark, cat):
                cat.load_table("imagepipe.dedup").scan(spark)
                .select("image_id").collect()}
     assert exp_app <= dd2_ids
+
+
+def test_export_train_shards_roundtrip_and_snapshot_pin(spark, cat, tmp_path):
+    from mobility_lakehouse_project_spark.plans.imagepipe import (
+        export_train_shards)
+
+    run_image_pipeline(spark, cat, images=images_df(spark, 40))
+    out = str(tmp_path / "shards")
+    res = export_train_shards(spark, cat, out, target_bytes=20_000, seed=3)
+    train = cat.load_table("imagepipe.train")
+    ids = {r["image_id"] for r in
+           train.scan(spark).select("image_id").collect()}
+    back = spark.read.parquet(out)
+    assert {r["image_id"] for r in back.select("image_id").collect()} == ids
+    assert res["n_shards"] == res["written"] >= 2
+    pin = res["snapshot"]
+
+    # the split grows (incremental fold), but re-exporting the PINNED
+    # snapshot reproduces exactly the original corpus version
+    cat.load_table("imagepipe.bronze").append(
+        images_df(spark, 6, id_offset=700_000))
+    incremental_image_update(spark, cat)
+    assert train.scan(spark).count() >= len(ids)
+    out2 = str(tmp_path / "shards2")
+    res2 = export_train_shards(spark, cat, out2, target_bytes=20_000,
+                               seed=3, snapshot_id=pin)
+    back2 = spark.read.parquet(out2)
+    assert {r["image_id"] for r in back2.select("image_id").collect()} == ids
+    assert res2["n_shards"] == res["n_shards"]
+    # identical shard assignment: same (shard_id, image_id) pairs
+    a = {(r["shard_id"], r["image_id"]) for r in
+         back.select("shard_id", "image_id").collect()}
+    b = {(r["shard_id"], r["image_id"]) for r in
+         back2.select("shard_id", "image_id").collect()}
+    assert a == b
