@@ -3517,7 +3517,70 @@ ORACLE_SQL["train_aspect_batches"] = """
 """
 
 
+def corpus_mix_weighted(spark, sf_dir):
+    """Weighted corpus mixing with epoch upsampling
+    (operators/sampling.mix_weighted): every language stratum appears
+    ``weight`` times in the mixed corpus — en downsampled to 0.5
+    epochs (hash-thresholded), de 2 epochs (repetition), zh 2.5,
+    fr 1.25, es 0.75 — the data-mixing stage that DEFINES a
+    pretraining corpus at 10^12 scale (the reference always consumes
+    whole tables, dags/Queries_dag.py:54-95). Membership and copy
+    counts are pure functions of (doc_id, seed, weights): reruns,
+    repartitioning, and corpus growth never flip a pre-existing row.
+    Fractional weights are exact 2^-24 grid integers, so the DuckDB
+    oracle reproduces the mix bit-identically; the weights relation is
+    broadcast and the repeat is a row-local explode — zero shuffles
+    added. Output: per-lang docs kept, mixed rows, char volume, and
+    max repetition index, proving both directions of the mix."""
+    from ..operators.sampling import mix_weighted
+
+    d = _t(spark, sf_dir, "documents")
+    mixed = mix_weighted(
+        spark, d, "lang",
+        {"en": 0.5, "de": 2.0, "zh": 2.5, "fr": 1.25, "es": 0.75},
+        "doc_id", seed=13,
+    )
+    return (
+        mixed.groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_rows"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.max("copy_idx").alias("max_copy"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_SQL["corpus_mix_weighted"] = """
+        WITH w(lang, base, thresh) AS (
+            VALUES ('en', 0, 8388608), ('de', 2, 0), ('zh', 2, 8388608),
+                   ('fr', 1, 4194304), ('es', 0, 12582912)
+        ),
+        c AS (
+            SELECT d.lang, d.doc_id, d.n_chars,
+                   COALESCE(w.base, 1)
+                   + CASE WHEN ('0x' || substr(md5('mix13|' ||
+                              CAST(d.doc_id AS VARCHAR)), 1, 6))::BIGINT
+                          < COALESCE(w.thresh, 0)
+                          THEN 1 ELSE 0 END AS copies
+            FROM documents d LEFT JOIN w USING (lang)
+        ),
+        mixed AS (
+            SELECT lang, doc_id, n_chars, u.copy_idx
+            FROM c, UNNEST(range(copies)) AS u(copy_idx)
+            WHERE copies > 0
+        )
+        SELECT lang, COUNT(DISTINCT doc_id) AS n_docs,
+               COUNT(*) AS n_rows,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               CAST(MAX(copy_idx) AS BIGINT) AS max_copy
+        FROM mixed GROUP BY lang ORDER BY lang
+"""
+
+
 QUERIES = {
+    "corpus_mix_weighted": corpus_mix_weighted,
     "train_shard_plan": train_shard_plan,
     "train_aspect_batches": train_aspect_batches,
     "a_rollup_cube": a_rollup_cube,

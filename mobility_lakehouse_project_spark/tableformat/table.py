@@ -1835,6 +1835,8 @@ class LakehouseTable:
                     affected_partitions, baseline, expected_parent,
                 )
             except ConcurrentCommitError as e:
+                if getattr(e, "non_retryable", False):
+                    raise  # baseline can never match again: replan now
                 last = e
         raise last
 
@@ -1911,11 +1913,18 @@ class LakehouseTable:
             if baseline["affected_files"] is None:
                 baseline["affected_files"] = affected_files
             elif baseline["affected_files"] != affected_files:
-                raise ValueError(
+                # a concurrent commit added/removed files in the very
+                # partitions this rewrite replaces: retrying composes
+                # data the plan never saw, so surface for a REPLAN —
+                # and mark it non-retryable (the baseline can never
+                # match again within this plan)
+                err = ConcurrentCommitError(
                     "affected partitions changed under the rewrite plan "
                     "(concurrent commit into "
                     f"{sorted(affected_partitions)}); replan required"
                 )
+                err.non_retryable = True
+                raise err
         if removed_seen != len(removed_paths):
             raise ValueError(
                 f"{len(removed_paths) - removed_seen} removed paths not found "
