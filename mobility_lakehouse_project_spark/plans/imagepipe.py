@@ -114,6 +114,7 @@ def run_image_pipeline(
     benchmark: DataFrame | None = None,
     decon_hamming: int = 3,
     splits: tuple[float, float] = (0.9, 0.05),
+    max_caption_repeats: int | None = None,
 ) -> dict:
     """Run (or resume) the image corpus-prep chain. ``images``
     bootstraps the bronze table on first call; later calls resume from
@@ -122,7 +123,17 @@ def run_image_pipeline(
     images within hamming <= ``decon_hamming`` of any eval phash are
     dropped (the image analog of n-gram decontamination; skipped when
     None). ``splits`` = (train, valid) fractions; test takes the
-    rest. Returns per-stage metrics with ``skipped`` flags."""
+    rest.
+
+    ``max_caption_repeats`` drops BOILERPLATE captions wholesale: a
+    caption carried by more than that many distinct (byte-deduped)
+    images is watermark/SEO filler ("stock photo", "image may
+    contain ..."), and every row bearing it is removed — the LAION
+    caption-frequency filter. Deliberately an all-or-nothing drop
+    (count + anti-join on md5(caption)): keeping "the first K" of a
+    10^8-row boilerplate caption would need a per-caption rank — a
+    single-task hot-key window at exactly the captions that are hot.
+    Returns per-stage metrics with ``skipped`` flags."""
     out: dict = {}
     if not catalog.table_exists("imagepipe.bronze"):
         if images is None:
@@ -150,6 +161,22 @@ def run_image_pipeline(
             .agg(F.min("image_id").alias("image_id"))
         )
         d = d.join(keep.select("image_id"), "image_id", "left_semi")
+        if max_caption_repeats is not None:
+            # boilerplate-caption filter: counts over byte-deduped
+            # rows (a byte-dup must not inflate its caption), drop
+            # over-cap captions wholesale — count + anti-join, no
+            # per-caption window (hot captions are the hot keys)
+            boiler = (
+                d.groupBy(F.md5("caption").alias("__cap_fp"))
+                .agg(F.count("*").alias("__n"))
+                .filter(F.col("__n") > max_caption_repeats)
+                .select("__cap_fp")
+            )
+            d = (
+                d.withColumn("__cap_fp", F.md5("caption"))
+                .join(boiler, "__cap_fp", "left_anti")
+                .drop("__cap_fp")
+            )
         # Hot-key safety (the input's ~5%-hot phash skew,
         # FIXTURES.md): the component graph's nodes are the DISTINCT
         # phash values, not the images — an identical-phash group of
@@ -174,9 +201,11 @@ def run_image_pipeline(
         )
         return d.join(winners.select("image_id"), "image_id", "left_semi")
 
+    cap_sig = (f"#cap{max_caption_repeats}"
+               if max_caption_repeats is not None else "")
     dedup, out["dedup"] = _stage(
         spark, catalog, "imagepipe.dedup",
-        _sig(clean) + f"#ham{max_hamming}", build_dedup
+        _sig(clean) + f"#ham{max_hamming}" + cap_sig, build_dedup
     )
 
     # ---- decontaminate: eval-set phash proximity -----------------------
@@ -228,10 +257,21 @@ def run_image_pipeline(
         "imagepipe.dedup_index"
     ):
         idx_df = dedup.scan(spark).select(
-            "image_id", F.md5("bytes").alias("fp"), "phash"
+            "image_id", F.md5("bytes").alias("fp"), "phash",
+            # caption fingerprint: lets the incremental path count
+            # caption frequency against the corpus without re-reading
+            # any blob or caption text (~16 B/row)
+            F.md5("caption").alias("cap_fp"),
         )
         if catalog.table_exists("imagepipe.dedup_index"):
-            catalog.load_table("imagepipe.dedup_index").overwrite(idx_df)
+            idx_t = catalog.load_table("imagepipe.dedup_index")
+            if "cap_fp" not in [f.name for f in idx_t.schema().fields]:
+                # pre-cap_fp index: derivable metadata, rebuild clean
+                catalog.drop_table("imagepipe.dedup_index", purge=True)
+                catalog.create_table_as("imagepipe.dedup_index", idx_df,
+                                        n_files=4)
+            else:
+                idx_t.overwrite(idx_df)
         else:
             catalog.create_table_as("imagepipe.dedup_index", idx_df, n_files=4)
     dedup.update_properties(
@@ -251,6 +291,7 @@ def incremental_image_update(
     benchmark: DataFrame | None = None,
     decon_hamming: int = 3,
     splits: tuple[float, float] = (0.9, 0.05),
+    max_caption_repeats: int | None = None,
 ) -> dict:
     """Fold rows appended to ``imagepipe.bronze`` since the last run
     into the downstream stages WITHOUT rebuilding them — the 100 TB
@@ -314,6 +355,27 @@ def incremental_image_update(
     batch_keep = fp.groupBy("fp").agg(F.min("image_id").alias("image_id"))
     fp = fp.join(batch_keep, ["fp", "image_id"], "left_semi")
     fp = fp.join(idx.select("fp"), "fp", "left_anti")
+    if max_caption_repeats is not None:
+        # boilerplate-caption gate, incremental form: frequency =
+        # corpus count (the index's cap_fp column — metadata-sized,
+        # no blob read) + this batch's count; an over-cap caption
+        # drops its NEW rows wholesale. Existing survivors stay
+        # (append-only, same first-seen rule as dedup) — a full
+        # rebuild re-applies the cap globally.
+        if "cap_fp" not in idx.columns:
+            raise ValueError(
+                "dedup_index has no cap_fp column — run "
+                "run_image_pipeline() once to rebuild it before using "
+                "max_caption_repeats incrementally"
+            )
+        fp = fp.withColumn("cap_fp", F.md5("caption"))
+        combined = (
+            idx.select("cap_fp").unionByName(fp.select("cap_fp"))
+            .groupBy("cap_fp").agg(F.count("*").alias("__n"))
+        )
+        boiler = combined.filter(
+            F.col("__n") > max_caption_repeats).select("cap_fp")
+        fp = fp.join(boiler, "cap_fp", "left_anti").drop("cap_fp")
     # near-dup: components over DISTINCT phashes of index + batch.
     # Existing-existing edges cannot exist (survivors are pairwise
     # > max_hamming by construction), so every component with an
@@ -357,8 +419,10 @@ def incremental_image_update(
 
     cols = [c for c in kept.columns if c not in ("fp", "__comp")]
     txn.stage_append("imagepipe.dedup", kept.select(*cols))
-    txn.stage_append("imagepipe.dedup_index",
-                     kept.select("image_id", "fp", "phash"))
+    idx_cols = ["image_id", "fp", "phash"]
+    if "cap_fp" in idx.columns:
+        idx_cols.append(F.md5("caption").alias("cap_fp"))
+    txn.stage_append("imagepipe.dedup_index", kept.select(*idx_cols))
 
     downstream = kept.select(*cols)
     if has_decon:

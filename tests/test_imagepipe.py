@@ -265,3 +265,56 @@ def test_export_train_shards_roundtrip_and_snapshot_pin(spark, cat, tmp_path):
     b = {(r["shard_id"], r["image_id"]) for r in
          back2.select("shard_id", "image_id").collect()}
     assert a == b
+
+
+def test_caption_frequency_cap_full_and_incremental(spark, cat):
+    boiler = "stock photo watermark"
+    rare = "rare caption words"
+    base = images_df(spark, 30).withColumn(
+        "caption",
+        F.when(F.col("image_id") <= "img000000000009", F.lit(boiler))
+        .when(F.col("image_id").between(
+            "img000000000010", "img000000000012"), F.lit(rare))
+        .otherwise(F.col("caption")),
+    )
+    run_image_pipeline(spark, cat, images=base, max_caption_repeats=4)
+
+    # oracle: caption counts driver-side over the capped input, then
+    # the all-pairs hamming union-find on what the cap admits
+    rows = base.collect()
+    from collections import Counter
+    freq = Counter(r["caption"] for r in rows)
+    capped = [r for r in rows if freq[r["caption"]] <= 4]
+    assert len(capped) == 20  # the 10 boilerplate rows are gone
+    expected = _expected_survivors(capped)
+    dd = cat.load_table("imagepipe.dedup").scan(spark)
+    got = {r["image_id"] for r in dd.select("image_id").collect()}
+    assert got == expected
+    assert dd.filter(F.col("caption") == boiler).count() == 0
+    idx = cat.load_table("imagepipe.dedup_index").scan(spark)
+    assert "cap_fp" in idx.columns
+    n_rare_idx = dd.filter(F.col("caption") == rare).count()
+    assert n_rare_idx == 3  # sanity: the rare rows survived near-dup
+
+    # incremental: 2 more rare-caption rows push rare to 5 > cap ->
+    # the NEW rows drop wholesale, existing survivors stay; a
+    # unique-caption row is admitted normally
+    extra = images_df(spark, 3, id_offset=900_000).withColumn(
+        "caption",
+        F.when(F.col("image_id") < "img000000900002", F.lit(rare))
+        .otherwise(F.col("caption")),
+    )
+    cat.load_table("imagepipe.bronze").append(extra)
+    res = incremental_image_update(spark, cat, max_caption_repeats=4)
+    assert res["admitted"] == 3 and res["appended"] == 1
+    dd2 = cat.load_table("imagepipe.dedup").scan(spark)
+    assert dd2.filter(F.col("caption") == rare).count() == 3  # unchanged
+    assert dd2.filter(F.col("image_id") == "img000000900002").count() == 1
+
+    # a pre-cap_fp index (older build) makes the incremental cap fail
+    # loudly instead of miscounting
+    cat.load_table("imagepipe.dedup_index").drop_column("cap_fp")
+    cat.load_table("imagepipe.bronze").append(
+        images_df(spark, 1, id_offset=910_000))
+    with pytest.raises(ValueError, match="cap_fp"):
+        incremental_image_update(spark, cat, max_caption_repeats=4)
