@@ -3324,6 +3324,56 @@ ORACLE_SQL["txt_gopher_repetition"] = """
 """
 
 
+def txt_repeated_spans(spark, sf_dir):
+    """Cross-document exact-substring detection (the C4 / RefinedWeb /
+    deduplicate-text-datasets idiom, Lee et al. 2022 — public paper):
+    every 8-token window of every document, reported when the SAME
+    window text occurs in >= 2 distinct documents. This is the span-
+    level complement of whole-doc fingerprint dedup — boilerplate
+    headers, license blocks, and templated sentences show up here long
+    before whole documents collide. Windows come from one JVM
+    higher-order-function pass (sequence/transform/slice — no explode
+    of single tokens, no Python); the only shuffle is the (span ->
+    doc) hash aggregate with map-side partial counts. At 100 TB the
+    same plan ships a 64-bit span fingerprint instead of the span text
+    (conv(substring(md5(span),1,15),16,10), the repo's standard
+    cross-engine hash) to cut shuffle bytes ~8x; the sf-scale form
+    keeps the raw span so the output is directly actionable."""
+    K = 8
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    # sequence(a, b) is DESCENDING when a > b, so short docs must gate
+    # to an empty array rather than rely on an empty sequence
+    spans = F.when(
+        F.size(toks) >= K,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - K + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, K)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = d.select("doc_id", F.explode(spans).alias("span"))
+    return (
+        g.groupBy("span")
+        .agg(F.countDistinct("doc_id").alias("n_docs"),
+             F.count("*").alias("n_occ"))
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), "span")
+    )
+
+
+ORACLE_SQL["txt_repeated_spans"] = """
+        WITH t AS (SELECT doc_id,
+                          list_filter(string_split(text, ' '),
+                                      x -> x <> '') AS toks
+                   FROM documents),
+        g AS (SELECT doc_id, array_to_string(toks[i : i + 7], ' ') AS span
+              FROM t, LATERAL (SELECT unnest(range(1, len(toks) - 6)) AS i) u)
+        SELECT span, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ
+        FROM g GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
+        ORDER BY n_docs DESC, span
+"""
+
+
 def emb_quantize_recall(spark, sf_dir):
     """Int8 embedding quantization quality — the check run before
     shipping a compressed ANN index: top-10 by inner product under
@@ -3665,5 +3715,6 @@ QUERIES = {
     "txt_pii_scrub": txt_pii_scrub,
     "txt_vocab_bigrams": txt_vocab_bigrams,
     "txt_gopher_repetition": txt_gopher_repetition,
+    "txt_repeated_spans": txt_repeated_spans,
     "emb_quantize_recall": emb_quantize_recall,
 }
