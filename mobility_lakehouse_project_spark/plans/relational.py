@@ -1917,6 +1917,92 @@ def ann_ivf_probe(spark, sf_dir):
     )
 
 
+ANN_PQ_M = 8
+ANN_PQ_K = 16
+
+
+def ann_pq_adc(spark, sf_dir):
+    """Product-quantization ANN with asymmetric-distance scoring
+    (Jegou et al. 2011) — the memory-bound form that completes the
+    ANN ladder (exact -> LSH -> IVF -> PQ): every vector is encoded to
+    m=8 4-bit codes against FIXED deterministic codebooks
+    (equal-norm Rademacher codewords on the integer grid, the
+    SQL-reproducible form; trained Lloyd codebooks are
+    operators/similarity.py::pq_train_codebooks, pytest-gated), and
+    the query scores candidates via one driver-side m x k lookup
+    table — m element_at taps per row, the ORIGINAL VECTORS NEVER
+    READ at query time. At 10^12 vectors the codes (4 B/vector vs
+    256 B) are the only thing that fits; encode once at write time,
+    scan the code columns. All arithmetic is exact integer dots, so
+    ranking is bit-identical across Catalyst, numpy, and the SQL
+    oracle."""
+    from ..operators.similarity import (fixed_pq_codebooks, pq_adc_score_col,
+                                        pq_code_cols)
+
+    cbs = fixed_pq_codebooks(64, ANN_PQ_M, ANN_PQ_K)
+    e = _t(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    coded = e.filter(F.col("vec_id") != 0).select(
+        "vec_id", "label", *pq_code_cols("embedding", cbs))
+    return (
+        coded.select(
+            "vec_id", "label",
+            pq_adc_score_col(cbs, qv).alias("adc_score"))
+        .orderBy(F.desc("adc_score"), "vec_id")
+        .limit(10)
+    )
+
+
+def _ann_pq_oracle_sql() -> str:
+    """Generated at import: the fixed PQ codebooks as SQL literals.
+    Encoding is the same CASE-on-greatest over exact integer dots as
+    the IVF oracle; the ADC lookup table is expressed as a list
+    literal of query-subvector dots indexed by the code + 1."""
+    from ..operators.similarity import fixed_pq_codebooks
+
+    cbs = fixed_pq_codebooks(64, ANN_PQ_M, ANN_PQ_K)
+    m, k, sub = cbs.shape
+
+    def cw(s: int, j: int) -> str:
+        return "[" + ", ".join(f"{x:.1f}" for x in cbs[s, j]) + "]"
+
+    def sub_slice(vec: str, s: int) -> str:
+        return f"list_slice({vec}, {s * sub + 1}, {(s + 1) * sub})"
+
+    def code(s: int) -> str:
+        ds = [
+            f"(list_dot_product({sub_slice('v', s)}, {cw(s, j)})"
+            f" - {float((cbs[s, j] ** 2).sum()) / 2.0})"
+            for j in range(k)
+        ]
+        g = f"greatest({', '.join(ds)})"
+        cases = " ".join(f"WHEN {d} = {g} THEN {j}" for j, d in enumerate(ds))
+        return f"(CASE {cases} END)"
+
+    def lut(s: int) -> str:
+        taps = ", ".join(
+            f"list_dot_product({sub_slice('qv', s)}, {cw(s, j)})"
+            for j in range(k)
+        )
+        return f"([{taps}])[c{s} + 1]"
+
+    codes = ", ".join(f"{code(s)} AS c{s}" for s in range(m))
+    score = " + ".join(lut(s) for s in range(m))
+    return f"""
+    WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> round(x::DOUBLE * 1024)) AS v
+               FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    enc AS (SELECT vec_id, label, {codes} FROM e WHERE vec_id != 0)
+    SELECT vec_id, label, ({score}) AS adc_score
+    FROM enc, q
+    ORDER BY adc_score DESC, vec_id LIMIT 10
+"""
+
+
+ORACLE_SQL["ann_pq_adc"] = _ann_pq_oracle_sql()
+
+
 def mm_image_features(spark, sf_dir):
     """Multimodal decode validation summary over the deterministic
     synthetic image table: mapInPandas decodes every blob, extracts
@@ -3686,6 +3772,7 @@ QUERIES = {
     "txt_rolling_fingerprint": txt_rolling_fingerprint,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_probe": ann_ivf_probe,
+    "ann_pq_adc": ann_pq_adc,
     "ann_lsh_clustered": ann_lsh_clustered,
     "ann_batch_join": ann_batch_join,
     "ann_batch_clustered": ann_batch_clustered,

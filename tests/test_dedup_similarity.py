@@ -398,3 +398,77 @@ class TestConnectedComponents:
         pairs.append((4, 303))
         got = self._cc(spark, pairs)
         assert set(got.values()) == {0}
+
+
+class TestProductQuantization:
+    """PQ/ADC: encode determinism (Catalyst == numpy twin), trained
+    codebooks beating the fixed ones, and the end-to-end top-k path."""
+
+    def test_pq_codes_catalyst_matches_numpy(self, spark):
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(40)
+        cbs = similarity.fixed_pq_codebooks(64, m=8, k=16)
+        got = {
+            r["vec_id"]: [r[f"pq_{s}"] for s in range(8)]
+            for r in emb.select(
+                "vec_id", *similarity.pq_code_cols("embedding", cbs)
+            ).collect()
+        }
+        for r in emb.select("vec_id", "embedding").collect():
+            assert got[r["vec_id"]] == similarity.pq_codes_of(r["embedding"], cbs)
+
+    def test_pq_adc_score_matches_numpy(self, spark):
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        cbs = similarity.fixed_pq_codebooks(64, m=8, k=16)
+        qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+        got = {r["vec_id"]: r["adc_score"]
+               for r in similarity.pq_topk(
+                   emb.filter(F.col("vec_id") != 0), qv, cbs, k=5).collect()}
+        q = np.asarray(similarity.quantize_vec(qv))
+        sub = 64 // 8
+        for r in emb.filter(F.col("vec_id").isin(*got)).collect():
+            codes = similarity.pq_codes_of(r["embedding"], cbs)
+            want = sum(
+                float(np.dot(q[s * sub:(s + 1) * sub], cbs[s, codes[s]]))
+                for s in range(8)
+            )
+            assert got[r["vec_id"]] == want
+
+    def test_trained_pq_codebooks_beat_fixed(self, spark):
+        """Low-rank structured corpus (3 latent dims in 16 — the shape
+        real embeddings have and the data-oblivious grid can't see):
+        the deployment measure is SHORTLIST recall — ADC ranks a
+        shortlist, exact re-ranks it — so we assert the exact
+        integer-IP top-10 survives into the trained ADC top-40 while
+        the fixed codebooks lose most of it, plus the strict Lloyd
+        property: trained reconstruction MSE < fixed on the training
+        sample."""
+        rng = np.random.default_rng(7)
+        dim, m, k, n, short = 16, 4, 8, 400, 40
+        W = rng.normal(size=(3, dim))
+        X = rng.normal(size=(n, 3)) @ W + rng.normal(size=(n, dim)) * 0.1
+        rows = [(i, [float(x) for x in X[i]]) for i in range(n)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        qv = [float(x) for x in X[5] + rng.normal(size=dim) * 0.05]
+        qq = np.asarray(similarity.quantize_vec(qv))
+        Xq = np.array([similarity.quantize_vec(v) for _, v in rows])
+        ip = Xq @ qq
+        exact = set(np.lexsort((np.arange(n), -ip))[:10].tolist())
+        fixed = similarity.fixed_pq_codebooks(dim, m, k)
+        trained = similarity.pq_train_codebooks(emb, m=m, k=k, iters=8,
+                                                sample_n=n)
+        rec = lambda cbs: len(  # noqa: E731
+            {r["vec_id"]
+             for r in similarity.pq_topk(emb, qv, cbs, k=short).collect()}
+            & exact) / 10
+        r_fx, r_tr = rec(fixed), rec(trained)
+        assert r_tr > r_fx, (r_tr, r_fx)
+        assert r_tr >= 0.9, r_tr
+
+        def mse(cbs):
+            sub = dim // m
+            R = np.concatenate(
+                [cbs[s][[similarity.pq_codes_of(v, cbs)[s]
+                         for _, v in rows]] for s in range(m)], axis=1)
+            return float(((Xq - R) ** 2).mean())
+
+        assert mse(trained) < mse(fixed)
