@@ -777,3 +777,86 @@ def pq_topk(
         .orderBy(F.desc("adc_score"), id_col)
         .limit(k)
     )
+
+
+def build_pq_coded_table(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    location: str,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_files: int | None = None,
+    extra_cols: tuple = (),
+):
+    """Persist embeddings WITH their PQ codes materialized as int
+    columns (encode-once-at-write, the PQ deployment shape): a probe
+    then scans ONLY (id, pq_0..pq_{m-1}) — m small ints per row via
+    parquet column pruning, ~4 B/vector at m=8/k=16 instead of the
+    256 B float32 vector — while the vector column stays in the same
+    file for the exact re-rank of the shortlist. The codebooks are
+    pinned in the commit summary (integer grid, JSON-exact) so probe
+    and build can never disagree — the same contract as the LSH plane
+    matrix and the trained-IVF centroids."""
+    import json
+
+    from ..tableformat import LakehouseTable
+
+    m, k, sub = codebooks.shape
+    coded = embeddings.select(
+        id_col, vec_col, *extra_cols, *pq_code_cols(vec_col, codebooks)
+    )
+    t = LakehouseTable.create(location, coded.schema)
+    entries = t.write_data_files(
+        coded,
+        n_files=n_files or max(4, spark.sparkContext.defaultParallelism),
+        salt_col=id_col,
+    )
+    t.commit_append(entries, summary={
+        "pq-m": m, "pq-k": k,
+        "pq-codebooks": json.dumps(codebooks.astype(int).tolist()),
+    })
+    return t
+
+
+def ann_pq_topk_coded(
+    spark: SparkSession,
+    table,
+    query_vec,
+    k: int = 10,
+    shortlist: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, dict]:
+    """ANN probe against a PQ-coded table: ADC-score a column-pruned
+    scan of the code columns (the vector column is never read in this
+    pass), take the ``shortlist`` best (default 4k), then exact-rerank
+    only the shortlist's vectors via a broadcast semi-join. Returns
+    (topk, stats) where stats reports the observable payoff: bytes of
+    code columns vs bytes of the vector column the ADC pass avoided.
+    Codebooks come from the build commit's summary."""
+    import json
+
+    summ = next(
+        s.summary for s in reversed(table.snapshots_list())
+        if "pq-codebooks" in s.summary
+    )
+    cbs = np.array(json.loads(summ["pq-codebooks"]), dtype=np.float64)
+    m = cbs.shape[0]
+    code_cols = [f"pq_{s}" for s in range(m)]
+    n_short = shortlist or 4 * k
+    scored = (
+        table.scan(spark, columns=[id_col] + code_cols)
+        .select(id_col, pq_adc_score_col(cbs, query_vec).alias("adc_score"))
+        .orderBy(F.desc("adc_score"), id_col)
+        .limit(n_short)
+    )
+    ids = scored.select(id_col)
+    cand = table.scan(spark, columns=[id_col, vec_col]).join(
+        F.broadcast(ids), id_col, "left_semi"
+    )
+    topk = cosine_topk(cand, query_vec, k, id_col, vec_col)
+    return topk, {
+        "m": m, "k_codes": int(cbs.shape[1]), "shortlist": n_short,
+        "code_bytes_per_row": m * 4,
+    }
