@@ -48,6 +48,8 @@ AUDIT = [
     "txt_vocab_bigrams",     # expect NO Python (slice+zip_with bigrams), top-k via TakeOrdered
     "train_shard_plan",      # two-phase prefix sum: bucketed Window, pruned scan, NO Python
     "train_aspect_batches",  # two-phase per-bucket numbering: bucketed Window, pruned scan, NO Python
+    "ann_pq_adc",            # PQ/ADC: NO Python (integer-exact Catalyst encode + LUT taps), top-k
+    "txt_repeated_spans",    # window spans via sequence/transform/slice: NO per-token explode, one agg
 ]
 
 CHECKS = {
@@ -97,6 +99,13 @@ CHECKS = {
                          "ReadSchema: struct<doc_id:bigint,n_chars:bigint>"],
     "train_aspect_batches": ["Window", "HashAggregate",
                              "ReadSchema: struct<p_partkey:bigint,p_size:int>"],
+    "ann_pq_adc": ["TakeOrderedAndProject"],
+    # the span windows come from ONE higher-order-function pass over
+    # the token array (a single Generate of 8-token spans, never a
+    # per-token explode), then one partial+final aggregate pair; scan
+    # pruned to exactly (doc_id, text)
+    "txt_repeated_spans": ["HashAggregate",
+                           "ReadSchema: struct<doc_id:bigint,text:string>"],
 }
 
 # plans that must read NO data file at all (metadata-only answers)
@@ -110,7 +119,7 @@ NO_PYTHON = {"dedup_simhash", "ann_lsh_bucketed", "dedup_embed_cosine",
              "bloom_point_lookup", "txt_token_bpe", "dedup_cc_canonical",
              "sample_hash_mod", "addfiles_scan", "stats_agg_pushdown",
              "txt_pii_scrub", "txt_vocab_bigrams", "train_shard_plan",
-             "train_aspect_batches"}
+             "train_aspect_batches", "ann_pq_adc", "txt_repeated_spans"}
 
 # plans that must NOT explode arrays into the shuffle (per-row pre-sum)
 NO_GENERATE = {"emb_label_profile"}
