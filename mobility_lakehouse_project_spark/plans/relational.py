@@ -2003,6 +2003,59 @@ def _ann_pq_oracle_sql() -> str:
 ORACLE_SQL["ann_pq_adc"] = _ann_pq_oracle_sql()
 
 
+def ann_pq_coded(spark, sf_dir):
+    """The persisted PQ deployment end to end: embeddings written to a
+    lakehouse table WITH their codes materialized as int columns
+    (encode-once-at-write, codebooks pinned in the commit summary),
+    then the two-pass probe — ADC shortlist of 40 over a column-pruned
+    scan that never reads the vector column, exact cosine re-rank of
+    only the shortlist. The oracle reproduces both passes (integer-
+    exact ADC, then cosine over the surviving ids), so a wrong code in
+    the written table, a broken column-pruned scan, or a shortlist
+    boundary tie handled differently all flip the hash."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.similarity import (ann_pq_topk_coded,
+                                        build_pq_coded_table,
+                                        fixed_pq_codebooks)
+
+    cbs = fixed_pq_codebooks(64, ANN_PQ_M, ANN_PQ_K)
+    e = _t(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    # fixed scratch location, recreated per invocation (the returned
+    # DataFrame is lazy — see ann_lsh_clustered)
+    scratch = os.path.join(tempfile.gettempdir(), "mlps-scratch", "ann-pq-coded")
+    shutil.rmtree(scratch, ignore_errors=True)
+    t = build_pq_coded_table(
+        spark, e.filter(F.col("vec_id") != 0), scratch + "/emb", cbs)
+    topk, _stats = ann_pq_topk_coded(spark, t, qv, k=10, shortlist=40)
+    return topk
+
+
+def _ann_pq_coded_oracle_sql(shortlist: int = 40) -> str:
+    """Generated at import: the two-pass coded probe as SQL — the
+    ann_pq_adc encode/LUT machinery CTE'd into a shortlist, then an
+    exact cosine re-rank joined back to the raw vectors."""
+    base = _ann_pq_oracle_sql().rstrip()
+    assert base.endswith("LIMIT 10")
+    shortlist_sql = base[: -len("LIMIT 10")] + f"LIMIT {shortlist}"
+    return f"""
+    WITH short AS ({shortlist_sql}),
+    q2 AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           ROUND(list_dot_product(e.embedding::DOUBLE[], q2.qv::DOUBLE[]) /
+                 (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                  sqrt(list_dot_product(q2.qv::DOUBLE[], q2.qv::DOUBLE[]))), 4) AS cos_sim
+    FROM embeddings e JOIN short USING (vec_id), q2
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
+
+ORACLE_SQL["ann_pq_coded"] = _ann_pq_coded_oracle_sql()
+
+
 def mm_image_features(spark, sf_dir):
     """Multimodal decode validation summary over the deterministic
     synthetic image table: mapInPandas decodes every blob, extracts
@@ -3773,6 +3826,7 @@ QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_probe": ann_ivf_probe,
     "ann_pq_adc": ann_pq_adc,
+    "ann_pq_coded": ann_pq_coded,
     "ann_lsh_clustered": ann_lsh_clustered,
     "ann_batch_join": ann_batch_join,
     "ann_batch_clustered": ann_batch_clustered,
