@@ -280,7 +280,9 @@ def test_optimistic_commit_retry(spark, tmp_table_dir, monkeypatch):
     rewritten2 = t.write_data_files(t.scan_files(spark, sorted(removed2)), n_files=1)
     import pytest as _pt
 
-    with _pt.raises(ValueError, match="replan"):
+    # ConcurrentCommitError (not a plain ValueError): the caller's
+    # contract is catch-and-replan, same as every pinned-commit path
+    with _pt.raises(ConcurrentCommitError, match="replan"):
         t.commit_replace(removed2, rewritten2, affected_partitions={some_part})
 
     # retries exhausted -> the error surfaces
