@@ -3408,6 +3408,72 @@ ORACLE_SQL["txt_vocab_bigrams"] = """
 """
 
 
+def txt_bigram_lm_score(spark, sf_dir):
+    """Corpus-conditional bigram likelihood — the LM-perplexity filter
+    idiom (CCNet / Wenzek et al. 2020, public paper) with the LM
+    trained on the corpus itself: per doc, SUM(corpus count of each of
+    its bigrams) / SUM(corpus count of each bigram's prefix word) —
+    an integer-exact surrogate for mean conditional probability
+    P(w2|w1) (ratio of exact integer sums, ONE double division per
+    doc, so the ranking is bit-identical across engines — no
+    float-log summation-order hazard). Low scores = text whose word
+    transitions the corpus has never seen: the junk the filter drops.
+    Returns the 20 lowest-scoring docs. Scale shape: the LM table is
+    vocab-bounded (tiny vs the corpus) so both lookups are BROADCAST
+    joins; the only data shuffle is the per-doc aggregate, map-side
+    partials included."""
+    d = _t(spark, sf_dir, "documents")
+    w = F.filter(F.split("text", " "), lambda x: x != "")
+    bg = F.zip_with(
+        F.slice(w, 1, F.size(w) - 1),
+        F.slice(w, 2, F.size(w) - 1),
+        lambda x, y: F.concat_ws(" ", x, y))
+    docs = (d.filter(F.size(w) >= 2)
+            .select("doc_id", "lang", F.explode(bg).alias("bigram")))
+    lm = docs.groupBy("bigram").agg(F.count("*").alias("c_bg"))
+    pre = (lm.groupBy(F.substring_index("bigram", " ", 1).alias("w1"))
+           .agg(F.sum("c_bg").alias("c_pre")))
+    scored = (
+        docs.join(F.broadcast(lm), "bigram")
+        .withColumn("w1", F.substring_index("bigram", " ", 1))
+        .join(F.broadcast(pre), "w1")
+        .groupBy("doc_id", "lang")
+        .agg(F.count("*").alias("n_bigrams"),
+             F.sum("c_bg").alias("num"),
+             F.sum("c_pre").alias("den")))
+    return (
+        scored.select(
+            "doc_id", "lang", "n_bigrams",
+            F.round(F.col("num").cast("double") / F.col("den").cast("double"),
+                    6).alias("lm_score"))
+        .orderBy("lm_score", "doc_id")
+        .limit(20))
+
+
+ORACLE_SQL["txt_bigram_lm_score"] = """
+        WITH t AS (SELECT doc_id, lang,
+                          list_filter(string_split(text, ' '),
+                                      x -> x <> '') AS l
+                   FROM documents),
+        b AS (SELECT doc_id, lang,
+                     unnest(list_transform(range(1, len(l)),
+                                           i -> l[i] || ' ' || l[i + 1])) AS bigram
+              FROM t WHERE len(l) >= 2),
+        lm AS (SELECT bigram, count(*) AS c_bg FROM b GROUP BY bigram),
+        pre AS (SELECT split_part(bigram, ' ', 1) AS w1,
+                       SUM(c_bg)::BIGINT AS c_pre
+                FROM lm GROUP BY 1),
+        sc AS (SELECT doc_id, lang, count(*) AS n_bigrams,
+                      SUM(lm.c_bg)::DOUBLE AS num,
+                      SUM(pre.c_pre)::DOUBLE AS den
+               FROM b JOIN lm USING (bigram)
+                      JOIN pre ON split_part(b.bigram, ' ', 1) = pre.w1
+               GROUP BY doc_id, lang)
+        SELECT doc_id, lang, n_bigrams, ROUND(num / den, 6) AS lm_score
+        FROM sc ORDER BY lm_score, doc_id LIMIT 20
+"""
+
+
 def txt_gopher_repetition(spark, sf_dir):
     """Repetition quality signals (the Gopher/MassiveText filter family
     — Rae et al. 2021 §A1.1, public paper): per-doc duplicate-word
@@ -3857,5 +3923,6 @@ QUERIES = {
     "txt_vocab_bigrams": txt_vocab_bigrams,
     "txt_gopher_repetition": txt_gopher_repetition,
     "txt_repeated_spans": txt_repeated_spans,
+    "txt_bigram_lm_score": txt_bigram_lm_score,
     "emb_quantize_recall": emb_quantize_recall,
 }
