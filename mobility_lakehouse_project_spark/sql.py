@@ -70,7 +70,8 @@ Supported statements (heads case-insensitive)::
 
 Reads may also query a table's inspection views — mentioning
 ``<view>_files`` / ``_snapshots`` / ``_manifests`` / ``_partitions`` /
-``_history`` / ``_refs`` in the statement registers them on demand —
+``_history`` / ``_refs`` / ``_stats`` (persisted ANALYZE statistics)
+in the statement registers them on demand —
 and time travel with the Delta/Iceberg idiom: ``FROM <view> VERSION AS
 OF <snapshot_id | 'tag-or-branch'>`` or ``FROM <view> TIMESTAMP AS OF
 '<iso-ts | epoch-ms>'`` (rewritten into pinned views on the spot).
@@ -127,7 +128,7 @@ class LakehouseSqlError(ValueError):
 _IDENT = r"[A-Za-z_][\w]*(?:\.[A-Za-z_][\w]*)*"
 _INTEGRAL = {"byte", "short", "integer", "long"}
 _META_SUFFIXES = ("files", "snapshots", "manifests", "partitions",
-                  "history", "refs")
+                  "history", "refs", "stats")
 
 
 # --------------------------------------------------------------------------

@@ -2587,17 +2587,47 @@ class LakehouseTable:
             rows, "name string, type string, snapshot_id long"
         )
 
+    def stats_df(self, spark: SparkSession) -> DataFrame:
+        """The `stats` inspection table: one row per (analyzed
+        snapshot, column) from the persisted ANALYZE statistics files
+        (operators/analyze.py — HLL++ NDV + null counts), so ad-hoc
+        SQL can read the optimizer-facing statistics the same way it
+        reads files/snapshots. Empty (same schema) when the table was
+        never analyzed."""
+        import json as _json
+        import os as _os
+
+        meta = self.load_metadata()
+        rows: list[tuple] = []
+        for sid, name in sorted(meta.get("statistics", {}).items()):
+            try:
+                with open(_os.path.join(self.meta_dir, name)) as f:
+                    st = _json.load(f)
+            except FileNotFoundError:
+                continue
+            for col, cs in sorted(st.get("columns", {}).items()):
+                rows.append((int(sid), col, int(st["row_count"]),
+                             int(cs["ndv"]), int(cs["null_count"]),
+                             float(st.get("rsd", 0.0)),
+                             int(st.get("computed_at_ms", 0))))
+        return spark.createDataFrame(
+            rows,
+            "snapshot_id long, column string, row_count long, ndv long, "
+            "null_count long, rsd double, computed_at_ms long",
+        )
+
     def register_metadata(self, spark: SparkSession, name: str) -> None:
         """Register every inspection table as `{name}_{files,snapshots,
-        manifests,partitions,history,refs}` temp views, so ad-hoc SQL
-        can audit the table the way the reference's dashboards query
-        DuckDB information tables (dags/Queries_dag.py)."""
+        manifests,partitions,history,refs,stats}` temp views, so ad-hoc
+        SQL can audit the table the way the reference's dashboards
+        query DuckDB information tables (dags/Queries_dag.py)."""
         self.files(spark).createOrReplaceTempView(f"{name}_files")
         self.snapshots_df(spark).createOrReplaceTempView(f"{name}_snapshots")
         self.manifests_df(spark).createOrReplaceTempView(f"{name}_manifests")
         self.partitions_df(spark).createOrReplaceTempView(f"{name}_partitions")
         self.history_df(spark).createOrReplaceTempView(f"{name}_history")
         self.refs_df(spark).createOrReplaceTempView(f"{name}_refs")
+        self.stats_df(spark).createOrReplaceTempView(f"{name}_stats")
 
     # ---------------- scan (with manifest pruning) ----------------
 

@@ -118,3 +118,29 @@ def test_register_metadata_sql_surface(spark, table):
     assert spark.sql(
         "SELECT count(*) AS c FROM img_manifests"
     ).collect()[0]["c"] >= 1
+
+
+def test_stats_df_exposes_persisted_analyze(spark, table):
+    """`<t>_stats` inspection view: ANALYZE's persisted NDV/null-count
+    statistics queryable via SQL like every other metadata table —
+    empty (stable schema) before analysis, one row per analyzed
+    (snapshot, column) after."""
+    from mobility_lakehouse_project_spark.operators.analyze import analyze_table
+    from mobility_lakehouse_project_spark.sql import execute_sql
+
+    t = table
+    assert t.stats_df(spark).count() == 0
+    st = analyze_table(t, spark, columns=["image_id", "w"])
+    rows = {r["column"]: r for r in t.stats_df(spark).collect()}
+    assert set(rows) == {"image_id", "w"}
+    assert rows["image_id"]["row_count"] == st["row_count"]
+    assert rows["image_id"]["ndv"] == st["columns"]["image_id"]["ndv"]
+    # SQL surface: the _stats suffix registers on demand
+    df = execute_sql(
+        spark,
+        "SELECT column, ndv FROM t_stats WHERE snapshot_id = :sid "
+        "ORDER BY column",
+        tables={"t": t}, args={"sid": st["snapshot_id"]},
+    )
+    got = {r["column"]: r["ndv"] for r in df.collect()}
+    assert got == {c: st["columns"][c]["ndv"] for c in ("image_id", "w")}
