@@ -3418,10 +3418,13 @@ def txt_bigram_lm_score(spark, sf_dir):
     doc, so the ranking is bit-identical across engines — no
     float-log summation-order hazard). Low scores = text whose word
     transitions the corpus has never seen: the junk the filter drops.
-    Returns the 20 lowest-scoring docs. Scale shape: the LM table is
-    vocab-bounded (tiny vs the corpus) so both lookups are BROADCAST
-    joins; the only data shuffle is the per-doc aggregate, map-side
-    partials included."""
+    Returns the 20 lowest-scoring docs. Scale shape: the lookups are
+    plain equi-joins — bigram vocabulary is sublinear in corpus size
+    but NOT bounded (web-scale bigram vocabularies run to billions),
+    so the LM side must not be force-broadcast; AQE picks broadcast
+    when the vocab fits the threshold (it does at every test SF) and
+    a shuffle join when it doesn't. The count aggregations are
+    map-side-partial; the per-doc aggregate is the one data shuffle."""
     d = _t(spark, sf_dir, "documents")
     w = F.filter(F.split("text", " "), lambda x: x != "")
     bg = F.zip_with(
@@ -3434,9 +3437,9 @@ def txt_bigram_lm_score(spark, sf_dir):
     pre = (lm.groupBy(F.substring_index("bigram", " ", 1).alias("w1"))
            .agg(F.sum("c_bg").alias("c_pre")))
     scored = (
-        docs.join(F.broadcast(lm), "bigram")
+        docs.join(lm, "bigram")
         .withColumn("w1", F.substring_index("bigram", " ", 1))
-        .join(F.broadcast(pre), "w1")
+        .join(pre, "w1")
         .groupBy("doc_id", "lang")
         .agg(F.count("*").alias("n_bigrams"),
              F.sum("c_bg").alias("num"),
