@@ -50,6 +50,7 @@ AUDIT = [
     "train_aspect_batches",  # two-phase per-bucket numbering: bucketed Window, pruned scan, NO Python
     "ann_pq_adc",            # PQ/ADC: NO Python (integer-exact Catalyst encode + LUT taps), top-k
     "txt_repeated_spans",    # window spans via sequence/transform/slice: NO per-token explode, one agg
+    "txt_bigram_lm_score",   # LM joins not force-broadcast (AQE decides); NO Python; TakeOrdered top-20
 ]
 
 CHECKS = {
@@ -106,6 +107,8 @@ CHECKS = {
     # pruned to exactly (doc_id, text)
     "txt_repeated_spans": ["HashAggregate",
                            "ReadSchema: struct<doc_id:bigint,text:string>"],
+    "txt_bigram_lm_score": ["TakeOrderedAndProject", "HashAggregate",
+                            "ReadSchema: struct<doc_id:bigint,text:string,lang:string>"],
 }
 
 # plans that must read NO data file at all (metadata-only answers)
@@ -119,7 +122,8 @@ NO_PYTHON = {"dedup_simhash", "ann_lsh_bucketed", "dedup_embed_cosine",
              "bloom_point_lookup", "txt_token_bpe", "dedup_cc_canonical",
              "sample_hash_mod", "addfiles_scan", "stats_agg_pushdown",
              "txt_pii_scrub", "txt_vocab_bigrams", "train_shard_plan",
-             "train_aspect_batches", "ann_pq_adc", "txt_repeated_spans"}
+             "train_aspect_batches", "ann_pq_adc", "txt_repeated_spans",
+             "txt_bigram_lm_score"}
 
 # plans that must NOT explode arrays into the shuffle (per-row pre-sum)
 NO_GENERATE = {"emb_label_profile"}
