@@ -860,3 +860,117 @@ def ann_pq_topk_coded(
         "m": m, "k_codes": int(cbs.shape[1]), "shortlist": n_short,
         "code_bytes_per_row": m * 4,
     }
+
+
+def build_ivfpq_table(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    location: str,
+    codebooks: np.ndarray,
+    n_cells: int = 8,
+    centroids: np.ndarray | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 23,
+    n_files: int | None = None,
+):
+    """IVF+PQ — the canonical billion-scale ANN layout (FAISS IVFPQ,
+    Jegou et al. 2011): the table is PARTITIONED by IVF cell (fixed
+    +-1 quantizer or pinned trained centroids) AND carries the PQ
+    codes as materialized int columns. A probe then composes the two
+    prunings: manifest partition pruning reads only nprobe/n_cells of
+    the FILES, and within them column pruning reads only the ~4 B/row
+    code columns for ADC scoring — the vector column is read only for
+    the shortlist rerank. At 10^12 vectors this is the only layout
+    where a query's working set fits anywhere: cells bound the files,
+    codes bound the bytes. Quantizer AND codebooks are pinned in the
+    commit summary so probe and build can never disagree."""
+    import json
+
+    from ..tableformat import LakehouseTable
+
+    first = embeddings.select(vec_col).first()
+    dim = len(first[0])
+    if centroids is None:
+        cents = rademacher_signs(dim, n_cells, seed)
+        cell_expr = ivf_cell_col(vec_col, cents)
+        summary = {"ivf-cells": n_cells, "ivf-seed": seed}
+    else:
+        cq = quantize_centroids(centroids)
+        cell_expr = ivf_trained_cell_col(vec_col, cq)
+        summary = {"ivf-cells": len(cq),
+                   "ivf-centroids": json.dumps(cq.astype(int).tolist())}
+    m, kc, _sub = codebooks.shape
+    coded = embeddings.select(
+        id_col, vec_col, *pq_code_cols(vec_col, codebooks)
+    ).withColumn("_cell", cell_expr.cast("int"))
+    t = LakehouseTable.create(location, coded.schema, partition_col="_cell")
+    entries = t.write_data_files(
+        coded,
+        n_files=n_files or max(4, spark.sparkContext.defaultParallelism),
+        salt_col=id_col,
+    )
+    t.commit_append(entries, summary={
+        **summary, "pq-m": m, "pq-k": kc,
+        "pq-codebooks": json.dumps(codebooks.astype(int).tolist()),
+    })
+    return t
+
+
+def ann_ivfpq_topk(
+    spark: SparkSession,
+    table,
+    query_vec,
+    k: int = 10,
+    nprobe: int = 2,
+    shortlist: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, dict]:
+    """Three-stage IVFPQ probe: (1) resolve the query's nprobe cells
+    driver-side from the pinned quantizer; (2) ADC-score a scan pruned
+    to those PARTITIONS and to the code COLUMNS (no vector bytes);
+    (3) exact-cosine rerank of the shortlist's vectors via broadcast
+    semi-join against the same pruned partitions. Returns (topk,
+    stats) with the measured pruned_fraction."""
+    import json
+
+    summ = next(
+        s.summary for s in reversed(table.snapshots_list())
+        if "pq-codebooks" in s.summary
+    )
+    cbs = np.array(json.loads(summ["pq-codebooks"]), dtype=np.float64)
+    if "ivf-centroids" in summ:
+        cq = np.array(json.loads(summ["ivf-centroids"]), dtype=np.float64)
+        probe = ivf_trained_cells_of(query_vec, cq, nprobe)
+    else:
+        cents = rademacher_signs(len(query_vec), int(summ["ivf-cells"]),
+                                 int(summ["ivf-seed"]))
+        probe = ivf_cells_of(query_vec, cents, nprobe)
+    pv = {str(c) for c in probe}
+    total = table.size_stats(spark)["files"]
+    scanned = table.plan_files(spark, partition_values=pv).count()
+    m = cbs.shape[0]
+    code_cols = [f"pq_{s}" for s in range(m)]
+    n_short = shortlist or 4 * k
+    ids = (
+        table.scan(spark, partition_values=pv,
+                   columns=[id_col] + code_cols)
+        .select(id_col, pq_adc_score_col(cbs, query_vec).alias("adc_score"))
+        .orderBy(F.desc("adc_score"), id_col)
+        .limit(n_short)
+        .select(id_col)
+    )
+    cand = table.scan(spark, partition_values=pv,
+                      columns=[id_col, vec_col]).join(
+        F.broadcast(ids), id_col, "left_semi"
+    )
+    topk = cosine_topk(cand, query_vec, k, id_col, vec_col)
+    return topk, {
+        "total_files": total,
+        "scanned_files": scanned,
+        "pruned_fraction": 1.0 - scanned / max(total, 1),
+        "probe_cells": probe,
+        "shortlist": n_short,
+        "code_bytes_per_row": m * 4,
+    }

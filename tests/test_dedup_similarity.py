@@ -514,3 +514,44 @@ class TestProductQuantization:
                                                 shortlist=max(50, n // 10))
         got2 = {r["vec_id"] for r in topk2.collect()}
         assert len(got2 & {v for v, _ in exact}) >= 4
+
+    def test_ivfpq_table_composes_both_prunings(self, spark, tmp_path):
+        """IVFPQ: partition pruning (cells) AND column pruning (codes)
+        compose. With nprobe == n_cells and shortlist == corpus the
+        probe must equal brute force exactly; at nprobe=2 the scan must
+        be partition-pruned (measured pruned_fraction > 0) with the
+        vector column absent from the ADC pass, and still find
+        neighbors that share the query's cells."""
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        n = emb.count()
+        cbs = similarity.pq_train_codebooks(emb, m=8, k=16, sample_n=200)
+        t = similarity.build_ivfpq_table(
+            spark, emb, str(tmp_path / "ivfpq"), cbs, n_cells=4, n_files=8)
+        qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+        exact = [
+            (r["vec_id"], r["cos_sim"])
+            for r in similarity.cosine_topk(
+                emb.filter(F.col("vec_id") != 0), qv, k=10).collect()
+        ]
+        topk, stats = similarity.ann_ivfpq_topk(
+            spark, t, qv, k=11, nprobe=4, shortlist=n)
+        got = [(r["vec_id"], r["cos_sim"])
+               for r in topk.collect() if r["vec_id"] != 0][:10]
+        assert got == exact
+        assert stats["pruned_fraction"] == 0.0  # all cells probed
+        topk2, st2 = similarity.ann_ivfpq_topk(
+            spark, t, qv, k=10, nprobe=2, shortlist=100)
+        assert st2["pruned_fraction"] > 0.0
+        assert st2["scanned_files"] < st2["total_files"]
+        rows2 = topk2.collect()
+        assert 0 < len(rows2) <= 10
+        # every returned hit must come from a probed cell (driver twin)
+        import json
+        summ = next(s_.summary for s_ in reversed(t.snapshots_list())
+                    if "pq-codebooks" in s_.summary)
+        cents = similarity.rademacher_signs(64, int(summ["ivf-cells"]),
+                                            int(summ["ivf-seed"]))
+        by_id = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+        for r in rows2:
+            cell = similarity.ivf_cells_of(by_id[r["vec_id"]], cents, 1)[0]
+            assert cell in st2["probe_cells"]
