@@ -2056,6 +2056,116 @@ def _ann_pq_coded_oracle_sql(shortlist: int = 40) -> str:
 ORACLE_SQL["ann_pq_coded"] = _ann_pq_coded_oracle_sql()
 
 
+def ann_ivfpq(spark, sf_dir):
+    """IVF+PQ end to end through the table format (the FAISS-IVFPQ
+    billion-scale layout): embeddings persisted PARTITIONED by the
+    fixed 8-cell quantizer WITH PQ codes materialized; the probe
+    composes manifest partition pruning (nprobe=2 of 8 cells), column
+    pruning (codes only for the ADC shortlist of 40), and an exact
+    cosine rerank. The oracle reproduces all three stages — cell
+    assignment, code assignment, ADC ranking, rerank — from the same
+    integer grid, so any disagreement between the persisted layout
+    and the logical plan flips the hash."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.similarity import (ann_ivfpq_topk, build_ivfpq_table,
+                                        fixed_pq_codebooks)
+
+    cbs = fixed_pq_codebooks(64, ANN_PQ_M, ANN_PQ_K)
+    e = _t(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    scratch = os.path.join(tempfile.gettempdir(), "mlps-scratch", "ann-ivfpq")
+    shutil.rmtree(scratch, ignore_errors=True)
+    t = build_ivfpq_table(
+        spark, e.filter(F.col("vec_id") != 0), scratch + "/emb", cbs,
+        n_cells=ANN_IVF_CELLS, seed=23)
+    topk, _stats = ann_ivfpq_topk(spark, t, qv, k=10, nprobe=2, shortlist=40)
+    return topk
+
+
+def _ann_ivfpq_oracle_sql(nprobe: int = 2, shortlist: int = 40) -> str:
+    """Generated at import: IVF cell CASE (fixed quantizer, exact
+    integer dots) + PQ encode CASE + ADC list-literal taps + cosine
+    rerank, all over one quantized CTE."""
+    from ..operators.similarity import fixed_pq_codebooks, rademacher_signs
+
+    cents = rademacher_signs(64, ANN_IVF_CELLS, seed=23)
+    cbs = fixed_pq_codebooks(64, ANN_PQ_M, ANN_PQ_K)
+    m, k, sub = cbs.shape
+
+    def ivf_dots(vec: str) -> list[str]:
+        return [
+            "list_dot_product(" + vec + ", ["
+            + ", ".join(f"{x:.1f}" for x in c) + "])"
+            for c in cents
+        ]
+
+    def cell(vec: str) -> str:
+        ds = ivf_dots(vec)
+        g = f"greatest({', '.join(ds)})"
+        cases = " ".join(f"WHEN {d} = {g} THEN {i}" for i, d in enumerate(ds))
+        return f"(CASE {cases} END)"
+
+    qd = ivf_dots("qv")
+    probe = f"""
+        (SELECT list_transform(
+             list_slice(list_sort(list_transform(range(1, {ANN_IVF_CELLS + 1}),
+                 i -> [-([{', '.join(qd)}])[i], i::DOUBLE])), 1, {nprobe}),
+             p -> CAST(p[2] AS INTEGER) - 1) AS cells
+         FROM q)
+    """
+
+    def cw(s: int, j: int) -> str:
+        return "[" + ", ".join(f"{x:.1f}" for x in cbs[s, j]) + "]"
+
+    def sub_slice(vec: str, s: int) -> str:
+        return f"list_slice({vec}, {s * sub + 1}, {(s + 1) * sub})"
+
+    def code(s: int) -> str:
+        ds = [
+            f"(list_dot_product({sub_slice('v', s)}, {cw(s, j)})"
+            f" - {float((cbs[s, j] ** 2).sum()) / 2.0})"
+            for j in range(k)
+        ]
+        g = f"greatest({', '.join(ds)})"
+        cases = " ".join(f"WHEN {d} = {g} THEN {j}" for j, d in enumerate(ds))
+        return f"(CASE {cases} END)"
+
+    def lut(s: int) -> str:
+        taps = ", ".join(
+            f"list_dot_product({sub_slice('qv', s)}, {cw(s, j)})"
+            for j in range(k)
+        )
+        return f"([{taps}])[c{s} + 1]"
+
+    codes = ", ".join(f"{code(s)} AS c{s}" for s in range(m))
+    score = " + ".join(lut(s) for s in range(m))
+    return f"""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> round(x::DOUBLE * 1024)) AS v
+               FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    probe AS ({probe}),
+    cand AS (SELECT e.vec_id, e.v FROM e, probe
+             WHERE e.vec_id != 0 AND list_contains(probe.cells, {cell('e.v')})),
+    enc AS (SELECT vec_id, {codes} FROM cand),
+    short AS (SELECT enc.vec_id, ({score}) AS adc_score FROM enc, q
+              ORDER BY adc_score DESC, vec_id LIMIT {shortlist}),
+    q2 AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT emb.vec_id,
+           ROUND(list_dot_product(emb.embedding::DOUBLE[], q2.qv::DOUBLE[]) /
+                 (sqrt(list_dot_product(emb.embedding::DOUBLE[], emb.embedding::DOUBLE[])) *
+                  sqrt(list_dot_product(q2.qv::DOUBLE[], q2.qv::DOUBLE[]))), 4) AS cos_sim
+    FROM embeddings emb JOIN short USING (vec_id), q2
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
+
+ORACLE_SQL["ann_ivfpq"] = _ann_ivfpq_oracle_sql()
+
+
 def mm_image_features(spark, sf_dir):
     """Multimodal decode validation summary over the deterministic
     synthetic image table: mapInPandas decodes every blob, extracts
@@ -3896,6 +4006,7 @@ QUERIES = {
     "ann_ivf_probe": ann_ivf_probe,
     "ann_pq_adc": ann_pq_adc,
     "ann_pq_coded": ann_pq_coded,
+    "ann_ivfpq": ann_ivfpq,
     "ann_lsh_clustered": ann_lsh_clustered,
     "ann_batch_join": ann_batch_join,
     "ann_batch_clustered": ann_batch_clustered,
