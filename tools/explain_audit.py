@@ -51,6 +51,7 @@ AUDIT = [
     "ann_pq_adc",            # PQ/ADC: NO Python (integer-exact Catalyst encode + LUT taps), top-k
     "txt_repeated_spans",    # window spans via sequence/transform/slice: NO per-token explode, one agg
     "txt_bigram_lm_score",   # LM joins not force-broadcast (AQE decides); NO Python; TakeOrdered top-20
+    "ann_ivfpq",             # cell-pruned scan + code-column ADC + broadcast-semi rerank, NO Python
 ]
 
 CHECKS = {
@@ -109,6 +110,10 @@ CHECKS = {
                            "ReadSchema: struct<doc_id:bigint,text:string>"],
     "txt_bigram_lm_score": ["TakeOrderedAndProject", "HashAggregate",
                             "ReadSchema: struct<doc_id:bigint,text:string,lang:string>"],
+    # ADC pass reads only (vec_id, pq_*): the embedding column must be
+    # pruned out of the shortlist scan; rerank joins a broadcast
+    # semi-join of the shortlist ids
+    "ann_ivfpq": ["TakeOrderedAndProject", "BroadcastHashJoin", "LeftSemi"],
 }
 
 # plans that must read NO data file at all (metadata-only answers)
@@ -123,7 +128,7 @@ NO_PYTHON = {"dedup_simhash", "ann_lsh_bucketed", "dedup_embed_cosine",
              "sample_hash_mod", "addfiles_scan", "stats_agg_pushdown",
              "txt_pii_scrub", "txt_vocab_bigrams", "train_shard_plan",
              "train_aspect_batches", "ann_pq_adc", "txt_repeated_spans",
-             "txt_bigram_lm_score"}
+             "txt_bigram_lm_score", "ann_ivfpq"}
 
 # plans that must NOT explode arrays into the shuffle (per-row pre-sum)
 NO_GENERATE = {"emb_label_profile"}
