@@ -357,3 +357,173 @@ def test_merge_evolution_case_variant_column_not_duplicated(spark, tmp_table_dir
     merge.merge_into(t, spark, src, key="id", evolve_schema=True)
     assert [f.name for f in t.schema().fields] == ["id", "caption"]
     assert t.scan(spark).count() == 2
+
+
+# ---------------- validated rebase (conflicting-append validation) ----
+
+
+def _racing(t, fire):
+    """Wrap t.write_data_files so `fire()` runs once after the merge's
+    output is written — i.e. inside the plan-to-commit window."""
+    orig = t.write_data_files
+    state = {"done": False}
+
+    def wrapper(*a, **k):
+        entries = orig(*a, **k)
+        if not state["done"]:
+            state["done"] = True
+            fire()
+        return entries
+
+    t.write_data_files = wrapper
+
+
+def test_merge_rebases_over_disjoint_concurrent_append(spark, tmp_table_dir):
+    """A concurrent append of keys DISJOINT from the merge source lands
+    between plan and commit: the merge validates and REBASES — the blob
+    rewrite is committed on the new parent in the same merge_into call
+    (no replan), the appended rows survive untouched, and the history
+    shows the merge's overwrite on top of the racer's append."""
+    df = synth.images_df(spark, 120, partitions=2)
+    t = LakehouseTable.create(tmp_table_dir, df.schema, partition_col="bucket")
+    t.append(df, n_files=4)
+    racer = synth.images_df(spark, 15, id_offset=1000)  # disjoint keys
+
+    def fire():
+        LakehouseTable(tmp_table_dir).append(racer, n_files=1)
+
+    _racing(t, fire)
+    src = synth.images_df(spark, 20, seed=9).withColumn(
+        "caption", F.concat(F.lit("updated "), F.col("image_id")))
+    try:
+        res = merge.merge_into(t, spark, src)
+    finally:
+        del t.write_data_files
+    assert res["files_rewritten"] > 0
+    got = t.scan(spark)
+    assert got.count() == 120 + 15
+    assert got.filter(F.col("caption").startswith("updated ")).count() == 20
+    # racer rows intact (never part of the rewrite)
+    racer_ids = {r["image_id"] for r in racer.select("image_id").collect()}
+    kept = got.filter(got.image_id.isin(list(racer_ids))).count()
+    assert kept == 15
+    # history: head is the merge's overwrite, its parent the racer append
+    snaps = t.snapshots_list()
+    head = t.current_snapshot()
+    assert head.operation == "overwrite"
+    parent = {s.snapshot_id: s for s in snaps}[head.parent_id]
+    assert parent.operation == "append"
+    assert parent.summary.get("op") != "merge"
+
+
+def test_merge_conflicting_concurrent_append_replans(spark, tmp_table_dir):
+    """A concurrent append whose keys MATCH the merge source must still
+    surface (rebasing would duplicate keys); re-running merge_into
+    replans and converges with zero duplicate keys."""
+    from mobility_lakehouse_project_spark.tableformat.table import (
+        ConcurrentCommitError,
+    )
+
+    df = synth.images_df(spark, 120, partitions=2)
+    t = LakehouseTable.create(tmp_table_dir, df.schema, partition_col="bucket")
+    t.append(df, n_files=4)
+    # source: updates keys 110-119, inserts keys 120-139
+    src = synth.images_df(spark, 30, seed=9, id_offset=110).withColumn(
+        "caption", F.concat(F.lit("updated "), F.col("image_id")))
+    racer = synth.images_df(spark, 5, seed=5, id_offset=130)  # inside src's insert range
+
+    def fire():
+        LakehouseTable(tmp_table_dir).append(racer, n_files=1)
+
+    _racing(t, fire)
+    try:
+        with pytest.raises(ConcurrentCommitError):
+            merge.merge_into(t, spark, src)
+    finally:
+        del t.write_data_files
+    res = merge.merge_into(t, spark, src)  # replan sees racer rows as target
+    assert res["snapshot"] is not None
+    got = t.scan(spark)
+    assert got.count() == 140  # keys 0-139, each exactly once
+    assert got.select("image_id").distinct().count() == 140
+    # racer's 5 keys were MATCHED on the replan -> carry source captions
+    assert got.filter(F.col("caption").startswith("updated ")).count() == 30
+
+
+def test_merge_insert_only_rebases(spark, tmp_table_dir):
+    """Insert-only fast path: a disjoint concurrent append rebases the
+    pinned commit_append instead of replanning."""
+    df = synth.images_df(spark, 100, partitions=2)
+    t = LakehouseTable.create(tmp_table_dir, df.schema, partition_col="bucket")
+    t.append(df, n_files=4)
+    racer = synth.images_df(spark, 7, id_offset=5000)
+
+    def fire():
+        LakehouseTable(tmp_table_dir).append(racer, n_files=1)
+
+    _racing(t, fire)
+    src = synth.images_df(spark, 20, id_offset=200)
+    try:
+        res = merge.merge_into(t, spark, src, when_matched=None)
+    finally:
+        del t.write_data_files
+    assert res["files_rewritten"] == 0
+    assert t.scan(spark).count() == 100 + 7 + 20
+    assert t.scan(spark).select("image_id").distinct().count() == 127
+
+
+def test_merge_rebase_rejects_concurrent_maintenance(spark, tmp_table_dir):
+    """A concurrent NON-append commit (row-level DELETE -> overwrite)
+    is never rebased over: the plan's touched files may be gone."""
+    from mobility_lakehouse_project_spark.operators import delete as del_op
+    from mobility_lakehouse_project_spark.tableformat.table import (
+        ConcurrentCommitError,
+    )
+
+    df = synth.images_df(spark, 120, partitions=2)
+    t = LakehouseTable.create(tmp_table_dir, df.schema, partition_col="bucket")
+    t.append(df, n_files=4)
+
+    def fire():
+        del_op.delete_where(
+            LakehouseTable(tmp_table_dir), spark,
+            F.col("image_id") == "img000000000050")  # outside src's 0-19
+
+    _racing(t, fire)
+    src = synth.images_df(spark, 20, seed=9).withColumn(
+        "caption", F.concat(F.lit("updated "), F.col("image_id")))
+    try:
+        with pytest.raises(ConcurrentCommitError):
+            merge.merge_into(t, spark, src)
+    finally:
+        del t.write_data_files
+    res = merge.merge_into(t, spark, src)  # replan converges
+    assert res["snapshot"] is not None
+    assert t.scan(spark).count() == 119
+
+
+def test_merge_mor_rebases_over_disjoint_concurrent_append(
+        spark, tmp_table_dir):
+    """MOR upsert: the one-commit delete-files+append rebases over a
+    disjoint concurrent append; deletes still hit exactly the matched
+    positions and the racer's rows survive."""
+    df = synth.images_df(spark, 100, partitions=2)
+    t = LakehouseTable.create(tmp_table_dir, df.schema, partition_col="bucket")
+    t.append(df, n_files=4)
+    racer = synth.images_df(spark, 9, id_offset=3000)
+
+    def fire():
+        LakehouseTable(tmp_table_dir).append(racer, n_files=1)
+
+    _racing(t, fire)
+    src = synth.images_df(spark, 10, seed=9).withColumn(
+        "caption", F.concat(F.lit("updated "), F.col("image_id")))
+    try:
+        res = merge.merge_into(t, spark, src, mode="mor")
+    finally:
+        del t.write_data_files
+    assert res["delete_files_written"] > 0
+    got = t.scan(spark)
+    assert got.count() == 100 + 9
+    assert got.select("image_id").distinct().count() == 109
+    assert got.filter(F.col("caption").startswith("updated ")).count() == 10

@@ -91,6 +91,10 @@ def test_mor_merge_rejects_update_cols(spark, tmp_table_dir):
 
 
 def test_mor_merge_conflict_forces_replan(spark, tmp_table_dir):
+    """A concurrent append whose keys OVERLAP the merge source must
+    surface even under the validated rebase (the appended copy of a
+    matched key would dodge the position deletes -> duplicate rows).
+    With rebasing disabled a DISJOINT append must surface too."""
     t = _mk(spark, tmp_table_dir)
     orig = t.commit_delete_files
     fired = {"done": False}
@@ -98,8 +102,8 @@ def test_mor_merge_conflict_forces_replan(spark, tmp_table_dir):
     def racing(*a, **k):
         if not fired["done"]:
             fired["done"] = True
-            t.append(synth.images_df(spark, 5, seed=60, id_offset=200_000),
-                     n_files=1)
+            # seed 60: same ids as _src's updates (0..4), new payloads
+            t.append(synth.images_df(spark, 5, seed=60), n_files=1)
         return orig(*a, **k)
 
     t.commit_delete_files = racing
@@ -108,6 +112,23 @@ def test_mor_merge_conflict_forces_replan(spark, tmp_table_dir):
     t.commit_delete_files = orig
     assert not t.current_snapshot().delete_manifests
     assert t.scan(spark).count() == N + 5
+
+    # rebase_retries=0 restores the round-3 surface-on-any-advance
+    # behavior, even for a disjoint concurrent append
+    fired2 = {"done": False}
+
+    def racing2(*a, **k):
+        if not fired2["done"]:
+            fired2["done"] = True
+            t.append(synth.images_df(spark, 5, seed=61, id_offset=200_000),
+                     n_files=1)
+        return orig(*a, **k)
+
+    t.commit_delete_files = racing2
+    with pytest.raises(ConcurrentCommitError):
+        merge.merge_into(t, spark, _src(spark), key="image_id", mode="mor",
+                         rebase_retries=0)
+    t.commit_delete_files = orig
 
 
 def test_mor_update_where_matches_cow_semantics(spark, tmp_path):
