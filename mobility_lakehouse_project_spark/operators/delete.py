@@ -17,9 +17,11 @@ the way Iceberg's copy-on-write DELETE plans it:
     with at least one matching row are the touched set.
  3. **Rewrite** touched files WITHOUT the matching rows, one blob read,
     salted-hash write; commit pinned to the plan snapshot
-    (``expected_parent``) — a concurrent commit means the matched-row
-    classification may be stale, so it surfaces for a replan instead of
-    composing (same rule as MERGE).
+    (``expected_parent``). A concurrent commit first goes through the
+    validated rebase (:mod:`.rebase`): plain appends re-pin the
+    finished rewrite (snapshot isolation — appended rows are
+    legitimately out of scope), anything content-changing surfaces for
+    a replan (same rule as MERGE).
 """
 
 from __future__ import annotations
@@ -32,6 +34,7 @@ from pyspark.sql import types as T
 
 from ..lineage import LineageLog
 from ..tableformat import LakehouseTable
+from .rebase import commit_with_rebase, rebase_fingerprint
 
 # driver-side path-materialization bound: planning never collects more
 # than this many candidate file paths at once — a non-selective
@@ -134,18 +137,31 @@ def _rowlevel_op(
     chunk_files: int,
     predicate_repr: str,
     point_eq=None,
+    rebase_retries: int = 2,
 ) -> dict:
     """Shared chunked DELETE/UPDATE engine. Partition chunks bound every
     driver-side path collect (<= chunk_files per chunk); each chunk
     plans against the CURRENT snapshot and commits pinned to it, so a
-    concurrent external commit surfaces as ConcurrentCommitError (the
-    caller replans) while our own chunk sequence chains cleanly. A
-    killed run is resumable by re-running: already-rewritten chunks
-    have no matching rows left (DELETE) or are detected and re-applied
-    idempotently (UPDATE assignments are plain SET expressions)."""
+    concurrent external commit surfaces while our own chunk sequence
+    chains cleanly. A killed run is resumable by re-running:
+    already-rewritten chunks have no matching rows left (DELETE) or are
+    detected and re-applied idempotently (UPDATE assignments are plain
+    SET expressions).
+
+    A lost commit race first tries a validated REBASE
+    (:func:`.rebase.validate_rebase` with no key condition): when every
+    concurrent commit is a plain append with no delete files and no
+    schema change, the finished chunk rewrite re-commits on the new
+    head — under snapshot isolation a predicate-conditioned rewrite
+    conflicts with nothing an append can add (the appended rows are
+    legitimately outside the plan's snapshot, exactly like Iceberg CoW
+    DELETE). Rewrites / deletes / delete-file commits still surface as
+    ConcurrentCommitError for a caller replan; ``rebase_retries=0``
+    restores surface-on-any-advance."""
     rows_key = "rows_deleted" if kind == "delete" else "rows_updated"
     t0 = time.time()
     meta = table.load_metadata()
+    plan_fp = rebase_fingerprint(meta)
     cur = table.current_snapshot(meta)
     if cur is None or not cur.manifests:
         return {"files_rewritten": 0, "files_written": 0, rows_key: 0,
@@ -229,22 +245,26 @@ def _rowlevel_op(
         affected = {e["partition_id"] for e in touched_entries}
         if kind == "update":
             affected |= {e["partition_id"] for e in new_entries}
-        snap = table.commit_replace(
-            {e["file_path"] for e in touched_entries},
-            new_entries,
-            operation="delete" if kind == "delete" else "overwrite",
-            summary={"op": kind, f"rows-{kind}d": n_matched,
-                     "predicate": predicate_repr,
-                     **({"set": ",".join(sorted(upd))} if upd else {}),
-                     **({"files-dropped": len(dead)} if dead else {}),
-                     "chunk": f"{ci + 1}/{len(chunks)}"},
-            affected_partitions=affected,
-            # content-sensitive: the matched-row classification was
-            # computed against the plan snapshot — any concurrent commit
-            # must force a replan, not compose (same rule as MERGE)
-            retries=0,
-            expected_parent=cur.snapshot_id,
-        )
+        # content-sensitive: the matched-row classification was
+        # computed against the plan snapshot, so the commit is pinned
+        # (retries=0) — but a concurrent plain append rebases instead
+        # of surfacing (no key condition: appended rows are outside
+        # this plan's snapshot by snapshot-isolation semantics)
+        snap = commit_with_rebase(
+            lambda pin: table.commit_replace(
+                {e["file_path"] for e in touched_entries},
+                new_entries,
+                operation="delete" if kind == "delete" else "overwrite",
+                summary={"op": kind, f"rows-{kind}d": n_matched,
+                         "predicate": predicate_repr,
+                         **({"set": ",".join(sorted(upd))} if upd else {}),
+                         **({"files-dropped": len(dead)} if dead else {}),
+                         "chunk": f"{ci + 1}/{len(chunks)}"},
+                affected_partitions=affected,
+                retries=0,
+                expected_parent=pin,
+            ),
+            table, spark, cur, plan_fp, rebase_retries, op=kind)
         log.record(
             op_id or f"{kind}-{snap.snapshot_id}", f"chunk-{ci}",
             sorted(affected),
@@ -406,6 +426,7 @@ def delete_where(
     chunk_files: int = DEFAULT_CHUNK_FILES,
     mode: str = "cow",
     point_eq: dict | None = None,
+    rebase_retries: int = 2,
 ) -> dict:
     """DELETE FROM table WHERE ``predicate`` — removes only rows where
     the predicate evaluates TRUE (SQL three-valued semantics: NULL
@@ -449,12 +470,12 @@ def delete_where(
     if mode in ("mor", "dv"):
         return _mor_delete(table, spark, cond, int_ranges, op_id,
                            chunk_files, str(predicate), point_eq=point_eq,
-                           dv=(mode == "dv"))
+                           dv=(mode == "dv"), rebase_retries=rebase_retries)
     if mode != "cow":
         raise ValueError(f"unknown delete mode {mode!r} (cow|mor|dv)")
     return _rowlevel_op(table, spark, cond, "delete", {}, int_ranges,
                         target_file_size, op_id, chunk_files, str(predicate),
-                        point_eq=point_eq)
+                        point_eq=point_eq, rebase_retries=rebase_retries)
 
 
 # target rows per position-delete file: (path, int64) rows are ~100 B;
@@ -486,16 +507,21 @@ def _delete_entries_and_meta(table, spark, positions, n_hits, touched_paths,
 
 
 def _mor_delete(table, spark, cond, int_ranges, op_id, chunk_files,
-                predicate_repr, point_eq=None, dv=False) -> dict:
+                predicate_repr, point_eq=None, dv=False,
+                rebase_retries=2) -> dict:
     """Merge-on-read DELETE: per partition chunk, one slim-column scan
     finds (file, row-position) of predicate-TRUE rows; those pairs are
     written as sorted position-delete files and committed pinned to
-    the plan snapshot (positions are content-addressed — any
-    concurrent rewrite invalidates them, so it must surface). The scan
-    applies PRIOR pending deletes, so re-deleting an already-deleted
-    row is a no-op and re-running a killed job is idempotent."""
+    the plan snapshot (positions are content-addressed — a concurrent
+    rewrite invalidates them, so it must surface; a concurrent plain
+    append leaves every referenced (file, pos) intact, so it REBASES
+    via :func:`.rebase.validate_rebase`). The scan applies PRIOR
+    pending deletes, so re-deleting an already-deleted row is a no-op
+    and re-running a killed job is idempotent."""
     t0 = time.time()
-    cur = table.current_snapshot()
+    meta = table.load_metadata()
+    plan_fp = rebase_fingerprint(meta)
+    cur = table.current_snapshot(meta)
     if cur is None or not cur.manifests:
         return {"delete_files_written": 0, "rows_deleted": 0,
                 "files_dropped": 0,
@@ -557,16 +583,20 @@ def _mor_delete(table, spark, cond, int_ranges, op_id, chunk_files,
         # two pinned commits per chunk (drop, then deletes) — readers
         # between them see a consistent PREFIX of this delete, the same
         # contract the chunk loop already gives across chunks
-        pin = cur.snapshot_id
+        pin_snap = cur
         if dead:
-            snap = table.commit_replace(
-                set(dead), [], operation="delete",
-                summary={"op": "mor-delete", "predicate": predicate_repr,
-                         "files-dropped": len(dead),
-                         "chunk": f"{ci + 1}/{len(chunks)}"},
-                retries=0, expected_parent=pin,
-            )
-            pin = snap.snapshot_id
+            snap = commit_with_rebase(
+                lambda pin: table.commit_replace(
+                    set(dead), [], operation="delete",
+                    summary={"op": "mor-delete",
+                             "predicate": predicate_repr,
+                             "files-dropped": len(dead),
+                             "chunk": f"{ci + 1}/{len(chunks)}"},
+                    retries=0, expected_parent=pin,
+                ),
+                table, spark, pin_snap, plan_fp, rebase_retries,
+                op="mor-delete")
+            pin_snap = snap
             metrics["files_dropped"] += len(dead)
         entries: list[dict] = []
         if partial:
@@ -579,14 +609,17 @@ def _mor_delete(table, spark, cond, int_ranges, op_id, chunk_files,
             )
             entries, extra = _delete_entries_and_meta(
                 table, spark, matched, n_partial_hits, partial, dv)
-            snap = table.commit_delete_files(
-                entries,
-                summary={"predicate": predicate_repr,
-                         **({"dv": True} if dv else {}),
-                         "chunk": f"{ci + 1}/{len(chunks)}"},
-                expected_parent=pin,
-                **extra,
-            )
+            snap = commit_with_rebase(
+                lambda pin: table.commit_delete_files(
+                    entries,
+                    summary={"predicate": predicate_repr,
+                             **({"dv": True} if dv else {}),
+                             "chunk": f"{ci + 1}/{len(chunks)}"},
+                    expected_parent=pin,
+                    **extra,
+                ),
+                table, spark, pin_snap, plan_fp, rebase_retries,
+                op="mor-delete")
         log.record(
             op_id or f"mor-delete-{snap.snapshot_id}", f"chunk-{ci}",
             sorted(part_ids), len(dead) + len(partial), len(entries),
@@ -928,6 +961,7 @@ def update_where(
     chunk_files: int = DEFAULT_CHUNK_FILES,
     mode: str = "cow",
     point_eq: dict | None = None,
+    rebase_retries: int = 2,
 ) -> dict:
     """UPDATE table SET col = expr, ... WHERE ``predicate`` — the same
     stats-pruned copy-on-write plan as DELETE: only files holding a
@@ -962,17 +996,17 @@ def update_where(
         return _mor_update(table, spark, cond, upd, int_ranges,
                            target_file_size, op_id, chunk_files,
                            str(predicate), point_eq=point_eq,
-                           dv=(mode == "dv"))
+                           dv=(mode == "dv"), rebase_retries=rebase_retries)
     if mode != "cow":
         raise ValueError(f"unknown update mode {mode!r} (cow|mor|dv)")
     return _rowlevel_op(table, spark, cond, "update", upd, int_ranges,
                         target_file_size, op_id, chunk_files, str(predicate),
-                        point_eq=point_eq)
+                        point_eq=point_eq, rebase_retries=rebase_retries)
 
 
 def _mor_update(table, spark, cond, upd, int_ranges, target_file_size,
                 op_id, chunk_files, predicate_repr, point_eq=None,
-                dv=False) -> dict:
+                dv=False, rebase_retries=2) -> dict:
     """Merge-on-read UPDATE: per partition chunk, matched rows (read
     once, blobs included — the assignments need the old row) become
     (a) position-delete entries for their old locations and (b) an
@@ -981,9 +1015,13 @@ def _mor_update(table, spark, cond, upd, int_ranges, target_file_size,
     snapshot. Re-running after a kill is NOT idempotent the way CoW
     UPDATE is (an idempotent assignment applied to an already-updated
     row re-matches and rewrites it again — same rows, new versions),
-    but every intermediate state is consistent."""
+    but every intermediate state is consistent. A lost commit race
+    rebases over concurrent plain appends (no key condition — see
+    :func:`_rowlevel_op`); anything else surfaces for a replan."""
     t0 = time.time()
-    cur = table.current_snapshot()
+    meta = table.load_metadata()
+    plan_fp = rebase_fingerprint(meta)
+    cur = table.current_snapshot(meta)
     if cur is None or not cur.manifests:
         return {"delete_files_written": 0, "files_written": 0,
                 "rows_updated": 0,
@@ -1046,16 +1084,18 @@ def _mor_update(table, spark, cond, upd, int_ranges, target_file_size,
             n_partitions_hint=len(part_ids) or 1,
         )
         matched.unpersist()
-        snap = table.commit_delete_files(
-            delete_entries, data_entries=data_entries,
-            operation="overwrite", op_name="mor-update",
-            summary={"predicate": predicate_repr,
-                     "set": ",".join(sorted(upd)),
-                     **({"dv": True} if dv else {}),
-                     "chunk": f"{ci + 1}/{len(chunks)}"},
-            expected_parent=cur.snapshot_id,
-            **extra,
-        )
+        snap = commit_with_rebase(
+            lambda pin: table.commit_delete_files(
+                delete_entries, data_entries=data_entries,
+                operation="overwrite", op_name="mor-update",
+                summary={"predicate": predicate_repr,
+                         "set": ",".join(sorted(upd)),
+                         **({"dv": True} if dv else {}),
+                         "chunk": f"{ci + 1}/{len(chunks)}"},
+                expected_parent=pin,
+                **extra,
+            ),
+            table, spark, cur, plan_fp, rebase_retries, op="mor-update")
         log.record(
             op_id or f"mor-update-{snap.snapshot_id}", f"chunk-{ci}",
             sorted(part_ids), len(per_file), len(data_entries), n_matched,

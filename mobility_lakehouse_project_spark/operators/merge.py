@@ -44,7 +44,6 @@ AQE skew-join handles the join side.
 
 from __future__ import annotations
 
-import json
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -54,145 +53,7 @@ from pyspark.sql.window import Window
 
 from ..lineage import LineageLog
 from ..tableformat import LakehouseTable
-from ..tableformat.table import ConcurrentCommitError, Snapshot
-
-
-def _rebase_fingerprint(meta: dict) -> tuple:
-    """The parts of table metadata a MERGE plan depends on beyond the
-    snapshot content: schema, partition spec, rename history, CHECK
-    constraints. A concurrent change to ANY of these invalidates the
-    already-written output files (wrong columns / wrong layout /
-    unvalidated constraint), so a rebase is only legal when the
-    fingerprint is unchanged."""
-    props = meta.get("properties", {})
-    return (
-        meta.get("schema_json"),
-        meta.get("partition_col"),
-        meta.get("partition_transform"),
-        json.dumps(meta.get("column_renames", {}), sort_keys=True),
-        json.dumps({k: v for k, v in sorted(props.items())
-                    if k.startswith("constraints.")}),
-    )
-
-
-def validate_rebase(
-    table: LakehouseTable,
-    spark: SparkSession,
-    plan_snap: Snapshot,
-    plan_fp: tuple,
-    conflict_keys: DataFrame,
-    keys: list[str],
-    full_sync: bool = False,
-) -> Snapshot:
-    """Iceberg-style conflicting-append validation after a lost commit
-    race: decide whether the MERGE plan (derived at ``plan_snap``) is
-    still valid against the advanced table head, so the already-written
-    output files can be committed on the new parent WITHOUT re-running
-    the merge (Iceberg's ``validateNoConflictingAppends`` for
-    copy-on-write MERGE under snapshot isolation).
-
-    A rebase is legal iff every commit since the plan snapshot
-
-    * is a plain ``append`` (a rewrite/delete/overwrite may have
-      touched or removed the plan's files — always replan),
-    * added no delete files (a concurrent MOR delete could target rows
-      the plan carries through a rewrite — resurrection risk),
-    * changed no schema/spec/constraint metadata (``plan_fp``), and
-    * appended NO row whose merge key appears in ``conflict_keys`` —
-      checked EXACTLY with a key semi-join over the incremental read
-      (``scan(updated_since=plan seq)`` prunes to just the files the
-      concurrent appends added, column-pruned to the keys; cost is
-      O(concurrent append volume), not O(table)). A matching appended
-      row would either duplicate an inserted key or dodge a matched
-      rewrite, so it forces a replan. With ``full_sync=True`` (WHEN NOT
-      MATCHED BY SOURCE THEN DELETE) ANY concurrent append conflicts:
-      the plan's by-source delete set was the whole key universe.
-
-    Returns the new head :class:`Snapshot` to re-pin the commit to, or
-    raises :class:`ConcurrentCommitError` (``non_retryable``) when the
-    caller must replan — same exception contract the pinned commit
-    already has, so callers' replan handling is unchanged."""
-
-    def _replan(why: str) -> ConcurrentCommitError:
-        err = ConcurrentCommitError(
-            f"merge rebase rejected: {why}; replan required")
-        err.non_retryable = True
-        return err
-
-    meta = table.load_metadata()
-    if _rebase_fingerprint(meta) != plan_fp:
-        raise _replan("schema/partition-spec/constraints changed since plan")
-    head = table.current_snapshot(meta)
-    if head is None:
-        raise _replan("table has no current snapshot anymore")
-    snaps = {s.snapshot_id: s for s in table.snapshots_list(meta)}
-    chain: list[Snapshot] = []  # head -> ... -> child-of-plan
-    sid: int | None = head.snapshot_id
-    while sid is not None and sid != plan_snap.snapshot_id:
-        s = snaps.get(sid)
-        if s is None:  # expired from history, or a rollback rewired it
-            raise _replan(
-                f"plan snapshot {plan_snap.snapshot_id} is not an "
-                f"ancestor of head {head.snapshot_id}")
-        chain.append(s)
-        sid = s.parent_id
-    if sid is None:
-        raise _replan(
-            f"plan snapshot {plan_snap.snapshot_id} is not an ancestor "
-            f"of head {head.snapshot_id}")
-    non_append = [s for s in chain if s.operation != "append"]
-    if non_append:
-        raise _replan(
-            "concurrent non-append commit(s): "
-            + ", ".join(f"{s.snapshot_id}={s.operation}"
-                        for s in non_append[:3]))
-    if set(head.delete_manifests) != set(plan_snap.delete_manifests):
-        raise _replan("concurrent commit added/removed delete files")
-    if chain and full_sync:
-        raise _replan(
-            "WHEN NOT MATCHED BY SOURCE plan cannot absorb ANY "
-            "concurrent append (its delete set was the key universe)")
-    if chain:
-        # appends-only since plan => updated_since returns exactly the
-        # concurrently appended rows (carried files are seq-pruned)
-        appended = table.scan(spark, columns=list(keys),
-                              updated_since=plan_snap.sequence)
-        n_hit = (appended.join(conflict_keys.select(*keys), list(keys),
-                               "left_semi")
-                 .limit(1).count())
-        if n_hit:
-            raise _replan("a concurrent append contains merge-key matches")
-    return head
-
-
-def _commit_with_rebase(
-    commit_fn,
-    table: LakehouseTable,
-    spark: SparkSession,
-    plan_snap: Snapshot,
-    plan_fp: tuple,
-    conflict_keys: DataFrame,
-    keys: list[str],
-    rebase_retries: int,
-    full_sync: bool = False,
-):
-    """Run ``commit_fn(pin_snapshot_id)``; on a lost commit race,
-    validate-and-rebase (:func:`validate_rebase`) up to
-    ``rebase_retries`` times before surfacing the conflict. Keeps the
-    expensive part of MERGE — the blob rewrite already on disk — when
-    the concurrent commits are non-conflicting appends (the streaming-
-    ingest-lands-during-a-big-MERGE shape)."""
-    pin = plan_snap
-    for attempt in range(rebase_retries + 1):
-        try:
-            return commit_fn(pin.snapshot_id)
-        except ConcurrentCommitError:
-            if attempt == rebase_retries:
-                raise
-            pin = validate_rebase(table, spark, plan_snap, plan_fp,
-                                  conflict_keys, keys, full_sync=full_sync)
-    raise AssertionError("unreachable")
-
+from .rebase import commit_with_rebase, rebase_fingerprint
 
 def evolve_schema_for_source(table: LakehouseTable, source: DataFrame) -> dict:
     """Delta-style ``mergeSchema`` for MERGE: reconcile the target
@@ -325,7 +186,7 @@ def merge_into(
 
     ``rebase_retries``: when a concurrent commit lands between plan and
     commit, the merge first tries to REBASE instead of surfacing — the
-    conflict is validated exactly (:func:`validate_rebase`: appends
+    conflict is validated exactly (:func:`.rebase.validate_rebase`: appends
     only, no delete files, no schema change, zero appended rows whose
     keys match the source) and, if clean, the already-written output is
     re-committed on the new parent. On a 10^12-image table this is the
@@ -365,7 +226,7 @@ def merge_into(
     if evolve_schema:
         evolved = evolve_schema_for_source(table, source)
     meta = table.load_metadata()
-    plan_fp = _rebase_fingerprint(meta)
+    plan_fp = rebase_fingerprint(meta)
     schema = table.schema()
     data_cols = [f.name for f in schema.fields]
     bad = [c for c in (update_cols or []) if c in keys or c not in data_cols]
@@ -461,13 +322,14 @@ def merge_into(
             # key is untouched by an insert-only merge) and re-pins;
             # a real conflict surfaces for a full replan (re-running
             # the merge re-anti-joins).
-            snap = _commit_with_rebase(
+            snap = commit_with_rebase(
                 lambda pin: table.commit_append(
                     entries,
                     summary={"op": "merge-insert-only",
                              **(extra_summary or {})},
                     retries=0, expected_parent=pin),
-                table, spark, cur, plan_fp, new_keys, keys, rebase_retries)
+                table, spark, cur, plan_fp, rebase_retries,
+                conflict_keys=new_keys, keys=keys, op="merge")
             return {"files_rewritten": 0, "files_written": len(entries),
                     "rows_out": sum(e["record_count"] for e in entries),
                     "wall_ms": int((time.time() - t0) * 1000),
@@ -612,7 +474,7 @@ def merge_into(
     # the affected set composes cleanly under a partition-scoped
     # retry and the merge would insert a duplicate key. The commit is
     # pinned to the snapshot the plan read; when a concurrent commit
-    # lands, validate_rebase checks the table-wide precondition EXACTLY
+    # lands, rebase.validate_rebase checks the table-wide precondition EXACTLY
     # (appends only, zero appended merge-key matches) and re-pins —
     # keeping the blob rewrite above — else the conflict surfaces so
     # the caller replans (re-running merge_into re-derives touched
@@ -620,7 +482,7 @@ def merge_into(
     # likewise validates conflicting appends against the merge
     # condition table-wide.
     try:
-        snap = _commit_with_rebase(
+        snap = commit_with_rebase(
             lambda pin: table.commit_replace(
                 {e["file_path"] for e in touched_entries},
                 new_entries,
@@ -638,7 +500,8 @@ def merge_into(
                 retries=0,
                 expected_parent=pin,
             ),
-            table, spark, cur, plan_fp, src_keys, keys, rebase_retries)
+            table, spark, cur, plan_fp, rebase_retries,
+            conflict_keys=src_keys, keys=keys, op="merge")
     finally:
         src_keys.unpersist()
         if src_all is not None:
@@ -779,7 +642,7 @@ def _merge_mor(table, spark, src, src_keys, n_src, keys, when_matched,
         # same validated rebase as the CoW path; by_source full-sync
         # plans cannot absorb ANY concurrent append (full_sync=True)
         if delete_entries:
-            snap = _commit_with_rebase(
+            snap = commit_with_rebase(
                 lambda pin: table.commit_delete_files(
                     delete_entries, data_entries=entries,
                     operation="merge-mor", op_name="merge-mor",
@@ -787,20 +650,22 @@ def _merge_mor(table, spark, src, src_keys, n_src, keys, when_matched,
                     expected_parent=pin,
                     **commit_extra,
                 ),
-                table, spark, cur, plan_fp, src_keys, keys,
+                table, spark, cur, plan_fp,
                 rebase_retries if plan_fp is not None else 0,
-                full_sync=bool(by_source))
+                conflict_keys=src_keys, keys=keys,
+                full_sync=bool(by_source), op="merge")
         else:
             # nothing matched: a pure insert — same pinned append the
             # insert-only fast path uses (premise re-validated on replan)
-            snap = _commit_with_rebase(
+            snap = commit_with_rebase(
                 lambda pin: table.commit_append(
                     entries, summary={"op": "merge-mor", **summary},
                     retries=0, expected_parent=pin,
                 ),
-                table, spark, cur, plan_fp, src_keys, keys,
+                table, spark, cur, plan_fp,
                 rebase_retries if plan_fp is not None else 0,
-                full_sync=bool(by_source))
+                conflict_keys=src_keys, keys=keys,
+                full_sync=bool(by_source), op="merge")
     finally:
         src_keys.unpersist()
     wall_ms = int((time.time() - t0) * 1000)

@@ -63,8 +63,11 @@ def test_delete_no_match_is_noop(spark, clustered_table):
 
 
 def test_delete_conflict_forces_replan(spark, clustered_table):
-    """A commit landing between DELETE planning and its commit must
-    surface (expected_parent pinning), not silently compose."""
+    """With rebasing disabled (rebase_retries=0), a commit landing
+    between DELETE planning and its commit must surface
+    (expected_parent pinning), not silently compose. (The default
+    validated rebase absorbs a plain append — tests in
+    test_rebase_rowlevel.py.)"""
     from mobility_lakehouse_project_spark.tableformat.table import (
         ConcurrentCommitError,
     )
@@ -83,7 +86,7 @@ def test_delete_conflict_forces_replan(spark, clustered_table):
     t.commit_replace = racing
     try:
         with pytest.raises(ConcurrentCommitError):
-            delete.delete_where(t, spark, "w = 16")
+            delete.delete_where(t, spark, "w = 16", rebase_retries=0)
         res = delete.delete_where(t, spark, "w = 16")  # replan succeeds
     finally:
         del t.commit_replace

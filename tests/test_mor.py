@@ -199,9 +199,12 @@ def test_mor_delete_at_percent_encoded_location(spark, tmp_path):
 
 
 def test_mor_delete_conflict_forces_replan(spark, table):
-    """A commit landing between MOR planning and the delete commit must
-    surface — row positions are content-addressed against the plan
-    snapshot, so composition would corrupt."""
+    """With rebasing disabled (rebase_retries=0), a commit landing
+    between MOR planning and the delete commit must surface — row
+    positions are content-addressed against the plan snapshot, so
+    blind composition would corrupt. (The default validated rebase
+    absorbs a plain append — positions stay valid; see
+    test_rebase_rowlevel.py.)"""
     t = table
     racer = synth.images_df(spark, 10, seed=77, id_offset=50_000)
     orig = t.commit_delete_files
@@ -215,7 +218,8 @@ def test_mor_delete_conflict_forces_replan(spark, table):
 
     t.commit_delete_files = racing
     with pytest.raises(ConcurrentCommitError):
-        delete.delete_where(t, spark, "w = 16", mode="mor")
+        delete.delete_where(t, spark, "w = 16", mode="mor",
+                            rebase_retries=0)
     t.commit_delete_files = orig
     # fail-safe: no delete manifest landed, table intact
     assert not t.current_snapshot().delete_manifests
