@@ -342,6 +342,11 @@ def _cluster_chunks(table, spark, part_ids, n_chunks, done, metrics, ph,
         # (group membership does), so sort by (partition, phash) — the
         # curve key itself need not ride the shuffle.
         tokens = np.array(_slot_tokens(spark, total_out), dtype=np.int64)
+        # delete-manifest set the blob scan applies — commit guard
+        # against concurrent MOR/DV deletes resurrecting (the key pass
+        # above never affects row content, so the window starts here)
+        plan_snap = table.current_snapshot()
+        plan_dm = set(plan_snap.delete_manifests) if plan_snap else set()
         # with_row_id: row lineage rides the one blob shuffle as an
         # 8-byte column and materializes into the rewritten files
         df = table.scan_files(spark, sorted(removed), with_row_id=True,
@@ -382,6 +387,7 @@ def _cluster_chunks(table, spark, part_ids, n_chunks, done, metrics, ph,
                          [(skips or {}).get(c, 0) for c in cols])
                      if skips and any(skips.values()) else ""},
             affected_partitions=set(chunk_parts),
+            expected_delete_manifests=plan_dm,
         )
         ph["commit"] += int((time.time() - t3) * 1000)
         wall_ms = int((time.time() - t0) * 1000)

@@ -107,6 +107,8 @@ def migrate_partitions(
         ]
         if not entries:
             continue
+        plan_snap = table.current_snapshot()
+        plan_dm = set(plan_snap.delete_manifests) if plan_snap else set()
         src = table.scan_matched_files(entries, spark, with_row_id=True,
                                        with_last_seq=True)
         nbytes = sum(e["file_size_bytes"] for e in entries)
@@ -119,6 +121,7 @@ def migrate_partitions(
             summary={"op": "migrate-partitions",
                      "chunk": f"{ci + 1}/{len(chunks)}"},
             affected_partitions={e["partition_id"] for e in entries},
+            expected_delete_manifests=plan_dm,
         )
         log.record(
             op_id or f"migrate-{snap.snapshot_id}", f"chunk-{ci}",
@@ -284,6 +287,11 @@ def compact(
                 max_file_size=int(target_file_size * 0.75),
             )
         )
+        # the delete-manifest set this chunk's scan will apply — the
+        # commit guard that keeps a concurrent MOR/DV delete from
+        # silently resurrecting through the rewritten files
+        plan_snap = table.current_snapshot()
+        plan_dm = set(plan_snap.delete_manifests) if plan_snap else set()
         # with_row_id: carry row lineage through the rewrite (scan
         # computes each row's stable id; write_data_files materializes
         # it as the _lh_row_id physical column — Iceberg v3 semantics)
@@ -314,6 +322,7 @@ def compact(
             removed, new_entries, operation="replace",
             summary={"op": "compact", "op_id": op_id, "chunk": ck},
             affected_partitions={p["partition_id"] for p in chunk},
+            expected_delete_manifests=plan_dm,
         )
         wall_ms = int((time.time() - t0) * 1000)
         rows = sum(e["record_count"] for e in new_entries)
@@ -400,6 +409,8 @@ def split_oversized(
         )
         if not removed:
             continue
+        plan_snap = table.current_snapshot()
+        plan_dm = set(plan_snap.delete_manifests) if plan_snap else set()
         df = table.scan_files(spark, sorted(removed), with_row_id=True,
                               with_last_seq=True)
         if pcol:
@@ -419,6 +430,7 @@ def split_oversized(
             removed, new_entries, operation="replace",
             summary={"op": "split-oversized", "op_id": op_id, "chunk": ck},
             affected_partitions={p["partition_id"] for p in chunk},
+            expected_delete_manifests=plan_dm,
         )
         wall_ms = int((time.time() - t0) * 1000)
         rows = sum(e["record_count"] for e in new_entries)

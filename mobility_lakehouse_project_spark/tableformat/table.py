@@ -1790,11 +1790,29 @@ class LakehouseTable:
         affected_partitions: set[str] | None = None,
         retries: int = 3,
         expected_parent: "int | None | object" = UNPINNED,
+        expected_delete_manifests: "set[str] | None" = None,
     ) -> Snapshot:
         """Replace-files commit (compaction / clustering / MERGE / partition
         overwrite). Surviving entries of affected manifests are rewritten
         into a fresh manifest — the incremental form of manifest rewrite;
         untouched manifests are carried over by reference.
+
+        ``expected_delete_manifests`` — REQUIRED correctness guard for
+        content-neutral rewrites (compaction / clustering / split /
+        migrate) that replace files with content scanned earlier: the
+        delete-manifest set the rewrite's SCAN applied. The commit
+        carries pending delete files forward on the premise that
+        entries referencing the removed files were already applied by
+        the rewrite's MOR scan; a delete file that landed AFTER that
+        scan was NOT applied, so carrying it against the removed files
+        silently resurrects the concurrently deleted rows (Iceberg's
+        RewriteFiles validates the same thing via
+        validateNoNewDeletesForDataFiles). When the current
+        delete-manifest set differs, the commit raises a non-retryable
+        ConcurrentCommitError on EVERY attempt — the caller must
+        rescan (the chunked maintenance ops resume per-chunk).
+        Pinned commits (``expected_parent``) don't need it: any
+        concurrent commit already surfaces there.
 
         ``affected_partitions`` lets the commit SKIP manifests whose
         manifest-list partition summary is disjoint (never opened) — at
@@ -1833,6 +1851,7 @@ class LakehouseTable:
                 return self._commit_replace_once(
                     removed_paths, entries, operation, summary,
                     affected_partitions, baseline, expected_parent,
+                    expected_delete_manifests,
                 )
             except ConcurrentCommitError as e:
                 if getattr(e, "non_retryable", False):
@@ -1849,6 +1868,7 @@ class LakehouseTable:
         affected_partitions: set[str] | None,
         baseline: dict | None = None,
         expected_parent: "int | None | object" = UNPINNED,
+        expected_delete_manifests: "set[str] | None" = None,
     ) -> Snapshot:
         meta = self.load_metadata()
         parent = meta["current_snapshot_id"]
@@ -1857,6 +1877,22 @@ class LakehouseTable:
                 f"table advanced past plan snapshot {expected_parent} "
                 f"(now {parent}); content-sensitive rewrite must replan"
             )
+        if expected_delete_manifests is not None:
+            cur_snap = self.current_snapshot(meta)
+            cur_dm = set(cur_snap.delete_manifests) if cur_snap else set()
+            if cur_dm != set(expected_delete_manifests):
+                # see commit_replace docstring: a delete file that
+                # landed after the rewrite's scan was never applied to
+                # the replacement files — carrying it forward against
+                # the removed files resurrects concurrently deleted
+                # rows. Never compose; the caller must rescan.
+                err = ConcurrentCommitError(
+                    "delete files changed since the rewrite scanned its "
+                    "input — concurrently deleted rows would resurrect "
+                    "through the rewritten files; rescan required"
+                )
+                err.non_retryable = True
+                raise err
         # ``entries`` are always freshly-written files (every caller
         # pairs this with write_data_files); re-arm the writer sentinel
         # so a retry after a losing attempt re-stamps snapshot id and

@@ -1,0 +1,115 @@
+"""Resurrection guard for content-neutral rewrites
+(``commit_replace(expected_delete_manifests=)``): a MOR/DV delete
+landing between a compaction/clustering chunk's scan and its commit
+was previously carried forward against the removed files — a no-op,
+silently resurrecting the concurrently deleted rows through the
+rewritten files (Iceberg's RewriteFiles guards the same window via
+validateNoNewDeletesForDataFiles). The commit must surface instead;
+re-running the operator rescans with the delete applied."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mobility_lakehouse_project_spark import synth
+from mobility_lakehouse_project_spark.operators import (
+    clustering,
+    compaction,
+    delete,
+)
+from mobility_lakehouse_project_spark.tableformat import LakehouseTable
+from mobility_lakehouse_project_spark.tableformat.table import (
+    ConcurrentCommitError,
+)
+
+VICTIM = "img000000000042"
+
+
+def _mk_fragmented(spark, loc):
+    df = synth.images_df(spark, 100, partitions=2)
+    t = LakehouseTable.create(loc, df.schema, partition_col="bucket")
+    for i in range(3):
+        t.append(synth.images_df(spark, 100, id_offset=i * 100), n_files=16)
+    return t
+
+
+def _fire_delete_during_write(t, loc, spark):
+    orig = t.write_data_files
+    fired = {"n": 0}
+
+    def wrapper(*a, **k):
+        entries = orig(*a, **k)
+        if fired["n"] == 0:
+            fired["n"] = 1
+            delete.delete_where(LakehouseTable(loc), spark,
+                                f"image_id = '{VICTIM}'", mode="mor")
+        return entries
+
+    t.write_data_files = wrapper
+
+
+def test_compact_surfaces_concurrent_mor_delete(spark, tmp_table_dir):
+    t = _mk_fragmented(spark, tmp_table_dir)
+    _fire_delete_during_write(t, tmp_table_dir, spark)
+    try:
+        with pytest.raises(ConcurrentCommitError):
+            compaction.compact(t, spark, target_file_size=1 << 30,
+                               n_chunks=1)
+    finally:
+        del t.write_data_files
+    # the concurrent erasure held — the rewrite did not resurrect it
+    assert t.scan(spark).filter(F.col("image_id") == VICTIM).count() == 0
+    # re-run rescans with the delete applied and compacts cleanly
+    res = compaction.compact(t, spark, target_file_size=1 << 30, n_chunks=1)
+    assert res["files_in"] > 0
+    got = t.scan(spark)
+    assert got.count() == 299
+    assert got.filter(F.col("image_id") == VICTIM).count() == 0
+
+
+def test_cluster_surfaces_concurrent_mor_delete(spark, tmp_table_dir):
+    t = _mk_fragmented(spark, tmp_table_dir)
+    _fire_delete_during_write(t, tmp_table_dir, spark)
+    try:
+        with pytest.raises(ConcurrentCommitError):
+            clustering.cluster(t, spark, curve="zorder",
+                               target_file_size=1 << 30, n_chunks=1)
+    finally:
+        del t.write_data_files
+    assert t.scan(spark).filter(F.col("image_id") == VICTIM).count() == 0
+    clustering.cluster(t, spark, curve="zorder", target_file_size=1 << 30,
+                       n_chunks=1)
+    got = t.scan(spark)
+    assert got.count() == 299
+    assert got.filter(F.col("image_id") == VICTIM).count() == 0
+
+
+def test_compact_still_composes_with_disjoint_append(spark, tmp_table_dir):
+    """Liveness: the guard only fires on delete-file changes — a plain
+    concurrent append into OTHER partitions still composes through the
+    affected-partition retry."""
+    t = _mk_fragmented(spark, tmp_table_dir)
+    racer = synth.images_df(spark, 10, id_offset=9000)
+    orig = t.write_data_files
+    fired = {"n": 0}
+
+    def wrapper(*a, **k):
+        entries = orig(*a, **k)
+        if fired["n"] == 0:
+            fired["n"] = 1
+            LakehouseTable(tmp_table_dir).append(racer, n_files=1)
+        return entries
+
+    t.write_data_files = wrapper
+    try:
+        # the racer may land in compacted partitions (baseline check
+        # surfaces then) — accept either outcome, but data must be
+        # intact and a follow-up run must converge
+        try:
+            compaction.compact(t, spark, target_file_size=1 << 30,
+                               n_chunks=1)
+        except ConcurrentCommitError:
+            pass
+    finally:
+        del t.write_data_files
+    compaction.compact(t, spark, target_file_size=1 << 30, n_chunks=1)
+    assert t.scan(spark).count() == 310
