@@ -1823,11 +1823,16 @@ class LakehouseTable:
         Optimistic concurrency: on ConcurrentCommitError the commit
         re-reads the advanced metadata and re-derives survivors; a
         DISJOINT concurrent commit (different partitions) then composes
-        cleanly. A conflicting one is non-retryable: our removed files
-        gone -> ValueError (stale plan), or the AFFECTED partitions'
-        live file set changed (e.g. a concurrent append into a
-        partition this rewrite replaces — retrying would silently merge
-        data the plan never saw) -> ConcurrentCommitError surfaces so
+        cleanly, and for content-neutral rewrites (those passing
+        ``expected_delete_manifests``) so does a concurrent commit that
+        only ADDED files into the affected partitions — the additions
+        are not in the removed set, so they survive next to the
+        rewritten output (a streaming ingest landing during compaction
+        composes instead of killing the chunk). A conflicting one is
+        non-retryable: our removed files gone -> ValueError (stale
+        plan), files vanished from the affected partitions, or — for
+        declarative partition replaces, which must supersede everything
+        — ANY affected-set change -> ConcurrentCommitError surfaces so
         the caller replans. Without ``affected_partitions`` there is no
         way to prove the concurrent commit disjoint, so no retry.
 
@@ -1942,25 +1947,38 @@ class LakehouseTable:
             else:
                 removed_seen += len(hit)
                 survivors.extend(r for r in rows if r["file_path"] not in removed_paths)
-        # retry safety: the affected partitions' live file set must be
-        # IDENTICAL to the first attempt's — a concurrent commit that
-        # added/removed files there invalidates the rewrite plan
+        # retry safety: the affected partitions' live file set must
+        # match the first attempt's — a concurrent commit that removed
+        # files there invalidates the rewrite plan. For CONTENT-NEUTRAL
+        # rewrites (the expected_delete_manifests callers: compaction /
+        # clustering / split / migrate), pure ADDITIONS compose: the
+        # added file is not in the removed set, so it simply survives
+        # next to the rewritten output — Iceberg RewriteFiles likewise
+        # accepts concurrent appends while validating files-exist and
+        # no-new-deletes. Declarative partition replaces (overwrite)
+        # must keep surfacing on additions, or the replaced partition
+        # silently retains rows the replace was meant to supersede.
         if baseline is not None and affected_partitions is not None:
+            adds_ok = expected_delete_manifests is not None
             if baseline["affected_files"] is None:
                 baseline["affected_files"] = affected_files
             elif baseline["affected_files"] != affected_files:
-                # a concurrent commit added/removed files in the very
-                # partitions this rewrite replaces: retrying composes
-                # data the plan never saw, so surface for a REPLAN —
-                # and mark it non-retryable (the baseline can never
-                # match again within this plan)
-                err = ConcurrentCommitError(
-                    "affected partitions changed under the rewrite plan "
-                    "(concurrent commit into "
-                    f"{sorted(affected_partitions)}); replan required"
-                )
-                err.non_retryable = True
-                raise err
+                vanished = baseline["affected_files"] - affected_files
+                if adds_ok and not vanished:
+                    # additions only: adopt and compose
+                    baseline["affected_files"] = affected_files
+                else:
+                    # files vanished (or a replace that cannot absorb
+                    # additions): retrying composes data the plan never
+                    # saw, so surface for a REPLAN — non-retryable (the
+                    # baseline can never match again within this plan)
+                    err = ConcurrentCommitError(
+                        "affected partitions changed under the rewrite "
+                        "plan (concurrent commit into "
+                        f"{sorted(affected_partitions)}); replan required"
+                    )
+                    err.non_retryable = True
+                    raise err
         if removed_seen != len(removed_paths):
             raise ValueError(
                 f"{len(removed_paths) - removed_seen} removed paths not found "

@@ -113,3 +113,38 @@ def test_compact_still_composes_with_disjoint_append(spark, tmp_table_dir):
         del t.write_data_files
     compaction.compact(t, spark, target_file_size=1 << 30, n_chunks=1)
     assert t.scan(spark).count() == 310
+
+
+def test_compact_composes_concurrent_append_on_cas_race(
+        spark, tmp_table_dir, monkeypatch):
+    """A streaming append winning the CAS race against a compaction
+    chunk's commit COMPOSES on the retry (additions-only baseline
+    change): the chunk's rewrite lands on top of the append, the
+    appended rows survive uncompacted, and nothing replans."""
+    from mobility_lakehouse_project_spark.tableformat.table import (
+        LakehouseTable as LT,
+    )
+
+    t = _mk_fragmented(spark, tmp_table_dir)
+    racer = synth.images_df(spark, 10, id_offset=9000)
+    orig_commit = LT._commit
+    state = {"raced": False}
+
+    def racing_commit(self, base_meta, new_snapshot, expected_parent,
+                      branch="main", **kw):
+        if not state["raced"] and \
+                new_snapshot.summary.get("op") == "compact":
+            state["raced"] = True
+            # lands first via the real commit path (state flag guards
+            # recursion); our attempt's CAS then loses and retries
+            LT(tmp_table_dir).append(racer, n_files=1)
+        return orig_commit(self, base_meta, new_snapshot, expected_parent,
+                           branch, **kw)
+
+    monkeypatch.setattr(LT, "_commit", racing_commit)
+    res = compaction.compact(t, spark, target_file_size=1 << 30, n_chunks=1)
+    assert state["raced"]
+    assert res["files_in"] == 48
+    got = t.scan(spark)
+    assert got.count() == 300 + 10
+    assert got.filter(F.col("image_id") >= "img000000009000").count() == 10
