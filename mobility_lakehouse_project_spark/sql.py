@@ -37,6 +37,9 @@ Supported statements (heads case-insensitive)::
       OPTIONS(mode='mor' | 'dv')                      -> merge-on-read
       position deletes / deletion vectors (one merged bitmap per
       touched file, Iceberg v3 form — tableformat/dv.py)
+      OPTIONS(rebase_retries=N) — validated-rebase attempts over
+      concurrent appends (operators/rebase.py; 0 = surface on any
+      concurrent commit). Also accepted by UPDATE and MERGE.
   UPDATE t SET c = <expr>, ... [WHERE <expr>] [OPTIONS(...)]
   MERGE INTO t [AS a] USING <name | (query)> [AS b]
       ON a.k = b.k [AND ...]
@@ -1036,7 +1039,8 @@ def _stmt_delete(spark, sql, masked, catalog, tables):
         raise LakehouseSqlError("expected DELETE FROM <table> [WHERE ...]")
     table = _resolve(m.group(1), catalog, tables)
     pred, opts, _ = _where_and_options(sql, masked, m.end(), "DELETE")
-    _check_opts(opts, {"mode", "target_file_size", "chunk_files"}, "DELETE")
+    _check_opts(opts, {"mode", "target_file_size", "chunk_files",
+                       "rebase_retries"}, "DELETE")
     if opts.get("mode") == "eq":
         # blind equality delete: O(keys) write, ZERO table read — the
         # GDPR single-key erasure shape (Iceberg v2 equality deletes,
@@ -1071,7 +1075,8 @@ def _stmt_update(spark, sql, masked, catalog, tables):
         raise LakehouseSqlError("expected UPDATE <table> SET ...")
     table = _resolve(m.group(1), catalog, tables)
     pred, opts, set_end = _where_and_options(sql, masked, m.end(), "UPDATE")
-    _check_opts(opts, {"mode", "target_file_size", "chunk_files"}, "UPDATE")
+    _check_opts(opts, {"mode", "target_file_size", "chunk_files",
+                       "rebase_retries"}, "UPDATE")
     assignments = {}
     for a, b in _split_top(masked, sql, ",", m.end(), set_end):
         part = sql[a:b]
@@ -1247,8 +1252,8 @@ def _stmt_merge(spark, sql, masked, catalog, tables):
         raise LakehouseSqlError(
             "WHEN MATCHED AND ... THEN DELETE needs a WHEN MATCHED THEN "
             "UPDATE SET * clause alongside (the CDC apply shape)")
-    _check_opts(opts, {"mode", "evolve_schema", "target_file_size"},
-                "MERGE")
+    _check_opts(opts, {"mode", "evolve_schema", "target_file_size",
+                       "rebase_retries"}, "MERGE")
     if when_matched in (None, "delete") and when_not_matched is None:
         # delete-shaped merge (matched-delete and/or by-source-delete):
         # the engine conforms the source to the full schema but only

@@ -869,3 +869,41 @@ def test_materialized_view_sql_guards(spark, cat):
                     catalog=cat)
     with pytest.raises(LakehouseSqlError, match="no materialized view"):
         execute_sql(spark, "DROP MATERIALIZED VIEW g.ghost", catalog=cat)
+
+
+def test_delete_rebase_retries_option(spark, cat):
+    """OPTIONS(rebase_retries = 0) reaches the operator: with rebasing
+    disabled a concurrent append in the plan-to-commit window surfaces
+    (default: it would rebase — test_rebase_rowlevel.py)."""
+    from mobility_lakehouse_project_spark.tableformat.table import (
+        ConcurrentCommitError,
+    )
+
+    t = _seed(spark, cat)
+    racer = spark.createDataFrame(
+        [(1000 + i, i, f"r{i}") for i in range(5)],
+        "image_id long, phash long, caption string")
+    orig = t.write_data_files
+    fired = {"n": 0}
+
+    def wrapper(*a, **k):
+        entries = orig(*a, **k)
+        if fired["n"] == 0:
+            fired["n"] = 1
+            cat.load_table("silver.images").append(racer, n_files=1)
+        return entries
+
+    t.write_data_files = wrapper
+    try:
+        with pytest.raises(ConcurrentCommitError):
+            execute_sql(
+                spark,
+                "DELETE FROM silver.images WHERE image_id < 10 "
+                "OPTIONS(rebase_retries = 0)",
+                catalog=cat, tables={"silver.images": t})
+    finally:
+        del t.write_data_files
+    out = execute_sql(spark, "DELETE FROM silver.images WHERE image_id < 10",
+                      catalog=cat, tables={"silver.images": t})
+    assert out["rows_deleted"] == 10
+    assert t.scan(spark).count() == 50 - 10 + 5
