@@ -28,6 +28,24 @@ import time
 from pyspark.sql import SparkSession
 
 from ..tableformat import LakehouseTable
+from ..tableformat.table import ConcurrentCommitError
+
+
+def _with_replan(fn, attempts=2):
+    """Run a maintenance rewrite; on a concurrent-commit conflict
+    (a DML delete/rewrite landing mid-step — the validated-rebase and
+    resurrection guards surface these), REPLAN once by re-running the
+    op: every step re-derives its plan from the current snapshot and
+    is chunk-idempotent, so the retry converges with the concurrent
+    change applied. A second conflict propagates — the caller decides
+    whether to reschedule the sweep."""
+    for i in range(attempts):
+        try:
+            return fn()
+        except ConcurrentCommitError:
+            if i == attempts - 1:
+                raise
+    raise AssertionError("unreachable")
 
 
 #: table properties read when the matching argument is left at None —
@@ -123,9 +141,10 @@ def run_maintenance(
         return {"skipped": "empty table", "wall_ms": 0}
 
     if fold_deletes and cur.delete_manifests:
-        report["fold_deletes"] = delete.rewrite_position_deletes(
-            table, spark, target_file_size=target_file_size,
-            min_delete_ratio=fold_min_delete_ratio)
+        report["fold_deletes"] = _with_replan(
+            lambda: delete.rewrite_position_deletes(
+                table, spark, target_file_size=target_file_size,
+                min_delete_ratio=fold_min_delete_ratio))
         remaining = table.current_snapshot()
         if (len(remaining.position_delete_manifests())
                 + len(remaining.dv_manifests())) > 1:
@@ -136,21 +155,24 @@ def run_maintenance(
                 delete.compact_deletion_vectors(table, spark)
 
     if table._current_spec_snapshot_ids(table.load_metadata()) is not None:
-        report["migrate_partitions"] = compaction.migrate_partitions(
-            table, spark, target_file_size=target_file_size)
+        report["migrate_partitions"] = _with_replan(
+            lambda: compaction.migrate_partitions(
+                table, spark, target_file_size=target_file_size))
 
-    report["compact"] = compaction.compact(
-        table, spark, target_file_size=target_file_size,
-        recompress_level=recompress_level)
+    report["compact"] = _with_replan(
+        lambda: compaction.compact(
+            table, spark, target_file_size=target_file_size,
+            recompress_level=recompress_level))
 
     if max_file_size is not None and not (
             cluster_curve is not None and cluster_mode == "full"):
         # split the skewed-writer tail back to target size; skipped
         # when a FULL cluster pass follows — that rewrite re-sizes
         # every file anyway, so splitting first would read blobs twice
-        report["split_oversized"] = compaction.split_oversized(
-            table, spark, target_file_size=target_file_size,
-            max_file_size=max_file_size)
+        report["split_oversized"] = _with_replan(
+            lambda: compaction.split_oversized(
+                table, spark, target_file_size=target_file_size,
+                max_file_size=max_file_size))
 
     if cluster_curve is not None:
         # incremental = the steady-state shape at scale: re-sort only
@@ -159,10 +181,11 @@ def run_maintenance(
         cluster_fn = (clustering.cluster_incremental
                       if cluster_mode == "incremental"
                       else clustering.cluster)
-        report["cluster"] = cluster_fn(
-            table, spark, curve=cluster_curve, cols=cluster_cols,
-            target_file_size=target_file_size,
-            recompress_level=recompress_level)
+        report["cluster"] = _with_replan(
+            lambda: cluster_fn(
+                table, spark, curve=cluster_curve, cols=cluster_cols,
+                target_file_size=target_file_size,
+                recompress_level=recompress_level))
 
     cur = table.current_snapshot()
     if cur is not None and len(cur.manifests) >= rewrite_manifests_min:

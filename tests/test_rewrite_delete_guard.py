@@ -148,3 +148,26 @@ def test_compact_composes_concurrent_append_on_cas_race(
     got = t.scan(spark)
     assert got.count() == 300 + 10
     assert got.filter(F.col("image_id") >= "img000000009000").count() == 10
+
+
+def test_run_maintenance_replans_through_concurrent_delete(
+        spark, tmp_table_dir):
+    """The one-call maintenance sweep survives a DML delete landing
+    mid-compaction: the conflicted step replans once (every step
+    re-derives its plan from the current snapshot), the erasure holds,
+    and the sweep completes."""
+    from mobility_lakehouse_project_spark.plans.maintenance import (
+        run_maintenance,
+    )
+
+    t = _mk_fragmented(spark, tmp_table_dir)
+    _fire_delete_during_write(t, tmp_table_dir, spark)
+    try:
+        report = run_maintenance(t, spark, target_file_size=1 << 30,
+                                 orphan_grace_s=1e9)
+    finally:
+        del t.write_data_files
+    assert report["compact"]["files_in"] > 0
+    got = t.scan(spark)
+    assert got.count() == 299
+    assert got.filter(F.col("image_id") == VICTIM).count() == 0
