@@ -171,3 +171,39 @@ def test_run_maintenance_replans_through_concurrent_delete(
     got = t.scan(spark)
     assert got.count() == 299
     assert got.filter(F.col("image_id") == VICTIM).count() == 0
+
+
+def test_compact_surfaces_concurrent_equality_delete(spark, tmp_table_dir):
+    """A blind equality delete landing mid-compaction is the same
+    resurrection shape with SEQUENCE semantics: the eq-delete file
+    applies only to data files sequenced before it, and the chunk's
+    rewritten files would land at a HIGHER sequence — the old rows
+    would ride through and escape the delete. The guard sees the new
+    delete manifest and surfaces; the rerun's scan applies it."""
+    t = _mk_fragmented(spark, tmp_table_dir)
+    orig = t.write_data_files
+    fired = {"n": 0}
+
+    def wrapper(*a, **k):
+        entries = orig(*a, **k)
+        if fired["n"] == 0:
+            fired["n"] = 1
+            t2 = LakehouseTable(tmp_table_dir)
+            keys_df = spark.createDataFrame([(VICTIM,)], "image_id string")
+            eq = t2.write_equality_delete_files(keys_df, ["image_id"])
+            t2.commit_equality_deletes(eq, ["image_id"])
+        return entries
+
+    t.write_data_files = wrapper
+    try:
+        with pytest.raises(ConcurrentCommitError):
+            compaction.compact(t, spark, target_file_size=1 << 30,
+                               n_chunks=1)
+    finally:
+        del t.write_data_files
+    assert t.scan(spark).filter(F.col("image_id") == VICTIM).count() == 0
+    res = compaction.compact(t, spark, target_file_size=1 << 30, n_chunks=1)
+    assert res["files_in"] > 0
+    got = t.scan(spark)
+    assert got.count() == 299
+    assert got.filter(F.col("image_id") == VICTIM).count() == 0
