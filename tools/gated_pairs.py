@@ -51,6 +51,21 @@ STEAL_GATE = 0.3  # max hypervisor-stolen cores during a leg
 JSONL = "BENCH/gated_pairs.jsonl"
 
 
+def _git_rev() -> str:
+    """Short HEAD rev stamped into each pair record, so the
+    certification set's provenance (which code produced which pairs)
+    is auditable from the log alone."""
+    import subprocess
+
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or "unknown"
+    except Exception:
+        return "unknown"
+
+
 def loadavg() -> float:
     return float(open("/proc/loadavg").read().split()[0])
 
@@ -277,7 +292,7 @@ def main() -> None:
         tier_b = bool(have_probe and max(pm) / min(pm) < 1.08
                       and all(x < 1.20 * best for x in pm))
         rec = dict(ts=round(time.time(), 1), pair=pair_idx, rows=int(rows),
-                   levels=[n_lo, n_hi],
+                   rev=_git_rev(), levels=[n_lo, n_hi],
                    pre_gate_load=la, eff=eff, probe_best=best,
                    clean=bool(guest_clean and tier_a),
                    stable_clean=bool(guest_clean and tier_b),
