@@ -1980,11 +1980,21 @@ class LakehouseTable:
                     err.non_retryable = True
                     raise err
         if removed_seen != len(removed_paths):
-            raise ValueError(
-                f"{len(removed_paths) - removed_seen} removed paths not found "
-                "in current snapshot (stale plan, or affected_partitions "
-                "excluded a manifest that held removed files?)"
+            # a concurrent rewrite/delete already replaced files this
+            # plan is removing — the caller's contract is the same
+            # catch-and-REPLAN as every other conflict surface here
+            # (was a bare ValueError, which replan loops don't catch);
+            # a wrong affected_partitions set from an external caller
+            # surfaces with the same message and keeps failing on
+            # replan, so the bug still shows loudly.
+            err = ConcurrentCommitError(
+                f"{len(removed_paths) - removed_seen} removed paths not "
+                "found in current snapshot (stale plan — concurrent "
+                "rewrite/delete — or affected_partitions excluded a "
+                "manifest that held removed files); replan required"
             )
+            err.non_retryable = True
+            raise err
         new_manifests = list(kept_manifests)
         if survivors:
             m, parts, mb = self._write_manifest(survivors, snap_id)

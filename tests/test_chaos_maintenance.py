@@ -91,3 +91,89 @@ def test_appends_race_compaction_and_clustering(spark, tmp_table_dir):
     # history shows both traffic and maintenance landed
     ops = {s.operation for s in t.snapshots_list()}
     assert "append" in ops and "replace" in ops
+
+
+def test_deletes_race_compaction_and_clustering(spark, tmp_table_dir):
+    """Steady state WITH erasure traffic: GDPR deletes land while
+    maintenance rewrites the same files. The resurrection guard makes
+    the racing side surface and replan; the invariant is that every
+    erased key stays GONE (no delete is ever silently lost under a
+    rewrite) and every surviving row is byte-identical."""
+    from mobility_lakehouse_project_spark.operators import delete as del_op
+
+    df0 = synth.images_df(spark, ROWS)
+    t = LakehouseTable.create(tmp_table_dir, df0.schema)
+    t.append(df0, n_files=6)
+    victims = [f"img{i:012d}" for i in range(0, 12)]
+    errors: list[Exception] = []
+    done = threading.Event()
+
+    def writer() -> None:
+        try:
+            for b in range(BATCHES):
+                t.append(synth.images_df(spark, ROWS,
+                                         id_offset=10_000 + ROWS * b),
+                         n_files=3)
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    def deleter() -> None:
+        try:
+            for i, vid in enumerate(victims):
+                mode = "mor" if i % 2 == 0 else "cow"
+                for _ in range(30):  # replan until committed
+                    try:
+                        del_op.delete_where(
+                            t, spark, f"image_id = '{vid}'", mode=mode)
+                        break
+                    except ConcurrentCommitError:
+                        continue
+                else:
+                    raise RuntimeError(f"delete of {vid} never landed")
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    def maintainer() -> None:
+        try:
+            flip = 0
+            while not done.is_set():
+                try:
+                    if flip % 2 == 0:
+                        compaction.compact(
+                            t, spark, target_file_size=4 << 20)
+                    else:
+                        clustering.cluster(t, spark, curve="zorder")
+                except ConcurrentCommitError:
+                    continue  # erasure or append won; replan
+                flip += 1
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer),
+               threading.Thread(target=deleter)]
+    mt = threading.Thread(target=maintainer)
+    for th in threads:
+        th.start()
+    mt.start()
+    for th in threads:
+        th.join()
+    done.set()
+    mt.join()
+    assert not errors, errors
+
+    got = t.scan(spark)
+    expected = ROWS * (1 + BATCHES) - len(victims)
+    assert got.count() == expected
+    assert got.select("image_id").distinct().count() == expected
+    # no resurrection: every erased key is gone through every rewrite
+    assert got.filter(got.image_id.isin(victims)).count() == 0
+    # survivors byte-identical to the sequential model
+    want = df0
+    for b in range(BATCHES):
+        want = want.unionByName(
+            synth.images_df(spark, ROWS, id_offset=10_000 + ROWS * b))
+    want = want.filter(~want.image_id.isin(victims))
+    diff = (got.select("image_id", F.md5("bytes").alias("h"), "caption")
+            .exceptAll(want.select("image_id",
+                                   F.md5("bytes").alias("h"), "caption")))
+    assert diff.count() == 0

@@ -183,7 +183,10 @@ def test_commit_replace_skips_disjoint_manifests(spark, tmp_table_dir, monkeypat
         r["file_path"]
         for r in t.plan_files(spark, partition_values={some_part}).select("file_path").collect()
     }
-    with _pt.raises(ValueError):
+    # (ConcurrentCommitError since the stale-plan unification: the
+    # same surface a concurrent rewrite produces; a true caller bug
+    # keeps failing on every replan, so it still shows loudly)
+    with _pt.raises(ConcurrentCommitError, match="replan required"):
         t.commit_replace(removed2, [], affected_partitions={"nonexistent-part"})
 
 
