@@ -178,8 +178,13 @@ def _rowlevel_op(
                "chunks": len(chunks), "snapshot": cur.snapshot_id}
     for ci, part_ids in enumerate(chunks):
         tc = time.time()
-        # replan against the snapshot THIS chunk's commit will pin to
-        cur = table.current_snapshot()
+        # replan against the snapshot (and metadata fingerprint) THIS
+        # chunk's commit will pin to — a legitimate mid-run metadata
+        # change (new constraint, rename) must not spuriously reject a
+        # LATER chunk's rebase whose plan postdates it
+        meta = table.load_metadata()
+        plan_fp = rebase_fingerprint(meta)
+        cur = table.current_snapshot(meta)
         touched_entries, n_matched = _plan_touched_chunk(
             table, spark, cond, int_ranges, part_ids, point_eq=point_eq
         )
@@ -539,7 +544,10 @@ def _mor_delete(table, spark, cond, int_ranges, op_id, chunk_files,
                "snapshot": cur.snapshot_id}
     for ci, part_ids in enumerate(chunks):
         tc = time.time()
-        cur = table.current_snapshot()
+        # per-chunk metadata fingerprint: same rationale as _rowlevel_op
+        meta = table.load_metadata()
+        plan_fp = rebase_fingerprint(meta)
+        cur = table.current_snapshot(meta)
         cand_paths = sorted(
             r["file_path"]
             for r in table.plan_files(
@@ -1035,7 +1043,10 @@ def _mor_update(table, spark, cond, upd, int_ranges, target_file_size,
                "chunks": len(chunks), "snapshot": cur.snapshot_id}
     for ci, part_ids in enumerate(chunks):
         tc = time.time()
-        cur = table.current_snapshot()
+        # per-chunk metadata fingerprint: same rationale as _rowlevel_op
+        meta = table.load_metadata()
+        plan_fp = rebase_fingerprint(meta)
+        cur = table.current_snapshot(meta)
         cand_paths = sorted(
             r["file_path"]
             for r in table.plan_files(

@@ -650,8 +650,7 @@ def _merge_mor(table, spark, src, src_keys, n_src, keys, when_matched,
                     expected_parent=pin,
                     **commit_extra,
                 ),
-                table, spark, cur, plan_fp,
-                rebase_retries if plan_fp is not None else 0,
+                table, spark, cur, plan_fp, rebase_retries,
                 conflict_keys=src_keys, keys=keys,
                 full_sync=bool(by_source), op="merge")
         else:
@@ -662,8 +661,7 @@ def _merge_mor(table, spark, src, src_keys, n_src, keys, when_matched,
                     entries, summary={"op": "merge-mor", **summary},
                     retries=0, expected_parent=pin,
                 ),
-                table, spark, cur, plan_fp,
-                rebase_retries if plan_fp is not None else 0,
+                table, spark, cur, plan_fp, rebase_retries,
                 conflict_keys=src_keys, keys=keys,
                 full_sync=bool(by_source), op="merge")
     finally:

@@ -172,7 +172,14 @@ def commit_with_rebase(
         except ConcurrentCommitError:
             if attempt == rebase_retries:
                 raise
-            pin = validate_rebase(table, spark, plan_snap, plan_fp,
-                                  conflict_keys=conflict_keys, keys=keys,
-                                  full_sync=full_sync, op=op)
+            head = validate_rebase(table, spark, plan_snap, plan_fp,
+                                   conflict_keys=conflict_keys, keys=keys,
+                                   full_sync=full_sync, op=op)
+            if head.snapshot_id == pin.snapshot_id:
+                # the head never advanced past our pin — the failure
+                # was not a lost commit race (e.g. a stale-plan
+                # conflict from inside the commit itself), so
+                # re-running the identical commit cannot succeed
+                raise
+            pin = head
     raise AssertionError("unreachable")

@@ -1779,6 +1779,13 @@ class LakehouseTable:
                 # drop the attempt's manifest rather than leave litter
                 with contextlib.suppress(OSError):
                     os.remove(os.path.join(self.meta_dir, manifest))
+        # restore the writer sentinel before surfacing: a caller that
+        # re-validates (the rebase path) re-invokes commit_append with
+        # the SAME entry dicts — without the reset they would keep the
+        # losing attempt's snapshot-id stamp and stale first_row_id
+        # range (dead-id sequence scoping + duplicate row ids)
+        for e in fresh:
+            e["added_snapshot_id"] = -1
         raise last
 
     def commit_replace(
@@ -3516,6 +3523,12 @@ class LakehouseTable:
         prev = self.current_snapshot(meta)
         if prev is None:
             raise ValueError("cannot position-delete from an empty table")
+        # fresh-at-entry sets: restored on a lost CAS so a rebase
+        # re-invocation restamps and re-allocates (see commit_append)
+        fresh_del = [e for e in delete_entries
+                     if e.get("added_snapshot_id", -1) == -1]
+        fresh_data = [e for e in (data_entries or [])
+                      if e.get("added_snapshot_id", -1) == -1]
         snap_id, seq = self._next_ids(meta)
         dm, _, _ = self._write_manifest(delete_entries, snap_id)
         dmm = dict(prev.delete_manifest_meta)
@@ -3528,11 +3541,12 @@ class LakehouseTable:
         mbounds = dict(prev.manifest_bounds)
         added = list(data_entries or [])
         next_row_id = self._assign_row_ids(added, meta) if added else None
+        data_manifest = None
         if added:
-            m, parts, mb = self._write_manifest(added, snap_id)
-            manifests.append(m)
-            mparts[m] = parts
-            mbounds[m] = mb
+            data_manifest, parts, mb = self._write_manifest(added, snap_id)
+            manifests.append(data_manifest)
+            mparts[data_manifest] = parts
+            mbounds[data_manifest] = mb
         snap = Snapshot(
             snap_id, parent, seq, int(time.time() * 1000), operation,
             manifests,
@@ -3548,7 +3562,20 @@ class LakehouseTable:
             dmm,
             manifest_bounds=mbounds,
         )
-        return self._commit(meta, snap, parent, next_row_id=next_row_id)
+        try:
+            return self._commit(meta, snap, parent, next_row_id=next_row_id)
+        except ConcurrentCommitError:
+            # lost the CAS: drop this attempt's manifests (no litter)
+            # and restore writer sentinels so a validated-rebase
+            # re-invocation restamps and re-allocates row ids
+            with contextlib.suppress(OSError):
+                os.remove(os.path.join(self.meta_dir, dm))
+            if data_manifest is not None:
+                with contextlib.suppress(OSError):
+                    os.remove(os.path.join(self.meta_dir, data_manifest))
+            for e in fresh_del + fresh_data:
+                e["added_snapshot_id"] = -1
+            raise
 
     def commit_rewrite_deletes(
         self,

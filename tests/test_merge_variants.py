@@ -527,3 +527,104 @@ def test_merge_mor_rebases_over_disjoint_concurrent_append(
     assert got.count() == 100 + 9
     assert got.select("image_id").distinct().count() == 109
     assert got.filter(F.col("caption").startswith("updated ")).count() == 10
+
+
+def test_insert_only_rebase_after_cas_loss_restamps_entries(
+        spark, tmp_table_dir, monkeypatch):
+    """The racer lands INSIDE the commit window (after the merge's
+    commit_append stamped its entries and allocated row ids, before
+    its CAS): the rebase re-invokes commit_append with the same entry
+    dicts, which must restamp the snapshot id and re-allocate the
+    first_row_id range — otherwise the files would carry a
+    never-committed snapshot id (sequence resolves to 0: equality
+    deletes misapply, incremental reads skip the rows) and row ids
+    duplicated with the racer's allocation."""
+    from mobility_lakehouse_project_spark.tableformat.table import (
+        LakehouseTable as LT,
+    )
+
+    df = synth.images_df(spark, 100, partitions=2)
+    t = LT.create(tmp_table_dir, df.schema, partition_col="bucket")
+    t.append(df, n_files=4)
+    racer = synth.images_df(spark, 10, id_offset=7000)
+    orig_commit = LT._commit
+    state = {"raced": False}
+
+    def racing_commit(self, base_meta, new_snapshot, expected_parent,
+                      branch="main", **kw):
+        if not state["raced"] and \
+                new_snapshot.summary.get("op") == "merge-insert-only":
+            state["raced"] = True
+            LT(tmp_table_dir).append(racer, n_files=1)
+        return orig_commit(self, base_meta, new_snapshot, expected_parent,
+                           branch, **kw)
+
+    monkeypatch.setattr(LT, "_commit", racing_commit)
+    src = synth.images_df(spark, 20, id_offset=300)
+    res = merge.merge_into(t, spark, src, when_matched=None)
+    assert state["raced"]
+    assert res["files_written"] > 0
+    # every committed file's snapshot id is a real snapshot (no dead
+    # stamp from the losing attempt)
+    snap_ids = {s.snapshot_id for s in t.snapshots_list()}
+    bad = [r for r in t.files(spark).select("added_snapshot_id").collect()
+           if r[0] not in snap_ids]
+    assert not bad, bad
+    # row ids unique across the whole table (no range duplicated with
+    # the racer's allocation)
+    got = t.scan(spark, with_row_id=True)
+    assert got.count() == 130
+    assert got.select("_row_id").distinct().count() == 130
+
+
+def test_mor_merge_rebase_after_cas_loss_restamps_entries(
+        spark, tmp_table_dir, monkeypatch):
+    """Same CAS-window race through commit_delete_files (MOR upsert):
+    the rebase re-invocation must restamp delete+data entries and
+    leave no orphan manifest from the losing attempt."""
+    import os
+
+    from mobility_lakehouse_project_spark.tableformat.table import (
+        LakehouseTable as LT,
+    )
+
+    df = synth.images_df(spark, 100, partitions=2)
+    t = LT.create(tmp_table_dir, df.schema, partition_col="bucket")
+    t.append(df, n_files=4)
+    racer = synth.images_df(spark, 8, id_offset=8000)
+    orig_commit = LT._commit
+    state = {"raced": False}
+
+    def racing_commit(self, base_meta, new_snapshot, expected_parent,
+                      branch="main", **kw):
+        if not state["raced"] and \
+                new_snapshot.summary.get("op") == "merge-mor":
+            state["raced"] = True
+            LT(tmp_table_dir).append(racer, n_files=1)
+        return orig_commit(self, base_meta, new_snapshot, expected_parent,
+                           branch, **kw)
+
+    monkeypatch.setattr(LT, "_commit", racing_commit)
+    src = synth.images_df(spark, 10, seed=9).withColumn(
+        "caption", F.concat(F.lit("updated "), F.col("image_id")))
+    res = merge.merge_into(t, spark, src, mode="mor")
+    assert state["raced"]
+    assert res["delete_files_written"] > 0
+    got = t.scan(spark)
+    assert got.count() == 108
+    assert got.filter(F.col("caption").startswith("updated ")).count() == 10
+    snap_ids = {s.snapshot_id for s in t.snapshots_list()}
+    bad = [r for r in t.files(spark).select("added_snapshot_id").collect()
+           if r[0] not in snap_ids]
+    assert not bad, bad
+    # row ids unique table-wide
+    rid = t.scan(spark, with_row_id=True)
+    assert rid.select("_row_id").distinct().count() == 108
+    # the losing attempt's manifests were removed (referenced set ==
+    # on-disk set)
+    referenced = set()
+    for s in t.snapshots_list():
+        referenced |= set(s.manifests) | set(s.delete_manifests)
+    on_disk = {f for f in os.listdir(t.meta_dir)
+               if f.startswith("manifest-")}
+    assert on_disk <= referenced, sorted(on_disk - referenced)[:5]
