@@ -26,4 +26,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLE_SQL)
+    # Keep the same ordering as queries() so any driver-side windowing
+    # (first-N snapshot) covers the same entries in both dicts.
+    ordered = {name: ORACLE_SQL[name] for name in QUERIES if name in ORACLE_SQL}
+    ordered.update({k: v for k, v in ORACLE_SQL.items() if k not in ordered})
+    return ordered

@@ -3948,6 +3948,49 @@ ORACLE_SQL["corpus_mix_weighted"] = """
 
 
 QUERIES = {
+    # Round-5 window rotation: entries never driver-hash-checked come first
+    # (driver snapshots the first 50); long-stable driver-verified entries follow.
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_embed_cosine": dedup_embed_cosine,
+    "txt_quality_score": txt_quality_score,
+    "txt_rolling_fingerprint": txt_rolling_fingerprint,
+    "ann_cosine_topk": ann_cosine_topk,
+    "ann_ivf_probe": ann_ivf_probe,
+    "ann_pq_adc": ann_pq_adc,
+    "ann_pq_coded": ann_pq_coded,
+    "ann_ivfpq": ann_ivfpq,
+    "ann_lsh_clustered": ann_lsh_clustered,
+    "ann_batch_join": ann_batch_join,
+    "ann_batch_clustered": ann_batch_clustered,
+    "emb_label_profile": emb_label_profile,
+    "mor_delete_scan": mor_delete_scan,
+    "mv_incremental_refresh": mv_incremental_refresh,
+    "dv_delete_scan": dv_delete_scan,
+    "addfiles_scan": addfiles_scan,
+    "cdc_changelog_scan": cdc_changelog_scan,
+    "bloom_point_lookup": bloom_point_lookup,
+    "dedup_cc_canonical": dedup_cc_canonical,
+    "sample_hash_mod": sample_hash_mod,
+    "split_stratified": split_stratified,
+    "txt_token_bpe": txt_token_bpe,
+    "txt_decontaminate": txt_decontaminate,
+    "txt_dedup_keep_best": txt_dedup_keep_best,
+    "ds_source_roundtrip": ds_source_roundtrip,
+    "txt_bm25_rank": txt_bm25_rank,
+    "txt_bm25_clustered": txt_bm25_clustered,
+    "sql_dml_roundtrip": sql_dml_roundtrip,
+    "sql_retention_delete": sql_retention_delete,
+    "sql_eq_delete_scan": sql_eq_delete_scan,
+    "wap_cherrypick_scan": wap_cherrypick_scan,
+    "inc_scan_updated_since": inc_scan_updated_since,
+    "sql_view_scan": sql_view_scan,
+    "stats_agg_pushdown": stats_agg_pushdown,
+    "txt_pii_scrub": txt_pii_scrub,
+    "txt_vocab_bigrams": txt_vocab_bigrams,
+    "txt_gopher_repetition": txt_gopher_repetition,
+    "txt_repeated_spans": txt_repeated_spans,
+    "txt_bigram_lm_score": txt_bigram_lm_score,
+    "emb_quantize_recall": emb_quantize_recall,
     "corpus_mix_weighted": corpus_mix_weighted,
     "train_shard_plan": train_shard_plan,
     "train_aspect_batches": train_aspect_batches,
@@ -3998,45 +4041,4 @@ QUERIES = {
     "txt_lang_heuristic": txt_lang_heuristic,
     "txt_fingerprint_dedup": txt_fingerprint_dedup,
     "dedup_token_jaccard": dedup_token_jaccard,
-    "dedup_ngram_jaccard": dedup_ngram_jaccard,
-    "dedup_embed_cosine": dedup_embed_cosine,
-    "txt_quality_score": txt_quality_score,
-    "txt_rolling_fingerprint": txt_rolling_fingerprint,
-    "ann_cosine_topk": ann_cosine_topk,
-    "ann_ivf_probe": ann_ivf_probe,
-    "ann_pq_adc": ann_pq_adc,
-    "ann_pq_coded": ann_pq_coded,
-    "ann_ivfpq": ann_ivfpq,
-    "ann_lsh_clustered": ann_lsh_clustered,
-    "ann_batch_join": ann_batch_join,
-    "ann_batch_clustered": ann_batch_clustered,
-    "emb_label_profile": emb_label_profile,
-    "mor_delete_scan": mor_delete_scan,
-    "mv_incremental_refresh": mv_incremental_refresh,
-    "dv_delete_scan": dv_delete_scan,
-    "addfiles_scan": addfiles_scan,
-    "cdc_changelog_scan": cdc_changelog_scan,
-    "bloom_point_lookup": bloom_point_lookup,
-    "dedup_cc_canonical": dedup_cc_canonical,
-    "sample_hash_mod": sample_hash_mod,
-    "split_stratified": split_stratified,
-    "txt_token_bpe": txt_token_bpe,
-    "txt_decontaminate": txt_decontaminate,
-    "txt_dedup_keep_best": txt_dedup_keep_best,
-    "ds_source_roundtrip": ds_source_roundtrip,
-    "txt_bm25_rank": txt_bm25_rank,
-    "txt_bm25_clustered": txt_bm25_clustered,
-    "sql_dml_roundtrip": sql_dml_roundtrip,
-    "sql_retention_delete": sql_retention_delete,
-    "sql_eq_delete_scan": sql_eq_delete_scan,
-    "wap_cherrypick_scan": wap_cherrypick_scan,
-    "inc_scan_updated_since": inc_scan_updated_since,
-    "sql_view_scan": sql_view_scan,
-    "stats_agg_pushdown": stats_agg_pushdown,
-    "txt_pii_scrub": txt_pii_scrub,
-    "txt_vocab_bigrams": txt_vocab_bigrams,
-    "txt_gopher_repetition": txt_gopher_repetition,
-    "txt_repeated_spans": txt_repeated_spans,
-    "txt_bigram_lm_score": txt_bigram_lm_score,
-    "emb_quantize_recall": emb_quantize_recall,
 }
