@@ -6,7 +6,11 @@ Phases (all timed, one JSON line to stdout):
   2. compact  — bin-pack compaction to target file size
   3. zorder   — Z-order clustering rewrite over (phash, w, h)
   4. merge    — MERGE INTO with 10% source (update+insert mix)
-  5. queries  — headline analytic queries on $SPARK_GRAFT_SF_DIR
+  5. imagepipe — LLM-corpus prep chain over the maintained table:
+                clean (structural+decode gates) → dedup (exact bytes +
+                phash-hamming components) → decontaminate (eval-set
+                phash proximity) → train/valid/test hash splits
+  6. queries  — headline analytic queries on $SPARK_GRAFT_SF_DIR
 
 The north-rule metric is compaction + Z-order throughput (MB/s,
 files/s); the JSON also carries per-phase seconds so the driver can
@@ -149,7 +153,31 @@ def run(sf_dir: str, cores: int, work_dir: str, rows: int | None = None) -> dict
     timings["merge"] = time.time() - t0
     probes.append(_noise_probe(spark, cores))
 
-    # 5. headline analytic queries on the TPC-H-shaped testdata
+    # 5. corpus-prep pipeline (clean -> dedup -> decontaminate -> split)
+    # over the maintained table — the LLM-training-data surface the
+    # maintenance phases exist to serve. Eval set = a disjoint synth
+    # slice (same generator, offset ids) so phash-proximity
+    # decontamination has real hits.
+    from mobility_lakehouse_project_spark.plans.imagepipe import (
+        run_image_pipeline,
+    )
+    from mobility_lakehouse_project_spark.tableformat.catalog import Catalog
+
+    t0 = time.time()
+    pipe_cat = Catalog(os.path.join(work_dir, "pipe_wh"))
+    eval_set = synth.images_df(
+        spark, max(64, n_rows // 100), dims=BENCH_DIMS,
+        partitions=max(4, cores // 4), id_offset=3 * n_rows,
+    ).select("phash")
+    pipe = run_image_pipeline(
+        spark, pipe_cat, images=table.scan(spark), benchmark=eval_set,
+    )
+    timings["imagepipe"] = time.time() - t0
+    pipe_rows_in = pipe["bronze"]["rows"]
+    pipe_rows_out = sum(pipe[s]["rows"] for s in ("train", "valid", "test"))
+    probes.append(_noise_probe(spark, cores))
+
+    # 6. headline analytic queries on the TPC-H-shaped testdata
     qt: dict[str, float] = {}
     for name in HEADLINE_QUERIES:
         t0 = time.time()
@@ -173,6 +201,10 @@ def run(sf_dir: str, cores: int, work_dir: str, rows: int | None = None) -> dict
         "maintenance_throughput_mb_s": round(maint_bytes / 1e6 / max(maint_secs, 1e-9), 2),
         "maintenance_files_s": round(maint_files / max(maint_secs, 1e-9), 2),
         "merge_rows_s": round(mm["rows_out"] / max(timings["merge"], 1e-9), 1),
+        "imagepipe_rows_in": pipe_rows_in,
+        "imagepipe_rows_out": pipe_rows_out,
+        "imagepipe_rows_s": round(
+            pipe_rows_in / max(timings["imagepipe"], 1e-9), 1),
         # host-noise evidence: identical fixed-size probes through the
         # run; spread >> 1 flags a co-tenant window inside THIS run
         "noise_probe_sec": probes,
