@@ -191,7 +191,7 @@ def main() -> None:
     os.makedirs("BENCH", exist_ok=True)
 
     prior = existing()
-    clean = sum(1 for p in prior if p.get("stable_clean", p.get("clean")))
+    clean = sum(1 for p in prior if p.get("cert", p.get("stable_clean")))
     pair_idx = len(prior)
     seed = [p["probe_best"] for p in prior if p.get("probe_best")]
     seed += [l["probe_median"] for p in prior for l in p.get("legs", [])
@@ -291,24 +291,36 @@ def main() -> None:
         # (observed: stable probes 0.038/0.0405 yet eff 0.41)
         tier_b = bool(have_probe and max(pm) / min(pm) < 1.08
                       and all(x < 1.20 * best for x in pm))
+        # cert: THE certification criterion, stored so the set is
+        # self-describing (tools/gated_summary.py selects on this flag
+        # alone): a 1->4 pair whose legs were guest-clean (external <
+        # EXT_GATE cores AND steal < STEAL_GATE cores for the whole
+        # leg) with the host probe STABLE across the pair (<8%
+        # leg-to-leg drift — a uniformly slower host cancels in the
+        # ratio; what corrupts a pair is host speed CHANGING between
+        # legs). Tier A/B (calibration-speed) remain as supplementary
+        # views.
+        cert = bool((n_lo, n_hi) == (1, 4) and guest_clean and have_probe
+                    and max(pm) / min(pm) < 1.08)
         rec = dict(ts=round(time.time(), 1), pair=pair_idx, rows=int(rows),
                    rev=_git_rev(), levels=[n_lo, n_hi],
                    pre_gate_load=la, eff=eff, probe_best=best,
+                   cert=cert,
                    clean=bool(guest_clean and tier_a),
                    stable_clean=bool(guest_clean and tier_b),
                    guest_clean=guest_clean,
                    legs=mon.legs, hi=hi, lo=lo)
         with open(JSONL, "a") as f:
             f.write(json.dumps(rec) + "\n")
-        clean += rec["stable_clean"]
+        clean += rec["cert"]
         new += 1
         pair_idx += 1
-        print(f"pair {rec['pair']}: eff={eff} A={rec['clean']} "
-              f"B={rec['stable_clean']} "
+        print(f"pair {rec['pair']}: eff={eff} cert={rec['cert']} "
+              f"A={rec['clean']} B={rec['stable_clean']} "
               f"probes={[(l['cores'], l['probe_median']) for l in mon.legs]} best={best} "
               f"ext={[(l['cores'], l['external_cores'], l['steal_cores']) for l in mon.legs]} "
-              f"({clean} stable-clean total)", flush=True)
-    print(f"done: {clean} stable-clean pairs (target {target_clean})", flush=True)
+              f"({clean} cert total)", flush=True)
+    print(f"done: {clean} cert pairs (target {target_clean})", flush=True)
 
 
 if __name__ == "__main__":
