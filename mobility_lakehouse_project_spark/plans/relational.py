@@ -2646,6 +2646,77 @@ ORACLE_SQL["sql_dml_roundtrip"] = """
 """
 
 
+def sql_dml_subquery(spark, sf_dir):
+    """``IN (SELECT ...)`` subquery predicates in SQL DELETE/UPDATE
+    (sql.py:_plan_subquery_dml), oracle-checked end to end: a scratch
+    orders table is mutated by a DELETE whose keys come from a
+    market-segment subquery over a second lakehouse table (the
+    reference's ad-hoc entry point accepts arbitrary SQL including
+    subqueries, /root/reference/dags/Queries_dag.py:54-95), then an
+    UPDATE whose subquery conjunct composes with a residual scalar
+    conjunct. Small key sets compile to a literal predicate + bloom
+    hint on the chunked row-level engine; the over-cap DELETE path
+    (semi-join MERGE) is exercised in tests/test_sql.py. A mis-parsed
+    conjunct, wrong ANSI NULL handling, or a mis-planned semi-join
+    diverges the integer-exact key sums."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..sql import execute_sql, execute_sql_script
+    from ..tableformat import LakehouseTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    scratch = os.path.join(tempfile.gettempdir(), "mlps-scratch",
+                           "sql-dml-subq")
+    shutil.rmtree(scratch, ignore_errors=True)
+    t = LakehouseTable.create(
+        scratch + "/orders", o.schema, partition_col="o_orderpriority"
+    )
+    t.append(o, n_files=8)
+    ct = LakehouseTable.create(scratch + "/cust", c.schema)
+    ct.append(c, n_files=2)
+    execute_sql_script(
+        spark,
+        """
+        DELETE FROM t WHERE o_custkey IN
+            (SELECT c_custkey FROM cust WHERE c_mktsegment = 'BUILDING');
+        UPDATE t SET o_custkey = o_custkey + :bump
+            WHERE o_custkey IN (SELECT c_custkey FROM cust
+                                WHERE c_mktsegment = 'MACHINERY')
+              AND o_orderstatus = 'O';
+        """,
+        tables={"t": t, "cust": ct},
+        args={"bump": 1000000},
+    )
+    return execute_sql(
+        spark,
+        "SELECT o_orderstatus, COUNT(*) AS n_orders, "
+        "SUM(o_custkey) AS sum_ck FROM t "
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus",
+        tables={"t": t},
+    )
+
+
+ORACLE_SQL["sql_dml_subquery"] = """
+        SELECT o_orderstatus,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CASE WHEN o_orderstatus = 'O' AND o_custkey IN
+                                  (SELECT c_custkey FROM customer
+                                   WHERE c_mktsegment = 'MACHINERY')
+                             THEN o_custkey + 1000000
+                             ELSE o_custkey END) AS BIGINT) AS sum_ck
+        FROM orders
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+                                WHERE c_mktsegment = 'BUILDING')
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+"""
+
+
 def sql_retention_delete(spark, sf_dir):
     """String-stats range pruning through the SQL front-end, oracle-
     checked end to end: a scratch orders table laid out date-sorted is
@@ -3991,6 +4062,7 @@ QUERIES = {
     "txt_repeated_spans": txt_repeated_spans,
     "txt_bigram_lm_score": txt_bigram_lm_score,
     "emb_quantize_recall": emb_quantize_recall,
+    "sql_dml_subquery": sql_dml_subquery,
     "corpus_mix_weighted": corpus_mix_weighted,
     "train_shard_plan": train_shard_plan,
     "train_aspect_batches": train_aspect_batches,

@@ -19,12 +19,15 @@ Expression and query *fragments* (everything after WHERE / SET = /
 AS / USING) are handed to Spark **unparsed**, so any expression Spark
 SQL accepts works there; only the statement skeleton is parsed here.
 Identifiers must be unquoted (``ns.table``, plain column names).
-One scoping caveat: DELETE/UPDATE predicates are evaluated as
-DataFrame filters over the target scan, so they must be scalar
-expressions of the target's columns — ``IN (SELECT ...)`` subqueries
-are not available there (pre-compute the key list into the statement
-via ``:param`` binding, or express the operation as a MERGE whose
-USING query does the subquery work).
+DELETE/UPDATE predicates are evaluated as DataFrame filters over the
+target scan — scalar expressions of the target's columns, plus one
+uncorrelated ``col [NOT] IN (SELECT ...)`` conjunct: small key sets
+(<= OPTIONS(subquery_limit), default 100k distinct) compile to a
+literal predicate on the normal chunked row-level engine, with the
+key list doubling as a bloom/point_eq pruning hint; an over-cap
+plain-IN DELETE auto-plans as the distributed semi-join ``MERGE ...
+WHEN MATCHED THEN DELETE``. Correlated EXISTS is not parsed — express
+it as a MERGE whose USING query does the correlated work.
 
 Supported statements (heads case-insensitive)::
 
@@ -1033,6 +1036,156 @@ def _eq_delete_keys(table, pred: str) -> tuple[list[str], list[tuple]]:
     return cols, keys
 
 
+# distinct-key cap for driver-materialized IN (SELECT ...) plans; a
+# larger set switches DELETE to the distributed semi-join MERGE plan
+# (or errors for shapes MERGE cannot express). Override per statement
+# with OPTIONS(subquery_limit=N).
+_SUBQUERY_LIMIT = 100_000
+
+
+def _extract_in_subquery(pred: str):
+    """Split one top-level ``col [NOT] IN (SELECT ...)`` conjunct out
+    of a DELETE/UPDATE predicate. Returns ``None`` when the predicate
+    has no subquery, else ``(col, negated, subquery_sql, residual)``
+    where ``residual`` is the AND of the remaining conjuncts (or None).
+    Raises for shapes the planner cannot honor: a subquery under OR,
+    more than one subquery conjunct, or EXISTS (whose correlation
+    would need full query planning — express those as MERGE)."""
+    masked = _mask(_strip_comments(pred))
+    if not re.search(r"(?is)\(\s*(?:SELECT|WITH)\b", masked):
+        return None
+    if re.search(r"(?is)\bEXISTS\s*\(", masked):
+        raise LakehouseSqlError(
+            "EXISTS subqueries are not supported in DELETE/UPDATE "
+            "predicates — correlation needs full query planning; use "
+            "`col IN (SELECT ...)` or a MERGE whose USING query does "
+            "the correlated work")
+    pred = _strip_comments(pred)
+    frags = _conjuncts(pred)
+    if frags is None:
+        raise LakehouseSqlError(
+            "IN (SELECT ...) must be a top-level AND conjunct of the "
+            "DELETE/UPDATE predicate (a subquery under OR cannot be "
+            "planned as a semi-join)")
+    pat = re.compile(
+        rf"(?is)^\s*({_IDENT})\s+(NOT\s+)?IN\s*\(\s*(SELECT|WITH)\b.*\)\s*$")
+    hit, residual = None, []
+    for frag in frags:
+        m = pat.match(_mask(frag))
+        if m is None:
+            if re.search(r"(?is)\(\s*(?:SELECT|WITH)\b", _mask(frag)):
+                raise LakehouseSqlError(
+                    f"cannot plan subquery conjunct {frag.strip()!r} — "
+                    "supported shape: `col [NOT] IN (SELECT ...)`")
+            residual.append(frag)
+            continue
+        if hit is not None:
+            raise LakehouseSqlError(
+                "at most one IN (SELECT ...) conjunct per DELETE/"
+                "UPDATE (compose several in the subquery itself)")
+        col = m.group(1)
+        if "." in col:
+            col = col.rsplit(".", 1)[-1]
+        # subquery text: from the SELECT/WITH keyword to the conjunct's
+        # final close paren (positions index the raw frag — _mask is
+        # length-preserving)
+        hit = (col, bool(m.group(2)), frag[m.start(3):frag.rfind(")")])
+    col, negated, sub_sql = hit
+    return col, negated, sub_sql, (" AND ".join(residual) or None)
+
+
+def _subquery_keys_df(spark, table, col, sub_sql, catalog, tables):
+    """Run the uncorrelated subquery through the front-end and return
+    its single-column DataFrame (validated)."""
+    if col.lower() not in {f.name.lower() for f in table.schema().fields}:
+        raise LakehouseSqlError(f"unknown column {col!r} in IN (SELECT ...)")
+    kdf = execute_sql(spark, sub_sql, catalog=catalog, tables=tables)
+    if not isinstance(kdf, DataFrame) or len(kdf.columns) != 1:
+        raise LakehouseSqlError(
+            "IN (SELECT ...) subquery must produce exactly one column")
+    return kdf
+
+
+def _plan_subquery_dml(spark, table, sub, pred, opts, catalog, tables,
+                       kind, assignments=None):
+    """Plan DELETE/UPDATE with a ``col [NOT] IN (SELECT ...)`` conjunct.
+
+    Small key sets (<= OPTIONS(subquery_limit), default 100k distinct)
+    compile to a literal ``isin`` predicate handed to the normal
+    chunked row-level engine — keeping every mode (cow/mor/dv), stats
+    pruning (the key list doubles as a bloom/point_eq hint), chunked
+    commits, and ANSI three-valued semantics (NULL never deletes; a
+    NULL in a NOT IN set matches nothing). Beyond the cap, a plain
+    ``IN`` DELETE switches to the fully distributed plan the keys-
+    unbounded case demands: MERGE INTO target USING (subquery) ON col
+    WHEN MATCHED THEN DELETE — a semi-join; no key ever lands on the
+    driver (``chunk_files`` does not apply there; MERGE bounds its own
+    planning). Over-cap NOT IN / residual-conjunct / UPDATE shapes
+    error with the cap to raise, because anti-join MERGE would delete
+    NULL-key rows ANSI keeps, and SET expressions of target columns
+    are not source-driven."""
+    col, negated, sub_sql, residual = sub
+    limit = int(opts.pop("subquery_limit", _SUBQUERY_LIMIT))
+    kdf = _subquery_keys_df(spark, table, col, sub_sql, catalog, tables)
+    rows = kdf.distinct().limit(limit + 1).collect()
+    verb = "deleted" if kind == "delete" else "updated"
+    zero = {"operation": kind, f"rows_{verb}": 0, "files_rewritten": 0,
+            "files_written": 0, "predicate": pred}
+    if len(rows) > limit:
+        if kind == "delete" and not negated and residual is None:
+            src = (kdf.select(F.col(kdf.columns[0]).alias(col))
+                   .na.drop().distinct())
+            have = {col}
+            src = src.select(
+                "*", *[F.lit(None).cast(f.dataType).alias(f.name)
+                       for f in table.schema().fields if f.name not in have])
+            mo = {k: v for k, v in opts.items()
+                  if k in ("mode", "target_file_size", "rebase_retries")}
+            out = merge_into(table, spark, src, key=[col],
+                             when_matched="delete", when_not_matched=None,
+                             extra_summary={"predicate": pred}, **mo)
+            out["operation"] = "delete"
+            out["planned_as"] = "semi-join-merge"
+            return out
+        raise LakehouseSqlError(
+            f"IN (SELECT ...) returned more than {limit} distinct keys; "
+            "raise OPTIONS(subquery_limit=N) or express the operation "
+            "as MERGE (only a plain-IN DELETE auto-plans as a "
+            "semi-join MERGE beyond the cap)")
+    vals = [r[0] for r in rows]
+    nn = [v for v in vals if v is not None]
+    if negated and len(nn) < len(vals):
+        # ANSI: `x NOT IN (set containing NULL)` is never TRUE
+        return {**zero, "short_circuit": "NOT IN set contains NULL"}
+    if not vals:
+        # IN () matches nothing; NOT IN () matches everything
+        if not negated:
+            return {**zero, "short_circuit": "empty IN subquery"}
+        cond = F.lit(True)
+    else:
+        cond = F.col(col).isin(vals)
+        if negated:
+            cond = ~cond
+    int_ranges, point_eq = ({}, {})
+    if residual is not None:
+        int_ranges, point_eq = derive_hints(table, residual)
+        cond = cond & F.expr(residual)
+    if not negated and nn and col not in point_eq:
+        # the key list IS a point-equality hint: manifest blooms and
+        # value ranges prune candidate files before any data is read
+        point_eq = {**point_eq, col: nn}
+    fn = delete_where if kind == "delete" else update_where
+    kwargs = dict(int_ranges=int_ranges or None,
+                  point_eq=point_eq or None, **opts)
+    if kind == "update":
+        out = fn(table, spark, cond, assignments, **kwargs)
+    else:
+        out = fn(table, spark, cond, **kwargs)
+    out["operation"] = kind
+    out["predicate"] = pred
+    return out
+
+
 def _stmt_delete(spark, sql, masked, catalog, tables):
     m = re.match(rf"(?is)\s*DELETE\s+FROM\s+({_IDENT})\s*", masked)
     if not m:
@@ -1040,8 +1193,52 @@ def _stmt_delete(spark, sql, masked, catalog, tables):
     table = _resolve(m.group(1), catalog, tables)
     pred, opts, _ = _where_and_options(sql, masked, m.end(), "DELETE")
     _check_opts(opts, {"mode", "target_file_size", "chunk_files",
-                       "rebase_retries"}, "DELETE")
+                       "rebase_retries", "subquery_limit"}, "DELETE")
+    sub = _extract_in_subquery(pred)
+    if sub is not None and opts.get("mode") != "eq":
+        return _plan_subquery_dml(spark, table, sub, pred, opts,
+                                  catalog, tables, "delete")
     if opts.get("mode") == "eq":
+        if sub is not None:
+            # blind-erasure list from a subquery: collect the keys
+            # (capped) and flow into the normal eq-delete commit
+            col, negated, sub_sql, residual = sub
+            if negated or residual is not None:
+                raise LakehouseSqlError(
+                    "mode='eq' supports exactly `col IN (SELECT ...)` "
+                    "with no other conjuncts")
+            limit = int(opts.pop("subquery_limit", _SUBQUERY_LIMIT))
+            kdf = _subquery_keys_df(spark, table, col, sub_sql,
+                                    catalog, tables)
+            f = next(x for x in table.schema().fields
+                     if x.name.lower() == col.lower())
+            if kdf.schema.fields[0].dataType != f.dataType:
+                raise LakehouseSqlError(
+                    f"mode='eq': subquery type "
+                    f"{kdf.schema.fields[0].dataType.simpleString()} != "
+                    f"column {f.name!r} type {f.dataType.simpleString()} "
+                    "— an implicit cast could delete rows the predicate "
+                    "does not match (CAST in the subquery)")
+            krows = kdf.na.drop().distinct().limit(limit + 1).collect()
+            if len(krows) > limit:
+                raise LakehouseSqlError(
+                    f"mode='eq' subquery returned more than {limit} "
+                    "distinct keys; raise OPTIONS(subquery_limit=N)")
+            ignored = sorted(set(opts) - {"mode"})
+            if ignored:
+                raise LakehouseSqlError(
+                    f"OPTIONS {ignored} have no effect with mode='eq' "
+                    "(no files are rewritten)")
+            keys_df = table.conform(
+                kdf.na.drop().distinct().select(
+                    F.col(kdf.columns[0]).alias(f.name)),
+                schema=StructType([f]))
+            entries = table.write_equality_delete_files(keys_df, [f.name])
+            snap = table.commit_equality_deletes(
+                entries, [f.name], summary={"predicate": pred})
+            return {"operation": "delete", "mode": "eq",
+                    "delete_keys": len(krows), "cols": [f.name],
+                    "snapshot": snap.snapshot_id}
         # blind equality delete: O(keys) write, ZERO table read — the
         # GDPR single-key erasure shape (Iceberg v2 equality deletes,
         # sequence-scoped so later re-inserts of the key survive)
@@ -1076,7 +1273,7 @@ def _stmt_update(spark, sql, masked, catalog, tables):
     table = _resolve(m.group(1), catalog, tables)
     pred, opts, set_end = _where_and_options(sql, masked, m.end(), "UPDATE")
     _check_opts(opts, {"mode", "target_file_size", "chunk_files",
-                       "rebase_retries"}, "UPDATE")
+                       "rebase_retries", "subquery_limit"}, "UPDATE")
     assignments = {}
     for a, b in _split_top(masked, sql, ",", m.end(), set_end):
         part = sql[a:b]
@@ -1087,6 +1284,11 @@ def _stmt_update(spark, sql, masked, catalog, tables):
             raise LakehouseSqlError(
                 f"column {am.group(1)!r} assigned twice")
         assignments[am.group(1)] = am.group(2).strip()
+    sub = _extract_in_subquery(pred)
+    if sub is not None:
+        return _plan_subquery_dml(spark, table, sub, pred, opts,
+                                  catalog, tables, "update",
+                                  assignments=assignments)
     int_ranges, point_eq = derive_hints(table, pred)
     out = update_where(table, spark, pred, assignments,
                        int_ranges=int_ranges or None,

@@ -907,3 +907,146 @@ def test_delete_rebase_retries_option(spark, cat):
                       catalog=cat, tables={"silver.images": t})
     assert out["rows_deleted"] == 10
     assert t.scan(spark).count() == 50 - 10 + 5
+
+
+# ---------------------------------------------------------------------------
+# IN (SELECT ...) subquery predicates in DELETE/UPDATE
+
+
+def _seed_subq(spark, cat):
+    df = spark.createDataFrame(
+        [(i, i % 5, f"s{i % 3}") for i in range(100)],
+        "k int, g int, s string")
+    cat.create_table("sub.t", df.schema).append(df, n_files=4)
+    keys = spark.createDataFrame([(1,), (2,), (3,), (None,)], "g int")
+    cat.create_table("sub.keys", keys.schema).append(keys, n_files=1)
+    return cat.load_table("sub.t")
+
+
+def test_delete_in_subquery_literal_plan(spark, cat):
+    t = _seed_subq(spark, cat)
+    out = execute_sql(
+        spark,
+        "DELETE FROM sub.t WHERE k IN "
+        "(SELECT g * 10 FROM sub_keys WHERE g IS NOT NULL)",
+        catalog=cat)
+    assert out["rows_deleted"] == 3  # k in (10, 20, 30)
+    assert t.scan(spark).count() == 97
+    # residual conjunct composes with the subquery conjunct
+    out = execute_sql(
+        spark,
+        "DELETE FROM sub.t WHERE g IN (SELECT g FROM sub_keys WHERE g = 1)"
+        " AND s = 's0'",
+        catalog=cat)
+    assert out["rows_deleted"] == 7  # g==1 AND s=='s0' survivors of step 1
+
+
+def test_delete_not_in_subquery_ansi_null(spark, cat):
+    t = _seed_subq(spark, cat)
+    # NOT IN over a set containing NULL matches nothing (ANSI 3VL)
+    out = execute_sql(
+        spark, "DELETE FROM sub.t WHERE g NOT IN (SELECT g FROM sub_keys)",
+        catalog=cat)
+    assert out["rows_deleted"] == 0 and "short_circuit" in out
+    assert t.scan(spark).count() == 100
+    # without the NULL, the anti-set deletes g in {0, 4}
+    out = execute_sql(
+        spark,
+        "DELETE FROM sub.t WHERE g NOT IN "
+        "(SELECT g FROM sub_keys WHERE g IS NOT NULL)",
+        catalog=cat)
+    assert out["rows_deleted"] == 40
+    assert t.scan(spark).count() == 60
+
+
+def test_update_in_subquery(spark, cat):
+    t = _seed_subq(spark, cat)
+    out = execute_sql(
+        spark,
+        "UPDATE sub.t SET s = 'X' WHERE g IN "
+        "(SELECT g FROM sub_keys WHERE g = 2)",
+        catalog=cat)
+    assert out["rows_updated"] == 20
+    assert t.scan(spark).filter("s = 'X'").count() == 20
+
+
+def test_delete_in_subquery_overflow_plans_merge(spark, cat):
+    t = _seed_subq(spark, cat)
+    out = execute_sql(
+        spark,
+        "DELETE FROM sub.t WHERE g IN "
+        "(SELECT g FROM sub_keys WHERE g IS NOT NULL) "
+        "OPTIONS(subquery_limit=1)",
+        catalog=cat)
+    assert out["planned_as"] == "semi-join-merge"
+    assert t.scan(spark).count() == 40  # g in {1,2,3} gone
+    # UPDATE and NOT IN cannot take the merge path: clear error
+    with pytest.raises(LakehouseSqlError, match="subquery_limit"):
+        execute_sql(
+            spark,
+            "UPDATE sub.t SET s='Y' WHERE g IN "
+            "(SELECT g FROM sub_keys WHERE g IS NOT NULL) "
+            "OPTIONS(subquery_limit=1)",
+            catalog=cat)
+
+
+def test_delete_in_subquery_eq_mode(spark, cat):
+    t = _seed_subq(spark, cat)
+    out = execute_sql(
+        spark,
+        "DELETE FROM sub.t WHERE k IN "
+        "(SELECT CAST(g * 10 AS INT) FROM sub_keys WHERE g IS NOT NULL) "
+        "OPTIONS(mode='eq')",
+        catalog=cat)
+    assert out["mode"] == "eq" and out["delete_keys"] == 3
+    assert t.scan(spark).count() == 97
+    # type agreement is enforced (no silent cast)
+    with pytest.raises(LakehouseSqlError, match="type"):
+        execute_sql(
+            spark,
+            "DELETE FROM sub.t WHERE k IN "
+            "(SELECT CAST(g AS BIGINT) FROM sub_keys) OPTIONS(mode='eq')",
+            catalog=cat)
+
+
+def test_subquery_shape_guards(spark, cat):
+    _seed_subq(spark, cat)
+    with pytest.raises(LakehouseSqlError, match="OR"):
+        execute_sql(
+            spark,
+            "DELETE FROM sub.t WHERE g IN (SELECT g FROM sub_keys) "
+            "OR s = 's0'",
+            catalog=cat)
+    with pytest.raises(LakehouseSqlError, match="EXISTS"):
+        execute_sql(
+            spark,
+            "DELETE FROM sub.t WHERE EXISTS (SELECT 1 FROM sub_keys)",
+            catalog=cat)
+    with pytest.raises(LakehouseSqlError, match="one column"):
+        execute_sql(
+            spark,
+            "DELETE FROM sub.t WHERE g IN (SELECT g, g FROM sub_keys)",
+            catalog=cat)
+    with pytest.raises(LakehouseSqlError, match="at most one"):
+        execute_sql(
+            spark,
+            "DELETE FROM sub.t WHERE g IN (SELECT g FROM sub_keys) AND "
+            "k IN (SELECT g FROM sub_keys)",
+            catalog=cat)
+
+
+def test_empty_in_subquery_short_circuits(spark, cat):
+    t = _seed_subq(spark, cat)
+    out = execute_sql(
+        spark,
+        "DELETE FROM sub.t WHERE g IN (SELECT g FROM sub_keys WHERE g > 99)",
+        catalog=cat)
+    assert out["rows_deleted"] == 0 and "short_circuit" in out
+    # NOT IN () is TRUE for every row
+    out = execute_sql(
+        spark,
+        "DELETE FROM sub.t WHERE g NOT IN "
+        "(SELECT g FROM sub_keys WHERE g > 99)",
+        catalog=cat)
+    assert out["rows_deleted"] == 100
+    assert t.scan(spark).count() == 0
