@@ -52,14 +52,23 @@ def _postings(docs: DataFrame) -> DataFrame:
 
 def build_postings_table(
     spark: SparkSession,
-    docs: DataFrame,
+    docs: DataFrame | None,
     location: str,
     n_buckets: int = 64,
+    source: LakehouseTable | None = None,
 ) -> LakehouseTable:
     """Build the inverted index as a `bucket[n_buckets]`-partitioned
     lakehouse table of (tok, doc_id, tf, dl). One explode+aggregate
     pass over the corpus, one partition-shaped write; corpus constants
-    ride the commit summary."""
+    (doc count, TOTAL token count — the exact avgdl numerator — and the
+    consumed source snapshot when ``source`` is a lakehouse table) ride
+    the commit summary, which is what lets
+    :func:`refresh_postings_table` later extend the index from the
+    source changelog without a rebuild."""
+    if source is not None:
+        if docs is not None:
+            raise ValueError("pass docs= or source=, not both")
+        docs = source.scan(spark)
     post = _postings(docs)
     schema = T.StructType([
         T.StructField("tok", T.StringType()),
@@ -72,20 +81,108 @@ def build_postings_table(
         partition_transform=f"bucket[{n_buckets}]",
     )
     n_docs = docs.count()
-    avgdl = (
+    sum_dl = (
         docs.select(
             F.size(F.filter(F.split("text", " "),
                             lambda x: x != "")).alias("dl"))
-        .agg(F.avg("dl")).first()[0]
-    )
+        .agg(F.sum("dl")).first()[0]
+    ) or 0
+    summary = {"index": "postings", "n-docs": n_docs,
+               "avgdl": sum_dl / max(n_docs, 1), "sum-dl": int(sum_dl),
+               "n-buckets": n_buckets,
+               "bm25-k1": BM25_K1, "bm25-b": BM25_B}
+    if source is not None:
+        cur = source.current_snapshot()
+        summary["source-snapshot"] = cur.snapshot_id if cur else 0
     t.commit_append(
         t.write_data_files(post.select([f.name for f in schema.fields]),
                            n_files=min(n_buckets, 32)),
-        summary={"index": "postings", "n-docs": n_docs,
-                 "avgdl": float(avgdl), "n-buckets": n_buckets,
-                 "bm25-k1": BM25_K1, "bm25-b": BM25_B},
+        summary=summary,
     )
     return t
+
+
+def refresh_postings_table(
+    spark: SparkSession,
+    index: LakehouseTable,
+    source: LakehouseTable,
+) -> dict:
+    """Extend the inverted index with the source's appends since the
+    snapshot the index last consumed — O(new documents), never a
+    corpus rebuild (the matview idiom, operators/matview.py, applied
+    to the postings table).
+
+    The source changelog between the recorded ``source-snapshot`` and
+    the current head must be append-only (postings rows of a deleted
+    or updated document cannot be retracted by appending; a changelog
+    with delete/update events raises and the honest answer is a
+    rebuild). New documents' postings are one explode+aggregate over
+    ONLY the new rows, written into the same bucket partitions the
+    build used; the BM25 corpus constants (n-docs, sum-dl -> avgdl)
+    are advanced exactly in the refresh commit's summary, so a probe
+    after the refresh scores identically to a probe over a full
+    rebuild — pinned by tests/test_textsearch.py parity tests.
+
+    Returns {"new_docs", "postings_rows", "n_docs", "avgdl",
+    "snapshot"}; a no-change source returns {"new_docs": 0} without
+    committing."""
+    from ..streaming.changelog import changelog_df
+
+    summ = _build_summary(index)
+    if "source-snapshot" not in summ:
+        raise ValueError(
+            "postings index was built from a plain DataFrame (no "
+            "source-snapshot cursor); rebuild with "
+            "build_postings_table(source=<table>) to enable "
+            "incremental refresh")
+    cursor = int(float(summ["source-snapshot"]))
+    cur = source.current_snapshot()
+    if cur is None or cur.snapshot_id == cursor:
+        return {"new_docs": 0, "postings_rows": 0, "skipped": "no change"}
+    changes = changelog_df(source, spark,
+                           from_snapshot_id=cursor or None)
+    kinds = {r[0] for r in
+             changes.select("_change_type").distinct().collect()}
+    if kinds - {"insert"}:
+        raise ValueError(
+            f"source changelog since snapshot {cursor} contains "
+            f"{sorted(kinds - {'insert'})} events — incremental "
+            "postings refresh is append-only; rebuild the index")
+    new_docs = changes.select("doc_id", "text")
+    post = _postings(new_docs)
+    n_new = new_docs.count()
+    if n_new == 0:
+        return {"new_docs": 0, "postings_rows": 0, "skipped": "no change"}
+    sum_dl_new = (
+        new_docs.select(
+            F.size(F.filter(F.split("text", " "),
+                            lambda x: x != "")).alias("dl"))
+        .agg(F.sum("dl")).first()[0]
+    ) or 0
+    n_docs = int(float(summ["n-docs"])) + n_new
+    # legacy build summaries carry avgdl only: reconstruct the exact
+    # numerator from it (float avgdl * n is exact for the sizes the
+    # legacy path wrote; new builds store the integer)
+    prior_sum = summ.get(
+        "sum-dl",
+        round(float(summ["avgdl"]) * int(float(summ["n-docs"]))))
+    sum_dl = int(float(prior_sum)) + int(sum_dl_new)
+    entries = index.write_data_files(
+        post.select("tok", "doc_id", "tf", "dl"),
+        n_files=min(int(float(summ["n-buckets"])), 32))
+    snap = index.commit_append(
+        entries,
+        summary={"index": "postings", "n-docs": n_docs,
+                 "avgdl": sum_dl / max(n_docs, 1), "sum-dl": sum_dl,
+                 "n-buckets": int(float(summ["n-buckets"])),
+                 "bm25-k1": BM25_K1, "bm25-b": BM25_B,
+                 "source-snapshot": cur.snapshot_id,
+                 "refresh": "incremental"},
+    )
+    n_post = sum(e["record_count"] for e in entries)
+    return {"new_docs": n_new, "postings_rows": n_post,
+            "n_docs": n_docs, "avgdl": sum_dl / max(n_docs, 1),
+            "snapshot": snap.snapshot_id}
 
 
 def _build_summary(table: LakehouseTable) -> dict:

@@ -63,3 +63,68 @@ def test_not_a_postings_table_refused(spark, tmp_table_dir):
     t.append(df, n_files=1)
     with pytest.raises(ValueError, match="postings"):
         textsearch.keyword_topk(spark, t, ["x"])
+
+
+def test_incremental_refresh_parity(spark, tmp_path):
+    """Append docs to the source table, refresh the index off the
+    changelog, and require EXACT probe parity (scores, constants)
+    with a full rebuild over the whole corpus."""
+    from mobility_lakehouse_project_spark.tableformat import LakehouseTable
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+    )
+    first = docs.filter(F.col("doc_id") % 5 != 0)
+    rest = docs.filter(F.col("doc_id") % 5 == 0)
+    src = LakehouseTable.create(str(tmp_path / "docs"), first.schema)
+    src.append(first, n_files=4)
+    idx = textsearch.build_postings_table(
+        spark, None, str(tmp_path / "idx"), n_buckets=32, source=src)
+    out = textsearch.refresh_postings_table(spark, idx, src)
+    assert out["new_docs"] == 0 and "skipped" in out
+
+    src.append(rest, n_files=2)
+    out = textsearch.refresh_postings_table(spark, idx, src)
+    assert out["new_docs"] == rest.count()
+    assert out["postings_rows"] > 0
+
+    full = textsearch.build_postings_table(
+        spark, docs, str(tmp_path / "idx_full"), n_buckets=32)
+    terms = list(relational._BM25_TERMS)
+    got, _ = textsearch.keyword_topk(spark, idx, terms, k=20)
+    want, _ = textsearch.keyword_topk(spark, full, terms, k=20)
+    assert [tuple(r) for r in got.collect()] == \
+        [tuple(r) for r in want.collect()]
+    # corpus constants advanced exactly
+    s_inc = textsearch._build_summary(idx)
+    s_full = textsearch._build_summary(full)
+    assert int(float(s_inc["n-docs"])) == int(float(s_full["n-docs"]))
+    assert abs(float(s_inc["avgdl"]) - float(s_full["avgdl"])) < 1e-9
+
+    # a second refresh with no source change is a no-op
+    out = textsearch.refresh_postings_table(spark, idx, src)
+    assert out["new_docs"] == 0
+
+
+def test_incremental_refresh_guards(spark, tmp_path):
+    from mobility_lakehouse_project_spark.operators.delete import delete_where
+    from mobility_lakehouse_project_spark.tableformat import LakehouseTable
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text").limit(50)
+    )
+    src = LakehouseTable.create(str(tmp_path / "docs"), docs.schema)
+    src.append(docs, n_files=2)
+    # DataFrame-built index has no cursor -> clear error
+    plain = textsearch.build_postings_table(
+        spark, src.scan(spark), str(tmp_path / "plain"), n_buckets=8)
+    with pytest.raises(ValueError, match="source-snapshot"):
+        textsearch.refresh_postings_table(spark, plain, src)
+    # a source delete poisons the changelog -> refresh refuses
+    idx = textsearch.build_postings_table(
+        spark, None, str(tmp_path / "idx"), n_buckets=8, source=src)
+    delete_where(src, spark, F.col("doc_id") < 5, mode="mor")
+    with pytest.raises(ValueError, match="append-only"):
+        textsearch.refresh_postings_table(spark, idx, src)
