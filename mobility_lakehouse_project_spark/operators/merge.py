@@ -295,14 +295,15 @@ def merge_into(
         # count, the sizing, and the write all reuse it — without the
         # persist, the count and the write would each re-execute the
         # full target key scan (2x the metadata-side cost at 100 TB)
-        target_keys = table.scan(spark, columns=keys)
+        target_keys = table.scan(spark, snapshot_id=cur.snapshot_id,
+                                 columns=keys)
         new_keys = src_keys.join(target_keys, keys, "left_anti").persist()
         # size by the ACTUAL insert count (keys-only anti-join count —
         # sizing by all source rows fragments match-heavy merges into
         # target/n_matched-sized slivers)
         n_new = new_keys.count()  # also materializes the cache
         new_rows = src.join(new_keys, keys, "left_semi")
-        stats = table.files(spark).agg(
+        stats = table.files(spark, snapshot_id=cur.snapshot_id).agg(
             F.sum("file_size_bytes").alias("b"), F.sum("record_count").alias("r")
         ).collect()[0]
         avg_row = (stats["b"] or 1) / max(stats["r"] or 1, 1)
@@ -361,7 +362,13 @@ def merge_into(
     # input_file_name() projected after a join has no defined "current
     # file"); the manifest-resolution assertion below still guards any
     # relativize failure for exotic path schemes
-    target_keys = table.scan(spark, columns=None, with_pos=True).select(
+    # pinned to the PLAN snapshot: the touch classification, the
+    # manifest resolution below, and the commit's expected_parent must
+    # all see the same file set — an unpinned scan here raced a
+    # concurrent compaction into a planning crash (found by
+    # tests/test_chaos_multiprocess.py)
+    target_keys = table.scan(spark, snapshot_id=cur.snapshot_id,
+                             columns=None, with_pos=True).select(
         *[F.col(k) for k in keys], F.col("_file")
     )
     matched_keys = target_keys.join(src_keys, keys, "inner").persist()
@@ -374,7 +381,7 @@ def merge_into(
         tdf = spark.createDataFrame([(p,) for p in sorted(touched_rel)], "file_path string")
         touched_entries = [
             r.asDict()
-            for r in table.files(spark)
+            for r in table.files(spark, snapshot_id=cur.snapshot_id)
             .join(F.broadcast(tdf), "file_path", "left_semi")
             .select("file_path", "partition_id", "file_size_bytes",
                     "record_count", "first_row_id")
@@ -457,7 +464,7 @@ def merge_into(
             n_new = (n_src - n_delcmd) - (n_matched_all - n_matched_del)
         else:
             n_new = n_src - n_matched_all
-        stats = table.files(spark).agg(
+        stats = table.files(spark, snapshot_id=cur.snapshot_id).agg(
             F.sum("file_size_bytes").alias("b"), F.sum("record_count").alias("r")
         ).collect()[0]
         insert_bytes = n_new * (stats["b"] or 1) / max(stats["r"] or 1, 1)
@@ -541,7 +548,10 @@ def _merge_mor(table, spark, src, src_keys, n_src, keys, when_matched,
 
     # _row_id rides the same column-pruned key scan so an UPDATEd row's
     # new version can inherit the old row's lineage id (Iceberg v3)
-    target_keys = table.scan(spark, columns=None, with_pos=True,
+    # pinned to the plan snapshot (same reasoning as the CoW path:
+    # position classification, resolution, and commit pin must agree)
+    target_keys = table.scan(spark, snapshot_id=cur.snapshot_id,
+                             columns=None, with_pos=True,
                              with_row_id=True).select(
         *[F.col(k) for k in keys], F.col("_file"), F.col("_pos"),
         F.col("_row_id")
@@ -579,7 +589,7 @@ def _merge_mor(table, spark, src, src_keys, n_src, keys, when_matched,
         tdf = spark.createDataFrame(
             [(p,) for p in sorted(touched)], "file_path string")
         resolved = (
-            table.files(spark)
+            table.files(spark, snapshot_id=cur.snapshot_id)
             .join(F.broadcast(tdf), "file_path", "left_semi").count()
         )
         if resolved != len(touched):
@@ -614,7 +624,7 @@ def _merge_mor(table, spark, src, src_keys, n_src, keys, when_matched,
 
     entries: list[dict] = []
     if out_rows is not None and n_out:
-        stats = table.files(spark).agg(
+        stats = table.files(spark, snapshot_id=cur.snapshot_id).agg(
             F.sum("file_size_bytes").alias("b"),
             F.sum("record_count").alias("r"),
         ).collect()[0]
