@@ -109,8 +109,22 @@ def run_maintenance(
     cluster_mode = _prop(cluster_mode, "cluster_mode", str, "full")
     if cluster_mode not in ("full", "incremental"):
         raise ValueError(f"bad maintenance.cluster-mode {cluster_mode!r}")
+    # Default 0.05, calibrated (tools/calibrate_fold.py, curve in
+    # BENCH/BASELINE.md): the MOR scan tax after DV consolidation is
+    # FLAT in delete ratio (~7 ms/file/scan on the bench table — it is
+    # per-file apply overhead plus a per-row probe, not per-deleted-
+    # row), so folding a file buys the same scan win at 0.2% deleted
+    # as at 25% — but costs a full blob rewrite either way. The ratio
+    # therefore gates write amplification per reclaimed byte (a fold
+    # at ratio r rewrites 1/r bytes per byte reclaimed): 5% caps it at
+    # 20x, and measured break-even vs the scan tax is ~8-17 full-table
+    # scans — inside a maintenance cadence. Below-threshold files keep
+    # ONE consolidated deletion vector (compact_deletion_vectors below
+    # holds the tax at its flat floor); set the
+    # ``maintenance.min-delete-ratio`` property or pass 0.0 for the
+    # full physical clean.
     fold_min_delete_ratio = _prop(fold_min_delete_ratio,
-                                  "fold_min_delete_ratio", float, 0.0)
+                                  "fold_min_delete_ratio", float, 0.05)
     max_snapshot_age_ms = _prop(max_snapshot_age_ms, "max_snapshot_age_ms",
                                 int, None)
     max_file_size = _prop(max_file_size, "max_file_size",

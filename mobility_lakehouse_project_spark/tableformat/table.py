@@ -3719,7 +3719,10 @@ class LakehouseTable:
     # broadcast the delete set into the anti-join below this many rows:
     # (short string + long) rows hash-build at ~100 B/row -> ~100 MB,
     # map-side join, blobs never shuffle. Above it, Catalyst/AQE picks
-    # the strategy — and rewrite_position_deletes is overdue anyway.
+    # the strategy — and 1M pending delete rows also means many files
+    # sit over maintenance's calibrated fold trigger
+    # (maintenance.min-delete-ratio = 0.05; tools/calibrate_fold.py),
+    # so the next sweep folds them into the data.
     MOR_BROADCAST_ROWS = 1_000_000
 
     def write_equality_delete_files(

@@ -38,6 +38,7 @@ def test_full_maintenance_pass(spark, tmp_table_dir):
     report = run_maintenance(
         t, spark, target_file_size=1 << 20, cluster_curve="zorder",
         keep_snapshots=2, orphan_grace_s=0.0, analyze=True,
+        fold_min_delete_ratio=0.0,  # full physical clean is the point
     )
 
     assert report["fold_deletes"]["cleared"] is True
@@ -90,3 +91,42 @@ def test_targeted_fold_remainder_consolidates_to_one_vector(spark, tmp_path):
     assert len(snap.position_delete_manifests()) == 0
     assert len(snap.dv_manifests()) == 1
     assert t.scan(spark).count() == 600 - expect
+
+
+def test_default_fold_ratio_is_calibrated(spark, tmp_path):
+    """The orchestrator's default fold trigger is the calibrated 0.05
+    (tools/calibrate_fold.py / BENCH/BASELINE.md): a sub-threshold
+    erasure (~0.8% of every file) stays pending instead of triggering
+    a full blob rewrite, while the
+    ``maintenance.min-delete-ratio`` table property (here 0.0) still
+    overrides to the full physical clean."""
+    df = synth.images_df(spark, 600, partitions=2)
+    t = LakehouseTable.create(str(tmp_path / "t"), df.schema,
+                              partition_col="bucket")
+    t.append(df, n_files=8)
+    n_all = t.scan(spark).count()
+    # a uniform ~0.8% hash slice: below the 5% trigger in every file
+    delete.delete_where(
+        t, spark, "pmod(abs(xxhash64(image_id)), 1000) < 8", mode="mor")
+    n_del = n_all - t.scan(spark).count()
+    assert 0 < n_del < 0.05 * n_all
+
+    # tiny target keeps bin-pack a no-op: compaction's rewrite scan
+    # would otherwise apply the pending deletes for size reasons and
+    # mask the fold decision under test
+    rep = run_maintenance(t, spark, keep_snapshots=50,
+                          target_file_size=1 << 10)
+    assert rep["fold_deletes"]["cleared"] is False
+    assert rep["fold_deletes"]["files_rewritten"] == 0
+    snap = t.current_snapshot()
+    assert len(snap.delete_manifests) >= 1  # still applied
+    assert t.scan(spark).count() == n_all - n_del
+
+    # property override: this table opts into the full clean
+    t.update_properties({"maintenance.min-delete-ratio": "0.0"})
+    rep2 = run_maintenance(t, spark, keep_snapshots=50,
+                           target_file_size=1 << 10)
+    assert rep2["fold_deletes"]["cleared"] is True
+    assert rep2["fold_deletes"]["files_rewritten"] > 0
+    assert not t.current_snapshot().delete_manifests
+    assert t.scan(spark).count() == n_all - n_del
