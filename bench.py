@@ -6,11 +6,12 @@ Phases (all timed, one JSON line to stdout):
   2. compact  — bin-pack compaction to target file size
   3. zorder   — Z-order clustering rewrite over (phash, w, h)
   4. merge    — MERGE INTO with 10% source (update+insert mix)
-  5. imagepipe — LLM-corpus prep chain over the maintained table:
+  5. expire   — snapshot expiration + orphan GC (keep_last=1)
+  6. imagepipe — LLM-corpus prep chain over the maintained table:
                 clean (structural+decode gates) → dedup (exact bytes +
                 phash-hamming components) → decontaminate (eval-set
                 phash proximity) → train/valid/test hash splits
-  6. queries  — headline analytic queries on $SPARK_GRAFT_SF_DIR
+  7. queries  — headline analytic queries on $SPARK_GRAFT_SF_DIR
 
 The north-rule metric is compaction + Z-order throughput (MB/s,
 files/s); the JSON also carries per-phase seconds so the driver can
@@ -153,31 +154,51 @@ def run(sf_dir: str, cores: int, work_dir: str, rows: int | None = None) -> dict
     timings["merge"] = time.time() - t0
     probes.append(_noise_probe(spark, cores))
 
-    # 5. corpus-prep pipeline (clean -> dedup -> decontaminate -> split)
+    # 5. snapshot expiration + orphan GC — the north rule's remaining
+    # maintenance action, and what bounds the run's storage footprint:
+    # at sf1 (1.5M rows, ~13 GB payload) the superseded
+    # ingest/compact/zorder generations would otherwise hold 3x the
+    # table's bytes on the work volume
+    t0 = time.time()
+    em = table.expire_snapshots(keep_last=1, spark=spark)
+    table.remove_orphan_files(0.0, spark=spark)
+    timings["expire"] = time.time() - t0
+
+    # 6. corpus-prep pipeline (clean -> dedup -> decontaminate -> split)
     # over the maintained table — the LLM-training-data surface the
     # maintenance phases exist to serve. Eval set = a disjoint synth
     # slice (same generator, offset ids) so phash-proximity
-    # decontamination has real hits.
+    # decontamination has real hits. SPARK_GRAFT_PIPE_DIR relocates the
+    # pipe warehouse (its 5 stage tables are the run's largest
+    # footprint; at sf1 they outgrow tmpfs alongside the bench table
+    # and belong on the disk volume).
     from mobility_lakehouse_project_spark.plans.imagepipe import (
         run_image_pipeline,
     )
     from mobility_lakehouse_project_spark.tableformat.catalog import Catalog
 
     t0 = time.time()
-    pipe_cat = Catalog(os.path.join(work_dir, "pipe_wh"))
+    pipe_dir = os.environ.get("SPARK_GRAFT_PIPE_DIR")
+    if pipe_dir:
+        pipe_dir = tempfile.mkdtemp(prefix="pipe_wh_", dir=pipe_dir)
+    pipe_cat = Catalog(pipe_dir or os.path.join(work_dir, "pipe_wh"))
     eval_set = synth.images_df(
         spark, max(64, n_rows // 100), dims=BENCH_DIMS,
         partitions=max(4, cores // 4), id_offset=3 * n_rows,
     ).select("phash")
-    pipe = run_image_pipeline(
-        spark, pipe_cat, images=table.scan(spark), benchmark=eval_set,
-    )
+    try:
+        pipe = run_image_pipeline(
+            spark, pipe_cat, images=table.scan(spark), benchmark=eval_set,
+        )
+    finally:
+        if pipe_dir:  # env-relocated: outside work_dir's cleanup
+            shutil.rmtree(pipe_dir, ignore_errors=True)
     timings["imagepipe"] = time.time() - t0
     pipe_rows_in = pipe["bronze"]["rows"]
     pipe_rows_out = sum(pipe[s]["rows"] for s in ("train", "valid", "test"))
     probes.append(_noise_probe(spark, cores))
 
-    # 6. headline analytic queries on the TPC-H-shaped testdata
+    # 7. headline analytic queries on the TPC-H-shaped testdata
     qt: dict[str, float] = {}
     for name in HEADLINE_QUERIES:
         t0 = time.time()
@@ -197,6 +218,7 @@ def run(sf_dir: str, cores: int, work_dir: str, rows: int | None = None) -> dict
         "table_mb": round(data_bytes / 1e6, 1),
         "files_before": files_before,
         "files_after_compact": cm["files_out"],
+        "expire_deleted_files": em.get("deleted_files"),
         "phases_sec": {k: round(v, 3) for k, v in timings.items()},
         "maintenance_throughput_mb_s": round(maint_bytes / 1e6 / max(maint_secs, 1e-9), 2),
         "maintenance_files_s": round(maint_files / max(maint_secs, 1e-9), 2),
