@@ -354,14 +354,11 @@ def create_materialized_view(
 
 def _replace_content(t: LakehouseTable, df: DataFrame, summary: dict,
                      n_files: int | None = None):
-    spark = df.sparkSession
-    removed = {
-        r["file_path"]
-        for r in t.plan_files(spark).select("file_path").collect()
-    }
-    entries = t.write_data_files(t.conform(df), n_files=n_files)
-    return t.commit_replace(removed, entries, operation="replace",
-                            summary=summary)
+    # one-commit full replace: the new snapshot simply carries no prior
+    # manifests, so no old-file listing exists anywhere (MVs are
+    # aggregate-sized, but O(new data) metadata is free to have) and a
+    # concurrent commit retries onto the advanced head
+    return t.overwrite(df, n_files=n_files, summary=summary)
 
 
 def refresh_materialized_view(
