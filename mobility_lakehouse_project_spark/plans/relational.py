@@ -2717,6 +2717,82 @@ ORACLE_SQL["sql_dml_subquery"] = """
 """
 
 
+def sql_dml_exists(spark, sf_dir):
+    """Correlated ``[NOT] EXISTS`` predicates in SQL DELETE/UPDATE
+    (sql.py:_decorrelate_exists), oracle-checked end to end against
+    DuckDB's native correlated-EXISTS planner: a scratch orders table
+    is mutated by a DELETE whose EXISTS body correlates on the
+    customer key with an inner segment filter, then an UPDATE driven
+    by NOT EXISTS (the shape whose ANSI truth table differs from NOT
+    IN — outer NULLs match, inner NULL keys are ignored; the NULL
+    edges themselves are pinned in tests/test_sql.py since TPC-H keys
+    are non-NULL). The reference's ad-hoc entry point accepts
+    arbitrary SQL including correlated subqueries
+    (/root/reference/dags/Queries_dag.py:54-95). A mis-decorrelated
+    equality, a dropped inner conjunct, or IN/EXISTS truth-table
+    confusion diverges the integer-exact key sums."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..sql import execute_sql, execute_sql_script
+    from ..tableformat import LakehouseTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    scratch = os.path.join(tempfile.gettempdir(), "mlps-scratch",
+                           "sql-dml-exists")
+    shutil.rmtree(scratch, ignore_errors=True)
+    t = LakehouseTable.create(
+        scratch + "/orders", o.schema, partition_col="o_orderpriority"
+    )
+    t.append(o, n_files=8)
+    ct = LakehouseTable.create(scratch + "/cust", c.schema)
+    ct.append(c, n_files=2)
+    execute_sql_script(
+        spark,
+        """
+        DELETE FROM t WHERE EXISTS
+            (SELECT 1 FROM cust
+             WHERE cust.c_custkey = t.o_custkey
+               AND cust.c_mktsegment = 'BUILDING');
+        UPDATE t SET o_custkey = o_custkey + :bump
+            WHERE NOT EXISTS (SELECT 1 FROM cust
+                              WHERE cust.c_custkey = t.o_custkey
+                                AND cust.c_mktsegment = 'MACHINERY');
+        """,
+        tables={"t": t, "cust": ct},
+        args={"bump": 1000000},
+    )
+    return execute_sql(
+        spark,
+        "SELECT o_orderstatus, COUNT(*) AS n_orders, "
+        "SUM(o_custkey) AS sum_ck FROM t "
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus",
+        tables={"t": t},
+    )
+
+
+ORACLE_SQL["sql_dml_exists"] = """
+        SELECT o_orderstatus,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CASE WHEN NOT EXISTS
+                                  (SELECT 1 FROM customer
+                                   WHERE c_custkey = o.o_custkey
+                                     AND c_mktsegment = 'MACHINERY')
+                             THEN o_custkey + 1000000
+                             ELSE o_custkey END) AS BIGINT) AS sum_ck
+        FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer
+                          WHERE c_custkey = o.o_custkey
+                            AND c_mktsegment = 'BUILDING')
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+"""
+
+
 def sql_retention_delete(spark, sf_dir):
     """String-stats range pruning through the SQL front-end, oracle-
     checked end to end: a scratch orders table laid out date-sorted is
@@ -4063,6 +4139,7 @@ QUERIES = {
     "txt_bigram_lm_score": txt_bigram_lm_score,
     "emb_quantize_recall": emb_quantize_recall,
     "sql_dml_subquery": sql_dml_subquery,
+    "sql_dml_exists": sql_dml_exists,
     "corpus_mix_weighted": corpus_mix_weighted,
     "train_shard_plan": train_shard_plan,
     "train_aspect_batches": train_aspect_batches,

@@ -26,8 +26,12 @@ uncorrelated ``col [NOT] IN (SELECT ...)`` conjunct: small key sets
 literal predicate on the normal chunked row-level engine, with the
 key list doubling as a bloom/point_eq pruning hint; an over-cap
 plain-IN DELETE auto-plans as the distributed semi-join ``MERGE ...
-WHEN MATCHED THEN DELETE``. Correlated EXISTS is not parsed — express
-it as a MERGE whose USING query does the correlated work.
+WHEN MATCHED THEN DELETE``. A single-source equality-correlated
+``[NOT] EXISTS (SELECT ... FROM s WHERE s.k = t.col AND ...)``
+conjunct decorrelates to the same IN plan (NOT EXISTS keeps its exact
+ANSI difference from NOT IN: outer NULLs match, inner NULL keys are
+ignored); EXISTS shapes beyond one source + one correlation equality
+still need a MERGE whose USING query does the correlated work.
 
 Supported statements (heads case-insensitive)::
 
@@ -1043,55 +1047,150 @@ def _eq_delete_keys(table, pred: str) -> tuple[list[str], list[tuple]]:
 _SUBQUERY_LIMIT = 100_000
 
 
-def _extract_in_subquery(pred: str):
-    """Split one top-level ``col [NOT] IN (SELECT ...)`` conjunct out
+def _decorrelate_exists(frag: str, target: str | None):
+    """Rewrite one ``[NOT] EXISTS (SELECT ... FROM src [alias] WHERE
+    ...)`` conjunct into ``(outer_col, subquery_sql)`` — the classic
+    semi-join decorrelation, honored for the bounded shape this
+    planner can prove equivalent: a single inner source (no joins /
+    comma lists / nested subqueries in FROM) and exactly ONE
+    correlation conjunct, an equality between an inner column and a
+    target-qualified outer column. Every other inner conjunct must
+    reference only the inner relation. Inner NULL keys are filtered
+    (an equality correlation never matches NULL), which is exactly
+    what makes the NOT EXISTS form differ from NOT IN."""
+    body = frag[frag.find("(") + 1:frag.rfind(")")]
+    mb = re.match(
+        rf"(?is)^\s*SELECT\s+.+?\s+FROM\s+({_IDENT})"
+        r"(?:\s+(?:AS\s+)?(?!WHERE\b)([A-Za-z_]\w*))?"
+        r"\s*(?:WHERE\s+(.*))?$",
+        _mask(body), re.S)
+    if not mb:
+        raise LakehouseSqlError(
+            "EXISTS supports exactly `[NOT] EXISTS (SELECT ... FROM "
+            "<one source> [alias] WHERE <correlation> [AND ...])` — "
+            "joins or FROM-subqueries need a MERGE whose USING query "
+            "does the correlated work")
+    src, alias = mb.group(1), mb.group(2)
+    if mb.group(3) is None:
+        raise LakehouseSqlError(
+            "EXISTS needs a WHERE with one correlation equality "
+            "(an uncorrelated EXISTS is a constant — test it outside "
+            "the DELETE/UPDATE)")
+    where = body[mb.start(3):]
+    inner_q = {(alias or src).lower(), src.lower()}
+    outer_q = set()
+    if target:
+        outer_q = {target.lower(), target.rsplit(".", 1)[-1].lower()}
+    outer_q -= inner_q  # a shadowing alias makes the name inner-side
+    conjs = _conjuncts(where)
+    if conjs is None:
+        raise LakehouseSqlError(
+            "the EXISTS body's WHERE must be a pure AND conjunction "
+            "(the correlation cannot sit under OR)")
+
+    def qualifier(side: str) -> str | None:
+        s = side.strip()
+        return s.rsplit(".", 1)[0].lower() if (
+            re.fullmatch(_IDENT, s) and "." in s) else None
+
+    corr, rest = None, []
+    for c in conjs:
+        eq = re.fullmatch(r"(?is)\s*(.+?)\s*=\s*(.+?)\s*", _mask(c))
+        sides = ((c[eq.start(1):eq.end(1)], c[eq.start(2):eq.end(2)])
+                 if eq else None)
+        quals = tuple(qualifier(s) for s in sides) if sides else ()
+        hit = None
+        for i in (0, 1):
+            if sides and quals[i] in outer_q and quals[1 - i] not in outer_q:
+                hit = (sides[i].strip().rsplit(".", 1)[-1],
+                       sides[1 - i].strip())
+        if hit is not None:
+            if corr is not None:
+                raise LakehouseSqlError(
+                    "EXISTS supports exactly one correlation equality "
+                    "conjunct (AND the rest inside the subquery)")
+            corr = hit
+            continue
+        if any(q in outer_q for q in quals) or (outer_q and re.search(
+                rf"(?is)(?<![\w.])({'|'.join(map(re.escape, outer_q))})"
+                r"\s*\.", _mask(c))):
+            raise LakehouseSqlError(
+                f"EXISTS conjunct {c.strip()!r} references the target "
+                "table but is not a correlation equality — only "
+                "`inner.col = target.col` correlation is planned")
+        rest.append(c)
+    if corr is None:
+        raise LakehouseSqlError(
+            "EXISTS needs one correlation equality conjunct "
+            f"qualified by the target table name ({target!r}), e.g. "
+            f"`s.key = {target}.key`")
+    outer_col, inner_expr = corr
+    src_clause = f"{src} {alias}" if alias else src
+    sub_sql = f"SELECT {inner_expr} FROM {src_clause}"
+    null_guard = f"({inner_expr}) IS NOT NULL"
+    sub_sql += " WHERE " + " AND ".join(
+        [f"({c.strip()})" for c in rest] + [null_guard])
+    return outer_col, sub_sql
+
+
+def _extract_in_subquery(pred: str, target: str | None = None):
+    """Split one top-level ``col [NOT] IN (SELECT ...)`` or
+    equality-correlated ``[NOT] EXISTS (SELECT ...)`` conjunct out
     of a DELETE/UPDATE predicate. Returns ``None`` when the predicate
-    has no subquery, else ``(col, negated, subquery_sql, residual)``
-    where ``residual`` is the AND of the remaining conjuncts (or None).
-    Raises for shapes the planner cannot honor: a subquery under OR,
-    more than one subquery conjunct, or EXISTS (whose correlation
-    would need full query planning — express those as MERGE)."""
+    has no subquery, else ``(col, negated, subquery_sql, residual,
+    from_exists)`` where ``residual`` is the AND of the remaining
+    conjuncts (or None). EXISTS decorrelates to the IN plan
+    (``_decorrelate_exists``); ``from_exists`` marks the NOT EXISTS
+    ANSI difference the planner must keep — outer NULLs DO match NOT
+    EXISTS, and inner NULL keys never correlate. Raises for shapes the
+    planner cannot honor: a subquery under OR, or more than one
+    subquery conjunct."""
     masked = _mask(_strip_comments(pred))
     if not re.search(r"(?is)\(\s*(?:SELECT|WITH)\b", masked):
         return None
-    if re.search(r"(?is)\bEXISTS\s*\(", masked):
-        raise LakehouseSqlError(
-            "EXISTS subqueries are not supported in DELETE/UPDATE "
-            "predicates — correlation needs full query planning; use "
-            "`col IN (SELECT ...)` or a MERGE whose USING query does "
-            "the correlated work")
     pred = _strip_comments(pred)
     frags = _conjuncts(pred)
     if frags is None:
         raise LakehouseSqlError(
-            "IN (SELECT ...) must be a top-level AND conjunct of the "
-            "DELETE/UPDATE predicate (a subquery under OR cannot be "
-            "planned as a semi-join)")
+            "IN (SELECT ...) / EXISTS (...) must be a top-level AND "
+            "conjunct of the DELETE/UPDATE predicate (a subquery "
+            "under OR cannot be planned as a semi-join)")
     pat = re.compile(
         rf"(?is)^\s*({_IDENT})\s+(NOT\s+)?IN\s*\(\s*(SELECT|WITH)\b.*\)\s*$")
+    epat = re.compile(r"(?is)^\s*(NOT\s+)?EXISTS\s*\(.*\)\s*$")
     hit, residual = None, []
     for frag in frags:
-        m = pat.match(_mask(frag))
-        if m is None:
-            if re.search(r"(?is)\(\s*(?:SELECT|WITH)\b", _mask(frag)):
+        mfrag = _mask(frag)
+        m = pat.match(mfrag)
+        em = epat.match(mfrag) if m is None else None
+        if m is None and em is None:
+            if re.search(r"(?is)\(\s*(?:SELECT|WITH)\b", mfrag):
                 raise LakehouseSqlError(
                     f"cannot plan subquery conjunct {frag.strip()!r} — "
-                    "supported shape: `col [NOT] IN (SELECT ...)`")
+                    "supported shapes: `col [NOT] IN (SELECT ...)` or "
+                    "`[NOT] EXISTS (SELECT ... FROM s WHERE s.k = "
+                    "<target>.k ...)`")
             residual.append(frag)
             continue
         if hit is not None:
             raise LakehouseSqlError(
-                "at most one IN (SELECT ...) conjunct per DELETE/"
-                "UPDATE (compose several in the subquery itself)")
+                "at most one IN (SELECT ...) / EXISTS conjunct per "
+                "DELETE/UPDATE (compose several in the subquery itself)")
+        if em is not None:
+            col, sub_sql = _decorrelate_exists(frag, target)
+            hit = (col, bool(em.group(1)), sub_sql, True)
+            continue
         col = m.group(1)
         if "." in col:
             col = col.rsplit(".", 1)[-1]
         # subquery text: from the SELECT/WITH keyword to the conjunct's
         # final close paren (positions index the raw frag — _mask is
         # length-preserving)
-        hit = (col, bool(m.group(2)), frag[m.start(3):frag.rfind(")")])
-    col, negated, sub_sql = hit
-    return col, negated, sub_sql, (" AND ".join(residual) or None)
+        hit = (col, bool(m.group(2)), frag[m.start(3):frag.rfind(")")],
+               False)
+    col, negated, sub_sql, from_exists = hit
+    return (col, negated, sub_sql, (" AND ".join(residual) or None),
+            from_exists)
 
 
 def _subquery_keys_df(spark, table, col, sub_sql, catalog, tables):
@@ -1123,8 +1222,14 @@ def _plan_subquery_dml(spark, table, sub, pred, opts, catalog, tables,
     planning). Over-cap NOT IN / residual-conjunct / UPDATE shapes
     error with the cap to raise, because anti-join MERGE would delete
     NULL-key rows ANSI keeps, and SET expressions of target columns
-    are not source-driven."""
-    col, negated, sub_sql, residual = sub
+    are not source-driven.
+
+    ``from_exists`` plans the same way but keeps the EXISTS truth
+    table: the decorrelated subquery already filters inner NULL keys
+    (no NOT-IN NULL short-circuit applies), a positive EXISTS is
+    value-identical to IN, and NOT EXISTS additionally matches
+    outer-NULL rows (``col IS NULL OR col NOT IN (keys)``)."""
+    col, negated, sub_sql, residual, from_exists = sub
     limit = int(opts.pop("subquery_limit", _SUBQUERY_LIMIT))
     kdf = _subquery_keys_df(spark, table, col, sub_sql, catalog, tables)
     rows = kdf.distinct().limit(limit + 1).collect()
@@ -1154,18 +1259,24 @@ def _plan_subquery_dml(spark, table, sub, pred, opts, catalog, tables,
             "semi-join MERGE beyond the cap)")
     vals = [r[0] for r in rows]
     nn = [v for v in vals if v is not None]
+    if from_exists:
+        # equality correlation never matches NULL — the decorrelated
+        # subquery filters inner NULLs, but keep the invariant local
+        vals = nn
     if negated and len(nn) < len(vals):
         # ANSI: `x NOT IN (set containing NULL)` is never TRUE
         return {**zero, "short_circuit": "NOT IN set contains NULL"}
     if not vals:
-        # IN () matches nothing; NOT IN () matches everything
+        # IN () matches nothing; NOT IN () / NOT EXISTS (empty)
+        # matches everything
         if not negated:
             return {**zero, "short_circuit": "empty IN subquery"}
         cond = F.lit(True)
     else:
         cond = F.col(col).isin(vals)
         if negated:
-            cond = ~cond
+            # NOT EXISTS matches outer-NULL rows; NOT IN keeps them
+            cond = (F.col(col).isNull() | ~cond) if from_exists else ~cond
     int_ranges, point_eq = ({}, {})
     if residual is not None:
         int_ranges, point_eq = derive_hints(table, residual)
@@ -1194,7 +1305,7 @@ def _stmt_delete(spark, sql, masked, catalog, tables):
     pred, opts, _ = _where_and_options(sql, masked, m.end(), "DELETE")
     _check_opts(opts, {"mode", "target_file_size", "chunk_files",
                        "rebase_retries", "subquery_limit"}, "DELETE")
-    sub = _extract_in_subquery(pred)
+    sub = _extract_in_subquery(pred, target=m.group(1))
     if sub is not None and opts.get("mode") != "eq":
         return _plan_subquery_dml(spark, table, sub, pred, opts,
                                   catalog, tables, "delete")
@@ -1202,7 +1313,8 @@ def _stmt_delete(spark, sql, masked, catalog, tables):
         if sub is not None:
             # blind-erasure list from a subquery: collect the keys
             # (capped) and flow into the normal eq-delete commit
-            col, negated, sub_sql, residual = sub
+            # (a decorrelated positive EXISTS is value-identical to IN)
+            col, negated, sub_sql, residual, _from_exists = sub
             if negated or residual is not None:
                 raise LakehouseSqlError(
                     "mode='eq' supports exactly `col IN (SELECT ...)` "
@@ -1284,7 +1396,7 @@ def _stmt_update(spark, sql, masked, catalog, tables):
             raise LakehouseSqlError(
                 f"column {am.group(1)!r} assigned twice")
         assignments[am.group(1)] = am.group(2).strip()
-    sub = _extract_in_subquery(pred)
+    sub = _extract_in_subquery(pred, target=m.group(1))
     if sub is not None:
         return _plan_subquery_dml(spark, table, sub, pred, opts,
                                   catalog, tables, "update",

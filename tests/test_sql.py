@@ -1050,3 +1050,102 @@ def test_empty_in_subquery_short_circuits(spark, cat):
         catalog=cat)
     assert out["rows_deleted"] == 100
     assert t.scan(spark).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# [NOT] EXISTS decorrelation in DELETE/UPDATE (sql.py::_decorrelate_exists)
+
+
+def _seed_exists(spark, cat):
+    df = spark.createDataFrame(
+        [(1, 10, "A"), (2, 20, "B"), (3, None, "A"), (4, 40, "C"),
+         (5, 50, "B")], "k int, ck int, st string")
+    cat.create_table("ex.t", df.schema).append(df, n_files=2)
+    src = spark.createDataFrame(
+        [(10, "x"), (40, "y"), (None, "z")], "sk int, tag string")
+    cat.create_table("ex.s", src.schema).append(src, n_files=1)
+    return cat.load_table("ex.t")
+
+
+def test_delete_exists_decorrelates(spark, cat):
+    t = _seed_exists(spark, cat)
+    out = execute_sql(
+        spark,
+        "DELETE FROM ex.t WHERE EXISTS "
+        "(SELECT 1 FROM ex_s WHERE ex_s.sk = t.ck)",
+        catalog=cat)
+    assert out["rows_deleted"] == 2  # ck in {10, 40}; NULL sk never matches
+    assert sorted(r.k for r in t.scan(spark).collect()) == [2, 3, 5]
+
+
+def test_delete_not_exists_matches_outer_nulls(spark, cat):
+    t = _seed_exists(spark, cat)
+    # NOT EXISTS deletes unmatched rows INCLUDING the NULL-ck row —
+    # the exact ANSI difference from NOT IN (which would keep it, and
+    # which short-circuits entirely on the NULL inner key)
+    out = execute_sql(
+        spark,
+        "DELETE FROM ex.t WHERE NOT EXISTS "
+        "(SELECT 1 FROM ex_s WHERE ex_s.sk = t.ck)",
+        catalog=cat)
+    assert out["rows_deleted"] == 3  # k=2 (20), k=3 (NULL), k=5 (50)
+    assert sorted(r.k for r in t.scan(spark).collect()) == [1, 4]
+
+
+def test_update_exists_with_inner_and_residual_conjuncts(spark, cat):
+    t = _seed_exists(spark, cat)
+    out = execute_sql(
+        spark,
+        "UPDATE ex.t SET ck = ck + 100 WHERE EXISTS "
+        "(SELECT 1 FROM ex_s WHERE ex_s.sk = t.ck AND ex_s.tag = 'x') "
+        "AND st = 'A'",
+        catalog=cat)
+    assert out["rows_updated"] == 1
+    got = {r.k: r.ck for r in t.scan(spark).collect()}
+    assert got == {1: 110, 2: 20, 3: None, 4: 40, 5: 50}
+
+
+def test_exists_shape_guards(spark, cat):
+    _seed_exists(spark, cat)
+    cases = [
+        # no WHERE at all (uncorrelated EXISTS is a constant)
+        ("DELETE FROM ex.t WHERE EXISTS (SELECT 1 FROM ex_s)",
+         "correlation equality"),
+        # joins in FROM are out of scope
+        ("DELETE FROM ex.t WHERE EXISTS "
+         "(SELECT 1 FROM ex_s a JOIN ex_s b ON 1=1 WHERE a.sk = t.ck)",
+         "one source"),
+        # two correlation equalities
+        ("DELETE FROM ex.t WHERE EXISTS "
+         "(SELECT 1 FROM ex_s WHERE ex_s.sk = t.ck AND ex_s.sk = t.k)",
+         "one correlation"),
+        # correlation under OR
+        ("DELETE FROM ex.t WHERE EXISTS "
+         "(SELECT 1 FROM ex_s WHERE ex_s.sk = t.ck OR ex_s.tag = 'x')",
+         "AND conjunction"),
+        # outer reference inside a non-equality inner conjunct
+        ("DELETE FROM ex.t WHERE EXISTS "
+         "(SELECT 1 FROM ex_s WHERE ex_s.sk = t.ck AND t.st > 'A')",
+         "not a correlation equality"),
+    ]
+    for q, msg in cases:
+        with pytest.raises(LakehouseSqlError, match=msg):
+            execute_sql(spark, q, catalog=cat)
+
+
+def test_exists_empty_inner_set(spark, cat):
+    t = _seed_exists(spark, cat)
+    out = execute_sql(
+        spark,
+        "DELETE FROM ex.t WHERE EXISTS "
+        "(SELECT 1 FROM ex_s WHERE ex_s.sk = t.ck AND ex_s.tag = 'none')",
+        catalog=cat)
+    assert out["rows_deleted"] == 0 and "short_circuit" in out
+    # NOT EXISTS over an empty inner set is TRUE for every row
+    out = execute_sql(
+        spark,
+        "DELETE FROM ex.t WHERE NOT EXISTS "
+        "(SELECT 1 FROM ex_s WHERE ex_s.sk = t.ck AND ex_s.tag = 'none')",
+        catalog=cat)
+    assert out["rows_deleted"] == 5
+    assert t.scan(spark).count() == 0
