@@ -1425,6 +1425,130 @@ def _ann_ivf_oracle_sql() -> str:
 
 ORACLE_SQL["ann_ivf_probe"] = _ann_ivf_oracle_sql()
 
+
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC
+    deduplication — cluster the embedding space with a coarse
+    quantizer, then drop within-cluster near-duplicates above a
+    cosine threshold, keeping one representative per neighborhood.
+    Deterministic variant: a vector is dropped iff some SMALLER-id
+    vector in its cell is within the threshold (keep-lowest-id — no
+    iterative components, one self-join decides every row; the CC
+    form is ``dedup_cc_canonical``). Cell assignment is the same
+    fixed +-1 quantizer as ``ann_ivf_probe`` (exact integer dots, so
+    both engines pick identical cells); similarity is rounded to 4
+    places before thresholding so the float boundary cannot flip a
+    drop between engines. At 10^12 vectors the cell is the table's
+    partition key (operators/similarity.py::build_ivf_clustered_table
+    with TRAINED centroids balancing cell sizes): the candidate join
+    is cell-local — shuffle O(n), compare O(sum cell^2) — and the
+    keep-lowest rule needs no CC iterations. The reference has no
+    embedding ops; this is training-data-pipeline surface."""
+    from ..operators.similarity import rademacher_signs
+
+    cents = rademacher_signs(64, ANN_IVF_CELLS, seed=23)
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def cell_col(vec: str):
+        dots = []
+        for c in cents:
+            lit = F.array(*[F.lit(float(s)) for s in c])
+            dots.append(F.aggregate(
+                F.zip_with(vec, lit,
+                           lambda x, y: F.round(x.cast("double") * 1024) * y),
+                F.lit(0.0), lambda acc, x: acc + x,
+            ))
+        best = F.greatest(*dots)
+        expr = F.when(dots[0] == best, 0)
+        for i in range(1, len(dots)):
+            expr = expr.when(dots[i] == best, i)  # first match = lowest idx
+        return expr
+
+    assigned = e.select("vec_id", "embedding",
+                        cell_col("embedding").alias("cell"))
+    a = assigned.select(F.col("cell").alias("ca"),
+                        F.col("vec_id").alias("ida"),
+                        F.col("embedding").alias("va"))
+    b = assigned.select(F.col("cell").alias("cb"),
+                        F.col("vec_id").alias("idb"),
+                        F.col("embedding").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(F.col(c), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    ))
+    sim = F.round(dot / (norm("va") * norm("vb")), 4)
+    dropped = (
+        a.join(b, (F.col("ca") == F.col("cb")) & (F.col("ida") < F.col("idb")))
+        .filter(sim >= SEMANTIC_DEDUP_TAU)
+        .select(F.col("idb").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    return (
+        assigned.join(dropped, "vec_id", "left")
+        .groupBy("cell")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum(F.when(F.col("is_dup").isNull(), 1).otherwise(0))
+            .alias("n_kept"),
+            F.sum(F.when(F.col("is_dup").isNull(), F.col("vec_id"))
+                  .otherwise(F.lit(0))).alias("kept_id_sum"),
+        )
+        .orderBy("cell")
+    )
+
+
+SEMANTIC_DEDUP_TAU = 0.38
+
+
+def _dedup_semantic_oracle_sql() -> str:
+    """Generated at import: the same fixed quantizer + keep-lowest-id
+    drop rule in DuckDB (cell CASE identical to _ann_ivf_oracle_sql's)."""
+    from ..operators.similarity import rademacher_signs
+
+    cents = rademacher_signs(64, ANN_IVF_CELLS, seed=23)
+
+    def cell(vec: str) -> str:
+        ds = [
+            f"list_dot_product(list_transform({vec}, "
+            f"x -> round(x::DOUBLE * 1024)), "
+            "[" + ", ".join(f"{x:.1f}" for x in c) + "])"
+            for c in cents
+        ]
+        g = f"greatest({', '.join(ds)})"
+        cases = " ".join(f"WHEN {d} = {g} THEN {i}" for i, d in enumerate(ds))
+        return f"(CASE {cases} END)"
+
+    return f"""
+    WITH assigned AS (
+        SELECT vec_id, embedding, {cell("embedding")} AS cell
+        FROM embeddings
+    ),
+    dropped AS (
+        SELECT DISTINCT b.vec_id
+        FROM assigned a JOIN assigned b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+                    4) >= {SEMANTIC_DEDUP_TAU}
+    )
+    SELECT cell, COUNT(*) AS n_vecs,
+           CAST(SUM(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN d.vec_id IS NULL THEN a.vec_id ELSE 0 END)
+                AS BIGINT) AS kept_id_sum
+    FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+    GROUP BY cell ORDER BY cell
+"""
+
+
+ORACLE_SQL["dedup_semantic"] = _dedup_semantic_oracle_sql()
+
 ORACLE_SQL["dedup_ngram_jaccard"] = """
     WITH grams AS (
         SELECT DISTINCT doc_id, gram
@@ -4140,6 +4264,7 @@ QUERIES = {
     "emb_quantize_recall": emb_quantize_recall,
     "sql_dml_subquery": sql_dml_subquery,
     "sql_dml_exists": sql_dml_exists,
+    "dedup_semantic": dedup_semantic,
     "corpus_mix_weighted": corpus_mix_weighted,
     "train_shard_plan": train_shard_plan,
     "train_aspect_batches": train_aspect_batches,
