@@ -2560,6 +2560,71 @@ ORACLE_SQL["cdc_changelog_scan"] = """
 """
 
 
+def sql_changelog_view(spark, sf_dir):
+    """The SQL CDC surface end to end (Iceberg's
+    ``create_changelog_view`` procedure, sql.py:_call_changelog_view):
+    a scratch orders table takes two SQL-scripted commits (append +
+    MOR delete), then ``CALL create_changelog_view`` with a pinned
+    ``from_snapshot_id`` registers the row-level feed as a temp view
+    and plain SELECT aggregates it. The range starts AFTER the first
+    append, so a changelog that leaks the earlier commit, drops one,
+    or mis-attributes a change type diverges the integer-exact sums.
+    The reference re-reads whole days instead
+    (dags/Silver_Transform_Dag.py:188-207)."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..sql import execute_sql
+    from ..tableformat import LakehouseTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    scratch = os.path.join(tempfile.gettempdir(), "mlps-scratch",
+                           "sql-changelog-view")
+    shutil.rmtree(scratch, ignore_errors=True)
+    t = LakehouseTable.create(
+        scratch + "/orders", o.schema, partition_col="o_orderpriority"
+    )
+    t.append(o.filter(F.col("o_orderkey") % 2 == 0), n_files=4)
+    pin = t.current_snapshot().snapshot_id
+    t.append(o.filter(F.col("o_orderkey") % 2 != 0), n_files=4)
+    execute_sql(spark,
+                "DELETE FROM t WHERE o_orderstatus = 'F' OPTIONS(mode='mor')",
+                tables={"t": t})
+    out = execute_sql(
+        spark,
+        f"CALL create_changelog_view('t', name => 'orders_cdc', "
+        f"from_snapshot_id => {pin})",
+        tables={"t": t})
+    assert out["view"] == "orders_cdc"
+    return execute_sql(
+        spark,
+        "SELECT _change_type, o_orderpriority, COUNT(*) AS n_rows, "
+        "SUM(o_orderkey) AS sum_key FROM orders_cdc "
+        "GROUP BY _change_type, o_orderpriority "
+        "ORDER BY _change_type, o_orderpriority",
+        tables={"t": t})
+
+
+ORACLE_SQL["sql_changelog_view"] = """
+        SELECT * FROM (
+            SELECT 'insert' AS _change_type, o_orderpriority,
+                   COUNT(*) AS n_rows,
+                   CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+            FROM orders WHERE o_orderkey % 2 != 0
+            GROUP BY o_orderpriority
+            UNION ALL
+            SELECT 'delete' AS _change_type, o_orderpriority,
+                   COUNT(*) AS n_rows,
+                   CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+            FROM orders WHERE o_orderstatus = 'F'
+            GROUP BY o_orderpriority
+        ) ORDER BY _change_type, o_orderpriority
+"""
+
+
 def wap_cherrypick_scan(spark, sf_dir):
     """Write-audit-publish with a cherry-pick publish, oracle-checked
     end to end: high-priority orders land on main, low-priority orders
@@ -4265,6 +4330,7 @@ QUERIES = {
     "sql_dml_subquery": sql_dml_subquery,
     "sql_dml_exists": sql_dml_exists,
     "dedup_semantic": dedup_semantic,
+    "sql_changelog_view": sql_changelog_view,
     "corpus_mix_weighted": corpus_mix_weighted,
     "train_shard_plan": train_shard_plan,
     "train_aspect_batches": train_aspect_batches,

@@ -2157,8 +2157,30 @@ def _call_scan_report(t, s, **kw):
     return scan_report(t, s, **kw)
 
 
+def _call_changelog_view(t, s, name=None, from_snapshot_id=None,
+                         to_snapshot_id=None):
+    """Iceberg ``create_changelog_view``: register the row-level
+    changelog (table columns + ``_change_type``/``_snapshot_id``,
+    streaming/changelog.py contract incl. its content-rewrite
+    refusal) as a temp view for ad-hoc CDC SQL. Lazy — the view
+    re-reads the PINNED snapshot range on each query, so it stays
+    stable while the table advances; re-CALL to follow the head."""
+    from .streaming.changelog import changelog_df  # lazy (module cycle)
+
+    df = changelog_df(t, s, from_snapshot_id=from_snapshot_id,
+                      to_snapshot_id=to_snapshot_id)
+    if name is None:
+        base = re.sub(r"\W+", "_", t.location.rstrip("/").rsplit("/", 1)[-1])
+        name = f"{base}_changes"
+    if not re.fullmatch(r"[A-Za-z_]\w*", name):
+        raise LakehouseSqlError(f"bad changelog view name {name!r}")
+    df.createOrReplaceTempView(name)
+    return {"view": name}
+
+
 PROCEDURES = {
     "scan_report": _call_scan_report,
+    "create_changelog_view": _call_changelog_view,
     "expire_snapshots": lambda t, s, **kw: t.expire_snapshots(spark=s, **kw),
     "remove_orphan_files": lambda t, s, **kw: t.remove_orphan_files(spark=s, **kw),
     "rewrite_manifests": lambda t, s, **kw: {

@@ -1149,3 +1149,44 @@ def test_exists_empty_inner_set(spark, cat):
         catalog=cat)
     assert out["rows_deleted"] == 5
     assert t.scan(spark).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# CALL create_changelog_view (sql.py::_call_changelog_view)
+
+
+def test_create_changelog_view_sql(spark, cat):
+    df = spark.createDataFrame(
+        [(i, "F" if i % 3 == 0 else "O") for i in range(30)],
+        "k int, st string")
+    t = cat.create_table("cdcv.t", df.schema)
+    t.append(df, n_files=2)
+    pin = t.current_snapshot().snapshot_id
+    execute_sql(spark, "DELETE FROM cdcv.t WHERE st = 'F' OPTIONS(mode='mor')",
+                catalog=cat)
+    # default view name derives from the table directory
+    out = execute_sql(spark, "CALL create_changelog_view('cdcv.t')",
+                      catalog=cat)
+    assert out["view"] == "t_changes"
+    rows = {r["_change_type"]: r["n"] for r in spark.sql(
+        "SELECT _change_type, COUNT(*) n FROM t_changes "
+        "GROUP BY _change_type").collect()}
+    assert rows == {"insert": 30, "delete": 10}
+    # pinned from_snapshot_id scopes the feed to later commits only
+    out = execute_sql(
+        spark,
+        f"CALL create_changelog_view('cdcv.t', name => 'late_changes', "
+        f"from_snapshot_id => {pin})",
+        catalog=cat)
+    assert out["view"] == "late_changes"
+    rows = {r["_change_type"]: r["n"] for r in spark.sql(
+        "SELECT _change_type, COUNT(*) n FROM late_changes "
+        "GROUP BY _change_type").collect()}
+    assert rows == {"delete": 10}
+    # the view is pinned: a later append does not leak into it
+    t.append(spark.createDataFrame([(100, "O")], "k int, st string"))
+    assert spark.sql("SELECT COUNT(*) n FROM t_changes").first().n == 40
+    with pytest.raises(LakehouseSqlError, match="bad changelog view name"):
+        execute_sql(spark,
+                    "CALL create_changelog_view('cdcv.t', name => 'a b')",
+                    catalog=cat)
