@@ -810,6 +810,52 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+def txt_ngram_containment(spark, sf_dir):
+    """Directional n-gram CONTAINMENT |grams(a) ∩ grams(b)| /
+    |grams(a)| — the asymmetric form of Jaccard that catches a
+    document quoted or embedded INSIDE a larger one (Broder's
+    containment; symmetric Jaccard misses it when the container is
+    much bigger, since the union term dilutes the score). Emits
+    (contained, container) directional pairs at >= 0.8 over the same
+    word-bigram shingles as dedup_ngram_jaccard. Same blocking
+    algebra at 100 TB: the gram equi-join IS the candidate generator
+    — inter counts only flow for gram-sharing pairs, never O(n^2);
+    hot grams are the hot keys, so the production path caps df(gram)
+    like the BM25 postings build (operators/textsearch.py)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    n = F.size(toks)
+    grams_arr = F.array_distinct(
+        F.zip_with(
+            F.slice(toks, F.lit(1), n - 1),
+            F.slice(toks, F.lit(2), n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    )
+    g = (
+        d.filter(n >= 2)
+        .select("doc_id", F.explode(grams_arr).alias("gram"))
+    )
+    sizes = g.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a, b = g.alias("a"), g.alias("b")
+    inter = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram"))
+               & (F.col("a.doc_id") != F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("ida"),
+                 F.col("b.doc_id").alias("idb"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("ida"), F.col("sz").alias("sza"))
+    return (
+        inter.join(sa, "ida")
+        .withColumn("containment",
+                    F.round(F.col("inter") / F.col("sza"), 4))
+        .filter(F.col("containment") >= 0.8)
+        .select(F.col("ida").alias("contained"),
+                F.col("idb").alias("container"), "containment")
+    )
+
+
 def dedup_embed_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs — the exact all-pairs baseline
     (JVM higher-order functions, no UDF). The scale path is blocking by
@@ -1571,6 +1617,30 @@ ORACLE_SQL["dedup_ngram_jaccard"] = """
            ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard
     FROM inter JOIN sizes sa ON ida = sa.doc_id JOIN sizes sb ON idb = sb.doc_id
     WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.7
+"""
+
+ORACLE_SQL["txt_ngram_containment"] = """
+    WITH grams AS (
+        SELECT DISTINCT doc_id, gram
+        FROM (
+            SELECT doc_id,
+                   UNNEST(list_transform(range(1, len(toks)),
+                                         i -> toks[i] || ' ' || toks[i+1])) AS gram
+            FROM (SELECT doc_id,
+                         list_filter(string_split(text, ' '), x -> x != '') AS toks
+                  FROM documents) t
+            WHERE len(toks) >= 2
+        )
+    ), sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS inter
+        FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id != b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT ida AS contained, idb AS container,
+           ROUND(CAST(inter AS DOUBLE) / sa.sz, 4) AS containment
+    FROM inter JOIN sizes sa ON ida = sa.doc_id
+    WHERE ROUND(CAST(inter AS DOUBLE) / sa.sz, 4) >= 0.8
 """
 
 ORACLE_SQL["dedup_embed_cosine"] = """
@@ -4331,6 +4401,7 @@ QUERIES = {
     "sql_dml_exists": sql_dml_exists,
     "dedup_semantic": dedup_semantic,
     "sql_changelog_view": sql_changelog_view,
+    "txt_ngram_containment": txt_ngram_containment,
     "corpus_mix_weighted": corpus_mix_weighted,
     "train_shard_plan": train_shard_plan,
     "train_aspect_batches": train_aspect_batches,
