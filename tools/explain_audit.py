@@ -52,6 +52,8 @@ AUDIT = [
     "txt_repeated_spans",    # window spans via sequence/transform/slice: NO per-token explode, one agg
     "txt_bigram_lm_score",   # LM joins not force-broadcast (AQE decides); NO Python; TakeOrdered top-20
     "ann_ivfpq",             # cell-pruned scan + code-column ADC + broadcast-semi rerank, NO Python
+    "dedup_semantic",        # cell EQUI-join (never cartesian), NO Python quantizer
+    "txt_ngram_containment", # gram equi-join blocking, NO Python, pruned scan
 ]
 
 CHECKS = {
@@ -114,6 +116,14 @@ CHECKS = {
     # pruned out of the shortlist scan; rerank joins a broadcast
     # semi-join of the shortlist ids
     "ann_ivfpq": ["TakeOrderedAndProject", "BroadcastHashJoin", "LeftSemi"],
+    # the within-cell candidate join must be an EQUI-join on the cell
+    # id (SemDeDup's blocking; hash/sort-merge both fine) — the
+    # NO-CARTESIAN gate below is the load-bearing assertion
+    "dedup_semantic": ["HashAggregate"],
+    # gram-blocked directional containment: equi-join candidate
+    # generation, scan pruned to exactly (doc_id, text)
+    "txt_ngram_containment": ["HashAggregate",
+                              "ReadSchema: struct<doc_id:bigint,text:string>"],
 }
 
 # plans that must read NO data file at all (metadata-only answers)
@@ -128,10 +138,18 @@ NO_PYTHON = {"dedup_simhash", "ann_lsh_bucketed", "dedup_embed_cosine",
              "sample_hash_mod", "addfiles_scan", "stats_agg_pushdown",
              "txt_pii_scrub", "txt_vocab_bigrams", "train_shard_plan",
              "train_aspect_batches", "ann_pq_adc", "txt_repeated_spans",
-             "txt_bigram_lm_score", "ann_ivfpq"}
+             "txt_bigram_lm_score", "ann_ivfpq", "dedup_semantic",
+             "txt_ngram_containment"}
 
 # plans that must NOT explode arrays into the shuffle (per-row pre-sum)
 NO_GENERATE = {"emb_label_profile"}
+
+# plans whose candidate generation must stay an EQUI-join — a
+# CartesianProduct / BroadcastNestedLoopJoin means the blocking key
+# fell out of the join condition and the op degraded to all-pairs
+NO_CARTESIAN = {"dedup_semantic", "txt_ngram_containment",
+                "ann_batch_join", "ann_batch_clustered",
+                "dedup_cc_canonical"}
 
 
 def main() -> int:
@@ -151,6 +169,10 @@ def main() -> int:
             missing.append("NO-PYTHON violated")
         if name in NO_GENERATE and "Generate" in plan:
             missing.append("NO-GENERATE violated (array exploded into shuffle)")
+        if name in NO_CARTESIAN and (
+                "CartesianProduct" in plan
+                or "BroadcastNestedLoopJoin" in plan):
+            missing.append("NO-CARTESIAN violated (blocking key lost)")
         if name in NO_FILESCAN and ("Scan parquet" in plan or "FileScan" in plan):
             missing.append("NO-FILESCAN violated (metadata-only answer read data)")
         status = "OK" if not missing else f"MISSING {missing}"
