@@ -138,6 +138,8 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("remove-orphans")
     t(sp)
     sp.add_argument("--older-than-s", type=float, default=3 * 86400.0)
+    sp.add_argument("--dry-run", action="store_true",
+                    help="report orphan candidates without deleting")
 
     sp = sub.add_parser("rewrite-manifests")
     t(sp)
@@ -406,7 +408,7 @@ def main(argv: list[str] | None = None) -> int:
     elif a.cmd == "remove-orphans":
         out = {"cmd": "remove-orphans",
                **LakehouseTable(a.table).remove_orphan_files(
-                   a.older_than_s, spark=spark)}
+                   a.older_than_s, spark=spark, dry_run=a.dry_run)}
     elif a.cmd == "rewrite-manifests":
         snap = LakehouseTable(a.table).rewrite_manifests(spark)
         out = {"cmd": "rewrite-manifests",

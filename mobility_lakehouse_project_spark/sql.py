@@ -66,7 +66,7 @@ Supported statements (heads case-insensitive)::
   OPTIMIZE t [ZORDER BY (a, b, ...)] [WHERE pred] [OPTIONS(...)]
       (WHERE scopes maintenance to the partitions whose files can
       match — Delta's partition-scoped OPTIMIZE)
-  VACUUM t [RETAIN <n> HOURS]
+  VACUUM t [RETAIN <n> HOURS] [DRY RUN]
   ALTER TABLE t SET TBLPROPERTIES ('k' = 'v', ...)
   ALTER TABLE t ADD COLUMNS (c type, ...)
   ALTER TABLE t DROP COLUMN c
@@ -1986,12 +1986,14 @@ def _stmt_optimize(spark, sql, masked, catalog, tables):
 def _stmt_vacuum(spark, sql, masked, catalog, tables):
     m = re.fullmatch(
         rf"(?is)\s*VACUUM\s+({_IDENT})"
-        r"(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*", masked)
+        r"(?:\s+RETAIN\s+(\d+)\s+HOURS)?(\s+DRY\s+RUN)?\s*", masked)
     if not m:
-        raise LakehouseSqlError("expected VACUUM <table> [RETAIN n HOURS]")
+        raise LakehouseSqlError(
+            "expected VACUUM <table> [RETAIN n HOURS] [DRY RUN]")
     table = _resolve(m.group(1), catalog, tables)
     grace = float(m.group(2)) * 3600.0 if m.group(2) else 3 * 86400.0
-    out = table.remove_orphan_files(older_than_s=grace, spark=spark)
+    out = table.remove_orphan_files(older_than_s=grace, spark=spark,
+                                    dry_run=bool(m.group(3)))
     out["operation"] = "vacuum"
     return out
 

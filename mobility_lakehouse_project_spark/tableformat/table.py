@@ -4181,7 +4181,8 @@ class LakehouseTable:
                      **(summary or {})})
 
     def remove_orphan_files(self, older_than_s: float = 3 * 86400.0,
-                            spark: SparkSession | None = None) -> dict:
+                            spark: SparkSession | None = None,
+                            dry_run: bool = False) -> dict:
         """Delete files in the table directory that NO snapshot
         references — Iceberg's remove_orphan_files. Orphans come from
         crashed writers (write_data_files outputs whose commit never
@@ -4210,7 +4211,14 @@ class LakehouseTable:
         tail is globally unique and immune to the URI-vs-local and
         percent-encoding representational differences between the two
         sides. The driver materializes only the orphan list (bounded
-        iterator), never the live set."""
+        iterator), never the live set.
+
+        ``dry_run=True`` reports what WOULD be deleted (counts + a
+        bounded path sample) without unlinking anything — Iceberg's
+        remove_orphan_files dry-run contract; at 100 TB you audit the
+        candidate list before ever deleting blind. The same grace
+        re-stat runs, so the report matches what a real run at the
+        same instant would remove."""
         live_manifests: set[str] = set()
         for s in self.snapshots_list():
             live_manifests |= set(s.manifests)
@@ -4218,6 +4226,7 @@ class LakehouseTable:
 
         now = time.time()
         deleted_data = deleted_manifests = 0
+        sample: list[str] = []
         if spark is not None:
             tail = lambda c: F.substring_index(c, "/", -2)  # noqa: E731
             listing = (
@@ -4249,7 +4258,11 @@ class LakehouseTable:
                     # GC'd concurrently, or touched since the listing
                     if now - os.path.getmtime(local) < older_than_s:
                         continue
-                    os.remove(local)
+                    if dry_run:
+                        if len(sample) < 100:
+                            sample.append(rel)
+                    else:
+                        os.remove(local)
                     deleted_data += 1
         else:
             live_files: set[str] = set()
@@ -4265,7 +4278,11 @@ class LakehouseTable:
                 with contextlib.suppress(FileNotFoundError):
                     if now - os.path.getmtime(fp) < older_than_s:
                         continue  # possibly an in-flight write
-                    os.remove(fp)
+                    if dry_run:
+                        if len(sample) < 100:
+                            sample.append(rel)
+                    else:
+                        os.remove(fp)
                     deleted_data += 1
         for fp in globmod.glob(os.path.join(self.manifest_dir, "manifest-*.parquet")):
             rel = os.path.join("manifests", os.path.basename(fp))
@@ -4274,8 +4291,16 @@ class LakehouseTable:
             with contextlib.suppress(FileNotFoundError):
                 if now - os.path.getmtime(fp) < older_than_s:
                     continue
-                os.remove(fp)
+                if dry_run:
+                    if len(sample) < 100:
+                        sample.append(rel)
+                else:
+                    os.remove(fp)
                 deleted_manifests += 1
+        if dry_run:
+            return {"orphan_data_files": deleted_data,
+                    "orphan_manifests": deleted_manifests,
+                    "dry_run": True, "sample": sample}
         for pat in ("snap-*", "deletes-*"):
             for d in globmod.glob(os.path.join(self.data_dir, pat)):
                 with contextlib.suppress(FileNotFoundError):

@@ -121,3 +121,37 @@ def test_remove_orphans_grace_period(spark, tmp_table_dir):
     assert out["deleted_data_files"] == 0
     disk = _disk_parquet(t)
     assert all(e["file_path"] in disk for e in inflight)
+
+
+def test_remove_orphans_dry_run(spark, tmp_table_dir):
+    """dry_run reports the exact candidate set — counts and sampled
+    paths — while deleting NOTHING, in both the distributed and the
+    driver reachability modes; a real run then removes exactly what
+    the report promised. VACUUM ... DRY RUN is the SQL surface."""
+    from mobility_lakehouse_project_spark.sql import execute_sql
+
+    df = synth.images_df(spark, 100, partitions=4)
+    t = LakehouseTable.create(tmp_table_dir, df.schema, partition_col="bucket")
+    t.append(df, n_files=4)
+    orphans = t.write_data_files(
+        synth.images_df(spark, 50, partitions=2, id_offset=1000), n_files=2
+    )
+    disk_before = _disk_parquet(t)
+
+    for mode_spark in (spark, None):
+        out = t.remove_orphan_files(older_than_s=0.0, spark=mode_spark,
+                                    dry_run=True)
+        assert out["dry_run"] is True
+        assert out["orphan_data_files"] == len(orphans)
+        assert set(out["sample"]) == {e["file_path"] for e in orphans}
+        assert _disk_parquet(t) == disk_before  # nothing deleted
+
+    sql_out = execute_sql(spark, "VACUUM t RETAIN 0 HOURS DRY RUN",
+                          tables={"t": t})
+    assert sql_out["dry_run"] is True
+    assert sql_out["orphan_data_files"] == len(orphans)
+    assert _disk_parquet(t) == disk_before
+
+    real = t.remove_orphan_files(older_than_s=0.0, spark=spark)
+    assert real["deleted_data_files"] == len(orphans)
+    assert t.scan(spark).count() == 100
