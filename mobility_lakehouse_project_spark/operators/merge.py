@@ -125,6 +125,7 @@ def merge_into(
     update_cols: list[str] | None = None,
     when_not_matched: str | None = "insert",
     when_not_matched_by_source: str | None = None,
+    by_source_assignments: dict | None = None,
     extra_summary: dict | None = None,
     mode: str = "cow",
     evolve_schema: bool = False,
@@ -144,6 +145,18 @@ def merge_into(
     the deletes cost O(target keys) as delete files; under CoW every
     file holding an unmatched row would rewrite — effectively a full
     rewrite, which ``overwrite()``/CTAS expresses honestly.
+
+    ``when_not_matched_by_source="update"`` (Delta's third by-source
+    action: WHEN NOT MATCHED BY SOURCE THEN UPDATE SET — the
+    mark-stale shape) instead rewrites every target-only row with
+    ``by_source_assignments`` ({col: SQL expr over the target row})
+    applied: old positions are deleted and the updated versions
+    appended in the SAME atomic snapshot, lineage ids carried. Cost
+    is honest about physics: the key scan stays column-pruned, but
+    the rewritten rows themselves must be READ — O(files holding
+    target-only rows) blob reads (scan_files subset, never the whole
+    table when the unmatched set clusters), vs the delete action's
+    zero data reads.
 
     ``mode``:
 
@@ -199,9 +212,22 @@ def merge_into(
         raise ValueError(f"when_matched={when_matched!r}")
     if when_not_matched not in ("insert", None):
         raise ValueError(f"when_not_matched={when_not_matched!r}")
-    if when_not_matched_by_source not in ("delete", None):
+    if when_not_matched_by_source not in ("delete", "update", None):
         raise ValueError(
             f"when_not_matched_by_source={when_not_matched_by_source!r}")
+    if when_not_matched_by_source == "update":
+        if not by_source_assignments:
+            raise ValueError(
+                "when_not_matched_by_source='update' needs "
+                "by_source_assignments ({col: expr over the target row})")
+        known = {f.name for f in table.schema().fields}
+        bad = sorted(set(by_source_assignments) - known)
+        if bad:
+            raise ValueError(f"by_source_assignments columns {bad} not in "
+                             "the table schema")
+    elif by_source_assignments:
+        raise ValueError("by_source_assignments requires "
+                         "when_not_matched_by_source='update'")
     if (when_matched is None and when_not_matched is None
             and when_not_matched_by_source is None):
         raise ValueError("no-op MERGE: all clauses are None")
@@ -348,7 +374,8 @@ def merge_into(
                           when_not_matched_by_source, target_file_size,
                           cur, op_id, extra_summary, t0,
                           dv=(mode == "dv"), plan_fp=plan_fp,
-                          rebase_retries=rebase_retries)
+                          rebase_retries=rebase_retries,
+                          by_source_assignments=by_source_assignments)
 
     # ---- 1. touched files: keys+filename scan (bytes pruned away) ----
     # ONE pass over the target's keys serves BOTH planning questions:
@@ -534,7 +561,7 @@ def merge_into(
 def _merge_mor(table, spark, src, src_keys, n_src, keys, when_matched,
                when_not_matched, by_source, target_file_size, cur, op_id,
                extra_summary, t0, dv=False, plan_fp=None,
-               rebase_retries=0) -> dict:
+               rebase_retries=0, by_source_assignments=None) -> dict:
     """Merge-on-read MERGE: ONE column-pruned scan of (keys, _file,
     _pos) classifies matched target rows into position-delete files;
     the new row versions (full source rows) are appended. Both land in
@@ -567,9 +594,11 @@ def _merge_mor(table, spark, src, src_keys, n_src, keys, when_matched,
         n_del += n_matched
     unmatched = None
     n_by_src = 0
-    if by_source == "delete":
-        # WHEN NOT MATCHED BY SOURCE THEN DELETE: target keys absent
-        # from the source — same position-delete currency, one commit
+    if by_source in ("delete", "update"):
+        # WHEN NOT MATCHED BY SOURCE: target keys absent from the
+        # source — same position-delete currency, one commit (the
+        # update action ALSO deletes the old positions; its new row
+        # versions join the appended output below)
         unmatched = target_keys.join(src_keys, keys, "left_anti").persist()
         n_by_src = unmatched.count()
         if n_by_src:
@@ -622,6 +651,29 @@ def _merge_mor(table, spark, src, src_keys, n_src, keys, when_matched,
         else:
             out_rows, n_out = None, 0
 
+    if by_source == "update" and n_by_src:
+        # read ONLY the files holding target-only rows (scan_files
+        # subset, deletes applied, pinned snapshot), pair on exact
+        # (_file, _pos), apply the assignments, carry lineage ids
+        data_cols = [f.name for f in table.schema().fields]
+        bfiles = sorted({r["_file"] for r in
+                         unmatched.select("_file").distinct().collect()})
+        refs = unmatched.select("_file", "_pos", "_row_id")
+        snap_obj = next(s for s in table.snapshots_list()
+                        if s.snapshot_id == cur.snapshot_id)
+        full = (table.scan_files(spark, bfiles, with_pos=True,
+                                 snapshot=snap_obj)
+                .join(refs, ["_file", "_pos"], "inner"))
+        assign = {c: (F.expr(v) if isinstance(v, str) else v)
+                  for c, v in by_source_assignments.items()}
+        by_src_rows = full.select(
+            *[(assign[c].alias(c) if c in assign else F.col(c))
+              for c in data_cols], "_row_id")
+        out_rows = (by_src_rows if out_rows is None
+                    else out_rows.unionByName(by_src_rows,
+                                              allowMissingColumns=True))
+        n_out += n_by_src
+
     entries: list[dict] = []
     if out_rows is not None and n_out:
         stats = table.files(spark, snapshot_id=cur.snapshot_id).agg(
@@ -646,7 +698,8 @@ def _merge_mor(table, spark, src, src_keys, n_src, keys, when_matched,
         summary = {"key": ",".join(keys), "when_matched": str(when_matched),
                    "when_not_matched": str(when_not_matched),
                    **({"when_not_matched_by_source": by_source,
-                       "rows_deleted_by_source": n_by_src}
+                       ("rows_deleted_by_source" if by_source == "delete"
+                        else "rows_updated_by_source"): n_by_src}
                       if by_source else {}),
                    **(extra_summary or {})}
         # same validated rebase as the CoW path; by_source full-sync

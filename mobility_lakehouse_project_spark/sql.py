@@ -53,7 +53,8 @@ Supported statements (heads case-insensitive)::
       [WHEN MATCHED THEN UPDATE SET * | a.c = b.c, ...]
       [WHEN MATCHED THEN DELETE]
       [WHEN NOT MATCHED THEN INSERT *]
-      [WHEN NOT MATCHED BY SOURCE THEN DELETE]
+      [WHEN NOT MATCHED BY SOURCE THEN DELETE |
+       WHEN NOT MATCHED BY SOURCE THEN UPDATE SET col = expr, ...]
       [OPTIONS(mode='mor', ...)]
   CREATE TABLE [IF NOT EXISTS] t [(col type, ...)] [PARTITIONED BY (c)]
       [OPTIONS(...)] [AS <query>]
@@ -1479,6 +1480,7 @@ def _stmt_merge(spark, sql, masked, catalog, tables):
     when_matched = None
     when_not_matched = None
     by_source = None
+    bs_assign = None
     update_cols = None
     clause_text = sql[on_hi:opt_start]
     clause_masked = masked[on_hi:opt_start]
@@ -1522,6 +1524,44 @@ def _stmt_merge(spark, sql, masked, catalog, tables):
                       r"\s+DELETE\s*$", cm):
             once(by_source, "NOT MATCHED BY SOURCE")
             by_source = "delete"
+        elif (bs := re.match(r"(?is)\s*WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE"
+                             r"\s+THEN\s+UPDATE\s+SET\b", cm)):
+            # Delta's third by-source action (mark-stale): assignments
+            # are expressions over the TARGET row — source references
+            # are meaningless (there is no source row) and rejected
+            once(by_source, "NOT MATCHED BY SOURCE")
+            by_source = "update"
+            body = c[bs.end():].strip()
+            bmm = _mask(body)
+            bs_assign = {}
+            for a, b in _split_top(bmm, body, ",", 0, len(body)):
+                part = body[a:b]
+                pm = re.fullmatch(r"(?s)\s*([A-Za-z_][\w.]*)\s*=\s*(.+?)\s*",
+                                  part)
+                if not pm:
+                    raise LakehouseSqlError(
+                        f"bad BY SOURCE UPDATE SET entry {part.strip()!r}")
+                lhs = pm.group(1)
+                if "." in lhs:
+                    q, lhs = lhs.rsplit(".", 1)
+                    if _t_alias and q != _t_alias:
+                        raise LakehouseSqlError(
+                            f"BY SOURCE UPDATE SET assigns target columns"
+                            f" (got qualifier {q!r})")
+                rhs = pm.group(2)
+                if _s_alias and re.search(rf"\b{re.escape(_s_alias)}\.",
+                                          _mask(rhs)):
+                    raise LakehouseSqlError(
+                        "BY SOURCE UPDATE SET expressions cannot reference "
+                        f"the source ({_s_alias!r}): by-source rows have "
+                        "no matching source row")
+                if _t_alias:
+                    rhs = re.sub(rf"\b{re.escape(_t_alias)}\.", "", rhs)
+                if lhs in bs_assign:
+                    raise LakehouseSqlError(
+                        f"column {lhs!r} assigned twice in BY SOURCE "
+                        "UPDATE SET")
+                bs_assign[lhs] = rhs.strip()
         elif re.match(r"(?is)\s*WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s*"
                       r"\*\s*$", cm):
             once(when_not_matched, "NOT MATCHED")
@@ -1583,6 +1623,7 @@ def _stmt_merge(spark, sql, masked, catalog, tables):
         when_matched=when_matched, update_cols=update_cols,
         when_not_matched=when_not_matched,
         when_not_matched_by_source=by_source,
+        by_source_assignments=bs_assign,
         source_delete_condition=delete_cond, **opts)
     out["operation"] = "merge"
     return out

@@ -222,3 +222,77 @@ def test_merge_by_source_delete_only(spark, tmp_table_dir):
                      when_not_matched_by_source="delete")
     rows = {r["id"]: r["val"] for r in t.scan(spark).collect()}
     assert rows == {i: f"v{i}" for i in range(4)}  # survivors untouched
+
+
+def test_merge_by_source_update_marks_stale(spark, tmp_table_dir):
+    """WHEN NOT MATCHED BY SOURCE THEN UPDATE (Delta's mark-stale
+    action): matched rows upsert, source-only rows insert, TARGET-ONLY
+    rows are rewritten with the assignments applied — all one atomic
+    snapshot; blobs of untouched-by-source matched files never
+    rewritten (the update rides position deletes + appends)."""
+    df = spark.createDataFrame(
+        [(i, f"old{i}", "live") for i in range(30)],
+        "id long, val string, st string")
+    t = LakehouseTable.create(tmp_table_dir, df.schema)
+    t.append(df, n_files=3)
+    src = spark.createDataFrame(
+        [(i, f"new{i}", "live") for i in range(20, 40)],
+        "id long, val string, st string")
+    pre_snaps = len(t.snapshots_list())
+    res = merge.merge_into(
+        t, spark, src, key="id", mode="mor",
+        when_not_matched_by_source="update",
+        by_source_assignments={"st": "'stale'", "val": "concat(val, '!')"},
+        target_file_size=1 << 20)
+    assert len(t.snapshots_list()) == pre_snaps + 1  # atomic
+    # 10 matched + 20 by-source positions deleted; 20 upserts + 20
+    # source-only inserts + 20 stale rewrites appended
+    assert res["rows_deleted_positions"] == 30
+    assert res["rows_out"] == 40
+    rows = {r["id"]: (r["val"], r["st"]) for r in t.scan(spark).collect()}
+    assert set(rows) == set(range(40))
+    assert rows[5] == ("old5!", "stale")      # target-only: assignments
+    assert rows[25] == ("new25", "live")      # matched: source row
+    assert rows[35] == ("new35", "live")      # source-only: inserted
+    sm = t.current_snapshot().summary
+    assert sm["when_not_matched_by_source"] == "update"
+    assert sm["rows_updated_by_source"] == 20
+    # lineage: the stale rows keep their predecessor ids
+    ids = {r["id"]: r["_row_id"]
+           for r in t.scan(spark, with_row_id=True).collect()}
+    first = {r["id"]: r["_row_id"]
+             for r in t.scan(spark, with_row_id=True,
+                             snapshot_id=t.snapshots_list()[0].snapshot_id
+                             ).collect()}
+    assert all(ids[i] == first[i] for i in range(20))
+
+
+def test_merge_by_source_update_dv_and_guards(spark, tmp_table_dir):
+    """The DV mode writes ONE merged vector per touched file for the
+    by-source update; guards: assignments required, schema-checked,
+    refused without the update action."""
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(12)], "id long, val string")
+    t = LakehouseTable.create(tmp_table_dir, df.schema)
+    t.append(df, n_files=2)
+    src = spark.createDataFrame([(i, f"n{i}") for i in range(6)],
+                                "id long, val string")
+    res = merge.merge_into(
+        t, spark, src, key="id", mode="dv",
+        when_matched=None, when_not_matched=None,
+        when_not_matched_by_source="update",
+        by_source_assignments={"val": "upper(val)"})
+    rows = {r["id"]: r["val"] for r in t.scan(spark).collect()}
+    assert rows == {**{i: f"v{i}" for i in range(6)},
+                    **{i: f"V{i}" for i in range(6, 12)}}
+    assert res["rows_out"] == 6
+    with pytest.raises(ValueError, match="by_source_assignments"):
+        merge.merge_into(t, spark, src, key="id", mode="mor",
+                         when_not_matched_by_source="update")
+    with pytest.raises(ValueError, match="not in"):
+        merge.merge_into(t, spark, src, key="id", mode="mor",
+                         when_not_matched_by_source="update",
+                         by_source_assignments={"nope": "1"})
+    with pytest.raises(ValueError, match="requires"):
+        merge.merge_into(t, spark, src, key="id", mode="mor",
+                         by_source_assignments={"val": "'x'"})

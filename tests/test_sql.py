@@ -1190,3 +1190,43 @@ def test_create_changelog_view_sql(spark, cat):
         execute_sql(spark,
                     "CALL create_changelog_view('cdcv.t', name => 'a b')",
                     catalog=cat)
+
+
+# ---------------------------------------------------------------------------
+# MERGE ... WHEN NOT MATCHED BY SOURCE THEN UPDATE SET
+
+
+def test_merge_by_source_update_sql(spark, cat):
+    df = spark.createDataFrame(
+        [(i, f"old{i}", "live") for i in range(20)],
+        "id long, val string, st string")
+    t = cat.create_table("bs.t", df.schema)
+    t.append(df, n_files=2)
+    src = spark.createDataFrame(
+        [(i,) for i in range(15)], "id long")
+    src.createOrReplaceTempView("feed")
+    out = execute_sql(
+        spark,
+        "MERGE INTO bs.t AS t USING (SELECT id FROM feed) AS s ON t.id = s.id "
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET t.st = 'stale', "
+        "t.val = concat(t.val, '!') OPTIONS(mode='mor')",
+        catalog=cat)
+    assert out["rows_out"] == 5
+    rows = {r["id"]: (r["val"], r["st"]) for r in t.scan(spark).collect()}
+    assert rows[3] == ("old3", "live")
+    assert rows[17] == ("old17!", "stale")
+    # guards: source references and duplicate assignments rejected
+    with pytest.raises(LakehouseSqlError, match="cannot reference"):
+        execute_sql(
+            spark,
+            "MERGE INTO bs.t AS t USING (SELECT id FROM feed) AS s "
+            "ON t.id = s.id "
+            "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET t.st = s.id",
+            catalog=cat)
+    with pytest.raises(LakehouseSqlError, match="assigned twice"):
+        execute_sql(
+            spark,
+            "MERGE INTO bs.t AS t USING (SELECT id FROM feed) AS s "
+            "ON t.id = s.id "
+            "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET st = 'a', st = 'b'",
+            catalog=cat)
