@@ -119,9 +119,14 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--keys", default="image_id")
     sp.add_argument("--when-matched", choices=["update", "delete", "none"], default="update")
     sp.add_argument("--when-not-matched", choices=["insert", "none"], default="insert")
-    sp.add_argument("--by-source", choices=["delete", "none"], default="none",
+    sp.add_argument("--by-source", choices=["delete", "update", "none"],
+                    default="none",
                     help="'delete' = WHEN NOT MATCHED BY SOURCE THEN "
-                         "DELETE (full sync; needs --mode mor)")
+                         "DELETE (full sync); 'update' = ... THEN UPDATE "
+                         "SET --by-source-set (mark stale); needs "
+                         "--mode mor")
+    sp.add_argument("--by-source-set", default=None, metavar="COL=EXPR[,..]",
+                    help="assignments for --by-source update")
     sp.add_argument("--update-cols", default=None)
     sp.add_argument("--target-mb", type=float, default=64)
     sp.add_argument("--mode", choices=["cow", "mor"], default="cow",
@@ -401,6 +406,9 @@ def main(argv: list[str] | None = None) -> int:
             when_not_matched=None if a.when_not_matched == "none" else a.when_not_matched,
             when_not_matched_by_source=(None if a.by_source == "none"
                                         else a.by_source),
+            by_source_assignments=(
+                dict(kv.split("=", 1) for kv in a.by_source_set.split(","))
+                if a.by_source_set else None),
             mode=a.mode)}
     elif a.cmd == "expire":
         out = {"cmd": "expire", **LakehouseTable(a.table).expire_snapshots(
