@@ -4353,6 +4353,289 @@ ORACLE_SQL["corpus_mix_weighted"] = """
 """
 
 
+# =====================================================================
+# Temporal joins + event analytics (beyond SURVEY §2.3/§2.5: as-of,
+# interval/range join, funnel, cohort retention, time-bucket OHLC)
+# =====================================================================
+
+def j_asof_last_click(spark, sf_dir):
+    """As-of join: for every purchase event, the most recent click by
+    the same user at-or-before it (pandas merge_asof semantics,
+    distributed).  Physical plan: union + one windowed shuffle on
+    user_id — NOT a range join (operators/temporal.py scale notes).
+    Beyond the reference's join family (SURVEY §2.3 J1-J11)."""
+    from mobility_lakehouse_project_spark.operators.temporal import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    # right side must be unique per (user_id, ts): keep the max event_id
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max(F.struct("event_id", "value")).alias("s"))
+        .select(
+            "user_id",
+            "ts",
+            F.col("s.event_id").alias("click_id"),
+            F.col("s.value").alias("click_value"),
+        )
+    )
+    j = asof_join(
+        purchases, clicks, on=["user_id"],
+        payload=["click_id", "click_value"], suffix="_c",
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round("value", 2).alias("purchase_value"),
+        F.col("ts_c").alias("click_ts"),
+        F.col("click_id_c").alias("click_id"),
+        F.round(F.col("click_value_c"), 2).alias("click_value"),
+        (F.unix_timestamp("ts") - F.unix_timestamp("ts_c")).alias("gap_sec"),
+    )
+
+
+def j_range_interval_join(spark, sf_dir):
+    """Interval (range) join via time-bucket binning: count the
+    platform-wide error events that fall inside each user session's
+    ±30 min window.  The theta predicate `ts BETWEEN lo AND hi` becomes
+    an equi-join on hour buckets (operators/temporal.py)."""
+    from mobility_lakehouse_project_spark.operators.temporal import interval_join
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    sess = e.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ).withColumn(
+        "session_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    iv = sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.expr("MIN(ts) - INTERVAL 30 MINUTES").alias("win_start"),
+        F.expr("MAX(ts) + INTERVAL 30 MINUTES").alias("win_end"),
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), F.col("ts").alias("err_ts")
+    )
+    pairs = interval_join(
+        iv, errors, start="win_start", end="win_end", point_ts="err_ts",
+        bucket_sec=3600,
+    )
+    n_err = pairs.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_err")
+    )
+    return (
+        iv.join(n_err, ["user_id", "session_id"], "left")
+        .select(
+            "user_id",
+            "session_id",
+            "n_events",
+            F.coalesce(F.col("n_err"), F.lit(0).cast("long")).alias("n_errors_overlap"),
+        )
+    )
+
+
+def w_funnel_conversion(spark, sf_dir):
+    """Ordered-funnel analysis (signup -> first click after signup ->
+    first purchase after that click): per-stage user counts + mean
+    hours from the previous stage.  Three min-aggregations on user_id
+    (one shuffle key reused); no window over raw events."""
+    e = _t(spark, sf_dir, "events")
+    s1 = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id").agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id", "t1").agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id", "t2").agg(F.min("ts").alias("t3"))
+    )
+    hours = lambda a, b: (F.unix_timestamp(b) - F.unix_timestamp(a)) / 3600.0  # noqa: E731
+    r1 = s1.agg(
+        F.lit(1).cast("int").alias("stage_no"),
+        F.lit("signup").alias("stage"),
+        F.count("*").alias("n_users"),
+        F.lit(None).cast("double").alias("avg_hours_from_prev"),
+    )
+    r2 = s2.agg(
+        F.lit(2).cast("int").alias("stage_no"),
+        F.lit("click_after_signup").alias("stage"),
+        F.count("*").alias("n_users"),
+        F.round(F.avg(hours(F.col("t1"), F.col("t2"))), 3).alias("avg_hours_from_prev"),
+    )
+    r3 = s3.agg(
+        F.lit(3).cast("int").alias("stage_no"),
+        F.lit("purchase_after_click").alias("stage"),
+        F.count("*").alias("n_users"),
+        F.round(F.avg(hours(F.col("t2"), F.col("t3"))), 3).alias("avg_hours_from_prev"),
+    )
+    return r1.unionByName(r2).unionByName(r3)
+
+
+def a_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-seen ISO week,
+    distinct-active counts per week offset.  Two aggregations on
+    user_id + one on the (cohort, offset) pair; dims never collected."""
+    e = _t(spark, sf_dir, "events")
+    cohort = (
+        e.groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"))
+        .select(
+            "user_id",
+            F.to_date(F.date_trunc("week", F.col("first_ts"))).alias("cohort_week"),
+        )
+    )
+    active = e.select(
+        "user_id", F.to_date(F.date_trunc("week", F.col("ts"))).alias("active_week")
+    ).distinct()
+    return (
+        active.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.floor(
+                F.datediff(F.col("active_week"), F.col("cohort_week")) / 7
+            ).cast("int").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+def a_time_ohlc(spark, sf_dir):
+    """Hypertable-style time-bucket rollup with ordered first/last
+    (OHLC): open/close via min_by/max_by on a (ts, event_id) struct
+    key — a single hash aggregation, no sort, no window over the fact
+    table (the window form would shuffle+sort every row)."""
+    e = _t(spark, sf_dir, "events")
+    key = F.struct("ts", "event_id")
+    return (
+        e.groupBy(F.date_trunc("hour", "ts").alias("bucket_hour"))
+        .agg(
+            F.round(F.min_by("value", key), 2).alias("open_v"),
+            F.round(F.max_by("value", key), 2).alias("close_v"),
+            F.round(F.min("value"), 2).alias("low_v"),
+            F.round(F.max("value"), 2).alias("high_v"),
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_v"),
+        )
+    )
+
+
+ORACLE_SQL["j_asof_last_click"] = """
+    WITH p AS (
+        SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ), c AS (
+        SELECT user_id, ts, MAX(event_id) AS click_id,
+               arg_max(value, event_id) AS click_value
+        FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    )
+    SELECT p.event_id, p.user_id, p.ts, ROUND(p.value, 2) AS purchase_value,
+           c.ts AS click_ts, c.click_id, ROUND(c.click_value, 2) AS click_value,
+           CAST(FLOOR(epoch(p.ts)) AS BIGINT) - CAST(FLOOR(epoch(c.ts)) AS BIGINT) AS gap_sec
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+ORACLE_SQL["j_range_interval_join"] = """
+    WITH g AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) IS NULL
+                         OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+        SELECT user_id, ts,
+               CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM g
+    ), iv AS (
+        SELECT user_id, session_id, COUNT(*) AS n_events,
+               MIN(ts) - INTERVAL 30 MINUTE AS win_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS win_end
+        FROM s GROUP BY 1, 2
+    ), err AS (
+        SELECT event_id AS err_id, ts AS err_ts FROM events WHERE event_type = 'error'
+    )
+    SELECT iv.user_id, iv.session_id, iv.n_events,
+           COUNT(err_id) AS n_errors_overlap
+    FROM iv LEFT JOIN err ON err_ts BETWEEN win_start AND win_end
+    GROUP BY 1, 2, 3
+"""
+
+ORACLE_SQL["w_funnel_conversion"] = """
+    WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'signup' GROUP BY 1
+    ), s2 AS (
+        SELECT e.user_id, s1.t1, MIN(e.ts) AS t2
+        FROM events e JOIN s1 USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts >= s1.t1 GROUP BY 1, 2
+    ), s3 AS (
+        SELECT e.user_id, s2.t2, MIN(e.ts) AS t3
+        FROM events e JOIN s2 USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts >= s2.t2 GROUP BY 1, 2
+    )
+    SELECT CAST(1 AS INTEGER) AS stage_no, 'signup' AS stage,
+           COUNT(*) AS n_users, CAST(NULL AS DOUBLE) AS avg_hours_from_prev
+    FROM s1
+    UNION ALL
+    SELECT CAST(2 AS INTEGER), 'click_after_signup', COUNT(*),
+           ROUND(AVG((CAST(FLOOR(epoch(t2)) AS BIGINT)
+                      - CAST(FLOOR(epoch(t1)) AS BIGINT)) / 3600.0), 3)
+    FROM s2
+    UNION ALL
+    SELECT CAST(3 AS INTEGER), 'purchase_after_click', COUNT(*),
+           ROUND(AVG((CAST(FLOOR(epoch(t3)) AS BIGINT)
+                      - CAST(FLOOR(epoch(t2)) AS BIGINT)) / 3600.0), 3)
+    FROM s3
+"""
+
+ORACLE_SQL["a_cohort_retention"] = """
+    WITH cohort AS (
+        SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+        FROM events GROUP BY 1
+    ), active AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS active_week
+        FROM events
+    )
+    SELECT cohort_week,
+           CAST(FLOOR(date_diff('day', cohort_week, active_week) / 7.0) AS INTEGER)
+               AS week_offset,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM active JOIN cohort USING (user_id)
+    GROUP BY 1, 2
+"""
+
+ORACLE_SQL["a_time_ohlc"] = """
+    WITH r AS (
+        SELECT date_trunc('hour', ts) AS bucket_hour, value,
+               ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts)
+                    ORDER BY ts, event_id) AS rn_a,
+               ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts)
+                    ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM events
+    )
+    SELECT bucket_hour,
+           ROUND(MAX(CASE WHEN rn_a = 1 THEN value END), 2) AS open_v,
+           ROUND(MAX(CASE WHEN rn_d = 1 THEN value END), 2) AS close_v,
+           ROUND(MIN(value), 2) AS low_v,
+           ROUND(MAX(value), 2) AS high_v,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS total_v
+    FROM r GROUP BY 1
+"""
+
+
 QUERIES = {
     # Round-5 window rotation: entries never driver-hash-checked come first
     # (driver snapshots the first 50); long-stable driver-verified entries follow.
@@ -4402,6 +4685,10 @@ QUERIES = {
     "dedup_semantic": dedup_semantic,
     "sql_changelog_view": sql_changelog_view,
     "txt_ngram_containment": txt_ngram_containment,
+    "j_asof_last_click": j_asof_last_click,
+    "j_range_interval_join": j_range_interval_join,
+    "w_funnel_conversion": w_funnel_conversion,
+    "a_cohort_retention": a_cohort_retention,
     "corpus_mix_weighted": corpus_mix_weighted,
     "train_shard_plan": train_shard_plan,
     "train_aspect_batches": train_aspect_batches,
@@ -4452,4 +4739,5 @@ QUERIES = {
     "txt_lang_heuristic": txt_lang_heuristic,
     "txt_fingerprint_dedup": txt_fingerprint_dedup,
     "dedup_token_jaccard": dedup_token_jaccard,
+    "a_time_ohlc": a_time_ohlc,
 }
