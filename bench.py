@@ -54,6 +54,7 @@ HEADLINE_QUERIES = [
     "w_sessionize",
     "ann_cosine_topk",
     "txt_stats",
+    "j_asof_last_click",
 ]
 
 

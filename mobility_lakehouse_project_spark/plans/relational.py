@@ -4515,8 +4515,10 @@ def a_cohort_retention(spark, sf_dir):
 def a_time_ohlc(spark, sf_dir):
     """Hypertable-style time-bucket rollup with ordered first/last
     (OHLC): open/close via min_by/max_by on a (ts, event_id) struct
-    key — a single hash aggregation, no sort, no window over the fact
-    table (the window form would shuffle+sort every row)."""
+    key — ONE partial+final aggregation pair (SortAggregate: struct
+    ordering keys aren't hash-aggregable), one exchange of per-group
+    partials, NO window (the window form would shuffle every row into
+    a per-group ordering)."""
     e = _t(spark, sf_dir, "events")
     key = F.struct("ts", "event_id")
     return (

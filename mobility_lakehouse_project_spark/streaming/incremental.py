@@ -268,3 +268,50 @@ def stream_mv_maintenance_sink(catalog, source: str, views: list[str],
             refresh_materialized_view(batch_df.sparkSession, catalog, v)
 
     return sink
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    watermark: str = "10 minutes",
+    band_sec: int = 1800,
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: pair each left event with
+    the right events of the same key whose timestamp lies in
+    ``[left_ts - band_sec, left_ts]`` (the streaming form of
+    operators/temporal.py's interval join, restricted to a trailing
+    band — unbounded history is impossible in a stream).
+
+    Both sides carry a watermark and the join condition time-bounds
+    ``right_ts`` against ``left_ts`` from BOTH directions, which is
+    exactly what Structured Streaming requires to evict join state:
+    each side's buffered rows are dropped once the other side's
+    watermark passes the band, so state is O(key-rate x band), not
+    O(stream length).
+
+    Right-side columns are prefixed with ``right_prefix`` (streaming
+    joins forbid ambiguous names and post-join renames of the
+    watermark column).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    r = right
+    for c in right.columns:
+        r = r.withColumnRenamed(c, f"{right_prefix}{c}")
+    rkeys = [f"{right_prefix}{k}" for k in keys]
+    rts = f"{right_prefix}{right_ts}"
+    l_wm = left.withWatermark(left_ts, watermark)
+    r_wm = r.withWatermark(rts, watermark)
+    cond = None
+    for lk, rk in zip(keys, rkeys):
+        c = l_wm[lk] == r_wm[rk]
+        cond = c if cond is None else (cond & c)
+    band = (
+        (r_wm[rts] >= l_wm[left_ts] - F.expr(f"INTERVAL {int(band_sec)} SECONDS"))
+        & (r_wm[rts] <= l_wm[left_ts])
+    )
+    cond = band if cond is None else (cond & band)
+    return l_wm.join(r_wm, cond, "inner").drop(*rkeys)

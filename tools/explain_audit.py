@@ -54,6 +54,11 @@ AUDIT = [
     "ann_ivfpq",             # cell-pruned scan + code-column ADC + broadcast-semi rerank, NO Python
     "dedup_semantic",        # cell EQUI-join (never cartesian), NO Python quantizer
     "txt_ngram_containment", # gram equi-join blocking, NO Python, pruned scan
+    "j_asof_last_click",     # as-of via union+window: NO JOIN operator at all
+    "j_range_interval_join", # bucketed range join: equi-join, never cartesian
+    "w_funnel_conversion",   # three min-aggs on one shuffle key, NO Python
+    "a_cohort_retention",    # agg-only cohort matrix, pruned scan
+    "a_time_ohlc",           # min_by/max_by OHLC: ONE agg pair, NO window/sort
 ]
 
 CHECKS = {
@@ -124,6 +129,24 @@ CHECKS = {
     # generation, scan pruned to exactly (doc_id, text)
     "txt_ngram_containment": ["HashAggregate",
                               "ReadSchema: struct<doc_id:bigint,text:string>"],
+    # the as-of composition: one window over the keyed union; the
+    # NO-JOIN gate below is the load-bearing assertion (a Join here
+    # means the op degraded to a range join).  The click dedup is a
+    # struct-keyed max -> SortAggregate (structs aren't hash-aggregable)
+    "j_asof_last_click": ["Window", "Union", "Aggregate"],
+    # containment becomes an equi-join on the hour bucket; the explode
+    # is per-interval (bounded), never per-point
+    "j_range_interval_join": ["Window", "HashAggregate"],
+    "w_funnel_conversion": ["HashAggregate", "Union"],
+    "a_cohort_retention": ["HashAggregate",
+                           "ReadSchema: struct<ts:timestamp_ntz,user_id:bigint>"],
+    # ordered-first/last via struct-keyed min_by/max_by: partial+final
+    # SortAggregate (struct ordering keys can't hash-agg) — the sorts
+    # are per-input-partition partial-agg sorts; only per-group partial
+    # rows cross the single exchange.  The NO-WINDOW gate is the
+    # load-bearing one: a Window here would shuffle+sort EVERY fact row
+    "a_time_ohlc": ["SortAggregate",
+                    "ReadSchema: struct<event_id:bigint,ts:timestamp_ntz,value:double>"],
 }
 
 # plans that must read NO data file at all (metadata-only answers)
@@ -139,7 +162,9 @@ NO_PYTHON = {"dedup_simhash", "ann_lsh_bucketed", "dedup_embed_cosine",
              "txt_pii_scrub", "txt_vocab_bigrams", "train_shard_plan",
              "train_aspect_batches", "ann_pq_adc", "txt_repeated_spans",
              "txt_bigram_lm_score", "ann_ivfpq", "dedup_semantic",
-             "txt_ngram_containment"}
+             "txt_ngram_containment", "j_asof_last_click",
+             "j_range_interval_join", "w_funnel_conversion",
+             "a_cohort_retention", "a_time_ohlc"}
 
 # plans that must NOT explode arrays into the shuffle (per-row pre-sum)
 NO_GENERATE = {"emb_label_profile"}
@@ -149,7 +174,16 @@ NO_GENERATE = {"emb_label_profile"}
 # fell out of the join condition and the op degraded to all-pairs
 NO_CARTESIAN = {"dedup_semantic", "txt_ngram_containment",
                 "ann_batch_join", "ann_batch_clustered",
-                "dedup_cc_canonical"}
+                "dedup_cc_canonical", "j_range_interval_join",
+                "w_funnel_conversion"}
+
+# the as-of join must compile to window-over-union: ANY join operator
+# in the plan means it degraded to the O(n*m) range-join form
+NO_JOIN = {"j_asof_last_click"}
+
+# ordered-first/last rollups must stay an aggregation: a Window here
+# means every fact row got shuffled into one global/group ordering
+NO_WINDOW = {"a_time_ohlc"}
 
 
 def main() -> int:
@@ -175,6 +209,10 @@ def main() -> int:
             missing.append("NO-CARTESIAN violated (blocking key lost)")
         if name in NO_FILESCAN and ("Scan parquet" in plan or "FileScan" in plan):
             missing.append("NO-FILESCAN violated (metadata-only answer read data)")
+        if name in NO_JOIN and "Join" in plan:
+            missing.append("NO-JOIN violated (as-of degraded to a range join)")
+        if name in NO_WINDOW and "Window" in plan:
+            missing.append("NO-WINDOW violated (rollup windowed every row)")
         status = "OK" if not missing else f"MISSING {missing}"
         if missing:
             failures.append((name, missing))
