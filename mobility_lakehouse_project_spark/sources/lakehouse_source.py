@@ -283,16 +283,37 @@ class LakehouseStreamReader(DataSourceStreamReader):
         else:
             meta = self._table.load_metadata()
             self._initial = {"sequence": int(meta["last_sequence"])}
+        # rate limiting (Iceberg streaming-max-files-per-micro-batch
+        # analog, at commit granularity): cap how far latestOffset
+        # advances past the previously announced offset, so a stream
+        # catching up on a long backlog takes bounded bites instead of
+        # one giant first batch. Offset->files stays deterministic for
+        # any (start, end] range, so exactly-once replay is unaffected.
+        max_seqs = options.get("max_sequences_per_batch")
+        self._max_seqs = int(max_seqs) if max_seqs is not None else None
+        if self._max_seqs is not None and self._max_seqs < 1:
+            raise ValueError("max_sequences_per_batch must be >= 1")
+        self._announced = int(self._initial["sequence"])
 
     def initialOffset(self) -> dict:
         return self._initial
 
     def latestOffset(self) -> dict:
         meta = self._table.load_metadata()
-        return {"sequence": int(meta["last_sequence"])}
+        last = int(meta["last_sequence"])
+        if self._max_seqs is not None:
+            last = min(last, self._announced + self._max_seqs)
+            if last > self._announced:
+                self._announced = last
+        return {"sequence": last}
 
     def partitions(self, start: dict, end: dict):
         lo, hi = start["sequence"], end["sequence"]
+        # restart sync: the engine's committed offset (batch start) is
+        # the true progress floor — without this, a restarted reader's
+        # rate cap would re-announce offsets below the checkpoint
+        if self._announced < hi:
+            self._announced = hi
         if hi <= lo:
             return []
         meta = self._table.load_metadata()

@@ -350,3 +350,77 @@ def test_catalog_addressing(spark, tmp_path):
     assert got.count() == 25
     with pytest.raises(Exception, match="location"):
         spark.read.format("lakehouse").load()
+
+
+def test_stream_rate_limit_bounded_batches(spark, tmp_table_dir, tmp_path):
+    """max_sequences_per_batch caps each micro-batch to N commits
+    (Iceberg streaming-max-files-per-micro-batch analog): a 4-commit
+    backlog drains in >= 2 batches at cap 2 with nothing lost or
+    duplicated, and a restart continues from the checkpoint."""
+    df = synth.images_df(spark, 20, partitions=1)
+    t = LakehouseTable.create(tmp_table_dir, df.schema, partition_col="bucket")
+    for i in range(4):
+        t.append(synth.images_df(spark, 20, partitions=1, id_offset=i * 100),
+                 n_files=1)
+    register_lakehouse_source(spark)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_batch():
+        q = (spark.readStream.format("lakehouse")
+             .option("location", t.location)
+             .option("starting_sequence", "0")
+             .option("max_sequences_per_batch", "2")
+             .load()
+             .writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    # each availableNow run captures a capped target; loop to drain
+    for _ in range(4):
+        run_batch()
+        if spark.read.parquet(out).count() == 80:
+            break
+    got = spark.read.parquet(out)
+    assert got.count() == 80
+    assert got.select("image_id").distinct().count() == 80
+    # per-batch commit boundaries: no batch may span >2 commit sequences
+    import json as _json
+    import os as _os
+
+    odir = _os.path.join(ckpt, "offsets")
+    seqs = []
+    for f in sorted(_os.listdir(odir)):
+        if f.startswith("."):
+            continue  # .crc sidecars are binary
+        with open(_os.path.join(odir, f), errors="ignore") as fh:
+            for line in fh:
+                line = line.strip()
+                if line.startswith("{") and "sequence" in line:
+                    seqs.append(_json.loads(line)["sequence"])
+    assert seqs, "offset log must record sequences"
+    steps = [b - a for a, b in zip(seqs, seqs[1:]) if b > a]
+    assert steps and max(steps) <= 2, f"batch spanned too many commits: {seqs}"
+    # restart after more data: continues incrementally under the cap
+    t.append(synth.images_df(spark, 20, partitions=1, id_offset=900),
+             n_files=1)
+    for _ in range(3):
+        run_batch()
+        if spark.read.parquet(out).count() == 100:
+            break
+    assert spark.read.parquet(out).count() == 100
+
+
+def test_stream_rate_limit_validation(spark, tmp_table_dir):
+    df = synth.images_df(spark, 5, partitions=1)
+    t = LakehouseTable.create(tmp_table_dir, df.schema, partition_col="bucket")
+    t.append(df, n_files=1)
+    register_lakehouse_source(spark)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="max_sequences_per_batch"):
+        (spark.readStream.format("lakehouse")
+         .option("location", t.location)
+         .option("max_sequences_per_batch", "0")
+         .load().writeStream.format("noop").start().awaitTermination(60))
