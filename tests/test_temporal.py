@@ -168,3 +168,40 @@ def test_interval_join_rejects_collisions(spark):
     pts = spark.createDataFrame([Row(x=2, pts=ts(0))])
     with pytest.raises(ValueError, match="colliding"):
         interval_join(iv, pts, start="lo", end="hi", point_ts="pts")
+
+
+@pytest.mark.parametrize("direction,allow_exact", [
+    ("backward", True), ("backward", False),
+    ("forward", True), ("forward", False),
+])
+def test_asof_randomized_parity(spark, direction, allow_exact):
+    """Seeded adversarial fuzz: 5 keys, a coarse 40-slot timestamp grid
+    (forcing left==right ties and duplicate left timestamps), right
+    deduped per (key, ts) — distributed asof == the naive per-row scan
+    for every direction/exactness combination."""
+    import numpy as np
+
+    rng = np.random.default_rng(20260821)
+    keys = list("abcde")
+    left_rows = [
+        (keys[rng.integers(5)], int(i), ts(int(rng.integers(40) * 5)))
+        for i in range(200)
+    ]
+    seen = {}
+    for j in range(220):
+        k, t = keys[rng.integers(5)], ts(int(rng.integers(40) * 5))
+        seen.setdefault((k, t), (k, t, 1000 + j, float(j)))
+    right_rows = list(seen.values())
+
+    left = spark.createDataFrame(
+        [Row(k=k, lid=i, ts=t) for k, i, t in left_rows]
+    ).repartition(7)
+    right = spark.createDataFrame(
+        [Row(k=k, ts=t, rid=r, rv=v) for k, t, r, v in right_rows]
+    ).repartition(5)
+    got = _matches(
+        asof_join(left, right, on=["k"], payload=["rid", "rv"],
+                  direction=direction, allow_exact=allow_exact, suffix="_r")
+    )
+    want = naive_asof(left_rows, right_rows, direction, allow_exact)
+    assert got == want
