@@ -2892,6 +2892,56 @@ def sql_dml_roundtrip(spark, sf_dir):
     )
 
 
+def sql_update_from(spark, sf_dir):
+    """SQL UPDATE ... FROM (the Postgres join-update, planned as a
+    MERGE under the hood — sql.py::_stmt_update_from): a scratch
+    orders table takes each high-value order's floored total price as
+    its new custkey via a join against a source subquery with a
+    source-side filter; the oracle composes the same mutation as a
+    CASE projection.  Complements sql_dml_subquery/sql_dml_exists:
+    this is the assignment-from-source shape those cannot express."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..sql import execute_sql
+
+    from ..tableformat import LakehouseTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    scratch = os.path.join(tempfile.gettempdir(), "mlps-scratch", "sql-updfrom")
+    shutil.rmtree(scratch, ignore_errors=True)
+    t = LakehouseTable.create(scratch + "/orders", o.schema)
+    t.append(o, n_files=8)
+    _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("tp")
+    ).createOrReplaceTempView("upd_from_src")
+    execute_sql(
+        spark,
+        "UPDATE t SET o_custkey = CAST(FLOOR(s.tp) AS BIGINT) "
+        "FROM (SELECT k, tp FROM upd_from_src) AS s "
+        "WHERE t.o_orderkey = s.k AND s.tp > 100000",
+        tables={"t": t},
+    )
+    return execute_sql(
+        spark,
+        "SELECT o_orderstatus, COUNT(*) AS n_orders, "
+        "SUM(o_custkey) AS sum_ck FROM t GROUP BY o_orderstatus",
+        tables={"t": t},
+    )
+
+
+ORACLE_SQL["sql_update_from"] = """
+        SELECT o_orderstatus, COUNT(*) AS n_orders,
+               CAST(SUM(CASE WHEN o_totalprice > 100000
+                             THEN CAST(FLOOR(o_totalprice) AS BIGINT)
+                             ELSE o_custkey END) AS BIGINT) AS sum_ck
+        FROM orders GROUP BY 1
+"""
+
+
 ORACLE_SQL["sql_dml_roundtrip"] = """
         SELECT o_orderpriority,
                COUNT(*) AS n_orders,
@@ -4742,4 +4792,5 @@ QUERIES = {
     "txt_fingerprint_dedup": txt_fingerprint_dedup,
     "dedup_token_jaccard": dedup_token_jaccard,
     "a_time_ohlc": a_time_ohlc,
+    "sql_update_from": sql_update_from,
 }

@@ -48,6 +48,9 @@ Supported statements (heads case-insensitive)::
       concurrent appends (operators/rebase.py; 0 = surface on any
       concurrent commit). Also accepted by UPDATE and MERGE.
   UPDATE t SET c = <expr>, ... [WHERE <expr>] [OPTIONS(...)]
+  UPDATE t SET c = <expr over s>, ... FROM <name | (query)> [AS s]
+      WHERE t.k = s.k [AND <source-side filter>]... [OPTIONS(...)]
+      -- Postgres join-update, planned as the equivalent MERGE
   MERGE INTO t [AS a] USING <name | (query)> [AS b]
       ON a.k = b.k [AND ...]
       [WHEN MATCHED THEN UPDATE SET * | a.c = b.c, ...]
@@ -1387,6 +1390,14 @@ def _stmt_update(spark, sql, masked, catalog, tables):
     pred, opts, set_end = _where_and_options(sql, masked, m.end(), "UPDATE")
     _check_opts(opts, {"mode", "target_file_size", "chunk_files",
                        "rebase_retries", "subquery_limit"}, "UPDATE")
+    # UPDATE ... FROM (join update): a depth-0 FROM between SET and
+    # WHERE/OPTIONS switches to the merge-backed plan
+    for fm_ in re.finditer(r"(?is)\bFROM\b", masked[m.end():set_end]):
+        p = m.end() + fm_.start()
+        if masked.count("(", 0, p) == masked.count(")", 0, p):
+            return _stmt_update_from(
+                spark, sql, masked, catalog, tables, table, m.group(1),
+                m.end(), p, set_end, pred, opts)
     assignments = {}
     for a, b in _split_top(masked, sql, ",", m.end(), set_end):
         part = sql[a:b]
@@ -1406,6 +1417,165 @@ def _stmt_update(spark, sql, masked, catalog, tables):
     out = update_where(table, spark, pred, assignments,
                        int_ranges=int_ranges or None,
                        point_eq=point_eq or None, **opts)
+    out["operation"] = "update"
+    return out
+
+
+def _stmt_update_from(spark, sql, masked, catalog, tables, table, tname,
+                      set_lo, from_pos, set_end, pred, opts):
+    """``UPDATE t SET col = <expr over s>, ... FROM <src | (query)>
+    [AS s] WHERE t.key = s.key [AND <source-side filter>]...`` — the
+    Postgres join-update, planned as the equivalent MERGE: assignment
+    expressions are computed INTO the USING query (one column-pruned
+    pass over the source), key equalities become the MERGE ON keys,
+    and matched rows update only the assigned columns.  Duplicate
+    source matches dedupe per key last-writer-wins (merge_into's
+    contract); unmatched target rows are untouched, unmatched source
+    rows do nothing.
+
+    Assignments and residual filters must be computable from the
+    SOURCE alone; a target-referencing assignment or a target-side
+    condition needs the full MERGE statement (reference analog:
+    arbitrary ad-hoc SQL, /root/reference/dags/Queries_dag.py:54-95).
+    """
+    bad = sorted(set(opts) & {"chunk_files", "subquery_limit"})
+    if bad:
+        raise LakehouseSqlError(
+            f"OPTIONS {bad} do not apply to UPDATE ... FROM "
+            "(it plans as a MERGE, which bounds its own work)")
+    if opts.get("mode") == "eq":
+        raise LakehouseSqlError("UPDATE ... FROM does not take mode='eq'")
+    assignments = {}
+    for a, b in _split_top(masked, sql, ",", set_lo, from_pos):
+        part = sql[a:b]
+        am = re.match(r"(?s)\s*([A-Za-z_]\w*)\s*=(.*)", part)
+        if not am or not am.group(2).strip():
+            raise LakehouseSqlError(f"bad SET assignment {part.strip()!r}")
+        if am.group(1) in assignments:
+            raise LakehouseSqlError(f"column {am.group(1)!r} assigned twice")
+        assignments[am.group(1)] = am.group(2).strip()
+    _register_reads(spark, catalog, tables, masked)
+    pos = from_pos + 4
+    pos += re.match(r"\s*", masked[pos:]).end()
+    default_alias = None
+    if pos < len(masked) and masked[pos] == "(":
+        close = _match_paren(masked, pos)
+        src_rel = f"({sql[pos + 1:close - 1]})"
+        pos = close
+    else:
+        sm = re.match(rf"(?is)({_IDENT})", masked[pos:])
+        if not sm:
+            raise LakehouseSqlError("UPDATE ... FROM: expected a source "
+                                    "table or (query)")
+        src_rel = sm.group(1)
+        default_alias = sm.group(1).rsplit(".", 1)[-1]
+        pos += sm.end()
+        try:
+            # a lakehouse table (dotted catalog name or tables= key):
+            # expose its scan under a temp view the generated query can
+            # reference; plain spark views pass through by name
+            src_scan = _resolve(src_rel, catalog, tables).scan(spark)
+            src_rel = "__lakehouse_update_src"
+            src_scan.createOrReplaceTempView(src_rel)
+        except (LakehouseSqlError, ValueError):
+            pass
+    am2 = re.match(r"(?is)\s*AS\s+([A-Za-z_]\w*)", masked[pos:])
+    if am2 is None:
+        am2 = re.match(r"(?is)\s*([A-Za-z_]\w*)", masked[pos:])
+        if am2 is not None and am2.group(1).upper() in ("WHERE", "OPTIONS"):
+            am2 = None
+    alias = am2.group(1) if am2 else default_alias
+    if alias is None:
+        raise LakehouseSqlError("UPDATE ... FROM (query) needs an alias")
+
+    if _mask(pred).strip().lower() == "true":
+        raise LakehouseSqlError(
+            "UPDATE ... FROM needs WHERE t.key = s.key (a key equality)")
+    frags = _conjuncts(pred)
+    if frags is None:
+        raise LakehouseSqlError(
+            "UPDATE ... FROM WHERE must be an AND of conjuncts "
+            "(top-level OR cannot split into keys + source filters)")
+    t_quals = {tname.lower(), tname.rsplit(".", 1)[-1].lower()}
+    a_low = alias.lower()
+    tcols_schema = {f.name for f in table.schema().fields}
+
+    def _side(x: str):
+        x = x.strip()
+        if not re.fullmatch(r"[A-Za-z_][\w.]*", x):
+            return None, None
+        if "." in x:
+            q, c = x.rsplit(".", 1)
+            q = q.lower()
+            if q == a_low:
+                return "s", c
+            if q in t_quals:
+                return "t", c
+            return None, None
+        if x in tcols_schema:
+            return "t", x
+        return "s?", x  # unqualified, not a target column
+
+    keys: dict[str, str] = {}
+    src_filters: list[str] = []
+    for frag in frags:
+        fmask = _mask(frag)
+        em = re.fullmatch(
+            r"(?s)\s*([A-Za-z_][\w.]*)\s*=\s*([A-Za-z_][\w.]*)\s*", frag)
+        pair = None
+        if em:
+            s1, c1 = _side(em.group(1))
+            s2, c2 = _side(em.group(2))
+            if s1 == "t" and s2 == "s":
+                pair = (c1, c2)
+            elif s1 == "s" and s2 == "t":
+                pair = (c2, c1)
+        if pair is not None:
+            tcol, scol = pair
+            if tcol in keys and keys[tcol] != scol:
+                raise LakehouseSqlError(
+                    f"target key {tcol!r} equated to two source columns")
+            keys[tcol] = scol
+            continue
+        for q in t_quals:
+            if re.search(rf"(?i)\b{re.escape(q)}\s*\.", fmask):
+                raise LakehouseSqlError(
+                    f"UPDATE ... FROM condition {frag.strip()!r} references "
+                    "the target; only key equalities may (target-side "
+                    "conditions need a MERGE)")
+        src_filters.append(frag)
+    if not keys:
+        raise LakehouseSqlError(
+            "UPDATE ... FROM needs at least one t.col = s.col key "
+            "equality in WHERE")
+    for col, rhs in assignments.items():
+        if col in keys:
+            raise LakehouseSqlError(
+                f"column {col!r} is a join key and cannot be assigned")
+        for q in t_quals:
+            if re.search(rf"(?i)\b{re.escape(q)}\s*\.", _mask(rhs)):
+                raise LakehouseSqlError(
+                    f"assignment to {col!r} references the target; "
+                    "UPDATE ... FROM assignments compute from the source "
+                    "row only (target-referencing updates need a MERGE "
+                    "with a precomputed USING query)")
+
+    sel = [f"{alias}.{scol} AS {tcol}" for tcol, scol in keys.items()]
+    sel += [f"({rhs}) AS {col}" for col, rhs in assignments.items()]
+    q = f"SELECT {', '.join(sel)} FROM {src_rel} AS {alias}"
+    if src_filters:
+        q += " WHERE " + " AND ".join(f"({f})" for f in src_filters)
+    source = spark.sql(q)
+    # merge conforms the source to the full schema; fill the columns
+    # the update never reads with typed NULLs (update_cols scopes the
+    # actual writes, and there is no insert clause to land them)
+    have = set(source.columns)
+    source = source.select(
+        "*", *[F.lit(None).cast(f.dataType).alias(f.name)
+               for f in table.schema().fields if f.name not in have])
+    out = merge_into(table, spark, source, key=list(keys),
+                     when_matched="update", update_cols=list(assignments),
+                     when_not_matched=None, **opts)
     out["operation"] = "update"
     return out
 

@@ -1230,3 +1230,85 @@ def test_merge_by_source_update_sql(spark, cat):
             "ON t.id = s.id "
             "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET st = 'a', st = 'b'",
             catalog=cat)
+
+
+def test_update_from_named_source(spark, cat):
+    """Postgres join-update over a second catalog table, planned as a
+    MERGE: matched rows take the source expression, unmatched target
+    rows are untouched, unmatched source rows do nothing."""
+    t = _seed(spark, cat)
+    fixes = spark.createDataFrame(
+        [(1, "fixed-one"), (3, "fixed-three"), (999, "no-target")],
+        "image_id long, new_cap string")
+    cat.create_table("silver.fixes", fixes.schema).append(fixes, n_files=1)
+    out = execute_sql(
+        spark,
+        "UPDATE silver.images SET caption = upper(s.new_cap) "
+        "FROM silver.fixes AS s WHERE silver.images.image_id = s.image_id",
+        catalog=cat)
+    assert out["operation"] == "update"
+    rows = {r["image_id"]: r for r in t.scan(spark).collect()}
+    assert len(rows) == 50  # no insert of the unmatched source row
+    assert rows[1]["caption"] == "FIXED-ONE"
+    assert rows[3]["caption"] == "FIXED-THREE"
+    assert rows[2]["caption"] == "cap2"
+    assert rows[1]["phash"] == 37  # unassigned columns keep their values
+
+
+def test_update_from_subquery_with_source_filter(spark, cat):
+    t = _seed(spark, cat)
+    out = execute_sql(
+        spark,
+        "UPDATE silver.images SET phash = s.p2 FROM "
+        "(SELECT image_id AS iid, phash * 2 AS p2, caption FROM silver_images) AS s "
+        "WHERE image_id = s.iid AND s.caption = 'cap5'",
+        catalog=cat)
+    assert out["operation"] == "update"
+    rows = {r["image_id"]: r for r in t.scan(spark).collect()}
+    assert rows[5]["phash"] == ((5 * 37) % 97) * 2
+    assert rows[6]["phash"] == (6 * 37) % 97
+
+
+def test_update_from_dedupes_source_per_key(spark, cat):
+    t = _seed(spark, cat)
+    execute_sql(
+        spark,
+        "UPDATE silver.images SET caption = s.c FROM "
+        "(SELECT 2 AS k, 'dup-a' AS c UNION ALL SELECT 2, 'dup-a') AS s "
+        "WHERE silver.images.image_id = s.k",
+        catalog=cat)
+    rows = {r["image_id"]: r for r in t.scan(spark).collect()}
+    assert len(rows) == 50 and rows[2]["caption"] == "dup-a"
+
+
+def test_update_from_guards(spark, cat):
+    _seed(spark, cat)
+    with pytest.raises(LakehouseSqlError, match="key equality"):
+        execute_sql(spark,
+                    "UPDATE silver.images SET caption = s.c FROM "
+                    "(SELECT 'x' AS c) AS s WHERE s.c = 'x'",
+                    catalog=cat)
+    with pytest.raises(LakehouseSqlError, match="references the target"):
+        execute_sql(spark,
+                    "UPDATE silver.images SET caption = concat(images.caption, s.c) "
+                    "FROM (SELECT 1 AS k, 'x' AS c) AS s "
+                    "WHERE silver.images.image_id = s.k",
+                    catalog=cat)
+    with pytest.raises(LakehouseSqlError, match="references the target"):
+        execute_sql(spark,
+                    "UPDATE silver.images SET caption = s.c "
+                    "FROM (SELECT 1 AS k, 'x' AS c) AS s "
+                    "WHERE silver.images.image_id = s.k AND images.phash > 10",
+                    catalog=cat)
+    with pytest.raises(LakehouseSqlError, match="join key"):
+        execute_sql(spark,
+                    "UPDATE silver.images SET image_id = s.k "
+                    "FROM (SELECT 1 AS k) AS s "
+                    "WHERE silver.images.image_id = s.k",
+                    catalog=cat)
+    with pytest.raises(LakehouseSqlError, match="needs an alias"):
+        execute_sql(spark,
+                    "UPDATE silver.images SET caption = c FROM "
+                    "(SELECT 1 AS k, 'x' AS c) "
+                    "WHERE silver.images.image_id = k",
+                    catalog=cat)
