@@ -4584,6 +4584,39 @@ def a_time_ohlc(spark, sf_dir):
     )
 
 
+def w_range_moving_avg(spark, sf_dir):
+    """Time-range window frame (RANGE BETWEEN, §2.5 beyond the
+    reference's row frames): per-user trailing-1-hour moving average
+    and event count, ordered by epoch seconds so the frame is a true
+    time interval (row frames can't express it).  One shuffle on
+    user_id; frame evaluation is a sliding two-pointer pass per
+    partition."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.avg("value").over(w), 3).alias("avg_1h"),
+        F.count("*").over(w).alias("n_1h"),
+    )
+
+
+ORACLE_SQL["w_range_moving_avg"] = """
+    SELECT user_id, event_id, ts,
+           ROUND(AVG(value) OVER w, 3) AS avg_1h,
+           COUNT(*) OVER w AS n_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
 ORACLE_SQL["j_asof_last_click"] = """
     WITH p AS (
         SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
@@ -4793,4 +4826,5 @@ QUERIES = {
     "dedup_token_jaccard": dedup_token_jaccard,
     "a_time_ohlc": a_time_ohlc,
     "sql_update_from": sql_update_from,
+    "w_range_moving_avg": w_range_moving_avg,
 }
