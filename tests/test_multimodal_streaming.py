@@ -279,3 +279,68 @@ def test_stream_merge_sink_dv_mode_no_blob_rewrite(spark, tmp_path):
     # pending delete pairs are unique (one newest vector per file)
     ddf, _ = t.position_deletes_df(spark)
     assert ddf.count() == ddf.distinct().count()
+
+
+def test_stateful_asof_enrich_stream_matches_batch(spark, tmp_path):
+    """Streaming as-of enrichment == the batch asof_join when each
+    key's events arrive in timestamp order across micro-batches
+    (time-ordered files, one per trigger), including state carry
+    across batch boundaries and NULL payloads before the first click."""
+    from mobility_lakehouse_project_spark.operators.temporal import asof_join
+    from mobility_lakehouse_project_spark.streaming import stateful
+
+    events = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"),
+                "event_type", "event_id", "value")
+        .filter(F.col("user_id") < 40)
+        .filter(F.col("event_type").isin("purchase", "click"))
+    )
+    src = str(tmp_path / "asof_src")
+    rows = events.orderBy("ts", "event_id").collect()
+    third = max(1, len(rows) // 3)
+    for i in range(3):
+        chunk = rows[i * third: (i + 1) * third if i < 2 else len(rows)]
+        if chunk:
+            spark.createDataFrame(chunk, events.schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stateful.asof_enrich_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("asof_out")
+        .option("checkpointLocation", str(tmp_path / "asof_ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {
+        r["event_id"]: (r["right_ts"],
+                        None if r["right_value"] is None
+                        else round(r["right_value"], 6))
+        for r in spark.sql("SELECT * FROM asof_out").collect()
+    }
+
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value")
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max(F.struct("event_id", "value")).alias("s"))
+        .select("user_id", "ts", F.col("s.value").alias("rv"))
+    )
+    want = {
+        r["event_id"]: (r["ts_r"],
+                        None if r["rv_r"] is None else round(r["rv_r"], 6))
+        for r in asof_join(purchases, clicks, on=["user_id"],
+                           payload=["rv"], suffix="_r").collect()
+    }
+    assert len(got) == purchases.count()
+    assert got == want
+    # the no-match shape: at least one purchase precedes any click
+    assert any(v[0] is None for v in want.values())
