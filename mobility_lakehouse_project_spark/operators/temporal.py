@@ -74,6 +74,16 @@ def asof_join(
     payload = list(payload) if payload is not None else [
         c for c in right.columns if c not in on and c != right_ts
     ]
+    reserved = {"__asof_ts", "__asof_pay", "__is_left", "__match"}
+    if reserved & set(left.columns):
+        raise ValueError(f"left columns collide with asof internals: "
+                         f"{sorted(reserved & set(left.columns))}")
+    out_names = [f"{right_ts}{suffix}"] + [f"{c}{suffix}" for c in payload]
+    clash = set(out_names) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"suffixed right columns collide with left columns: "
+            f"{sorted(clash)} (pick a different suffix)")
 
     pay_struct = F.struct(
         F.col(right_ts).alias("__ts"), *[F.col(c).alias(c) for c in payload]

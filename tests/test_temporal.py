@@ -205,3 +205,10 @@ def test_asof_randomized_parity(spark, direction, allow_exact):
     )
     want = naive_asof(left_rows, right_rows, direction, allow_exact)
     assert got == want
+
+
+def test_asof_rejects_output_name_collisions(spark, frames):
+    left, right = frames
+    with pytest.raises(ValueError, match="collide"):
+        # suffix "" makes the matched ts column collide with left.ts
+        asof_join(left, right, on=["k"], payload=["rid", "rv"], suffix="")
