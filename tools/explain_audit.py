@@ -59,6 +59,7 @@ AUDIT = [
     "w_funnel_conversion",   # three min-aggs on one shuffle key, NO Python
     "a_cohort_retention",    # agg-only cohort matrix, pruned scan
     "a_time_ohlc",           # min_by/max_by OHLC: ONE agg pair, NO window/sort
+    "w_range_moving_avg",    # RANGE frame: one keyed window, NO Python
 ]
 
 CHECKS = {
@@ -147,6 +148,8 @@ CHECKS = {
     # load-bearing one: a Window here would shuffle+sort EVERY fact row
     "a_time_ohlc": ["SortAggregate",
                     "ReadSchema: struct<event_id:bigint,ts:timestamp_ntz,value:double>"],
+    "w_range_moving_avg": ["Window",
+                           "ReadSchema: struct<event_id:bigint,ts:timestamp_ntz,user_id:bigint,value:double>"],
 }
 
 # plans that must read NO data file at all (metadata-only answers)
@@ -164,7 +167,7 @@ NO_PYTHON = {"dedup_simhash", "ann_lsh_bucketed", "dedup_embed_cosine",
              "txt_bigram_lm_score", "ann_ivfpq", "dedup_semantic",
              "txt_ngram_containment", "j_asof_last_click",
              "j_range_interval_join", "w_funnel_conversion",
-             "a_cohort_retention", "a_time_ohlc"}
+             "a_cohort_retention", "a_time_ohlc", "w_range_moving_avg"}
 
 # plans that must NOT explode arrays into the shuffle (per-row pre-sum)
 NO_GENERATE = {"emb_label_profile"}
