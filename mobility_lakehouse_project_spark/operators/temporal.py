@@ -170,6 +170,8 @@ def interval_join(
     skew-join splitting handles.
     """
     on = list(on)
+    if int(bucket_sec) < 1:
+        raise ValueError(f"bucket_sec must be >= 1, got {bucket_sec}")
     dup = set(intervals.columns) & set(points.columns)
     if dup - set(on):
         raise ValueError(f"colliding non-key columns: {sorted(dup - set(on))}")

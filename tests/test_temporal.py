@@ -212,3 +212,20 @@ def test_asof_rejects_output_name_collisions(spark, frames):
     with pytest.raises(ValueError, match="collide"):
         # suffix "" makes the matched ts column collide with left.ts
         asof_join(left, right, on=["k"], payload=["rid", "rv"], suffix="")
+
+
+def test_asof_empty_right_side_yields_all_nulls(spark, frames):
+    left, right = frames
+    j = asof_join(left, right.limit(0), on=["k"],
+                  payload=["rid", "rv"], suffix="_r")
+    rows = j.collect()
+    assert len(rows) == left.count()
+    assert all(r["rid_r"] is None and r["ts_r"] is None for r in rows)
+
+
+def test_interval_join_rejects_bad_bucket(spark):
+    iv = spark.createDataFrame([Row(iid=1, lo=ts(0), hi=ts(1))])
+    pts = spark.createDataFrame([Row(pid=1, pts=ts(0))])
+    with pytest.raises(ValueError, match="bucket_sec"):
+        interval_join(iv, pts, start="lo", end="hi", point_ts="pts",
+                      bucket_sec=0)
