@@ -66,3 +66,27 @@ def test_entry_contract(spark):
     df = mod.entry(spark)
     assert df.count() >= 0
     assert set(mod.oracle_sql()).issubset(set(mod.queries()))
+
+
+def test_driver_window_rotation_covers_everything():
+    """The external driver hash-checks only the FIRST 50 registry
+    entries per round. Round-5 invariant: the union of the round-4
+    snapshot (CORRECTNESS_r04.json) and the current first-50 window
+    must cover every query that existed when the window was rotated —
+    reordering or inserting registry entries above position 50 can
+    silently drop driver coverage, which this pins."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..",
+                        "CORRECTNESS_r04.json")
+    r04 = set(json.load(open(path)))
+    names = list(QUERIES)
+    covered = set(names[:50]) | r04
+    # queries added after the rotation are exempt (local-oracle only,
+    # listed explicitly so an addition here is a conscious decision)
+    post_rotation = {"a_time_ohlc", "sql_update_from",
+                     "w_range_moving_avg"}
+    uncovered = set(names) - covered - post_rotation
+    assert uncovered == set(), (
+        f"queries outside both driver windows: {sorted(uncovered)}")
