@@ -52,12 +52,35 @@ def synth_pixels(i: int, w: int, h: int) -> np.ndarray:
     (so encoded blob sizes behave like real photos, not flat fills —
     the property the GB/s compaction benchmark depends on).
     """
+    return synth_pixels_batch(np.array([i], dtype=np.int64), w, h)[0]
+
+
+def synth_pixels_batch(ids: np.ndarray, w: int, h: int) -> np.ndarray:
+    """Vectorized ``synth_pixels`` for many row indices at one (w, h):
+    returns ``(len(ids), h, w, 3)`` uint8, byte-identical to the
+    per-row form (pinned by tests/test_imagecodec.py). Amortizes the
+    per-call numpy overhead (mgrid allocation, small-array kernel
+    launches) that dominated per-row synthesis for small images —
+    the modular arithmetic is row-independent, so batching is pure
+    reassociation: ``(grid + b) % m == (grid % m + b) % m``.
+
+    Intermediates are O(len(ids) * h * w * 3 * 8) bytes (the uint64
+    noise lattice); callers chunk ``ids`` to bound memory
+    (synth.synth_batch caps the product at ~64 MB)."""
     n = h * w * 3
+    g = len(ids)
     yy, xx = np.mgrid[0:h, 0:w]
-    base = ((xx * 7 + yy * 13 + (i * 31) % 251) % 160).astype(np.uint8)
-    noise = _mix64(np.arange(n, dtype=np.uint64) ^ np.uint64(i * 0x9E3779B1))
-    noise8 = (noise & np.uint64(0x5F)).astype(np.uint8).reshape(h, w, 3)
-    return np.stack([base, base, base], axis=-1) + noise8  # (h, w, 3) uint8
+    # int16 is exact here: grid % 160 < 160 and (i*31) % 251 < 251, so
+    # the sum stays < 411 — half the memory traffic of int64
+    grid = ((xx * 7 + yy * 13) % 160).astype(np.int16)
+    b = ((ids.astype(np.int64) * 31) % 251).astype(np.int16)
+    base = ((grid[None, :, :] + b[:, None, None]) % 160).astype(np.uint8)
+    lane = np.arange(n, dtype=np.uint64)
+    noise = _mix64(
+        lane[None, :] ^ (ids.astype(np.uint64) * np.uint64(0x9E3779B1))[:, None]
+    )
+    noise8 = (noise & np.uint64(0x5F)).astype(np.uint8).reshape(g, h, w, 3)
+    return base[:, :, :, None] + noise8  # (g, h, w, 3) uint8
 
 
 def encode(pixels: np.ndarray, fmt: str, level: int = 6) -> bytes:
@@ -70,6 +93,25 @@ def encode(pixels: np.ndarray, fmt: str, level: int = 6) -> bytes:
     if fmt == "jpeg":
         q = (pixels.astype(np.int32) // _JPEG_Q * _JPEG_Q).astype(np.uint8)
         return _MAGIC_JPG + struct.pack("<HH", w, h) + zlib.compress(q.tobytes(), level)
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+def encode_batch(pixels: np.ndarray, fmt: str, level: int = 6) -> list[bytes]:
+    """Encode a ``(g, h, w, 3)`` uint8 batch; byte-identical to
+    per-row :func:`encode`. The jpeg quantization runs as one
+    vectorized pass over the whole batch and the 8-byte header is
+    built once; only the per-row ``zlib.compress`` (the codec kernel
+    proper) remains in the loop."""
+    g, h, w, _ = pixels.shape
+    if fmt == "raw":
+        return [pixels[k].tobytes() for k in range(g)]
+    if fmt == "png":
+        hdr = _MAGIC_PNG + struct.pack("<HH", w, h)
+        return [hdr + zlib.compress(pixels[k].tobytes(), level) for k in range(g)]
+    if fmt == "jpeg":
+        q = (pixels.astype(np.int32) // _JPEG_Q * _JPEG_Q).astype(np.uint8)
+        hdr = _MAGIC_JPG + struct.pack("<HH", w, h)
+        return [hdr + zlib.compress(q[k].tobytes(), level) for k in range(g)]
     raise ValueError(f"unknown fmt {fmt!r}")
 
 

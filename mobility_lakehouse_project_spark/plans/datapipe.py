@@ -53,7 +53,12 @@ def _stage(spark, catalog: Catalog, name: str, src_sig: str, build):
             return t, {"skipped": True, "rows": rows}
         t.overwrite(build())
     else:
-        t = catalog.create_table_as(name, build(), n_files=4)
+        # natural partitioning (no n_files): a fixed tiny file count
+        # would repartition the stage's full payload into that many
+        # tasks — the write must scale with the input, and these
+        # intermediate tables are compacted by normal maintenance if
+        # their file sizes matter downstream
+        t = catalog.create_table_as(name, build())
     t.update_properties({SRC_PROP: src_sig})
     return t, {"skipped": False, "rows": t.size_stats(spark)["rows"]}
 
@@ -84,7 +89,7 @@ def run_data_pipeline(
     if not catalog.table_exists("datapipe.bronze"):
         if docs is None:
             raise ValueError("first run needs docs= to bootstrap bronze")
-        bronze = catalog.create_table_as("datapipe.bronze", docs, n_files=4)
+        bronze = catalog.create_table_as("datapipe.bronze", docs)
     else:
         bronze = catalog.load_table("datapipe.bronze")
     if source_glob is not None:

@@ -80,6 +80,21 @@ def _decode_reject_ids(images: DataFrame) -> DataFrame:
     return images.select(*cols).mapInPandas(run, schema="image_id string")
 
 
+def _drop_ids(d: DataFrame, drop: DataFrame) -> DataFrame:
+    """Anti-join ``d`` against a DROP-id frame, broadcast explicitly.
+
+    Every removal set in this pipeline is proportional to the
+    *failure/duplicate* volume (decode rejects, exact-dup losers,
+    near-dup losers, contaminated ids) — metadata-sized in a mostly-
+    unique corpus — while the survivor side is corpus-sized. Without
+    the hint the planner cannot size the small side (it sits behind
+    MapInPandas / aggregates) and falls back to a SortMergeJoin that
+    shuffles the full blob payload by image_id (measured: the clean
+    stage's dominant cost). Broadcasting the loser set keeps the
+    payload on its scan partitioning: zero payload shuffles."""
+    return d.join(F.broadcast(drop), "image_id", "left_anti")
+
+
 def _quality_gate(
     d: DataFrame, min_dim: int, min_caption_words: int, decode_gate: bool
 ) -> DataFrame:
@@ -98,7 +113,7 @@ def _quality_gate(
     )
     d = d.filter(structural)
     if decode_gate:
-        d = d.join(_decode_reject_ids(d), "image_id", "left_anti")
+        d = _drop_ids(d, _decode_reject_ids(d))
     return d
 
 
@@ -138,7 +153,11 @@ def run_image_pipeline(
     if not catalog.table_exists("imagepipe.bronze"):
         if images is None:
             raise ValueError("first run needs images= to bootstrap bronze")
-        bronze = catalog.create_table_as("imagepipe.bronze", images, n_files=4)
+        # n_files=None: write on the input's natural partitioning — a
+        # fixed small file count would funnel the whole payload through
+        # one shuffle into that many tasks (guide §2: scale-adaptive
+        # partitioning, not a constant)
+        bronze = catalog.create_table_as("imagepipe.bronze", images)
     else:
         bronze = catalog.load_table("imagepipe.bronze")
     out["bronze"] = {"rows": bronze.size_stats(spark)["rows"]}
@@ -154,29 +173,46 @@ def run_image_pipeline(
     )
 
     # ---- dedup: exact bytes, then phash-hamming components ------------
+    # Plan shape (the §8 "decide with small rows, move big rows once"
+    # discipline): ONE payload scan produces the metadata-sized ids
+    # frame (image_id, phash, byte/caption fingerprints, ~80 B/row);
+    # every dedup decision — exact-dup losers, boilerplate captions,
+    # near-dup component losers — is computed over that persisted frame
+    # only; the blob column is then read exactly once more for the
+    # survivor write, gated by a broadcast anti-join on the combined
+    # loser set. The payload is never shuffled and never hashed twice.
+    dedup_state: dict = {}
+
     def build_dedup() -> DataFrame:
         d = clean.scan(spark)
-        keep = (
-            d.groupBy(F.md5("bytes").alias("__fp"))
-            .agg(F.min("image_id").alias("image_id"))
+        ids = d.select(
+            "image_id", "phash", F.md5("bytes").alias("fp"),
+            F.md5("caption").alias("cap_fp"),
+        ).persist()
+        keep = ids.groupBy("fp").agg(F.min("image_id").alias("__keep"))
+        exact_losers = (
+            ids.join(keep, "fp")
+            .filter(F.col("image_id") != F.col("__keep"))
+            .select("image_id")
         )
-        d = d.join(keep.select("image_id"), "image_id", "left_semi")
+        drop = exact_losers
+        surv = _drop_ids(ids, exact_losers)
         if max_caption_repeats is not None:
             # boilerplate-caption filter: counts over byte-deduped
             # rows (a byte-dup must not inflate its caption), drop
             # over-cap captions wholesale — count + anti-join, no
             # per-caption window (hot captions are the hot keys)
             boiler = (
-                d.groupBy(F.md5("caption").alias("__cap_fp"))
+                surv.groupBy("cap_fp")
                 .agg(F.count("*").alias("__n"))
                 .filter(F.col("__n") > max_caption_repeats)
-                .select("__cap_fp")
+                .select("cap_fp")
             )
-            d = (
-                d.withColumn("__cap_fp", F.md5("caption"))
-                .join(boiler, "__cap_fp", "left_anti")
-                .drop("__cap_fp")
+            drop = drop.unionByName(
+                surv.join(F.broadcast(boiler), "cap_fp", "left_semi")
+                .select("image_id")
             )
+            surv = surv.join(F.broadcast(boiler), "cap_fp", "left_anti")
         # Hot-key safety (the input's ~5%-hot phash skew,
         # FIXTURES.md): the component graph's nodes are the DISTINCT
         # phash values, not the images — an identical-phash group of
@@ -185,7 +221,7 @@ def run_image_pipeline(
         # (connected_components' monotone-sum convergence check needs
         # numeric ids). Survivor per near-dup cluster = its global
         # min image_id.
-        sigs = d.select("phash").distinct()
+        sigs = surv.select("phash").distinct()
         pairs = hamming_pairs(
             sigs.select(F.col("phash").alias("id"), F.col("phash").alias("sig")),
             max_hamming=max_hamming,
@@ -194,12 +230,17 @@ def run_image_pipeline(
         canon = sigs.join(
             labels, sigs["phash"] == labels["id"], "left"
         ).select("phash", F.coalesce("component", "phash").alias("__comp"))
+        members = surv.select("image_id", "phash").join(canon, "phash")
         winners = (
-            d.select("image_id", "phash")  # blob column pruned here
-            .join(canon, "phash")
-            .groupBy("__comp").agg(F.min("image_id").alias("image_id"))
+            members.groupBy("__comp").agg(F.min("image_id").alias("image_id"))
         )
-        return d.join(winners.select("image_id"), "image_id", "left_semi")
+        drop = drop.unionByName(
+            members.join(winners.select("image_id"), "image_id", "left_anti")
+            .select("image_id")
+        )
+        dedup_state["ids"] = ids
+        dedup_state["drop"] = drop
+        return _drop_ids(d, drop)
 
     cap_sig = (f"#cap{max_caption_repeats}"
                if max_caption_repeats is not None else "")
@@ -221,7 +262,7 @@ def run_image_pipeline(
                          F.col("phash").alias("sig")),
                 bench, max_hamming=decon_hamming,
             ).select(F.col("ida").alias("image_id")).distinct()
-            return d.join(dirty, "image_id", "left_anti")
+            return _drop_ids(d, dirty)
 
         src, out["decontaminated"] = _stage(
             spark, catalog, "imagepipe.decontaminated",
@@ -256,13 +297,23 @@ def run_image_pipeline(
     if not out["dedup"]["skipped"] or not catalog.table_exists(
         "imagepipe.dedup_index"
     ):
-        idx_df = dedup.scan(spark).select(
-            "image_id", F.md5("bytes").alias("fp"), "phash",
-            # caption fingerprint: lets the incremental path count
-            # caption frequency against the corpus without re-reading
-            # any blob or caption text (~16 B/row)
-            F.md5("caption").alias("cap_fp"),
-        )
+        if "ids" in dedup_state:
+            # fresh dedup build: the survivor fingerprints are already
+            # in the persisted metadata frame — zero blob reads here
+            idx_df = _drop_ids(dedup_state["ids"], dedup_state["drop"]).select(
+                "image_id", "fp", "phash",
+                # caption fingerprint: lets the incremental path count
+                # caption frequency against the corpus without
+                # re-reading any blob or caption text (~16 B/row)
+                "cap_fp",
+            )
+        else:
+            # stage skipped but the index is missing/stale: re-derive
+            # from the materialized dedup table (one blob scan)
+            idx_df = dedup.scan(spark).select(
+                "image_id", F.md5("bytes").alias("fp"), "phash",
+                F.md5("caption").alias("cap_fp"),
+            )
         if catalog.table_exists("imagepipe.dedup_index"):
             idx_t = catalog.load_table("imagepipe.dedup_index")
             if "cap_fp" not in [f.name for f in idx_t.schema().fields]:
@@ -274,6 +325,8 @@ def run_image_pipeline(
                 idx_t.overwrite(idx_df)
         else:
             catalog.create_table_as("imagepipe.dedup_index", idx_df, n_files=4)
+    if "ids" in dedup_state:
+        dedup_state["ids"].unpersist()
     dedup.update_properties(
         {CURSOR_PROP: str(bronze.load_metadata()["last_sequence"])}
     )
