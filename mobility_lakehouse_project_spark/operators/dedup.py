@@ -164,7 +164,10 @@ def minhash_lsh_exact_pairs(
         .union(cands.select(F.col("idb").alias("doc_id")))
         .distinct()
     )
-    toks = toks.join(cand_ids, "doc_id", "left_semi")
+    # candidate-doc tokens feed FOUR branches (ta, tb and the two size
+    # sides) — persist so the scan+tokenize+semi-join runs once, not
+    # once per branch; bounded by candidate-pair volume, not corpus
+    toks = toks.join(cand_ids, "doc_id", "left_semi").persist()
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
     ta = toks.select(F.col("doc_id").alias("ida"), "tok")
     tb = toks.select(F.col("doc_id").alias("idb"), "tok")
@@ -350,10 +353,19 @@ def connected_components(
         edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
     )
     sym = sym.persist()
+    # Each round is cut with an EAGER localCheckpoint, not a bare
+    # persist: the round plan references the previous labels twice
+    # (union + pointer-jump join), so an uncut lineage grows ~4x per
+    # round — after k rounds the RETURNED frame embeds a 4^k-node tree
+    # that the analyzer must walk again inside every caller's query
+    # (measured: a CC-over-jaccard query carried a 100k-scan plan and
+    # spent its time in driver-side analysis, not execution). The
+    # checkpoint truncates the plan to the materialized result; on a
+    # cluster a reliable checkpoint would also survive executor loss.
     labels = (
         sym.select(F.col("s").alias("id")).distinct()
         .withColumn("component", F.col("id"))
-        .persist()
+        .localCheckpoint()
     )
     prev_sum = labels.agg(
         F.sum(F.col("component").cast("decimal(38,0)"))
@@ -381,12 +393,11 @@ def connected_components(
                     F.col("component"), F.coalesce(F.col("ccomp"), F.col("component"))
                 ).alias("component"),
             )
-            .persist()
+            .localCheckpoint()
         )
         new_sum = jumped.agg(
             F.sum(F.col("component").cast("decimal(38,0)"))
         ).collect()[0][0]
-        labels.unpersist()
         labels = jumped
         if new_sum == prev_sum:
             break

@@ -426,54 +426,101 @@ def merge_into(
             f"to manifest entries; unresolved={sorted(touched_rel - resolved)[:5]}"
         )
 
-    # ---- 2. rewrite: outer-join touched rows x source ----------------
-    # presence flags, NOT key-null checks: a target row whose merge key
-    # is NULL never joins (== is null-rejecting) yet must be PRESERVED —
-    # classifying sides by key nullity would rewrite it from the all-
-    # NULL source side (silent corruption)
-    tgt = (
-        table.scan_matched_files(touched_entries, spark, with_row_id=True,
-                                 with_last_seq=True)
-        .withColumn("_t_present", F.lit(True)).alias("t")
+    # ---- 2. rewrite: touched rows x source ---------------------------
+    # Fast path (the classic full-row upsert — when_matched="update",
+    # all columns): no target-payload x source-payload join at all.
+    # Because an updated row is ENTIRELY the source row and a carried
+    # row ENTIRELY the target row, the rewrite decomposes into
+    #   carried = touched rows ANTI-JOIN source keys   (payload stays
+    #             on its scan partitioning — keys broadcast)
+    #   source  = one pass over the source LEFT-JOINED to the touched
+    #             rows' (keys, _row_id) metadata (lineage pickup; a
+    #             NULL _row_id marks an insert)
+    # so the only payload shuffle in the whole MERGE is the final
+    # write distribution. The general path below instead shuffles BOTH
+    # payload sides by key for its outer join — required only when
+    # columns mix (update_cols subset) or rows flip polarity per-row
+    # (CDC delete commands, when_matched="delete").
+    fast_full_upsert = (
+        when_matched == "update" and not update_cols and src_all is None
     )
-    s = (src_all if src_all is not None else src).withColumn(
-        "_s_present", F.lit(True)).alias("s")
-    join_type = "full_outer" if when_not_matched == "insert" else "left_outer"
-    cond = None
-    for k in keys:
-        c = F.col(f"t.{k}") == F.col(f"s.{k}")
-        cond = c if cond is None else cond & c
-    joined = tgt.join(s, cond, join_type)
-    matched = F.col("t._t_present").isNotNull() & F.col("s._s_present").isNotNull()
-    src_only = F.col("t._t_present").isNull()
-    if when_matched == "delete":
-        joined = joined.filter(~matched)
-    if src_all is not None:
-        sdel = F.coalesce(F.col("s._s_del"), F.lit(False))
-        joined = joined.filter(~(matched & sdel) & ~(src_only & sdel))
-    upd = set(update_cols) if update_cols else set(c for c in data_cols if c not in keys)
-    take_src_on_match = when_matched == "update"
-    out = joined.select(
-        *[
-            F.when(src_only, F.col(f"s.{c}"))
-            .when(matched & F.lit(take_src_on_match and (c in upd or c in keys)),
-                  F.col(f"s.{c}"))
-            .otherwise(F.col(f"t.{c}"))
-            .alias(c)
-            for c in data_cols
-        ],
-        # row lineage: carried/updated rows keep the target row's id;
-        # inserted rows get NULL and resolve at read time to the new
-        # file's first_row_id + position (Iceberg v3)
-        F.when(src_only, F.lit(None).cast("long"))
-        .otherwise(F.col("t._row_id")).alias("_row_id"),
-        # last-updated sequence: rows this MERGE writes (inserts) or
-        # modifies (matched updates) go NULL and inherit the commit's
-        # sequence; rows merely carried through the rewrite keep theirs
-        F.when(src_only | (matched & F.lit(take_src_on_match)),
-               F.lit(None).cast("long"))
-        .otherwise(F.col("t._last_updated_seq")).alias("_last_updated_seq"),
-    )
+    if fast_full_upsert:
+        tgt_rows = table.scan_matched_files(
+            touched_entries, spark, with_row_id=True, with_last_seq=True)
+        # a target row with a NULL merge key never equi-joins, and an
+        # anti-join keeps exactly the never-matching rows — same
+        # preservation semantics as the outer join's presence flags.
+        # Broadcast the key set while it is plausibly executor-sized
+        # (n_src is already counted); a giant backfill source falls
+        # back to the planner's shuffle join rather than an 8 GB+
+        # broadcast build
+        skeys = F.broadcast(src_keys) if n_src <= 20_000_000 else src_keys
+        carried = tgt_rows.join(skeys, keys, "left_anti")
+        tgt_meta = (
+            tgt_rows.select(*keys, F.col("_row_id").alias("__t_row_id"))
+            .withColumn("__t_present", F.lit(True))
+        )
+        s_out = src.join(tgt_meta, keys, "left")
+        if when_not_matched != "insert":
+            s_out = s_out.filter(F.col("__t_present").isNotNull())
+        out = carried.unionByName(
+            s_out.select(
+                *data_cols,
+                # matched updates keep the target row's id; inserts go
+                # NULL and resolve to new-file first_row_id + position
+                F.col("__t_row_id").alias("_row_id"),
+                # updates and inserts both inherit this commit's seq
+                F.lit(None).cast("long").alias("_last_updated_seq"),
+            )
+        )
+    else:
+        # presence flags, NOT key-null checks: a target row whose merge
+        # key is NULL never joins (== is null-rejecting) yet must be
+        # PRESERVED — classifying sides by key nullity would rewrite it
+        # from the all-NULL source side (silent corruption)
+        tgt = (
+            table.scan_matched_files(touched_entries, spark, with_row_id=True,
+                                     with_last_seq=True)
+            .withColumn("_t_present", F.lit(True)).alias("t")
+        )
+        s = (src_all if src_all is not None else src).withColumn(
+            "_s_present", F.lit(True)).alias("s")
+        join_type = "full_outer" if when_not_matched == "insert" else "left_outer"
+        cond = None
+        for k in keys:
+            c = F.col(f"t.{k}") == F.col(f"s.{k}")
+            cond = c if cond is None else cond & c
+        joined = tgt.join(s, cond, join_type)
+        matched = F.col("t._t_present").isNotNull() & F.col("s._s_present").isNotNull()
+        src_only = F.col("t._t_present").isNull()
+        if when_matched == "delete":
+            joined = joined.filter(~matched)
+        if src_all is not None:
+            sdel = F.coalesce(F.col("s._s_del"), F.lit(False))
+            joined = joined.filter(~(matched & sdel) & ~(src_only & sdel))
+        upd = set(update_cols) if update_cols else set(c for c in data_cols if c not in keys)
+        take_src_on_match = when_matched == "update"
+        out = joined.select(
+            *[
+                F.when(src_only, F.col(f"s.{c}"))
+                .when(matched & F.lit(take_src_on_match and (c in upd or c in keys)),
+                      F.col(f"s.{c}"))
+                .otherwise(F.col(f"t.{c}"))
+                .alias(c)
+                for c in data_cols
+            ],
+            # row lineage: carried/updated rows keep the target row's id;
+            # inserted rows get NULL and resolve at read time to the new
+            # file's first_row_id + position (Iceberg v3)
+            F.when(src_only, F.lit(None).cast("long"))
+            .otherwise(F.col("t._row_id")).alias("_row_id"),
+            # last-updated sequence: rows this MERGE writes (inserts) or
+            # modifies (matched updates) go NULL and inherit the commit's
+            # sequence; rows merely carried through the rewrite keep theirs
+            F.when(src_only | (matched & F.lit(take_src_on_match)),
+                   F.lit(None).cast("long"))
+            .otherwise(F.col("t._last_updated_seq")).alias("_last_updated_seq"),
+        )
 
     # ---- sizing: touched bytes + estimated insert volume -------------
     touched_bytes = sum(e["file_size_bytes"] for e in touched_entries)

@@ -614,22 +614,29 @@ def gold_gravity_model(spark, sf_dir):
         .agg(F.sum("l_quantity").alias("observed"))
         .filter(F.col("ok") != F.col("dk"))
     )
-    mass_o = flows.groupBy("ok").agg(F.sum("observed").alias("mass_o"))
-    mass_d = flows.groupBy("dk").agg(F.sum("observed").alias("mass_d"))
+    # masses and the calibration constant are WINDOW aggregates over the
+    # zone-pair aggregate (<= n_zones^2 rows), not join-backs: the CTE
+    # form re-executed the fact join once per mass join plus once per
+    # calibration branch (DataFrame branches share no subtree) — six
+    # scans of lineitem x orders for one query. Windows over the tiny
+    # aggregate keep ONE fact-join execution and zero joins after it;
+    # values are identical (same sums, same rounding).
     dist = F.greatest(F.lit(0.5), F.abs(F.col("ok") - F.col("dk")) * F.lit(111.0))
     terms = (
-        flows.join(F.broadcast(mass_o), "ok")
-        .join(F.broadcast(mass_d), "dk")
+        flows
+        .withColumn("mass_o", F.sum("observed").over(Window.partitionBy("ok")))
+        .withColumn("mass_d", F.sum("observed").over(Window.partitionBy("dk")))
         .withColumn("gravity_term", F.col("mass_o") * F.col("mass_d") / F.pow(dist, 2))
     )
-    k = terms.groupBy().agg(
-        (F.sum("observed") / F.sum("gravity_term")).alias("k")
-    )
-    modeled = terms.crossJoin(F.broadcast(k)).select(
+    glob = Window.partitionBy()
+    modeled = terms.select(
         "ok",
         "dk",
         F.round(F.col("observed"), 2).alias("observed"),
-        F.round(F.col("k") * F.col("gravity_term"), 4).alias("modeled"),
+        F.round(
+            (F.sum("observed").over(glob) / F.sum("gravity_term").over(glob))
+            * F.col("gravity_term"), 4,
+        ).alias("modeled"),
     )
     top = modeled.orderBy(F.desc("observed"), "ok", "dk").limit(500)
     return top
@@ -4493,45 +4500,45 @@ def j_range_interval_join(spark, sf_dir):
 def w_funnel_conversion(spark, sf_dir):
     """Ordered-funnel analysis (signup -> first click after signup ->
     first purchase after that click): per-stage user counts + mean
-    hours from the previous stage.  Three min-aggregations on user_id
-    (one shuffle key reused); no window over raw events."""
-    e = _t(spark, sf_dir, "events")
-    s1 = (
-        e.filter(F.col("event_type") == "signup")
-        .groupBy("user_id").agg(F.min("ts").alias("t1"))
+    hours from the previous stage.  ONE pass over the funnel-relevant
+    events: three stacked per-user window minima on the same partition
+    key (single exchange — each stage's cutoff references the previous
+    stage's column), a per-user rollup, then one global aggregate
+    unpivoted with stack().  The previous join-chain form re-executed
+    the events scan once per stage branch (6 scans, 3 join shuffles);
+    this shape scans once and shuffles the filtered events once."""
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "click", "purchase"))
+    w = Window.partitionBy("user_id")
+    d = e.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
     )
-    s2 = (
-        e.filter(F.col("event_type") == "click")
-        .join(s1, "user_id")
-        .filter(F.col("ts") >= F.col("t1"))
-        .groupBy("user_id", "t1").agg(F.min("ts").alias("t2"))
+    d = d.withColumn(
+        "t2", F.min(F.when((F.col("event_type") == "click")
+                           & (F.col("ts") >= F.col("t1")), F.col("ts"))).over(w)
     )
-    s3 = (
-        e.filter(F.col("event_type") == "purchase")
-        .join(s2, "user_id")
-        .filter(F.col("ts") >= F.col("t2"))
-        .groupBy("user_id", "t2").agg(F.min("ts").alias("t3"))
+    d = d.withColumn(
+        "t3", F.min(F.when((F.col("event_type") == "purchase")
+                           & (F.col("ts") >= F.col("t2")), F.col("ts"))).over(w)
+    )
+    per_user = d.groupBy("user_id").agg(
+        F.min("t1").alias("t1"), F.min("t2").alias("t2"), F.min("t3").alias("t3")
     )
     hours = lambda a, b: (F.unix_timestamp(b) - F.unix_timestamp(a)) / 3600.0  # noqa: E731
-    r1 = s1.agg(
-        F.lit(1).cast("int").alias("stage_no"),
-        F.lit("signup").alias("stage"),
-        F.count("*").alias("n_users"),
-        F.lit(None).cast("double").alias("avg_hours_from_prev"),
+    agg = per_user.agg(
+        F.count("t1").alias("n1"),
+        F.count("t2").alias("n2"),
+        F.count("t3").alias("n3"),
+        F.round(F.avg(hours(F.col("t1"), F.col("t2"))), 3).alias("h2"),
+        F.round(F.avg(hours(F.col("t2"), F.col("t3"))), 3).alias("h3"),
     )
-    r2 = s2.agg(
-        F.lit(2).cast("int").alias("stage_no"),
-        F.lit("click_after_signup").alias("stage"),
-        F.count("*").alias("n_users"),
-        F.round(F.avg(hours(F.col("t1"), F.col("t2"))), 3).alias("avg_hours_from_prev"),
-    )
-    r3 = s3.agg(
-        F.lit(3).cast("int").alias("stage_no"),
-        F.lit("purchase_after_click").alias("stage"),
-        F.count("*").alias("n_users"),
-        F.round(F.avg(hours(F.col("t2"), F.col("t3"))), 3).alias("avg_hours_from_prev"),
-    )
-    return r1.unionByName(r2).unionByName(r3)
+    return agg.select(F.expr(
+        "stack(3,"
+        " 1, 'signup', n1, cast(null as double),"
+        " 2, 'click_after_signup', n2, h2,"
+        " 3, 'purchase_after_click', n3, h3)"
+        " as (stage_no, stage, n_users, avg_hours_from_prev)"
+    ))
 
 
 def a_cohort_retention(spark, sf_dir):

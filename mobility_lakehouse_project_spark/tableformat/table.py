@@ -3966,7 +3966,7 @@ class LakehouseTable:
             dead_df = self._manifest_paths_df(spark, dead_manifests).join(
                 self._manifest_paths_df(spark, live_manifests),
                 "file_path", "left_anti",
-            )
+            ).persist()  # one execution serves the count AND the walk
             n_dead = dead_df.count()
             dead_files: set[str] = set()  # unused on this path
         else:
@@ -4042,6 +4042,8 @@ class LakehouseTable:
                 for d in globmod.glob(os.path.join(self.data_dir, pat)):
                     if not any(files for _, _, files in os.walk(d)):
                         shutil.rmtree(d, ignore_errors=True)
+        if dead_df is not None:
+            dead_df.unpersist()
 
         return {
             "expired": len(expired),

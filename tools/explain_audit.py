@@ -56,7 +56,7 @@ AUDIT = [
     "txt_ngram_containment", # gram equi-join blocking, NO Python, pruned scan
     "j_asof_last_click",     # as-of via union+window: NO JOIN operator at all
     "j_range_interval_join", # bucketed range join: equi-join, never cartesian
-    "w_funnel_conversion",   # three min-aggs on one shuffle key, NO Python
+    "w_funnel_conversion",   # one window pass on user_id, NO Python
     "a_cohort_retention",    # agg-only cohort matrix, pruned scan
     "a_time_ohlc",           # min_by/max_by OHLC: ONE agg pair, NO window/sort
     "w_range_moving_avg",    # RANGE frame: one keyed window, NO Python
@@ -90,7 +90,12 @@ CHECKS = {
     # the key predicate must reach the (already bloom-pruned) scans
     "bloom_point_lookup": ["Union", "PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey"],
     "txt_token_bpe": ["HashAggregate"],
-    "dedup_cc_canonical": ["HashAggregate"],
+    # the iterative component labels are materialized by eager
+    # localCheckpoints (lineage truncation — dedup.connected_components),
+    # so the FINAL plan is the checkpointed label scan + cluster-size
+    # window; the jaccard/CC algebra is audited through its per-round
+    # plans, which the checkpoint keeps constant-depth
+    "dedup_cc_canonical": ["Window", "Scan ExistingRDD"],
     # the md5-residue predicate is computed, not pushable — the scan must
     # still be column-pruned to exactly the 5 referenced columns
     "sample_hash_mod": ["HashAggregate", "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_extendedprice:double,l_discount:double,l_returnflag:string>"],
@@ -138,7 +143,9 @@ CHECKS = {
     # containment becomes an equi-join on the hour bucket; the explode
     # is per-interval (bounded), never per-point
     "j_range_interval_join": ["Window", "HashAggregate"],
-    "w_funnel_conversion": ["HashAggregate", "Union"],
+    # one window pass on the user partition (single exchange), then a
+    # global aggregate unpivoted with stack() — no per-stage re-scans
+    "w_funnel_conversion": ["Window", "HashAggregate"],
     "a_cohort_retention": ["HashAggregate",
                            "ReadSchema: struct<ts:timestamp_ntz,user_id:bigint>"],
     # ordered-first/last via struct-keyed min_by/max_by: partial+final
