@@ -275,6 +275,25 @@ def compact(
 
     metrics = {"files_in": 0, "files_out": 0, "rows": 0, "bytes": 0,
                "wall_ms": 0, "chunks_skipped": 0, "snapshots": []}
+    # Rewrite plans are fully pinned (exact-slot repartition fixes the
+    # reduce count, no joins to re-strategize), so AQE's materialize-
+    # and-replan pause at each stage boundary is pure driver latency —
+    # same reasoning and measurement as clustering.cluster. Disabled
+    # for the rewrite jobs only, restored after.
+    aqe_prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        _compact_chunks(table, spark, plan, n_chunks, done, metrics,
+                        target_file_size, sort_col, key_col, pcol,
+                        recompress_level, log, op_id)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
+    return metrics
+
+
+def _compact_chunks(table, spark, plan, n_chunks, done, metrics,
+                    target_file_size, sort_col, key_col, pcol,
+                    recompress_level, log, op_id):
     for chunk in _chunk(plan, n_chunks):
         ck = chunk_key([p["partition_id"] for p in chunk])
         if ck in done:

@@ -43,9 +43,12 @@ def _sig(table) -> str:
     return f"{table.location}@{s.snapshot_id if s else 0}"
 
 
-def _stage(spark, catalog: Catalog, name: str, src_sig: str, build):
+def _stage(spark, catalog: Catalog, name: str, src_sig: str, build,
+           properties: dict | None = None):
     """Skip-or-rebuild one stage: rebuild only when the input signature
-    moved; rebuilds are single overwrite commits."""
+    moved; rebuilds are single overwrite commits. ``properties`` seeds
+    table properties at creation (e.g. the parquet codec for
+    blob-payload stages — see plans/imagepipe._BLOB_TABLE_PROPS)."""
     if catalog.table_exists(name):
         t = catalog.load_table(name)
         if t.properties().get(SRC_PROP) == src_sig:
@@ -58,7 +61,7 @@ def _stage(spark, catalog: Catalog, name: str, src_sig: str, build):
         # tasks — the write must scale with the input, and these
         # intermediate tables are compacted by normal maintenance if
         # their file sizes matter downstream
-        t = catalog.create_table_as(name, build())
+        t = catalog.create_table_as(name, build(), properties=properties)
     t.update_properties({SRC_PROP: src_sig})
     return t, {"skipped": False, "rows": t.size_stats(spark)["rows"]}
 

@@ -50,6 +50,17 @@ from ..tableformat.catalog import Catalog
 from .datapipe import _sig, _stage
 
 SUPPORTED_FMTS = ("jpeg", "png", "raw")
+# Stage tables carry the image payload: parquet-level zstd over
+# already-compressed blobs costs ~2.2x slower writes+reads for <1%
+# size (measured, tableformat/table.py::create docstring), and
+# dictionary encoding never hits on unique multi-KB blobs. Every
+# blob-bearing stage (bronze/clean/dedup/decontaminated/splits) is
+# created with these; the metadata-sized dedup_index keeps the session
+# default codec (guide §6: pick the codec per payload, not globally).
+_BLOB_TABLE_PROPS = {
+    "write.parquet.compression-codec": "uncompressed",
+    "write.parquet.dictionary-enabled": "false",
+}
 # bronze sequence number the dedup table has consumed through; keyed on
 # the dedup table's properties (advanced by full builds and increments)
 CURSOR_PROP = "imagepipe.cursor.seq"
@@ -64,20 +75,63 @@ def _decode_reject_ids(images: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             bad = []
-            for i in range(len(pdf)):
+            # plain-list iteration: per-row .iloc pays pandas indexing
+            # overhead per CALL (5 calls/row); the decode kernel itself
+            # is the only per-row work that should remain
+            for img_id, blob, w, h, fmt in zip(
+                pdf["image_id"].tolist(), pdf["bytes"].tolist(),
+                pdf["w"].tolist(), pdf["h"].tolist(), pdf["fmt"].tolist(),
+            ):
                 try:
-                    ic.decode(
-                        pdf["bytes"].iloc[i],
-                        int(pdf["w"].iloc[i]),
-                        int(pdf["h"].iloc[i]),
-                        pdf["fmt"].iloc[i],
-                    )
+                    ic.decode(blob, int(w), int(h), fmt)
                 except Exception:
-                    bad.append(pdf["image_id"].iloc[i])
+                    bad.append(img_id)
             yield pd.DataFrame({"image_id": pd.Series(bad, dtype="object")})
 
     cols = ["image_id", "bytes", "w", "h", "fmt"]
     return images.select(*cols).mapInPandas(run, schema="image_id string")
+
+
+def _gate_fingerprints(images: DataFrame) -> DataFrame:
+    """Decode gate + fingerprint pass in ONE blob read: the gate
+    already ships every payload to Python, so emitting the byte/caption
+    md5 fingerprints (identical to ``F.md5`` — lowercase hex over the
+    raw/UTF-8 bytes, pinned by tests) and phash alongside the ok flag
+    makes the dedup stage's separate full-blob md5 scan unnecessary
+    (guide §8: decide with small rows computed while the heavy bytes
+    are already in hand). Output is metadata-sized (~100 B/row)."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["image_id"].tolist()
+            oks: list[bool] = []
+            fps: list[str] = []
+            cfps: list[str] = []
+            for blob, w, h, fmt, cap in zip(
+                pdf["bytes"].tolist(), pdf["w"].tolist(),
+                pdf["h"].tolist(), pdf["fmt"].tolist(),
+                pdf["caption"].tolist(),
+            ):
+                try:
+                    ic.decode(blob, int(w), int(h), fmt)
+                    oks.append(True)
+                except Exception:
+                    oks.append(False)
+                fps.append(hashlib.md5(blob).hexdigest())
+                cfps.append(hashlib.md5(cap.encode("utf-8")).hexdigest())
+            yield pd.DataFrame({
+                "image_id": pd.Series(ids, dtype="object"),
+                "ok": pd.Series(oks, dtype="bool"),
+                "fp": pd.Series(fps, dtype="object"),
+                "cap_fp": pd.Series(cfps, dtype="object"),
+                "phash": pdf["phash"],
+            })
+
+    cols = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+    return images.select(*cols).mapInPandas(
+        run, schema="image_id string, ok boolean, fp string, "
+                    "cap_fp string, phash long")
 
 
 def _drop_ids(d: DataFrame, drop: DataFrame) -> DataFrame:
@@ -96,11 +150,18 @@ def _drop_ids(d: DataFrame, drop: DataFrame) -> DataFrame:
 
 
 def _quality_gate(
-    d: DataFrame, min_dim: int, min_caption_words: int, decode_gate: bool
+    d: DataFrame, min_dim: int, min_caption_words: int, decode_gate: bool,
+    fingerprint_state: dict | None = None,
 ) -> DataFrame:
     """Structural gates (metadata columns only, pure Catalyst) then the
     streaming decode gate. Shared by the full build and the
-    incremental path so both enforce identical admission rules."""
+    incremental path so both enforce identical admission rules.
+
+    ``fingerprint_state``: when a dict is passed (the full-build path)
+    and the decode gate is on, the gate pass ALSO emits the dedup
+    fingerprints (md5 of bytes/caption + phash) and stores the
+    persisted metadata-sized frame under ``fingerprint_state["gate_fp"]``
+    — one blob read serves both the gate and exact dedup."""
     words = F.size(F.filter(F.split("caption", " "), lambda x: x != ""))
     structural = (
         F.col("bytes").isNotNull()
@@ -113,7 +174,12 @@ def _quality_gate(
     )
     d = d.filter(structural)
     if decode_gate:
-        d = _drop_ids(d, _decode_reject_ids(d))
+        if fingerprint_state is not None:
+            gfp = _gate_fingerprints(d).persist()
+            fingerprint_state["gate_fp"] = gfp
+            d = _drop_ids(d, gfp.filter(~F.col("ok")).select("image_id"))
+        else:
+            d = _drop_ids(d, _decode_reject_ids(d))
     return d
 
 
@@ -157,19 +223,28 @@ def run_image_pipeline(
         # fixed small file count would funnel the whole payload through
         # one shuffle into that many tasks (guide §2: scale-adaptive
         # partitioning, not a constant)
-        bronze = catalog.create_table_as("imagepipe.bronze", images)
+        bronze = catalog.create_table_as("imagepipe.bronze", images,
+                                         properties=_BLOB_TABLE_PROPS)
     else:
         bronze = catalog.load_table("imagepipe.bronze")
     out["bronze"] = {"rows": bronze.size_stats(spark)["rows"]}
 
     # ---- clean: structural gates, then the decode gate ----------------
+    # gate_state carries the decode pass's fingerprint side-product to
+    # the dedup stage WITHIN this call (one blob read serves both);
+    # when clean is skipped/rebuilt independently, dedup falls back to
+    # computing fingerprints from its own scan.
+    gate_state: dict = {}
+
     def build_clean() -> DataFrame:
         return _quality_gate(
-            bronze.scan(spark), min_dim, min_caption_words, decode_gate
+            bronze.scan(spark), min_dim, min_caption_words, decode_gate,
+            fingerprint_state=gate_state,
         )
 
     clean, out["clean"] = _stage(
-        spark, catalog, "imagepipe.clean", _sig(bronze), build_clean
+        spark, catalog, "imagepipe.clean", _sig(bronze), build_clean,
+        properties=_BLOB_TABLE_PROPS,
     )
 
     # ---- dedup: exact bytes, then phash-hamming components ------------
@@ -185,10 +260,22 @@ def run_image_pipeline(
 
     def build_dedup() -> DataFrame:
         d = clean.scan(spark)
-        ids = d.select(
-            "image_id", "phash", F.md5("bytes").alias("fp"),
-            F.md5("caption").alias("cap_fp"),
-        ).persist()
+        if "gate_fp" in gate_state:
+            # the decode-gate pass of THIS call already computed every
+            # fingerprint — reuse the persisted metadata frame instead
+            # of re-reading every blob for a second md5 pass. The row
+            # set must equal the clean TABLE's: same anti-join on the
+            # reject ids (filter(ok) would diverge if a duplicated
+            # image_id had both an ok and a failing row).
+            gfp = gate_state["gate_fp"]
+            ids = _drop_ids(
+                gfp, gfp.filter(~F.col("ok")).select("image_id")
+            ).select("image_id", "phash", "fp", "cap_fp").persist()
+        else:
+            ids = d.select(
+                "image_id", "phash", F.md5("bytes").alias("fp"),
+                F.md5("caption").alias("cap_fp"),
+            ).persist()
         keep = ids.groupBy("fp").agg(F.min("image_id").alias("__keep"))
         exact_losers = (
             ids.join(keep, "fp")
@@ -246,7 +333,8 @@ def run_image_pipeline(
                if max_caption_repeats is not None else "")
     dedup, out["dedup"] = _stage(
         spark, catalog, "imagepipe.dedup",
-        _sig(clean) + f"#ham{max_hamming}" + cap_sig, build_dedup
+        _sig(clean) + f"#ham{max_hamming}" + cap_sig, build_dedup,
+        properties=_BLOB_TABLE_PROPS,
     )
 
     # ---- decontaminate: eval-set phash proximity -----------------------
@@ -266,7 +354,8 @@ def run_image_pipeline(
 
         src, out["decontaminated"] = _stage(
             spark, catalog, "imagepipe.decontaminated",
-            _sig(dedup) + f"#dh{decon_hamming}", build_decon
+            _sig(dedup) + f"#dh{decon_hamming}", build_decon,
+            properties=_BLOB_TABLE_PROPS,
         )
 
     # ---- splits: deterministic hash buckets ---------------------------
@@ -275,18 +364,34 @@ def run_image_pipeline(
         F.xxhash64(F.col("image_id"), F.lit("imagepipe-split")), F.lit(10_000)
     )
     cuts = (int(t_frac * 10_000), int((t_frac + v_frac) * 10_000))
-    for name, cond in (
-        ("train", bucket < cuts[0]),
-        ("valid", (bucket >= cuts[0]) & (bucket < cuts[1])),
-        ("test", bucket >= cuts[1]),
-    ):
-        def build_split(cond=cond):
+
+    def run_split(name_cond):
+        name, cond = name_cond
+
+        def build_split():
             return src.scan(spark).filter(cond)
 
-        _, out[name] = _stage(
+        return name, _stage(
             spark, catalog, f"imagepipe.{name}",
-            _sig(src) + f"#{cuts}", build_split
-        )
+            _sig(src) + f"#{cuts}", build_split,
+            properties=_BLOB_TABLE_PROPS,
+        )[1]
+
+    # The three split builds are independent single-table jobs over
+    # disjoint filters; overlapping them lets each write's straggler
+    # tail back-fill the others' tasks (guide §2.6) instead of three
+    # sequential ramp-downs. Results are order-independent (disjoint
+    # hash buckets, separate tables); `out` keeps train/valid/test
+    # insertion order.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        for name, metrics in pool.map(run_split, (
+            ("train", bucket < cuts[0]),
+            ("valid", (bucket >= cuts[0]) & (bucket < cuts[1])),
+            ("test", bucket >= cuts[1]),
+        )):
+            out[name] = metrics
 
     # ---- dedup index + incremental cursor ------------------------------
     # The index is the metadata-sized projection (image_id, fp, phash)
@@ -327,6 +432,8 @@ def run_image_pipeline(
             catalog.create_table_as("imagepipe.dedup_index", idx_df, n_files=4)
     if "ids" in dedup_state:
         dedup_state["ids"].unpersist()
+    if "gate_fp" in gate_state:
+        gate_state["gate_fp"].unpersist()
     dedup.update_properties(
         {CURSOR_PROP: str(bronze.load_metadata()["last_sequence"])}
     )

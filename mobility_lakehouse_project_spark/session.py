@@ -50,6 +50,14 @@ def get_spark(
         # slower writes); zstd outruns snappy on this payload.
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.hadoop.parquet.enable.dictionary", "false")
+        # Parquet page CRCs cost ~25x on UNCOMPRESSED blob pages
+        # (measured, tools/profile_parquet_write.py: 1.3 GB flat write
+        # 22.6 s with checksums vs 0.94 s without; the CRC runs over
+        # the raw page buffer, so for incompressible image payloads it
+        # is pure per-byte overhead). Spark never verifies page CRCs on
+        # read by default; durability here rides on the FS + snapshot
+        # commits, as in any object-store deployment.
+        .config("spark.hadoop.parquet.page.write-checksum.enabled", "false")
         # Blob-heavy tables: default 128MB scan splits + 4MB open cost
         # collapse a chunk of mid-size files into 2-3 tasks; size splits
         # so rewrites use the full core count.

@@ -318,3 +318,30 @@ def test_caption_frequency_cap_full_and_incremental(spark, cat):
         images_df(spark, 1, id_offset=910_000))
     with pytest.raises(ValueError, match="cap_fp"):
         incremental_image_update(spark, cat, max_caption_repeats=4)
+
+
+def test_blob_stage_tables_write_uncompressed_parquet(spark, cat):
+    """Optimization pin (r06): blob-bearing stage tables are created
+    with the uncompressed/no-dictionary parquet properties (zstd over
+    already-compressed image bytes costs ~2.2x write+read CPU for <1%
+    size), while the metadata-sized dedup_index keeps the session
+    default codec."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    run_image_pipeline(spark, cat, images=images_df(spark, 40))
+    for name in ("imagepipe.bronze", "imagepipe.clean", "imagepipe.dedup",
+                 "imagepipe.train"):
+        t = cat.load_table(name)
+        props = t.properties()
+        assert props.get("write.parquet.compression-codec") == "uncompressed", name
+        loc = t.location[len("file://"):] if t.location.startswith("file://") else t.location
+        files = glob.glob(os.path.join(loc, "data", "**", "*.parquet"),
+                          recursive=True)
+        assert files, name
+        col = pq.ParquetFile(files[0]).metadata.row_group(0).column(0)
+        assert col.compression == "UNCOMPRESSED", name
+    idx = cat.load_table("imagepipe.dedup_index")
+    assert "write.parquet.compression-codec" not in idx.properties()

@@ -42,9 +42,9 @@ def main() -> None:
     timings: dict[str, float] = {}
     orig_stage = datapipe._stage
 
-    def timed_stage(spark_, catalog, name, src_sig, build):
+    def timed_stage(spark_, catalog, name, src_sig, build, **kw):
         t = time.time()
-        r = orig_stage(spark_, catalog, name, src_sig, build)
+        r = orig_stage(spark_, catalog, name, src_sig, build, **kw)
         timings[name] = time.time() - t
         print(f"[stage] {name}: {timings[name]:.2f}s rows={r[1].get('rows')}")
         return r
