@@ -58,6 +58,16 @@ def get_spark(
         # read by default; durability here rides on the FS + snapshot
         # commits, as in any object-store deployment.
         .config("spark.hadoop.parquet.page.write-checksum.enabled", "false")
+        # Shuffle compression is pure overhead for this engine's large
+        # shuffles: every corpus-sized exchange carries the already-
+        # compressed image payload (guide §2.3 "no universal answer —
+        # measure": tools/profile_scan_shuffle.py, 2.6 GB blob shuffle:
+        # lz4 3.11 s / zstd 3.41 s / uncompressed 1.81 s). Metadata
+        # shuffles are small either way. Holds at cluster scale for the
+        # same reason — blob bytes stay incompressible on the wire;
+        # override via SPARK_GRAFT_EXTRA_JSON for text-heavy loads.
+        .config("spark.shuffle.compress", "false")
+        .config("spark.shuffle.spill.compress", "false")
         # Blob-heavy tables: default 128MB scan splits + 4MB open cost
         # collapse a chunk of mid-size files into 2-3 tasks; size splits
         # so rewrites use the full core count.

@@ -55,7 +55,10 @@ def main() -> None:
     eval_set = synth.images_df(
         spark, max(64, ROWS // 100), dims=(16, 32, 64, 128),
         partitions=max(4, CORES // 4), id_offset=3 * ROWS).select("phash")
-    cat = Catalog(os.path.join(work, "pipe_wh"))
+    pipe_base = os.environ.get("SPARK_GRAFT_PIPE_DIR")
+    if pipe_base:
+        pipe_base = tempfile.mkdtemp(prefix="prof_pipe_wh_", dir=pipe_base)
+    cat = Catalog(pipe_base or os.path.join(work, "pipe_wh"))
     t0 = time.time()
     # time the bronze CTAS separately (not under _stage)
     tb = time.time()
@@ -69,6 +72,8 @@ def main() -> None:
     print({k: v.get("rows") for k, v in res.items() if isinstance(v, dict)})
     spark.stop()
     shutil.rmtree(work, ignore_errors=True)
+    if pipe_base:
+        shutil.rmtree(pipe_base, ignore_errors=True)
 
 if __name__ == "__main__":
     main()
