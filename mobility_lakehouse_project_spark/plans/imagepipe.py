@@ -312,7 +312,13 @@ def run_image_pipeline(
         pairs = hamming_pairs(
             sigs.select(F.col("phash").alias("id"), F.col("phash").alias("sig")),
             max_hamming=max_hamming,
-        )
+        # EAGER checkpoint: connected_components' symmetrized edge
+        # union references this frame twice, and the band join is the
+        # stage's widest shuffle — uncut, it executed once per
+        # reference (measured in the sf1 event log as repeated
+        # concurrent broadcast staircases). Materialized pair volume is
+        # band-collision-bounded (near-dup hits only), metadata-sized.
+        ).localCheckpoint()
         labels = connected_components(pairs, src="ida", dst="idb")
         canon = sigs.join(
             labels, sigs["phash"] == labels["id"], "left"
@@ -324,7 +330,14 @@ def run_image_pipeline(
         drop = drop.unionByName(
             members.join(winners.select("image_id"), "image_id", "left_anti")
             .select("image_id")
-        )
+        # EAGER checkpoint: the combined loser set is consumed three
+        # times — the survivor write's broadcast anti-join, and the
+        # dedup_index build after the splits. Uncut, each consumer
+        # re-executed the whole decision DAG (exact losers -> hamming
+        # pairs -> CC joins -> winners; ~9 competing broadcast subtrees
+        # per execution in the sf1 event log). One materialization of
+        # an id set bounded by duplicate volume ends that.
+        ).localCheckpoint()
         dedup_state["ids"] = ids
         dedup_state["drop"] = drop
         return _drop_ids(d, drop)

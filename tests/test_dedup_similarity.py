@@ -555,3 +555,40 @@ class TestProductQuantization:
         for r in rows2:
             cell = similarity.ivf_cells_of(by_id[r["vec_id"]], cents, 1)[0]
             assert cell in st2["probe_cells"]
+
+
+def test_combo_plan_blocking_invariants():
+    """The generalized pigeonhole plan must stay recall-complete and
+    bounded for every max_hamming: m-k intact blocks >= j (so some
+    j-combo key survives k bit flips), explode factor C(m,j) <= 64,
+    and the classic splits reappear at the edges (k=1 -> 2x32)."""
+    import math
+
+    for k in range(1, 33):
+        m, j = dedup._combo_plan(k)
+        assert m - k >= j, f"recall broken at k={k}: m={m} j={j}"
+        assert math.comb(m, j) <= 64, f"explode blowup at k={k}"
+        assert m <= 64
+    assert dedup._combo_plan(1) == (2, 1)   # classic 2x32 split
+    assert dedup._combo_plan(3) == (6, 3)   # 20 keys of ~32 bits
+
+
+def test_banded_key_width_bounds_collisions(spark):
+    """At max_hamming=3 the combo keys are ~32 bits wide, so random
+    64-bit signatures must produce candidate volume near the true-pair
+    volume — the property that keeps the band self-join linear-ish in
+    n instead of n^2/2^16 (the classic 4x16 split's collision rate)."""
+    n = 20_000
+    sigs = spark.range(n).select(F.col("id"), F.xxhash64("id").alias("sig"))
+    banded = dedup._banded(sigs, "id", "sig", 3)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cands = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bh") == F.col("b.bh"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).count()
+    # random collisions: ~combos * n^2 / 2^32 / 2 ~= 1 at n=20k; the
+    # classic 16-bit bands would give ~12k. Allow generous slack.
+    assert cands < 200, f"candidate volume {cands} — blocking degraded"
