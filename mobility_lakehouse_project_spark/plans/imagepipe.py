@@ -47,7 +47,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..functions import imagecodec as ic
 from ..operators.dedup import connected_components, hamming_join, hamming_pairs
 from ..tableformat.catalog import Catalog
-from .datapipe import _sig, _stage
+from .datapipe import SRC_PROP, _sig, _stage
 
 SUPPORTED_FMTS = ("jpeg", "png", "raw")
 # Stage tables carry the image payload: parquet-level zstd over
@@ -134,6 +134,73 @@ def _gate_fingerprints(images: DataFrame) -> DataFrame:
                     "cap_fp string, phash long")
 
 
+def _dedup_drop_set(
+    ids: DataFrame, max_hamming: int, max_caption_repeats: int | None,
+) -> DataFrame:
+    """The dedup stage's combined loser-id set, computed entirely over
+    the persisted metadata frame ``ids`` (image_id, phash, fp, cap_fp):
+    exact byte-dup losers (min-id keeps), over-cap boilerplate
+    captions, and phash-hamming near-dup component losers. Returned
+    EAGERLY materialized (localCheckpoint): the set is consumed by the
+    survivor write's broadcast anti-join, the dedup_index build, and —
+    on the fused fresh-build path — the categorized corpus write;
+    uncut, each consumer re-executed the whole decision DAG (~9
+    competing broadcast subtrees per execution in the sf1 event log).
+
+    Hot-key safety (the input's ~5%-hot phash skew, FIXTURES.md): the
+    component graph's nodes are the DISTINCT phash values, not the
+    images — an identical-phash group of size g contributes 1 node,
+    not g^2 band pairs, and the numeric sig doubles as the component
+    label (connected_components' monotone-sum convergence check needs
+    numeric ids). Survivor per near-dup cluster = its global min
+    image_id."""
+    keep = ids.groupBy("fp").agg(F.min("image_id").alias("__keep"))
+    exact_losers = (
+        ids.join(keep, "fp")
+        .filter(F.col("image_id") != F.col("__keep"))
+        .select("image_id")
+    )
+    drop = exact_losers
+    surv = _drop_ids(ids, exact_losers)
+    if max_caption_repeats is not None:
+        # boilerplate-caption filter: counts over byte-deduped rows (a
+        # byte-dup must not inflate its caption), drop over-cap
+        # captions wholesale — count + anti-join, no per-caption
+        # window (hot captions are the hot keys)
+        boiler = (
+            surv.groupBy("cap_fp")
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") > max_caption_repeats)
+            .select("cap_fp")
+        )
+        drop = drop.unionByName(
+            surv.join(F.broadcast(boiler), "cap_fp", "left_semi")
+            .select("image_id")
+        )
+        surv = surv.join(F.broadcast(boiler), "cap_fp", "left_anti")
+    sigs = surv.select("phash").distinct()
+    pairs = hamming_pairs(
+        sigs.select(F.col("phash").alias("id"), F.col("phash").alias("sig")),
+        max_hamming=max_hamming,
+    # EAGER checkpoint: connected_components' symmetrized edge union
+    # references this frame twice, and the band join is the stage's
+    # widest shuffle. Materialized pair volume is band-collision-
+    # bounded (near-dup hits only), metadata-sized.
+    ).localCheckpoint()
+    labels = connected_components(pairs, src="ida", dst="idb")
+    canon = sigs.join(
+        labels, sigs["phash"] == labels["id"], "left"
+    ).select("phash", F.coalesce("component", "phash").alias("__comp"))
+    members = surv.select("image_id", "phash").join(canon, "phash")
+    winners = (
+        members.groupBy("__comp").agg(F.min("image_id").alias("image_id"))
+    )
+    return drop.unionByName(
+        members.join(winners.select("image_id"), "image_id", "left_anti")
+        .select("image_id")
+    ).localCheckpoint()
+
+
 def _drop_ids(d: DataFrame, drop: DataFrame) -> DataFrame:
     """Anti-join ``d`` against a DROP-id frame, broadcast explicitly.
 
@@ -149,6 +216,22 @@ def _drop_ids(d: DataFrame, drop: DataFrame) -> DataFrame:
     return d.join(F.broadcast(drop), "image_id", "left_anti")
 
 
+def _structural_pred(min_dim: int, min_caption_words: int):
+    """The metadata-only admission predicate (pure Catalyst): shared
+    by the sequential gate, the incremental path and the fused fresh
+    build so every path enforces identical rules."""
+    words = F.size(F.filter(F.split("caption", " "), lambda x: x != ""))
+    return (
+        F.col("bytes").isNotNull()
+        & (F.length("bytes") > 0)
+        & (F.col("w") >= min_dim)
+        & (F.col("h") >= min_dim)
+        & F.col("fmt").isin(*SUPPORTED_FMTS)
+        & F.col("caption").isNotNull()
+        & (words >= min_caption_words)
+    )
+
+
 def _quality_gate(
     d: DataFrame, min_dim: int, min_caption_words: int, decode_gate: bool,
     fingerprint_state: dict | None = None,
@@ -162,17 +245,7 @@ def _quality_gate(
     fingerprints (md5 of bytes/caption + phash) and stores the
     persisted metadata-sized frame under ``fingerprint_state["gate_fp"]``
     — one blob read serves both the gate and exact dedup."""
-    words = F.size(F.filter(F.split("caption", " "), lambda x: x != ""))
-    structural = (
-        F.col("bytes").isNotNull()
-        & (F.length("bytes") > 0)
-        & (F.col("w") >= min_dim)
-        & (F.col("h") >= min_dim)
-        & F.col("fmt").isin(*SUPPORTED_FMTS)
-        & F.col("caption").isNotNull()
-        & (words >= min_caption_words)
-    )
-    d = d.filter(structural)
+    d = d.filter(_structural_pred(min_dim, min_caption_words))
     if decode_gate:
         if fingerprint_state is not None:
             gfp = _gate_fingerprints(d).persist()
@@ -181,6 +254,190 @@ def _quality_gate(
         else:
             d = _drop_ids(d, _decode_reject_ids(d))
     return d
+
+
+_STAGE_TABLES = ("imagepipe.clean", "imagepipe.dedup",
+                 "imagepipe.decontaminated", "imagepipe.train",
+                 "imagepipe.valid", "imagepipe.test", "imagepipe.dedup_index")
+
+
+def _fused_fresh_build(
+    spark: SparkSession,
+    catalog: Catalog,
+    bronze,
+    *,
+    min_dim: int,
+    min_caption_words: int,
+    max_hamming: int,
+    decode_gate: bool,
+    benchmark: DataFrame | None,
+    decon_hamming: int,
+    splits: tuple[float, float],
+    max_caption_repeats: int | None,
+) -> dict:
+    """Bootstrap build of every downstream stage from ONE categorized
+    corpus write (guide §8: decide with small rows, move big rows
+    once — here, WRITE big rows once).
+
+    The sequential chain writes the payload five times (clean, dedup,
+    decontaminated, splits) and re-reads each parent table, because
+    each stage's input is its predecessor. But every stage is a pure
+    row-subset of clean, decided by metadata-sized id sets — so on a
+    fresh build the stages are NESTED FILTERS of one frame. This path:
+
+      1. runs the gate + fingerprint pass (one blob read, as before),
+      2. computes every drop decision over the metadata frame
+         (exact/boilerplate/near-dup losers via _dedup_drop_set,
+         eval-set contamination via hamming_join),
+      3. labels each surviving row with its FINEST category —
+         'd' dedup-loser, 'x' contaminated, 't'/'v'/'s' its split —
+         via broadcast joins on the failure-volume-sized id sets
+         (never a corpus-sized broadcast),
+      4. writes the corpus ONCE, partitionBy('__cat') so every file
+         is category-pure (no shuffle — rows stay on their scan
+         partitioning; the transient __cat column never lands in the
+         files), and
+      5. registers each stage table over its category subset by
+         HARD-LINKING the files into the stage's data dir (same-FS
+         zero-copy; falls back to a byte copy across devices). Each
+         table owns a real directory entry, so per-table drop/orphan
+         GC stays safe — the analog of Iceberg tables sharing
+         physical files via absolute-path manifests on an object
+         store, where none of these bytes would be duplicated either.
+
+    Payload I/O drops from 5 writes + 4 reads of the corpus to 1
+    write + 2 reads (gate pass + write pass); the stage tables, their
+    row sets, SRC_PROP signatures, properties and the dedup_index are
+    IDENTICAL to the sequential path's (pinned by the e2e tests and
+    test_fused_build_matches_sequential). The sequential path remains
+    the resume/rebuild engine — this runs only when no stage table
+    exists yet, which is also what bounds the decision broadcasts:
+    failure/duplicate volume of a fresh corpus."""
+    import os
+    import shutil
+    import uuid
+
+    out: dict = {}
+    d0 = bronze.scan(spark).filter(
+        _structural_pred(min_dim, min_caption_words))
+    if decode_gate:
+        gfp = _gate_fingerprints(d0).persist()
+        rejects = gfp.filter(~F.col("ok")).select("image_id")
+        ids = _drop_ids(
+            gfp, rejects
+        ).select("image_id", "phash", "fp", "cap_fp").persist()
+        corpus = _drop_ids(d0, rejects)
+    else:
+        gfp = None
+        ids = d0.select(
+            "image_id", "phash", F.md5("bytes").alias("fp"),
+            F.md5("caption").alias("cap_fp"),
+        ).persist()
+        corpus = d0
+    drop = _dedup_drop_set(ids, max_hamming, max_caption_repeats)
+    surv = _drop_ids(ids, drop)
+    dirty = None
+    if benchmark is not None:
+        bench = benchmark.select(
+            F.col("phash").alias("sig")
+        ).distinct().withColumn("id", F.lit(0))
+        dirty = hamming_join(
+            surv.select(F.col("image_id").alias("id"),
+                        F.col("phash").alias("sig")),
+            bench, max_hamming=decon_hamming,
+        ).select(F.col("ida").alias("image_id")).distinct().localCheckpoint()
+
+    t_frac, v_frac = splits
+    bucket = F.pmod(
+        F.xxhash64(F.col("image_id"), F.lit("imagepipe-split")), F.lit(10_000)
+    )
+    cuts = (int(t_frac * 10_000), int((t_frac + v_frac) * 10_000))
+    # category = the finest stage that still CONTAINS the row; every
+    # id-set join is broadcast and failure/duplicate-volume-sized
+    corpus = corpus.join(
+        F.broadcast(drop.withColumn("__dup", F.lit(True))), "image_id", "left")
+    cat = F.when(F.col("__dup").isNotNull(), "d")
+    if dirty is not None:
+        corpus = corpus.join(
+            F.broadcast(dirty.withColumn("__dirty", F.lit(True))),
+            "image_id", "left")
+        cat = cat.when(F.col("__dirty").isNotNull(), "x")
+    cat = (cat.when(bucket < cuts[0], "t")
+           .when(bucket < cuts[1], "v").otherwise("s"))
+    data_cols = [f.name for f in bronze.schema().fields]
+    corpus = corpus.select(*data_cols, cat.alias("__cat"))
+
+    # ---- the one corpus write, category-pure files -------------------
+    clean_t = catalog.create_table("imagepipe.clean", bronze.schema(),
+                                   properties=_BLOB_TABLE_PROPS)
+    out_dir = os.path.join(clean_t.data_dir,
+                           f"snap-{uuid.uuid4().hex[:12]}")
+    (corpus.write.partitionBy("__cat").mode("append")
+     .option("compression", "uncompressed")
+     .option("parquet.enable.dictionary", "false")
+     .parquet(out_dir))
+    entries = clean_t._collect_entries(out_dir, clean_t.load_metadata())
+    for e in entries:
+        seg = next(s for s in e["file_path"].split("/")
+                   if s.startswith("__cat="))
+        e["__cat"] = seg.split("=", 1)[1]
+
+    def _sub(cats) -> list[dict]:
+        # fresh top-level dicts per table: commits stamp snapshot ids
+        # and row-id ranges into the entry dicts
+        return [
+            {k: v for k, v in e.items() if k != "__cat"}
+            for e in entries if e["__cat"] in cats
+        ]
+
+    def _commit(t, sub: list[dict], src_prop: str) -> dict:
+        if sub:
+            t.commit_append(sub, summary={"op": "imagepipe-fused"})
+        t.update_properties({SRC_PROP: src_prop})
+        return {"skipped": False,
+                "rows": sum(e["record_count"] for e in sub)}
+
+    def _link_table(name: str, cats) -> tuple:
+        t = catalog.create_table(name, bronze.schema(),
+                                 properties=_BLOB_TABLE_PROPS)
+        sub = _sub(cats)
+        for e in sub:
+            src = os.path.join(clean_t._local_root, e["file_path"])
+            dst = os.path.join(t._local_root, e["file_path"])
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            try:
+                os.link(src, dst)
+            except OSError:
+                shutil.copy2(src, dst)
+        return t, sub
+
+    out["clean"] = _commit(clean_t, _sub({"d", "x", "t", "v", "s"}),
+                           _sig(bronze))
+    cap_sig = (f"#cap{max_caption_repeats}"
+               if max_caption_repeats is not None else "")
+    dedup_t, sub = _link_table("imagepipe.dedup", {"x", "t", "v", "s"})
+    out["dedup"] = _commit(dedup_t, sub,
+                           _sig(clean_t) + f"#ham{max_hamming}" + cap_sig)
+    src_t = dedup_t
+    if benchmark is not None:
+        src_t, sub = _link_table("imagepipe.decontaminated", {"t", "v", "s"})
+        out["decontaminated"] = _commit(
+            src_t, sub, _sig(dedup_t) + f"#dh{decon_hamming}")
+    for name, cats in (("train", {"t"}), ("valid", {"v"}), ("test", {"s"})):
+        t, sub = _link_table(f"imagepipe.{name}", cats)
+        out[name] = _commit(t, sub, _sig(src_t) + f"#{cuts}")
+
+    # ---- dedup index: survivor fingerprints, zero blob reads ----------
+    catalog.create_table_as(
+        "imagepipe.dedup_index",
+        surv.select("image_id", "fp", "phash", "cap_fp"), n_files=4)
+    ids.unpersist()
+    if gfp is not None:
+        gfp.unpersist()
+    dedup_t.update_properties(
+        {CURSOR_PROP: str(bronze.load_metadata()["last_sequence"])}
+    )
+    return out
 
 
 def run_image_pipeline(
@@ -229,6 +486,22 @@ def run_image_pipeline(
         bronze = catalog.load_table("imagepipe.bronze")
     out["bronze"] = {"rows": bronze.size_stats(spark)["rows"]}
 
+    # ---- fused bootstrap: no stage table exists yet -------------------
+    # one categorized corpus write + hard-linked stage registration
+    # replaces the five sequential stage writes; identical tables,
+    # rows, signatures and index (see _fused_fresh_build). Any
+    # pre-existing stage table routes to the sequential skip/rebuild
+    # logic below — the resume semantics are untouched.
+    if not any(catalog.table_exists(n) for n in _STAGE_TABLES):
+        out.update(_fused_fresh_build(
+            spark, catalog, bronze,
+            min_dim=min_dim, min_caption_words=min_caption_words,
+            max_hamming=max_hamming, decode_gate=decode_gate,
+            benchmark=benchmark, decon_hamming=decon_hamming,
+            splits=splits, max_caption_repeats=max_caption_repeats,
+        ))
+        return out
+
     # ---- clean: structural gates, then the decode gate ----------------
     # gate_state carries the decode pass's fingerprint side-product to
     # the dedup stage WITHIN this call (one blob read serves both);
@@ -276,68 +549,7 @@ def run_image_pipeline(
                 "image_id", "phash", F.md5("bytes").alias("fp"),
                 F.md5("caption").alias("cap_fp"),
             ).persist()
-        keep = ids.groupBy("fp").agg(F.min("image_id").alias("__keep"))
-        exact_losers = (
-            ids.join(keep, "fp")
-            .filter(F.col("image_id") != F.col("__keep"))
-            .select("image_id")
-        )
-        drop = exact_losers
-        surv = _drop_ids(ids, exact_losers)
-        if max_caption_repeats is not None:
-            # boilerplate-caption filter: counts over byte-deduped
-            # rows (a byte-dup must not inflate its caption), drop
-            # over-cap captions wholesale — count + anti-join, no
-            # per-caption window (hot captions are the hot keys)
-            boiler = (
-                surv.groupBy("cap_fp")
-                .agg(F.count("*").alias("__n"))
-                .filter(F.col("__n") > max_caption_repeats)
-                .select("cap_fp")
-            )
-            drop = drop.unionByName(
-                surv.join(F.broadcast(boiler), "cap_fp", "left_semi")
-                .select("image_id")
-            )
-            surv = surv.join(F.broadcast(boiler), "cap_fp", "left_anti")
-        # Hot-key safety (the input's ~5%-hot phash skew,
-        # FIXTURES.md): the component graph's nodes are the DISTINCT
-        # phash values, not the images — an identical-phash group of
-        # size g contributes 1 node, not g^2 band pairs, and the
-        # numeric sig doubles as the component label
-        # (connected_components' monotone-sum convergence check needs
-        # numeric ids). Survivor per near-dup cluster = its global
-        # min image_id.
-        sigs = surv.select("phash").distinct()
-        pairs = hamming_pairs(
-            sigs.select(F.col("phash").alias("id"), F.col("phash").alias("sig")),
-            max_hamming=max_hamming,
-        # EAGER checkpoint: connected_components' symmetrized edge
-        # union references this frame twice, and the band join is the
-        # stage's widest shuffle — uncut, it executed once per
-        # reference (measured in the sf1 event log as repeated
-        # concurrent broadcast staircases). Materialized pair volume is
-        # band-collision-bounded (near-dup hits only), metadata-sized.
-        ).localCheckpoint()
-        labels = connected_components(pairs, src="ida", dst="idb")
-        canon = sigs.join(
-            labels, sigs["phash"] == labels["id"], "left"
-        ).select("phash", F.coalesce("component", "phash").alias("__comp"))
-        members = surv.select("image_id", "phash").join(canon, "phash")
-        winners = (
-            members.groupBy("__comp").agg(F.min("image_id").alias("image_id"))
-        )
-        drop = drop.unionByName(
-            members.join(winners.select("image_id"), "image_id", "left_anti")
-            .select("image_id")
-        # EAGER checkpoint: the combined loser set is consumed three
-        # times — the survivor write's broadcast anti-join, and the
-        # dedup_index build after the splits. Uncut, each consumer
-        # re-executed the whole decision DAG (exact losers -> hamming
-        # pairs -> CC joins -> winners; ~9 competing broadcast subtrees
-        # per execution in the sf1 event log). One materialization of
-        # an id set bounded by duplicate volume ends that.
-        ).localCheckpoint()
+        drop = _dedup_drop_set(ids, max_hamming, max_caption_repeats)
         dedup_state["ids"] = ids
         dedup_state["drop"] = drop
         return _drop_ids(d, drop)

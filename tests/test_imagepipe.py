@@ -345,3 +345,56 @@ def test_blob_stage_tables_write_uncompressed_parquet(spark, cat):
         assert col.compression == "UNCOMPRESSED", name
     idx = cat.load_table("imagepipe.dedup_index")
     assert "write.parquet.compression-codec" not in idx.properties()
+
+
+def test_fused_build_matches_sequential(spark, tmp_path):
+    """The fused bootstrap (one categorized write + hard-linked stage
+    registration) must produce row-identical stage tables, row counts,
+    index contents and cursor to the sequential chain on the same
+    input — including the decontaminated stage and a caption cap. The
+    sequential path is forced via a pre-existing sentinel dedup_index
+    (any existing stage table disables the fused gate; the sequential
+    chain overwrites the index anyway)."""
+    from mobility_lakehouse_project_spark.plans import imagepipe
+
+    base = _corpus(spark)
+    bench = (images_df(spark, 40).filter("image_id = 'img000000000007'")
+             .select("phash"))
+    cat_f = Catalog(str(tmp_path / "wh_fused"))
+    out_f = run_image_pipeline(spark, cat_f, images=base, benchmark=bench,
+                               max_caption_repeats=30)
+
+    cat_s = Catalog(str(tmp_path / "wh_seq"))
+    cat_s.create_table_as(
+        "imagepipe.bronze", base, properties=imagepipe._BLOB_TABLE_PROPS)
+    cat_s.create_table_as(
+        "imagepipe.dedup_index",
+        spark.createDataFrame(
+            [("__sentinel__", "x", 0, "y")],
+            "image_id string, fp string, phash long, cap_fp string"))
+    out_s = run_image_pipeline(spark, cat_s, benchmark=bench,
+                               max_caption_repeats=30)
+
+    for name in ("imagepipe.clean", "imagepipe.dedup",
+                 "imagepipe.decontaminated", "imagepipe.train",
+                 "imagepipe.valid", "imagepipe.test",
+                 "imagepipe.dedup_index"):
+        rf = sorted(tuple(r) for r in
+                    cat_f.load_table(name).scan(spark).collect())
+        rs = sorted(tuple(r) for r in
+                    cat_s.load_table(name).scan(spark).collect())
+        assert rf == rs, f"{name} diverges between fused and sequential"
+    for k in ("clean", "dedup", "decontaminated", "train", "valid", "test"):
+        assert out_f[k]["rows"] == out_s[k]["rows"], k
+        assert out_f[k]["skipped"] is False
+    # cursor parity: both paths advance to bronze's last sequence
+    assert (cat_f.load_table("imagepipe.dedup")
+            .properties()["imagepipe.cursor.seq"]
+            == cat_s.load_table("imagepipe.dedup")
+            .properties()["imagepipe.cursor.seq"])
+    # resume parity: a fused-built warehouse skips every stage on the
+    # next call exactly like a sequentially-built one
+    out_f2 = run_image_pipeline(spark, cat_f, benchmark=bench,
+                                max_caption_repeats=30)
+    for k in ("clean", "dedup", "decontaminated", "train", "valid", "test"):
+        assert out_f2[k]["skipped"] is True, k
