@@ -386,6 +386,7 @@ def connected_components(
     src: str = "ida",
     dst: str = "idb",
     max_iter: int = 25,
+    driver_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Connected components over an undirected near-dup pair graph:
     returns ``(id, component)`` where component = MIN node id reachable
@@ -417,6 +418,47 @@ def connected_components(
         edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
     )
     sym = sym.persist()
+    # Metadata-plane fast path: the edge set is bounded by NEAR-DUP
+    # volume (band-collision candidates that passed verification), not
+    # corpus size — in a mostly-unique corpus it is tiny while each
+    # distributed label round costs ~4 fixed-latency jobs. Below the
+    # threshold (~32 MB of id pairs on the driver, the same bound the
+    # engine's other metadata collects honor), union-find on the
+    # driver replaces O(log diameter) shuffle rounds with one collect;
+    # the label assignment (component = min reachable id) is identical
+    # by construction. Dup-heavy graphs past the threshold take the
+    # distributed loop below unchanged.
+    n_edges = sym.count()  # also materializes the persist ONCE — the
+    # first round otherwise computed both union branches separately
+    if n_edges <= driver_threshold:
+        rows = sym.collect()
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for r in rows:
+            a, b = find(r["s"]), find(r["d"])
+            if a != b:
+                # union by min: the smaller id becomes the root, so
+                # every root IS its component's min id
+                if b < a:
+                    a, b = b, a
+                parent[b] = a
+        nodes = {r["s"] for r in rows}
+        out = [(n, find(n)) for n in sorted(nodes)]
+        sym.unpersist()
+        spark = edges.sparkSession
+        schema = T.StructType([
+            T.StructField("id", edges.schema[src].dataType),
+            T.StructField("component", edges.schema[src].dataType),
+        ])
+        return spark.createDataFrame(out, schema)
     # Each round is cut with an EAGER localCheckpoint, not a bare
     # persist: the round plan references the previous labels twice
     # (union + pointer-jump join), so an uncut lineage grows ~4x per

@@ -159,9 +159,16 @@ def _dedup_drop_set(
         ids.join(keep, "fp")
         .filter(F.col("image_id") != F.col("__keep"))
         .select("image_id")
-    )
+    # EAGER checkpoints on the intermediate decision frames too: the
+    # loser set feeds both the drop union and the survivor branch, and
+    # the survivor frame feeds the caption counts, the sig distinct
+    # and the member join — uncut, each broadcast subtree re-ran the
+    # groupBy-over-ids chain (the concurrent-broadcast staircases in
+    # the sf1 event log). Both frames are metadata-sized (duplicate
+    # volume / one row per admitted image).
+    ).localCheckpoint()
     drop = exact_losers
-    surv = _drop_ids(ids, exact_losers)
+    surv = _drop_ids(ids, exact_losers).localCheckpoint()
     if max_caption_repeats is not None:
         # boilerplate-caption filter: counts over byte-deduped rows (a
         # byte-dup must not inflate its caption), drop over-cap
@@ -334,6 +341,12 @@ def _fused_fresh_build(
             F.md5("caption").alias("cap_fp"),
         ).persist()
         corpus = d0
+    # materialize the fingerprint pass ONCE before fan-out: the first
+    # decision query's independent AQE subtrees (groupBy + join
+    # branches) otherwise race to fill the cache, each running the
+    # full blob-decode gate pass concurrently (twin 13s jobs in the
+    # sf1 event log)
+    ids.count()
     drop = _dedup_drop_set(ids, max_hamming, max_caption_repeats)
     surv = _drop_ids(ids, drop)
     dirty = None
@@ -549,6 +562,8 @@ def run_image_pipeline(
                 "image_id", "phash", F.md5("bytes").alias("fp"),
                 F.md5("caption").alias("cap_fp"),
             ).persist()
+        ids.count()  # one cache fill before the decision fan-out (see
+        # _fused_fresh_build: AQE subtrees race an unmaterialized cache)
         drop = _dedup_drop_set(ids, max_hamming, max_caption_repeats)
         dedup_state["ids"] = ids
         dedup_state["drop"] = drop

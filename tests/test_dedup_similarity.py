@@ -592,3 +592,24 @@ def test_banded_key_width_bounds_collisions(spark):
     # random collisions: ~combos * n^2 / 2^32 / 2 ~= 1 at n=20k; the
     # classic 16-bit bands would give ~12k. Allow generous slack.
     assert cands < 200, f"candidate volume {cands} — blocking degraded"
+
+
+def test_connected_components_driver_and_distributed_parity(spark):
+    """The metadata-plane union-find fast path and the distributed
+    min-label loop must assign identical components (min reachable id)
+    on the same graph — chains, stars, singleton-free isolates and a
+    cross-type (long) id space."""
+    pairs = (
+        [(i, i + 1) for i in range(0, 9)]          # chain 0..9
+        + [(100, x) for x in (101, 102, 103)]      # star
+        + [(200, 201), (202, 201)]                 # vee
+        + [(7, 300)]                               # chain joins 300
+    )
+    edges = spark.createDataFrame(pairs, "ida long, idb long")
+    fast = {r["id"]: r["component"]
+            for r in dedup.connected_components(edges).collect()}
+    dist = {r["id"]: r["component"]
+            for r in dedup.connected_components(
+                edges, driver_threshold=0).collect()}
+    assert fast == dist
+    assert fast[300] == 0 and fast[103] == 100 and fast[202] == 200
