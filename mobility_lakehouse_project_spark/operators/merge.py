@@ -309,6 +309,18 @@ def merge_into(
                 "wall_ms": int((time.time() - t0) * 1000),
                 "snapshot": snap.snapshot_id}
 
+    if src_all is None:
+        # Persist the deduped+conformed source: every merge shape below
+        # executes it at least twice — once for the key-side planning
+        # (src_keys count / touched-file classification) and once for
+        # the output write — and an expensive source (a synthesis
+        # mapInPandas, a joined CDC feed) plus the dedupe window's
+        # payload shuffle would run per execution. The cache fills as a
+        # side effect of the first key pass (MEMORY_AND_DISK: a giant
+        # backfill source spills instead of OOMing; a merge source is
+        # O(change volume), not table-sized, by contract). The
+        # source_delete_condition branch already persists src_all.
+        src = src.persist()
     src_keys = (src_all.select(*keys) if src_all is not None
                 else src.select(*keys)).persist()
     n_src = src_keys.count()  # keys-only; also materializes the cache
@@ -364,18 +376,22 @@ def merge_into(
         finally:
             new_keys.unpersist()
             src_keys.unpersist()
+            src.unpersist()
 
     if mode in ("mor", "dv"):
         if n_delcmd:
             extra_summary = {**(extra_summary or {}),
                              "rows_delete_commands": n_delcmd}
-        return _merge_mor(table, spark, src, src_keys, n_src - n_delcmd,
-                          keys, when_matched, when_not_matched,
-                          when_not_matched_by_source, target_file_size,
-                          cur, op_id, extra_summary, t0,
-                          dv=(mode == "dv"), plan_fp=plan_fp,
-                          rebase_retries=rebase_retries,
-                          by_source_assignments=by_source_assignments)
+        try:
+            return _merge_mor(table, spark, src, src_keys, n_src - n_delcmd,
+                              keys, when_matched, when_not_matched,
+                              when_not_matched_by_source, target_file_size,
+                              cur, op_id, extra_summary, t0,
+                              dv=(mode == "dv"), plan_fp=plan_fp,
+                              rebase_retries=rebase_retries,
+                              by_source_assignments=by_source_assignments)
+        finally:
+            src.unpersist()
 
     # ---- 1. touched files: keys+filename scan (bytes pruned away) ----
     # ONE pass over the target's keys serves BOTH planning questions:
@@ -585,6 +601,7 @@ def merge_into(
             conflict_keys=src_keys, keys=keys, op="merge")
     finally:
         src_keys.unpersist()
+        src.unpersist()  # no-op when src_all is the persisted frame
         if src_all is not None:
             src_all.unpersist()
     wall_ms = int((time.time() - t0) * 1000)

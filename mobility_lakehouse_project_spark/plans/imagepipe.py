@@ -208,6 +208,13 @@ def _dedup_drop_set(
     ).localCheckpoint()
 
 
+def _n_meta(d: DataFrame) -> int:
+    """Partition count for cached metadata-sized frames (the blob
+    scan's split count is payload-sized — thousands of ~350 KB
+    metadata slivers at sf1+; see _fused_fresh_build)."""
+    return max(8, d.sparkSession.sparkContext.defaultParallelism)
+
+
 def _drop_ids(d: DataFrame, drop: DataFrame) -> DataFrame:
     """Anti-join ``d`` against a DROP-id frame, broadcast explicitly.
 
@@ -268,6 +275,45 @@ _STAGE_TABLES = ("imagepipe.clean", "imagepipe.dedup",
                  "imagepipe.valid", "imagepipe.test", "imagepipe.dedup_index")
 
 
+def _clone_bronze_if_pristine(
+    spark: SparkSession, catalog: Catalog, images: DataFrame,
+):
+    """Bootstrap ``imagepipe.bronze`` as a hard-link clone when the
+    input frame is a pristine full-table scan co-located with the
+    catalog's filesystem; returns None (caller falls back to CTAS)
+    otherwise. Every guard errs toward the CTAS path — the clone is an
+    optimization, never a semantic fork: the cloned files ARE the rows
+    the CTAS would have written."""
+    import os
+
+    from ..tableformat.paths import to_local
+
+    src_info = getattr(images, "_lh_pristine_scan", None)
+    if src_info is None:
+        return None
+    src_t, src_snap_id = src_info
+    snap = src_t.snapshot_by_id(src_snap_id)
+    if snap is None or snap.delete_manifests:
+        return None  # expired snapshot / pending deletes: CTAS applies them
+    if src_t._current_spec_snapshot_ids(src_t.load_metadata()) is not None:
+        return None  # mixed partition specs: clone_to would refuse
+    try:
+        sdev = os.stat(to_local(src_t.location)).st_dev
+        wh = to_local(catalog.warehouse)
+        os.makedirs(wh, exist_ok=True)
+        ddev = os.stat(wh).st_dev
+    except OSError:
+        return None
+    if sdev != ddev:
+        return None  # cross-device: hard links impossible, CTAS is parallel
+    bronze = src_t.clone_to(spark, catalog._location("imagepipe.bronze"),
+                            snapshot_id=src_snap_id)
+    # the clone inherits the SOURCE's properties; pin the stage-table
+    # write posture so bronze's future appends match the pipeline's
+    bronze.update_properties(_BLOB_TABLE_PROPS)
+    return bronze
+
+
 def _fused_fresh_build(
     spark: SparkSession,
     catalog: Catalog,
@@ -322,24 +368,52 @@ def _fused_fresh_build(
     failure/duplicate volume of a fresh corpus."""
     import os
     import shutil
+    import time
     import uuid
+
+    # step-level wall-clock attribution (guide §1.5): printed only when
+    # SPARK_GRAFT_PIPE_PROFILE is set, so profiling runs can see where
+    # the fused build spends its time without an event log
+    _prof = bool(os.environ.get("SPARK_GRAFT_PIPE_PROFILE"))
+    _tlast = [time.time()]
+
+    def _mark(step: str) -> None:
+        if _prof:
+            now = time.time()
+            print(f"[fused] {step}: {now - _tlast[0]:.2f}s", flush=True)
+            _tlast[0] = now
 
     out: dict = {}
     d0 = bronze.scan(spark).filter(
         _structural_pred(min_dim, min_caption_words))
+    # ~core-count partitions for the cached metadata frame: it
+    # inherits the blob scan's split count (one ~350 KB sliver per
+    # 32 MB payload split — thousands at sf1+), and every decision job
+    # below re-pays that task dispatch; one cheap shuffle of the
+    # ~100 B/row frame right-sizes ALL of them (guide §2.2: fewer,
+    # larger partitions for metadata-sized work)
+    n_meta = max(8, spark.sparkContext.defaultParallelism)
     if decode_gate:
         gfp = _gate_fingerprints(d0).persist()
+        # ONE decode pass fills the fingerprint cache BEFORE any plan
+        # fans out over it: the ids frame's repartition makes its first
+        # query multi-stage under AQE, and the shuffle map stage and
+        # the reject-broadcast subtree are independent query stages
+        # that would otherwise race to compute the uncached gate pass
+        # concurrently (measured: twin full-decode jobs)
+        gfp.count()
         rejects = gfp.filter(~F.col("ok")).select("image_id")
         ids = _drop_ids(
             gfp, rejects
-        ).select("image_id", "phash", "fp", "cap_fp").persist()
+        ).select("image_id", "phash", "fp", "cap_fp") \
+            .repartition(n_meta).persist()
         corpus = _drop_ids(d0, rejects)
     else:
         gfp = None
         ids = d0.select(
             "image_id", "phash", F.md5("bytes").alias("fp"),
             F.md5("caption").alias("cap_fp"),
-        ).persist()
+        ).repartition(n_meta).persist()
         corpus = d0
     # materialize the fingerprint pass ONCE before fan-out: the first
     # decision query's independent AQE subtrees (groupBy + join
@@ -347,7 +421,9 @@ def _fused_fresh_build(
     # full blob-decode gate pass concurrently (twin 13s jobs in the
     # sf1 event log)
     ids.count()
+    _mark("gate+fingerprints (cache fill)")
     drop = _dedup_drop_set(ids, max_hamming, max_caption_repeats)
+    _mark("dedup decision DAG")
     surv = _drop_ids(ids, drop)
     dirty = None
     if benchmark is not None:
@@ -359,6 +435,7 @@ def _fused_fresh_build(
                         F.col("phash").alias("sig")),
             bench, max_hamming=decon_hamming,
         ).select(F.col("ida").alias("image_id")).distinct().localCheckpoint()
+        _mark("decontamination hamming join")
 
     t_frac, v_frac = splits
     bucket = F.pmod(
@@ -389,6 +466,7 @@ def _fused_fresh_build(
      .option("compression", "uncompressed")
      .option("parquet.enable.dictionary", "false")
      .parquet(out_dir))
+    _mark("categorized corpus write")
     entries = clean_t._collect_entries(out_dir, clean_t.load_metadata())
     for e in entries:
         seg = next(s for s in e["file_path"].split("/")
@@ -424,6 +502,7 @@ def _fused_fresh_build(
                 shutil.copy2(src, dst)
         return t, sub
 
+    _mark("footer collect")
     out["clean"] = _commit(clean_t, _sub({"d", "x", "t", "v", "s"}),
                            _sig(bronze))
     cap_sig = (f"#cap{max_caption_repeats}"
@@ -441,12 +520,21 @@ def _fused_fresh_build(
         out[name] = _commit(t, sub, _sig(src_t) + f"#{cuts}")
 
     # ---- dedup index: survivor fingerprints, zero blob reads ----------
+    _mark("stage links+commits")
+    if _prof:
+        import time as _t
+        _t0 = _t.time()
+        n_ids = ids.count()
+        print(f"[fused] ids re-count before index: {_t.time() - _t0:.2f}s "
+              f"({n_ids} rows)", flush=True)
+        _tlast[0] = _t.time()
     catalog.create_table_as(
         "imagepipe.dedup_index",
         surv.select("image_id", "fp", "phash", "cap_fp"), n_files=4)
     ids.unpersist()
     if gfp is not None:
         gfp.unpersist()
+    _mark("dedup index write")
     dedup_t.update_properties(
         {CURSOR_PROP: str(bronze.load_metadata()["last_sequence"])}
     )
@@ -489,12 +577,24 @@ def run_image_pipeline(
     if not catalog.table_exists("imagepipe.bronze"):
         if images is None:
             raise ValueError("first run needs images= to bootstrap bronze")
-        # n_files=None: write on the input's natural partitioning — a
-        # fixed small file count would funnel the whole payload through
-        # one shuffle into that many tasks (guide §2: scale-adaptive
-        # partitioning, not a constant)
-        bronze = catalog.create_table_as("imagepipe.bronze", images,
-                                         properties=_BLOB_TABLE_PROPS)
+        # Pristine-scan fast path: when ``images`` is an untouched full
+        # scan of a lakehouse table (tagged by LakehouseTable.scan) on
+        # the SAME filesystem, bronze is a zero-copy CLONE — hard links
+        # + one manifest, no 13-GB-per-TB decode/re-encode CTAS pass
+        # (guide §8: the bytes already exist; move decisions, not
+        # payload). Guards route everything else (pending MOR deletes,
+        # mixed partition specs, cross-device catalogs — where the CTAS
+        # write is parallel while a copy fallback would be driver-
+        # serial) to the ordinary CTAS below. Rows are identical by
+        # construction: the clone shares the exact committed files.
+        bronze = _clone_bronze_if_pristine(spark, catalog, images)
+        if bronze is None:
+            # n_files=None: write on the input's natural partitioning —
+            # a fixed small file count would funnel the whole payload
+            # through one shuffle into that many tasks (guide §2:
+            # scale-adaptive partitioning, not a constant)
+            bronze = catalog.create_table_as("imagepipe.bronze", images,
+                                             properties=_BLOB_TABLE_PROPS)
     else:
         bronze = catalog.load_table("imagepipe.bronze")
     out["bronze"] = {"rows": bronze.size_stats(spark)["rows"]}
@@ -556,12 +656,13 @@ def run_image_pipeline(
             gfp = gate_state["gate_fp"]
             ids = _drop_ids(
                 gfp, gfp.filter(~F.col("ok")).select("image_id")
-            ).select("image_id", "phash", "fp", "cap_fp").persist()
+            ).select("image_id", "phash", "fp", "cap_fp") \
+                .repartition(_n_meta(d)).persist()
         else:
             ids = d.select(
                 "image_id", "phash", F.md5("bytes").alias("fp"),
                 F.md5("caption").alias("cap_fp"),
-            ).persist()
+            ).repartition(_n_meta(d)).persist()
         ids.count()  # one cache fill before the decision fan-out (see
         # _fused_fresh_build: AQE subtrees race an unmaterialized cache)
         drop = _dedup_drop_set(ids, max_hamming, max_caption_repeats)

@@ -2965,6 +2965,17 @@ class LakehouseTable:
                     f"{sorted(tags) or 'none'}; branches: "
                     f"{sorted(branches) or 'none'})"
                 )
+        # a scan with every knob at its default returns the FULL table
+        # exactly as committed — tag the frame (below) so consumers
+        # that only need "these rows, somewhere else" (imagepipe bronze
+        # bootstrap) can clone the files instead of decoding and
+        # re-encoding every byte through a CTAS
+        pristine = (
+            snapshot_id is None and partition_values is None
+            and int_ranges is None and columns is None
+            and not with_pos and not with_row_id and not with_last_seq
+            and updated_since is None and point_eq is None
+        )
         pruned = self.plan_files(spark, snapshot_id, partition_values, int_ranges,
                                  point_eq=point_eq)
         snap = (self.snapshot_by_id(snapshot_id) if snapshot_id is not None
@@ -3023,6 +3034,11 @@ class LakehouseTable:
                 pv = [str(v) for v in partition_values]
                 df = df.filter(
                     self.partition_value_expr(meta).cast("string").isin(pv))
+        if pristine and snap is not None:
+            # (table, resolved snapshot id) — the snapshot is pinned at
+            # scan time, so a later clone sees exactly this file set;
+            # any transformation returns a NEW DataFrame without the tag
+            df._lh_pristine_scan = (self, snap.snapshot_id)
         return df
 
     def _file_seqs_for(self, spark: SparkSession, rel_paths: list[str],

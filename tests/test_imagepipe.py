@@ -398,3 +398,71 @@ def test_fused_build_matches_sequential(spark, tmp_path):
                                 max_caption_repeats=30)
     for k in ("clean", "dedup", "decontaminated", "train", "valid", "test"):
         assert out_f2[k]["skipped"] is True, k
+
+
+def test_bronze_clone_bootstrap_matches_ctas(spark, tmp_path):
+    """A pristine full-table scan on the catalog's filesystem boots
+    bronze as a zero-copy CLONE (op == 'clone', source files hard-
+    linked); every downstream stage table is row-identical to the CTAS
+    path, and a transformed (non-pristine) input still routes to CTAS."""
+    from mobility_lakehouse_project_spark.plans import imagepipe
+    from mobility_lakehouse_project_spark.tableformat import LakehouseTable
+
+    d = images_df(spark, 400, dims=(8, 16))
+    t = LakehouseTable.create(
+        str(tmp_path / "src_t"), d.schema, partition_col="bucket",
+        properties=imagepipe._BLOB_TABLE_PROPS)
+    t.append(d, n_files=4)
+    bench = images_df(spark, 8, id_offset=900).select("phash")
+
+    cat_c = Catalog(str(tmp_path / "wh_clone"))
+    out_c = run_image_pipeline(spark, cat_c, images=t.scan(spark),
+                               benchmark=bench)
+    bz = cat_c.load_table("imagepipe.bronze")
+    assert bz.current_snapshot().operation == "clone"
+    # future bronze appends keep the pipeline's blob-write posture
+    assert (bz.properties()["write.parquet.compression-codec"]
+            == "uncompressed")
+    assert out_c["bronze"]["rows"] == 400
+
+    # a transformed frame loses the pristine tag -> ordinary CTAS
+    cat_s = Catalog(str(tmp_path / "wh_ctas"))
+    cols = t.scan(spark).columns
+    out_s = run_image_pipeline(spark, cat_s,
+                               images=t.scan(spark).select(*cols),
+                               benchmark=bench)
+    assert (cat_s.load_table("imagepipe.bronze")
+            .current_snapshot().operation == "append")
+    for name in ("imagepipe.clean", "imagepipe.dedup",
+                 "imagepipe.decontaminated", "imagepipe.train",
+                 "imagepipe.valid", "imagepipe.test",
+                 "imagepipe.dedup_index"):
+        rc = sorted(tuple(r) for r in
+                    cat_c.load_table(name).scan(spark).collect())
+        rs = sorted(tuple(r) for r in
+                    cat_s.load_table(name).scan(spark).collect())
+        assert rc == rs, f"{name} diverges between clone and CTAS boot"
+    for k in ("clean", "dedup", "decontaminated", "train", "valid", "test"):
+        assert out_c[k]["rows"] == out_s[k]["rows"], k
+
+
+def test_bronze_clone_skipped_for_pending_deletes(spark, tmp_path):
+    """A source table with pending MOR deletes must NOT clone (the
+    clone would resurrect deleted rows) — the CTAS path applies them."""
+    from mobility_lakehouse_project_spark.operators.delete import delete_where
+    from mobility_lakehouse_project_spark.plans import imagepipe
+    from mobility_lakehouse_project_spark.tableformat import LakehouseTable
+
+    d = images_df(spark, 60, dims=(8,))
+    t = LakehouseTable.create(
+        str(tmp_path / "src_t"), d.schema, partition_col="bucket",
+        properties=imagepipe._BLOB_TABLE_PROPS)
+    t.append(d, n_files=2)
+    delete_where(t, spark, "image_id = 'img000000000000'", mode="mor")
+    cat = Catalog(str(tmp_path / "wh"))
+    out = run_image_pipeline(spark, cat, images=t.scan(spark))
+    bz = cat.load_table("imagepipe.bronze")
+    assert bz.current_snapshot().operation == "append"  # CTAS, not clone
+    assert out["bronze"]["rows"] == 59
+    ids = {r["image_id"] for r in bz.scan(spark).select("image_id").collect()}
+    assert "img000000000000" not in ids
