@@ -870,17 +870,25 @@ def dedup_embed_cosine(spark, sf_dir):
     scoring expression applied per block; at 10^12 rows the bucket is
     the join key, never a cross join."""
     e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    a = e.select(F.col("vec_id").alias("ida"), F.col("embedding").alias("va"))
-    b = e.select(F.col("vec_id").alias("idb"), F.col("embedding").alias("vb"))
-    dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x,
-    )
+    # norms are per-ROW quantities: compute each side's norm once in
+    # the pre-join projection instead of per PAIR inside the join
+    # output (the interpreted higher-order fold otherwise runs 2*n^2
+    # times instead of 2*n — measured 3x on the whole query). The
+    # scalar feeding the division is the same IEEE value, so cos_sim
+    # and its rounding are bit-identical.
     norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
         F.transform(F.col(c), lambda x: x.cast("double") * x.cast("double")),
         F.lit(0.0), lambda acc, x: acc + x,
     ))
-    sim = dot / (norm("va") * norm("vb"))
+    a = e.select(F.col("vec_id").alias("ida"), F.col("embedding").alias("va"),
+                 norm("embedding").alias("na"))
+    b = e.select(F.col("vec_id").alias("idb"), F.col("embedding").alias("vb"),
+                 norm("embedding").alias("nb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    sim = dot / (F.col("na") * F.col("nb"))
     return (
         a.join(b, F.col("ida") < F.col("idb"))
         .select("ida", "idb", F.round(sim, 4).alias("cos_sim"))
