@@ -1,7 +1,8 @@
 """Smoke + spot-oracle tests for the relational layer.
 
-The driver runs the full 51-query oracle sweep (tools/check_oracles.py
-is the local mirror); here we keep a fast representative subset green
+The driver oracle-hashes a rotating 50-query window of the full
+103-query registry (tools/check_oracles.py is the local mirror that
+sweeps all 103); here we keep a fast representative subset green
 under plain pytest."""
 
 import duckdb
