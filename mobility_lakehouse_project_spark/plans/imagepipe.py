@@ -456,6 +456,18 @@ def _fused_fresh_build(
            .when(bucket < cuts[1], "v").otherwise("s"))
     data_cols = [f.name for f in bronze.schema().fields]
     corpus = corpus.select(*data_cols, cat.alias("__cat"))
+    # Write-task sizing (guide §6): each writer task emits one file per
+    # category it sees (rows arrive category-mixed), so the scan's
+    # 32 MB splits would produce ~5 files per task — thousands of
+    # ~6 MB files at sf1+. Coalesce (no shuffle — categories stay on
+    # their scan rows) to a byte-derived task count targeting ~256 MB
+    # of input per task, floored at two waves of cores so the write
+    # stays parallel; the stage tables this corpus backs then carry
+    # sanely-sized files into every downstream scan.
+    corpus_bytes = bronze.size_stats(spark)["bytes"] or 0
+    n_write = max(2 * spark.sparkContext.defaultParallelism,
+                  int(corpus_bytes // (256 << 20)))
+    corpus = corpus.coalesce(n_write)
 
     # ---- the one corpus write, category-pure files -------------------
     clean_t = catalog.create_table("imagepipe.clean", bronze.schema(),
