@@ -458,7 +458,14 @@ def connected_components(
             T.StructField("id", edges.schema[src].dataType),
             T.StructField("component", edges.schema[src].dataType),
         ])
-        return spark.createDataFrame(out, schema)
+        # Arrow upload via pandas, not a local-list createDataFrame: the
+        # list path parallelizes PICKLED rows through a Python RDD — a
+        # "Scan ExistingRDD[... PythonRDD]" relation in every consumer's
+        # plan (flagged by the NO-PYTHON plan audit) and a row-at-a-time
+        # deserialization of up to driver_threshold edges; the pandas
+        # path ships the same rows as Arrow record batches.
+        pdf = pd.DataFrame(out, columns=["id", "component"])
+        return spark.createDataFrame(pdf, schema)
     # Each round is cut with an EAGER localCheckpoint, not a bare
     # persist: the round plan references the previous labels twice
     # (union + pointer-jump join), so an uncut lineage grows ~4x per

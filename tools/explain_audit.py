@@ -95,7 +95,10 @@ CHECKS = {
     # so the FINAL plan is the checkpointed label scan + cluster-size
     # window; the jaccard/CC algebra is audited through its per-round
     # plans, which the checkpoint keeps constant-depth
-    "dedup_cc_canonical": ["Window", "Scan ExistingRDD"],
+    # small near-dup graphs label via the driver union-find and come
+    # back as an Arrow-built LOCAL relation (LocalTableScan — no RDD,
+    # no Python in the plan); large graphs take the distributed loop
+    "dedup_cc_canonical": ["Window", "LocalTableScan"],
     # the md5-residue predicate is computed, not pushable — the scan must
     # still be column-pruned to exactly the 5 referenced columns
     "sample_hash_mod": ["HashAggregate", "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_extendedprice:double,l_discount:double,l_returnflag:string>"],
